@@ -1,0 +1,28 @@
+"""orientdb_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of Spaceghost/OrientDB (the original 2010
+OrientDB codebase).
+
+This is NOT a port of the reference's Java execution machinery: queries are
+compiled to PySpark DataFrame plans and Catalyst/Tungsten own the physical
+execution (pushdown, pruning, join strategy, codegen, spill).
+
+Public surface:
+
+    from orientdb_spark import Engine
+
+    eng = Engine(spark)
+    eng.register_parquet_dir("/root/testdata/sf0.01")
+    df = eng.sql("select l_returnflag, sum(l_quantity) as sum_qty "
+                 "from lineitem group by l_returnflag")
+
+Reference parity map lives in SURVEY.md; each module cites the reference
+files (file:line) whose *behavior* it reproduces.
+"""
+
+from orientdb_spark.engine import Engine
+from orientdb_spark.catalog import Catalog, OClass, OProperty
+from orientdb_spark.session import get_spark
+
+__all__ = ["Engine", "Catalog", "OClass", "OProperty", "get_spark"]
+
+__version__ = "0.1.0"

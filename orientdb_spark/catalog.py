@@ -1,0 +1,225 @@
+"""Class/schema catalog — the OSchema/OClass/OProperty analog.
+
+Reference behavior reproduced (see SURVEY.md §1.3):
+- class registry persisted as metadata (core:metadata/schema/OSchema.java:36+)
+- class = name + properties + clusters + single-inheritance superclass
+  (core:metadata/schema/OClass.java:34-46,103-118); property lookup walks the
+  superclass chain (OClass.java:144-160)
+- polymorphic scan = union of the class's and all subclasses' clusters
+  (OClass.java:294, core:iterator/ORecordIteratorClass.java:36-51)
+- records carry @rid / @class / @version metadata
+  (core:id/ORecordId.java, core:record/ORecordAbstract.java)
+
+Spark mapping: a class is a DataFrame supplier (parquet path or in-memory),
+inheritance resolves to ``unionByName(allowMissingColumns=True)`` over the
+subclass DataFrames, and the metadata pseudo-columns are materialized as real
+columns on demand so Catalyst can prune/push down on them.
+
+LINK properties (core:metadata/schema/OProperty.java linkedClass) are
+generalized to value-based foreign keys: a link spec says "this column's
+value equals <target class>.<target key>"; navigation across it compiles to
+an equi-join (SURVEY §2.4). RID-valued links use target key ``@rid``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from orientdb_spark.errors import OSchemaException
+from orientdb_spark.otypes import OType
+
+# Engine metadata pseudo-columns (core:sql/filter/OSQLFilterItemRecordAttrib.java:24-60)
+RID_COL = "@rid"
+CLASS_COL = "@class"
+VERSION_COL = "@version"
+META_COLS = (RID_COL, CLASS_COL, VERSION_COL)
+
+
+@dataclass
+class OProperty:
+    """Schema property (core:metadata/schema/OProperty.java).
+
+    ``linked_class``/``linked_key`` describe a value-based link: the column
+    holds values of ``linked_class.linked_key`` (``@rid`` for true RID links).
+    ``index_type`` in {None, 'unique', 'notunique', 'fulltext'}
+    (OProperty.java:41-43).
+    """
+
+    name: str
+    otype: OType | None = None
+    linked_class: str | None = None
+    linked_key: str | None = None
+    mandatory: bool = False
+    not_null: bool = False
+    min: str | None = None
+    max: str | None = None
+    index_type: str | None = None
+
+
+@dataclass
+class OClass:
+    """Schema class (core:metadata/schema/OClass.java:34-46)."""
+
+    name: str
+    cluster_id: int
+    properties: dict[str, OProperty] = field(default_factory=dict)
+    super_class: str | None = None
+    # Lazy DataFrame supplier; swapped on DML rewrite (copy-on-write).
+    df_supplier: Callable[[], DataFrame] | None = None
+    # Optional expression producing a stable long position for @rid.pos.
+    rid_pos: Callable[[DataFrame], "F.Column"] | None = None
+
+    def lower_properties(self) -> dict[str, OProperty]:
+        return {k.lower(): v for k, v in self.properties.items()}
+
+
+class Catalog:
+    """Registry of classes; name lookup is case-insensitive like the
+    reference (class names matched ignoring case in
+    core:metadata/schema/OSchema.java getClass)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._classes: dict[str, OClass] = {}  # lower-name -> OClass
+        self._next_cluster = 1
+
+    # -- registration -----------------------------------------------------
+
+    def register_class(
+        self,
+        name: str,
+        df: DataFrame | None = None,
+        path: str | None = None,
+        super_class: str | None = None,
+        links: dict[str, tuple[str, str]] | None = None,
+        properties: list[OProperty] | None = None,
+        rid_pos: Callable[[DataFrame], "F.Column"] | None = None,
+        cluster_id: int | None = None,
+    ) -> OClass:
+        if df is None and path is None and name.lower() not in self._classes:
+            df = None  # class with no data yet (CREATE CLASS)
+        if cluster_id is None:
+            cluster_id = self._next_cluster
+        self._next_cluster = max(self._next_cluster, cluster_id + 1)
+
+        supplier: Callable[[], DataFrame] | None = None
+        if path is not None:
+            spark = self.spark
+            supplier = lambda p=path: spark.read.parquet(p)  # noqa: E731
+        elif df is not None:
+            supplier = lambda d=df: d  # noqa: E731
+
+        cls = OClass(
+            name=name,
+            cluster_id=cluster_id,
+            super_class=super_class,
+            df_supplier=supplier,
+            rid_pos=rid_pos,
+        )
+        for prop in properties or []:
+            cls.properties[prop.name] = prop
+        for col, (tgt, key) in (links or {}).items():
+            p = cls.properties.get(col) or OProperty(name=col, otype=OType.LINK)
+            p.linked_class, p.linked_key = tgt, key
+            cls.properties[col] = p
+        self._classes[name.lower()] = cls
+        return cls
+
+    def set_dataframe(self, name: str, df: DataFrame) -> None:
+        """Copy-on-write swap — the DML rewrite path."""
+        self.get(name).df_supplier = lambda: df
+
+    def drop_class(self, name: str) -> None:
+        self._classes.pop(name.lower(), None)
+
+    # -- lookup ------------------------------------------------------------
+
+    def has(self, name: str) -> bool:
+        return name.lower() in self._classes
+
+    def get(self, name: str) -> OClass:
+        cls = self._classes.get(name.lower())
+        if cls is None:
+            raise OSchemaException(f"Class '{name}' was not found in current database")
+        return cls
+
+    def class_names(self) -> list[str]:
+        return [c.name for c in self._classes.values()]
+
+    def subclasses(self, name: str) -> list[OClass]:
+        """The class + all transitive subclasses — the 'polymorphic cluster
+        ids' set (core:metadata/schema/OClass.java:294)."""
+        root = self.get(name)
+        out = [root]
+        frontier = {root.name.lower()}
+        changed = True
+        while changed:
+            changed = False
+            for cls in self._classes.values():
+                if (
+                    cls.super_class
+                    and cls.super_class.lower() in frontier
+                    and cls.name.lower() not in frontier
+                ):
+                    out.append(cls)
+                    frontier.add(cls.name.lower())
+                    changed = True
+        return out
+
+    def find_property(self, cls: OClass, prop: str) -> OProperty | None:
+        """Walk the superclass chain (OClass.java:144-160)."""
+        cur: OClass | None = cls
+        prop_l = prop.lower()
+        while cur is not None:
+            hit = cur.lower_properties().get(prop_l)
+            if hit is not None:
+                return hit
+            cur = self.get(cur.super_class) if cur.super_class else None
+        return None
+
+    # -- scan --------------------------------------------------------------
+
+    def dataframe(self, name: str, polymorphic: bool = True, with_meta: bool = False) -> DataFrame:
+        """Class scan. ``polymorphic=True`` unions subclass tables — the
+        ORecordIteratorClass behavior (core:iterator/ORecordIteratorClass.java:36-51).
+        ``with_meta`` materializes @rid/@class/@version as real columns."""
+        classes = self.subclasses(name) if polymorphic else [self.get(name)]
+        parts: list[DataFrame] = []
+        for cls in classes:
+            if cls.df_supplier is None:
+                continue
+            df = cls.df_supplier()
+            if with_meta:
+                df = self._with_meta(df, cls)
+            parts.append(df)
+        if not parts:
+            raise OSchemaException(f"Class '{name}' has no records/storage")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    def _with_meta(self, df: DataFrame, cls: OClass) -> DataFrame:
+        if RID_COL in df.columns:
+            return df
+        pos = cls.rid_pos(df) if cls.rid_pos else F.monotonically_increasing_id()
+        return (
+            df.withColumn(
+                RID_COL,
+                F.struct(
+                    F.lit(cls.cluster_id).cast("int").alias("cluster"),
+                    pos.cast("long").alias("pos"),
+                ),
+            )
+            .withColumn(CLASS_COL, F.lit(cls.name))
+            .withColumn(VERSION_COL, F.lit(0))
+        )
+
+    def cluster_dataframe(self, cluster: str, with_meta: bool = False) -> DataFrame:
+        """cluster:<name> target — scan one cluster bypassing class
+        semantics (core:sql/OCommandExecutorSQLSelect.java:179-194). Here a
+        class's own (non-polymorphic) table."""
+        return self.dataframe(cluster, polymorphic=False, with_meta=with_meta)

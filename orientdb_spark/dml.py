@@ -1,0 +1,294 @@
+"""DML / DDL execution — copy-on-write rewrites over immutable storage.
+
+Reference dispatch: core:sql/OCommandExecutorSQLDelegate.java:36-67. The
+reference's UPDATE/DELETE rewrite themselves into an internal SELECT and
+mutate each matching record (core:sql/OCommandExecutorSQLUpdate.java:116-131,
+OCommandExecutorSQLDelete.java:49-77); we reuse the same WHERE compiler and
+rewrite the class table as a whole — the Spark-native equivalent (SURVEY
+§3.3). Versioning parity: matched rows get @version+1 semantics via the
+rewrite itself (optimistic-MVCC conflict checking is single-writer v1,
+core:tx/OTransactionOptimistic.java noted in SURVEY §7 hard-part 4).
+
+Scale note: each statement is one declarative transformation over the
+table — filters push down, no driver-side row loops; a real deployment
+would pair this with a transactional table format (Delta/Iceberg MERGE),
+which this module's single-writer rewrite mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from orientdb_spark import sqlast as A
+from orientdb_spark.catalog import OProperty
+from orientdb_spark.errors import OCommandExecutionException
+from orientdb_spark.expressions import Scope, compile_condition, compile_expr
+from orientdb_spark.otypes import OType
+
+
+def _result(engine, **cols) -> DataFrame:
+    return engine.spark.createDataFrame([tuple(cols.values())], list(cols.keys()))
+
+
+def execute_dml(engine, cmd) -> DataFrame:
+    if isinstance(cmd, A.InsertCmd):
+        return _insert(engine, cmd)
+    if isinstance(cmd, A.UpdateCmd):
+        return _update(engine, cmd)
+    if isinstance(cmd, A.DeleteCmd):
+        return _delete(engine, cmd)
+    if isinstance(cmd, A.CreateClassCmd):
+        engine.catalog.register_class(cmd.name, super_class=cmd.super_class)
+        return _result(engine, **{"class": cmd.name})
+    if isinstance(cmd, A.CreatePropertyCmd):
+        return _create_property(engine, cmd)
+    if isinstance(cmd, A.RemovePropertyCmd):
+        cls = engine.catalog.get(cmd.class_name)
+        cls.properties.pop(cmd.prop_name, None)
+        if cls.df_supplier is not None:
+            df = cls.df_supplier()
+            if cmd.prop_name in df.columns:
+                engine.catalog.set_dataframe(cmd.class_name, df.drop(cmd.prop_name))
+        return _result(engine, dropped=cmd.prop_name)
+    if isinstance(cmd, A.CreateIndexCmd):
+        # engine-side index bookkeeping: Catalyst pushdown/pruning replaces
+        # point indexes (SURVEY §4); FULLTEXT builds an inverted-index table
+        cls = engine.catalog.get(cmd.class_name)
+        p = cls.properties.get(cmd.prop_name) or OProperty(name=cmd.prop_name)
+        p.index_type = cmd.index_type
+        cls.properties[cmd.prop_name] = p
+        if cmd.index_type == "fulltext":
+            from orientdb_spark.fulltext import build_fulltext_index
+
+            build_fulltext_index(engine, cmd.class_name, cmd.prop_name)
+        return _result(engine, index=f"{cmd.class_name}.{cmd.prop_name}")
+    if isinstance(cmd, A.RemoveIndexCmd):
+        cls = engine.catalog.get(cmd.class_name)
+        p = cls.properties.get(cmd.prop_name)
+        if p:
+            p.index_type = None
+        return _result(engine, removed=f"{cmd.class_name}.{cmd.prop_name}")
+    if isinstance(cmd, A.CreateLinkCmd):
+        return _create_link(engine, cmd)
+    if isinstance(cmd, A.TruncateCmd):
+        cls = engine.catalog.get(cmd.class_name)
+        if cls.df_supplier is not None:
+            engine.catalog.set_dataframe(cmd.class_name, cls.df_supplier().limit(0))
+        return _result(engine, truncated=cmd.class_name)
+    if isinstance(cmd, A.GrantCmd):
+        # security DDL is bookkeeping-only (SURVEY §1.6: out of scope)
+        return _result(engine, role=cmd.role, permission=cmd.permission)
+    raise OCommandExecutionException(f"Unsupported command {type(cmd).__name__}")
+
+
+def _literal_value(engine, e: A.Expr):
+    if isinstance(e, A.Lit):
+        return e.value
+    if isinstance(e, A.ListLit):
+        return [_literal_value(engine, i) for i in e.items]
+    if isinstance(e, A.Rid):
+        return {"cluster": e.cluster, "pos": e.pos}
+    if isinstance(e, A.Neg):
+        return -_literal_value(engine, e.operand)
+    raise OCommandExecutionException("INSERT values must be literals")
+
+
+def _insert(engine, cmd: A.InsertCmd) -> DataFrame:
+    """INSERT INTO cls(f,...) VALUES(...) — typed literal parsing per
+    core:sql/OCommandExecutorSQLInsert.java:46-146 / OSQLHelper:112-164."""
+    catalog = engine.catalog
+    values = {f: _literal_value(engine, v) for f, v in zip(cmd.fields, cmd.values)}
+    cls = catalog.get(cmd.class_name) if catalog.has(cmd.class_name) else None
+    if cls is None:
+        cls = catalog.register_class(cmd.class_name)
+    if cls.df_supplier is not None:
+        existing = cls.df_supplier()
+        row_df = engine.spark.createDataFrame([values])
+        # align types to the existing schema
+        aligned = []
+        for f in row_df.schema.fields:
+            tgt = next((x for x in existing.schema.fields if x.name == f.name), None)
+            aligned.append(
+                F.col(f.name).cast(tgt.dataType).alias(f.name) if tgt else F.col(f.name)
+            )
+        row_df = row_df.select(*aligned)
+        new = existing.unionByName(row_df, allowMissingColumns=True)
+    else:
+        new = engine.spark.createDataFrame([values])
+    catalog.set_dataframe(cmd.class_name, new)
+    return _result(engine, inserted=1)
+
+
+def _where_scope(engine, class_name: str, where) -> tuple[Scope, DataFrame]:
+    from orientdb_spark.expressions import uses_meta
+
+    with_meta = uses_meta(where)
+    df = engine.catalog.dataframe(class_name, polymorphic=False, with_meta=with_meta)
+    scope = Scope(
+        catalog=engine.catalog,
+        functions=engine.functions,
+        df=df,
+        cls=engine.catalog.get(class_name),
+    )
+    return scope, df
+
+
+def _update(engine, cmd: A.UpdateCmd) -> DataFrame:
+    """UPDATE … SET/ADD/PUT/REMOVE [WHERE …]
+    (core:sql/OCommandExecutorSQLUpdate.java:44-208)."""
+    scope, df = _where_scope(engine, cmd.class_name, cmd.where)
+    pred = compile_condition(scope, cmd.where) if cmd.where is not None else F.lit(True)
+    df = scope.df  # may have link joins from the WHERE
+
+    out = df
+    for fname, expr in cmd.sets:
+        val = compile_expr(scope, expr)
+        if fname in out.columns:
+            val = val.cast(out.schema[fname].dataType)
+            out = out.withColumn(fname, F.when(pred, val).otherwise(F.col(fname)))
+        else:
+            out = out.withColumn(fname, F.when(pred, val))
+    for fname, expr in cmd.adds:
+        # append element to collection field (:152-169)
+        val = compile_expr(scope, expr)
+        base = F.col(fname) if fname in out.columns else F.array()
+        out = out.withColumn(fname, F.when(pred, F.array_append(base, val)).otherwise(base))
+    for fname, kexpr, vexpr in cmd.puts:
+        # put entry into map field (:171-188)
+        k, v = compile_expr(scope, kexpr), compile_expr(scope, vexpr)
+        base = F.col(fname)
+        out = out.withColumn(
+            fname, F.when(pred, F.map_concat(base, F.create_map(k, v))).otherwise(base)
+        )
+    for fname, vexpr in cmd.removes:
+        if vexpr is None:
+            # drop field → null (:189-203)
+            out = out.withColumn(
+                fname, F.when(pred, F.lit(None).cast(out.schema[fname].dataType)).otherwise(F.col(fname))
+            )
+        else:
+            v = compile_expr(scope, vexpr)
+            out = out.withColumn(
+                fname, F.when(pred, F.array_remove(F.col(fname), v)).otherwise(F.col(fname))
+            )
+
+    base_cols = [c for c in engine.catalog.dataframe(cmd.class_name, polymorphic=False).columns]
+    new_cols = [c for c in out.columns if c not in base_cols and not c.startswith("__j") and not c.startswith("@")]
+    n = out.filter(pred).count()
+    engine.catalog.set_dataframe(cmd.class_name, out.select(*base_cols, *new_cols))
+    return _result(engine, updated=n)
+
+
+def _delete(engine, cmd: A.DeleteCmd) -> DataFrame:
+    """DELETE FROM cls [WHERE …] → anti-filter rewrite
+    (core:sql/OCommandExecutorSQLDelete.java:34-76)."""
+    scope, df = _where_scope(engine, cmd.class_name, cmd.where)
+    if cmd.where is None:
+        n = df.count()
+        engine.catalog.set_dataframe(cmd.class_name, df.limit(0))
+        return _result(engine, deleted=n)
+    pred = compile_condition(scope, cmd.where)
+    df = scope.df
+    n = df.filter(pred).count()
+    base_cols = engine.catalog.dataframe(cmd.class_name, polymorphic=False).columns
+    kept = df.filter(~F.coalesce(pred, F.lit(False))).select(*base_cols)
+    engine.catalog.set_dataframe(cmd.class_name, kept)
+    return _result(engine, deleted=n)
+
+
+_TYPE_NAMES = {
+    "boolean": OType.BOOLEAN,
+    "integer": OType.INTEGER,
+    "int": OType.INTEGER,
+    "short": OType.SHORT,
+    "long": OType.LONG,
+    "float": OType.FLOAT,
+    "double": OType.DOUBLE,
+    "date": OType.DATE,
+    "string": OType.STRING,
+    "binary": OType.BINARY,
+    "byte": OType.BYTE,
+    "embedded": OType.EMBEDDED,
+    "embeddedlist": OType.EMBEDDEDLIST,
+    "embeddedset": OType.EMBEDDEDSET,
+    "embeddedmap": OType.EMBEDDEDMAP,
+    "link": OType.LINK,
+    "linklist": OType.LINKLIST,
+    "linkset": OType.LINKSET,
+    "linkmap": OType.LINKMAP,
+}
+
+
+def _create_property(engine, cmd: A.CreatePropertyCmd) -> DataFrame:
+    """CREATE PROPERTY cls.name type [linked] — schema evolution
+    (core:sql/OCommandExecutorSQLCreateProperty.java:33-125)."""
+    otype = _TYPE_NAMES.get(cmd.type_name)
+    if otype is None:
+        raise OCommandExecutionException(f"Unknown property type '{cmd.type_name}'")
+    cls = engine.catalog.get(cmd.class_name)
+    prop = OProperty(name=cmd.prop_name, otype=otype)
+    if cmd.linked and otype in (OType.LINK, OType.LINKLIST, OType.LINKSET, OType.LINKMAP):
+        prop.linked_class = cmd.linked
+        prop.linked_key = "@rid"
+    cls.properties[cmd.prop_name] = prop
+    if cls.df_supplier is not None:
+        from orientdb_spark.otypes import spark_type
+
+        df = cls.df_supplier()
+        if cmd.prop_name not in df.columns:
+            try:
+                st = spark_type(otype)
+                engine.catalog.set_dataframe(
+                    cmd.class_name, df.withColumn(cmd.prop_name, F.lit(None).cast(st))
+                )
+            except ValueError:
+                pass
+    return _result(engine, property=f"{cmd.class_name}.{cmd.prop_name}")
+
+
+def _create_link(engine, cmd: A.CreateLinkCmd) -> DataFrame:
+    """CREATE LINK name FROM A.f TO B.g [INVERSE] — materialize a
+    value-based join as a link column; >1 match per row is an error
+    (core:sql/OCommandExecutorSQLCreateLink.java:36-230, dup error
+    :193-195, inverse :202-230). One distributed join + dup-check — the
+    reference's per-row nested-loop becomes a single shuffle."""
+    catalog = engine.catalog
+    a = catalog.dataframe(cmd.from_class, polymorphic=False, with_meta=True)
+    b = catalog.dataframe(cmd.to_class, polymorphic=False, with_meta=True)
+
+    dup = (
+        b.groupBy(F.col(cmd.to_field).alias("__k"))
+        .count()
+        .filter((F.col("count") > 1) & F.col("__k").isNotNull())
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise OCommandExecutionException(
+            f"Cannot create link: multiple {cmd.to_class} records match "
+            f"{cmd.to_field}={dup[0]['__k']!r}"
+        )
+
+    if not cmd.inverse:
+        bl = b.select(
+            F.col(cmd.to_field).alias("__k"), F.col("@rid").alias(cmd.link_name)
+        )
+        joined = a.join(F.broadcast(bl), a[cmd.from_field] == bl["__k"], "left").drop("__k")
+        base_cols = [c for c in a.columns if not c.startswith("@")]
+        catalog.set_dataframe(cmd.from_class, joined.select(*base_cols, cmd.link_name))
+        cls = catalog.get(cmd.from_class)
+        cls.properties[cmd.link_name] = OProperty(
+            name=cmd.link_name, otype=OType.LINK, linked_class=cmd.to_class, linked_key="@rid"
+        )
+    else:
+        # INVERSE: B gets a LINKLIST of matching A rids
+        al = a.select(F.col(cmd.from_field).alias("__k"), F.col("@rid").alias("__arid"))
+        grouped = al.groupBy("__k").agg(F.collect_list("__arid").alias(cmd.link_name))
+        joined = b.join(grouped, b[cmd.to_field] == grouped["__k"], "left").drop("__k")
+        base_cols = [c for c in b.columns if not c.startswith("@")]
+        catalog.set_dataframe(cmd.to_class, joined.select(*base_cols, cmd.link_name))
+        cls = catalog.get(cmd.to_class)
+        cls.properties[cmd.link_name] = OProperty(
+            name=cmd.link_name, otype=OType.LINKLIST, linked_class=cmd.from_class, linked_key="@rid"
+        )
+    return _result(engine, link=cmd.link_name)

@@ -1,0 +1,144 @@
+"""Engine — command dispatch + public API.
+
+The analog of ODatabaseDocumentTx + the SQL command delegate
+(core:sql/OCommandExecutorSQLDelegate.java:36-67): every statement type is
+routed by leading keyword; SELECT compiles to a DataFrame, DML executes a
+copy-on-write rewrite against the catalog.
+
+Compile-once-execute-many: parsed/compiled plans are cached per SQL text,
+mirroring the reference's compiledFilter caching
+(core:sql/OCommandExecutorSQLSelect.java:75,86-88).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from orientdb_spark import sqlast as A
+from orientdb_spark.catalog import Catalog
+from orientdb_spark.errors import OCommandExecutionException
+from orientdb_spark.functions import FunctionRegistry
+from orientdb_spark.parser import parse
+from orientdb_spark.select import SelectCompiler
+
+# TPC-H-ish driver tables (TESTDATA.md) with their natural link structure, a
+# stable key for @rid.pos, and small-dimension hints.
+_TESTDATA_LINKS: dict[str, dict[str, tuple[str, str]]] = {
+    "nation": {"n_regionkey": ("region", "r_regionkey")},
+    "customer": {"c_nationkey": ("nation", "n_nationkey")},
+    "supplier": {"s_nationkey": ("nation", "n_nationkey")},
+    "orders": {"o_custkey": ("customer", "c_custkey")},
+    "lineitem": {
+        "l_orderkey": ("orders", "o_orderkey"),
+        "l_partkey": ("part", "p_partkey"),
+        "l_suppkey": ("supplier", "s_suppkey"),
+    },
+    "events": {"user_id": ("customer", "c_custkey")},
+}
+
+_TESTDATA_RID_POS: dict[str, object] = {
+    "region": lambda df: F.col("r_regionkey"),
+    "nation": lambda df: F.col("n_nationkey"),
+    "customer": lambda df: F.col("c_custkey"),
+    "supplier": lambda df: F.col("s_suppkey"),
+    "part": lambda df: F.col("p_partkey"),
+    "orders": lambda df: F.col("o_orderkey"),
+    "lineitem": lambda df: F.col("l_orderkey") * 8 + F.col("l_linenumber"),
+    "events": lambda df: F.col("event_id"),
+    "documents": lambda df: F.col("doc_id"),
+    "embeddings": lambda df: F.col("vec_id"),
+}
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+class Engine:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.catalog = Catalog(spark)
+        self.functions = FunctionRegistry()
+        self._select = SelectCompiler(self)
+        self._plan_cache: dict[str, DataFrame] = {}
+        from orientdb_spark.dictionary import Dictionary
+
+        self.dictionary = Dictionary(self)
+
+    # -- registration -----------------------------------------------------------
+
+    def register_parquet_dir(self, sf_dir: str) -> None:
+        """Register every driver table found in a TESTDATA scale-factor dir
+        as an engine class, with TPC-H link structure declared so dotted
+        navigation (l_orderkey.o_orderdate) compiles to joins."""
+        for name in TESTDATA_TABLES:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if os.path.exists(path):
+                self.catalog.register_class(
+                    name,
+                    path=path,
+                    links=_TESTDATA_LINKS.get(name),
+                    rid_pos=_TESTDATA_RID_POS.get(name),
+                )
+
+    def register_dataframe(self, name: str, df: DataFrame, **kw) -> None:
+        self.catalog.register_class(name, df=df, **kw)
+
+    def register_function(self, name: str, builder, aggregate: bool = False) -> None:
+        """UDF surface (core:sql/OSQLEngine.java registerFunction:43-45)."""
+        self.functions.register(name, builder, aggregate)
+
+    # -- queries -----------------------------------------------------------------
+
+    def sql(self, text: str) -> DataFrame:
+        """Parse + compile a dialect statement. SELECT returns the lazy
+        DataFrame; DML executes and returns a result DataFrame."""
+        cached = self._plan_cache.get(text)
+        if cached is not None:
+            return cached
+        cmd = parse(text)
+        if isinstance(cmd, A.SelectCmd):
+            df = self._select.compile(cmd)
+            self._plan_cache[text] = df
+            return df
+        return self.command(text)
+
+    def query(self, text: str) -> list:
+        """Synchronous query — collect results (OSQLSynchQuery analog)."""
+        return self.sql(text).collect()
+
+    def async_query(self, text: str, listener) -> None:
+        """Push-based query (OSQLAsynchQuery + OCommandResultListener,
+        core:sql/query/OSQLAsynchQuery.java:30-63): invoke ``listener(row)``
+        per result; listener returning False stops consumption (the
+        reference's abort-by-return-value, SQLSelect.java:228-242)."""
+        it = self.sql(text).toLocalIterator()
+        for row in it:
+            if listener(row) is False:
+                break
+
+    def command(self, text: str) -> DataFrame:
+        cmd = parse(text)
+        if isinstance(cmd, A.SelectCmd):
+            return self._select.compile(cmd)
+        from orientdb_spark.dml import execute_dml
+
+        self._plan_cache.clear()  # DML invalidates cached plans
+        return execute_dml(self, cmd)
+
+    def explain(self, text: str, mode: str = "formatted") -> None:
+        self.sql(text).explain(mode)
+
+    def table(self, name: str, with_meta: bool = False) -> DataFrame:
+        return self.catalog.dataframe(name, with_meta=with_meta)
