@@ -1,38 +1,846 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps one entry per implemented operator from SURVEY.md §2
+(plus the training-data pipeline operators) to a callable
+``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` gives the DuckDB-
+runnable ANSI equivalent. Entries without an oracle are the genuinely
+non-SQL-expressible ops (approximate sketches, LSH ANN, PageRank, the
+multimodal decode stub) — the driver records the weaker rows-only check
+for those.
+
+Engine-dialect queries run through the orientdb_spark parser/compiler —
+they exercise the whole stack, not hand-built DataFrames.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+# --- engine plumbing ---------------------------------------------------------
+
+_ENGINES: dict = {}
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    from orientdb_spark import Engine
+
+    key = (id(spark), os.path.normpath(sf_dir))
+    if key not in _ENGINES:
+        eng = Engine(spark)
+        eng.register_parquet_dir(sf_dir)
+        _ENGINES[key] = eng
+    return _ENGINES[key]
+
+
+def _fresh_engine(spark: SparkSession, sf_dir: str):
+    """Isolated engine for queries that mutate catalog state (DML/DDL)."""
+    from orientdb_spark import Engine
+
+    eng = Engine(spark)
+    eng.register_parquet_dir(sf_dir)
+    return eng
+
+
+def _dsl(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    return lambda spark, sf_dir: _engine(spark, sf_dir).sql(sql)
+
+
+# --- flagship ----------------------------------------------------------------
+
+_Q1 = (
+    "select l_returnflag, l_linestatus, round(sum(l_quantity), 2) as sum_qty, "
+    "round(sum(l_extendedprice), 2) as sum_base_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price, "
+    "round(avg(l_quantity), 6) as avg_qty, round(avg(l_discount), 6) as avg_disc, "
+    "count(*) as count_order from lineitem where l_shipdate <= '1998-09-02' "
+    "group by l_returnflag, l_linestatus order by l_returnflag, l_linestatus"
+)
+
+_Q1_ORACLE = (
+    "select l_returnflag, l_linestatus, round(sum(l_quantity), 2) as sum_qty, "
+    "round(sum(l_extendedprice), 2) as sum_base_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price, "
+    "round(avg(l_quantity), 6) as avg_qty, round(avg(l_discount), 6) as avg_disc, "
+    "count(*) as count_order from lineitem where l_shipdate <= timestamp '1998-09-02' "
+    "group by l_returnflag, l_linestatus order by l_returnflag, l_linestatus"
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _engine(spark, "/root/testdata/sf0.001").sql(_Q1)
+
+
+# --- python-side query impls -------------------------------------------------
+
+
+def _dictionary_get(spark, sf_dir):
+    eng = _fresh_engine(spark, sf_dir)
+    eng.dictionary.put("capital-key", "region", (eng.catalog.get("region").cluster_id, 2))
+    df = eng.dictionary.get_record("capital-key")
+    return df.select("r_regionkey", "r_name")
+
+
+def _json_roundtrip(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    df = eng.table("nation")
+    js = df.select(F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("js"))
+    return js.select(F.from_json("js", df.schema).alias("d")).select("d.*")
+
+
+def _export_import_diff(spark, sf_dir):
+    # whole-table JSON dump → reload → structural diff (ODatabaseExport/
+    # Import/Compare, SURVEY §2.1) — diff must be empty both directions
+    eng = _engine(spark, sf_dir)
+    df = eng.table("nation")
+    path = os.path.join(tempfile.mkdtemp(prefix="ospark_export_"), "nation_json")
+    df.write.mode("overwrite").json(path)
+    back = spark.read.schema(df.schema).json(path)
+    return df.exceptAll(back).unionByName(back.exceptAll(df))
+
+
+def _contains_condition(spark, sf_dir):
+    # CONTAINS with an inner condition over collection elements
+    # (core:sql/operator/OQueryOperatorContains.java:39-66)
+    eng = _fresh_engine(spark, sf_dir)
+    items = (
+        eng.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_list(F.struct("l_returnflag", "l_quantity")).alias("items"))
+    )
+    eng.register_dataframe("orderitems", items)
+    return eng.sql(
+        "select l_orderkey from orderitems where items contains (l_quantity > 49) "
+        "order by l_orderkey"
+    )
+
+
+def _containstext_indexed(spark, sf_dir):
+    from orientdb_spark.fulltext import build_fulltext_index, containstext_semijoin
+
+    eng = _fresh_engine(spark, sf_dir)
+    build_fulltext_index(eng, "documents", "text")
+    hit = containstext_semijoin(eng, "documents", "text", "spark")
+    return hit.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+def _create_link_materialize(spark, sf_dir):
+    eng = _fresh_engine(spark, sf_dir)
+    eng.register_dataframe(
+        "nationtmp",
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        cluster_id=41,
+        rid_pos=lambda df: F.col("n_nationkey"),
+    )
+    eng.register_dataframe(
+        "regiontmp",
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+        cluster_id=42,
+        rid_pos=lambda df: F.col("r_regionkey"),
+    )
+    eng.command("create link region_ref from nationtmp.n_regionkey to regiontmp.r_regionkey")
+    return eng.sql(
+        "select n_nationkey, region_ref.cluster as link_cluster, "
+        "region_ref.pos as link_pos from nationtmp order by n_nationkey"
+    )
+
+
+def _fetchplan_prefetch(spark, sf_dir):
+    from orientdb_spark.fetchplan import fetch
+
+    eng = _engine(spark, sf_dir)
+    df = fetch(eng, "orders", {"o_custkey": 2})
+    return df.select(
+        "o_orderkey",
+        F.col("o_custkey__doc.c_name").alias("c_name"),
+        F.col("o_custkey__doc.c_nationkey__doc.n_name").alias("n_name"),
+    )
+
+
+def _window_rank_topn(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        eng.table("orders")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+def _set_operations(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    a = (
+        eng.table("customer")
+        .filter(F.col("c_acctbal") > 9500)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    b = (
+        eng.table("supplier")
+        .filter(F.col("s_acctbal") > 9500)
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    return (
+        a.union(b).distinct().select(F.lit("union").alias("op"), "nationkey")
+        .unionByName(a.intersect(b).select(F.lit("intersect").alias("op"), "nationkey"))
+        .unionByName(a.subtract(b).select(F.lit("except").alias("op"), "nationkey"))
+    )
+
+
+def _dml_insert(spark, sf_dir):
+    eng = _fresh_engine(spark, sf_dir)
+    eng.register_dataframe("nationtmp", spark.read.parquet(f"{sf_dir}/nation.parquet"))
+    eng.command(
+        "insert into nationtmp (n_nationkey, n_name, n_regionkey) values (99, 'ATLANTIS', 0)"
+    )
+    return eng.table("nationtmp")
+
+
+def _dml_update(spark, sf_dir):
+    eng = _fresh_engine(spark, sf_dir)
+    eng.register_dataframe("regiontmp", spark.read.parquet(f"{sf_dir}/region.parquet"))
+    eng.command("update regiontmp set r_name = r_name.append('_EU') where r_regionkey <= 2")
+    return eng.table("regiontmp")
+
+
+def _dml_delete(spark, sf_dir):
+    eng = _fresh_engine(spark, sf_dir)
+    eng.register_dataframe("orderstmp", spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    eng.command("delete from orderstmp where o_orderstatus = 'F'")
+    return eng.table("orderstmp").select("o_orderkey", "o_orderstatus")
+
+
+def _graph(spark, sf_dir):
+    from orientdb_spark.graph import tpch_graph
+
+    return tpch_graph(_engine(spark, sf_dir))
+
+
+def _graph_out_degree(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return g.out_degrees().filter(F.col("vid").like("customer:%"))
+
+
+def _graph_bfs_levels(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    start = spark.createDataFrame([("region:0",)], ["vid"])
+    return (
+        g.bfs(start, 3)
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .orderBy("depth")
+    )
+
+
+def _graph_connected_components(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return (
+        g.connected_components()
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
+def _graph_pagerank(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return g.pagerank(iterations=5).select("vid", F.round("rank", 8).alias("rank"))
+
+
+def _event_window_agg(spark, sf_dir):
+    from orientdb_spark.streaming import windowed_event_counts
+
+    return windowed_event_counts(_engine(spark, sf_dir).table("events"), "1 hour")
+
+
+def _event_sessionize(spark, sf_dir):
+    from orientdb_spark.streaming import sessionize
+
+    out = sessionize(_engine(spark, sf_dir).table("events"), gap_minutes=30)
+    # events.parquet stores timestamp[ns]; Spark rounds ns→us while DuckDB
+    # truncates, so normalize session_start to whole seconds for the oracle.
+    return out.withColumn("session_start", F.date_trunc("second", F.col("session_start")))
+
+
+def _docs(spark, sf_dir):
+    return _engine(spark, sf_dir).table("documents")
+
+
+def _embs(spark, sf_dir):
+    return _engine(spark, sf_dir).table("embeddings")
+
+
+def _dedup_exact(spark, sf_dir):
+    from orientdb_spark.pipeline import dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    recrawl = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return dedup.exact_duplicate_groups(docs.unionByName(recrawl))
+
+
+def _dedup_fingerprint(spark, sf_dir):
+    from orientdb_spark.pipeline import dedup
+
+    return dedup.doc_fingerprints(_docs(spark, sf_dir))
+
+
+def _dedup_minhash(spark, sf_dir):
+    from orientdb_spark.pipeline import dedup
+
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.9)
+
+
+def _dedup_simhash(spark, sf_dir):
+    from orientdb_spark.pipeline import dedup
+
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def _dedup_ngram(spark, sf_dir):
+    from orientdb_spark.pipeline import dedup
+
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=2, threshold=0.05)
+
+
+def _dedup_embedding(spark, sf_dir):
+    from orientdb_spark.pipeline import dedup
+
+    return dedup.embedding_duplicate_pairs(_embs(spark, sf_dir), threshold=0.3)
+
+
+def _sim_bruteforce(spark, sf_dir):
+    from orientdb_spark.pipeline import similarity
+
+    embs = _embs(spark, sf_dir)
+    return similarity.brute_force_topk(embs, embs.filter(F.col("vec_id") < 10), k=5)
+
+
+def _sim_lsh(spark, sf_dir):
+    from orientdb_spark.pipeline import similarity
+
+    embs = _embs(spark, sf_dir)
+    return similarity.lsh_topk(embs, embs.filter(F.col("vec_id") < 10), k=5)
+
+
+def _text_langid(spark, sf_dir):
+    from orientdb_spark.pipeline import text
+
+    return text.language_id(_docs(spark, sf_dir))
+
+
+def _text_quality(spark, sf_dir):
+    from orientdb_spark.pipeline import text
+
+    return text.quality_score(_docs(spark, sf_dir))
+
+
+def _text_tokens(spark, sf_dir):
+    from orientdb_spark.pipeline import text
+
+    return text.token_stats(_docs(spark, sf_dir))
+
+
+def _multimodal_features(spark, sf_dir):
+    from orientdb_spark.pipeline import multimodal
+
+    docs = multimodal.with_binary_payload(_docs(spark, sf_dir))
+    return multimodal.binary_features(docs)
+
+
+def _multimodal_fake_decode(spark, sf_dir):
+    from orientdb_spark.pipeline import multimodal
+
+    docs = multimodal.with_binary_payload(_docs(spark, sf_dir))
+    return multimodal.fake_decode_features(docs)
+
+
+# --- queries registry --------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # §2.1 scans / sources / sinks
+        "scan_class": _dsl("select from region"),
+        "filter_projection": _dsl("select n_name from nation where n_regionkey = 2"),
+        "rid_point": _dsl("select r_name from 1:3"),
+        "rid_list": _dsl("select n_name from [2:1, 2:3]"),
+        "cluster_scan": _dsl("select p_name from cluster:part where p_size >= 48"),
+        "dictionary_get": _dictionary_get,
+        "json_roundtrip": _json_roundtrip,
+        "export_import_diff": _export_import_diff,
+        # §2.2 projections
+        "projection_methods": _dsl(
+            "select c_name.toUpperCase() as up, c_name.left(8) as l8, "
+            "c_name.length() as len, c_name.subString(0, 4) as sub4, "
+            "c_name.charAt(9) as c9, c_name.indexOf('1') as i1, "
+            "c_name.append('_x') as ax, c_name.prefix('y_') as py, "
+            "c_name.right(9) as r9 from customer where c_custkey <= 50"
+        ),
+        "projection_casts": _dsl(
+            "select c_acctbal.asInteger() as bal_int, c_custkey.asString() as key_str, "
+            "c_name.toLowerCase().trim() as lower_name from customer where c_custkey <= 20"
+        ),
+        "record_attributes": _dsl(
+            "select @rid.cluster as rc, @rid.pos as rp, @class as cls, @version as ver, "
+            "n_nationkey from nation where n_nationkey <= 3"
+        ),
+        "flatten_unnest": _dsl(
+            "select flatten(embedding) from (select embedding from embeddings where vec_id = 1)"
+        ),
+        "column_positional": _dsl("select column(1) as r_name from region"),
+        # §2.3 filters
+        "any_wildcard": _dsl("select n_name from nation where any() = 1"),
+        "all_wildcard_notnull": _dsl("select r_name from region where all() is not null"),
+        "like_underscore_literal": _dsl("select p_name from part where p_name like '%RT_1%'"),
+        "compound_predicates": _dsl(
+            "select o_orderkey from orders where o_orderstatus <> 'F' and "
+            "o_totalprice between 900 and 1500 and "
+            "o_orderpriority in ['1-URGENT', '2-HIGH'] and o_orderkey not in [1, 2, 3]"
+        ),
+        "matches_anchored": _dsl("select n_name from nation where n_name matches 'NATION_1[0-2]'"),
+        "contains_value": _dsl(
+            "select l_orderkey from (select l_orderkey, collect_set(l_returnflag) as flags "
+            "from lineitem group by l_orderkey) where flags contains 'R' and l_orderkey <= 2000 "
+            "order by l_orderkey"
+        ),
+        "contains_condition": _contains_condition,
+        "containstext_fallback": _dsl(
+            "select doc_id from documents where text containstext 'spark' order by doc_id"
+        ),
+        "containstext_indexed": _containstext_indexed,
+        "traverse_reachability": _dsl(
+            "select c_name from customer where any() traverse(0, 2) (r_name = 'ASIA') "
+            "order by c_name"
+        ),
+        # §2.4 joins / links
+        "link_nav_2hop": _dsl(
+            "select o_orderkey, o_custkey.c_name as cust_name, "
+            "o_custkey.c_nationkey.n_name as nation_name from orders "
+            "where o_custkey.c_nationkey.n_name = 'NATION_3' order by o_orderkey"
+        ),
+        "create_link_materialize": _create_link_materialize,
+        "fetchplan_prefetch": _fetchplan_prefetch,
+        # §2.5 aggregations
+        "tpch_q1_pricing": _dsl(_Q1),
+        "global_aggregates": _dsl(
+            "select count(*) as n, round(min(o_totalprice), 2) as min_p, "
+            "round(max(o_totalprice), 2) as max_p, round(avg(o_totalprice), 4) as avg_p "
+            "from orders"
+        ),
+        "count_distinct_suppliers": _dsl(
+            "select count(distinct l_suppkey) as n_supp from lineitem"
+        ),
+        "approx_distinct_parts": _dsl(
+            "select approxcountdistinct(l_partkey) as approx_parts from lineitem"
+        ),
+        "group_having_order": _dsl(
+            "select l_returnflag, count(*) as cnt from lineitem group by l_returnflag "
+            "having count(*) > 100 order by cnt desc"
+        ),
+        # §2.6 sort / limit / range / window / set ops
+        "order_multikey_topk": _dsl(
+            "select c_name, c_acctbal from customer order by c_acctbal desc, c_name limit 25"
+        ),
+        "range_keyset_pagination": _dsl("select n_nationkey, n_name from nation range 2:5, 2:14"),
+        "window_rank_topn": _window_rank_topn,
+        "set_operations": _set_operations,
+        # §2.7 DML
+        "dml_insert_append": _dml_insert,
+        "dml_update_rewrite": _dml_update,
+        "dml_delete_filter": _dml_delete,
+        # §2.8 functions
+        "geo_distance_filter": _dsl(
+            "select c_custkey, round(distance(c_acctbal / 1000, c_custkey % 90, 45.0, 10.0), 4) "
+            "as dist_km from customer where c_custkey <= 100"
+        ),
+        # §2.9 graph
+        "graph_out_degree": _graph_out_degree,
+        "graph_bfs_levels": _graph_bfs_levels,
+        "graph_connected_components": _graph_connected_components,
+        "graph_pagerank": _graph_pagerank,
+        # §2.10 streaming-shaped (batch/stream agnostic transforms)
+        "event_window_agg": _event_window_agg,
+        "event_sessionize": _event_sessionize,
+        # pipeline: dedup
+        "dedup_exact": _dedup_exact,
+        "dedup_fingerprint": _dedup_fingerprint,
+        "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_ngram_jaccard": _dedup_ngram,
+        "dedup_embedding_cosine": _dedup_embedding,
+        # pipeline: similarity
+        "sim_topk_bruteforce": _sim_bruteforce,
+        "sim_topk_lsh": _sim_lsh,
+        # pipeline: text analysis
+        "text_language_id": _text_langid,
+        "text_quality_score": _text_quality,
+        "text_token_stats": _text_tokens,
+        # pipeline: multimodal
+        "multimodal_binary_features": _multimodal_features,
+        "multimodal_fake_decode": _multimodal_fake_decode,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --- oracle SQL --------------------------------------------------------------
+
+# shared duckdb snippets (must mirror orientdb_spark/pipeline exactly)
+
+
+def _dk_h60(s: str) -> str:
+    return f"(('0x' || substring(md5({s}), 1, 15))::UBIGINT::BIGINT)"
+
+
+_DK_TOKS = (
+    "list_sort(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), "
+    "t -> len(t) > 0)))"
+)
+_DK_TOKS_RAW = "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)"
+
+
+def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.9) -> str:
+    rows = num_hashes // bands
+    sig_parts = []
+    for i in range(num_hashes):
+        seed_expr = "concat('" + str(i) + ":', x)"
+        sig_parts.append(
+            "list_min(list_transform(t, x -> " + _dk_h60(seed_expr) + ")) AS s_" + str(i)
+        )
+    sigs = ", ".join(sig_parts)
+    band_parts = []
+    for b in range(bands):
+        members = ", ".join("s_" + str(b * rows + r) + "::VARCHAR" for r in range(rows))
+        concat_expr = "concat_ws('-', " + members + ")"
+        band_parts.append(_dk_h60(concat_expr) + " AS b_" + str(b))
+    band_exprs = ", ".join(band_parts)
+    posts = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, b_{b} AS bhash FROM band" for b in range(bands)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_DK_TOKS} AS t FROM documents),
+sig AS (SELECT doc_id, t, {sigs} FROM toks),
+band AS (SELECT doc_id, {band_exprs} FROM sig),
+posts AS ({posts}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM posts a JOIN posts b ON a.band = b.band AND a.bhash = b.bhash
+         WHERE a.doc_id < b.doc_id),
+j AS (SELECT id_a, id_b,
+        round(len(list_intersect(ta.t, tb.t))::DOUBLE /
+              len(list_distinct(list_concat(ta.t, tb.t))), 6) AS jaccard
+      FROM cand JOIN toks ta ON cand.id_a = ta.doc_id
+                JOIN toks tb ON cand.id_b = tb.doc_id)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
+"""
+
+
+def _simhash_oracle_sql(bits: int = 16) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, v -> ((v >> {j}) & 1) * 2 - 1)) > 0 "
+        f"THEN {2 ** j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_DK_TOKS} AS t FROM documents),
+h AS (SELECT doc_id, list_transform(t, x -> {_dk_h60('x')}) AS hs FROM toks)
+SELECT doc_id, ({terms})::BIGINT AS simhash FROM h
+"""
+
+
+def _ngram_oracle_sql(n: int = 2, threshold: float = 0.05) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, lang, source, {_DK_TOKS_RAW} AS t FROM documents),
+ng AS (SELECT doc_id, lang, source,
+         list_sort(list_distinct(list_transform(
+           range(1, greatest(len(t) - {n} + 2, 1)),
+           i -> array_to_string(t[i:i+{n - 1}], ' ')))) AS g
+       FROM toks),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            round(len(list_intersect(a.g, b.g))::DOUBLE /
+                  len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+          FROM ng a JOIN ng b
+            ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {threshold}
+"""
+
+
+def _langid_oracle_sql() -> str:
+    from orientdb_spark.pipeline.text import LANG_MARKERS
+
+    score_cols = []
+    for lang in sorted(LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter(t, x -> list_contains([{markers}], x)))::DOUBLE / "
+            f"greatest(len(t), 1) AS s_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"s_{l}" for l in sorted(LANG_MARKERS)) + ")"
+    case = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in sorted(LANG_MARKERS))
+    return f"""
+WITH toks AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0) AS t
+  FROM documents),
+s AS (SELECT doc_id, {', '.join(score_cols)} FROM toks),
+b AS (SELECT *, {best} AS best FROM s)
+SELECT doc_id, CASE {case} END AS predicted_lang, round(best, 6) AS lang_score FROM b
+"""
+
+
+def _quality_oracle_sql() -> str:
+    from orientdb_spark.pipeline.text import STOPWORDS_EN
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    return f"""
+WITH base AS (SELECT doc_id, text,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0) AS t
+  FROM documents),
+m AS (SELECT doc_id,
+    len(t) AS n_tokens,
+    length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / greatest(len(t), 1) AS mwl,
+    len(list_filter(t, x -> list_contains([{stops}], x)))::DOUBLE / greatest(len(t), 1) AS sr,
+    (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE /
+      greatest(length(text), 1) AS pr
+  FROM base)
+SELECT doc_id, n_tokens::INTEGER AS n_tokens, round(mwl, 6) AS mean_word_len,
+  round(sr, 6) AS stopword_ratio, round(pr, 6) AS punct_ratio,
+  round(least(n_tokens::DOUBLE / 100.0, 1.0) * 0.4
+      + (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0)) * 0.3
+      + least(sr * 5.0, 1.0) * 0.2
+      + (1.0 - least(pr * 10.0, 1.0)) * 0.1, 6) AS quality
+FROM m
+"""
+
+
+_NORM_TEXT = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+
+_COS = (
+    "(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cos_ab = _COS.format(a="a.e", b="b.e")
+    cos_qn = _COS.format(a="q.qv", b="e.ev")
+    return {
+        "scan_class": "SELECT * FROM region",
+        "filter_projection": "SELECT n_name FROM nation WHERE n_regionkey = 2",
+        "rid_point": "SELECT r_name FROM region WHERE r_regionkey = 3",
+        "rid_list": "SELECT n_name FROM nation WHERE n_nationkey IN (1, 3)",
+        "cluster_scan": "SELECT p_name FROM part WHERE p_size >= 48",
+        "dictionary_get": "SELECT r_regionkey, r_name FROM region WHERE r_regionkey = 2",
+        "json_roundtrip": "SELECT * FROM nation",
+        "export_import_diff": "SELECT * FROM nation LIMIT 0",
+        "projection_methods": (
+            "SELECT upper(c_name) AS up, substring(c_name, 1, 8) AS l8, "
+            "length(c_name)::INTEGER AS len, substring(c_name, 1, 4) AS sub4, "
+            "substring(c_name, 10, 1) AS c9, (instr(c_name, '1') - 1)::INTEGER AS i1, "
+            "c_name || '_x' AS ax, 'y_' || c_name AS py, substring(c_name, 10) AS r9 "
+            "FROM customer WHERE c_custkey <= 50"
+        ),
+        "projection_casts": (
+            "SELECT trunc(c_acctbal)::INTEGER AS bal_int, c_custkey::VARCHAR AS key_str, "
+            "trim(lower(c_name)) AS lower_name FROM customer WHERE c_custkey <= 20"
+        ),
+        "record_attributes": (
+            "SELECT 2 AS rc, n_nationkey::BIGINT AS rp, 'nation' AS cls, 0 AS ver, "
+            "n_nationkey FROM nation WHERE n_nationkey <= 3"
+        ),
+        "flatten_unnest": (
+            "SELECT unnest(embedding) AS embedding FROM embeddings WHERE vec_id = 1"
+        ),
+        "column_positional": "SELECT r_name FROM region",
+        "any_wildcard": "SELECT n_name FROM nation WHERE n_nationkey = 1 OR n_regionkey = 1",
+        "all_wildcard_notnull": (
+            "SELECT r_name FROM region WHERE r_regionkey IS NOT NULL AND r_name IS NOT NULL"
+        ),
+        "like_underscore_literal": (
+            "SELECT p_name FROM part WHERE p_name LIKE '%RT\\_1%' ESCAPE '\\'"
+        ),
+        "compound_predicates": (
+            "SELECT o_orderkey FROM orders WHERE o_orderstatus <> 'F' AND "
+            "o_totalprice BETWEEN 900 AND 1500 AND "
+            "o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderkey NOT IN (1, 2, 3)"
+        ),
+        "matches_anchored": (
+            "SELECT n_name FROM nation WHERE regexp_full_match(n_name, 'NATION_1[0-2]')"
+        ),
+        "contains_value": (
+            "SELECT l_orderkey FROM lineitem WHERE l_orderkey <= 2000 "
+            "GROUP BY l_orderkey HAVING bool_or(l_returnflag = 'R') ORDER BY l_orderkey"
+        ),
+        "contains_condition": (
+            "SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
+            "HAVING bool_or(l_quantity > 49) ORDER BY l_orderkey"
+        ),
+        "containstext_fallback": (
+            "SELECT doc_id FROM documents WHERE instr(lower(text), 'spark') > 0 "
+            "ORDER BY doc_id"
+        ),
+        "containstext_indexed": (
+            "SELECT doc_id, n_chars FROM documents WHERE list_contains("
+            "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0), "
+            "'spark') ORDER BY doc_id"
+        ),
+        "traverse_reachability": (
+            "SELECT c_name FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' ORDER BY c_name"
+        ),
+        "link_nav_2hop": (
+            "SELECT o_orderkey, c_name AS cust_name, n_name AS nation_name FROM orders "
+            "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE n_name = 'NATION_3' ORDER BY o_orderkey"
+        ),
+        "create_link_materialize": (
+            "SELECT n_nationkey, 42 AS link_cluster, n_regionkey::BIGINT AS link_pos "
+            "FROM nation ORDER BY n_nationkey"
+        ),
+        "fetchplan_prefetch": (
+            "SELECT o_orderkey, c_name, n_name FROM orders "
+            "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "tpch_q1_pricing": _Q1_ORACLE,
+        "global_aggregates": (
+            "SELECT count(*) AS n, round(min(o_totalprice), 2) AS min_p, "
+            "round(max(o_totalprice), 2) AS max_p, round(avg(o_totalprice), 4) AS avg_p "
+            "FROM orders"
+        ),
+        "count_distinct_suppliers": (
+            "SELECT count(DISTINCT l_suppkey) AS n_supp FROM lineitem"
+        ),
+        "group_having_order": (
+            "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag "
+            "HAVING count(*) > 100 ORDER BY cnt DESC"
+        ),
+        "order_multikey_topk": (
+            "SELECT c_name, c_acctbal FROM customer ORDER BY c_acctbal DESC, c_name LIMIT 25"
+        ),
+        "range_keyset_pagination": (
+            "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey BETWEEN 5 AND 14"
+        ),
+        "window_rank_topn": (
+            "SELECT o_custkey, o_orderkey, o_totalprice, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey)::INTEGER AS rnk "
+            "FROM orders QUALIFY rnk <= 3"
+        ),
+        "set_operations": (
+            "WITH a AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer "
+            "WHERE c_acctbal > 9500), "
+            "b AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier "
+            "WHERE s_acctbal > 9500) "
+            "SELECT 'union' AS op, nationkey FROM (SELECT * FROM a UNION SELECT * FROM b) "
+            "UNION ALL SELECT 'intersect', nationkey FROM "
+            "(SELECT * FROM a INTERSECT SELECT * FROM b) "
+            "UNION ALL SELECT 'except', nationkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)"
+        ),
+        "dml_insert_append": (
+            "SELECT * FROM nation UNION ALL SELECT 99, 'ATLANTIS', 0"
+        ),
+        "dml_update_rewrite": (
+            "SELECT r_regionkey, CASE WHEN r_regionkey <= 2 THEN r_name || '_EU' "
+            "ELSE r_name END AS r_name FROM region"
+        ),
+        "dml_delete_filter": (
+            "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus <> 'F'"
+        ),
+        "geo_distance_filter": (
+            "SELECT c_custkey, round(2 * atan2(sqrt(a), sqrt(-a + 1)) * 6371.0, 4) AS dist_km "
+            "FROM (SELECT c_custkey, "
+            "sin(radians(45.0 - c_acctbal / 1000) / 2) * sin(radians(45.0 - c_acctbal / 1000) / 2) "
+            "+ cos(radians(c_acctbal / 1000)) * cos(radians(45.0)) * "
+            "sin(radians(10.0 - c_custkey % 90) / 2) * sin(radians(10.0 - c_custkey % 90) / 2) "
+            "AS a FROM customer WHERE c_custkey <= 100) t"
+        ),
+        "graph_out_degree": (
+            "SELECT 'customer:' || o_custkey AS vid, count(*) AS out_degree "
+            "FROM orders GROUP BY o_custkey"
+        ),
+        "graph_bfs_levels": (
+            "SELECT 0 AS depth, 1::BIGINT AS n_vertices "
+            "UNION ALL SELECT 1, count(*) FROM nation WHERE n_regionkey = 0 "
+            "UNION ALL SELECT 2, count(*) FROM customer JOIN nation "
+            "ON c_nationkey = n_nationkey WHERE n_regionkey = 0 "
+            "UNION ALL SELECT 3, count(*) FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey WHERE n_regionkey = 0"
+        ),
+        "graph_connected_components": (
+            "WITH vids AS ("
+            "SELECT r_regionkey AS rk, 'region:' || r_regionkey AS vid FROM region "
+            "UNION ALL SELECT n_regionkey, 'nation:' || n_nationkey FROM nation "
+            "UNION ALL SELECT n_regionkey, 'customer:' || c_custkey FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "UNION ALL SELECT n_regionkey, 'orders:' || o_orderkey FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey) "
+            "SELECT min(vid) AS component, count(*) AS n_vertices FROM vids GROUP BY rk"
+        ),
+        "event_window_agg": (
+            "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, "
+            "count(*) AS n_events, round(sum(value), 4) AS total_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "event_sessionize": (
+            "WITH g AS (SELECT user_id, ts, value, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS ns "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id FROM g) "
+            "SELECT user_id, session_id, date_trunc('second', min(ts)) AS session_start, "
+            "count(*) AS n_events, round(sum(value), 4) AS total_value "
+            "FROM s GROUP BY user_id, session_id"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS canonical_id "
+            "FROM (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 1000000, text FROM documents) "
+            "GROUP BY md5(text) HAVING count(*) > 1"
+        ),
+        "dedup_fingerprint": (
+            f"SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents"
+        ),
+        "dedup_minhash_lsh": _minhash_oracle_sql(),
+        "dedup_simhash": _simhash_oracle_sql(),
+        "dedup_ngram_jaccard": _ngram_oracle_sql(),
+        "dedup_embedding_cosine": (
+            "SELECT id_a, id_b, cosine FROM ("
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(" + cos_ab + ", 6) AS cosine "
+            "FROM (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings) a "
+            "JOIN (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings) b "
+            "ON a.label = b.label AND a.vec_id < b.vec_id) t "
+            "WHERE cosine >= 0.3"
+        ),
+        "sim_topk_bruteforce": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+            "FROM embeddings WHERE vec_id < 10), "
+            "e AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ev FROM embeddings), "
+            "s AS (SELECT query_id, neighbor_id, " + cos_qn + " AS c FROM q, e "
+            "WHERE neighbor_id <> query_id), "
+            "r AS (SELECT query_id, neighbor_id, c, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY c DESC, neighbor_id)::INTEGER AS rank FROM s) "
+            "SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank FROM r WHERE rank <= 5"
+        ),
+        "text_language_id": _langid_oracle_sql(),
+        "text_quality_score": _quality_oracle_sql(),
+        "text_token_stats": (
+            "SELECT doc_id, "
+            "len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0))::INTEGER "
+            "AS n_ws_tokens, "
+            "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::INTEGER "
+            "AS n_bpe_tokens, "
+            "length(text)::INTEGER AS n_chars FROM documents"
+        ),
+        "multimodal_binary_features": (
+            "SELECT doc_id, strlen(text)::INTEGER AS n_bytes, md5(text) AS digest "
+            "FROM documents"
+        ),
+        # no-oracle entries (approximate / stub): approx_distinct_parts,
+        # sim_topk_lsh, graph_pagerank, multimodal_fake_decode
+    }

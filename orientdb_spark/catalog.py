@@ -98,6 +98,7 @@ class Catalog:
         properties: list[OProperty] | None = None,
         rid_pos: Callable[[DataFrame], "F.Column"] | None = None,
         cluster_id: int | None = None,
+        transform: Callable[[DataFrame], DataFrame] | None = None,
     ) -> OClass:
         if df is None and path is None and name.lower() not in self._classes:
             df = None  # class with no data yet (CREATE CLASS)
@@ -108,8 +109,13 @@ class Catalog:
         supplier: Callable[[], DataFrame] | None = None
         if path is not None:
             spark = self.spark
-            supplier = lambda p=path: spark.read.parquet(p)  # noqa: E731
+            if transform is not None:
+                supplier = lambda p=path, t=transform: t(spark.read.parquet(p))  # noqa: E731
+            else:
+                supplier = lambda p=path: spark.read.parquet(p)  # noqa: E731
         elif df is not None:
+            if transform is not None:
+                df = transform(df)
             supplier = lambda d=df: d  # noqa: E731
 
         cls = OClass(

@@ -82,6 +82,18 @@ class Engine:
         """Register every driver table found in a TESTDATA scale-factor dir
         as an engine class, with TPC-H link structure declared so dotted
         navigation (l_orderkey.o_orderdate) compiles to joins."""
+        # events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses by
+        # default — read nanos as long and convert to micros ourselves
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+        def fix_nanos(df: DataFrame) -> DataFrame:
+            from pyspark.sql import types as T
+
+            for f in df.schema.fields:
+                if f.name == "ts" and isinstance(f.dataType, T.LongType):
+                    df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            return df
+
         for name in TESTDATA_TABLES:
             path = os.path.join(sf_dir, f"{name}.parquet")
             if os.path.exists(path):
@@ -90,6 +102,7 @@ class Engine:
                     path=path,
                     links=_TESTDATA_LINKS.get(name),
                     rid_pos=_TESTDATA_RID_POS.get(name),
+                    transform=fix_nanos if name == "events" else None,
                 )
 
     def register_dataframe(self, name: str, df: DataFrame, **kw) -> None:

@@ -130,6 +130,23 @@ class Scope:
                     else None
                 )
                 if prop is not None and prop.linked_class and more_fields:
+                    # struct-member access beats link navigation: when the
+                    # column is itself a struct (e.g. a RID) and the next
+                    # hop names one of its fields, descend into the struct
+                    nxt = next(
+                        (p for p in parts[idx + 1 :] if isinstance(p, A.FieldPart)), None
+                    )
+                    sf = self.schema_field(cur_prefix_str + name) or self.schema_field(name)
+                    if (
+                        nxt is not None
+                        and sf is not None
+                        and isinstance(sf.dataType, T.StructType)
+                        and any(
+                            x.name.lower() == nxt.name.lower() for x in sf.dataType.fields
+                        )
+                    ):
+                        prop = None
+                if prop is not None and prop.linked_class and more_fields:
                     prefix = prefix + (name.lower(),)
                     cur_prefix_str, cur_cls = self._ensure_link_join(
                         prefix, cur_prefix_str, name, prop
@@ -337,6 +354,19 @@ def compile_condition(scope: Scope, e: A.Expr) -> Column:
     if isinstance(e, A.Not):
         return ~compile_condition(scope, e.operand)
     if isinstance(e, A.IsNull):
+        if isinstance(e.operand, (A.AnyField, A.AllFields)):
+            combine_any = isinstance(e.operand, A.AnyField)
+            parts = [
+                compile_condition(
+                    scope,
+                    A.IsNull(A.FieldPath([A.FieldPart(c), *e.operand.chain]), e.negated),
+                )
+                for c in scope.data_columns()
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = (out | p) if combine_any else (out & p)
+            return out
         col = compile_expr(scope, e.operand)
         return col.isNotNull() if e.negated else col.isNull()
     if isinstance(e, A.Between):

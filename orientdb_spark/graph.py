@@ -1,0 +1,209 @@
+"""Property-graph layer — vertices/edges DataFrames + traversal analytics.
+
+Reference model (SURVEY §1.4): vertex = document with inEdges/outEdges
+LINKLISTs (core:db/graph/OGraphVertex.java:37-43), edge = document with
+in/out LINKs (OGraphEdge.java:32-35), traversal API
+(OGraphVertex.java:182-353), named roots (ODatabaseGraphTx.java:63-80),
+cascade delete (OGraphVertex.java:364-465).
+
+Spark shape: ``vertices(vid, ...props)`` and ``edges(src, dst, label)``
+DataFrames — the GraphX/GraphFrames property-graph layout. Adjacency is
+*derived* (a groupBy/join), not stored: the reference's inEdges/outEdges
+lists are exactly what those joins compute. Iterative analytics (BFS,
+connected components, PageRank) run as aggregate-messages loops over
+DataFrames — the GraphX Pregel fit named in BASELINE.json, expressed
+through the DataFrame API (PySpark has no GraphX binding; the join-based
+formulation shuffles on the same keys Pregel would).
+
+Scale notes: every iteration shuffles on vid — pre-partitioning both
+frames on vid makes those shuffles co-located; localCheckpoint every few
+rounds cuts the growing lineage (same discipline as traverse.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_CHECKPOINT_EVERY = 5
+
+
+class Graph:
+    """vertices: any DataFrame with a ``vid`` column; edges: ``src``/``dst``
+    (+ optional ``label`` — the edge-class analog)."""
+
+    def __init__(self, vertices: DataFrame, edges: DataFrame):
+        self.vertices = vertices
+        self.edges = edges
+
+    # -- CRUD (OGraphVertex.link/unlink, delete cascade) -----------------------
+
+    def link(self, src, dst, label: str | None = None) -> "Graph":
+        row = [(src, dst, label)]
+        new = self.edges.sparkSession.createDataFrame(row, ["src", "dst", "label"])
+        return Graph(self.vertices, self.edges.unionByName(new, allowMissingColumns=True))
+
+    def unlink(self, src, dst) -> "Graph":
+        return Graph(
+            self.vertices,
+            self.edges.filter(~((F.col("src") == src) & (F.col("dst") == dst))),
+        )
+
+    def delete_vertex(self, vid) -> "Graph":
+        """Vertex delete cascades to its in/out edges (OGraphVertex.java:364-388)."""
+        return Graph(
+            self.vertices.filter(F.col("vid") != vid),
+            self.edges.filter((F.col("src") != vid) & (F.col("dst") != vid)),
+        )
+
+    # -- adjacency (OGraphVertex.getOutEdges/getInEdges/browse*) ----------------
+
+    def out_edges(self, vid=None) -> DataFrame:
+        e = self.edges
+        return e.filter(F.col("src") == vid) if vid is not None else e
+
+    def in_edges(self, vid=None) -> DataFrame:
+        e = self.edges
+        return e.filter(F.col("dst") == vid) if vid is not None else e
+
+    def out_degrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("src").alias("vid")).agg(
+            F.count(F.lit(1)).alias("out_degree")
+        )
+
+    def in_degrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("dst").alias("vid")).agg(
+            F.count(F.lit(1)).alias("in_degree")
+        )
+
+    def out_neighbors(self, vid) -> DataFrame:
+        """browseOutEdgesVertexes — skip edge materialization
+        (OGraphVertex.java:271-317): one join, vertices out."""
+        nbrs = self.edges.filter(F.col("src") == vid).select(F.col("dst").alias("vid"))
+        return self.vertices.join(nbrs, "vid", "left_semi")
+
+    # -- analytics ---------------------------------------------------------------
+
+    def bfs(self, start_vids: DataFrame, max_depth: int) -> DataFrame:
+        """Breadth-first reachability: (vid, depth) with the minimal hop
+        count ≤ max_depth. Iterative frontier joins with an anti-join
+        visited set — the distributed analog of the reference's
+        recursive DFS walk (GraphTestFixedDensity.java:100-114)."""
+        frontier = start_vids.select("vid").dropDuplicates().withColumn("depth", F.lit(0))
+        visited = frontier
+        depth = 0
+        while depth < max_depth:
+            depth += 1
+            nxt = (
+                frontier.join(self.edges, frontier["vid"] == self.edges["src"])
+                .select(F.col("dst").alias("vid"))
+                .dropDuplicates()
+                .join(visited.select("vid"), "vid", "left_anti")
+                .withColumn("depth", F.lit(depth))
+            )
+            if depth % _CHECKPOINT_EVERY == 0:
+                nxt = nxt.localCheckpoint(eager=True)
+                if nxt.isEmpty():
+                    break
+            visited = visited.unionByName(nxt)
+            frontier = nxt
+        return visited
+
+    def connected_components(self, max_iter: int = 50) -> DataFrame:
+        """Small-label propagation: component id = min reachable vid hash.
+        Returns (vid, component). Undirected semantics (edges both ways)."""
+        sym = self.edges.select("src", "dst").unionByName(
+            self.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        labels = self.vertices.select("vid").withColumn("component", F.col("vid"))
+        for i in range(max_iter):
+            msgs = (
+                labels.join(sym, labels["vid"] == sym["src"])
+                .select(F.col("dst").alias("vid"), F.col("component"))
+                .groupBy("vid")
+                .agg(F.min("component").alias("new_component"))
+            )
+            joined = labels.join(msgs, "vid", "left").select(
+                "vid",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("new_component"), F.col("component"))
+                ).alias("component"),
+            )
+            if i % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
+                joined = joined.localCheckpoint(eager=True)
+                changed = (
+                    joined.join(labels.withColumnRenamed("component", "old"), "vid")
+                    .filter(F.col("component") != F.col("old"))
+                    .isEmpty()
+                )
+                labels = joined
+                if changed:
+                    break
+            else:
+                labels = joined
+        return labels
+
+    def pagerank(self, iterations: int = 10, damping: float = 0.85) -> DataFrame:
+        """Iterative PageRank via aggregate-messages joins (the Pregel
+        formulation on DataFrames). Returns (vid, rank)."""
+        n = self.vertices.count()
+        ranks = self.vertices.select("vid").withColumn("rank", F.lit(1.0 / n))
+        out_deg = self.out_degrees()
+        for i in range(iterations):
+            contribs = (
+                ranks.join(out_deg, "vid")
+                .join(self.edges, ranks["vid"] == self.edges["src"])
+                .select(
+                    F.col("dst").alias("vid"),
+                    (F.col("rank") / F.col("out_degree")).alias("contrib"),
+                )
+                .groupBy("vid")
+                .agg(F.sum("contrib").alias("msg"))
+            )
+            ranks = (
+                self.vertices.select("vid")
+                .join(contribs, "vid", "left")
+                .select(
+                    "vid",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
+            if i % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
+                ranks = ranks.localCheckpoint(eager=True)
+        return ranks
+
+
+def tpch_graph(engine) -> Graph:
+    """The driver tables as a property graph: region→nation→customer→
+    orders→lineitem(part/supplier) — vertex ids are ``type:key`` strings,
+    edges follow the FK links (SURVEY §2.4's join-shaped capabilities)."""
+    cat = engine.catalog
+
+    def v(name: str, key: str) -> DataFrame:
+        return cat.dataframe(name, polymorphic=False).select(
+            F.concat(F.lit(name + ":"), F.col(key).cast("string")).alias("vid"),
+            F.lit(name).alias("vclass"),
+        )
+
+    vertices = (
+        v("region", "r_regionkey")
+        .unionByName(v("nation", "n_nationkey"))
+        .unionByName(v("customer", "c_custkey"))
+        .unionByName(v("orders", "o_orderkey"))
+    )
+
+    def e(name: str, skey: str, sname: str, dkey: str, dname: str, label: str) -> DataFrame:
+        return cat.dataframe(name, polymorphic=False).select(
+            F.concat(F.lit(sname + ":"), F.col(skey).cast("string")).alias("src"),
+            F.concat(F.lit(dname + ":"), F.col(dkey).cast("string")).alias("dst"),
+            F.lit(label).alias("label"),
+        )
+
+    edges = (
+        e("nation", "n_regionkey", "region", "n_nationkey", "nation", "has_nation")
+        .unionByName(e("customer", "c_nationkey", "nation", "c_custkey", "customer", "has_customer"))
+        .unionByName(e("orders", "o_custkey", "customer", "o_orderkey", "orders", "placed"))
+    )
+    return Graph(vertices, edges)

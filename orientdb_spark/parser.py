@@ -420,7 +420,7 @@ class Parser:
             return A.Lit(None)  # positional params resolved by Engine.sql(params=...)
         if t.kind == ATTR:
             self.next()
-            return A.Attr(str(t.value), chain=self._parse_chain())
+            return A.Attr(str(t.value), chain=self._parse_chain(allow_fields=True))
         if t.kind == IDENT:
             word = str(t.value)
             low = word.lower()

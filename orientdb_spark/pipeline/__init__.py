@@ -1,0 +1,12 @@
+"""Large-scale training-data pipeline operators (beyond the reference's own
+surface — SURVEY §7 step 9 / driver north-star): deduplication, similarity
+search, text analysis, multimodal column plumbing.
+
+Every operator is partition-parallel (no driver-side materialization) and
+built from JVM-side built-in functions wherever possible; Pandas UDFs only
+where Spark genuinely lacks the primitive (multimodal byte decoding).
+"""
+
+from orientdb_spark.pipeline import dedup, similarity, text, multimodal
+
+__all__ = ["dedup", "similarity", "text", "multimodal"]

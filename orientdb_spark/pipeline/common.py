@@ -1,0 +1,67 @@
+"""Shared primitives for the pipeline operators.
+
+The 60-bit hash is the cross-engine determinism trick: both Spark and
+DuckDB can compute ``first 15 hex chars of md5 → integer``, so every
+hash-derived operator (minhash, simhash, LSH bands) is exactly
+reproducible in the duckdb oracle:
+
+    Spark : conv(substring(md5(s), 1, 15), 16, 10)::long
+    DuckDB: ('0x' || substring(md5(s), 1, 15))::UBIGINT::BIGINT
+
+15 hex chars = 60 bits < 2^63, so the value is identical signed/unsigned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+WS_RE = r"\s+"
+
+
+def h60(col: Column) -> Column:
+    """Deterministic 60-bit hash of a string column (oracle-reproducible)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokens, empties dropped."""
+    toks = F.split(col, WS_RE)
+    return F.filter(toks, lambda t: F.length(t) > 0)
+
+
+def token_set(col: Column) -> Column:
+    """Distinct whitespace tokens (order-normalized via sort for
+    deterministic downstream hashing)."""
+    return F.array_sort(F.array_distinct(ws_tokens(col)))
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Distinct word n-grams of a string column (space-joined); empty when
+    the document has fewer than n tokens."""
+    toks = ws_tokens(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.when(
+        F.size(toks) >= n, F.array_sort(F.array_distinct(grams))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def normalize_text(col: Column) -> Column:
+    """Dedup normalization: lowercase, strip non-alphanumerics to spaces,
+    collapse whitespace, trim."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns as a pure Column
+    expression (sequential double accumulation — bit-identical to the
+    oracle's list_cosine_similarity over DOUBLE[])."""
+    a = a.cast("array<double>")
+    b = b.cast("array<double>")
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)

@@ -1,0 +1,242 @@
+"""Deduplication operators — exact, fingerprint, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (the point of each):
+- exact/fingerprint: one hash-groupBy — map-side partial agg, one shuffle
+  on the 128-bit digest; no skew (hashes are uniform).
+- MinHash+LSH: per-doc signature is embarrassingly parallel; the only
+  shuffle is the band-bucket self-join, whose fan-out is controlled by
+  (num_hashes, bands) — candidate verification touches candidate pairs
+  only, never the full N² cross product.
+- SimHash: per-doc fingerprint, no shuffle at all; near-dup lookup is an
+  equality join on the fingerprint (or banded Hamming at higher recall).
+- n-gram Jaccard: bounded by blocking keys — all-pairs only *within* a
+  block; at 100 TB the block is the unit of parallelism.
+- embedding near-dup: blocked cosine; the full ANN path lives in
+  pipeline/similarity.
+
+All hashing uses the md5-derived 60-bit hash (pipeline/common.py) so the
+duckdb oracle reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from orientdb_spark.pipeline.common import (
+    cosine_similarity,
+    h60,
+    normalize_text,
+    token_set,
+    word_ngrams,
+)
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (text_hash, n_docs, canonical_id).
+    canonical = lowest id (the survivor a dedup pass would keep)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def fingerprint_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-exact dedup on normalized text (case/punct/whitespace folded)."""
+    return (
+        df.groupBy(F.md5(normalize_text(F.col(text_col))).alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def doc_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document content fingerprint (rolling-hash analog): md5 of the
+    normalized text — the join key for cross-corpus dedup."""
+    return df.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    )
+
+
+def minhash_signature_col(text: Column, num_hashes: int) -> Column:
+    """MinHash signature over the distinct-token set: sig[i] =
+    min over tokens of h60(i || ':' || token).
+
+    NB: the per-i lambda must stay single-parameter — pyspark treats a
+    two-parameter higher-order-function lambda as (element, index).
+    """
+    toks = token_set(text)
+
+    def sig(i: int) -> Column:
+        prefix = f"{i}:"
+        return F.array_min(F.transform(toks, lambda t: h60(F.concat(F.lit(prefix), t))))
+
+    return F.array(*[sig(i) for i in range(num_hashes)])
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), minhash_signature_col(F.col(text_col), num_hashes).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs with exact-Jaccard verification.
+
+    shingle→minhash→band→bucket-join: docs sharing any band bucket are
+    candidates; candidates are verified with the true Jaccard of their
+    distinct-token sets; pairs with jaccard >= threshold survive.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature_col(F.col(text_col), num_hashes).alias("__sig"),
+        token_set(F.col(text_col)).alias("__toks"),
+    )
+    band_cols = [
+        h60(F.concat_ws("-", *[F.element_at("__sig", b * rows + r + 1).cast("string") for r in range(rows)])).alias(
+            f"__band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select("__id", "__toks", *band_cols)
+    # posting list (band_idx, band_hash, id): one explode, then a bucket
+    # self-join — the candidate generation shuffle
+    postings = banded.select(
+        "__id",
+        "__toks",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"__band_{b}").alias("bhash"))
+                for b in range(bands)
+            ])
+        ).alias("__bk"),
+    ).select("__id", "__toks", F.col("__bk.band").alias("band"), F.col("__bk.bhash").alias("bhash"))
+
+    a = postings.select(
+        F.col("band"), F.col("bhash"), F.col("__id").alias("id_a"), F.col("__toks").alias("__ta")
+    )
+    b = postings.select(
+        F.col("band"), F.col("bhash"), F.col("__id").alias("id_b"), F.col("__toks").alias("__tb")
+    )
+    cand = (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ta", "__tb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    union = F.size(F.array_union("__ta", "__tb"))
+    jac = inter.cast("double") / union
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_col(text: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint over the distinct-token set: bit j is the sign
+    of sum over tokens of (bit_j(h60(token)) * 2 - 1)."""
+    toks = token_set(text)
+    hashed = F.transform(toks, lambda t: h60(t))
+
+    def bit_merge(j: int):
+        # two-parameter merge closure (acc, h); j captured via factory —
+        # a third default parameter would confuse pyspark's lambda arity
+        def merge(acc: Column, h: Column) -> Column:
+            return acc + (F.shiftright(h, j) % 2) * 2 - 1
+
+        return merge
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        bit_sum = F.aggregate(hashed, F.lit(0).cast("long"), bit_merge(j))
+        out = out + F.when(bit_sum > 0, F.lit(2 ** j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """(id, simhash) per document — near-dup candidates share fingerprints
+    (equality) or low Hamming distance (banded join at higher recall)."""
+    return df.select(F.col(id_col), simhash_col(F.col(text_col), bits).alias("simhash"))
+
+
+def simhash_duplicate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Pairs with identical SimHash — the zero-Hamming-distance bucket."""
+    s = simhash(df, text_col, id_col, bits)
+    a = s.select(F.col(id_col).alias("id_a"), "simhash")
+    b = s.select(F.col(id_col).alias("id_b"), "simhash")
+    return a.join(b, "simhash").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "simhash"
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold: float = 0.05,
+    block_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """Word n-gram Jaccard similarity pairs within blocking-key groups.
+
+    Blocking bounds the pair explosion: all-pairs only within a block
+    (at 100 TB the blocks are the parallel units; unblocked all-pairs is
+    O(N²) and intentionally not offered).
+    """
+    g = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("__id"),
+        word_ngrams(F.col(text_col), n).alias("__g"),
+    )
+    a = g.select(*block_cols, F.col("__id").alias("id_a"), F.col("__g").alias("__ga"))
+    b = g.select(*block_cols, F.col("__id").alias("id_b"), F.col("__g").alias("__gb"))
+    pairs = a.join(b, list(block_cols)).filter(F.col("id_a") < F.col("id_b"))
+    jac = F.size(F.array_intersect("__ga", "__gb")).cast("double") / F.size(
+        F.array_union("__ga", "__gb")
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_duplicate_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates within blocking groups
+    (label-blocked exact cosine; the ANN path is pipeline/similarity)."""
+    g = df.select(F.col(block_col), F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    a = g.select(block_col, F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    b = g.select(block_col, F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    pairs = a.join(b, block_col).filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity(F.col("__va"), F.col("__vb"))
+    return (
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,53 @@
+"""Mirror of the driver's correctness harness: run every queries() entry
+at sf0.001 and compare rows/schema/values against its oracle_sql() twin.
+Catching a mismatch here means catching it before CORRECTNESS_r{N}.json."""
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "l_returnflag" in df.columns
+
+
+def test_oracle_keys_subset():
+    missing = set(ORACLES) - set(QUERIES)
+    assert not missing, f"oracle entries without queries: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES.keys()))
+def test_query_vs_oracle(spark, oracle, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, ORACLES[name])
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_no_oracle_queries_run(spark, name):
+    # weaker rows-only check, like the driver
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    """The approximate ANN path must find a meaningful fraction of the
+    true neighbors (quality gate for the no-oracle query)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["sim_topk_bruteforce"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["sim_topk_lsh"](spark, SF_DIR).collect()
+    }
+    assert approx, "LSH returned nothing"
+    # every LSH result is a real vector pair; recall is data-dependent but
+    # must be nonzero on this corpus
+    assert len(exact & approx) > 0
