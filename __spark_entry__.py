@@ -502,13 +502,17 @@ _DK_TOKS = (
 _DK_TOKS_RAW = "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)"
 
 
-def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.9) -> str:
+def _minhash_oracle_sql(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.9, shingle: int = 3
+) -> str:
+    from orientdb_spark.pipeline.common import MINHASH_P, MINHASH_PARAMS
+
     rows = num_hashes // bands
     sig_parts = []
     for i in range(num_hashes):
-        seed_expr = "concat('" + str(i) + ":', x)"
+        a, b = MINHASH_PARAMS[i]
         sig_parts.append(
-            "list_min(list_transform(t, x -> " + _dk_h60(seed_expr) + ")) AS s_" + str(i)
+            f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {MINHASH_P})) AS s_{i}"
         )
     sigs = ", ".join(sig_parts)
     band_parts = []
@@ -520,9 +524,15 @@ def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 4, threshold: float =
     posts = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, b_{b} AS bhash FROM band" for b in range(bands)
     )
+    tok_hash = _dk_h60("x") + f" % {MINHASH_P}"
     return f"""
-WITH toks AS (SELECT doc_id, {_DK_TOKS} AS t FROM documents),
-sig AS (SELECT doc_id, t, {sigs} FROM toks),
+WITH t0 AS (SELECT doc_id, {_DK_TOKS_RAW} AS t FROM documents),
+toks AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+           range(1, greatest(len(t) - {shingle} + 2, 1)),
+           i -> array_to_string(t[i:i+{shingle - 1}], ' ')))) AS t
+         FROM t0 WHERE len(t) >= {shingle}),
+h AS (SELECT doc_id, list_transform(t, x -> {tok_hash}) AS hs FROM toks),
+sig AS (SELECT doc_id, {sigs} FROM h),
 band AS (SELECT doc_id, {band_exprs} FROM sig),
 posts AS ({posts}),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+The benched callables are the same `queries()` entries the correctness
+driver hash-checks, so the numbers measure the real engine paths
+(parser → expression compiler → Catalyst), not hand-tuned copies.
+Execution is forced with the noop sink (full pipeline, no collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline set: one per major subsystem (SQL agg, link-join, sort/topk,
+# window, traverse, graph analytics, sessionize, dedup, ANN, text)
+HEADLINE = [
+    "tpch_q1_pricing",
+    "link_nav_2hop",
+    "group_having_order",
+    "order_multikey_topk",
+    "window_rank_topn",
+    "compound_predicates",
+    "traverse_reachability",
+    "set_operations",
+    "graph_connected_components",
+    "graph_pagerank",
+    "event_window_agg",
+    "event_sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "sim_topk_bruteforce",
+    "text_quality_score",
+    "containstext_fallback",
+]
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as entry_mod
+    from orientdb_spark import get_spark
+
+    spark = get_spark(app_name="orientdb_spark_bench")
+    qs = entry_mod.queries()
+
+    # warm-up: JVM/codegen + page cache for the scanned tables
+    _force(qs["tpch_q1_pricing"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

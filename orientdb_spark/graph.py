@@ -109,37 +109,42 @@ class Graph:
         return visited
 
     def connected_components(self, max_iter: int = 50) -> DataFrame:
-        """Small-label propagation: component id = min reachable vid hash.
-        Returns (vid, component). Undirected semantics (edges both ways)."""
-        sym = self.edges.select("src", "dst").unionByName(
-            self.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        """Min-label propagation: component id = min reachable vid.
+        Returns (vid, component). Undirected semantics (edges both ways).
+
+        Per iteration: one join (neighbor messages) + one groupBy that
+        folds the self-message in via union — 2 shuffles, both on vid.
+        Labels are checkpointed every round (constant-size lineage) and
+        convergence is a checksum aggregate over the checkpointed result,
+        so the stop check costs one in-memory pass, not a recompute."""
+        sym = (
+            self.edges.select("src", "dst")
+            .unionByName(self.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .persist()
         )
-        labels = self.vertices.select("vid").withColumn("component", F.col("vid"))
-        for i in range(max_iter):
-            msgs = (
-                labels.join(sym, labels["vid"] == sym["src"])
-                .select(F.col("dst").alias("vid"), F.col("component"))
+        labels = (
+            self.vertices.select("vid")
+            .withColumn("component", F.col("vid"))
+            .localCheckpoint(eager=True)
+        )
+        prev_sig = None
+        for _ in range(max_iter):
+            msgs = labels.join(sym, labels["vid"] == sym["src"]).select(
+                F.col("dst").alias("vid"), F.col("component")
+            )
+            labels = (
+                msgs.unionByName(labels.select("vid", "component"))
                 .groupBy("vid")
-                .agg(F.min("component").alias("new_component"))
+                .agg(F.min("component").alias("component"))
+                .localCheckpoint(eager=True)
             )
-            joined = labels.join(msgs, "vid", "left").select(
-                "vid",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("new_component"), F.col("component"))
-                ).alias("component"),
-            )
-            if i % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
-                joined = joined.localCheckpoint(eager=True)
-                changed = (
-                    joined.join(labels.withColumnRenamed("component", "old"), "vid")
-                    .filter(F.col("component") != F.col("old"))
-                    .isEmpty()
-                )
-                labels = joined
-                if changed:
-                    break
-            else:
-                labels = joined
+            sig = labels.agg(
+                F.sum(F.xxhash64("component")).alias("s"), F.count(F.lit(1)).alias("n")
+            ).first()
+            if (sig["s"], sig["n"]) == prev_sig:
+                break
+            prev_sig = (sig["s"], sig["n"])
+        sym.unpersist()
         return labels
 
     def pagerank(self, iterations: int = 10, damping: float = 0.85) -> DataFrame:
@@ -147,31 +152,33 @@ class Graph:
         formulation on DataFrames). Returns (vid, rank)."""
         n = self.vertices.count()
         ranks = self.vertices.select("vid").withColumn("rank", F.lit(1.0 / n))
-        out_deg = self.out_degrees()
+        # weighted adjacency (src, vid=dst, w=1/out_degree) computed once and
+        # persisted — the per-iteration work is then join + groupBy, both
+        # shuffling on vertex id
+        adj = (
+            self.edges.join(self.out_degrees().withColumnRenamed("vid", "src"), "src")
+            .select("src", F.col("dst"), (F.lit(1.0) / F.col("out_degree")).alias("w"))
+            .persist()
+        )
+        vids = self.vertices.select("vid").persist()
         for i in range(iterations):
             contribs = (
-                ranks.join(out_deg, "vid")
-                .join(self.edges, ranks["vid"] == self.edges["src"])
-                .select(
-                    F.col("dst").alias("vid"),
-                    (F.col("rank") / F.col("out_degree")).alias("contrib"),
-                )
+                ranks.join(adj, ranks["vid"] == adj["src"])
+                .select(F.col("dst").alias("vid"), (F.col("rank") * F.col("w")).alias("contrib"))
                 .groupBy("vid")
                 .agg(F.sum("contrib").alias("msg"))
             )
-            ranks = (
-                self.vertices.select("vid")
-                .join(contribs, "vid", "left")
-                .select(
-                    "vid",
-                    (
-                        F.lit((1.0 - damping) / n)
-                        + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))
-                    ).alias("rank"),
-                )
+            ranks = vids.join(contribs, "vid", "left").select(
+                "vid",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))
+                ).alias("rank"),
             )
-            if i % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
+            if i % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1 or i == iterations - 1:
                 ranks = ranks.localCheckpoint(eager=True)
+        adj.unpersist()
+        vids.unpersist()
         return ranks
 
 

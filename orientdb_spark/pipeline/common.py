@@ -23,6 +23,23 @@ def h60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+# Universal-hash family for MinHash: sig_i(x) = (A[i]*x + B[i]) mod P over
+# x = h60(token) mod P. One md5 per token total — the per-function hashes
+# are pure 64-bit arithmetic (products stay < 2^62: no overflow in Spark,
+# no BIGINT error in the DuckDB oracle). Constants from a fixed seed so
+# both engines share them.
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+
+def _minhash_params(n: int = 64, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P)) for _ in range(n)]
+
+
+MINHASH_PARAMS = _minhash_params()
+
+
 def ws_tokens(col: Column) -> Column:
     """Whitespace tokens, empties dropped."""
     toks = F.split(col, WS_RE)

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from orientdb_spark.pipeline.common import (
+    MINHASH_P,
+    MINHASH_PARAMS,
     cosine_similarity,
     h60,
     normalize_text,
@@ -61,27 +63,35 @@ def doc_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def minhash_signature_col(text: Column, num_hashes: int) -> Column:
-    """MinHash signature over the distinct-token set: sig[i] =
-    min over tokens of h60(i || ':' || token).
+def minhash_sig_from_hashes(hashed: Column, num_hashes: int) -> Column:
+    """MinHash signature from the pre-hashed token array (values already
+    reduced mod MINHASH_P): sig[i] = min over tokens of (A[i]*x + B[i])
+    mod P — one universal-hash family, one md5 per token total.
 
     NB: the per-i lambda must stay single-parameter — pyspark treats a
     two-parameter higher-order-function lambda as (element, index).
     """
-    toks = token_set(text)
 
     def sig(i: int) -> Column:
-        prefix = f"{i}:"
-        return F.array_min(F.transform(toks, lambda t: h60(F.concat(F.lit(prefix), t))))
+        a, b = MINHASH_PARAMS[i]
+        return F.array_min(
+            F.transform(hashed, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P))
+        )
 
     return F.array(*[sig(i) for i in range(num_hashes)])
+
+
+def token_hashes(text: Column) -> Column:
+    """h60(token) mod P over the distinct-token set."""
+    return F.transform(token_set(text), lambda t: h60(t) % F.lit(MINHASH_P))
 
 
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 16
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col), minhash_signature_col(F.col(text_col), num_hashes).alias("signature")
+    hashed = df.select(F.col(id_col), token_hashes(F.col(text_col)).alias("__h"))
+    return hashed.select(
+        F.col(id_col), minhash_sig_from_hashes(F.col("__h"), num_hashes).alias("signature")
     )
 
 
@@ -92,57 +102,83 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.9,
+    shingle: int = 3,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs with exact-Jaccard verification.
 
     shingle→minhash→band→bucket-join: docs sharing any band bucket are
     candidates; candidates are verified with the true Jaccard of their
-    distinct-token sets; pairs with jaccard >= threshold survive.
+    distinct-shingle sets; pairs with jaccard >= threshold survive.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    The similarity unit is the word ``shingle``-gram (pass 1 for bare
+    tokens): n-gram shingles keep docs that merely share a vocabulary from
+    colliding, so cluster sizes — and the quadratic pair output — track
+    true near-duplication.
     """
     rows = num_hashes // bands
-    sigs = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature_col(F.col(text_col), num_hashes).alias("__sig"),
-        token_set(F.col(text_col)).alias("__toks"),
+    # staged projections: tokens → signature → band hashes. Each stage
+    # references the previous stage's column more than once, and the
+    # producing expressions are non-cheap, so CollapseProject keeps the
+    # stages separate — without this, the band hashes each inline the full
+    # 16-hash signature (higher-order functions run interpreted, no
+    # codegen subexpression elimination) and the work multiplies 4×.
+    unit = token_set(F.col(text_col)) if shingle <= 1 else word_ngrams(F.col(text_col), shingle)
+    toks_df = df.select(F.col(id_col).alias("__id"), unit.alias("__toks")).filter(
+        F.size("__toks") > 0
     )
-    band_cols = [
-        h60(F.concat_ws("-", *[F.element_at("__sig", b * rows + r + 1).cast("string") for r in range(rows)])).alias(
-            f"__band_{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sigs.select("__id", "__toks", *band_cols)
-    # posting list (band_idx, band_hash, id): one explode, then a bucket
-    # self-join — the candidate generation shuffle
+    hashed = toks_df.select(
+        "__id", F.transform("__toks", lambda t: h60(t) % F.lit(MINHASH_P)).alias("__h")
+    )
+    sig = hashed.select(
+        "__id", minhash_sig_from_hashes(F.col("__h"), num_hashes).alias("__sig")
+    )
+    banded = sig.select(
+        "__id",
+        *[
+            h60(
+                F.concat_ws(
+                    "-",
+                    *[F.element_at("__sig", b * rows + r + 1).cast("string") for r in range(rows)],
+                )
+            ).alias(f"__band_{b}")
+            for b in range(bands)
+        ],
+    )
+    # compact posting list (id, band, bhash) — token arrays stay out of the
+    # candidate-generation shuffle. Persisted: the self-join below would
+    # otherwise recompute the whole signature lineage for both sides (at
+    # 100 TB persisting signatures — a few % of input — is the standard
+    # LSH discipline; the ContextCleaner drops the cache when unreferenced).
     postings = banded.select(
         "__id",
-        "__toks",
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band"), F.col(f"__band_{b}").alias("bhash"))
                 for b in range(bands)
             ])
         ).alias("__bk"),
-    ).select("__id", "__toks", F.col("__bk.band").alias("band"), F.col("__bk.bhash").alias("bhash"))
+    ).select("__id", F.col("__bk.band").alias("band"), F.col("__bk.bhash").alias("bhash"))
+    postings = postings.persist()
 
-    a = postings.select(
-        F.col("band"), F.col("bhash"), F.col("__id").alias("id_a"), F.col("__toks").alias("__ta")
-    )
-    b = postings.select(
-        F.col("band"), F.col("bhash"), F.col("__id").alias("id_b"), F.col("__toks").alias("__tb")
-    )
+    a = postings.select("band", "bhash", F.col("__id").alias("id_a"))
+    b = postings.select("band", "bhash", F.col("__id").alias("id_b"))
     cand = (
         a.join(b, ["band", "bhash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__ta", "__tb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # verification joins token sets back by id — touches candidate pairs
+    # only, never the N² cross product
+    ta = toks_df.select(F.col("__id").alias("id_a"), F.col("__toks").alias("__ta"))
+    tb = toks_df.select(F.col("__id").alias("id_b"), F.col("__toks").alias("__tb"))
+    verified = cand.join(ta, "id_a").join(tb, "id_b")
     inter = F.size(F.array_intersect("__ta", "__tb"))
     union = F.size(F.array_union("__ta", "__tb"))
     jac = inter.cast("double") / union
     return (
-        cand.withColumn("jaccard", F.round(jac, 6))
+        verified.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -152,7 +188,13 @@ def simhash_col(text: Column, bits: int = 16) -> Column:
     """SimHash fingerprint over the distinct-token set: bit j is the sign
     of sum over tokens of (bit_j(h60(token)) * 2 - 1)."""
     toks = token_set(text)
-    hashed = F.transform(toks, lambda t: h60(t))
+    return simhash_from_hashes(F.transform(toks, lambda t: h60(t)), bits)
+
+
+def simhash_from_hashes(hashed: Column, bits: int = 16) -> Column:
+    """SimHash from a pre-hashed token array — use a staged projection for
+    the hash array so the ``bits`` aggregate passes don't each re-hash
+    every token (interpreted HOFs have no subexpression elimination)."""
 
     def bit_merge(j: int):
         # two-parameter merge closure (acc, h); j captured via factory —
@@ -174,7 +216,11 @@ def simhash_col(text: Column, bits: int = 16) -> Column:
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """(id, simhash) per document — near-dup candidates share fingerprints
     (equality) or low Hamming distance (banded join at higher recall)."""
-    return df.select(F.col(id_col), simhash_col(F.col(text_col), bits).alias("simhash"))
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(token_set(F.col(text_col)), lambda t: h60(t)).alias("__h"),
+    )
+    return hashed.select(F.col(id_col), simhash_from_hashes(F.col("__h"), bits).alias("simhash"))
 
 
 def simhash_duplicate_pairs(
