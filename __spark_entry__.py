@@ -359,6 +359,177 @@ def _multimodal_fake_decode(spark, sf_dir):
     return multimodal.fake_decode_features(docs)
 
 
+def _events_map_engine(spark, sf_dir):
+    """events with props parsed into a real MapType column (EMBEDDEDMAP)."""
+    eng = _fresh_engine(spark, sf_dir)
+    ev = eng.table("events").withColumn(
+        "props_map", F.from_json("props", "map<string,int>")
+    )
+    eng.register_dataframe("eventsmap", ev, rid_pos=lambda df: F.col("event_id"))
+    return eng
+
+
+def _map_containskey(spark, sf_dir):
+    return _events_map_engine(spark, sf_dir).sql(
+        "select event_id from eventsmap where props_map containskey 'k' "
+        "and event_id <= 20 order by event_id"
+    )
+
+
+def _map_containsvalue(spark, sf_dir):
+    return _events_map_engine(spark, sf_dir).sql(
+        "select event_id from eventsmap where props_map containsvalue 42 order by event_id"
+    )
+
+
+def _containsall_condition(spark, sf_dir):
+    eng = _fresh_engine(spark, sf_dir)
+    items = (
+        eng.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_list(F.struct("l_returnflag", "l_quantity")).alias("items"))
+    )
+    eng.register_dataframe("orderitems2", items)
+    return eng.sql(
+        "select l_orderkey from orderitems2 where items containsall (l_quantity > 2) "
+        "order by l_orderkey"
+    )
+
+
+def _update_add_collection(spark, sf_dir):
+    eng = _fresh_engine(spark, sf_dir)
+    base = spark.read.parquet(f"{sf_dir}/region.parquet").withColumn(
+        "tags", F.array(F.lit("a"))
+    )
+    eng.register_dataframe("regiontags", base)
+    eng.command("update regiontags add tags = 'b' where r_regionkey <= 2")
+    return eng.table("regiontags").select(
+        "r_regionkey", F.array_join("tags", ",").alias("tags")
+    )
+
+
+def _update_put_map(spark, sf_dir):
+    eng = _fresh_engine(spark, sf_dir)
+    base = spark.read.parquet(f"{sf_dir}/region.parquet").withColumn(
+        "m", F.create_map(F.lit("k1"), F.lit(1))
+    )
+    eng.register_dataframe("regionmap", base)
+    eng.command("update regionmap put m = 'k2', 5 where r_regionkey >= 3")
+    return eng.table("regionmap").select("r_regionkey", F.explode("m").alias("key", "value"))
+
+
+def _update_remove_ops(spark, sf_dir):
+    eng = _fresh_engine(spark, sf_dir)
+    base = (
+        spark.read.parquet(f"{sf_dir}/region.parquet")
+        .withColumn("tags", F.array(F.lit("a"), F.lit("b")))
+        .withColumn("extra", F.lit("x"))
+    )
+    eng.register_dataframe("regiontags2", base)
+    eng.command("update regiontags2 remove tags = 'a' where r_regionkey = 0")
+    eng.command("update regiontags2 remove extra where r_regionkey = 1")
+    return eng.table("regiontags2").select(
+        "r_regionkey", F.array_join("tags", ",").alias("tags"), "extra"
+    )
+
+
+def _custom_udf(spark, sf_dir):
+    # user-registered function usable from the dialect (the reference's
+    # e2e UDF test registers bigger(a, b) — SQLFunctionsTest.java:63-98)
+    eng = _fresh_engine(spark, sf_dir)
+    eng.register_function("bigger", lambda a: F.greatest(a[0], a[1]))
+    return eng.sql(
+        "select o_orderkey, bigger(o_totalprice, 1000) as big from orders "
+        "where o_orderkey <= 200 order by o_orderkey"
+    )
+
+
+def _csv_positional_roundtrip(spark, sf_dir):
+    # ORecordColumn: positional CSV record addressed by column index
+    # (core:record/impl/ORecordColumn.java:32-41 → SURVEY §1.1)
+    eng = _fresh_engine(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="ospark_csv_"), "region_csv")
+    eng.table("region").write.mode("overwrite").csv(path)
+    eng.register_dataframe("regioncsv", spark.read.csv(path))
+    return eng.sql(
+        "select column(0).asInteger() as r_regionkey, column(1) as r_name "
+        "from regioncsv order by r_regionkey"
+    )
+
+
+def _graph_delete_cascade(spark, sf_dir):
+    # vertex delete cascades to in/out edges (OGraphVertex.java:364-388)
+    g = _graph(spark, sf_dir).delete_vertex("nation:3")
+    return g.out_degrees().filter(F.col("vid").like("region:%")).orderBy("vid")
+
+
+def _window_running_frames(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return eng.table("orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(frame), 2).alias("running_total"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+    )
+
+
+def _rollup_pricing(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    return (
+        eng.table("lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def _dictionary_keyset(spark, sf_dir):
+    eng = _fresh_engine(spark, sf_dir)
+    eng.dictionary.put("k1", "region", (1, 0))
+    eng.dictionary.put("k2", "region", (1, 1))
+    eng.dictionary.put("k3", "nation", (2, 5))
+    eng.dictionary.remove("k2")
+    return (
+        eng.dictionary.as_dataframe()
+        .select("key", F.col("class").alias("cls"), F.col("rid.pos").alias("pos"))
+        .orderBy("key")
+    )
+
+
+def _ddl_schema_evolution(spark, sf_dir):
+    eng = _fresh_engine(spark, sf_dir)
+    eng.command("create class doctmp")
+    eng.command("create property doctmp.name string")
+    eng.command("create property doctmp.score integer")
+    eng.command("insert into doctmp (name, score) values ('alpha', 10)")
+    eng.command("insert into doctmp (name, score) values ('beta', 20)")
+    return eng.sql("select name, score from doctmp order by name")
+
+
+def _ddl_truncate(spark, sf_dir):
+    eng = _fresh_engine(spark, sf_dir)
+    eng.command("create class trunctmp")
+    eng.command("insert into trunctmp (v) values (1)")
+    eng.command("insert into trunctmp (v) values (2)")
+    eng.command("truncate class trunctmp")
+    return eng.sql("select count(*) as n from trunctmp")
+
+
+def _is_null_filter(spark, sf_dir):
+    eng = _fresh_engine(spark, sf_dir)
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_pri",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(F.col("o_orderpriority")),
+    )
+    eng.register_dataframe("ordersnull", base)
+    return eng.sql("select o_orderkey from ordersnull where o_pri is null order by o_orderkey")
+
+
 # --- queries registry --------------------------------------------------------
 
 
@@ -403,6 +574,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "o_orderpriority in ['1-URGENT', '2-HIGH'] and o_orderkey not in [1, 2, 3]"
         ),
         "matches_anchored": _dsl("select n_name from nation where n_name matches 'NATION_1[0-2]'"),
+        "not_prefix": _dsl("select r_name from region where not (r_regionkey > 2)"),
+        "is_null_filter": _is_null_filter,
+        "map_containskey": _map_containskey,
+        "map_containsvalue": _map_containsvalue,
+        "containsall_condition": _containsall_condition,
         "contains_value": _dsl(
             "select l_orderkey from (select l_orderkey, collect_set(l_returnflag) as flags "
             "from lineitem group by l_orderkey) where flags contains 'R' and l_orderkey <= 2000 "
@@ -448,18 +624,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "range_keyset_pagination": _dsl("select n_nationkey, n_name from nation range 2:5, 2:14"),
         "window_rank_topn": _window_rank_topn,
+        "window_running_frames": _window_running_frames,
+        "rollup_pricing": _rollup_pricing,
         "set_operations": _set_operations,
-        # §2.7 DML
+        # §2.7 DML / DDL
         "dml_insert_append": _dml_insert,
         "dml_update_rewrite": _dml_update,
         "dml_delete_filter": _dml_delete,
+        "update_add_collection": _update_add_collection,
+        "update_put_map": _update_put_map,
+        "update_remove_ops": _update_remove_ops,
+        "ddl_schema_evolution": _ddl_schema_evolution,
+        "ddl_truncate": _ddl_truncate,
+        "dictionary_keyset": _dictionary_keyset,
+        "csv_positional_roundtrip": _csv_positional_roundtrip,
         # §2.8 functions
+        "custom_udf_bigger": _custom_udf,
         "geo_distance_filter": _dsl(
             "select c_custkey, round(distance(c_acctbal / 1000, c_custkey % 90, 45.0, 10.0), 4) "
             "as dist_km from customer where c_custkey <= 100"
         ),
         # §2.9 graph
         "graph_out_degree": _graph_out_degree,
+        "graph_delete_cascade": _graph_delete_cascade,
         "graph_bfs_levels": _graph_bfs_levels,
         "graph_connected_components": _graph_connected_components,
         "graph_pagerank": _graph_pagerank,
@@ -681,6 +868,22 @@ def oracle_sql() -> dict[str, str]:
         "matches_anchored": (
             "SELECT n_name FROM nation WHERE regexp_full_match(n_name, 'NATION_1[0-2]')"
         ),
+        "not_prefix": "SELECT r_name FROM region WHERE NOT (r_regionkey > 2)",
+        "is_null_filter": (
+            "SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey"
+        ),
+        "map_containskey": (
+            "SELECT event_id FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL "
+            "AND event_id <= 20 ORDER BY event_id"
+        ),
+        "map_containsvalue": (
+            "SELECT event_id FROM events WHERE json_extract_string(props, '$.k')::INTEGER = 42 "
+            "ORDER BY event_id"
+        ),
+        "containsall_condition": (
+            "SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
+            "HAVING bool_and(l_quantity > 2) ORDER BY l_orderkey"
+        ),
         "contains_value": (
             "SELECT l_orderkey FROM lineitem WHERE l_orderkey <= 2000 "
             "GROUP BY l_orderkey HAVING bool_or(l_returnflag = 'R') ORDER BY l_orderkey"
@@ -759,6 +962,51 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dml_delete_filter": (
             "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus <> 'F'"
+        ),
+        "update_add_collection": (
+            "SELECT r_regionkey, CASE WHEN r_regionkey <= 2 THEN 'a,b' ELSE 'a' END AS tags "
+            "FROM region"
+        ),
+        "update_put_map": (
+            "SELECT r_regionkey, 'k1' AS key, 1 AS value FROM region "
+            "UNION ALL SELECT r_regionkey, 'k2', 5 FROM region WHERE r_regionkey >= 3"
+        ),
+        "update_remove_ops": (
+            "SELECT r_regionkey, CASE WHEN r_regionkey = 0 THEN 'b' ELSE 'a,b' END AS tags, "
+            "CASE WHEN r_regionkey = 1 THEN NULL ELSE 'x' END AS extra FROM region"
+        ),
+        "ddl_schema_evolution": (
+            "SELECT * FROM (VALUES ('alpha', 10), ('beta', 20)) AS t(name, score) ORDER BY name"
+        ),
+        "ddl_truncate": "SELECT 0::BIGINT AS n",
+        "dictionary_keyset": (
+            "SELECT * FROM (VALUES ('k1', 'region', 0::BIGINT), ('k3', 'nation', 5::BIGINT)) "
+            "AS t(key, cls, pos) ORDER BY key"
+        ),
+        "csv_positional_roundtrip": (
+            "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+        ),
+        "custom_udf_bigger": (
+            "SELECT o_orderkey, greatest(o_totalprice, 1000) AS big FROM orders "
+            "WHERE o_orderkey <= 200 ORDER BY o_orderkey"
+        ),
+        "window_running_frames": (
+            "SELECT o_custkey, o_orderkey, "
+            "round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey "
+            "ROWS UNBOUNDED PRECEDING), 2) AS running_total, "
+            "round(lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 2) "
+            "AS prev_price, "
+            "round(lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 2) "
+            "AS next_price FROM orders"
+        ),
+        "rollup_pricing": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
+            "round(sum(l_quantity), 2) AS sum_qty FROM lineitem "
+            "GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "graph_delete_cascade": (
+            "SELECT 'region:' || n_regionkey AS vid, count(*) AS out_degree FROM nation "
+            "WHERE n_nationkey <> 3 GROUP BY n_regionkey ORDER BY vid"
         ),
         "geo_distance_filter": (
             "SELECT c_custkey, round(2 * atan2(sqrt(a), sqrt(-a + 1)) * 6371.0, 4) AS dist_km "

@@ -286,7 +286,7 @@ def compile_expr(scope: Scope, e: A.Expr) -> Column:
         cols = scope.data_columns()
         if e.index >= len(cols):
             return F.lit(None)
-        return F.col(f"`{cols[e.index]}`")
+        return _apply_chain(scope, F.col(f"`{cols[e.index]}`"), e.chain)
     if isinstance(e, A.Func):
         # count(*) — Star argument counts rows
         args = [

@@ -439,7 +439,7 @@ class Parser:
                 if it.kind != NUMBER:
                     self.error("column() takes an integer index", it)
                 self.expect_punct(")")
-                return A.ColIdx(int(it.value))
+                return A.ColIdx(int(it.value), chain=self._parse_chain())
             if low == "any" and self._is_call():
                 self.next()
                 self.expect_punct("(")

@@ -87,6 +87,7 @@ class ColIdx(Expr):
     """column(i) positional access (core:sql/filter/OSQLFilterItemColumn.java:27-44)."""
 
     index: int
+    chain: list[MethodPart] = field(default_factory=list)
 
 
 @dataclass
