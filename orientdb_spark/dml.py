@@ -30,13 +30,22 @@ def _result(engine, **cols) -> DataFrame:
     return engine.spark.createDataFrame([tuple(cols.values())], list(cols.keys()))
 
 
+def _hooked(engine, op: str, class_name: str, run) -> DataFrame:
+    """before/after CRUD hook envelope (core:hook/ORecordHook.java:27-33),
+    statement-level — see orientdb_spark.hooks."""
+    engine.hooks.fire(f"before_{op}", class_name)
+    result = run()
+    engine.hooks.fire(f"after_{op}", class_name, dict(result.first().asDict()))
+    return result
+
+
 def execute_dml(engine, cmd) -> DataFrame:
     if isinstance(cmd, A.InsertCmd):
-        return _insert(engine, cmd)
+        return _hooked(engine, "create", cmd.class_name, lambda: _insert(engine, cmd))
     if isinstance(cmd, A.UpdateCmd):
-        return _update(engine, cmd)
+        return _hooked(engine, "update", cmd.class_name, lambda: _update(engine, cmd))
     if isinstance(cmd, A.DeleteCmd):
-        return _delete(engine, cmd)
+        return _hooked(engine, "delete", cmd.class_name, lambda: _delete(engine, cmd))
     if isinstance(cmd, A.CreateClassCmd):
         engine.catalog.register_class(cmd.name, super_class=cmd.super_class)
         return _result(engine, **{"class": cmd.name})

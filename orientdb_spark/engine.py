@@ -73,8 +73,13 @@ class Engine:
         self._select = SelectCompiler(self)
         self._plan_cache: dict[str, DataFrame] = {}
         from orientdb_spark.dictionary import Dictionary
+        from orientdb_spark.hooks import HookManager, fulltext_maintenance_hook
 
         self.dictionary = Dictionary(self)
+        self.hooks = HookManager()
+        # index maintenance runs as a hook, like the reference's
+        # OPropertyIndexManager (core:index/OPropertyIndexManager.java)
+        self.hooks.register(fulltext_maintenance_hook(self))
 
     # -- registration -----------------------------------------------------------
 

@@ -88,23 +88,33 @@ class Graph:
         count ≤ max_depth. Iterative frontier joins with an anti-join
         visited set — the distributed analog of the reference's
         recursive DFS walk (GraphTestFixedDensity.java:100-114)."""
-        frontier = start_vids.select("vid").dropDuplicates().withColumn("depth", F.lit(0))
+        frontier = (
+            start_vids.select("vid")
+            .dropDuplicates()
+            .withColumn("depth", F.lit(0))
+            .localCheckpoint(eager=True)
+        )
         visited = frontier
         depth = 0
         while depth < max_depth:
             depth += 1
+            # frontier is checkpointed every round (it's frontier-sized, so
+            # this is cheap) — the expansion join never re-derives earlier
+            # rounds; visited's union lineage is collapsed every few rounds
+            # so the anti-join plan stays bounded at any depth
             nxt = (
                 frontier.join(self.edges, frontier["vid"] == self.edges["src"])
                 .select(F.col("dst").alias("vid"))
                 .dropDuplicates()
                 .join(visited.select("vid"), "vid", "left_anti")
                 .withColumn("depth", F.lit(depth))
+                .localCheckpoint(eager=True)
             )
-            if depth % _CHECKPOINT_EVERY == 0:
-                nxt = nxt.localCheckpoint(eager=True)
-                if nxt.isEmpty():
-                    break
+            if nxt.isEmpty():
+                break
             visited = visited.unionByName(nxt)
+            if depth % _CHECKPOINT_EVERY == 0:
+                visited = visited.localCheckpoint(eager=True)
             frontier = nxt
         return visited
 

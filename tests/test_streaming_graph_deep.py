@@ -1,0 +1,93 @@
+"""Deep-graph traversal (the reference's 100-deep linear fixture,
+tests:database/auto/GraphTestFixedDensity.java:28-128) and real
+Structured Streaming execution of the batch/stream-agnostic transforms.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from orientdb_spark import Engine
+from orientdb_spark.graph import Graph
+from orientdb_spark.streaming import read_event_stream, windowed_event_counts
+
+from tests.conftest import SF_DIR
+
+DEPTH = 100
+
+
+@pytest.fixture(scope="module")
+def chain_graph(spark):
+    """Linear graph of DEPTH+1 vertices: v0 -> v1 -> ... -> v100."""
+    vertices = spark.range(DEPTH + 1).select(
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("vid")
+    )
+    edges = spark.range(DEPTH).select(
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("src"),
+        F.concat(F.lit("v"), (F.col("id") + 1).cast("string")).alias("dst"),
+        F.lit("next").alias("label"),
+    )
+    return Graph(vertices, edges)
+
+
+def test_bfs_traverses_100_deep_chain(spark, chain_graph):
+    # iterative frontier loop with checkpointing must survive 100 rounds
+    # without lineage blow-up (SURVEY §7 hard part 3)
+    reached = chain_graph.bfs(
+        spark.createDataFrame([("v0",)], ["vid"]), max_depth=DEPTH
+    )
+    assert reached.count() == DEPTH + 1
+    deepest = reached.filter(F.col("vid") == f"v{DEPTH}").collect()
+    assert deepest and deepest[0]["depth"] == DEPTH
+
+
+def test_traverse_predicate_deep_chain(spark):
+    # SQL TRAVERSE over a self-linked class: which records reach v100
+    # within 3 hops (OQueryOperatorTraverse depth-window semantics)
+    eng = Engine(spark)
+    rows = [(i, i + 1 if i < DEPTH else None) for i in range(DEPTH + 1)]
+    df = spark.createDataFrame(rows, "id long, next long")
+    eng.register_dataframe(
+        "chain", df, rid_pos=lambda d: F.col("id"),
+        links={"next": ("chain", "id")},
+    )
+    out = eng.query(
+        f"select id from chain where any() traverse(0, 3) (id = {DEPTH}) order by id"
+    )
+    assert [r["id"] for r in out] == [DEPTH - 3, DEPTH - 2, DEPTH - 1, DEPTH]
+
+
+def test_windowed_counts_streaming_matches_batch(spark):
+    # events.parquet stores TIMESTAMP(NANOS) — read nanos as long and
+    # convert, as Engine.register_parquet_dir does
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    src_dir = tempfile.mkdtemp(prefix="ospark_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="ospark_stream_ckpt_")
+    try:
+        events.write.mode("overwrite").parquet(src_dir)
+        stream = read_event_stream(spark, src_dir)
+        assert stream.isStreaming
+        agg = windowed_event_counts(stream, "1 hour", watermark="2 hours")
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("win_counts")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from win_counts")
+        expected = windowed_event_counts(events, "1 hour")
+        assert got.count() == expected.count()
+        assert got.exceptAll(expected).count() == 0
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
