@@ -35,6 +35,8 @@ from orientdb_spark.otypes import OType
 RID_COL = "@rid"
 CLASS_COL = "@class"
 VERSION_COL = "@version"
+# hidden per-row version storage maintained by DML (surfaced as @version)
+BACKING_VERSION_COL = "__version"
 META_COLS = (RID_COL, CLASS_COL, VERSION_COL)
 
 
@@ -188,10 +190,18 @@ class Catalog:
 
     # -- scan --------------------------------------------------------------
 
-    def dataframe(self, name: str, polymorphic: bool = True, with_meta: bool = False) -> DataFrame:
+    def dataframe(
+        self,
+        name: str,
+        polymorphic: bool = True,
+        with_meta: bool = False,
+        internal: bool = False,
+    ) -> DataFrame:
         """Class scan. ``polymorphic=True`` unions subclass tables — the
         ORecordIteratorClass behavior (core:iterator/ORecordIteratorClass.java:36-51).
-        ``with_meta`` materializes @rid/@class/@version as real columns."""
+        ``with_meta`` materializes @rid/@class/@version as real columns;
+        ``internal`` keeps the hidden version backing column (DML rewrites
+        need it to preserve versions across copy-on-write)."""
         classes = self.subclasses(name) if polymorphic else [self.get(name)]
         parts: list[DataFrame] = []
         for cls in classes:
@@ -199,7 +209,9 @@ class Catalog:
                 continue
             df = cls.df_supplier()
             if with_meta:
-                df = self._with_meta(df, cls)
+                df = self._with_meta(df, cls, keep_backing=internal)
+            elif BACKING_VERSION_COL in df.columns and not internal:
+                df = df.drop(BACKING_VERSION_COL)
             parts.append(df)
         if not parts:
             raise OSchemaException(f"Class '{name}' has no records/storage")
@@ -208,11 +220,19 @@ class Catalog:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
 
-    def _with_meta(self, df: DataFrame, cls: OClass) -> DataFrame:
+    def _with_meta(self, df: DataFrame, cls: OClass, keep_backing: bool = False) -> DataFrame:
         if RID_COL in df.columns:
             return df
         pos = cls.rid_pos(df) if cls.rid_pos else F.monotonically_increasing_id()
-        return (
+        # per-record version for optimistic MVCC: DML bumps the hidden
+        # backing column on matched rows (core:tx/OTransactionOptimistic
+        # re-checks it at commit; SURVEY §4 MVCC row)
+        version = (
+            F.coalesce(F.col(BACKING_VERSION_COL), F.lit(0))
+            if BACKING_VERSION_COL in df.columns
+            else F.lit(0)
+        )
+        out = (
             df.withColumn(
                 RID_COL,
                 F.struct(
@@ -221,8 +241,11 @@ class Catalog:
                 ),
             )
             .withColumn(CLASS_COL, F.lit(cls.name))
-            .withColumn(VERSION_COL, F.lit(0))
+            .withColumn(VERSION_COL, version.cast("int"))
         )
+        if BACKING_VERSION_COL in df.columns and not keep_backing:
+            out = out.drop(BACKING_VERSION_COL)
+        return out
 
     def cluster_dataframe(self, cluster: str, with_meta: bool = False) -> DataFrame:
         """cluster:<name> target — scan one cluster bypassing class

@@ -132,7 +132,9 @@ def _where_scope(engine, class_name: str, where) -> tuple[Scope, DataFrame]:
     from orientdb_spark.expressions import uses_meta
 
     with_meta = uses_meta(where)
-    df = engine.catalog.dataframe(class_name, polymorphic=False, with_meta=with_meta)
+    df = engine.catalog.dataframe(
+        class_name, polymorphic=False, with_meta=with_meta, internal=True
+    )
     scope = Scope(
         catalog=engine.catalog,
         functions=engine.functions,
@@ -181,7 +183,23 @@ def _update(engine, cmd: A.UpdateCmd) -> DataFrame:
                 fname, F.when(pred, F.array_remove(F.col(fname), v)).otherwise(F.col(fname))
             )
 
-    base_cols = [c for c in engine.catalog.dataframe(cmd.class_name, polymorphic=False).columns]
+    # bump @version on matched rows (optimistic-MVCC parity — the
+    # reference increments the record version on every save)
+    from orientdb_spark.catalog import BACKING_VERSION_COL
+
+    ver_base = (
+        F.col(BACKING_VERSION_COL) if BACKING_VERSION_COL in out.columns else F.lit(0)
+    )
+    out = out.withColumn(
+        BACKING_VERSION_COL, F.when(pred, ver_base + 1).otherwise(ver_base).cast("int")
+    )
+
+    base_cols = [
+        c
+        for c in engine.catalog.dataframe(
+            cmd.class_name, polymorphic=False, internal=True
+        ).columns
+    ]
     new_cols = [c for c in out.columns if c not in base_cols and not c.startswith("__j") and not c.startswith("@")]
     n = out.filter(pred).count()
     engine.catalog.set_dataframe(cmd.class_name, out.select(*base_cols, *new_cols))
@@ -199,7 +217,9 @@ def _delete(engine, cmd: A.DeleteCmd) -> DataFrame:
     pred = compile_condition(scope, cmd.where)
     df = scope.df
     n = df.filter(pred).count()
-    base_cols = engine.catalog.dataframe(cmd.class_name, polymorphic=False).columns
+    base_cols = engine.catalog.dataframe(
+        cmd.class_name, polymorphic=False, internal=True
+    ).columns
     kept = df.filter(~F.coalesce(pred, F.lit(False))).select(*base_cols)
     engine.catalog.set_dataframe(cmd.class_name, kept)
     return _result(engine, deleted=n)

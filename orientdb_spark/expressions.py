@@ -68,7 +68,7 @@ class Scope:
 
     def data_columns(self) -> list[str]:
         assert self.df is not None
-        return [c for c in self.df.columns if c not in META_COLS and not c.startswith("__j")]
+        return [c for c in self.df.columns if c not in META_COLS and not c.startswith("__")]
 
     def _actual(self, name: str, columns: list[str]) -> str | None:
         if name in columns:

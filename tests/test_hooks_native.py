@@ -110,3 +110,21 @@ def test_native_asynch_listener_abort(engine):
 
     ONativeAsynchQuery(engine, "orders", ctx).execute(listener)
     assert len(seen) == 5
+
+
+def test_version_bumps_on_update(spark):
+    eng = _fresh(spark)
+    eng.register_dataframe(
+        "vtest",
+        spark.read.parquet(f"{SF_DIR}/region.parquet"),
+        rid_pos=lambda df: F.col("r_regionkey"),
+    )
+    eng.command("update vtest set r_name = 'A' where r_regionkey <= 1")
+    eng.command("update vtest set r_name = 'B' where r_regionkey = 0")
+    rows = {
+        r["r_regionkey"]: r["ver"]
+        for r in eng.query("select @version as ver, r_regionkey from vtest")
+    }
+    assert rows[0] == 2 and rows[1] == 1 and rows[2] == 0
+    # __version backing column never leaks into SELECT *
+    assert "__version" not in eng.sql("select from vtest").columns
