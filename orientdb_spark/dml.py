@@ -30,6 +30,62 @@ def _result(engine, **cols) -> DataFrame:
     return engine.spark.createDataFrame([tuple(cols.values())], list(cols.keys()))
 
 
+def _validate(engine, class_name: str, df: DataFrame, pred=None) -> None:
+    """Schema constraint validation on save — mandatory / notNull / min /
+    max per property (ORecordSchemaAwareAbstract.validate(); min/max bound
+    string *length* and numeric *value*, the reference's rules). One
+    distributed filter over the written rows; no per-row driver loop."""
+    from orientdb_spark.errors import OValidationException
+
+    cls = engine.catalog.get(class_name) if engine.catalog.has(class_name) else None
+    if cls is None:
+        return
+    checks = []
+    for p in cls.properties.values():
+        has_col = p.name in df.columns
+        if p.mandatory and not has_col:
+            raise OValidationException(f"The field '{class_name}.{p.name}' is mandatory")
+        if not has_col:
+            continue
+        col = F.col(p.name)
+        if p.not_null:
+            checks.append((col.isNull(), f"The field '{class_name}.{p.name}' cannot be null"))
+        if p.min is not None or p.max is not None:
+            dt = df.schema[p.name].dataType
+            measured = F.length(col) if isinstance(dt, T.StringType) else col
+            if p.min is not None:
+                checks.append(
+                    (
+                        measured < F.lit(_bound(p.min)),
+                        f"The field '{class_name}.{p.name}' contains less than {p.min}",
+                    )
+                )
+            if p.max is not None:
+                checks.append(
+                    (
+                        measured > F.lit(_bound(p.max)),
+                        f"The field '{class_name}.{p.name}' contains more than {p.max}",
+                    )
+                )
+    if not checks:
+        return
+    scoped = df.filter(pred) if pred is not None else df
+    flags = scoped.select(
+        *[F.max(F.when(c, F.lit(True)).otherwise(F.lit(False))).alias(f"c{i}") for i, (c, _) in enumerate(checks)]
+    ).first()
+    if flags is not None:
+        for i, (_, msg) in enumerate(checks):
+            if flags[f"c{i}"]:
+                raise OValidationException(msg)
+
+
+def _bound(v: str):
+    try:
+        return float(v) if "." in str(v) else int(v)
+    except (TypeError, ValueError):
+        return v
+
+
 def _hooked(engine, op: str, class_name: str, run) -> DataFrame:
     """before/after CRUD hook envelope (core:hook/ORecordHook.java:27-33),
     statement-level — see orientdb_spark.hooks."""
@@ -90,6 +146,25 @@ def execute_dml(engine, cmd) -> DataFrame:
     raise OCommandExecutionException(f"Unsupported command {type(cmd).__name__}")
 
 
+def _infer_type(v) -> T.DataType:
+    """Spark type for an INSERT literal (typed literal parsing,
+    core:sql/OSQLHelper.java:112-164); None → string (typeless null)."""
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    if isinstance(v, dict):  # RID literal
+        from orientdb_spark.otypes import RID_TYPE
+
+        return RID_TYPE
+    if isinstance(v, list):
+        inner = _infer_type(v[0]) if v else T.StringType()
+        return T.ArrayType(inner)
+    return T.StringType()
+
+
 def _literal_value(engine, e: A.Expr):
     if isinstance(e, A.Lit):
         return e.value
@@ -112,18 +187,19 @@ def _insert(engine, cmd: A.InsertCmd) -> DataFrame:
         cls = catalog.register_class(cmd.class_name)
     if cls.df_supplier is not None:
         existing = cls.df_supplier()
-        row_df = engine.spark.createDataFrame([values])
-        # align types to the existing schema
-        aligned = []
-        for f in row_df.schema.fields:
-            tgt = next((x for x in existing.schema.fields if x.name == f.name), None)
-            aligned.append(
-                F.col(f.name).cast(tgt.dataType).alias(f.name) if tgt else F.col(f.name)
-            )
-        row_df = row_df.select(*aligned)
+        # build the row with an explicit schema: known columns take the
+        # existing type (NULL literals stay typed — schema-less nulls can't
+        # be inferred), unknown columns infer from the python value
+        known = {f.name: f.dataType for f in existing.schema.fields}
+        schema = T.StructType(
+            [T.StructField(k, known.get(k, _infer_type(v)), True) for k, v in values.items()]
+        )
+        row_df = engine.spark.createDataFrame([tuple(values.values())], schema)
+        _validate(engine, cmd.class_name, row_df)
         new = existing.unionByName(row_df, allowMissingColumns=True)
     else:
         new = engine.spark.createDataFrame([values])
+        _validate(engine, cmd.class_name, new)
     catalog.set_dataframe(cmd.class_name, new)
     return _result(engine, inserted=1)
 
@@ -183,6 +259,7 @@ def _update(engine, cmd: A.UpdateCmd) -> DataFrame:
                 fname, F.when(pred, F.array_remove(F.col(fname), v)).otherwise(F.col(fname))
             )
 
+    _validate(engine, cmd.class_name, out, pred)
     # bump @version on matched rows (optimistic-MVCC parity — the
     # reference increments the record version on every save)
     from orientdb_spark.catalog import BACKING_VERSION_COL

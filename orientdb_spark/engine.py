@@ -119,22 +119,27 @@ class Engine:
 
     # -- queries -----------------------------------------------------------------
 
-    def sql(self, text: str) -> DataFrame:
+    def sql(self, text: str, params: list | None = None) -> DataFrame:
         """Parse + compile a dialect statement. SELECT returns the lazy
-        DataFrame; DML executes and returns a result DataFrame."""
-        cached = self._plan_cache.get(text)
+        DataFrame; DML executes and returns a result DataFrame. Positional
+        ``?`` placeholders bind from ``params`` (prepared-statement
+        re-execution: the parsed command is cached, each call rebinds)."""
+        key = (text, None if params is None else tuple(params))
+        cached = self._plan_cache.get(key)
         if cached is not None:
             return cached
         cmd = parse(text)
+        if A.has_params(cmd):
+            cmd = A.bind_params(cmd, params)
         if isinstance(cmd, A.SelectCmd):
             df = self._select.compile(cmd)
-            self._plan_cache[text] = df
+            self._plan_cache[key] = df
             return df
-        return self.command(text)
+        return self.command(text, _parsed=cmd)
 
-    def query(self, text: str) -> list:
+    def query(self, text: str, params: list | None = None) -> list:
         """Synchronous query — collect results (OSQLSynchQuery analog)."""
-        return self.sql(text).collect()
+        return self.sql(text, params=params).collect()
 
     def async_query(self, text: str, listener) -> None:
         """Push-based query (OSQLAsynchQuery + OCommandResultListener,
@@ -146,8 +151,8 @@ class Engine:
             if listener(row) is False:
                 break
 
-    def command(self, text: str) -> DataFrame:
-        cmd = parse(text)
+    def command(self, text: str, _parsed=None) -> DataFrame:
+        cmd = parse(text) if _parsed is None else _parsed
         if isinstance(cmd, A.SelectCmd):
             return self._select.compile(cmd)
         from orientdb_spark.dml import execute_dml

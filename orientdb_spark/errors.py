@@ -35,3 +35,8 @@ class OCommandExecutionException(OException):
 
 class OConcurrentModificationException(OException):
     """Optimistic-MVCC version conflict (core:tx/OTransactionOptimistic.java:22-45)."""
+
+
+class OValidationException(OException):
+    """Schema constraint violated on save (mandatory/notNull/min/max —
+    ORecordSchemaAwareAbstract.validate(), core:record/)."""

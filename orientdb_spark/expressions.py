@@ -282,6 +282,10 @@ def compile_expr(scope: Scope, e: A.Expr) -> Column:
         return scope.resolve_path(e.parts)
     if isinstance(e, A.Attr):
         return _apply_chain(scope, compile_attr(scope, e.name), e.chain)
+    if isinstance(e, A.Param):
+        raise OCommandExecutionException(
+            f"Unbound positional parameter #{e.index} — pass params=[...] to Engine.sql"
+        )
     if isinstance(e, A.ColIdx):
         cols = scope.data_columns()
         if e.index >= len(cols):

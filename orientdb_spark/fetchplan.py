@@ -19,17 +19,38 @@ from pyspark.sql import DataFrame, functions as F
 from orientdb_spark.catalog import RID_COL
 
 
-def fetch(engine, class_name: str, plan: dict[str, int]) -> DataFrame:
+# unbounded (-1) plans are cycle-cut by class revisit; this cap additionally
+# bounds join-chain depth on long acyclic link chains (the reference cuts
+# per-record cycles with a visited-RID set at fetch time, OFetchHelper :75)
+_UNBOUNDED_MAX_DEPTH = 16
+
+
+def parse_fetch_plan(plan: str) -> dict[str, int]:
+    """``"field:depth …"`` string form, '*' wildcard, -1 unbounded —
+    OFetchHelper.buildFetchPlan (core:fetch/OFetchHelper.java:37-54)."""
+    out: dict[str, int] = {}
+    for part in plan.split():
+        if ":" not in part:
+            raise ValueError(f"Invalid fetch plan entry '{part}' (want field:depth)")
+        fname, depth = part.rsplit(":", 1)
+        out[fname] = int(depth)
+    return out
+
+
+def fetch(engine, class_name: str, plan: dict[str, int] | str) -> DataFrame:
     """Load ``class_name`` with linked docs prefetched per ``plan``
-    (field → depth; '*' applies to every link field). Linked records
-    appear as struct columns named ``<field>__doc``."""
+    (field → depth; '*' applies to every link field; a string plan is
+    parsed with parse_fetch_plan). Linked records appear as struct
+    columns named ``<field>__doc``."""
+    if isinstance(plan, str):
+        plan = parse_fetch_plan(plan)
     wildcard = plan.get("*")
     df = engine.catalog.dataframe(class_name, polymorphic=True)
     cls = engine.catalog.get(class_name)
-    return _expand(engine, df, cls, plan, wildcard, prefix="")
+    return _expand(engine, df, cls, plan, wildcard, prefix="", path=(cls.name,))
 
 
-def _expand(engine, df: DataFrame, cls, plan, wildcard, prefix: str) -> DataFrame:
+def _expand(engine, df: DataFrame, cls, plan, wildcard, prefix: str, path: tuple = ()) -> DataFrame:
     catalog = engine.catalog
     for prop in list(cls.properties.values()):
         if not prop.linked_class:
@@ -37,6 +58,10 @@ def _expand(engine, df: DataFrame, cls, plan, wildcard, prefix: str) -> DataFram
         depth = plan.get(prop.name, wildcard)
         if depth is None or depth == 0:
             continue
+        if depth == -1 and (
+            path.count(prop.linked_class) >= 2 or len(path) > _UNBOUNDED_MAX_DEPTH
+        ):
+            continue  # class cycle: unroll one level, then stop
         target_cls = catalog.get(prop.linked_class)
         target = catalog.dataframe(prop.linked_class, polymorphic=True)
         # recurse first so nested levels are already assembled
@@ -49,6 +74,7 @@ def _expand(engine, df: DataFrame, cls, plan, wildcard, prefix: str) -> DataFram
                 {p.name: next_depth for p in target_cls.properties.values() if p.linked_class},
                 None,
                 prefix=prefix + prop.name + ".",
+                path=path + (prop.linked_class,),
             )
         key = prop.linked_key or RID_COL
         doc_col = f"{prop.name}__doc"

@@ -53,6 +53,7 @@ class Parser:
         self.text = text
         self.toks = tokenize(text)
         self.i = 0
+        self._nparams = 0
 
     # -- token helpers ------------------------------------------------------
 
@@ -268,7 +269,9 @@ class Parser:
         sub.text = self.text
         sub.toks = sub_tokens
         sub.i = 0
+        sub._nparams = self._nparams
         cmd = sub.parse_select()
+        self._nparams = sub._nparams
         self.i = j
         return cmd
 
@@ -417,7 +420,9 @@ class Parser:
             return A.Rid(c, p)
         if t.kind == PARAM:
             self.next()
-            return A.Lit(None)  # positional params resolved by Engine.sql(params=...)
+            idx = self._nparams
+            self._nparams += 1
+            return A.Param(idx)
         if t.kind == ATTR:
             self.next()
             return A.Attr(str(t.value), chain=self._parse_chain(allow_fields=True))

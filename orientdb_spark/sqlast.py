@@ -26,6 +26,58 @@ class Lit(Expr):
 
 
 @dataclass
+class Param(Expr):
+    """Positional ``?`` parameter — bound by Engine.sql(text, params=[...])
+    before compilation (prepared-statement surface: the reference re-runs a
+    parsed command with new params, core:sql/OCommandExecutorSQLSelect.java
+    :86-88 compile-once javadoc)."""
+
+    index: int
+
+
+def bind_params(node, params: list):
+    """Replace every Param(i) with Lit(params[i]) — generic dataclass walk
+    returning a rebound copy (the original parsed command stays cacheable)."""
+    import dataclasses
+
+    if isinstance(node, Param):
+        from orientdb_spark.errors import OCommandExecutionException
+
+        if params is None or node.index >= len(params):
+            raise OCommandExecutionException(
+                f"Missing value for positional parameter #{node.index}"
+            )
+        return Lit(params[node.index])
+    if dataclasses.is_dataclass(node) and not isinstance(node, type):
+        changes = {}
+        for f in dataclasses.fields(node):
+            v = getattr(node, f.name)
+            nv = bind_params(v, params)
+            if nv is not v:
+                changes[f.name] = nv
+        return dataclasses.replace(node, **changes) if changes else node
+    if isinstance(node, list):
+        out = [bind_params(i, params) for i in node]
+        return out if any(a is not b for a, b in zip(out, node)) else node
+    if isinstance(node, tuple):
+        out = tuple(bind_params(i, params) for i in node)
+        return out if any(a is not b for a, b in zip(out, node)) else node
+    return node
+
+
+def has_params(node) -> bool:
+    import dataclasses
+
+    if isinstance(node, Param):
+        return True
+    if dataclasses.is_dataclass(node) and not isinstance(node, type):
+        return any(has_params(getattr(node, f.name)) for f in dataclasses.fields(node))
+    if isinstance(node, (list, tuple)):
+        return any(has_params(i) for i in node)
+    return False
+
+
+@dataclass
 class ListLit(Expr):
     items: list[Expr]
 

@@ -1,0 +1,103 @@
+"""Positional parameters (prepared statements), fetch-plan string form,
+and schema constraint validation on save
+(tests:database/auto/CRUDDocumentValidationTest.java mirrored).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from orientdb_spark import Engine
+from orientdb_spark.catalog import OProperty
+from orientdb_spark.errors import OCommandExecutionException, OValidationException
+from orientdb_spark.fetchplan import fetch, parse_fetch_plan
+from orientdb_spark.otypes import OType
+
+from tests.conftest import SF_DIR
+
+
+def test_positional_params_bind_and_rebind(engine):
+    sql = "select n_name from nation where n_nationkey = ? or n_name = ?"
+    a = engine.query(sql, params=[3, "NATION_5"])
+    assert sorted(r["n_name"] for r in a) == ["NATION_3", "NATION_5"]
+    # same cached statement, new params
+    b = engine.query(sql, params=[7, "NATION_9"])
+    assert sorted(r["n_name"] for r in b) == ["NATION_7", "NATION_9"]
+
+
+def test_params_in_limit_and_in_list(engine):
+    rows = engine.query(
+        "select n_nationkey from nation where n_nationkey in [?, ?] order by n_nationkey",
+        params=[2, 4],
+    )
+    assert [r["n_nationkey"] for r in rows] == [2, 4]
+
+
+def test_unbound_param_raises(engine):
+    with pytest.raises(OCommandExecutionException):
+        engine.query("select from nation where n_nationkey = ?")
+
+
+def test_fetch_plan_string_form(engine):
+    plan = parse_fetch_plan("*:-1")
+    assert plan == {"*": -1}
+    df = fetch(engine, "orders", "o_custkey:2")
+    row = df.filter(F.col("o_orderkey") == 1).first()
+    assert row["o_custkey__doc"]["c_name"] is not None
+    assert row["o_custkey__doc"]["c_nationkey__doc"]["n_name"] is not None
+
+
+def test_fetch_plan_unbounded_cycle_safe(spark):
+    # self-linked class: unbounded plan must terminate (class-cycle cut)
+    eng = Engine(spark)
+    df = spark.createDataFrame([(1, 2), (2, 1)], "id long, next long")
+    eng.register_dataframe(
+        "loop", df, rid_pos=lambda d: F.col("id"), links={"next": ("loop", "id")}
+    )
+    out = fetch(eng, "loop", "*:-1")
+    assert out.count() == 2  # terminated; one level unrolled
+    assert "next__doc" in out.columns
+
+
+def _constrained_engine(spark):
+    eng = Engine(spark)
+    eng.register_dataframe(
+        "person",
+        spark.createDataFrame([("ada", 30)], "name string, age int"),
+        rid_pos=lambda d: F.lit(0),
+    )
+    cls = eng.catalog.get("person")
+    cls.properties["name"] = OProperty(
+        name="name", otype=OType.STRING, mandatory=True, not_null=True, min="2", max="10"
+    )
+    cls.properties["age"] = OProperty(name="age", otype=OType.INTEGER, min="0", max="150")
+    return eng
+
+
+def test_validation_accepts_valid_insert(spark):
+    eng = _constrained_engine(spark)
+    eng.command("insert into person (name, age) values ('bob', 42)")
+    assert eng.table("person").count() == 2
+
+
+def test_validation_rejects_null_and_bounds(spark):
+    eng = _constrained_engine(spark)
+    with pytest.raises(OValidationException):
+        eng.command("insert into person (name, age) values (null, 42)")
+    with pytest.raises(OValidationException):
+        eng.command("insert into person (name, age) values ('x', 42)")  # len < 2
+    with pytest.raises(OValidationException):
+        eng.command("insert into person (name, age) values ('bob', 200)")  # > 150
+    with pytest.raises(OValidationException):
+        eng.command("insert into person (age) values (42)")  # mandatory name missing
+
+
+def test_validation_applies_to_update(spark):
+    eng = _constrained_engine(spark)
+    with pytest.raises(OValidationException):
+        eng.command("update person set age = -5 where name = 'ada'")
+    # untouched rows don't trigger validation
+    eng.command("insert into person (name, age) values ('bob', 42)")
+    eng.command("update person set age = 31 where name = 'ada'")
+    assert eng.query("select age from person where name = 'ada'")[0]["age"] == 31
