@@ -93,14 +93,38 @@ def _json_roundtrip(spark, sf_dir):
 
 
 def _export_import_diff(spark, sf_dir):
-    # whole-table JSON dump → reload → structural diff (ODatabaseExport/
-    # Import/Compare, SURVEY §2.1) — diff must be empty both directions
-    eng = _engine(spark, sf_dir)
-    df = eng.table("nation")
-    path = os.path.join(tempfile.mkdtemp(prefix="ospark_export_"), "nation_json")
-    df.write.mode("overwrite").json(path)
-    back = spark.read.schema(df.schema).json(path)
-    return df.exceptAll(back).unionByName(back.exceptAll(df))
+    # whole-class JSON dump (with @rid/@class/@version) → reload →
+    # structural diff (ODatabaseExport/Import/Compare, SURVEY §2.1) —
+    # diff must be empty both directions
+    from orientdb_spark.tools import compare_classes, export_class, import_class
+
+    eng = _fresh_engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ospark_export_")
+    export_class(eng, "nation", f"{tmp}/nation")
+    import_class(eng, "nation_reimport", f"{tmp}/nation")
+    return compare_classes(eng, "nation", "nation_reimport").drop("__side")
+
+
+def _polymorphic_scan(spark, sf_dir):
+    # class inheritance: scanning the base class unions all subclass
+    # tables (polymorphicClusterIds, OClass.java:294)
+    eng = _fresh_engine(spark, sf_dir)
+    base = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        F.col("r_regionkey").alias("key"), F.col("r_name").alias("name")
+    )
+    sub = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").alias("key"), F.col("n_name").alias("name")
+    )
+    eng.register_dataframe("place", base)
+    eng.register_dataframe("nationplace", sub, super_class="place")
+    return eng.sql("select key, name from place order by name")
+
+
+def _event_session_window(spark, sf_dir):
+    from orientdb_spark.streaming import sessionize_stream
+
+    out = sessionize_stream(_engine(spark, sf_dir).table("events"), gap="30 minutes")
+    return out.withColumn("session_start", F.date_trunc("second", F.col("session_start")))
 
 
 def _contains_condition(spark, sf_dir):
@@ -544,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dictionary_get": _dictionary_get,
         "json_roundtrip": _json_roundtrip,
         "export_import_diff": _export_import_diff,
+        "polymorphic_scan": _polymorphic_scan,
         # §2.2 projections
         "projection_methods": _dsl(
             "select c_name.toUpperCase() as up, c_name.left(8) as l8, "
@@ -653,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.10 streaming-shaped (batch/stream agnostic transforms)
         "event_window_agg": _event_window_agg,
         "event_sessionize": _event_sessionize,
+        "event_session_window": _event_session_window,
         # pipeline: dedup
         "dedup_exact": _dedup_exact,
         "dedup_fingerprint": _dedup_fingerprint,
@@ -834,6 +860,10 @@ def oracle_sql() -> dict[str, str]:
         "dictionary_get": "SELECT r_regionkey, r_name FROM region WHERE r_regionkey = 2",
         "json_roundtrip": "SELECT * FROM nation",
         "export_import_diff": "SELECT * FROM nation LIMIT 0",
+        "polymorphic_scan": (
+            "SELECT key, name FROM (SELECT r_regionkey AS key, r_name AS name FROM region "
+            "UNION ALL SELECT n_nationkey, n_name FROM nation) ORDER BY name"
+        ),
         "projection_methods": (
             "SELECT upper(c_name) AS up, substring(c_name, 1, 8) AS l8, "
             "length(c_name)::INTEGER AS len, substring(c_name, 1, 4) AS sub4, "
@@ -1054,6 +1084,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, session_id, date_trunc('second', min(ts)) AS session_start, "
             "count(*) AS n_events, round(sum(value), 4) AS total_value "
             "FROM s GROUP BY user_id, session_id"
+        ),
+        "event_session_window": (
+            "WITH g AS (SELECT user_id, ts, value, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS ns "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING)::BIGINT AS sid FROM g) "
+            "SELECT user_id, date_trunc('second', min(ts)) AS session_start, "
+            "count(*) AS n_events, round(sum(value), 4) AS total_value "
+            "FROM s GROUP BY user_id, sid"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS canonical_id "

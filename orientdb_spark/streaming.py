@@ -86,6 +86,36 @@ def sessionize(
     )
 
 
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Gap sessionization with Spark's native session window — the
+    streaming formulation of ``sessionize`` (state is per-user session
+    windows, merged on overlap, evicted past the watermark). Works on
+    static frames too, where it must agree with the batch lag+cumsum
+    version on session count/membership."""
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def stream_to_batches(stream_df: DataFrame, batch_fn, **options):
     """foreachBatch sink — the push-based listener surface for streams
     (the reference's per-record listener, batched)."""

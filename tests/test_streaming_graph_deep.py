@@ -91,3 +91,41 @@ def test_windowed_counts_streaming_matches_batch(spark):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_session_window_stream_matches_batch_sessionize(spark):
+    from orientdb_spark.streaming import sessionize, sessionize_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    src_dir = tempfile.mkdtemp(prefix="ospark_sess_src_")
+    ckpt = tempfile.mkdtemp(prefix="ospark_sess_ckpt_")
+    try:
+        events.write.mode("overwrite").parquet(src_dir)
+        stream = read_event_stream(spark, src_dir)
+        q = (
+            sessionize_stream(stream, gap="30 minutes")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("sessions")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from sessions")
+        batch = sessionize(events, gap_minutes=30)
+        # identical session structure: same per-user session count and the
+        # same total event count per user
+        g = got.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events")
+        )
+        b = batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events")
+        )
+        assert g.exceptAll(b).count() == 0 and b.exceptAll(g).count() == 0
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
