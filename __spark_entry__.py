@@ -105,6 +105,26 @@ def _export_import_diff(spark, sf_dir):
     return compare_classes(eng, "nation", "nation_reimport").drop("__side")
 
 
+def _flat_record(spark, sf_dir):
+    # ORecordFlat: single opaque string payload (SURVEY §1.1) — one
+    # `value` column, queried through method chains
+    eng = _fresh_engine(spark, sf_dir)
+    eng.register_dataframe(
+        "flatdocs", eng.table("documents").select(F.col("text").alias("value"))
+    )
+    return eng.sql("select value.length() as len, value.left(10) as head from flatdocs")
+
+
+def _bytes_record(spark, sf_dir):
+    # ORecordBytes: raw byte blob → BinaryType column (SURVEY §1.1)
+    eng = _fresh_engine(spark, sf_dir)
+    blobs = eng.table("documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    eng.register_dataframe("docblobs", blobs, rid_pos=lambda df: F.col("doc_id"))
+    return eng.sql("select doc_id, blob.length() as n_bytes from docblobs order by doc_id")
+
+
 def _polymorphic_scan(spark, sf_dir):
     # class inheritance: scanning the base class unions all subclass
     # tables (polymorphicClusterIds, OClass.java:294)
@@ -351,6 +371,13 @@ def _sim_lsh(spark, sf_dir):
     return similarity.lsh_topk(embs, embs.filter(F.col("vec_id") < 10), k=5)
 
 
+def _sim_ivf(spark, sf_dir):
+    from orientdb_spark.pipeline import similarity
+
+    embs = _embs(spark, sf_dir)
+    return similarity.ivf_topk(embs, embs.filter(F.col("vec_id") < 10), k=5, nprobe=4)
+
+
 def _text_langid(spark, sf_dir):
     from orientdb_spark.pipeline import text
 
@@ -569,6 +596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_roundtrip": _json_roundtrip,
         "export_import_diff": _export_import_diff,
         "polymorphic_scan": _polymorphic_scan,
+        "flat_record": _flat_record,
+        "bytes_record": _bytes_record,
         # §2.2 projections
         "projection_methods": _dsl(
             "select c_name.toUpperCase() as up, c_name.left(8) as l8, "
@@ -689,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline: similarity
         "sim_topk_bruteforce": _sim_bruteforce,
         "sim_topk_lsh": _sim_lsh,
+        "sim_topk_ivf": _sim_ivf,
         # pipeline: text analysis
         "text_language_id": _text_langid,
         "text_quality_score": _text_quality,
@@ -863,6 +893,13 @@ def oracle_sql() -> dict[str, str]:
         "polymorphic_scan": (
             "SELECT key, name FROM (SELECT r_regionkey AS key, r_name AS name FROM region "
             "UNION ALL SELECT n_nationkey, n_name FROM nation) ORDER BY name"
+        ),
+        "flat_record": (
+            "SELECT length(text)::INTEGER AS len, substring(text, 1, 10) AS head "
+            "FROM documents"
+        ),
+        "bytes_record": (
+            "SELECT doc_id, strlen(text)::INTEGER AS n_bytes FROM documents ORDER BY doc_id"
         ),
         "projection_methods": (
             "SELECT upper(c_name) AS up, substring(c_name, 1, 8) AS l8, "

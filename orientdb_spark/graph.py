@@ -161,16 +161,18 @@ class Graph:
         """Iterative PageRank via aggregate-messages joins (the Pregel
         formulation on DataFrames). Returns (vid, rank)."""
         n = self.vertices.count()
-        ranks = self.vertices.select("vid").withColumn("rank", F.lit(1.0 / n))
-        # weighted adjacency (src, vid=dst, w=1/out_degree) computed once and
+        # weighted adjacency (src, dst, w=1/out_degree) computed once and
         # persisted — the per-iteration work is then join + groupBy, both
-        # shuffling on vertex id
+        # shuffling on vertex id (explicit pre-partitioning was measured
+        # slower here: AQE coalesces the tiny shuffles anyway and the
+        # repartition barrier just adds a stage)
         adj = (
             self.edges.join(self.out_degrees().withColumnRenamed("vid", "src"), "src")
             .select("src", F.col("dst"), (F.lit(1.0) / F.col("out_degree")).alias("w"))
             .persist()
         )
         vids = self.vertices.select("vid").persist()
+        ranks = vids.withColumn("rank", F.lit(1.0 / n))
         for i in range(iterations):
             contribs = (
                 ranks.join(adj, ranks["vid"] == adj["src"])

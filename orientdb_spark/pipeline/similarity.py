@@ -1,16 +1,21 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three paths:
 - brute_force_topk: exact cosine top-k — the correctness baseline; the
   query side is broadcast, the corpus side streams, ranking is a
   per-query window (TakeOrdered shape). O(Q × N) but one scan of N.
 - lsh_topk: random-hyperplane LSH bucketing + exact rerank within probed
-  buckets — the 100 TB scale path. Hyperplanes are derived from the
-  md5-based h60 hash so the index is deterministic (no RNG state), and
-  bucket ids are computed per row with no shuffle; only the candidate
-  rerank joins. Approximate (recall < 1) → no SQL oracle; the driver
-  records the rows-only check, and tests measure recall against the
-  brute-force baseline instead.
+  buckets. Hyperplanes are derived from the md5-based h60 hash so the
+  index is deterministic (no RNG state), and bucket ids are computed per
+  row with no shuffle; only the candidate rerank joins.
+- ivf_topk: inverted-file index — deterministic seed centroids + one
+  Lloyd refinement, corpus partitioned into cells, queries probe the
+  ``nprobe`` nearest cells and rerank exactly. At 100 TB the cell
+  assignment is the partition key: a probe touches nprobe/ncells of the
+  corpus.
+
+Approximate paths (recall < 1) → no SQL oracle; the driver records the
+rows-only check, and tests measure recall against brute force instead.
 """
 
 from __future__ import annotations
@@ -39,6 +44,94 @@ def brute_force_topk(
     scored = (
         F.broadcast(q)
         .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    refine_iters: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer. Returns (centroids(cid, cvec),
+    assignments(id, cid)) — the inverted file.
+
+    Seeds are the ``n_cells`` corpus vectors with the smallest
+    h60(id) (deterministic, uniformly spread); ``refine_iters`` Lloyd
+    steps re-center each cell at the element-wise mean of its members.
+    Build cost is O(N × n_cells) per iteration — one broadcast join."""
+    corpus = df.select(F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v"))
+    seeds = (
+        corpus.withColumn("__h", h60(F.col("__id").cast("string")))
+        .orderBy("__h")
+        .limit(n_cells)
+        .select(F.monotonically_increasing_id().alias("cid"), F.col("__v").alias("cvec"))
+    )
+    centroids = seeds.localCheckpoint(eager=True)
+
+    def assign(cent: DataFrame) -> DataFrame:
+        w = Window.partitionBy("__id").orderBy(F.col("__d").desc(), F.col("cid"))
+        return (
+            corpus.crossJoin(F.broadcast(cent))
+            .withColumn("__d", cosine_similarity(F.col("__v"), F.col("cvec")))
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("__id", "cid", "__v")
+        )
+
+    assigned = assign(centroids)
+    for _ in range(refine_iters):
+        # element-wise mean per cell: explode positions, avg, reassemble
+        means = (
+            assigned.select("cid", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("cvec"))
+        )
+        centroids = means.localCheckpoint(eager=True)
+        assigned = assign(centroids)
+    return centroids, assigned.select(F.col("__id").alias(id_col), "cid")
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k through the IVF index: each query probes its
+    ``nprobe`` closest cells; exact cosine rerank within those cells.
+    Same output shape as brute_force_topk."""
+    centroids, assignments = build_ivf_index(df, n_cells, vec_col, id_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("__qv"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("__d").desc(), F.col("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("__d", cosine_similarity(F.col("__qv"), F.col("cvec")))
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "__qv", "cid")
+    )
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("__cv")
+    ).join(assignments.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
     )

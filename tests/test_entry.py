@@ -51,3 +51,18 @@ def test_lsh_recall_vs_bruteforce(spark):
     # every LSH result is a real vector pair; recall is data-dependent but
     # must be nonzero on this corpus
     assert len(exact & approx) > 0
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=4/16 cells must recover most true neighbors."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["sim_topk_bruteforce"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["sim_topk_ivf"](spark, SF_DIR).collect()
+    }
+    assert approx, "IVF returned nothing"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
