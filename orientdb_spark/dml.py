@@ -37,6 +37,8 @@ def _validate(engine, class_name: str, df: DataFrame, pred=None) -> None:
     distributed filter over the written rows; no per-row driver loop."""
     from orientdb_spark.errors import OValidationException
 
+    if getattr(engine, "intent", None) == "massiveinsert":
+        return  # bulk-load intent skips per-statement validation
     cls = engine.catalog.get(class_name) if engine.catalog.has(class_name) else None
     if cls is None:
         return

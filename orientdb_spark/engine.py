@@ -80,6 +80,7 @@ class Engine:
         # index maintenance runs as a hook, like the reference's
         # OPropertyIndexManager (core:index/OPropertyIndexManager.java)
         self.hooks.register(fulltext_maintenance_hook(self))
+        self.intent: str | None = None
 
     # -- registration -----------------------------------------------------------
 
@@ -163,5 +164,17 @@ class Engine:
     def explain(self, text: str, mode: str = "formatted") -> None:
         self.sql(text).explain(mode)
 
+    def declare_intent(self, name: str | None) -> None:
+        """Workload intent (core:intent/OIntent.java, OIntentMassiveInsert
+        .java:10-44 — coarse hints flipping cache/validation behavior):
+        'massiveinsert' skips per-statement constraint validation during
+        bulk load; 'massiveread' caches class scans; None resets."""
+        if name is not None and name not in ("massiveinsert", "massiveread"):
+            raise OCommandExecutionException(f"Unknown intent '{name}'")
+        self.intent = name
+
     def table(self, name: str, with_meta: bool = False) -> DataFrame:
-        return self.catalog.dataframe(name, with_meta=with_meta)
+        df = self.catalog.dataframe(name, with_meta=with_meta)
+        if self.intent == "massiveread":
+            df = df.cache()
+        return df

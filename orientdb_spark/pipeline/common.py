@@ -72,13 +72,26 @@ def normalize_text(col: Column) -> Column:
     return F.trim(c)
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
+def dot_product(a: Column, b: Column) -> Column:
+    """Sequential-accumulation dot product (matches the oracle's
+    list_dot_product evaluation order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def vec_norm(a: Column) -> Column:
+    """sqrt(a·a) — precompute this per vector before a pairwise join: it
+    cuts 2/3 of the per-pair work (each pair then costs one dot product
+    instead of three)."""
+    return F.sqrt(dot_product(a, a))
+
+
+def cosine_similarity(a: Column, b: Column, norm_a: Column | None = None, norm_b: Column | None = None) -> Column:
     """Cosine similarity of two array<numeric> columns as a pure Column
     expression (sequential double accumulation — bit-identical to the
-    oracle's list_cosine_similarity over DOUBLE[])."""
+    oracle's formula over DOUBLE[]). Pass precomputed ``norm_a``/``norm_b``
+    on pairwise joins."""
     a = a.cast("array<double>")
     b = b.cast("array<double>")
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
-    return dot / (na * nb)
+    na = vec_norm(a) if norm_a is None else norm_a
+    nb = vec_norm(b) if norm_b is None else norm_b
+    return dot_product(a, b) / (na * nb)

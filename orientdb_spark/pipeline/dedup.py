@@ -275,12 +275,26 @@ def embedding_duplicate_pairs(
     threshold: float = 0.99,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates within blocking groups
-    (label-blocked exact cosine; the ANN path is pipeline/similarity)."""
-    g = df.select(F.col(block_col), F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    a = g.select(block_col, F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
-    b = g.select(block_col, F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    (label-blocked exact cosine; the ANN path is pipeline/similarity).
+    Norms are computed once per vector before the pairwise join — each
+    pair then costs one dot product."""
+    from orientdb_spark.pipeline.common import vec_norm
+
+    g = df.select(
+        F.col(block_col),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__n", vec_norm(F.col("__v")))
+    a = g.select(
+        block_col, F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
+    )
+    b = g.select(
+        block_col, F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+    )
     pairs = a.join(b, block_col).filter(F.col("id_a") < F.col("id_b"))
-    cos = cosine_similarity(F.col("__va"), F.col("__vb"))
+    cos = cosine_similarity(
+        F.col("__va"), F.col("__vb"), norm_a=F.col("__na"), norm_b=F.col("__nb")
+    )
     return (
         pairs.withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from orientdb_spark.pipeline.common import cosine_similarity, h60
+from orientdb_spark.pipeline.common import cosine_similarity, h60, vec_norm
 
 
 def brute_force_topk(
@@ -38,14 +38,21 @@ def brute_force_topk(
     ties broken by neighbor id (deterministic for the oracle).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("__qv")
+    ).withColumn("__qn", vec_norm(F.col("__qv")))
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("__cv")
+    ).withColumn("__cn", vec_norm(F.col("__cv")))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "cosine",
+            cosine_similarity(
+                F.col("__qv"), F.col("__cv"), norm_a=F.col("__qn"), norm_b=F.col("__cn")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -190,16 +197,25 @@ def lsh_topk(
     brute_force_topk; recall measured in tests."""
     bucket = lsh_bucket_col(F.col(vec_col), dim, planes)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), bucket.alias("__b")
-    )
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+        bucket.alias("__b"),
+    ).withColumn("__qn", vec_norm(F.col("__qv")))
     c = df.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), bucket.alias("__b")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+        bucket.alias("__b"),
+    ).withColumn("__cn", vec_norm(F.col("__cv")))
     scored = (
         F.broadcast(q)
         .join(c, "__b")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "cosine",
+            cosine_similarity(
+                F.col("__qv"), F.col("__cv"), norm_a=F.col("__qn"), norm_b=F.col("__cn")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

@@ -101,3 +101,36 @@ def test_validation_applies_to_update(spark):
     eng.command("insert into person (name, age) values ('bob', 42)")
     eng.command("update person set age = 31 where name = 'ada'")
     assert eng.query("select age from person where name = 'ada'")[0]["age"] == 31
+
+
+def test_orderby_and_update_through_link_chain(spark):
+    eng = Engine(spark)
+    eng.register_parquet_dir(SF_DIR)
+    r = eng.query(
+        "select o_orderkey from orders where o_orderkey <= 5 "
+        "order by o_custkey.c_name, o_orderkey"
+    )
+    assert len(r) == 6  # sorted by the joined customer name
+    eng.register_dataframe(
+        "orders_lc",
+        spark.read.parquet(f"{SF_DIR}/orders.parquet"),
+        links={"o_custkey": ("customer", "c_custkey")},
+    )
+    eng.command("update orders_lc set o_orderpriority = 'X' where o_custkey.c_nationkey = 3")
+    n = eng.query("select count(*) as n from orders_lc where o_orderpriority = 'X'")[0]["n"]
+    m = eng.query("select count(*) as n from orders where o_custkey.c_nationkey = 3")[0]["n"]
+    assert n == m > 0
+
+
+def test_intents(spark):
+    import pytest as _pytest
+
+    eng = _constrained_engine(spark)
+    eng.declare_intent("massiveinsert")
+    eng.command("insert into person (name, age) values ('x', 999)")  # skips validation
+    assert eng.table("person").count() == 2
+    eng.declare_intent(None)
+    with _pytest.raises(OValidationException):
+        eng.command("insert into person (name, age) values ('y', 999)")
+    with _pytest.raises(OCommandExecutionException):
+        eng.declare_intent("nosuchintent")
