@@ -105,6 +105,23 @@ def _export_import_diff(spark, sf_dir):
     return compare_classes(eng, "nation", "nation_reimport").drop("__side")
 
 
+def _embedded_struct_nav(spark, sf_dir):
+    # EMBEDDED type: nested document owned by the parent → StructType
+    # column navigated with dotted paths (SURVEY §1.2 EMBEDDED row)
+    eng = _fresh_engine(spark, sf_dir)
+    docs = eng.table("orders").select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"), F.col("o_totalprice").alias("total")
+        ).alias("info"),
+    )
+    eng.register_dataframe("ordersemb", docs, rid_pos=lambda df: F.col("o_orderkey"))
+    return eng.sql(
+        "select o_orderkey, info.status as status, round(info.total, 2) as total "
+        "from ordersemb where info.total > 5000 order by o_orderkey"
+    )
+
+
 def _flat_record(spark, sf_dir):
     # ORecordFlat: single opaque string payload (SURVEY §1.1) — one
     # `value` column, queried through method chains
@@ -598,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polymorphic_scan": _polymorphic_scan,
         "flat_record": _flat_record,
         "bytes_record": _bytes_record,
+        "embedded_struct_nav": _embedded_struct_nav,
         # §2.2 projections
         "projection_methods": _dsl(
             "select c_name.toUpperCase() as up, c_name.left(8) as l8, "
@@ -900,6 +918,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bytes_record": (
             "SELECT doc_id, strlen(text)::INTEGER AS n_bytes FROM documents ORDER BY doc_id"
+        ),
+        "embedded_struct_nav": (
+            "SELECT o_orderkey, o_orderstatus AS status, round(o_totalprice, 2) AS total "
+            "FROM orders WHERE o_totalprice > 5000 ORDER BY o_orderkey"
         ),
         "projection_methods": (
             "SELECT upper(c_name) AS up, substring(c_name, 1, 8) AS l8, "

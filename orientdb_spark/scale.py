@@ -1,0 +1,104 @@
+"""Scale utilities — skew salting and bucketed co-located joins.
+
+These are the 100 TB disciplines SURVEY §7 calls out (and BASELINE.json's
+north star): AQE's skew-join split handles skewed *joins* automatically,
+but skewed *aggregations* need explicit two-phase salting, and repeated
+equi-joins on the same key are cheapest when both sides are bucketed once
+(co-located, no per-query shuffle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    ``aggs`` maps output column → (input column, fn) with fn in
+    {sum, count, min, max}. Phase 1 aggregates on (key, salt) — spreading
+    one hot key over ``salt_buckets`` reducers; phase 2 merges the partial
+    results per key. Decomposable aggregates only (avg = sum/count at the
+    call site). Same result as a direct groupBy, immune to single-reducer
+    hot spots.
+    """
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    part_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for _, (_, fn) in aggs.items():
+        if fn not in merge_fn:
+            raise ValueError(f"Non-decomposable aggregate '{fn}' cannot be salted")
+
+    salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[part_fn[fn](F.col(src)).alias(out) for out, (src, fn) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[merge_fn[fn](F.col(out)).alias(out) for out, (_, fn) in aggs.items()]
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    skewed_small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-salted equi-join: the big side gets a random salt, the small
+    side is exploded ``salt_buckets``× so every (key, salt) pair matches.
+    One hot key spreads over ``salt_buckets`` tasks. (AQE's skew-join
+    split usually makes this unnecessary — keep it for engines/paths
+    where AQE is off or statistics miss the skew.)"""
+    b = big.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    s = skewed_small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return b.join(s, [key, "__salt"]).drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table:
+    repeated equi-joins/aggregations on ``bucket_col`` between tables
+    bucketed the same way run shuffle-free (co-located), and the sort
+    gives min/max pruning inside each bucket — the engine's analog of the
+    reference's per-property index hint (SURVEY §2.7 CREATE INDEX row)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # a dropped-from-catalog table can leave its warehouse dir behind —
+    # managed-table creation refuses an existing location
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(warehouse, table_name.lower()), ignore_errors=True)
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)
+
+
+def bucketed_join_plan_is_shuffle_free(spark, left_table: str, right_table: str, key: str) -> bool:
+    """True when a join of two same-bucketed tables needs no shuffle
+    Exchange — the verification hook for write_bucketed (used by tests).
+    Broadcast is disabled for the check: on small inputs the planner
+    prefers broadcast (also shuffle-free); bucketing pays off when both
+    sides are too big to broadcast, which is the case being verified."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        lt, rt = spark.table(left_table), spark.table(right_table)
+        plan = lt.join(rt, key)._jdf.queryExecution().executedPlan().toString()
+        return "Exchange hashpartitioning" not in plan and "ShuffleExchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
