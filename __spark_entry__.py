@@ -628,6 +628,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "select c_acctbal.asInteger() as bal_int, c_custkey.asString() as key_str, "
             "c_name.toLowerCase().trim() as lower_name from customer where c_custkey <= 20"
         ),
+        "format_and_coercion": _dsl(
+            # .format dispatches date-pattern vs printf; the WHERE exercises
+            # the reference's implicit string→number and string→date
+            # comparison coercion (OSQLFilterCondition.java:73-103)
+            "select o_orderkey, o_orderdate.format('yyyy-MM') as ym, "
+            "o_orderkey.format('%05d') as padded from orders "
+            "where o_orderkey = '3' or o_orderdate > '2000-06-01' order by o_orderkey"
+        ),
         "record_attributes": _dsl(
             "select @rid.cluster as rc, @rid.pos as rp, @class as cls, @version as ver, "
             "n_nationkey from nation where n_nationkey <= 3"
@@ -933,6 +941,11 @@ def oracle_sql() -> dict[str, str]:
         "projection_casts": (
             "SELECT trunc(c_acctbal)::INTEGER AS bal_int, c_custkey::VARCHAR AS key_str, "
             "trim(lower(c_name)) AS lower_name FROM customer WHERE c_custkey <= 20"
+        ),
+        "format_and_coercion": (
+            "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS ym, "
+            "printf('%05d', o_orderkey) AS padded FROM orders "
+            "WHERE o_orderkey = 3 OR o_orderdate > TIMESTAMP '2000-06-01' ORDER BY o_orderkey"
         ),
         "record_attributes": (
             "SELECT 2 AS rc, n_nationkey::BIGINT AS rp, 'nation' AS cls, 0 AS ver, "

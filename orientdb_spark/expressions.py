@@ -238,7 +238,14 @@ def apply_method(scope: Scope, col: Column, m: A.MethodPart) -> Column:
         start = int(lits[1]) + 1 if len(lits) > 1 else 1
         return F.locate(str(lits[0]), col, start) - 1
     if name == "format":
-        return F.printf(F.lit(str(lits[0])), col)
+        # the reference dispatches on value type: SimpleDateFormat for
+        # dates, String.format otherwise (OSQLFilterItemAbstract :188-193);
+        # statically we dispatch on the format string — '%' means a
+        # printf-style pattern, otherwise a date pattern
+        fmt = str(lits[0])
+        if "%" in fmt:
+            return F.printf(F.lit(fmt), col)
+        return F.date_format(col, fmt)
     if name == "append":
         return F.concat(col, args[0])
     if name == "prefix":
