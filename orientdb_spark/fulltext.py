@@ -67,7 +67,14 @@ class FulltextIndexStore:
         return self._indexes.get((class_name.lower(), prop.lower()))
 
 
-_STORE = FulltextIndexStore()
+def store(engine) -> FulltextIndexStore:
+    """Per-engine index registry (an index belongs to a database, not the
+    process — a module-global store would leak indexes across engines)."""
+    st = getattr(engine, "_fulltext_store", None)
+    if st is None:
+        st = FulltextIndexStore()
+        engine._fulltext_store = st
+    return st
 
 
 def build_fulltext_index(engine, class_name: str, prop: str) -> DataFrame:
@@ -79,7 +86,7 @@ def build_fulltext_index(engine, class_name: str, prop: str) -> DataFrame:
         .select(F.explode("__toks").alias("term"), "rid")
         .dropDuplicates(["term", "rid"])
     )
-    _STORE.put(class_name, prop, idx)
+    store(engine).put(class_name, prop, idx)
     return idx
 
 
@@ -87,7 +94,7 @@ def containstext_semijoin(engine, class_name: str, prop: str, text: str) -> Data
     """Indexed CONTAINSTEXT: postings semi-join instead of a full scan.
     Returns None when no index exists (caller falls back to substring
     containment, the reference's non-indexed behavior)."""
-    idx = _STORE.get(class_name, prop)
+    idx = store(engine).get(class_name, prop)
     if idx is None:
         return None
     postings = idx.filter(F.col("term") == text.lower()).select(F.col("rid"))

@@ -101,9 +101,54 @@ class SelectCompiler:
     def __init__(self, engine):
         self.engine = engine
 
+    def _indexed_containstext(self, cls, conj):
+        """(prop_name, search_text) when this conjunct is CONTAINSTEXT on a
+        FULLTEXT-indexed property with a built index — the access-path
+        choice of the reference's searchForIndexes
+        (core:sql/OCommandExecutorSQLSelect.java:372-429): answer from the
+        inverted index instead of scanning. Polymorphic targets with
+        subclasses keep the scan (the index covers one class's rows)."""
+        from orientdb_spark.fulltext import store
+
+        if not (isinstance(conj, A.BinCond) and conj.op == "containstext"):
+            return None
+        left, right = conj.left, conj.right
+        if not (
+            isinstance(left, A.FieldPath)
+            and len(left.parts) == 1
+            and isinstance(left.parts[0], A.FieldPart)
+        ):
+            return None
+        if not (isinstance(right, A.Lit) and isinstance(right.value, str)):
+            return None
+        if cls is None or len(self.engine.catalog.subclasses(cls.name)) != 1:
+            return None
+        pname = left.parts[0].name
+        prop = self.engine.catalog.find_property(cls, pname)
+        if prop is None or prop.index_type != "fulltext":
+            return None
+        if store(self.engine).get(cls.name, pname) is None:
+            return None
+        return (pname, right.value)
+
+    def _class_of_target(self, t):
+        if isinstance(t, (A.ClassTarget, A.ClusterTarget)):
+            try:
+                return self.engine.catalog.get(t.name)
+            except Exception:
+                return None
+        return None
+
     def compile(self, cmd: A.SelectCmd) -> DataFrame:
         catalog = self.engine.catalog
         with_meta = _cmd_uses_meta(cmd)
+        # index-answered CONTAINSTEXT semijoins on @rid → need metadata
+        pre_cls = self._class_of_target(cmd.target)
+        if not with_meta and pre_cls is not None:
+            with_meta = any(
+                self._indexed_containstext(pre_cls, c) is not None
+                for c in _split_conjuncts(cmd.where)
+            )
 
         # --- target scan (SURVEY §2.1) ---
         cls = None
@@ -133,9 +178,11 @@ class SelectCompiler:
                     F.col(f"`{RID_COL}`") <= rid_struct(hi.cluster, hi.pos)
                 )
 
-        # --- WHERE: split out TRAVERSE conjuncts (handled iteratively) ---
+        # --- WHERE: split out TRAVERSE conjuncts (handled iteratively) and
+        #     index-answerable CONTAINSTEXT conjuncts (semijoin) ---
         plain: list[A.Expr] = []
         traverses: list[A.BinCond] = []
+        index_hits: list[tuple[str, str]] = []
         for conj in _split_conjuncts(cmd.where):
             if _has_traverse(conj):
                 if isinstance(conj, A.BinCond) and conj.op == "traverse":
@@ -144,8 +191,22 @@ class SelectCompiler:
                     raise OCommandSQLParsingException(
                         "TRAVERSE may only appear as a top-level AND conjunct"
                     )
+                continue
+            hit = self._indexed_containstext(cls, conj)
+            if hit is not None:
+                index_hits.append(hit)
             else:
                 plain.append(conj)
+
+        if index_hits:
+            from orientdb_spark.fulltext import store
+
+            for pname, text in index_hits:
+                idx = store(self.engine).get(cls.name, pname)
+                postings = idx.filter(F.col("term") == text.lower()).select(F.col("rid"))
+                scope.df = scope.df.join(
+                    postings, scope.df[RID_COL] == postings["rid"], "left_semi"
+                )
 
         filter_col: Column | None = None
         for conj in plain:

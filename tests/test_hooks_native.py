@@ -128,3 +128,24 @@ def test_version_bumps_on_update(spark):
     assert rows[0] == 2 and rows[1] == 1 and rows[2] == 0
     # __version backing column never leaks into SELECT *
     assert "__version" not in eng.sql("select from vtest").columns
+
+
+def test_containstext_auto_uses_fulltext_index(spark):
+    eng = _fresh(spark)
+    eng.register_dataframe(
+        "ftauto",
+        spark.createDataFrame(
+            [(1, "spark engine"), (2, "sparkly things"), (3, "plain words")],
+            ["doc_id", "text"],
+        ),
+        rid_pos=lambda df: F.col("doc_id"),
+    )
+    sql = "select doc_id from ftauto where text containstext 'spark' order by doc_id"
+    # no index: substring-containment fallback matches 'sparkly' too
+    assert [r["doc_id"] for r in eng.query(sql)] == [1, 2]
+    eng.command("create index ftauto.text fulltext")
+    # indexed: token-match semantics via the inverted-index semijoin
+    # (searchForIndexes access-path parity), and the plan shows the join
+    df = eng.sql(sql)
+    assert [r["doc_id"] for r in df.collect()] == [1]
+    assert "LeftSemi" in df._jdf.queryExecution().optimizedPlan().toString()
