@@ -673,6 +673,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "select c_name from customer where any() traverse(0, 2) (r_name = 'ASIA') "
             "order by c_name"
         ),
+        "traverse_field_restricted": _dsl(
+            # TRAVERSE with an explicit link-field list (third operator param,
+            # OQueryOperatorTraverse.configure)
+            "select c_name from customer where any() traverse(0, 1, 'c_nationkey') "
+            "(n_regionkey = 2) order by c_name"
+        ),
+        "select_distinct": _dsl(
+            "select distinct l_returnflag, l_linestatus from lineitem "
+            "order by l_returnflag, l_linestatus"
+        ),
         # §2.4 joins / links
         "link_nav_2hop": _dsl(
             "select o_orderkey, o_custkey.c_name as cust_name, "
@@ -1006,6 +1016,14 @@ def oracle_sql() -> dict[str, str]:
         "traverse_reachability": (
             "SELECT c_name FROM customer JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' ORDER BY c_name"
+        ),
+        "traverse_field_restricted": (
+            "SELECT c_name FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE n_regionkey = 2 ORDER BY c_name"
+        ),
+        "select_distinct": (
+            "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem "
+            "ORDER BY l_returnflag, l_linestatus"
         ),
         "link_nav_2hop": (
             "SELECT o_orderkey, c_name AS cust_name, n_name AS nation_name FROM orders "

@@ -192,3 +192,16 @@ def test_sum_any_all(engine, oracle):
         oracle,
         "select n_name from nation where n_nationkey = 1 or n_regionkey = 1",
     )
+
+
+def test_grant_revoke_bookkeeping(engine):
+    # security DDL is bookkeeping-only (SURVEY §1.6)
+    row = engine.command("grant read on database.class.region to reader").collect()[0]
+    assert row["role"] == "reader" and row["permission"] == "read"
+
+
+def test_topk_plan_is_take_ordered(engine):
+    # ORDER BY + LIMIT must plan as TakeOrderedAndProject — the engine-level
+    # analog of the reference's LIMIT scan short-circuit (SQLSelect:228-242)
+    df = engine.sql("select c_name, c_acctbal from customer order by c_acctbal desc limit 25")
+    assert "TakeOrdered" in df._jdf.queryExecution().executedPlan().toString()
