@@ -105,6 +105,23 @@ def _export_import_diff(spark, sf_dir):
     return compare_classes(eng, "nation", "nation_reimport").drop("__side")
 
 
+def _json_metadata_export(spark, sf_dir):
+    # ORecordSerializerJSON metadata parity: the JSON dump carries
+    # @rid ('#cluster:pos' literal), @class, @version keys
+    from orientdb_spark.tools import export_class
+
+    eng = _fresh_engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ospark_jsonmeta_")
+    export_class(eng, "nation", f"{tmp}/nation")
+    back = spark.read.json(f"{tmp}/nation")
+    return back.select(
+        F.col("`@rid`").alias("rid"),
+        F.col("`@class`").alias("cls"),
+        F.col("`@version`").alias("ver"),
+        "n_nationkey",
+    ).orderBy("n_nationkey")
+
+
 def _embedded_struct_nav(spark, sf_dir):
     # EMBEDDED type: nested document owned by the parent → StructType
     # column navigated with dotted paths (SURVEY §1.2 EMBEDDED row)
@@ -214,7 +231,7 @@ def _fetchplan_prefetch(spark, sf_dir):
     from orientdb_spark.fetchplan import fetch
 
     eng = _engine(spark, sf_dir)
-    df = fetch(eng, "orders", {"o_custkey": 2})
+    df = fetch(eng, "orders", "o_custkey:2")  # reference string plan form
     return df.select(
         "o_orderkey",
         F.col("o_custkey__doc.c_name").alias("c_name"),
@@ -612,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dictionary_get": _dictionary_get,
         "json_roundtrip": _json_roundtrip,
         "export_import_diff": _export_import_diff,
+        "json_metadata_export": _json_metadata_export,
         "polymorphic_scan": _polymorphic_scan,
         "flat_record": _flat_record,
         "bytes_record": _bytes_record,
@@ -926,6 +944,10 @@ def oracle_sql() -> dict[str, str]:
         "dictionary_get": "SELECT r_regionkey, r_name FROM region WHERE r_regionkey = 2",
         "json_roundtrip": "SELECT * FROM nation",
         "export_import_diff": "SELECT * FROM nation LIMIT 0",
+        "json_metadata_export": (
+            "SELECT '#2:' || n_nationkey AS rid, 'nation' AS cls, 0 AS ver, n_nationkey "
+            "FROM nation ORDER BY n_nationkey"
+        ),
         "polymorphic_scan": (
             "SELECT key, name FROM (SELECT r_regionkey AS key, r_name AS name FROM region "
             "UNION ALL SELECT n_nationkey, n_name FROM nation) ORDER BY name"

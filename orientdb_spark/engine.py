@@ -113,6 +113,7 @@ class Engine:
 
     def register_dataframe(self, name: str, df: DataFrame, **kw) -> None:
         self.catalog.register_class(name, df=df, **kw)
+        self._plan_cache.clear()  # a (re)registered class invalidates cached plans
 
     def register_function(self, name: str, builder, aggregate: bool = False) -> None:
         """UDF surface (core:sql/OSQLEngine.java registerFunction:43-45)."""

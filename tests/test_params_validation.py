@@ -134,3 +134,15 @@ def test_intents(spark):
         eng.command("insert into person (name, age) values ('y', 999)")
     with _pytest.raises(OCommandExecutionException):
         eng.declare_intent("nosuchintent")
+
+
+def test_schema_mixed_insert_adds_field(spark):
+    # schema-mixed documents: an INSERT may carry fields the schema never
+    # declared (ODocument.java:55-57); older records read null there
+    eng = Engine(spark)
+    eng.register_dataframe(
+        "mixed", spark.createDataFrame([(1, "a")], "id long, v string")
+    )
+    eng.command("insert into mixed (id, v, extra_field) values (2, 'b', 'surprise')")
+    rows = {r["id"]: r["extra_field"] for r in eng.query("select id, extra_field from mixed")}
+    assert rows == {1: None, 2: "surprise"}
