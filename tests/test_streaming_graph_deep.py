@@ -129,3 +129,17 @@ def test_session_window_stream_matches_batch_sessionize(spark):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_graph_crud_link_unlink_neighbors(spark):
+    from orientdb_spark.graph import Graph
+
+    v = spark.createDataFrame([("a",), ("b",), ("c",)], ["vid"])
+    e = spark.createDataFrame([("a", "b", "knows")], ["src", "dst", "label"])
+    g = Graph(v, e)
+    g2 = g.link("a", "c", "knows")
+    assert g2.out_degrees().filter(F.col("vid") == "a").first()["out_degree"] == 2
+    assert sorted(r["vid"] for r in g2.out_neighbors("a").collect()) == ["b", "c"]
+    g3 = g2.unlink("a", "b")
+    assert g3.in_degrees().filter(F.col("vid") == "b").count() == 0
+    assert g3.out_edges("a").count() == 1
