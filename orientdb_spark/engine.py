@@ -165,6 +165,20 @@ class Engine:
     def explain(self, text: str, mode: str = "formatted") -> None:
         self.sql(text).explain(mode)
 
+    def save_database(self, db_dir: str) -> None:
+        """Persist all classes (parquet per class + JSON catalog) —
+        SURVEY §7.1's backing store; collapses pending DML lineage."""
+        from orientdb_spark.storage import save_database
+
+        save_database(self, db_dir)
+
+    def open_database(self, db_dir: str) -> None:
+        """Load a saved database into this engine (schema, inheritance,
+        links, constraints; FULLTEXT indexes rebuild)."""
+        from orientdb_spark.storage import open_database
+
+        open_database(self, db_dir)
+
     def declare_intent(self, name: str | None) -> None:
         """Workload intent (core:intent/OIntent.java, OIntentMassiveInsert
         .java:10-44 — coarse hints flipping cache/validation behavior):

@@ -1,0 +1,110 @@
+"""Database persistence — parquet dir per class + JSON catalog.
+
+The reference's storage layer is append-oriented cluster files plus a
+persisted schema document (core:storage/impl/local/OStorageLocal.java,
+core:metadata/schema/OSchema.java); the Spark-native equivalent (SURVEY
+§7.1) is one parquet directory per class and a JSON catalog carrying what
+parquet can't: class names, cluster ids, inheritance, property types,
+link declarations, constraints, and index definitions.
+
+``save_database`` materializes every class (collapsing any pending
+copy-on-write DML lineage into real files — the 'commit' of the
+single-writer model); ``open_database`` reconstructs a fully working
+engine: scans, polymorphic unions, link joins, and FULLTEXT indexes
+(rebuilt from the data, as the reference does on import).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from orientdb_spark.catalog import BACKING_VERSION_COL, OProperty
+from orientdb_spark.otypes import OType
+
+_CATALOG_FILE = "catalog.json"
+
+
+def _prop_dict(p: OProperty) -> dict:
+    return {
+        "name": p.name,
+        "otype": p.otype.name if p.otype is not None else None,
+        "linked_class": p.linked_class,
+        "linked_key": p.linked_key,
+        "mandatory": p.mandatory,
+        "not_null": p.not_null,
+        "min": p.min,
+        "max": p.max,
+        "index_type": p.index_type,
+    }
+
+
+def _prop_from_dict(d: dict) -> OProperty:
+    return OProperty(
+        name=d["name"],
+        otype=OType[d["otype"]] if d.get("otype") else None,
+        linked_class=d.get("linked_class"),
+        linked_key=d.get("linked_key"),
+        mandatory=d.get("mandatory", False),
+        not_null=d.get("not_null", False),
+        min=d.get("min"),
+        max=d.get("max"),
+        index_type=d.get("index_type"),
+    )
+
+
+def save_database(engine, db_dir: str) -> None:
+    """Write every class's rows to ``db_dir/<class>/`` parquet and the
+    schema to ``db_dir/catalog.json``. RID positions are materialized to a
+    hidden column so identities survive the roundtrip."""
+    os.makedirs(db_dir, exist_ok=True)
+    manifest: dict[str, dict] = {}
+    for name in engine.catalog.class_names():
+        cls = engine.catalog.get(name)
+        entry = {
+            "cluster_id": cls.cluster_id,
+            "super_class": cls.super_class,
+            "properties": [_prop_dict(p) for p in cls.properties.values()],
+            "has_data": cls.df_supplier is not None,
+        }
+        if cls.df_supplier is not None:
+            df = engine.catalog.dataframe(name, polymorphic=False, internal=True)
+            if cls.rid_pos is not None and "__rid_pos" not in df.columns:
+                df = df.withColumn("__rid_pos", cls.rid_pos(df).cast("long"))
+            df.write.mode("overwrite").parquet(os.path.join(db_dir, name))
+        manifest[name] = entry
+    with open(os.path.join(db_dir, _CATALOG_FILE), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+
+
+def open_database(engine, db_dir: str) -> None:
+    """Register every saved class into ``engine`` from ``db_dir``:
+    schema, inheritance, links, constraints; FULLTEXT indexes rebuild
+    from the reloaded rows (the reference bulk-builds on import too)."""
+    with open(os.path.join(db_dir, _CATALOG_FILE)) as fh:
+        manifest = json.load(fh)
+    fulltext: list[tuple[str, str]] = []
+    for name, entry in manifest.items():
+        props = [_prop_from_dict(d) for d in entry.get("properties", [])]
+        kw = dict(
+            super_class=entry.get("super_class"),
+            cluster_id=entry.get("cluster_id"),
+            properties=props,
+        )
+        if entry.get("has_data"):
+            df = engine.spark.read.parquet(os.path.join(db_dir, name))
+            if "__rid_pos" in df.columns:
+                kw["rid_pos"] = lambda d: F.col("__rid_pos")
+            engine.catalog.register_class(name, df=df, **kw)
+        else:
+            engine.catalog.register_class(name, **kw)
+        for p in props:
+            if p.index_type == "fulltext":
+                fulltext.append((name, p.name))
+    engine._plan_cache.clear()
+    from orientdb_spark.fulltext import build_fulltext_index
+
+    for cname, pname in fulltext:
+        build_fulltext_index(engine, cname, pname)

@@ -1,0 +1,70 @@
+"""Database save/open roundtrip — parquet per class + JSON catalog."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from orientdb_spark import Engine
+from orientdb_spark.catalog import OProperty
+from orientdb_spark.otypes import OType
+
+from tests.conftest import SF_DIR
+
+
+def test_save_open_roundtrip_with_schema(spark):
+    eng = Engine(spark)
+    eng.register_dataframe(
+        "animal",
+        spark.createDataFrame([(1, "generic")], "id long, name string"),
+        rid_pos=lambda d: F.col("id"),
+    )
+    eng.register_dataframe(
+        "dog",
+        spark.createDataFrame([(2, "rex"), (3, "fido")], "id long, name string"),
+        super_class="animal",
+        rid_pos=lambda d: F.col("id"),
+    )
+    eng.catalog.get("animal").properties["name"] = OProperty(
+        name="name", otype=OType.STRING, mandatory=True, index_type="fulltext"
+    )
+    from orientdb_spark.fulltext import build_fulltext_index
+
+    build_fulltext_index(eng, "animal", "name")
+    eng.command("update dog set name = 'max' where id = 2")  # version bump
+
+    db = tempfile.mkdtemp(prefix="ospark_db_")
+    eng.save_database(db)
+
+    eng2 = Engine(spark)
+    eng2.open_database(db)
+    # polymorphic scan includes the subclass after reload
+    assert eng2.query("select count(*) as n from animal")[0]["n"] == 3
+    # schema survived: constraints + inheritance + cluster ids
+    cls = eng2.catalog.get("animal")
+    assert cls.properties["name"].mandatory
+    assert eng2.catalog.get("dog").super_class == "animal"
+    assert cls.cluster_id == eng.catalog.get("animal").cluster_id
+    # versions survived the roundtrip
+    vers = {
+        r["id"]: r["v"]
+        for r in eng2.query("select id, @version as v from dog")
+    }
+    assert vers == {2: 1, 3: 0}
+    # fulltext index rebuilt and auto-used
+    rows = eng2.query("select id from animal where name containstext 'generic'")
+    assert [r["id"] for r in rows] == [1]
+
+
+def test_save_collapses_dml_lineage(spark):
+    eng = Engine(spark)
+    eng.register_dataframe("t", spark.read.parquet(f"{SF_DIR}/region.parquet"))
+    for i in range(5):
+        eng.command(f"update t set r_name = 'N{i}' where r_regionkey = {i}")
+    db = tempfile.mkdtemp(prefix="ospark_db_")
+    eng.save_database(db)
+    eng2 = Engine(spark)
+    eng2.open_database(db)
+    names = sorted(r["r_name"] for r in eng2.query("select r_name from t"))
+    assert names == ["N0", "N1", "N2", "N3", "N4"]
