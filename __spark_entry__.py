@@ -105,6 +105,21 @@ def _export_import_diff(spark, sf_dir):
     return compare_classes(eng, "nation", "nation_reimport").drop("__side")
 
 
+def _db_save_open_roundtrip(spark, sf_dir):
+    # storage layer: save (parquet per class + JSON catalog) → open in a
+    # fresh engine; DML lineage collapsed, schema + versions restored
+    eng = _fresh_engine(spark, sf_dir)
+    eng.register_dataframe("regionsave", spark.read.parquet(f"{sf_dir}/region.parquet"))
+    eng.command("update regionsave set r_name = r_name.append('_S') where r_regionkey <= 1")
+    db = tempfile.mkdtemp(prefix="ospark_dbrt_")
+    eng.save_database(db)
+    eng2 = _fresh_engine(spark, sf_dir)
+    eng2.open_database(db)
+    return eng2.sql(
+        "select r_regionkey, r_name, @version as ver from regionsave order by r_regionkey"
+    )
+
+
 def _json_metadata_export(spark, sf_dir):
     # ORecordSerializerJSON metadata parity: the JSON dump carries
     # @rid ('#cluster:pos' literal), @class, @version keys
@@ -630,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_roundtrip": _json_roundtrip,
         "export_import_diff": _export_import_diff,
         "json_metadata_export": _json_metadata_export,
+        "db_save_open_roundtrip": _db_save_open_roundtrip,
         "polymorphic_scan": _polymorphic_scan,
         "flat_record": _flat_record,
         "bytes_record": _bytes_record,
@@ -947,6 +963,11 @@ def oracle_sql() -> dict[str, str]:
         "json_metadata_export": (
             "SELECT '#2:' || n_nationkey AS rid, 'nation' AS cls, 0 AS ver, n_nationkey "
             "FROM nation ORDER BY n_nationkey"
+        ),
+        "db_save_open_roundtrip": (
+            "SELECT r_regionkey, CASE WHEN r_regionkey <= 1 THEN r_name || '_S' "
+            "ELSE r_name END AS r_name, CASE WHEN r_regionkey <= 1 THEN 1 ELSE 0 END AS ver "
+            "FROM region ORDER BY r_regionkey"
         ),
         "polymorphic_scan": (
             "SELECT key, name FROM (SELECT r_regionkey AS key, r_name AS name FROM region "

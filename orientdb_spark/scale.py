@@ -88,6 +88,32 @@ def write_bucketed(
     w.saveAsTable(table_name)
 
 
+def write_key_partitioned(
+    df: DataFrame, path: str, key_col: str, n_partitions: int = 64
+) -> None:
+    """Write parquet hive-partitioned by a derived key bucket
+    (``__kp = pmod(key, n)``): point/range predicates on the key then
+    prune whole directories before any IO — the engine's file-level
+    analog of the reference's RID-range cluster skipping
+    (OStorageLocal.java:647-662; SURVEY §4 partition-pruning row)."""
+    (
+        df.withColumn("__kp", F.pmod(F.col(key_col), F.lit(n_partitions)).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("__kp")
+        .parquet(path)
+    )
+
+
+def key_point_lookup(spark, path: str, key_col: str, value, n_partitions: int = 64) -> DataFrame:
+    """Point lookup that hits exactly one partition directory: filters on
+    both the derived bucket (prunes dirs) and the key (prunes row
+    groups)."""
+    df = spark.read.parquet(path)
+    return df.filter(
+        (F.col("__kp") == int(value) % n_partitions) & (F.col(key_col) == value)
+    ).drop("__kp")
+
+
 def bucketed_join_plan_is_shuffle_free(spark, left_table: str, right_table: str, key: str) -> bool:
     """True when a join of two same-bucketed tables needs no shuffle
     Exchange — the verification hook for write_bucketed (used by tests).

@@ -50,3 +50,19 @@ def test_bucketed_join_is_shuffle_free(spark):
     a = spark.table("orders_b").join(spark.table("cust_b"), "o_custkey").count()
     b = orders.join(cust, "o_custkey").count()
     assert a == b
+
+
+def test_key_partitioned_point_lookup_prunes(spark):
+    import tempfile
+
+    from orientdb_spark.scale import key_point_lookup, write_key_partitioned
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    path = tempfile.mkdtemp(prefix="ospark_part_") + "/orders_part"
+    write_key_partitioned(orders, path, "o_orderkey", n_partitions=16)
+    hit = key_point_lookup(spark, path, "o_orderkey", 42, n_partitions=16)
+    assert hit.count() == 1
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    # the partition filter reached the scan: only the matching __kp
+    # directory is read
+    assert "PartitionFilters: [" in plan and "__kp" in plan.split("PartitionFilters")[1][:120]
