@@ -727,6 +727,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetchplan_prefetch": _fetchplan_prefetch,
         # §2.5 aggregations
         "tpch_q1_pricing": _dsl(_Q1),
+        "tpch_q6_forecast": _dsl(
+            "select round(sum(l_extendedprice * l_discount), 2) as revenue from lineitem "
+            "where l_shipdate >= '1997-01-01' and l_shipdate < '1998-01-01' "
+            "and l_discount between 0.05 and 0.07 and l_quantity < 24"
+        ),
+        "tpch_q5_local_supplier": _dsl(
+            # Q5 shape through link chains: 3-hop navigation on one side,
+            # chain-equality join condition on the other (customer and
+            # supplier in the same nation)
+            "select l_orderkey.o_custkey.c_nationkey.n_name as nation, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue "
+            "from lineitem where l_suppkey.s_nationkey = l_orderkey.o_custkey.c_nationkey "
+            "and l_orderkey.o_orderdate >= '1997-01-01' "
+            "and l_orderkey.o_orderdate < '1998-01-01' "
+            "group by l_orderkey.o_custkey.c_nationkey.n_name order by revenue desc, nation"
+        ),
         "global_aggregates": _dsl(
             "select count(*) as n, round(min(o_totalprice), 2) as min_p, "
             "round(max(o_totalprice), 2) as max_p, round(avg(o_totalprice), 4) as avg_p "
@@ -1082,6 +1098,22 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey"
         ),
         "tpch_q1_pricing": _Q1_ORACLE,
+        "tpch_q6_forecast": (
+            "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
+        "tpch_q5_local_supplier": (
+            "SELECT n_name AS nation, round(sum(l_extendedprice * (1 - l_discount)), 2) "
+            "AS revenue FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE s_nationkey = c_nationkey "
+            "AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY n_name ORDER BY revenue DESC, nation"
+        ),
         "global_aggregates": (
             "SELECT count(*) AS n, round(min(o_totalprice), 2) AS min_p, "
             "round(max(o_totalprice), 2) AS max_p, round(avg(o_totalprice), 4) AS avg_p "
