@@ -146,3 +146,31 @@ def test_schema_mixed_insert_adds_field(spark):
     eng.command("insert into mixed (id, v, extra_field) values (2, 'b', 'surprise')")
     rows = {r["id"]: r["extra_field"] for r in eng.query("select id, extra_field from mixed")}
     assert rows == {1: None, 2: "surprise"}
+
+
+def test_broken_link_null_propagates(spark):
+    # missing link target → null, not an error (ODocument.rawField
+    # ignore-to-null, SURVEY §7 hard part 2)
+    eng = Engine(spark)
+    a = spark.createDataFrame([(1, 10), (2, 20), (3, 99)], "id long, ref long")
+    b = spark.createDataFrame([(10, "x"), (20, "y")], "tid long, name string")
+    eng.register_dataframe("lp_tgt", b)
+    eng.register_dataframe("lp_src", a, links={"ref": ("lp_tgt", "tid")})
+    rows = {r["id"]: r["nm"] for r in eng.query("select id, ref.name as nm from lp_src")}
+    assert rows == {1: "x", 2: "y", 3: None}
+    assert [r["id"] for r in eng.query("select id from lp_src where ref.name is null")] == [3]
+
+
+def test_traverse_unbounded_depth(spark):
+    # traverse(0, -1): unbounded fixpoint with visited set terminates and
+    # reaches the whole chain (SURVEY §7 hard part 3)
+    eng = Engine(spark)
+    rows = [(i, i + 1 if i < 10 else None) for i in range(11)]
+    eng.register_dataframe(
+        "chain10",
+        spark.createDataFrame(rows, "id long, next long"),
+        rid_pos=lambda d: F.col("id"),
+        links={"next": ("chain10", "id")},
+    )
+    out = eng.query("select id from chain10 where any() traverse(0, -1) (id = 10) order by id")
+    assert [r["id"] for r in out] == list(range(11))

@@ -205,3 +205,37 @@ def test_topk_plan_is_take_ordered(engine):
     # analog of the reference's LIMIT scan short-circuit (SQLSelect:228-242)
     df = engine.sql("select c_name, c_acctbal from customer order by c_acctbal desc limit 25")
     assert "TakeOrdered" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_collection_map_method_chains(engine, spark):
+    from pyspark.sql import functions as F
+
+    from orientdb_spark import Engine
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark)
+    eng.register_parquet_dir(SF_DIR)
+    items = eng.table("lineitem").groupBy("l_orderkey").agg(
+        F.collect_list("l_returnflag").alias("flags")
+    )
+    ev = eng.table("events").withColumn("props_map", F.from_json("props", "map<string,int>"))
+    eng.register_dataframe("oi_chain", items)
+    eng.register_dataframe("evm_chain", ev)
+    # .size() on a collection field (OSQLFilterFieldOperator SIZE)
+    n = eng.query("select flags.size() as n from oi_chain where l_orderkey = 1")[0]["n"]
+    assert n == 4
+    # .keys() / .values() on a map field
+    row = eng.query(
+        "select props_map.keys() as ks, props_map.values() as vs from evm_chain "
+        "where event_id = 0"
+    )[0]
+    assert row["ks"] == ["k"] and len(row["vs"]) == 1
+    # .asBoolean(): numbers != 0 are true (OSQLFilterItemAbstract :211-225)
+    bools = [
+        r["b"]
+        for r in eng.query(
+            "select r_regionkey.asBoolean() as b from region "
+            "where r_regionkey <= 1 order by r_regionkey"
+        )
+    ]
+    assert bools == [False, True]
