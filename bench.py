@@ -68,28 +68,32 @@ def main() -> None:
     # min-of-repeats is the standard way to strip scheduler noise
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for name in HEADLINE:
         fn = qs[name]
         best = None
-        for _ in range(repeat):
-            t0 = time.perf_counter()
-            _force(fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(repeat):
+                t0 = time.perf_counter()
+                _force(fn(spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            timings[name] = round(best, 3)
+        except Exception as e:  # one broken query must not sink the whole run
+            failed.append(name)
+            print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
