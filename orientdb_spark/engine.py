@@ -165,6 +165,13 @@ class Engine:
     def explain(self, text: str, mode: str = "formatted") -> None:
         self.sql(text).explain(mode)
 
+    def begin(self):
+        """Open an optimistic transaction (OTransactionOptimistic analog):
+        buffered DML, read-your-writes, commit-time conflict check."""
+        from orientdb_spark.tx import Transaction
+
+        return Transaction(self)
+
     def save_database(self, db_dir: str) -> None:
         """Persist all classes (parquet per class + JSON catalog) —
         SURVEY §7.1's backing store; collapses pending DML lineage."""

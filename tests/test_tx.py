@@ -1,0 +1,53 @@
+"""Optimistic transactions (OTransactionOptimistic / TransactionOptimisticTest)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from orientdb_spark import Engine
+from orientdb_spark.errors import OConcurrentModificationException
+
+from tests.conftest import SF_DIR
+
+
+def _eng(spark):
+    eng = Engine(spark)
+    eng.register_dataframe("acct", spark.read.parquet(f"{SF_DIR}/region.parquet"))
+    return eng
+
+
+def test_tx_isolation_and_commit(spark):
+    eng = _eng(spark)
+    tx = eng.begin()
+    tx.command("update acct set r_name = 'TX' where r_regionkey = 0")
+    # read-your-writes inside the tx
+    assert tx.query("select r_name from acct where r_regionkey = 0")[0]["r_name"] == "TX"
+    # invisible outside until commit
+    assert eng.query("select r_name from acct where r_regionkey = 0")[0]["r_name"] != "TX"
+    tx.commit()
+    assert eng.query("select r_name from acct where r_regionkey = 0")[0]["r_name"] == "TX"
+
+
+def test_tx_conflict_first_committer_wins(spark):
+    eng = _eng(spark)
+    tx1 = eng.begin()
+    tx2 = eng.begin()
+    tx1.command("update acct set r_name = 'A' where r_regionkey = 1")
+    tx2.command("update acct set r_name = 'B' where r_regionkey = 1")
+    tx1.commit()
+    with pytest.raises(OConcurrentModificationException):
+        tx2.commit()
+    # the loser's buffered change never landed
+    assert eng.query("select r_name from acct where r_regionkey = 1")[0]["r_name"] == "A"
+
+
+def test_tx_rollback_leaves_state(spark):
+    eng = _eng(spark)
+    before = eng.query("select r_name from acct where r_regionkey = 2")[0]["r_name"]
+    tx = eng.begin()
+    tx.command("update acct set r_name = 'GONE' where r_regionkey = 2")
+    tx.rollback()
+    assert eng.query("select r_name from acct where r_regionkey = 2")[0]["r_name"] == before
+    with pytest.raises(OConcurrentModificationException):
+        tx.commit()  # no longer active
