@@ -573,6 +573,10 @@ class Parser:
                         break
             else:
                 break
+        if not (sets or adds or puts or removes):
+            # UPDATE without any mutation clause is a parse error
+            # (OCommandExecutorSQLUpdate requires SET/ADD/PUT/REMOVE)
+            self.error("Expected keyword 'SET'", self.peek())
         where = self.parse_or() if self.accept_kw("where") else None
         return A.UpdateCmd(cls, sets, adds, puts, removes, where)
 
