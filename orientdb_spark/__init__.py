@@ -21,8 +21,20 @@ files (file:line) whose *behavior* it reproduces.
 
 from orientdb_spark.engine import Engine
 from orientdb_spark.catalog import Catalog, OClass, OProperty
+from orientdb_spark.graph import Graph
+from orientdb_spark.native import ONativeAsynchQuery, ONativeSynchQuery, OQueryContextNative
 from orientdb_spark.session import get_spark
 
-__all__ = ["Engine", "Catalog", "OClass", "OProperty", "get_spark"]
+__all__ = [
+    "Engine",
+    "Catalog",
+    "OClass",
+    "OProperty",
+    "Graph",
+    "OQueryContextNative",
+    "ONativeSynchQuery",
+    "ONativeAsynchQuery",
+    "get_spark",
+]
 
 __version__ = "0.1.0"
