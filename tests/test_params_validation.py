@@ -174,3 +174,16 @@ def test_traverse_unbounded_depth(spark):
     )
     out = eng.query("select id from chain10 where any() traverse(0, -1) (id = 10) order by id")
     assert [r["id"] for r in out] == list(range(11))
+
+
+def test_insert_collection_literal(spark):
+    # ComplexTypesTest shape: embedded-collection literals in INSERT
+    # (typed literal parsing incl. [] containers, OSQLHelper:112-164)
+    eng = Engine(spark)
+    eng.register_dataframe(
+        "ct", spark.createDataFrame([(1, ["x"])], "id long, tags array<string>")
+    )
+    eng.command("insert into ct (id, tags) values (2, ['a', 'b'])")
+    rows = {r["id"]: r["tags"] for r in eng.query("select id, tags from ct")}
+    assert rows == {1: ["x"], 2: ["a", "b"]}
+    assert [r["id"] for r in eng.query("select id from ct where tags contains 'a'")] == [2]

@@ -24,6 +24,15 @@ _num_cmp = st.tuples(
     st.sampled_from(["=", "<>", "<", "<=", ">", ">="]),
     st.integers(min_value=0, max_value=2000),
 )
+# arithmetic left side: col * a + b <cmp> v — exercises precedence and
+# numeric type mixing in the expression compiler
+_arith_cmp = st.tuples(
+    st.sampled_from(NUM_COLS),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=0, max_value=50),
+    st.sampled_from(["<", ">="]),
+    st.integers(min_value=0, max_value=5000),
+)
 _str_like = st.tuples(
     st.sampled_from(STR_COLS),
     st.sampled_from(["Customer#%", "%1", "%0000%"]),
@@ -31,6 +40,10 @@ _str_like = st.tuples(
 
 
 def _leaf_to_sqls(leaf) -> tuple[str, str]:
+    if len(leaf) == 5:
+        c, a, b, op, v = leaf
+        e = f"{c} * {a} + {b} {op} {v}"
+        return e, e
     if len(leaf) == 3:
         c, op, v = leaf
         return f"{c} {op} {v}", f"{c} {op} {v}"
@@ -41,7 +54,7 @@ def _leaf_to_sqls(leaf) -> tuple[str, str]:
 @st.composite
 def where_tree(draw, depth=0):
     if depth >= 2 or draw(st.booleans()):
-        leaf = draw(st.one_of(_num_cmp, _str_like))
+        leaf = draw(st.one_of(_num_cmp, _str_like, _arith_cmp))
         return _leaf_to_sqls(leaf)
     l_d, l_o = draw(where_tree(depth=depth + 1))
     r_d, r_o = draw(where_tree(depth=depth + 1))
