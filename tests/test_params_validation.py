@@ -187,3 +187,26 @@ def test_insert_collection_literal(spark):
     rows = {r["id"]: r["tags"] for r in eng.query("select id, tags from ct")}
     assert rows == {1: ["x"], 2: ["a", "b"]}
     assert [r["id"] for r in eng.query("select id from ct where tags contains 'a'")] == [2]
+
+
+def test_create_link_inverse(spark):
+    # CREATE LINK ... INVERSE: the target side gets a LINKLIST of matching
+    # source rids (OCommandExecutorSQLCreateLink.java:158,202-230)
+    eng = Engine(spark)
+    eng.register_dataframe(
+        "inv_n",
+        spark.read.parquet(f"{SF_DIR}/nation.parquet"),
+        rid_pos=lambda d: F.col("n_nationkey"),
+    )
+    eng.register_dataframe(
+        "inv_r",
+        spark.read.parquet(f"{SF_DIR}/region.parquet"),
+        rid_pos=lambda d: F.col("r_regionkey"),
+    )
+    eng.command("create link nations from inv_n.n_regionkey to inv_r.r_regionkey inverse")
+    rows = eng.table("inv_r").select("r_regionkey", F.size("nations").alias("n")).collect()
+    per_region = {r["r_regionkey"]: r["n"] for r in rows}
+    # every nation rid lands in exactly one region's LINKLIST
+    assert sum(per_region.values()) == 25
+    prop = eng.catalog.get("inv_r").properties["nations"]
+    assert prop.linked_class == "inv_n"
