@@ -66,3 +66,27 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert approx, "IVF returned nothing"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
+def test_fingerprint_and_simhash_duplicate_groups(spark):
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),   # same after normalization
+            (3, "something else entirely"),
+            (4, "Hello, World!"),
+        ],
+        ["doc_id", "text"],
+    )
+    groups = dedup.fingerprint_duplicate_groups(docs).collect()
+    assert len(groups) == 1 and groups[0]["n_docs"] == 3 and groups[0]["canonical_id"] == 1
+
+    pairs = dedup.simhash_duplicate_pairs(docs).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    # byte-identical token sets share a simhash (1 and 4); doc 2 differs
+    # in case/punctuation — the whitespace tokenizer keeps it distinct
+    assert (1, 4) in ids and (1, 2) not in ids
