@@ -727,6 +727,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetchplan_prefetch": _fetchplan_prefetch,
         # §2.5 aggregations
         "tpch_q1_pricing": _dsl(_Q1),
+        "tpch_q3_shipping": _dsl(
+            "select l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue, "
+            "l_orderkey.o_orderdate.format('yyyy-MM-dd') as odate "
+            "from lineitem where l_orderkey.o_orderdate < '1997-06-01' "
+            "and l_shipdate > '1997-06-01' "
+            "group by l_orderkey, l_orderkey.o_orderdate.format('yyyy-MM-dd') "
+            "order by revenue desc, l_orderkey limit 10"
+        ),
+        "tpch_q10_returns": _dsl(
+            "select l_orderkey.o_custkey as custkey, l_orderkey.o_custkey.c_name as c_name, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue "
+            "from lineitem where l_returnflag = 'R' "
+            "and l_orderkey.o_orderdate >= '1997-01-01' "
+            "and l_orderkey.o_orderdate < '1997-04-01' "
+            "group by l_orderkey.o_custkey, l_orderkey.o_custkey.c_name "
+            "order by revenue desc, custkey limit 20"
+        ),
         "tpch_q6_forecast": _dsl(
             "select round(sum(l_extendedprice * l_discount), 2) as revenue from lineitem "
             "where l_shipdate >= '1997-01-01' and l_shipdate < '1998-01-01' "
@@ -1098,6 +1115,24 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey"
         ),
         "tpch_q1_pricing": _Q1_ORACLE,
+        "tpch_q3_shipping": (
+            "SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "strftime(o_orderdate, '%Y-%m-%d') AS odate FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderdate < TIMESTAMP '1997-06-01' "
+            "AND l_shipdate > TIMESTAMP '1997-06-01' "
+            "GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d') "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "tpch_q10_returns": (
+            "SELECT o_custkey AS custkey, c_name, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-04-01' "
+            "GROUP BY o_custkey, c_name ORDER BY revenue DESC, custkey LIMIT 20"
+        ),
         "tpch_q6_forecast": (
             "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem "
             "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' "

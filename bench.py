@@ -24,8 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # window, traverse, graph analytics, sessionize, dedup, ANN, text)
 HEADLINE = [
     "tpch_q1_pricing",
+    "tpch_q3_shipping",
     "tpch_q6_forecast",
     "tpch_q5_local_supplier",
+    "tpch_q10_returns",
     "link_nav_2hop",
     "group_having_order",
     "order_multikey_topk",
