@@ -23,6 +23,7 @@ from orientdb_spark.engine import Engine
 from orientdb_spark.catalog import Catalog, OClass, OProperty
 from orientdb_spark.graph import Graph
 from orientdb_spark.native import ONativeAsynchQuery, ONativeSynchQuery, OQueryContextNative
+from orientdb_spark.operators import register_operator, unregister_operator
 from orientdb_spark.session import get_spark
 
 __all__ = [
@@ -35,6 +36,8 @@ __all__ = [
     "ONativeSynchQuery",
     "ONativeAsynchQuery",
     "get_spark",
+    "register_operator",
+    "unregister_operator",
 ]
 
 __version__ = "0.1.0"

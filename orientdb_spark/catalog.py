@@ -102,8 +102,24 @@ class Catalog:
         cluster_id: int | None = None,
         transform: Callable[[DataFrame], DataFrame] | None = None,
     ) -> OClass:
-        if df is None and path is None and name.lower() not in self._classes:
-            df = None  # class with no data yet (CREATE CLASS)
+        existing = self._classes.get(name.lower())
+        if existing is not None and df is None and path is None:
+            # Re-registration with no new storage must never destroy the
+            # existing class's data supplier/properties (the reference's
+            # OSchema.createClass raises on an existing class — the DML
+            # CREATE CLASS path enforces that; API-level re-registration
+            # merges schema additions into the live class).
+            if super_class is not None:
+                existing.super_class = super_class
+            for prop in properties or []:
+                existing.properties[prop.name] = prop
+            for col, (tgt, key) in (links or {}).items():
+                p = existing.properties.get(col) or OProperty(name=col, otype=OType.LINK)
+                p.linked_class, p.linked_key = tgt, key
+                existing.properties[col] = p
+            if rid_pos is not None:
+                existing.rid_pos = rid_pos
+            return existing
         if cluster_id is None:
             cluster_id = self._next_cluster
         self._next_cluster = max(self._next_cluster, cluster_id + 1)

@@ -105,6 +105,15 @@ def execute_dml(engine, cmd) -> DataFrame:
     if isinstance(cmd, A.DeleteCmd):
         return _hooked(engine, "delete", cmd.class_name, lambda: _delete(engine, cmd))
     if isinstance(cmd, A.CreateClassCmd):
+        # duplicate CREATE CLASS is an error (OSchemaShared.createClass
+        # raises "already exists"); re-registration would otherwise
+        # silently destroy the existing class's storage
+        from orientdb_spark.errors import OSchemaException
+
+        if engine.catalog.has(cmd.name):
+            raise OSchemaException(
+                f"Class '{cmd.name}' already exists in current database"
+            )
         engine.catalog.register_class(cmd.name, super_class=cmd.super_class)
         return _result(engine, **{"class": cmd.name})
     if isinstance(cmd, A.CreatePropertyCmd):
@@ -226,10 +235,17 @@ def _update(engine, cmd: A.UpdateCmd) -> DataFrame:
     """UPDATE … SET/ADD/PUT/REMOVE [WHERE …]
     (core:sql/OCommandExecutorSQLUpdate.java:44-208)."""
     scope, df = _where_scope(engine, cmd.class_name, cmd.where)
-    pred = compile_condition(scope, cmd.where) if cmd.where is not None else F.lit(True)
+    pred_expr = compile_condition(scope, cmd.where) if cmd.where is not None else F.lit(True)
     df = scope.df  # may have link joins from the WHERE
 
-    out = df
+    # Materialize the match set ONCE before any mutation: the predicate is a
+    # name-based Column expression, so re-evaluating it after a SET replaced
+    # one of its columns would re-match against already-updated values
+    # (wrong rows for later clauses, wrong @version bump, wrong count). The
+    # reference resolves the record set first, then mutates
+    # (OCommandExecutorSQLUpdate.java:116-131).
+    out = df.withColumn("__pred", F.coalesce(pred_expr, F.lit(False)))
+    pred = F.col("__pred")
     for fname, expr in cmd.sets:
         val = compile_expr(scope, expr)
         if fname in out.columns:
@@ -279,7 +295,14 @@ def _update(engine, cmd: A.UpdateCmd) -> DataFrame:
             cmd.class_name, polymorphic=False, internal=True
         ).columns
     ]
-    new_cols = [c for c in out.columns if c not in base_cols and not c.startswith("__j") and not c.startswith("@")]
+    new_cols = [
+        c
+        for c in out.columns
+        if c not in base_cols
+        and not c.startswith("__j")
+        and not c.startswith("@")
+        and c != "__pred"
+    ]
     n = out.filter(pred).count()
     engine.catalog.set_dataframe(cmd.class_name, out.select(*base_cols, *new_cols))
     return _result(engine, updated=n)
@@ -381,7 +404,8 @@ def _create_link(engine, cmd: A.CreateLinkCmd) -> DataFrame:
         bl = b.select(
             F.col(cmd.to_field).alias("__k"), F.col("@rid").alias(cmd.link_name)
         )
-        joined = a.join(F.broadcast(bl), a[cmd.from_field] == bl["__k"], "left").drop("__k")
+        # no forced broadcast — AQE decides; TO-class can be fact-sized
+        joined = a.join(bl, a[cmd.from_field] == bl["__k"], "left").drop("__k")
         base_cols = [c for c in a.columns if not c.startswith("@")]
         catalog.set_dataframe(cmd.from_class, joined.select(*base_cols, cmd.link_name))
         cls = catalog.get(cmd.from_class)

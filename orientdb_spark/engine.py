@@ -68,6 +68,15 @@ TESTDATA_TABLES = [
 class Engine:
     def __init__(self, spark: SparkSession):
         self.spark = spark
+        # The reference's comparison coercion is lenient — a failed
+        # string→number/date parse just doesn't match, never errors
+        # (core:sql/filter/OSQLFilterCondition.java:73-103). Spark 4 defaults
+        # ANSI on, where the same cast throws CAST_INVALID_INPUT; pin it off
+        # for any caller-supplied session so compiled plans keep reference
+        # semantics regardless of how the session was built (session.py's
+        # get_spark also sets this; _coerce additionally uses try_cast so the
+        # wildcard-expansion comparisons are config-proof either way).
+        spark.conf.set("spark.sql.ansi.enabled", "false")
         self.catalog = Catalog(spark)
         self.functions = FunctionRegistry()
         self._select = SelectCompiler(self)
@@ -97,7 +106,9 @@ class Engine:
 
             for f in df.schema.fields:
                 if f.name == "ts" and isinstance(f.dataType, T.LongType):
-                    df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+                    # integer division on longs: epoch-nanos (~1.7e18) exceed
+                    # 2^53, so `/ 1000` through double loses ~µs precision
+                    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
             return df
 
         for name in TESTDATA_TABLES:
@@ -118,6 +129,15 @@ class Engine:
     def register_function(self, name: str, builder, aggregate: bool = False) -> None:
         """UDF surface (core:sql/OSQLEngine.java registerFunction:43-45)."""
         self.functions.register(name, builder, aggregate)
+
+    def register_operator(self, name: str, builder) -> None:
+        """Custom WHERE binary operator (OSQLHelper.registerOperator,
+        core:sql/OSQLHelper.java:98-102). ``builder(left, right) -> Column``.
+        Process-wide like the reference's static registry."""
+        from orientdb_spark.operators import register_operator
+
+        register_operator(name, builder)
+        self._plan_cache.clear()
 
     # -- queries -----------------------------------------------------------------
 

@@ -191,7 +191,9 @@ class Scope:
                 f"Link field '{name}' not found while resolving navigation"
             )
         cond = F.col(f"`{left_col_name}`") == F.col(f"`{new_prefix}{key}`")
-        self.df = self.df.join(F.broadcast(renamed) if with_meta else renamed, cond, "left")
+        # no forced broadcast: AQE + autoBroadcastJoinThreshold pick the
+        # strategy, so a fact-sized RID-linked target can't OOM the driver
+        self.df = self.df.join(renamed, cond, "left")
         self.link_joins[prefix] = (new_prefix, target_cls)
         return new_prefix, target_cls
 
@@ -420,6 +422,15 @@ def _compile_bincond(scope: Scope, e: A.BinCond) -> Column:
     if op == "traverse":
         raise TraverseInFilter()
 
+    # user-registered operators win over the hardcoded chain
+    # (OSQLHelper.registerOperator, OSQLHelper.java:98-102)
+    from orientdb_spark.operators import custom_operator
+
+    custom = custom_operator(op)
+    if custom is not None:
+        cond = custom(compile_expr(scope, e.left), compile_expr(scope, e.right))
+        return ~cond if e.negated else cond
+
     left = compile_expr(scope, e.left)
 
     if op in ("contains", "containsall"):
@@ -497,16 +508,47 @@ def _coerce(
 ) -> tuple[Column, Column]:
     """Implicit comparison coercion
     (core:sql/filter/OSQLFilterCondition.java:73-103): date/datetime string
-    literals compared to DATE fields parse via the storage's two formats.
-    Numeric widening is Spark-native already."""
+    literals compared to DATE fields parse via the storage's two formats;
+    string fields compared to numeric literals parse leniently — a failed
+    parse just doesn't match (never a runtime error, even under ANSI mode,
+    hence ``try_cast``). Numeric widening is Spark-native already."""
+
+    def field_type(ast_node: A.Expr) -> T.DataType | None:
+        # single-part field paths only: the head's schema type IS the
+        # compared value's type (a multi-hop link path's head is the FK
+        # column, whose type says nothing about the navigated field)
+        if not isinstance(ast_node, A.FieldPath):
+            return None
+        if len(ast_node.parts) != 1 or not isinstance(ast_node.parts[0], A.FieldPart):
+            return None
+        f = scope.schema_field(ast_node.head()) if scope.df is not None else None
+        return f.dataType if f is not None else None
 
     def is_ts(ast_node: A.Expr) -> bool:
+        # head-based on purpose (pre-existing behavior): direct timestamp
+        # columns coerce date-string literals via the storage formats
         if not isinstance(ast_node, A.FieldPath):
             return False
         if any(isinstance(p, A.MethodPart) for p in ast_node.parts):
             return False
         f = scope.schema_field(ast_node.head()) if scope.df is not None else None
         return f is not None and isinstance(f.dataType, (T.TimestampType, T.DateType))
+
+    def is_num_lit(ast_node: A.Expr) -> bool:
+        return (
+            isinstance(ast_node, A.Lit)
+            and isinstance(ast_node.value, (int, float))
+            and not isinstance(ast_node.value, bool)
+        )
+
+    def parse_num(s: str):
+        try:
+            return int(s)
+        except ValueError:
+            try:
+                return float(s)
+            except ValueError:
+                return None
 
     if is_ts(last) and isinstance(rast, A.Lit) and isinstance(rast.value, str):
         s = rast.value
@@ -518,6 +560,30 @@ def _coerce(
         left = F.coalesce(
             F.to_timestamp(F.lit(s), DATETIME_FORMAT), F.to_timestamp(F.lit(s), DATE_FORMAT)
         )
+    elif isinstance(field_type(last), T.StringType) and is_num_lit(rast):
+        # string field vs numeric literal (any()/all() expansion hits this
+        # on every string column): lenient parse, null-on-malformed
+        left = left.try_cast("double")
+        right = right.cast("double")
+    elif isinstance(field_type(rast), T.StringType) and is_num_lit(last):
+        right = right.try_cast("double")
+        left = left.cast("double")
+    elif (
+        isinstance(field_type(last), T.NumericType)
+        and isinstance(rast, A.Lit)
+        and isinstance(rast.value, str)
+    ):
+        # numeric field vs string literal: parse the literal driver-side so
+        # long precision is preserved; unparseable ⇒ matches nothing
+        num = parse_num(rast.value)
+        right = F.lit(num) if num is not None else F.lit(None).cast("double")
+    elif (
+        isinstance(field_type(rast), T.NumericType)
+        and isinstance(last, A.Lit)
+        and isinstance(last.value, str)
+    ):
+        num = parse_num(last.value)
+        left = F.lit(num) if num is not None else F.lit(None).cast("double")
     return left, right
 
 

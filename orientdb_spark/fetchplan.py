@@ -63,7 +63,10 @@ def _expand(engine, df: DataFrame, cls, plan, wildcard, prefix: str, path: tuple
         ):
             continue  # class cycle: unroll one level, then stop
         target_cls = catalog.get(prop.linked_class)
-        target = catalog.dataframe(prop.linked_class, polymorphic=True)
+        # RID links join on the @rid pseudo-column — materialize it
+        # (mirrors Scope._ensure_link_join's with_meta rule)
+        needs_meta = prop.linked_key in (None, RID_COL)
+        target = catalog.dataframe(prop.linked_class, polymorphic=True, with_meta=needs_meta)
         # recurse first so nested levels are already assembled
         if depth - 1 != 0 or depth == -1:
             next_depth = depth - 1 if depth > 0 else -1

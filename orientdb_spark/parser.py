@@ -357,6 +357,13 @@ class Parser:
                 self.next()
                 right = self.parse_expr()
                 return A.BinCond(kw, left, right, negated=negated)
+            # user-registered operators (OSQLHelper.registerOperator parity)
+            from orientdb_spark.operators import custom_operator
+
+            if custom_operator(kw) is not None:
+                self.next()
+                right = self.parse_expr()
+                return A.BinCond(kw, left, right, negated=negated)
         return left  # bare boolean expression
 
     # -- value expressions ---------------------------------------------------

@@ -143,6 +143,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.9,
     shingle: int = 3,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -155,6 +156,14 @@ def minhash_lsh_pairs(
     tokens): n-gram shingles keep docs that merely share a vocabulary from
     colliding, so cluster sizes — and the quadratic pair output — track
     true near-duplication.
+
+    ``max_bucket_size`` is standard LSH hygiene for the degenerate-bucket
+    hazard: a band hash shared by B docs makes the candidate join emit
+    B²/2 pairs, so one hot bucket (boilerplate/empty-ish texts colliding)
+    turns the join quadratic. Buckets above the cap are dropped from
+    candidate generation (a doc-pair inside an oversized bucket is still
+    found through any of its other, smaller band buckets). Audit what a
+    cap would drop with ``minhash_bucket_sizes``; pass None to disable.
     """
     rows = num_hashes // bands
     # staged projections: tokens → signature → band hashes. Each stage
