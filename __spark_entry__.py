@@ -849,7 +849,11 @@ _DK_TOKS_RAW = "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0
 
 
 def _minhash_oracle_sql(
-    num_hashes: int = 16, bands: int = 4, threshold: float = 0.9, shingle: int = 3
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.9,
+    shingle: int = 3,
+    max_bucket_size: int = 2000,
 ) -> str:
     from orientdb_spark.pipeline.common import MINHASH_P, MINHASH_PARAMS
 
@@ -880,7 +884,9 @@ toks AS (SELECT doc_id, list_sort(list_distinct(list_transform(
 h AS (SELECT doc_id, list_transform(t, x -> {tok_hash}) AS hs FROM toks),
 sig AS (SELECT doc_id, {sigs} FROM h),
 band AS (SELECT doc_id, {band_exprs} FROM sig),
-posts AS ({posts}),
+posts0 AS ({posts}),
+posts AS (SELECT * FROM posts0
+          QUALIFY count(*) OVER (PARTITION BY band, bhash) <= {max_bucket_size}),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM posts a JOIN posts b ON a.band = b.band AND a.bhash = b.bhash
          WHERE a.doc_id < b.doc_id),

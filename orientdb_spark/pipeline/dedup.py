@@ -220,8 +220,23 @@ def minhash_lsh_pairs(
     ).select("__id", F.col("__bk.band").alias("band"), F.col("__bk.bhash").alias("bhash"))
     postings = postings.persist()
 
-    a = postings.select("band", "bhash", F.col("__id").alias("id_a"))
-    b = postings.select("band", "bhash", F.col("__id").alias("id_b"))
+    if max_bucket_size is not None:
+        # degenerate-bucket guard: B docs in one bucket → B²/2 candidate
+        # rows; cap the population a bucket may contribute. One extra
+        # groupBy over the compact posting list — negligible next to the
+        # self-join it protects.
+        ok_buckets = (
+            postings.groupBy("band", "bhash")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= F.lit(max_bucket_size))
+            .select("band", "bhash")
+        )
+        usable = postings.join(ok_buckets, ["band", "bhash"])
+    else:
+        usable = postings
+
+    a = usable.select("band", "bhash", F.col("__id").alias("id_a"))
+    b = usable.select("band", "bhash", F.col("__id").alias("id_b"))
     cand = (
         a.join(b, ["band", "bhash"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -308,6 +323,98 @@ def simhash_duplicate_pairs(
     )
 
 
+def minhash_bucket_sizes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+) -> DataFrame:
+    """(band, bhash, n_docs) LSH bucket populations — the audit companion
+    to ``minhash_lsh_pairs``'s ``max_bucket_size`` cap: run this to see
+    what a given cap would drop (each bucket of n docs would have emitted
+    n²/2 candidate rows)."""
+    rows = num_hashes // bands
+    if shingle <= 1:
+        sh = df.select(
+            F.col(id_col).alias("__id"), token_hashes(F.col(text_col)).alias("__h")
+        ).filter(F.size("__h") > 0)
+    else:
+        shingler = _shingle_struct_udf(shingle)
+        sh = df.select(
+            F.col(id_col).alias("__id"), shingler(F.col(text_col))["h"].alias("__h")
+        ).filter(F.size("__h") > 0)
+    sig = _sig_columns(sh, F.col("__h"), num_hashes)
+    banded = sig.select(
+        "__id",
+        *[
+            h60(
+                F.concat_ws(
+                    "-", *[F.col(f"__s{b * rows + r}").cast("string") for r in range(rows)]
+                )
+            ).alias(f"__band_{b}")
+            for b in range(bands)
+        ],
+    )
+    posts = banded.select(
+        "__id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"__band_{b}").alias("bhash"))
+                for b in range(bands)
+            ])
+        ).alias("__bk"),
+    ).select(F.col("__bk.band").alias("band"), F.col("__bk.bhash").alias("bhash"))
+    return posts.groupBy("band", "bhash").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def ngram_candidate_pairs(
+    g: DataFrame, threshold: float, block_cols: tuple[str, ...]
+) -> DataFrame:
+    """Prefix-filter candidate generation over ``g`` = (block_cols…, __id,
+    __g sorted-distinct grams). Returns the (id_a, id_b) candidate set the
+    verification step must score — every pair with J ≥ threshold is in it
+    (prefix-filter lemma), and for dissimilar corpora it is FAR smaller
+    than the block-wide cross product (see ngram_jaccard_pairs)."""
+    ex = g.select(*block_cols, "__id", F.explode("__g").alias("__gram"))
+    # global document frequency → rare-first order (any consistent global
+    # order is correct; df-ascending minimizes posting-list fanout)
+    dfreq = ex.groupBy("__gram").agg(F.count(F.lit(1)).alias("__df"))
+    ordered = (
+        ex.join(dfreq, "__gram")
+        .groupBy(*block_cols, "__id")
+        .agg(F.array_sort(F.collect_list(F.struct("__df", "__gram"))).alias("__order"))
+    )
+    prefix_len = (
+        F.size("__order") - F.ceil(F.lit(threshold) * F.size("__order")) + 1
+    ).cast("int")
+    posts = ordered.select(
+        *block_cols,
+        "__id",
+        F.size("__order").alias("__sz"),
+        F.explode(
+            F.slice(F.transform("__order", lambda s: s["__gram"]), F.lit(1), prefix_len)
+        ).alias("__gram"),
+    )
+    pa = posts.select(
+        *block_cols, "__gram", F.col("__id").alias("id_a"), F.col("__sz").alias("__sa")
+    )
+    pb = posts.select(
+        *block_cols, "__gram", F.col("__id").alias("id_b"), F.col("__sz").alias("__sb")
+    )
+    return (
+        pa.join(pb, [*block_cols, "__gram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("__sb").cast("double") >= F.lit(threshold) * F.col("__sa"))
+            & (F.col("__sa").cast("double") >= F.lit(threshold) * F.col("__sb"))
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -316,28 +423,69 @@ def ngram_jaccard_pairs(
     threshold: float = 0.05,
     block_cols: tuple[str, ...] = ("lang", "source"),
 ) -> DataFrame:
-    """Word n-gram Jaccard similarity pairs within blocking-key groups.
+    """Word n-gram Jaccard similarity pairs, EXACT, via a prefix-filtered
+    set-similarity join (the AllPairs/PPJoin discipline — Bayardo et al.,
+    WWW'07; Chaudhuri et al., ICDE'06 — not an approximate LSH pass).
 
-    Blocking bounds the pair explosion: all-pairs only within a block
-    (at 100 TB the blocks are the parallel units; unblocked all-pairs is
-    O(N²) and intentionally not offered).
+    Candidate generation never builds block-wide all-pairs: each doc's
+    gram set is ordered rarest-first by global document frequency, and only
+    its *prefix* (length |g| − ceil(t·|g|) + 1) is posted to the inverted
+    index. Prefix-filter lemma: J(A,B) ≥ t implies the two prefixes share
+    at least one gram under any common total order, so joining postings on
+    (gram, blocking keys) finds every qualifying pair — same output as
+    all-pairs, bit-for-bit (the DuckDB oracle computes blocked all-pairs).
+    A length filter (t·|A| ≤ |B| ≤ |A|/t) prunes candidates further before
+    verification.
+
+    Scale: the former block-wide self-join was O(B²) per block — fatal
+    when one (lang, source) block is ~the whole corpus. Here the shuffle
+    is bounded by prefix posting lists; a near-dup threshold (0.8+) keeps
+    prefixes short. Blocking keys remain as an equality predicate on the
+    posting join. Requires threshold > 0 (docs with no n-grams can never
+    qualify and are dropped up front).
     """
-    g = df.select(
-        *[F.col(c) for c in block_cols],
-        F.col(id_col).alias("__id"),
-        word_ngrams(F.col(text_col), n).alias("__g"),
+    g = (
+        df.select(
+            *[F.col(c) for c in block_cols],
+            F.col(id_col).alias("__id"),
+            word_ngrams(F.col(text_col), n).alias("__g"),
+        )
+        .filter(F.size("__g") > 0)
+        .persist()
     )
-    a = g.select(*block_cols, F.col("__id").alias("id_a"), F.col("__g").alias("__ga"))
-    b = g.select(*block_cols, F.col("__id").alias("id_b"), F.col("__g").alias("__gb"))
-    pairs = a.join(b, list(block_cols)).filter(F.col("id_a") < F.col("id_b"))
+    cand = ngram_candidate_pairs(g, threshold, block_cols)
+    ga = g.select(F.col("__id").alias("id_a"), F.col("__g").alias("__ga"))
+    gb = g.select(F.col("__id").alias("id_b"), F.col("__g").alias("__gb"))
+    verified = cand.join(ga, "id_a").join(gb, "id_b")
     jac = F.size(F.array_intersect("__ga", "__gb")).cast("double") / F.size(
         F.array_union("__ga", "__gb")
     )
     return (
-        pairs.withColumn("jaccard", F.round(jac, 6))
+        verified.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def candidate_cell_pairs(
+    centers: dict, radii: dict, eps: float
+) -> list[tuple[int, int]]:
+    """Ball-pruning over quantizer cells: keep (i, j) iff the two cell
+    balls could contain a pair within distance ``eps`` — d(c_i, c_j) ≤
+    r_i + r_j + eps (triangle inequality ⇒ lossless). Both directions are
+    emitted for i ≠ j so the downstream id_a < id_b filter sees every
+    member ordering exactly once."""
+    import math as _math
+
+    out = []
+    cids = sorted(centers)
+    for i in cids:
+        for j in cids:
+            ci, cj = centers[i], centers[j]
+            d = _math.sqrt(sum((x - y) ** 2 for x, y in zip(ci, cj)))
+            if d <= radii.get(i, 0.0) + radii.get(j, 0.0) + eps:
+                out.append((i, j))
+    return out
 
 
 def embedding_duplicate_pairs(
@@ -346,25 +494,97 @@ def embedding_duplicate_pairs(
     id_col: str = "vec_id",
     block_col: str = "label",
     threshold: float = 0.99,
+    n_cells: int = 16,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicates within blocking groups
-    (label-blocked exact cosine; the ANN path is pipeline/similarity).
-    Norms are computed once per vector before the pairwise join — each
-    pair then costs one dot product."""
-    from orientdb_spark.pipeline.common import vec_norm
+    """Embedding-cosine near-duplicates, EXACT, via metric ball pruning.
 
-    g = df.select(
-        F.col(block_col),
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-    ).withColumn("__n", vec_norm(F.col("__v")))
-    a = g.select(
-        block_col, F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
+    On unit-normalized vectors, cosine(a,b) ≥ t ⟺ ‖â−b̂‖ ≤ ε where
+    ε = sqrt(2−2t). Vectors are assigned to ``n_cells`` cells
+    (deterministic h60-seeded centers, reusing the IVF quantizer), each
+    cell gets a radius r_i = max member distance to its center, and only
+    cell pairs whose balls can touch — d(c_i,c_j) ≤ r_i + r_j + ε — are
+    joined. Triangle inequality makes the pruning lossless for ANY
+    assignment, so output equals blocked all-pairs bit-for-bit (the
+    verification cosine runs on the original vectors with pre-staged
+    norms, exactly as the DuckDB oracle computes it).
+
+    Scale: the former label-blocked self-join was O(B²) in the largest
+    block. Here the unit of work is the candidate cell pair — cells
+    partition the corpus, the n_cells² candidate matrix is pruned
+    driver-side from n_cells tiny rows, and the blocking column remains
+    an equality predicate on the member join. Raise ``n_cells`` with
+    corpus size (cost: one O(N·n_cells) assignment pass)."""
+    import math as _math
+
+    from orientdb_spark.pipeline.common import vec_norm
+    from orientdb_spark.pipeline.similarity import build_ivf_index
+
+    g = (
+        df.select(
+            F.col(block_col),
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .withColumn("__n", vec_norm(F.col("__v")))
+        .filter(F.col("__n") > 0)
     )
-    b = g.select(
-        block_col, F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+    unit = g.select(
+        block_col,
+        "__id",
+        "__v",
+        "__n",
+        F.zip_with("__v", F.array_repeat("__n", F.size("__v")), lambda x, nn: x / nn).alias(
+            "__u"
+        ),
+    ).persist()
+
+    # cheap deterministic quantizer: h60-seeded centers, no Lloyd step —
+    # pruning is exact regardless of assignment quality (radii are
+    # measured from actual members)
+    centroids, assignments = build_ivf_index(
+        unit, n_cells=n_cells, vec_col="__u", id_col="__id", refine_iters=0
     )
-    pairs = a.join(b, block_col).filter(F.col("id_a") < F.col("id_b"))
+    members = unit.join(assignments, "__id")
+    cdist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("__u"), F.col("cvec"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+    )
+    radii = (
+        members.join(F.broadcast(centroids), "cid")
+        .select("cid", cdist.alias("__d"))
+        .groupBy("cid")
+        .agg(F.max("__d").alias("radius"))
+    )
+    # n_cells rows to the driver: centers + radii → candidate cell pairs
+    cent_rows = {r["cid"]: r["cvec"] for r in centroids.collect()}
+    rad_rows = {r["cid"]: r["radius"] for r in radii.collect()}
+    eps = _math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
+    cand_cells = candidate_cell_pairs(cent_rows, rad_rows, eps)
+    spark = df.sparkSession
+    cp = spark.createDataFrame(cand_cells or [(-1, -1)], ["__ca", "__cb"])
+
+    a = members.select(
+        F.col("cid").alias("__ca"),
+        F.col(block_col).alias("__ba"),
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = members.select(
+        F.col("cid").alias("__cb"),
+        F.col(block_col).alias("__bb"),
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    pairs = (
+        a.join(F.broadcast(cp), "__ca")
+        .join(b, "__cb")
+        .filter((F.col("__ba") == F.col("__bb")) & (F.col("id_a") < F.col("id_b")))
+    )
     cos = cosine_similarity(
         F.col("__va"), F.col("__vb"), norm_a=F.col("__na"), norm_b=F.col("__nb")
     )

@@ -1,0 +1,134 @@
+"""Scale-safety of the near-dup operators: candidate generation must not
+degenerate to the block-wide cross product, and the pruned paths must stay
+EXACT (same output as all-pairs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from orientdb_spark.pipeline import dedup
+from orientdb_spark.pipeline.common import word_ngrams
+
+
+def _blocked_allpairs_jaccard(docs, n, threshold):
+    g = docs.select(
+        "lang",
+        "source",
+        F.col("doc_id").alias("__id"),
+        word_ngrams(F.col("text"), n).alias("__g"),
+    )
+    a = g.select("lang", "source", F.col("__id").alias("id_a"), F.col("__g").alias("__ga"))
+    b = g.select("lang", "source", F.col("__id").alias("id_b"), F.col("__g").alias("__gb"))
+    p = a.join(b, ["lang", "source"]).filter(F.col("id_a") < F.col("id_b"))
+    jac = F.size(F.array_intersect("__ga", "__gb")).cast("double") / F.size(
+        F.array_union("__ga", "__gb")
+    )
+    return (
+        p.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@pytest.fixture(scope="module")
+def single_block_disjoint(spark):
+    # 60 docs, ONE (lang, source) block, pairwise-disjoint vocabularies —
+    # the worst case for blocking: all-pairs would emit 60*59/2 = 1770 rows
+    rows = [
+        (i, "en", "web", " ".join(f"w{i}_{j}" for j in range(12))) for i in range(60)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "lang", "source", "text"])
+
+
+def test_ngram_candidates_not_quadratic_on_single_block(single_block_disjoint):
+    g = single_block_disjoint.select(
+        "lang",
+        "source",
+        F.col("doc_id").alias("__id"),
+        word_ngrams(F.col("text"), 2).alias("__g"),
+    ).filter(F.size("__g") > 0)
+    cand = dedup.ngram_candidate_pairs(g, threshold=0.5, block_cols=("lang", "source"))
+    # disjoint grams → zero candidates (all-pairs would be 1770)
+    assert cand.count() == 0
+
+
+def test_ngram_prefix_filter_exact(spark):
+    # overlapping docs in one block: prefix-filtered output == all-pairs
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, "en", "web", base),
+        (1, "en", "web", base + " extra tail"),
+        (2, "en", "web", base.replace("quick", "slow")),
+        (3, "en", "web", "completely different words entirely here now"),
+        (4, "en", "web", base + " more words to lower the overlap ratio somewhat"),
+        (5, "en", "news", base),  # other block: never paired with 0-4
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "source", "text"])
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.3).collect()
+    )
+    ref = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in _blocked_allpairs_jaccard(docs, 2, 0.3).collect()
+    )
+    assert got == ref and len(got) > 0
+
+
+def test_candidate_cell_pairs_prunes_far_clusters():
+    centers = {0: [1.0, 0.0], 1: [-1.0, 0.0]}
+    radii = {0: 0.1, 1: 0.1}
+    # eps small: opposite unit vectors (distance 2.0) can't pair
+    pairs = set(dedup.candidate_cell_pairs(centers, radii, eps=0.2))
+    assert (0, 0) in pairs and (1, 1) in pairs
+    assert (0, 1) not in pairs and (1, 0) not in pairs
+    # eps big enough: everything is a candidate
+    assert len(dedup.candidate_cell_pairs(centers, radii, eps=2.0)) == 4
+
+
+def test_embedding_pairs_exact_vs_allpairs(spark):
+    # two tight clusters far apart + noise; ball pruning must return
+    # exactly the all-pairs result
+    import math
+
+    def v(angle):
+        return [math.cos(angle), math.sin(angle), 0.0, 0.0]
+
+    rows = []
+    for i in range(8):
+        rows.append((i, "a", v(0.01 * i)))  # cluster at angle≈0
+    for i in range(8, 16):
+        rows.append((i, "a", v(math.pi / 2 + 0.01 * i)))  # cluster at 90°
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    got = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in dedup.embedding_duplicate_pairs(df, threshold=0.99, n_cells=4).collect()
+    )
+    # brute-force reference
+    from orientdb_spark.pipeline.common import cosine_similarity
+
+    a = df.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = df.select("label", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    ref = (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= 0.99)
+        .select("id_a", "id_b", "cosine")
+    )
+    ref_rows = sorted((r.id_a, r.id_b, r.cosine) for r in ref.collect())
+    assert got == ref_rows and len(got) > 0
+
+
+def test_minhash_bucket_cap_drops_hot_bucket(spark):
+    # 30 identical docs → every band bucket holds all 30; a cap below 30
+    # removes them from candidate generation entirely
+    rows = [(i, "same exact text repeated for everyone here okay") for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = dedup.minhash_lsh_pairs(docs, threshold=0.9, max_bucket_size=None)
+    assert uncapped.count() == 30 * 29 // 2
+    capped = dedup.minhash_lsh_pairs(docs, threshold=0.9, max_bucket_size=10)
+    assert capped.count() == 0
+    sizes = dedup.minhash_bucket_sizes(docs)
+    assert all(r.n_docs == 30 for r in sizes.collect())
