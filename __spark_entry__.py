@@ -107,13 +107,18 @@ def _export_import_diff(spark, sf_dir):
 
 def _db_save_open_roundtrip(spark, sf_dir):
     # storage layer: save (parquet per class + JSON catalog) → open in a
-    # fresh engine; DML lineage collapsed, schema + versions restored
-    eng = _fresh_engine(spark, sf_dir)
+    # fresh engine; DML lineage collapsed, schema + versions restored.
+    # Engines hold ONLY the class under test — save_database persists
+    # every registered class, so registering the full TPC-H set here
+    # would write ten parquet tables to disk for a one-table check.
+    from orientdb_spark import Engine
+
+    eng = Engine(spark)
     eng.register_dataframe("regionsave", spark.read.parquet(f"{sf_dir}/region.parquet"))
     eng.command("update regionsave set r_name = r_name.append('_S') where r_regionkey <= 1")
     db = tempfile.mkdtemp(prefix="ospark_dbrt_")
     eng.save_database(db)
-    eng2 = _fresh_engine(spark, sf_dir)
+    eng2 = Engine(spark)
     eng2.open_database(db)
     return eng2.sql(
         "select r_regionkey, r_name, @version as ver from regionsave order by r_regionkey"
@@ -611,6 +616,44 @@ def _ddl_schema_evolution(spark, sf_dir):
     return eng.sql("select name, score from doctmp order by name")
 
 
+def _unique_index_violation(spark, sf_dir):
+    # UNIQUE property-index enforcement (negative test): the duplicate
+    # insert MUST raise (reference: the property index rejects the save,
+    # core:metadata/schema/OProperty.java:257, tests/.../IndexTest.java);
+    # the returned rows are the accepted state
+    from orientdb_spark.errors import OIndexException
+
+    eng = _fresh_engine(spark, sf_dir)
+    eng.command("create class uniqtmp")
+    eng.command("create property uniqtmp.code string")
+    eng.command("create property uniqtmp.v long")
+    eng.command("create index uniqtmp.code unique")
+    eng.command("insert into uniqtmp (code, v) values ('A', 1)")
+    eng.command("insert into uniqtmp (code, v) values ('B', 2)")
+    try:
+        eng.command("insert into uniqtmp (code, v) values ('A', 3)")
+        raise AssertionError("duplicate key insert must raise OIndexException")
+    except OIndexException:
+        pass
+    return eng.sql("select code, v from uniqtmp order by code")
+
+
+def _schema_mixed_insert(spark, sf_dir):
+    # schema-mixed records (ODocument.java:55-57): an INSERT carrying
+    # fields outside the declared schema lands them in the _extra
+    # map<string,string> overflow; reads resolve overflow fields stringly
+    # and chain ops coerce (SURVEY §7 hard-part 1)
+    eng = _fresh_engine(spark, sf_dir)
+    eng.command("create class mixtmp")
+    eng.command("create property mixtmp.name string")
+    eng.command("insert into mixtmp (name) values ('plain')")
+    eng.command("insert into mixtmp (name, nickname, age) values ('rich', 'Rico', 33)")
+    return eng.sql(
+        "select name, nickname, nickname.touppercase() as nick_upper, "
+        "age.asinteger() as age_n from mixtmp order by name"
+    )
+
+
 def _ddl_truncate(spark, sf_dir):
     eng = _fresh_engine(spark, sf_dir)
     eng.command("create class trunctmp")
@@ -793,6 +836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_remove_ops": _update_remove_ops,
         "ddl_schema_evolution": _ddl_schema_evolution,
         "ddl_truncate": _ddl_truncate,
+        "unique_index_violation": _unique_index_violation,
+        "schema_mixed_insert": _schema_mixed_insert,
         "dictionary_keyset": _dictionary_keyset,
         "csv_positional_roundtrip": _csv_positional_roundtrip,
         # §2.8 functions
@@ -1215,6 +1260,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM (VALUES ('alpha', 10), ('beta', 20)) AS t(name, score) ORDER BY name"
         ),
         "ddl_truncate": "SELECT 0::BIGINT AS n",
+        "unique_index_violation": (
+            "SELECT * FROM (VALUES ('A', 1::BIGINT), ('B', 2::BIGINT)) "
+            "AS t(code, v) ORDER BY code"
+        ),
+        "schema_mixed_insert": (
+            "SELECT * FROM (VALUES ('plain', NULL, NULL, NULL), "
+            "('rich', 'Rico', 'RICO', 33)) "
+            "AS t(name, nickname, nick_upper, age_n) ORDER BY name"
+        ),
         "dictionary_keyset": (
             "SELECT * FROM (VALUES ('k1', 'region', 0::BIGINT), ('k3', 'nation', 5::BIGINT)) "
             "AS t(key, cls, pos) ORDER BY key"

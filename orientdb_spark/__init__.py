@@ -25,6 +25,7 @@ from orientdb_spark.graph import Graph
 from orientdb_spark.native import ONativeAsynchQuery, ONativeSynchQuery, OQueryContextNative
 from orientdb_spark.operators import register_operator, unregister_operator
 from orientdb_spark.session import get_spark
+from orientdb_spark.synchquery import OSQLSynchQuery
 
 __all__ = [
     "Engine",
@@ -38,6 +39,7 @@ __all__ = [
     "get_spark",
     "register_operator",
     "unregister_operator",
+    "OSQLSynchQuery",
 ]
 
 __version__ = "0.1.0"

@@ -38,6 +38,17 @@ VERSION_COL = "@version"
 # hidden per-row version storage maintained by DML (surfaced as @version)
 BACKING_VERSION_COL = "__version"
 META_COLS = (RID_COL, CLASS_COL, VERSION_COL)
+# schema-mixed overflow: per-record undeclared fields land in this
+# map<string,string> column (ODocument accepts fields outside the declared
+# schema, core:record/impl/ODocument.java:55-57; SURVEY §7 hard-part 1)
+EXTRA_COL = "_extra"
+# hidden stable RID position for classes without a declared key — assigned
+# once per record by DML (persistent counter, like the reference's cluster
+# position allocation) and carried through copy-on-write rewrites
+RID_POS_COL = "__rid_pos"
+# collapse DML plan lineage every N copy-on-write swaps: N sequential
+# UPDATEs otherwise build an N-deep withColumn(when…) plan
+DML_CHECKPOINT_EVERY = 8
 
 
 @dataclass
@@ -73,6 +84,11 @@ class OClass:
     df_supplier: Callable[[], DataFrame] | None = None
     # Optional expression producing a stable long position for @rid.pos.
     rid_pos: Callable[[DataFrame], "F.Column"] | None = None
+    # copy-on-write swap count (drives periodic lineage checkpoints)
+    rewrites: int = 0
+    # next RID position for DML-allocated records (persistent counter —
+    # @rid stays stable across rewrites, unlike monotonically_increasing_id)
+    next_rid: int = 0
 
     def lower_properties(self) -> dict[str, OProperty]:
         return {k.lower(): v for k, v in self.properties.items()}
@@ -153,8 +169,15 @@ class Catalog:
         return cls
 
     def set_dataframe(self, name: str, df: DataFrame) -> None:
-        """Copy-on-write swap — the DML rewrite path."""
-        self.get(name).df_supplier = lambda: df
+        """Copy-on-write swap — the DML rewrite path. Every
+        ``DML_CHECKPOINT_EVERY``-th swap materializes the plan
+        (localCheckpoint) so a long-lived engine's statement stream keeps
+        bounded plan depth instead of an ever-growing withColumn chain."""
+        cls = self.get(name)
+        cls.rewrites += 1
+        if cls.rewrites % DML_CHECKPOINT_EVERY == 0:
+            df = df.localCheckpoint(eager=True)
+        cls.df_supplier = lambda: df
 
     def drop_class(self, name: str) -> None:
         self._classes.pop(name.lower(), None)
@@ -226,8 +249,10 @@ class Catalog:
             df = cls.df_supplier()
             if with_meta:
                 df = self._with_meta(df, cls, keep_backing=internal)
-            elif BACKING_VERSION_COL in df.columns and not internal:
-                df = df.drop(BACKING_VERSION_COL)
+            elif not internal:
+                hidden = [c for c in (BACKING_VERSION_COL, RID_POS_COL) if c in df.columns]
+                if hidden:
+                    df = df.drop(*hidden)
             parts.append(df)
         if not parts:
             raise OSchemaException(f"Class '{name}' has no records/storage")
@@ -239,7 +264,13 @@ class Catalog:
     def _with_meta(self, df: DataFrame, cls: OClass, keep_backing: bool = False) -> DataFrame:
         if RID_COL in df.columns:
             return df
-        pos = cls.rid_pos(df) if cls.rid_pos else F.monotonically_increasing_id()
+        if cls.rid_pos is not None:
+            pos = cls.rid_pos(df)
+        elif RID_POS_COL in df.columns:
+            # DML-allocated stable positions (persistent counter)
+            pos = F.col(RID_POS_COL)
+        else:
+            pos = F.monotonically_increasing_id()
         # per-record version for optimistic MVCC: DML bumps the hidden
         # backing column on matched rows (core:tx/OTransactionOptimistic
         # re-checks it at commit; SURVEY §4 MVCC row)
@@ -259,8 +290,10 @@ class Catalog:
             .withColumn(CLASS_COL, F.lit(cls.name))
             .withColumn(VERSION_COL, version.cast("int"))
         )
-        if BACKING_VERSION_COL in df.columns and not keep_backing:
-            out = out.drop(BACKING_VERSION_COL)
+        if not keep_backing:
+            hidden = [c for c in (BACKING_VERSION_COL, RID_POS_COL) if c in df.columns]
+            if hidden:
+                out = out.drop(*hidden)
         return out
 
     def cluster_dataframe(self, cluster: str, with_meta: bool = False) -> DataFrame:

@@ -88,6 +88,45 @@ def _bound(v: str):
         return v
 
 
+def _check_unique(engine, class_name: str, df: DataFrame, touched: set[str] | None = None) -> None:
+    """UNIQUE property-index enforcement on write: a save that would leave
+    duplicate keys raises (reference: the property index rejects the
+    duplicate at save time — core:metadata/schema/OProperty.java:257 index
+    types, core:index/; IndexTest expects the failure). One distributed
+    aggregation over the written table per touched unique index — the
+    Spark analog of the reference's per-record index probe; nulls are
+    exempt (no key, like the reference's null handling)."""
+    from orientdb_spark.errors import OIndexException
+
+    if getattr(engine, "intent", None) == "massiveinsert":
+        return
+    cls = engine.catalog.get(class_name) if engine.catalog.has(class_name) else None
+    if cls is None:
+        return
+    unique_props = [
+        p.name
+        for p in cls.properties.values()
+        if p.index_type == "unique" and p.name in df.columns
+        and (touched is None or p.name in touched)
+    ]
+    if not unique_props:
+        return
+    for name in unique_props:
+        dup = (
+            df.filter(F.col(name).isNotNull())
+            .groupBy(name)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise OIndexException(
+                f"Cannot index record: found duplicated key "
+                f"'{dup[0][name]!r}' in unique index '{class_name}.{name}'"
+            )
+
+
 def _hooked(engine, op: str, class_name: str, run) -> DataFrame:
     """before/after CRUD hook envelope (core:hook/ORecordHook.java:27-33),
     statement-level — see orientdb_spark.hooks."""
@@ -131,8 +170,17 @@ def execute_dml(engine, cmd) -> DataFrame:
         # point indexes (SURVEY §4); FULLTEXT builds an inverted-index table
         cls = engine.catalog.get(cmd.class_name)
         p = cls.properties.get(cmd.prop_name) or OProperty(name=cmd.prop_name)
+        prev_index_type = p.index_type
         p.index_type = cmd.index_type
         cls.properties[cmd.prop_name] = p
+        if cmd.index_type == "unique" and cls.df_supplier is not None:
+            # building a unique index over existing duplicate keys fails,
+            # like the reference's index build
+            try:
+                _check_unique(engine, cmd.class_name, cls.df_supplier(), {cmd.prop_name})
+            except Exception:
+                p.index_type = prev_index_type
+                raise
         if cmd.index_type == "fulltext":
             from orientdb_spark.fulltext import build_fulltext_index
 
@@ -152,7 +200,13 @@ def execute_dml(engine, cmd) -> DataFrame:
             engine.catalog.set_dataframe(cmd.class_name, cls.df_supplier().limit(0))
         return _result(engine, truncated=cmd.class_name)
     if isinstance(cmd, A.GrantCmd):
-        # security DDL is bookkeeping-only (SURVEY §1.6: out of scope)
+        # GRANT/REVOKE mutate the role's CRUD bitmask (ORole.java); the
+        # engine enforces them at query entry (Engine._enforce) once a
+        # session role is selected via Engine.set_role
+        if cmd.revoke:
+            engine.security.revoke(cmd.role, cmd.resource, cmd.permission)
+        else:
+            engine.security.grant(cmd.role, cmd.resource, cmd.permission)
         return _result(engine, role=cmd.role, permission=cmd.permission)
     raise OCommandExecutionException(f"Unsupported command {type(cmd).__name__}")
 
@@ -190,7 +244,18 @@ def _literal_value(engine, e: A.Expr):
 
 def _insert(engine, cmd: A.InsertCmd) -> DataFrame:
     """INSERT INTO cls(f,...) VALUES(...) — typed literal parsing per
-    core:sql/OCommandExecutorSQLInsert.java:46-146 / OSQLHelper:112-164."""
+    core:sql/OCommandExecutorSQLInsert.java:46-146 / OSQLHelper:112-164.
+
+    Schema-mixed semantics (ODocument.java:55-57: a record may carry
+    fields outside the declared schema): inserting an undeclared field
+    into a class WITH declared properties routes the value into the
+    ``_extra`` map<string,string> overflow column — existing rows are
+    untouched (null overflow), and reads resolve overflow fields through
+    string values (the reference's stringly per-record fields). A class
+    with no declared properties stays fully schema-less: unknown columns
+    widen the table (every record shares the inferred schema)."""
+    from orientdb_spark.catalog import EXTRA_COL
+
     catalog = engine.catalog
     values = {f: _literal_value(engine, v) for f, v in zip(cmd.fields, cmd.values)}
     cls = catalog.get(cmd.class_name) if catalog.has(cmd.class_name) else None
@@ -198,17 +263,71 @@ def _insert(engine, cmd: A.InsertCmd) -> DataFrame:
         cls = catalog.register_class(cmd.class_name)
     if cls.df_supplier is not None:
         existing = cls.df_supplier()
+        # stable RID allocation (persistent counter): classes without a
+        # declared key get a hidden __rid_pos column so @rid survives
+        # copy-on-write rewrites (monotonically_increasing_id would not)
+        from orientdb_spark.catalog import RID_POS_COL
+
+        if cls.rid_pos is None:
+            if RID_POS_COL not in existing.columns:
+                # freeze positions for pre-existing rows once
+                existing = existing.withColumn(
+                    RID_POS_COL, F.monotonically_increasing_id()
+                ).localCheckpoint(eager=True)
+                cls.next_rid = (
+                    existing.agg(F.max(RID_POS_COL)).first()[0] or 0
+                ) + 1
+            elif cls.next_rid == 0:
+                cls.next_rid = (
+                    existing.agg(F.max(RID_POS_COL)).first()[0] or 0
+                ) + 1
+            values[RID_POS_COL] = cls.next_rid
+            cls.next_rid += 1
+        known = {f.name: f.dataType for f in existing.schema.fields}
+        declared = {p.lower() for p in cls.properties}
+        if cls.properties:
+            # schema-mixed: undeclared, non-existing fields overflow
+            overflow = {
+                k: v
+                for k, v in values.items()
+                if k not in known and k.lower() not in declared and k != EXTRA_COL
+            }
+            if overflow:
+                values = {k: v for k, v in values.items() if k not in overflow}
+                values[EXTRA_COL] = {
+                    k: (None if v is None else str(v)) for k, v in overflow.items()
+                }
+                known.setdefault(
+                    EXTRA_COL, T.MapType(T.StringType(), T.StringType(), True)
+                )
         # build the row with an explicit schema: known columns take the
         # existing type (NULL literals stay typed — schema-less nulls can't
         # be inferred), unknown columns infer from the python value
-        known = {f.name: f.dataType for f in existing.schema.fields}
         schema = T.StructType(
             [T.StructField(k, known.get(k, _infer_type(v)), True) for k, v in values.items()]
         )
         row_df = engine.spark.createDataFrame([tuple(values.values())], schema)
         _validate(engine, cmd.class_name, row_df)
         new = existing.unionByName(row_df, allowMissingColumns=True)
+        _check_unique(engine, cmd.class_name, new, touched=set(values))
     else:
+        from orientdb_spark.catalog import RID_POS_COL
+
+        if cls.properties:
+            declared = {p.lower() for p in cls.properties}
+            overflow = {
+                k: v
+                for k, v in values.items()
+                if k.lower() not in declared and k != EXTRA_COL
+            }
+            if overflow:
+                values = {k: v for k, v in values.items() if k not in overflow}
+                values[EXTRA_COL] = {
+                    k: (None if v is None else str(v)) for k, v in overflow.items()
+                }
+        if cls.rid_pos is None:
+            values[RID_POS_COL] = cls.next_rid
+            cls.next_rid += 1
         new = engine.spark.createDataFrame([values])
         _validate(engine, cmd.class_name, new)
     catalog.set_dataframe(cmd.class_name, new)
@@ -278,6 +397,7 @@ def _update(engine, cmd: A.UpdateCmd) -> DataFrame:
             )
 
     _validate(engine, cmd.class_name, out, pred)
+    _check_unique(engine, cmd.class_name, out, touched={f for f, _ in cmd.sets})
     # bump @version on matched rows (optimistic-MVCC parity — the
     # reference increments the record version on every save)
     from orientdb_spark.catalog import BACKING_VERSION_COL

@@ -84,7 +84,10 @@ class Engine:
         from orientdb_spark.dictionary import Dictionary
         from orientdb_spark.hooks import HookManager, fulltext_maintenance_hook
 
+        from orientdb_spark.security import SecurityManager
+
         self.dictionary = Dictionary(self)
+        self.security = SecurityManager()
         self.hooks = HookManager()
         # index maintenance runs as a hook, like the reference's
         # OPropertyIndexManager (core:index/OPropertyIndexManager.java)
@@ -141,16 +144,47 @@ class Engine:
 
     # -- queries -----------------------------------------------------------------
 
+    def set_role(self, role: str | None) -> None:
+        """Select the session identity for security checks — None restores
+        the admin identity (everything allowed, the reference's default
+        admin user). Roles are defined via GRANT/REVOKE statements."""
+        self.security.current_role = role
+
+    def _enforce(self, cmd) -> None:
+        """Role CRUD check at query entry (the reference checks READ on
+        the target class before executing a SELECT —
+        core:sql/OCommandExecutorSQLSelect.java:90,158-165 — and each
+        write executor checks its verb). Runs before compilation: a
+        denied statement costs zero Spark work."""
+        sec = self.security
+        if sec.current_role is None:
+            return
+        if isinstance(cmd, A.SelectCmd):
+            tgt = cmd.target
+            while isinstance(tgt, A.SelectCmd):  # subquery target
+                tgt = tgt.target
+            sec.check("read", getattr(tgt, "name", None))
+        elif isinstance(cmd, A.InsertCmd):
+            sec.check("create", cmd.class_name)
+        elif isinstance(cmd, A.UpdateCmd):
+            sec.check("update", cmd.class_name)
+        elif isinstance(cmd, A.DeleteCmd):
+            sec.check("delete", cmd.class_name)
+
     def sql(self, text: str, params: list | None = None) -> DataFrame:
         """Parse + compile a dialect statement. SELECT returns the lazy
         DataFrame; DML executes and returns a result DataFrame. Positional
         ``?`` placeholders bind from ``params`` (prepared-statement
         re-execution: the parsed command is cached, each call rebinds)."""
         key = (text, None if params is None else tuple(params))
-        cached = self._plan_cache.get(key)
-        if cached is not None:
-            return cached
+        # admin sessions use the plan cache; with a restricted role active
+        # every call re-parses so the permission check always runs
+        if self.security.current_role is None:
+            cached = self._plan_cache.get(key)
+            if cached is not None:
+                return cached
         cmd = parse(text)
+        self._enforce(cmd)
         if A.has_params(cmd):
             cmd = A.bind_params(cmd, params)
         if isinstance(cmd, A.SelectCmd):
@@ -175,6 +209,8 @@ class Engine:
 
     def command(self, text: str, _parsed=None) -> DataFrame:
         cmd = parse(text) if _parsed is None else _parsed
+        if _parsed is None:
+            self._enforce(cmd)
         if isinstance(cmd, A.SelectCmd):
             return self._select.compile(cmd)
         from orientdb_spark.dml import execute_dml

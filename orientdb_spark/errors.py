@@ -40,3 +40,9 @@ class OConcurrentModificationException(OException):
 class OValidationException(OException):
     """Schema constraint violated on save (mandatory/notNull/min/max —
     ORecordSchemaAwareAbstract.validate(), core:record/)."""
+
+
+class OIndexException(OException):
+    """Index constraint violated — a write would leave duplicate keys in a
+    UNIQUE property index (core:metadata/schema/OProperty.java:257 index
+    types; reference test IndexTest expects the duplicate save to fail)."""

@@ -68,7 +68,15 @@ class Scope:
 
     def data_columns(self) -> list[str]:
         assert self.df is not None
-        return [c for c in self.df.columns if c not in META_COLS and not c.startswith("__")]
+        from orientdb_spark.catalog import EXTRA_COL
+
+        # _extra is the schema-mixed overflow container, not a user field:
+        # wildcards/@fields/column(i) see declared fields only
+        return [
+            c
+            for c in self.df.columns
+            if c not in META_COLS and not c.startswith("__") and c != EXTRA_COL
+        ]
 
     def _actual(self, name: str, columns: list[str]) -> str | None:
         if name in columns:
@@ -95,6 +103,13 @@ class Scope:
         assert self.df is not None
         actual = self._actual(name, self.df.columns)
         if actual is None:
+            # schema-mixed overflow: per-record undeclared fields live in
+            # the _extra map (string values — the reference's stringly
+            # per-record fields, ODocument.java:55-57)
+            from orientdb_spark.catalog import EXTRA_COL
+
+            if EXTRA_COL in self.df.columns:
+                return F.col(EXTRA_COL)[name]
             # unknown field → null (reference returns null for missing
             # fields, core:record/impl/ODocument.java:460-472)
             return F.lit(None)

@@ -118,9 +118,108 @@ class Graph:
             frontier = nxt
         return visited
 
-    def connected_components(self, max_iter: int = 50) -> DataFrame:
-        """Min-label propagation: component id = min reachable vid.
+    def connected_components(self, max_iter: int = 50, method: str = "two_phase") -> DataFrame:
+        """Connected components: component id = min reachable vid.
         Returns (vid, component). Undirected semantics (edges both ways).
+
+        ``method="two_phase"`` (default) runs alternating large-star /
+        small-star rounds (Kiveris et al., "Connected Components in
+        MapReduce and Beyond", SoCC'14): round count grows O(log²n) in the
+        component DIAMETER-independent sense — a 100-deep chain converges
+        in ~6 alternations where min-label propagation needs ~100. That is
+        the difference between feasible and not on a 100 TB high-diameter
+        graph. ``method="label_prop"`` keeps the classic per-hop
+        propagation (useful as a cross-check; same output).
+
+        Both return identical labels (min vid per component — string min,
+        matching the SQL oracle's semantics). ``self.last_cc_iterations``
+        records the rounds the call took."""
+        if method == "two_phase":
+            return self._cc_two_phase(max_iter)
+        return self._cc_label_prop(max_iter)
+
+    def _cc_two_phase(self, max_iter: int) -> DataFrame:
+        """Alternating star contraction. Each phase is 2 shuffles on the
+        current edge set (groupBy min + join), checkpointed per phase so
+        lineage stays flat; the edge set only shrinks-or-stars, never
+        grows beyond O(E). Convergence = stable canonical edge checksum."""
+        e = (
+            self.edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        self.last_cc_iterations = 0
+        prev_sig = None
+        for _ in range(max_iter):
+            e = self._large_star(e)
+            e = self._small_star(e)
+            self.last_cc_iterations += 1
+            sig_row = e.agg(
+                F.sum(F.xxhash64("u", "v")).alias("s"), F.count(F.lit(1)).alias("n")
+            ).first()
+            sig = (sig_row["s"], sig_row["n"])
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        # converged stars: every edge is (member, component-min); a node's
+        # component is the min over itself and incident endpoints
+        both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        comp = both.groupBy("u").agg(F.min("v").alias("__nbr_min"))
+        return (
+            self.vertices.select("vid")
+            .join(comp.withColumnRenamed("u", "vid"), "vid", "left")
+            .select(
+                "vid",
+                F.least(F.col("vid"), F.coalesce("__nbr_min", F.col("vid"))).alias(
+                    "component"
+                ),
+            )
+        )
+
+    @staticmethod
+    def _large_star(e: DataFrame) -> DataFrame:
+        """large-star(u): connect every neighbor v > u to m = min(Γ(u)∪{u})."""
+        nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("__mn"))
+        return (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"), F.least(F.col("__mn"), F.col("u")).alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates()
+            # lazy checkpoint: truncates lineage when small-star's round
+            # materializes — no extra job of its own
+            .localCheckpoint(eager=False)
+        )
+
+    @staticmethod
+    def _small_star(e: DataFrame) -> DataFrame:
+        """small-star(u): orient edges big→small; connect every smaller
+        neighbor (and u) to the minimum neighbor."""
+        ed = (
+            e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates()
+        )
+        mins = ed.groupBy("u").agg(F.min("v").alias("__mn"))
+        rewired = (
+            ed.join(mins, "u")
+            .filter(F.col("v") != F.col("__mn"))
+            .select(F.col("v").alias("u"), F.col("__mn").alias("v"))
+        )
+        center = mins.select("u", F.col("__mn").alias("v"))
+        return (
+            rewired.unionByName(center)
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+
+    def _cc_label_prop(self, max_iter: int = 50) -> DataFrame:
+        """Min-label propagation (one hop per round — O(diameter) rounds).
 
         Per iteration: one join (neighbor messages) + one groupBy that
         folds the self-message in via union — 2 shuffles, both on vid.
@@ -138,7 +237,9 @@ class Graph:
             .localCheckpoint(eager=True)
         )
         prev_sig = None
+        self.last_cc_iterations = 0
         for _ in range(max_iter):
+            self.last_cc_iterations += 1
             msgs = labels.join(sym, labels["vid"] == sym["src"]).select(
                 F.col("dst").alias("vid"), F.col("component")
             )

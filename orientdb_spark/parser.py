@@ -646,13 +646,23 @@ class Parser:
         self.error("Unknown REMOVE statement")
 
     def parse_grant(self, revoke: bool) -> A.GrantCmd:
+        # GRANT <perm> ON <resource> TO <role> /
+        # REVOKE <perm> ON <resource> FROM <role>
+        # (core:sql/OCommandExecutorSQLGrant/Revoke); resource parts may be
+        # the '*' wildcard (database.class.*)
         self.next()  # grant/revoke
+
+        def resource_part() -> str:
+            if self.accept_punct("*"):
+                return "*"
+            return self.expect_ident()
+
         perm = self.expect_ident()
         self.expect_kw("on")
-        parts = [self.expect_ident()]
+        parts = [resource_part()]
         while self.accept_punct("."):
-            parts.append(self.expect_ident())
-        self.expect_kw("to")
+            parts.append(resource_part())
+        self.expect_kw("from" if revoke else "to")
         role = self.expect_ident()
         return A.GrantCmd(perm, ".".join(parts), role, revoke=revoke)
 

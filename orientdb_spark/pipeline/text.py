@@ -35,15 +35,31 @@ def _marker_ratio(toks: Column, markers: list[str]) -> Column:
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic language ID: per-language marker-token hit ratio, argmax
     (ties → lexicographically first language). Returns
-    (id, predicted_lang, lang_score)."""
-    toks = ws_tokens(F.lower(F.col(text_col)))
-    scores = {lang: _marker_ratio(toks, m) for lang, m in sorted(LANG_MARKERS.items())}
-    best = F.greatest(*scores.values())
+    (id, predicted_lang, lang_score).
+
+    Staged projections on purpose: tokenization and the 5 ratio scores are
+    each referenced many times downstream, and interpreted higher-order
+    functions get no codegen subexpression elimination — inlined, the
+    split+filter would re-run ~16× per row (measured 4s → <1s at sf0.01
+    from this staging; CollapseProject keeps non-cheap multi-referenced
+    stages separate)."""
+    langs = sorted(LANG_MARKERS)
+    staged = df.select(
+        F.col(id_col), ws_tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    scored = staged.select(
+        F.col(id_col),
+        *[
+            _marker_ratio(F.col("__toks"), LANG_MARKERS[lang]).alias(f"__s_{lang}")
+            for lang in langs
+        ],
+    )
+    best = F.greatest(*[F.col(f"__s_{lang}") for lang in langs])
     pred = F.lit(None).cast("string")
     # build reverse when-chain so earlier (lexically first) languages win ties
-    for lang in sorted(LANG_MARKERS.keys(), reverse=True):
-        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    return df.select(
+    for lang in sorted(langs, reverse=True):
+        pred = F.when(F.col(f"__s_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return scored.select(
         F.col(id_col),
         pred.alias("predicted_lang"),
         F.round(best, 6).alias("lang_score"),
@@ -70,27 +86,49 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
           + 0.2·min(stopword_ratio·5, 1)        (function words present)
           + 0.1·(1 - min(punct_ratio·10, 1))    (not symbol soup)
     """
+    # stage tokenization once (see language_id: interpreted HOFs re-run
+    # per reference without staging), then derive every ratio from columns
     t = F.col(text_col)
-    toks = ws_tokens(F.lower(t))
-    n_tokens = F.size(toks)
-    mean_wl = F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / F.greatest(
-        n_tokens, F.lit(1)
+    staged = df.select(
+        F.col(id_col),
+        t.alias("__t"),
+        ws_tokens(F.lower(t)).alias("__toks"),
     )
-    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS_EN))).cast(
-        "double"
-    ) / F.greatest(n_tokens, F.lit(1))
-    punct_ratio = (
-        F.length(t) - F.length(F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""))
-    ).cast("double") / F.greatest(F.length(t), F.lit(1))
+    tt = F.col("__t")
+    toks = F.col("__toks")
+    ratios = staged.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        (
+            F.length(F.regexp_replace(tt, r"\s+", "")).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("__mean_wl"),
+        (
+            F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS_EN))).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("__stop_ratio"),
+        (
+            (F.length(tt) - F.length(F.regexp_replace(tt, r"[^A-Za-z0-9\s]", ""))).cast(
+                "double"
+            )
+            / F.greatest(F.length(tt), F.lit(1))
+        ).alias("__punct_ratio"),
+    )
+    mean_wl, stop_ratio, punct_ratio = (
+        F.col("__mean_wl"),
+        F.col("__stop_ratio"),
+        F.col("__punct_ratio"),
+    )
+    n_tokens = F.col("n_tokens")
     score = (
         F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.4
         + (1.0 - F.least(F.abs(mean_wl - 5.0) / 5.0, F.lit(1.0))) * 0.3
         + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2
         + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.1
     )
-    return df.select(
+    return ratios.select(
         F.col(id_col),
-        n_tokens.alias("n_tokens"),
+        n_tokens,
         F.round(mean_wl, 6).alias("mean_word_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
