@@ -179,7 +179,11 @@ class Graph:
 
     @staticmethod
     def _large_star(e: DataFrame) -> DataFrame:
-        """large-star(u): connect every neighbor v > u to m = min(Γ(u)∪{u})."""
+        """large-star(u): connect every neighbor v > u to m = min(Γ(u)∪{u}).
+
+        No dedup here: min-aggregates are duplicate-insensitive and the
+        following small-star round dedups once after orienting — a dedup
+        per phase was measured as two wasted shuffles per alternation."""
         nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = nbrs.groupBy("u").agg(F.min("v").alias("__mn"))
         return (
@@ -189,7 +193,6 @@ class Graph:
                 F.col("v").alias("u"), F.least(F.col("__mn"), F.col("u")).alias("v")
             )
             .filter(F.col("u") != F.col("v"))
-            .dropDuplicates()
             # lazy checkpoint: truncates lineage when small-star's round
             # materializes — no extra job of its own
             .localCheckpoint(eager=False)
@@ -198,7 +201,8 @@ class Graph:
     @staticmethod
     def _small_star(e: DataFrame) -> DataFrame:
         """small-star(u): orient edges big→small; connect every smaller
-        neighbor (and u) to the minimum neighbor."""
+        neighbor (and u) to the minimum neighbor. The single dedup per
+        alternation lives here (post-orient), bounding edge growth."""
         ed = (
             e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
             .filter(F.col("u") != F.col("v"))
@@ -214,8 +218,12 @@ class Graph:
         return (
             rewired.unionByName(center)
             .filter(F.col("u") != F.col("v"))
-            .dropDuplicates()
-            .localCheckpoint(eager=True)
+            # no output dedup: the next round's orient step dedups once;
+            # the convergence signature is over a deterministic multiset,
+            # so consecutive-equality detection is unaffected
+            # lazy checkpoint: the per-round signature aggregate is the
+            # one job that materializes (and caches) this round's edges
+            .localCheckpoint(eager=False)
         )
 
     def _cc_label_prop(self, max_iter: int = 50) -> DataFrame:

@@ -544,7 +544,10 @@ def embedding_duplicate_pairs(
     centroids, assignments = build_ivf_index(
         unit, n_cells=n_cells, vec_col="__u", id_col="__id", refine_iters=0
     )
-    members = unit.join(assignments, "__id")
+    # persisted: scanned three times (radii + both sides of the pair
+    # join); without this the Arrow assignment UDF and unit-normalization
+    # re-run per scan (measured 3-4x the pair-join cost at sf0.1)
+    members = unit.join(assignments, "__id").persist()
     cdist = F.sqrt(
         F.aggregate(
             F.zip_with(F.col("__u"), F.col("cvec"), lambda x, c: (x - c) * (x - c)),
@@ -580,10 +583,14 @@ def embedding_duplicate_pairs(
         F.col("__v").alias("__vb"),
         F.col("__n").alias("__nb"),
     )
+    # the blocking column is a JOIN key alongside the cell id — as a
+    # post-join filter the cell join would materialize every cross-block
+    # pair first (measured 67s vs ~3s at sf0.1 with 10 labels)
+    left = a.join(F.broadcast(cp), "__ca")
     pairs = (
-        a.join(F.broadcast(cp), "__ca")
-        .join(b, "__cb")
-        .filter((F.col("__ba") == F.col("__bb")) & (F.col("id_a") < F.col("id_b")))
+        left.join(b, [left["__cb"] == b["__cb"], left["__ba"] == b["__bb"]])
+        .drop(b["__cb"])
+        .filter(F.col("id_a") < F.col("id_b"))
     )
     cos = cosine_similarity(
         F.col("__va"), F.col("__vb"), norm_a=F.col("__na"), norm_b=F.col("__nb")
