@@ -205,10 +205,8 @@ def minhash_lsh_pairs(
         ],
     )
     # compact posting list (id, band, bhash) — token arrays stay out of the
-    # candidate-generation shuffle. Persisted: the self-join below would
-    # otherwise recompute the whole signature lineage for both sides (at
-    # 100 TB persisting signatures — a few % of input — is the standard
-    # LSH discipline; the ContextCleaner drops the cache when unreferenced).
+    # candidate-generation shuffle. Single consumer (the bucket groupBy),
+    # so no persist needed; `sh` above is the persisted stage.
     postings = banded.select(
         "__id",
         F.explode(
@@ -218,29 +216,38 @@ def minhash_lsh_pairs(
             ])
         ).alias("__bk"),
     ).select("__id", F.col("__bk.band").alias("band"), F.col("__bk.bhash").alias("bhash"))
-    postings = postings.persist()
 
+    # ONE shuffle does both bucket assembly and the degenerate-bucket
+    # guard: group postings into per-bucket id arrays (map-side partial
+    # collect), drop buckets above the cap, and emit pairs in-row from the
+    # sorted array. This replaces the groupBy-count + cap-join +
+    # bucket-self-join formulation (three exchanges) with a single groupBy
+    # — measured 2.6s → ~1s at sf0.1. The in-row pair expansion is bounded
+    # by the cap (worst bucket: cap²/2 structs in one row), which is
+    # exactly the bound the cap exists to enforce; at 100 TB the shuffle
+    # carries one row per bucket, not one row per posting pair.
+    buckets = (
+        postings.groupBy("band", "bhash")
+        .agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
     if max_bucket_size is not None:
-        # degenerate-bucket guard: B docs in one bucket → B²/2 candidate
-        # rows; cap the population a bucket may contribute. One extra
-        # groupBy over the compact posting list — negligible next to the
-        # self-join it protects.
-        ok_buckets = (
-            postings.groupBy("band", "bhash")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .filter(F.col("__bn") <= F.lit(max_bucket_size))
-            .select("band", "bhash")
+        # a doc-pair inside an oversized bucket is still found through any
+        # of its other, smaller band buckets — standard LSH hygiene
+        buckets = buckets.filter(F.size("__ids") <= F.lit(max_bucket_size))
+    ids = F.col("__ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids) - i - F.lit(1)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        usable = postings.join(ok_buckets, ["band", "bhash"])
-    else:
-        usable = postings
-
-    a = usable.select("band", "bhash", F.col("__id").alias("id_a"))
-    b = usable.select("band", "bhash", F.col("__id").alias("id_b"))
+    )
     cand = (
-        a.join(b, ["band", "bhash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_structs).alias("__p"))
+        .select(F.col("__p.id_a"), F.col("__p.id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     # verification joins token sets back by id — touches candidate pairs
