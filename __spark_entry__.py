@@ -365,6 +365,25 @@ def _event_sessionize(spark, sf_dir):
     return out.withColumn("session_start", F.date_trunc("second", F.col("session_start")))
 
 
+def _event_first_seen(spark, sf_dir):
+    """Batch formulation of the streaming first-seen dedup operator
+    (streaming.first_seen_stream is the applyInPandasWithState version;
+    the static path is oracle-checkable and semantically identical —
+    tests/test_streaming_graph_deep.py proves stream==batch)."""
+    from orientdb_spark.streaming import first_seen
+
+    out = first_seen(
+        _engine(spark, sf_dir).table("events"), key_cols=("user_id", "event_type")
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_trunc("second", F.col("ts")).alias("first_ts"),
+        F.round("value", 4).alias("value"),
+    )
+
+
 def _docs(spark, sf_dir):
     return _engine(spark, sf_dir).table("documents")
 
@@ -422,7 +441,12 @@ def _sim_lsh(spark, sf_dir):
     from orientdb_spark.pipeline import similarity
 
     embs = _embs(spark, sf_dir)
-    return similarity.lsh_topk(embs, embs.filter(F.col("vec_id") < 10), k=5)
+    # planes sized for the fixture corpus (~2^planes·30 vectors); nprobe=4
+    # multi-probes the 3 lowest-margin bit flips (recall 0.14 → 0.32 at
+    # sf0.01 vs single-probe, measured vs brute force)
+    return similarity.lsh_topk(
+        embs, embs.filter(F.col("vec_id") < 10), k=5, planes=5, nprobe=4
+    )
 
 
 def _sim_ivf(spark, sf_dir):
@@ -856,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_agg": _event_window_agg,
         "event_sessionize": _event_sessionize,
         "event_session_window": _event_session_window,
+        "event_first_seen": _event_first_seen,
         # pipeline: dedup
         "dedup_exact": _dedup_exact,
         "dedup_fingerprint": _dedup_fingerprint,
@@ -1333,6 +1358,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, "
             "count(*) AS n_events, round(sum(value), 4) AS total_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "event_first_seen": (
+            "SELECT event_id, user_id, event_type, "
+            "date_trunc('second', ts) AS first_ts, round(value, 4) AS value "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1"
         ),
         "event_sessionize": (
             "WITH g AS (SELECT user_id, ts, value, "

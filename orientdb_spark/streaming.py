@@ -116,6 +116,142 @@ def sessionize_stream(
     )
 
 
+def _duration_ms(spec: str) -> int:
+    """'24 hours' → milliseconds (the interval grammar subset the
+    streaming helpers accept)."""
+    qty, unit = spec.split()
+    return int(qty) * {
+        "second": 1000, "seconds": 1000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+        "day": 86_400_000, "days": 86_400_000,
+    }[unit]
+
+
+def first_seen(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First event per key — the batch formulation of streaming
+    first-seen dedup (keep the earliest record, drop every later
+    occurrence of the key). One shuffle on the key; row_number instead of
+    a min-join so ties and payload columns come along in one pass."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def first_seen_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    state_ttl: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming first-seen dedup as a CUSTOM STATEFUL OPERATOR
+    (``applyInPandasWithState``): per-key GroupState holds one boolean —
+    "seen" — and the first batch that brings a key emits its earliest row
+    (by ``ts_col, tiebreak_col``); later batches emit nothing for that
+    key. With ``state_ttl`` (e.g. '24 hours') state expires by event time
+    once the watermark passes first_ts + ttl, after which the key is
+    admitted again — bounded-state dedup, the shape a 100 TB ingest
+    pipeline needs (unbounded exact dedup state would grow with the key
+    universe; TTL makes state size track the active-key window instead).
+
+    Spark's built-in ``dropDuplicates`` covers plain streaming dedup; this
+    operator exists for the custom-state semantics (earliest-row payload
+    emission + TTL re-admission) and as the package's
+    ``applyInPandasWithState`` pattern: Arrow-batched per-key groups, an
+    explicit state schema, and event-time timeouts.
+
+    Batch/stream agnostic: on a static frame it falls back to
+    ``first_seen`` (no TTL) or an ``applyInPandas`` grouped map running
+    the same TTL-window loop (identical output to a single-batch
+    stream)."""
+    import pandas as pd
+
+    if not events.isStreaming:
+        if state_ttl is None:
+            return first_seen(events, key_cols, ts_col, tiebreak_col)
+        ttl_ms_b = _duration_ms(state_ttl)
+        schema = events.schema
+        cols = [f.name for f in schema.fields]
+
+        def batch_windows(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values([ts_col, tiebreak_col])
+            deadline, keep = None, []
+            for idx, row in pdf.iterrows():
+                ts_ms = int(pd.Timestamp(row[ts_col]).value // 1_000_000)
+                if deadline is None or ts_ms > deadline:
+                    keep.append(idx)
+                    deadline = ts_ms + ttl_ms_b
+            return pdf.loc[keep, cols]
+
+        return events.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(
+            batch_windows, schema
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_fields = events.schema.fields
+    out_schema = events.schema
+    col_order = [f.name for f in out_fields]
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if state_ttl is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    ttl_ms = _duration_ms(state_ttl) if state_ttl is not None else None
+
+    FOREVER_MS = 1 << 62
+
+    def dedup(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # TTL deadline passed the watermark — drop the state; a later
+            # occurrence of the key starts a fresh first-seen window
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs)).sort_values([ts_col, tiebreak_col])
+        (deadline,) = state.get if state.exists else (None,)
+        emit_idx = []
+        for idx, row in rows.iterrows():
+            ts_ms = int(pd.Timestamp(row[ts_col]).value // 1_000_000)
+            if deadline is None or ts_ms > deadline:
+                # first occurrence in this TTL window → emit + open window
+                emit_idx.append(idx)
+                deadline = ts_ms + ttl_ms if ttl_ms is not None else FOREVER_MS
+            # else: duplicate inside the window → suppress
+        state.update((deadline,))
+        if ttl_ms is not None:
+            # schedule state cleanup; the timestamp must sit beyond the
+            # current watermark or Spark rejects it (late-data edge)
+            state.setTimeoutTimestamp(
+                max(deadline, state.getCurrentWatermarkMs() + 1)
+            )
+        if emit_idx:
+            yield rows.loc[emit_idx, col_order]
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*[F.col(c) for c in key_cols])
+        .applyInPandasWithState(
+            dedup,
+            outputStructType=out_schema,
+            stateStructType="deadline bigint",
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )
+
+
 def stream_to_batches(stream_df: DataFrame, batch_fn, **options):
     """foreachBatch sink — the push-based listener surface for streams
     (the reference's per-record listener, batched)."""

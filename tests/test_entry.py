@@ -51,6 +51,20 @@ def test_lsh_recall_vs_bruteforce(spark):
     # every LSH result is a real vector pair; recall is data-dependent but
     # must be nonzero on this corpus
     assert len(exact & approx) > 0
+    # multi-probe (own bucket + lowest-margin flips) must not lose recall
+    # vs single-probe — deterministic on the fixture (hash-derived planes)
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline import similarity as _sim
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _sim.lsh_topk(
+            embs, embs.filter(F.col("vec_id") < 10), k=5, planes=5, nprobe=1
+        ).collect()
+    }
+    assert len(exact & approx) >= len(exact & single)
 
 
 def test_ivf_recall_vs_bruteforce(spark):

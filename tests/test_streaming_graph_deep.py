@@ -143,3 +143,89 @@ def test_graph_crud_link_unlink_neighbors(spark):
     g3 = g2.unlink("a", "b")
     assert g3.in_degrees().filter(F.col("vid") == "b").count() == 0
     assert g3.out_edges("a").count() == 1
+
+
+def test_first_seen_stream_matches_batch(spark):
+    """applyInPandasWithState first-seen dedup: the streaming stateful
+    operator must agree with the batch row_number formulation when the
+    whole input arrives (availableNow)."""
+    from orientdb_spark.streaming import first_seen, first_seen_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    src_dir = tempfile.mkdtemp(prefix="ospark_fs_src_")
+    ckpt = tempfile.mkdtemp(prefix="ospark_fs_ckpt_")
+    try:
+        events.write.mode("overwrite").parquet(src_dir)
+        stream = read_event_stream(spark, src_dir)
+        dedup = first_seen_stream(stream, key_cols=("user_id", "event_type"))
+        assert dedup.isStreaming
+        q = (
+            dedup.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("first_seen_rows")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from first_seen_rows")
+        batch = first_seen(events, key_cols=("user_id", "event_type"))
+        assert got.count() == batch.count()
+        cols = [c for c in batch.columns]
+        assert got.select(cols).exceptAll(batch.select(cols)).count() == 0
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_first_seen_ttl_readmits_by_event_time(spark):
+    """With state_ttl, a key re-emits once the gap from the window-opening
+    event exceeds the TTL — multiple windows inside one batch included."""
+    import datetime as dt
+
+    from orientdb_spark.streaming import first_seen_stream
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # key (1, 'click'): emits at 00:00, suppressed at 00:30, re-emits
+        # at 03:00 (ttl 1h), suppressed at 03:30
+        (100, t0, 1, "click", 1.0, None),
+        (101, t0 + dt.timedelta(minutes=30), 1, "click", 2.0, None),
+        (102, t0 + dt.timedelta(hours=3), 1, "click", 3.0, None),
+        (103, t0 + dt.timedelta(hours=3, minutes=30), 1, "click", 4.0, None),
+        # key (2, 'view'): single event
+        (200, t0, 2, "view", 9.0, None),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    got = first_seen_stream(events, state_ttl="1 hour")  # batch TTL path
+    ids = sorted(r["event_id"] for r in got.collect())
+    assert ids == [100, 102, 200]
+
+    # streaming path, one batch through the file source
+    src_dir = tempfile.mkdtemp(prefix="ospark_ttl_src_")
+    ckpt = tempfile.mkdtemp(prefix="ospark_ttl_ckpt_")
+    try:
+        events.write.mode("overwrite").parquet(src_dir)
+        stream = read_event_stream(spark, src_dir)
+        q = (
+            first_seen_stream(stream, state_ttl="1 hour")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ttl_rows")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        sids = sorted(
+            r["event_id"] for r in spark.sql("select * from ttl_rows").collect()
+        )
+        assert sids == [100, 102, 200]
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
