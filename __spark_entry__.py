@@ -488,6 +488,20 @@ def _multimodal_fake_decode(spark, sf_dir):
     return multimodal.fake_decode_features(docs)
 
 
+def _multimodal_resize(spark, sf_dir):
+    from orientdb_spark.pipeline import multimodal
+
+    docs = multimodal.with_binary_payload(_docs(spark, sf_dir))
+    return multimodal.resize_images(docs, width=4, height=4)
+
+
+def _multimodal_frame_sample(spark, sf_dir):
+    from orientdb_spark.pipeline import multimodal
+
+    docs = multimodal.with_binary_payload(_docs(spark, sf_dir))
+    return multimodal.sample_frames(docs, frame_bytes=64, every=4)
+
+
 def _events_map_engine(spark, sf_dir):
     """events with props parsed into a real MapType column (EMBEDDEDMAP)."""
     eng = _fresh_engine(spark, sf_dir)
@@ -899,6 +913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline: multimodal
         "multimodal_binary_features": _multimodal_features,
         "multimodal_fake_decode": _multimodal_fake_decode,
+        "multimodal_resize": _multimodal_resize,
+        "multimodal_frame_sample": _multimodal_frame_sample,
     }
 
 

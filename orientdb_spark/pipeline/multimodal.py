@@ -94,3 +94,111 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Testdata helper: materialize a binary column from text (the driver
     tables carry no real media payloads)."""
     return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+    width: int = 8,
+    height: int = 8,
+) -> DataFrame:
+    """Resize stage — deterministic fake resample (no codecs in this
+    container): the payload's bytes are treated as a 1-D grayscale strip
+    and average-pooled into a fixed ``width × height`` grid. A real
+    implementation swaps the pooling loop for PIL/libvips ``resize`` —
+    the Spark plumbing (Arrow ``mapInPandas``, fixed output schema, 1:1
+    row mapping, narrow stage / no shuffle) is exactly what production
+    runs. Output pixel grid is typed metadata a downstream model reads."""
+    cells = width * height
+
+    def pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf[binary_col]:
+                data = bytes(b)
+                n = len(data)
+                if n == 0:
+                    out.append([0] * cells)
+                    continue
+                # average-pool: cell i covers bytes [i*n/cells, (i+1)*n/cells)
+                px = []
+                for i in range(cells):
+                    lo = i * n // cells
+                    hi = max((i + 1) * n // cells, lo + 1)
+                    seg = data[lo:min(hi, n)] or data[-1:]
+                    px.append(sum(seg) // len(seg))
+                out.append(px)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "pixels": out,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(pool, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_ts", T.DoubleType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_bytes: int = 64,
+    every: int = 4,
+    fps: float = 30.0,
+) -> DataFrame:
+    """Frame-sampling stage — the 1→N fan-out plumbing of video decode:
+    each payload is chunked into fixed-size ``frame_bytes`` "frames"
+    (the codec-free stand-in for demuxed video frames), and every
+    ``every``-th frame is emitted as its own row with a typed
+    ``frame_ts`` (frame_index / fps). A real implementation replaces the
+    chunker with pyav/ffmpeg demux; the fan-out batch shape — one input
+    row yields a variable number of output rows from the same
+    ``mapInPandas`` iterator, no shuffle, no explode of a materialized
+    array — is the production pattern (frames never all materialize in
+    one row's memory, which matters when a 4 GB video yields 100k
+    frames)."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, payloads = [], [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf[binary_col]):
+                data = bytes(b)
+                n_frames = (len(data) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, every):
+                    ids.append(int(doc_id))
+                    idxs.append(fi)
+                    tss.append(fi / fps)
+                    payloads.append(data[fi * frame_bytes:(fi + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "frame_ts": pd.Series(tss, dtype="float64"),
+                    "frame": payloads,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(frames, FRAME_SCHEMA)

@@ -1,0 +1,84 @@
+"""Multimodal plumbing: binary columns through Arrow mapInPandas stages.
+
+The decode step is a documented stub (no codecs in the container); these
+tests pin the REAL parts — schemas, 1:1 and 1→N batch shapes, and
+deterministic fake transforms — so swapping a real codec in changes only
+the per-item function body.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from orientdb_spark.pipeline import multimodal
+
+
+@pytest.fixture(scope="module")
+def payload_df(spark):
+    rows = [
+        (1, "hello world"),
+        (2, "a" * 300),  # 300 bytes → 5 frames of 64
+        (3, ""),  # empty payload edge
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return multimodal.with_binary_payload(df)
+
+
+def test_decode_image_is_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_binary_features_digest(payload_df):
+    out = {r["doc_id"]: r for r in multimodal.binary_features(payload_df).collect()}
+    assert out[1]["n_bytes"] == len(b"hello world")
+    assert out[1]["digest"] == hashlib.md5(b"hello world").hexdigest()
+    assert out[3]["n_bytes"] == 0
+
+
+def test_resize_pools_to_fixed_grid(payload_df):
+    out = {r["doc_id"]: r for r in multimodal.resize_images(payload_df, width=2, height=2).collect()}
+    # fixed grid regardless of payload size — the contract a model reads
+    for r in out.values():
+        assert (r["width"], r["height"], len(r["pixels"])) == (2, 2, 4)
+    # constant input → constant pooled value
+    assert out[2]["pixels"] == [ord("a")] * 4
+    # empty payload → zero grid, not an error
+    assert out[3]["pixels"] == [0, 0, 0, 0]
+    # pooling is the mean of each byte segment
+    data = b"hello world"
+    n, cells = len(data), 4
+    expect = []
+    for i in range(cells):
+        lo, hi = i * n // cells, max((i + 1) * n // cells, i * n // cells + 1)
+        seg = data[lo:min(hi, n)] or data[-1:]
+        expect.append(sum(seg) // len(seg))
+    assert out[1]["pixels"] == expect
+
+
+def test_sample_frames_fanout(payload_df):
+    out = multimodal.sample_frames(payload_df, frame_bytes=64, every=2, fps=30.0)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 2: 300 bytes → frames 0..4, every 2nd → indices 0, 2, 4
+    idx2 = sorted(r["frame_index"] for r in by_doc[2])
+    assert idx2 == [0, 2, 4]
+    # typed frame timestamps: frame_index / fps
+    ts = {r["frame_index"]: r["frame_ts"] for r in by_doc[2]}
+    assert ts[2] == pytest.approx(2 / 30.0)
+    # frame payloads are the byte chunks; the tail frame is short
+    f4 = next(r for r in by_doc[2] if r["frame_index"] == 4)
+    assert bytes(f4["frame"]) == b"a" * (300 - 4 * 64)
+    # doc 1 (11 bytes): one frame, whole payload
+    assert bytes(by_doc[1][0]["frame"]) == b"hello world"
+    # empty payload → no frames, not a crash
+    assert 3 not in by_doc
+
+
+def test_frame_sample_schema(payload_df):
+    out = multimodal.sample_frames(payload_df)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "frame_index", "frame_ts", "frame"]
+    assert out.schema["frame"].dataType.typeName() == "binary"
