@@ -474,6 +474,21 @@ def _text_tokens(spark, sf_dir):
     return text.token_stats(_docs(spark, sf_dir))
 
 
+def _text_winnow(spark, sf_dir):
+    """Per-doc digest over the winnowing fingerprint set (count/min/max/
+    modular sum) — compact for the driver compare while still sensitive
+    to any fingerprint-level discrepancy."""
+    from orientdb_spark.pipeline import text
+
+    fps = text.winnow_fingerprints(_docs(spark, sf_dir), k=5, window=4)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.min("fingerprint").alias("min_fp"),
+        F.max("fingerprint").alias("max_fp"),
+        F.sum(F.col("fingerprint") % F.lit(1_000_000_007)).alias("sum_fp"),
+    )
+
+
 def _multimodal_features(spark, sf_dir):
     from orientdb_spark.pipeline import multimodal
 
@@ -910,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": _text_langid,
         "text_quality_score": _text_quality,
         "text_token_stats": _text_tokens,
+        "text_winnow_fingerprint": _text_winnow,
         # pipeline: multimodal
         "multimodal_binary_features": _multimodal_features,
         "multimodal_fake_decode": _multimodal_fake_decode,
@@ -1446,6 +1462,21 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_binary_features": (
             "SELECT doc_id, strlen(text)::INTEGER AS n_bytes, md5(text) AS digest "
             "FROM documents"
+        ),
+        "text_winnow_fingerprint": (
+            # mirrors pipeline/text.winnow_fingerprints(k=5, window=4):
+            # char-5-gram h60 hashes of normalized text, min per sliding
+            # window of 4, distinct — digested per doc
+            f"WITH nrm AS (SELECT doc_id, {_NORM_TEXT} AS t FROM documents), "
+            "g AS (SELECT doc_id, list_transform(range(1, length(t) - 5 + 2), "
+            f"i -> {_dk_h60('substring(t, i::INTEGER, 5)')}) AS hs "
+            "FROM nrm WHERE length(t) >= 5), "
+            "w AS (SELECT doc_id, list_distinct(list_transform("
+            "range(1, greatest(len(hs) - 4 + 2, 2)), "
+            "j -> list_min(hs[j::INTEGER:j::INTEGER+3]))) AS fps FROM g) "
+            "SELECT doc_id, len(fps)::BIGINT AS n_fp, list_min(fps) AS min_fp, "
+            "list_max(fps) AS max_fp, "
+            "list_sum(list_transform(fps, x -> x % 1000000007))::BIGINT AS sum_fp FROM w"
         ),
         # no-oracle entries (approximate / stub): approx_distinct_parts,
         # sim_topk_lsh, graph_pagerank, multimodal_fake_decode
