@@ -281,20 +281,28 @@ class Graph:
             .persist()
         )
         vids = self.vertices.select("vid").persist()
+        # zero-message carrier: unioned into every round's aggregation so
+        # dangling vertices (no in-edges) survive with msg=0 WITHOUT a
+        # second join per iteration — one exchange per round (the message
+        # groupBy) instead of two (groupBy + vids left-join). The union is
+        # narrow; sum() absorbs the zeros.
+        zeros = vids.withColumn("contrib", F.lit(0.0))
         ranks = vids.withColumn("rank", F.lit(1.0 / n))
         for i in range(iterations):
-            contribs = (
-                ranks.join(adj, ranks["vid"] == adj["src"])
-                .select(F.col("dst").alias("vid"), (F.col("rank") * F.col("w")).alias("contrib"))
+            msgs = ranks.join(adj, ranks["vid"] == adj["src"]).select(
+                F.col("dst").alias("vid"), (F.col("rank") * F.col("w")).alias("contrib")
+            )
+            ranks = (
+                msgs.unionByName(zeros)
                 .groupBy("vid")
                 .agg(F.sum("contrib").alias("msg"))
-            )
-            ranks = vids.join(contribs, "vid", "left").select(
-                "vid",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))
-                ).alias("rank"),
+                .select(
+                    "vid",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping) * F.col("msg")
+                    ).alias("rank"),
+                )
             )
             if i % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1 or i == iterations - 1:
                 ranks = ranks.localCheckpoint(eager=True)
