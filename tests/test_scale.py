@@ -66,3 +66,44 @@ def test_key_partitioned_point_lookup_prunes(spark):
     # the partition filter reached the scan: only the matching __kp
     # directory is read
     assert "PartitionFilters: [" in plan and "__kp" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_link_nav_big_target_not_forced_broadcast(spark):
+    """VERDICT r1 item 3: a link navigation to a fact-sized target class
+    must not force a broadcast hint — strategy belongs to AQE /
+    autoBroadcastJoinThreshold (expressions.py _ensure_link_join). With
+    the threshold dropped to 1KB a forced F.broadcast would still appear
+    as BroadcastHashJoin; the unforced plan falls back to sort-merge."""
+    from orientdb_spark import Engine
+
+    eng = Engine(spark)
+    eng.register_parquet_dir(SF_DIR)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "1KB")
+        df = eng.sql("select l_orderkey.o_orderdate from lineitem where l_linenumber = 1")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+
+
+def test_tpch_q6_filters_pushed_to_scan(spark):
+    """The q6 shape must reach the parquet scan as PushedFilters with a
+    pruned ReadSchema — the free wins of declaring the plan (brief:
+    'a scan that reads all columns for a 2-column projection is wrong')."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["tpch_q6_forecast"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate, not an empty list
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "no filters pushed to the parquet scan"
+    # column pruning: the scan schema must not include every lineitem column
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_comment" not in read_schema
