@@ -146,7 +146,9 @@ class Graph:
         e = (
             self.edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .dropDuplicates()
+            # no input dedup: round 0's large-star is min-over-partition
+            # (duplicate-insensitive) and small-star dedups at orient time
+            # — the init dropDuplicates was one full wasted shuffle
             .localCheckpoint(eager=True)
         )
         self.last_cc_iterations = 0
