@@ -474,6 +474,19 @@ def _text_tokens(spark, sf_dir):
     return text.token_stats(_docs(spark, sf_dir))
 
 
+def _dedup_decontaminate(spark, sf_dir):
+    """Winnow-based benchmark decontamination: docs with doc_id % 10 == 0
+    play the eval/reference set; the returned rows are the training docs
+    that share < 2 winnowing fingerprints with it."""
+    from orientdb_spark.pipeline import dedup
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    refset = docs.filter(F.col("doc_id") % 10 == 0)
+    clean = dedup.decontaminate(train, refset, method="winnow", min_shared=2)
+    return clean.select("doc_id", "lang", "source")
+
+
 def _text_winnow(spark, sf_dir):
     """Per-doc digest over the winnowing fingerprint set (count/min/max/
     modular sum) — compact for the driver compare while still sensitive
@@ -914,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_fingerprint": _dedup_fingerprint,
         "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_decontaminate": _dedup_decontaminate,
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_embedding_cosine": _dedup_embedding,
@@ -1462,6 +1476,22 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_binary_features": (
             "SELECT doc_id, strlen(text)::INTEGER AS n_bytes, md5(text) AS digest "
             "FROM documents"
+        ),
+        "dedup_decontaminate": (
+            # mirrors pipeline/dedup.decontaminate(method='winnow',
+            # min_shared=2, k=5, window=4) with refset = doc_id % 10 == 0
+            f"WITH nrm AS (SELECT doc_id, {_NORM_TEXT} AS t FROM documents), "
+            "g AS (SELECT doc_id, list_transform(range(1, length(t) - 5 + 2), "
+            f"i -> {_dk_h60('substring(t, i::INTEGER, 5)')}) AS hs "
+            "FROM nrm WHERE length(t) >= 5), "
+            "fps AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "range(1, greatest(len(hs) - 4 + 2, 2)), "
+            "j -> list_min(hs[j::INTEGER:j::INTEGER+3])))) AS fp FROM g), "
+            "ref AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 = 0), "
+            "bad AS (SELECT f.doc_id FROM fps f JOIN ref USING (fp) "
+            "WHERE f.doc_id % 10 != 0 GROUP BY f.doc_id HAVING count(*) >= 2) "
+            "SELECT d.doc_id, d.lang, d.source FROM documents d "
+            "WHERE d.doc_id % 10 != 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)"
         ),
         "text_winnow_fingerprint": (
             # mirrors pipeline/text.winnow_fingerprints(k=5, window=4):

@@ -607,3 +607,60 @@ def embedding_duplicate_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    refset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "winnow",
+    min_shared: int = 2,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: drop training documents whose content
+    overlaps a reference set (eval/benchmark corpus) — the step every
+    training-data pipeline runs before a model sees the corpus.
+
+    ``method="exact"``: a train doc is contaminated when its normalized-
+    text md5 appears in the reference set (whole-document containment).
+    ``method="winnow"`` (default): contamination = sharing at least
+    ``min_shared`` winnowing fingerprints (pipeline/text.winnow_
+    fingerprints) — catches PARTIAL containment (an eval question pasted
+    inside a long web page), which whole-doc hashing cannot; the
+    winnowing guarantee bounds the blind spot to shared substrings
+    shorter than window + k − 1 normalized chars.
+
+    Returns the clean subset of ``train`` (original columns).
+
+    Scale: both methods are fingerprint-equality joins — the reference
+    set is typically tiny (benchmarks, ~10⁵ docs) so its fingerprint
+    table broadcasts; the train side is one scan + one narrow anti-join.
+    Never a pairwise similarity pass over train × ref.
+    """
+    from orientdb_spark.pipeline.text import winnow_fingerprints
+
+    if method == "exact":
+        ref_fp = refset.select(
+            F.md5(normalize_text(F.col(text_col))).alias("__fp")
+        ).dropDuplicates()
+        keyed = train.withColumn("__fp", F.md5(normalize_text(F.col(text_col))))
+        return keyed.join(ref_fp, "__fp", "left_anti").drop("__fp")
+    if method != "winnow":
+        raise ValueError(f"unknown decontamination method: {method!r}")
+
+    tr_fp = winnow_fingerprints(train, text_col, id_col, k=k, window=window)
+    ref_fp = (
+        winnow_fingerprints(refset, text_col, id_col, k=k, window=window)
+        .select("fingerprint")
+        .dropDuplicates()
+    )
+    contaminated = (
+        tr_fp.join(ref_fp, "fingerprint")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n_shared"))
+        .filter(F.col("__n_shared") >= min_shared)
+        .select(id_col)
+    )
+    return train.join(contaminated, id_col, "left_anti")

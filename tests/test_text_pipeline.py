@@ -66,3 +66,50 @@ def test_winnow_invariant_to_case_and_punct(spark):
         for r in fps.groupBy("doc_id").agg(F.sort_array(F.collect_list("fingerprint")).alias("s")).collect()
     }
     assert sets[1] == sets[2]
+
+
+def test_decontaminate_drops_partial_containment(spark):
+    """A train doc embedding an eval passage inside unrelated prose must
+    be dropped by the winnow method (whole-doc exact hashing would miss
+    it); clean docs survive."""
+    from orientdb_spark.pipeline import dedup
+
+    eval_q = "what is the capital of france and when was it founded exactly"
+    train = spark.createDataFrame(
+        [
+            (1, f"SOME WEB PAGE header… {eval_q} …footer text trailing on"),
+            (2, "an unrelated document about spark shuffle partitions"),
+            (3, eval_q),  # verbatim copy
+        ],
+        "doc_id bigint, text string",
+    )
+    ref = spark.createDataFrame([(100, eval_q)], "doc_id bigint, text string")
+
+    clean_w = {r["doc_id"] for r in dedup.decontaminate(train, ref, method="winnow").collect()}
+    assert clean_w == {2}
+
+    # exact method only catches the verbatim copy
+    clean_e = {r["doc_id"] for r in dedup.decontaminate(train, ref, method="exact").collect()}
+    assert clean_e == {1, 2}
+
+    # schema passthrough: original train columns survive
+    out = dedup.decontaminate(train, ref, method="winnow")
+    assert out.columns == train.columns
+
+
+def test_decontaminate_min_shared_threshold(spark):
+    """min_shared tunes sensitivity: a stray single shared fingerprint
+    (common short phrase) is not contamination at min_shared=2."""
+    from orientdb_spark.pipeline import dedup
+
+    train = spark.createDataFrame(
+        [(1, "the report said results were great and the team agreed")],
+        "doc_id bigint, text string",
+    )
+    ref = spark.createDataFrame(
+        [(100, "completely different subject but the report said otherwise")],
+        "doc_id bigint, text string",
+    )
+    strict = dedup.decontaminate(train, ref, method="winnow", min_shared=1)
+    lenient = dedup.decontaminate(train, ref, method="winnow", min_shared=4)
+    assert strict.count() <= lenient.count()
