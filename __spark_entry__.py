@@ -477,13 +477,17 @@ def _text_tokens(spark, sf_dir):
 def _dedup_decontaminate(spark, sf_dir):
     """Winnow-based benchmark decontamination: docs with doc_id % 10 == 0
     play the eval/reference set; the returned rows are the training docs
-    that share < 2 winnowing fingerprints with it."""
+    sharing < 100 winnowing fingerprints with it. The threshold sits near
+    the corpus median (~90) because the synthetic documents are template-
+    generated and heavily self-similar — a real web corpus uses small
+    min_shared; here the high cut keeps the result discriminative (a
+    0-row or all-row output would be a weak correctness signal)."""
     from orientdb_spark.pipeline import dedup
 
     docs = _docs(spark, sf_dir)
     train = docs.filter(F.col("doc_id") % 10 != 0)
     refset = docs.filter(F.col("doc_id") % 10 == 0)
-    clean = dedup.decontaminate(train, refset, method="winnow", min_shared=2)
+    clean = dedup.decontaminate(train, refset, method="winnow", min_shared=100)
     return clean.select("doc_id", "lang", "source")
 
 
@@ -1479,7 +1483,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_decontaminate": (
             # mirrors pipeline/dedup.decontaminate(method='winnow',
-            # min_shared=2, k=5, window=4) with refset = doc_id % 10 == 0
+            # min_shared=100, k=5, window=4) with refset = doc_id % 10 == 0
             f"WITH nrm AS (SELECT doc_id, {_NORM_TEXT} AS t FROM documents), "
             "g AS (SELECT doc_id, list_transform(range(1, length(t) - 5 + 2), "
             f"i -> {_dk_h60('substring(t, i::INTEGER, 5)')}) AS hs "
@@ -1489,7 +1493,7 @@ def oracle_sql() -> dict[str, str]:
             "j -> list_min(hs[j::INTEGER:j::INTEGER+3])))) AS fp FROM g), "
             "ref AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 = 0), "
             "bad AS (SELECT f.doc_id FROM fps f JOIN ref USING (fp) "
-            "WHERE f.doc_id % 10 != 0 GROUP BY f.doc_id HAVING count(*) >= 2) "
+            "WHERE f.doc_id % 10 != 0 GROUP BY f.doc_id HAVING count(*) >= 100) "
             "SELECT d.doc_id, d.lang, d.source FROM documents d "
             "WHERE d.doc_id % 10 != 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)"
         ),
