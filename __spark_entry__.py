@@ -474,6 +474,20 @@ def _text_tokens(spark, sf_dir):
     return text.token_stats(_docs(spark, sf_dir))
 
 
+def _dedup_bucket_audit(spark, sf_dir):
+    """LSH bucket-population audit (the companion to minhash_lsh_pairs'
+    max_bucket_size cap): top bucket sizes tell you what a cap would
+    drop. Digested as size→bucket-count histogram for a stable compare."""
+    from orientdb_spark.pipeline import dedup
+
+    sizes = dedup.minhash_bucket_sizes(_docs(spark, sf_dir))
+    return (
+        sizes.groupBy("n_docs")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy("n_docs")
+    )
+
+
 def _dedup_decontaminate(spark, sf_dir):
     """Winnow-based benchmark decontamination: docs with doc_id % 10 == 0
     play the eval/reference set; the returned rows are the training docs
@@ -932,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": _dedup_fingerprint,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_decontaminate": _dedup_decontaminate,
+        "dedup_bucket_audit": _dedup_bucket_audit,
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_embedding_cosine": _dedup_embedding,
@@ -974,6 +989,7 @@ def _minhash_oracle_sql(
     threshold: float = 0.9,
     shingle: int = 3,
     max_bucket_size: int = 2000,
+    stop_at_posts: bool = False,
 ) -> str:
     from orientdb_spark.pipeline.common import MINHASH_P, MINHASH_PARAMS
 
@@ -995,7 +1011,7 @@ def _minhash_oracle_sql(
         f"SELECT doc_id, {b} AS band, b_{b} AS bhash FROM band" for b in range(bands)
     )
     tok_hash = _dk_h60("x") + f" % {MINHASH_P}"
-    return f"""
+    prefix = f"""
 WITH t0 AS (SELECT doc_id, {_DK_TOKS_RAW} AS t FROM documents),
 toks AS (SELECT doc_id, list_sort(list_distinct(list_transform(
            range(1, greatest(len(t) - {shingle} + 2, 1)),
@@ -1004,7 +1020,14 @@ toks AS (SELECT doc_id, list_sort(list_distinct(list_transform(
 h AS (SELECT doc_id, list_transform(t, x -> {tok_hash}) AS hs FROM toks),
 sig AS (SELECT doc_id, {sigs} FROM h),
 band AS (SELECT doc_id, {band_exprs} FROM sig),
-posts0 AS ({posts}),
+posts0 AS ({posts})"""
+    if stop_at_posts:
+        return prefix + """
+SELECT n_docs, count(*)::BIGINT AS n_buckets FROM (
+  SELECT band, bhash, count(*)::BIGINT AS n_docs FROM posts0 GROUP BY band, bhash)
+GROUP BY n_docs ORDER BY n_docs
+"""
+    return prefix + f""",
 posts AS (SELECT * FROM posts0
           QUALIFY count(*) OVER (PARTITION BY band, bhash) <= {max_bucket_size}),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1447,6 +1470,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents"
         ),
         "dedup_minhash_lsh": _minhash_oracle_sql(),
+        "dedup_bucket_audit": _minhash_oracle_sql(stop_at_posts=True),
         "dedup_simhash": _simhash_oracle_sql(),
         "dedup_ngram_jaccard": _ngram_oracle_sql(),
         "dedup_embedding_cosine": (
