@@ -339,6 +339,14 @@ class Parser:
                             params.append(-int(nt.value))
                         elif pt.kind == PUNCT and pt.value == ",":
                             continue
+                        elif pt.kind == IDENT and pt.value.lower() == "any":
+                            # bare any() field spec = all fields, the
+                            # reference default (OQueryOperatorTraverse.
+                            # java:167 seeds fields with "any()"; test
+                            # SQLSelectTest.java:278 passes it explicitly)
+                            self.expect_punct("(")
+                            self.expect_punct(")")
+                            params.append("any()")
                         else:
                             self.error("Bad TRAVERSE parameter", pt)
                 self.expect_punct("(")

@@ -210,3 +210,24 @@ def test_create_link_inverse(spark):
     assert sum(per_region.values()) == 25
     prop = eng.catalog.get("inv_r").properties["nations"]
     assert prop.linked_class == "inv_n"
+
+
+def test_traverse_explicit_any_fields(spark):
+    # traverse(0,3,any()): explicit any() field spec equals the default
+    # (OQueryOperatorTraverse.java:167 seeds fields with "any()";
+    # SQLSelectTest.java:278 passes it explicitly)
+    eng = Engine(spark)
+    rows = [(i, i + 1 if i < 5 else None) for i in range(6)]
+    eng.register_dataframe(
+        "chain_any",
+        spark.createDataFrame(rows, "id long, next long"),
+        rid_pos=lambda d: F.col("id"),
+        links={"next": ("chain_any", "id")},
+    )
+    explicit = eng.query(
+        "select id from chain_any where any() traverse(0, 3, any()) (id = 5) order by id"
+    )
+    default = eng.query(
+        "select id from chain_any where any() traverse(0, 3) (id = 5) order by id"
+    )
+    assert [r["id"] for r in explicit] == [r["id"] for r in default] == [2, 3, 4, 5]
