@@ -148,12 +148,36 @@ class Parser:
                         expr = self.parse_expr()
                         alias = None
                         if self.accept_kw("as"):
-                            alias = self.expect_ident()
+                            at = self.peek()
+                            if at.kind == NUMBER:
+                                # numeric alias → field named "1"
+                                # (SQLSelectProjectionsTest.java:144-150:
+                                # `name.append('!') as 1` reads back via
+                                # d.field("1"))
+                                self.next()
+                                alias = str(int(at.value))
+                            else:
+                                alias = self.expect_ident()
                         projections.append(A.Projection(expr, alias))
                     if not self.accept_punct(","):
                         break
         self.expect_kw("from")
         target = self.parse_target()
+
+        # reference quirk: OCommandExecutorSQLSelect locates each clause by
+        # an uppercase indexOf scan (OCommandExecutorSQLSelect.java:112-116,
+        # :443), so any text between the target and the first recognized
+        # clause is silently ignored — SQLDeleteTest.java:46 runs
+        # `select from Profile set sex = 'male' where salary > 100` and
+        # expects the WHERE to apply as if the SET weren't there.
+        while True:
+            t = self.peek()
+            if t.kind == EOF or (
+                t.kind == IDENT
+                and t.is_kw("where", "group", "order", "range", "limit", "having")
+            ):
+                break
+            self.next()
 
         where = None
         if self.accept_kw("where"):

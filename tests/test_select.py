@@ -239,3 +239,25 @@ def test_collection_map_method_chains(engine, spark):
         )
     ]
     assert bools == [False, True]
+
+
+def test_text_between_target_and_where_ignored(engine):
+    """Reference quirk: OCommandExecutorSQLSelect finds clauses by
+    uppercase indexOf scan, so text between the target and WHERE is
+    silently ignored — SQLDeleteTest.java:46 runs
+    `select from Profile set sex = 'male' where salary > 100` and expects
+    the WHERE to apply as if the SET weren't there."""
+    quirk = engine.query("select from customer set sex = 'male' where c_nationkey = 3")
+    plain = engine.query("select from customer where c_nationkey = 3")
+    assert len(quirk) == len(plain) > 0
+    assert {r["c_custkey"] for r in quirk} == {r["c_custkey"] for r in plain}
+
+
+def test_numeric_projection_alias(engine):
+    """SQLSelectProjectionsTest.java:144-150: `expr as 1` produces a field
+    literally named "1"."""
+    rows = engine.query(
+        "select n_name.append('!') as 1, n_regionkey as 2 from nation where n_nationkey = 0"
+    )
+    assert list(rows[0].asDict().keys()) == ["1", "2"]
+    assert rows[0]["1"].endswith("!")
