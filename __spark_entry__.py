@@ -430,6 +430,35 @@ def _dedup_embedding(spark, sf_dir):
     return dedup.embedding_duplicate_pairs(_embs(spark, sf_dir), threshold=0.3)
 
 
+def _sample_split_assign(spark, sf_dir):
+    from orientdb_spark.pipeline import sampling
+
+    return sampling.assign_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
+def _sample_quota_per_source(spark, sf_dir):
+    from orientdb_spark.pipeline import sampling
+
+    return sampling.quota_sample(_docs(spark, sf_dir), ["source"], quota=20).select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+def _dedup_canonicalize(spark, sf_dir):
+    from orientdb_spark.pipeline import dedup, sampling
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.9)
+    clusters = sampling.duplicate_clusters(pairs)
+    out = sampling.canonicalize(docs, clusters, quality_col="n_chars")
+    return out.join(clusters.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id",
+        "cluster_id",
+        "canonical_id",
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
 def _sim_bruteforce(spark, sf_dir):
     from orientdb_spark.pipeline import similarity
 
@@ -946,6 +975,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": _dedup_fingerprint,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_decontaminate": _dedup_decontaminate,
+        "dedup_canonicalize": _dedup_canonicalize,
+        "sample_split_assign": _sample_split_assign,
+        "sample_quota_per_source": _sample_quota_per_source,
         "dedup_bucket_audit": _dedup_bucket_audit,
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_ngram,
@@ -990,6 +1022,7 @@ def _minhash_oracle_sql(
     shingle: int = 3,
     max_bucket_size: int = 2000,
     stop_at_posts: bool = False,
+    pairs_cte: bool = False,
 ) -> str:
     from orientdb_spark.pipeline.common import MINHASH_P, MINHASH_PARAMS
 
@@ -1027,7 +1060,7 @@ SELECT n_docs, count(*)::BIGINT AS n_buckets FROM (
   SELECT band, bhash, count(*)::BIGINT AS n_docs FROM posts0 GROUP BY band, bhash)
 GROUP BY n_docs ORDER BY n_docs
 """
-    return prefix + f""",
+    body = prefix + f""",
 posts AS (SELECT * FROM posts0
           QUALIFY count(*) OVER (PARTITION BY band, bhash) <= {max_bucket_size}),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1040,6 +1073,16 @@ j AS (SELECT id_a, id_b,
                 JOIN toks tb ON cand.id_b = tb.doc_id)
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
 """
+    if pairs_cte:
+        # everything up to a `pairs(id_a, id_b)` CTE, opened with WITH
+        # RECURSIVE so callers can append recursive closure CTEs
+        head, tail = body.split("\nSELECT id_a, id_b, jaccard", 1)
+        return (
+            head.replace("WITH t0 AS", "WITH RECURSIVE t0 AS", 1)
+            + f""",
+pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= {threshold})"""
+        )
+    return body
 
 
 def _simhash_oracle_sql(bits: int = 16) -> str:
@@ -1521,6 +1564,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, d.lang, d.source FROM documents d "
             "WHERE d.doc_id % 10 != 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)"
         ),
+        "sample_split_assign": (
+            "SELECT doc_id, CASE WHEN (('0x' || substring(md5('42:' || doc_id), 1, 15))::UBIGINT::BIGINT) % 10000 < 9800 THEN 'train' "
+            "WHEN (('0x' || substring(md5('42:' || doc_id), 1, 15))::UBIGINT::BIGINT) % 10000 < 9900 THEN 'valid' ELSE 'test' END AS split "
+            "FROM documents"
+        ),
+        "sample_quota_per_source": (
+            "SELECT doc_id, source, row_number() OVER "
+            "(PARTITION BY source ORDER BY (('0x' || substring(md5('42:' || doc_id), 1, 15))::UBIGINT::BIGINT) % 1000000, doc_id) AS sample_rank "
+            "FROM documents QUALIFY sample_rank <= 20"
+        ),
+        "dedup_canonicalize": _minhash_oracle_sql(pairs_cte=True)
+        + """,
+e AS (SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b AS a, id_a AS b FROM pairs),
+reach AS (SELECT a, b FROM e
+          UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+q AS (SELECT c.doc_id, c.cluster_id, d.n_chars,
+        row_number() OVER (PARTITION BY c.cluster_id
+                           ORDER BY d.n_chars DESC, c.doc_id) AS rk
+      FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+SELECT doc_id, cluster_id,
+       min(CASE WHEN rk = 1 THEN doc_id END)
+         OVER (PARTITION BY cluster_id) AS canonical_id,
+       (rk = 1)::INT AS keep
+FROM q
+""",
         "text_winnow_fingerprint": (
             # mirrors pipeline/text.winnow_fingerprints(k=5, window=4):
             # char-5-gram h60 hashes of normalized text, min per sliding

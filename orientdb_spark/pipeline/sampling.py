@@ -1,0 +1,183 @@
+"""Corpus sampling / splitting / dedup-canonicalization operators.
+
+A training-data pipeline needs, beyond pair *detection* (pipeline/dedup),
+the corpus-shaping steps that consume those results:
+
+- ``assign_split``: deterministic train/valid/test assignment by content
+  hash — reproducible across runs, engines, and re-orderings of the
+  input (the property random() splits lack). Pure per-row Column work:
+  no shuffle, scales linearly to 100 TB.
+- ``quota_sample``: deterministic per-group quota (e.g. "at most N docs
+  per source domain"). One window shuffle on the group key; for hot
+  groups at scale, an optional count-based hash prefilter cuts the sort
+  input before the window (two cheap passes beat one skewed sort).
+- ``duplicate_clusters`` / ``canonicalize``: turn *pairs* from any
+  detector (minhash-LSH, simhash, embedding-ANN) into connected
+  duplicate clusters and pick one survivor per cluster by a quality
+  ordering. Clustering reuses the two-phase star-contraction CC from
+  ``orientdb_spark.graph`` — diameter-independent rounds, O(E) shuffle
+  per round — so a 100 TB pair set with long duplicate chains (doc A ~
+  B ~ C ~ ... via transitive near-dups) still converges in O(log n)
+  alternations.
+
+All hashing uses the md5-derived 60-bit ``h60`` (pipeline/common.py), so
+every operator here is bit-reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from orientdb_spark.pipeline.common import h60
+
+
+def _split_key(id_col, seed: int):
+    """Per-row 60-bit hash of ``seed:id`` — the only randomness source, so
+    assignment is a pure function of (seed, id)."""
+    return h60(F.concat(F.lit(str(seed) + ":"), F.col(id_col).cast("string")))
+
+
+def assign_split(
+    df: DataFrame,
+    ratios: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named split with the
+    given ratios (default 98/1/1 train/valid/test).
+
+    bucket = h60(seed:id) % buckets; cumulative ratio thresholds carve the
+    bucket space. Properties a training pipeline needs and a random()
+    split lacks: (a) stable under re-runs and input reordering, (b) a doc
+    keeps its split when the corpus grows (no leakage of yesterday's test
+    docs into today's train), (c) embarrassingly parallel — no shuffle,
+    no RNG state.
+    """
+    ratios = ratios or {"train": 0.98, "valid": 0.01, "test": 0.01}
+    bucket = F.pmod(_split_key(id_col, seed), F.lit(buckets))
+    expr = None
+    acc = 0.0
+    items = list(ratios.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        cond = bucket < int(round(acc * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def quota_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    quota: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    prefilter_overshoot: float | None = None,
+) -> DataFrame:
+    """Keep a deterministic sample of at most ``quota`` rows per group
+    (e.g. per source domain), chosen by hash order — an unbiased,
+    reproducible "cap every domain at N docs" operator.
+
+    Rank = row_number over (group, ORDER BY h60(seed:id), id). One
+    window shuffle on the group key.
+
+    Rows rank by ``bucket = h60(seed:id) % 1e6`` (ties by id) — uniform,
+    so rank order is an unbiased draw.
+
+    Scale path (``prefilter_overshoot``): when quota << group size, the
+    window sorts entire hot groups just to discard almost everything.
+    With overshoot k, a first pass computes per-group counts (map-side
+    partial agg → tiny result, broadcast back), then rows are
+    pre-filtered to ``bucket < k*quota/count * 1e6`` before the window.
+    Because the prefilter thresholds the SAME value the window orders
+    by, the surviving set is a superset of the final sample whenever it
+    has ≥ quota rows — i.e. the prefiltered result is IDENTICAL to the
+    plain one with probability ≈ 1 - P[Binom(n, k·quota/n) < quota]
+    (vanishing for k ≥ 2); in the rare shortfall the group just yields
+    its < quota survivors. Undersized groups skip the prefilter
+    entirely (fraction ≥ 1), so only hot groups pay/benefit.
+    """
+    bucket = F.pmod(_split_key(id_col, seed), F.lit(1_000_000))
+    work = df
+    if prefilter_overshoot is not None:
+        counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__gcnt"))
+        work = df.join(F.broadcast(counts), group_cols)
+        frac_buckets = F.least(
+            F.lit(1_000_000).cast("long"),
+            F.ceil(F.lit(float(prefilter_overshoot) * quota) * 1_000_000 / F.col("__gcnt")).cast("long"),
+        )
+        work = work.filter(bucket < frac_buckets).drop("__gcnt")
+    w = Window.partitionBy(*group_cols).orderBy(bucket.asc(), F.col(id_col).asc())
+    return (
+        work.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= quota)
+    )
+
+
+def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Connected components over duplicate pairs → (doc_id, cluster_id)
+    for every doc that appears in at least one pair. cluster_id = min doc
+    id in the component.
+
+    Near-dup relations are not transitive, but dedup treats them as if
+    they were (A~B, B~C ⇒ {A,B,C} is one cluster) — this is the standard
+    corpus-dedup formulation, and exactly a connected-components problem.
+    Reuses the two-phase star-contraction CC (graph.py): rounds grow with
+    log of component size, not diameter, so million-doc template chains
+    (the pathological web-corpus case) don't blow the round count.
+    """
+    from orientdb_spark.graph import Graph
+
+    verts = (
+        pairs.select(F.col(id_a).alias("vid"))
+        .unionByName(pairs.select(F.col(id_b).alias("vid")))
+        .dropDuplicates()
+    )
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    return (
+        Graph(verts, edges)
+        .connected_components()
+        .select(F.col("vid").alias("doc_id"), F.col("component").alias("cluster_id"))
+    )
+
+
+def canonicalize(
+    corpus: DataFrame,
+    clusters: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick one survivor per duplicate cluster: highest ``quality_col``,
+    ties broken by lowest id. Returns the corpus plus
+    (cluster_id, keep, canonical_id):
+
+    - docs in no cluster: their own canonical, keep = true
+    - clustered docs: keep = true only for the elected survivor;
+      canonical_id points every member at it (the redirect map a
+      dedup pass emits).
+
+    Shuffle profile: one left join on id (clusters is the small side —
+    only docs that matched a pair — so AQE broadcasts it when it fits)
+    plus one window over cluster_id. Cluster sizes are bounded in
+    practice by the pair detector's bucket caps, so the window key is
+    not meaningfully skewed.
+    """
+    joined = corpus.join(clusters, id_col, "left")
+    cid = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    w = Window.partitionBy(cid).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("cluster_id", cid)
+        .withColumn("__rk", F.row_number().over(w))
+        .withColumn("keep", F.col("__rk") == 1)
+        .withColumn(
+            "canonical_id",
+            F.min(F.when(F.col("__rk") == 1, F.col(id_col))).over(
+                Window.partitionBy("cluster_id")
+            ),
+        )
+        .drop("__rk")
+    )

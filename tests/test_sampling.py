@@ -1,0 +1,125 @@
+"""Corpus sampling / split / canonicalization operators
+(orientdb_spark/pipeline/sampling.py) vs the DuckDB oracle and their own
+invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from orientdb_spark.pipeline import dedup, sampling
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+H60 = "(('0x' || substring(md5({s}), 1, 15))::UBIGINT::BIGINT)"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_assign_split_matches_oracle(spark, oracle):
+    out = sampling.assign_split(_docs(spark)).select("doc_id", "split")
+    b = H60.format(s="'42:' || doc_id") + " % 10000"
+    assert_matches_oracle(
+        out,
+        oracle,
+        f"SELECT doc_id, CASE WHEN {b} < 9800 THEN 'train' "
+        f"WHEN {b} < 9900 THEN 'valid' ELSE 'test' END AS split FROM documents",
+    )
+
+
+def test_assign_split_ratios_and_stability(spark):
+    docs = _docs(spark)
+    out = sampling.assign_split(docs, {"train": 0.8, "test": 0.2})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert 0.7 * n < counts["train"] < 0.9 * n
+    # assignment is a pure function of (seed, id): a doc keeps its split
+    # when computed over any subset of the corpus
+    sub = sampling.assign_split(docs.filter(F.col("doc_id") % 3 == 0), {"train": 0.8, "test": 0.2})
+    full = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    for r in sub.select("doc_id", "split").collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_quota_sample_invariants(spark):
+    docs = _docs(spark)
+    out = sampling.quota_sample(docs, ["source"], quota=7)
+    per = out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] <= 7 for r in per)
+    # groups smaller than the quota keep everything
+    sizes = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    kept = {r["source"]: r["n"] for r in per}
+    for src, n in sizes.items():
+        assert kept[src] == min(n, 7)
+
+
+def test_quota_sample_prefilter_identical(spark):
+    """The count-based hash prefilter must not change the sample when the
+    surviving set covers the quota (overshoot 3 on ~50-row groups)."""
+    docs = _docs(spark)
+    plain = sampling.quota_sample(docs, ["source"], quota=5).select("doc_id", "sample_rank")
+    pre = sampling.quota_sample(
+        docs, ["source"], quota=5, prefilter_overshoot=3.0
+    ).select("doc_id", "sample_rank")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, pre.collect()))
+
+
+def test_quota_sample_matches_oracle(spark, oracle):
+    out = sampling.quota_sample(_docs(spark), ["source"], quota=7).select(
+        "doc_id", "source", "sample_rank"
+    )
+    b = H60.format(s="'42:' || doc_id") + " % 1000000"
+    assert_matches_oracle(
+        out,
+        oracle,
+        f"SELECT doc_id, source, row_number() OVER "
+        f"(PARTITION BY source ORDER BY {b}, doc_id) AS sample_rank "
+        f"FROM documents QUALIFY sample_rank <= 7",
+    )
+
+
+def test_duplicate_clusters_and_canonicalize(spark):
+    # hand-built pair set: {1,2,3} chained (transitive), {7,8}, 9 alone
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"]
+    )
+    clusters = sampling.duplicate_clusters(pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}", (100 if i == 2 else 10 + i)) for i in (1, 2, 3, 7, 8, 9)],
+        ["doc_id", "text", "n_chars"],
+    )
+    out = sampling.canonicalize(corpus, clusters)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 2 has the highest quality in {1,2,3} -> survivor
+    assert rows[2]["keep"] and rows[2]["canonical_id"] == 2
+    assert not rows[1]["keep"] and rows[1]["canonical_id"] == 2
+    assert not rows[3]["keep"] and rows[3]["canonical_id"] == 2
+    # {7,8}: 8 has n_chars 18 > 17 -> survivor
+    assert rows[8]["keep"] and rows[7]["canonical_id"] == 8
+    # unclustered doc is its own canonical
+    assert rows[9]["keep"] and rows[9]["canonical_id"] == 9 and rows[9]["cluster_id"] == 9
+
+
+def test_canonicalize_from_lsh_pairs(spark):
+    """End-to-end: LSH pair detection -> clusters -> survivors. Every
+    cluster elects exactly one survivor; redirects point at it."""
+    docs = _docs(spark)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.9)
+    clusters = sampling.duplicate_clusters(pairs)
+    out = sampling.canonicalize(docs, clusters, quality_col="n_chars")
+    agg = (
+        out.groupBy("cluster_id")
+        .agg(
+            F.sum(F.col("keep").cast("int")).alias("n_keep"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("canonical_id").alias("n_canon"),
+        )
+        .collect()
+    )
+    assert len(agg) > 0
+    for r in agg:
+        assert r["n_keep"] == 1 and r["n_canon"] == 1
+    # survivors' count equals number of clusters; corpus is fully covered
+    assert out.count() == docs.count()
