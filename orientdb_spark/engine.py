@@ -100,19 +100,11 @@ class Engine:
         """Register every driver table found in a TESTDATA scale-factor dir
         as an engine class, with TPC-H link structure declared so dotted
         navigation (l_orderkey.o_orderdate) compiles to joins."""
-        # events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses by
-        # default — read nanos as long and convert to micros ourselves
+        # events.parquet carries TIMESTAMP(NANOS): pyspark 4.0 needs this
+        # conf to read it at all (as epoch-nanos longs); on 4.1+ it's a
+        # no-op (native TIMESTAMP_NTZ read). fix_event_nanos handles both.
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
-        def fix_nanos(df: DataFrame) -> DataFrame:
-            from pyspark.sql import types as T
-
-            for f in df.schema.fields:
-                if f.name == "ts" and isinstance(f.dataType, T.LongType):
-                    # integer division on longs: epoch-nanos (~1.7e18) exceed
-                    # 2^53, so `/ 1000` through double loses ~µs precision
-                    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            return df
+        from orientdb_spark.streaming import fix_event_nanos as fix_nanos
 
         for name in TESTDATA_TABLES:
             path = os.path.join(sf_dir, f"{name}.parquet")

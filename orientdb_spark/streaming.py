@@ -18,6 +18,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def fix_event_nanos(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize the events table's TIMESTAMP(NANOS) parquet column across
+    pyspark versions. On 4.0.x, ``spark.sql.legacy.parquet.nanosAsLong=true``
+    surfaces it as epoch-nanos LongType — convert with *integer* division
+    (epoch nanos ~1.7e18 exceed 2^53, so ``/ 1000`` through double loses
+    microsecond precision). On 4.1+, parquet nanos read natively as
+    TIMESTAMP_NTZ, which event-time watermarks reject
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — cast to TIMESTAMP; the
+    session timezone is pinned to UTC (session.py) so the cast is
+    value-preserving."""
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        if f.name != ts_col:
+            continue
+        if isinstance(f.dataType, T.LongType):
+            df = df.withColumn(
+                ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
+            )
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def read_event_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """File-source stream over an events directory (exactly-once file
     discovery; parquet schema required for streams)."""

@@ -13,7 +13,11 @@ from pyspark.sql import functions as F
 
 from orientdb_spark import Engine
 from orientdb_spark.graph import Graph
-from orientdb_spark.streaming import read_event_stream, windowed_event_counts
+from orientdb_spark.streaming import (
+    fix_event_nanos,
+    read_event_stream,
+    windowed_event_counts,
+)
 
 from tests.conftest import SF_DIR
 
@@ -62,12 +66,11 @@ def test_traverse_predicate_deep_chain(spark):
 
 
 def test_windowed_counts_streaming_matches_batch(spark):
-    # events.parquet stores TIMESTAMP(NANOS) — read nanos as long and
-    # convert, as Engine.register_parquet_dir does
+    # events.parquet stores TIMESTAMP(NANOS) — normalize across pyspark
+    # versions, as Engine.register_parquet_dir does (4.0: nanos-as-long
+    # conf + convert; 4.1+: native TIMESTAMP_NTZ, no conversion)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    events = fix_event_nanos(spark.read.parquet(f"{SF_DIR}/events.parquet"))
     src_dir = tempfile.mkdtemp(prefix="ospark_stream_src_")
     ckpt = tempfile.mkdtemp(prefix="ospark_stream_ckpt_")
     try:
@@ -97,9 +100,7 @@ def test_session_window_stream_matches_batch_sessionize(spark):
     from orientdb_spark.streaming import sessionize, sessionize_stream
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    events = fix_event_nanos(spark.read.parquet(f"{SF_DIR}/events.parquet"))
     src_dir = tempfile.mkdtemp(prefix="ospark_sess_src_")
     ckpt = tempfile.mkdtemp(prefix="ospark_sess_ckpt_")
     try:
@@ -152,9 +153,7 @@ def test_first_seen_stream_matches_batch(spark):
     from orientdb_spark.streaming import first_seen, first_seen_stream
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    events = fix_event_nanos(spark.read.parquet(f"{SF_DIR}/events.parquet"))
     src_dir = tempfile.mkdtemp(prefix="ospark_fs_src_")
     ckpt = tempfile.mkdtemp(prefix="ospark_fs_ckpt_")
     try:
