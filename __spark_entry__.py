@@ -789,7 +789,78 @@ def _is_null_filter(spark, sf_dir):
 # --- queries registry --------------------------------------------------------
 
 
+# The driver's CORRECTNESS record caps at the FIRST 50 keys of queries()
+# in insertion order. Rounds 1-3 recorded the same first 50 (scan_class ..
+# order_multikey_topk), leaving the back half (windows, set ops, DML/DDL,
+# graph, events, dedup/ANN/text/multimodal) with mirror-harness evidence
+# only (tests/test_entry.py). Rotate the never-recorded half to the front
+# so it finally gets driver rows; the previously-verified keys keep their
+# three rounds of green history plus the mirror harness. Entries that are
+# rows-only BY DESIGN (approximate/no SQL oracle) sit at the tail of the
+# front list so oracle-checked entries fill the recorded slots first.
+_DRIVER_FRONT = [
+    "range_keyset_pagination",
+    "window_rank_topn",
+    "window_running_frames",
+    "rollup_pricing",
+    "set_operations",
+    "dml_insert_append",
+    "dml_update_rewrite",
+    "dml_delete_filter",
+    "update_add_collection",
+    "update_put_map",
+    "update_remove_ops",
+    "ddl_schema_evolution",
+    "ddl_truncate",
+    "unique_index_violation",
+    "schema_mixed_insert",
+    "dictionary_keyset",
+    "csv_positional_roundtrip",
+    "custom_udf_bigger",
+    "geo_distance_filter",
+    "graph_out_degree",
+    "graph_delete_cascade",
+    "graph_bfs_levels",
+    "graph_connected_components",
+    "event_window_agg",
+    "event_sessionize",
+    "event_session_window",
+    "event_first_seen",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_decontaminate",
+    "dedup_canonicalize",
+    "sample_split_assign",
+    "sample_quota_per_source",
+    "dedup_bucket_audit",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "sim_topk_bruteforce",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_stats",
+    "text_winnow_fingerprint",
+    "multimodal_binary_features",
+    # rows-only by design (approximate / non-SQL-expressible): recorded
+    # last so the oracle-checked entries above land in the capped slots
+    "sim_topk_ivf",
+    "multimodal_fake_decode",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "graph_pagerank",
+    "sim_topk_lsh",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = _queries_by_section()
+    front = {k: q[k] for k in _DRIVER_FRONT if k in q}
+    return front | {k: v for k, v in q.items() if k not in front}
+
+
+def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.1 scans / sources / sinks
         "scan_class": _dsl("select from region"),
