@@ -66,19 +66,29 @@ def main() -> None:
     # warm-up: JVM/codegen + page cache for the scanned tables
     _force(qs["tpch_q1_pricing"](spark, sf_dir))
 
-    # best-of-N per query: the run may share the host with other work, and
-    # min-of-repeats is the standard way to strip scheduler noise
+    # best-of-N per query with adaptive N: the host is shared, and two
+    # samples were measured insufficient for the sub-second queries (6.7x
+    # run-to-run swings on identical code). Keep sampling until we hold
+    # at least `repeat` samples AND ~`budget` seconds of timed work, so
+    # cheap queries get up to `max_repeat` samples while the multi-second
+    # ones stay at `repeat` — min-of-samples then strips scheduler noise
+    # without doubling the wall cost of the expensive tail.
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
+    max_repeat = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPEAT", "5"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "4"))
     timings: dict[str, float] = {}
     failed: list[str] = []
     for name in HEADLINE:
         fn = qs[name]
         best = None
         try:
-            for _ in range(repeat):
+            spent, n = 0.0, 0
+            while n < max_repeat and (n < repeat or spent < budget):
                 t0 = time.perf_counter()
                 _force(fn(spark, sf_dir))
                 dt = time.perf_counter() - t0
+                spent += dt
+                n += 1
                 best = dt if best is None or dt < best else best
             timings[name] = round(best, 3)
         except Exception as e:  # one broken query must not sink the whole run

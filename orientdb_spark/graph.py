@@ -153,10 +153,22 @@ class Graph:
         )
         self.last_cc_iterations = 0
         prev_sig = None
-        for _ in range(max_iter):
+        while self.last_cc_iterations < max_iter:
+            # TWO alternations per convergence probe: the signature
+            # aggregate is the only job each loop body runs (the phase
+            # checkpoints are lazy), so probing every other alternation
+            # halves the job waves — the dominant cost at small SF and
+            # pure driver latency at scale. Star rounds are idempotent on
+            # a converged configuration (min-aggregates over a stable star
+            # set), so overshooting by one alternation cannot change the
+            # output, only the signature check cadence.
             e = self._large_star(e)
             e = self._small_star(e)
             self.last_cc_iterations += 1
+            if self.last_cc_iterations < max_iter:
+                e = self._large_star(e)
+                e = self._small_star(e)
+                self.last_cc_iterations += 1
             sig_row = e.agg(
                 F.sum(F.xxhash64("u", "v")).alias("s"), F.count(F.lit(1)).alias("n")
             ).first()

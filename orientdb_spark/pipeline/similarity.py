@@ -236,24 +236,27 @@ def ivf_topk(
     return index.topk(queries, k=k, nprobe=nprobe, vec_col=vec_col)
 
 
-def _hyperplane(dim: int, plane: int) -> list[float]:
+def _hyperplane(dim: int, plane: int, table: int = 0) -> list[float]:
     """Deterministic pseudo-random hyperplane component from the shared
-    60-bit hash family — reproducible across runs/engines, no RNG."""
+    60-bit hash family — reproducible across runs/engines, no RNG.
+    ``table`` salts the family so multi-table LSH gets independent plane
+    sets; table 0 keeps the original key (signature stability)."""
     import hashlib
 
+    salt = f"plane:{plane}:" if table == 0 else f"plane:t{table}:{plane}:"
     out = []
     for j in range(dim):
-        h = int(hashlib.md5(f"plane:{plane}:{j}".encode()).hexdigest()[:15], 16)
+        h = int(hashlib.md5(f"{salt}{j}".encode()).hexdigest()[:15], 16)
         out.append((h / float(1 << 60)) * 2.0 - 1.0)
     return out
 
 
-def lsh_bucket_col(vec: Column, dim: int, planes: int) -> Column:
+def lsh_bucket_col(vec: Column, dim: int, planes: int, table: int = 0) -> Column:
     """Random-hyperplane signature: bit p = sign(v · plane_p)."""
     v = vec.cast("array<double>")
     bucket = F.lit(0).cast("long")
     for p in range(planes):
-        coeffs = _hyperplane(dim, p)
+        coeffs = _hyperplane(dim, p, table)
         dot = F.aggregate(
             F.zip_with(
                 v,
@@ -269,7 +272,9 @@ def lsh_bucket_col(vec: Column, dim: int, planes: int) -> Column:
     return bucket
 
 
-def lsh_probe_buckets(vec: Column, dim: int, planes: int, nprobe: int) -> Column:
+def lsh_probe_buckets(
+    vec: Column, dim: int, planes: int, nprobe: int, table: int = 0
+) -> Column:
     """Multi-probe bucket list for a query vector (Lv et al., "Multi-Probe
     LSH", VLDB'07): the vector's own bucket plus the ``nprobe - 1`` buckets
     reached by flipping the sign bits with the smallest margin |v·plane|
@@ -281,7 +286,7 @@ def lsh_probe_buckets(vec: Column, dim: int, planes: int, nprobe: int) -> Column
     v = vec.cast("array<double>")
     dots = []
     for p in range(planes):
-        coeffs = _hyperplane(dim, p)
+        coeffs = _hyperplane(dim, p, table)
         dots.append(
             F.aggregate(
                 F.zip_with(v, F.array(*[F.lit(c) for c in coeffs]), lambda x, y: x * y),
