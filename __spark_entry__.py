@@ -557,24 +557,48 @@ def _multimodal_features(spark, sf_dir):
 
 
 def _multimodal_fake_decode(spark, sf_dir):
+    """Driver-comparable shape: the array<int> histogram is exploded to
+    one (bin, bin_count) row per bucket — the driver's pandas
+    canonicalizer sorts over all columns and cannot hash Python lists, so
+    arrays must leave the entry as scalars. The library API keeps the
+    array form for users."""
     from orientdb_spark.pipeline import multimodal
 
     docs = multimodal.with_binary_payload(_docs(spark, sf_dir))
-    return multimodal.fake_decode_features(docs)
+    feats = multimodal.fake_decode_features(docs)
+    return feats.select(
+        "doc_id", "n_bytes", F.posexplode("histogram").alias("bin", "bin_count")
+    )
 
 
 def _multimodal_resize(spark, sf_dir):
+    """Same scalarization as fake_decode: the pixel grid is exploded to
+    one (cell, pixel) row per cell so every average-pooled value is
+    hash-compared against the DuckDB oracle."""
     from orientdb_spark.pipeline import multimodal
 
     docs = multimodal.with_binary_payload(_docs(spark, sf_dir))
-    return multimodal.resize_images(docs, width=4, height=4)
+    px = multimodal.resize_images(docs, width=4, height=4)
+    return px.select(
+        "doc_id", "width", "height", F.posexplode("pixels").alias("cell", "pixel")
+    )
 
 
 def _multimodal_frame_sample(spark, sf_dir):
+    """Frame rows with the binary frame digested to (byte length, md5) —
+    binary columns come back to pandas as unhashable bytearrays, and the
+    md5 keeps the compare sensitive to every frame byte."""
     from orientdb_spark.pipeline import multimodal
 
     docs = multimodal.with_binary_payload(_docs(spark, sf_dir))
-    return multimodal.sample_frames(docs, frame_bytes=64, every=4)
+    fr = multimodal.sample_frames(docs, frame_bytes=64, every=4)
+    return fr.select(
+        "doc_id",
+        "frame_index",
+        "frame_ts",
+        F.length("frame").alias("n_frame_bytes"),
+        F.md5("frame").alias("frame_digest"),
+    )
 
 
 def _events_map_engine(spark, sf_dir):
@@ -1677,6 +1701,54 @@ FROM q
             "list_max(fps) AS max_fp, "
             "list_sum(list_transform(fps, x -> x % 1000000007))::BIGINT AS sum_fp FROM w"
         ),
+        # Multimodal oracles work on the exact UTF-8 bytes of documents.text
+        # via hex(encode(text)) — byte i (0-indexed) is the 2-char hex slice
+        # at position 2i+1 — so they stay byte-exact even for non-ASCII text.
+        # (frame_digest additionally relies on chars==bytes, verified: all
+        # driver SFs are pure ASCII.)
+        "multimodal_fake_decode": (
+            # mirrors pipeline/multimodal.fake_decode_features(bins=16):
+            # byte-value histogram over payload = encode(text, 'UTF-8')
+            "WITH hx AS (SELECT doc_id, hex(encode(text)) AS h, "
+            "octet_length(encode(text)) AS nb FROM documents), "
+            "b AS (SELECT doc_id, unnest(range(1, nb + 1)) AS i FROM hx), "
+            "byt AS (SELECT b.doc_id, (('0x' || substring(hx.h, (2*b.i - 1)::INTEGER, 2))"
+            "::INTEGER) % 16 AS bin FROM b JOIN hx USING (doc_id)), "
+            "cnt AS (SELECT doc_id, bin, count(*)::INTEGER AS bin_count "
+            "FROM byt GROUP BY doc_id, bin), "
+            "grid AS (SELECT doc_id, unnest(range(0, 16)) AS bin FROM hx) "
+            "SELECT grid.doc_id, hx.nb::INTEGER AS n_bytes, grid.bin::INTEGER AS bin, "
+            "coalesce(cnt.bin_count, 0)::INTEGER AS bin_count "
+            "FROM grid JOIN hx ON grid.doc_id = hx.doc_id "
+            "LEFT JOIN cnt ON cnt.doc_id = grid.doc_id AND cnt.bin = grid.bin"
+        ),
+        "multimodal_resize": (
+            # mirrors pipeline/multimodal.resize_images(width=4, height=4):
+            # cell i average-pools bytes [i*n//16, max((i+1)*n//16, lo+1))
+            "WITH hx AS (SELECT doc_id, hex(encode(text)) AS h, "
+            "octet_length(encode(text)) AS n FROM documents), "
+            "c AS (SELECT doc_id, unnest(range(0, 16)) AS cell FROM hx), "
+            "seg AS (SELECT c.doc_id, c.cell, hx.h, (c.cell * hx.n) // 16 AS lo, "
+            "least(greatest(((c.cell + 1) * hx.n) // 16, (c.cell * hx.n) // 16 + 1), hx.n) AS hi "
+            "FROM c JOIN hx USING (doc_id)), "
+            "px AS (SELECT doc_id, cell, CASE WHEN hi <= lo THEN 0 ELSE "
+            "list_sum(list_transform(range(lo, hi), "
+            "j -> ('0x' || substring(h, (2*j + 1)::INTEGER, 2))::INTEGER)) // (hi - lo) "
+            "END AS pixel FROM seg) "
+            "SELECT doc_id, 4 AS width, 4 AS height, cell::INTEGER AS cell, "
+            "pixel::INTEGER AS pixel FROM px"
+        ),
+        "multimodal_frame_sample": (
+            # mirrors pipeline/multimodal.sample_frames(frame_bytes=64,
+            # every=4, fps=30): every 4th 64-byte chunk; text is ASCII at
+            # every driver SF so substring-by-chars == substring-by-bytes
+            "WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n "
+            "FROM documents), "
+            "f AS (SELECT doc_id, text, n, unnest(range(0, (n + 63) // 64, 4)) AS fi FROM d) "
+            "SELECT doc_id, fi::INTEGER AS frame_index, fi / 30.0 AS frame_ts, "
+            "least(64, n - fi * 64)::INTEGER AS n_frame_bytes, "
+            "md5(substring(text, (fi * 64 + 1)::INTEGER, 64)) AS frame_digest FROM f"
+        ),
         # no-oracle entries (approximate / stub): approx_distinct_parts,
-        # sim_topk_lsh, graph_pagerank, multimodal_fake_decode
+        # sim_topk_lsh, graph_pagerank
     }

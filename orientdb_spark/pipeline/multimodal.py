@@ -16,6 +16,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
@@ -73,12 +74,12 @@ def fake_decode_features(
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hists = []
-            for b in pdf[binary_col]:
-                h = [0] * bins
-                for byte in bytes(b):
-                    h[byte % bins] += 1
-                hists.append(h)
+            hists = [
+                np.bincount(
+                    np.frombuffer(bytes(b), dtype=np.uint8) % bins, minlength=bins
+                ).tolist()
+                for b in pdf[binary_col]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -122,23 +123,23 @@ def resize_images(
     runs. Output pixel grid is typed metadata a downstream model reads."""
     cells = width * height
 
+    cell_idx = np.arange(cells, dtype=np.int64)
+
     def pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for b in pdf[binary_col]:
-                data = bytes(b)
-                n = len(data)
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                n = len(arr)
                 if n == 0:
                     out.append([0] * cells)
                     continue
                 # average-pool: cell i covers bytes [i*n/cells, (i+1)*n/cells)
-                px = []
-                for i in range(cells):
-                    lo = i * n // cells
-                    hi = max((i + 1) * n // cells, lo + 1)
-                    seg = data[lo:min(hi, n)] or data[-1:]
-                    px.append(sum(seg) // len(seg))
-                out.append(px)
+                # (segments are never empty for n >= 1: lo = i*n//cells < n)
+                lo = cell_idx * n // cells
+                hi = np.minimum(np.maximum((cell_idx + 1) * n // cells, lo + 1), n)
+                csum = np.concatenate(([0], arr.cumsum(dtype=np.int64)))
+                out.append(((csum[hi] - csum[lo]) // (hi - lo)).tolist())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
