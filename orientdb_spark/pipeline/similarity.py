@@ -322,22 +322,49 @@ def lsh_topk(
     dim: int = 64,
     planes: int = 8,
     nprobe: int = 1,
+    tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share one of the query's ``nprobe``
     probed LSH buckets (own bucket + lowest-margin bit flips — multi-probe
     raises recall without touching the corpus-side index); exact cosine
     rerank within candidates. Same output shape as brute_force_topk;
-    recall measured in tests."""
-    bucket = lsh_bucket_col(F.col(vec_col), dim, planes)
+    recall measured in tests.
+
+    ``tables > 1`` builds that many independent hash tables (plane sets
+    salted per table, see ``_hyperplane``) and unions their candidates —
+    the classic recall lever: a true neighbor is found if it collides in
+    ANY table, so miss probability decays exponentially in T. Cost model
+    at scale: the corpus emits T bucket entries per row (one scan — the
+    tables ride in one exploded array, not T passes) and the candidate
+    set grows ~T×; the exact rerank still runs once per distinct
+    (query, candidate) thanks to the dropDuplicates below."""
+    # one flat bucket keyspace across tables: key = (table << planes) | bucket
+    c_buckets = F.array(
+        *[
+            lsh_bucket_col(F.col(vec_col), dim, planes, table=t)
+            + F.lit(t << planes).cast("long")
+            for t in range(tables)
+        ]
+    )
+    def _shifted_probes(t: int) -> Column:
+        # NB: a two-arg lambda in F.transform would receive the element
+        # INDEX as its second argument — keep the table offset in a closure
+        off = F.lit(t << planes).cast("long")
+        return F.transform(
+            lsh_probe_buckets(F.col(vec_col), dim, planes, nprobe, table=t),
+            lambda b: b + off,
+        )
+
+    q_buckets = F.concat(*[_shifted_probes(t) for t in range(tables)])
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-        F.explode(lsh_probe_buckets(F.col(vec_col), dim, planes, nprobe)).alias("__b"),
+        F.explode(q_buckets).alias("__b"),
     ).withColumn("__qn", vec_norm(F.col("__qv")))
     c = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-        bucket.alias("__b"),
+        F.explode(c_buckets).alias("__b"),
     ).withColumn("__cn", vec_norm(F.col("__cv")))
     scored = (
         F.broadcast(q)

@@ -48,9 +48,10 @@ def test_lsh_recall_vs_bruteforce(spark):
         for r in QUERIES["sim_topk_lsh"](spark, SF_DIR).collect()
     }
     assert approx, "LSH returned nothing"
-    # every LSH result is a real vector pair; recall is data-dependent but
-    # must be nonzero on this corpus
-    assert len(exact & approx) > 0
+    # 4-table multi-probe LSH must recover at least half the true top-k
+    # (same bar as the IVF gate; measured 0.68 at sf0.001 / 0.74 at sf0.01)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall:.2f}"
     # multi-probe (own bucket + lowest-margin flips) must not lose recall
     # vs single-probe — deterministic on the fixture (hash-derived planes)
     from pyspark.sql import functions as F
