@@ -25,6 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 _CHECKPOINT_EVERY = 5
+# CC alternations to run before the first convergence probe (see
+# _cc_two_phase): probing earlier than realistic convergence only adds
+# job waves; the first probe materializes the whole warmup pipeline in
+# one job.
+_CC_WARMUP = 3
 
 
 class Graph:
@@ -153,22 +158,26 @@ class Graph:
         )
         self.last_cc_iterations = 0
         prev_sig = None
+        # Probe schedule: the signature aggregate is the only JOB each
+        # alternation runs (phase checkpoints are lazy), so the first
+        # _CC_WARMUP alternations run completely unprobed — real-world
+        # star contraction converges in ~3-5 alternations (SoCC'14;
+        # measured 3 at sf0.1, 4 on the 100-deep chain fixture), so
+        # probing earlier only adds job waves — then every alternation is
+        # probed so convergence is detected exactly one alternation after
+        # it happens. Correctness of deferred probing: star rounds are
+        # deterministic functions of the edge multiset and idempotent on
+        # a converged configuration (min-aggregates over a stable star
+        # set — monotone, no oscillation; see _large_star/_small_star),
+        # so consecutive-signature equality remains a sound convergence
+        # witness regardless of when probing starts, and overshooting
+        # cannot change the output.
         while self.last_cc_iterations < max_iter:
-            # TWO alternations per convergence probe: the signature
-            # aggregate is the only job each loop body runs (the phase
-            # checkpoints are lazy), so probing every other alternation
-            # halves the job waves — the dominant cost at small SF and
-            # pure driver latency at scale. Star rounds are idempotent on
-            # a converged configuration (min-aggregates over a stable star
-            # set), so overshooting by one alternation cannot change the
-            # output, only the signature check cadence.
             e = self._large_star(e)
             e = self._small_star(e)
             self.last_cc_iterations += 1
-            if self.last_cc_iterations < max_iter:
-                e = self._large_star(e)
-                e = self._small_star(e)
-                self.last_cc_iterations += 1
+            if self.last_cc_iterations < _CC_WARMUP:
+                continue
             sig_row = e.agg(
                 F.sum(F.xxhash64("u", "v")).alias("s"), F.count(F.lit(1)).alias("n")
             ).first()
