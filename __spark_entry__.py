@@ -870,12 +870,15 @@ _DRIVER_FRONT = [
     "text_token_stats",
     "text_winnow_fingerprint",
     "multimodal_binary_features",
-    # rows-only by design (approximate / non-SQL-expressible): recorded
-    # last so the oracle-checked entries above land in the capped slots
-    "sim_topk_ivf",
+    # oracle-bearing as of round 5 (previously broken array-shaped
+    # output / rows-only): kept in the recorded slots so the fix lands
+    # in CORRECTNESS_r05
     "multimodal_fake_decode",
     "multimodal_resize",
     "multimodal_frame_sample",
+    # rows-only by design (approximate / non-SQL-expressible): recorded
+    # last so the oracle-checked entries above land in the capped slots
+    "sim_topk_ivf",
     "graph_pagerank",
     "sim_topk_lsh",
 ]
@@ -883,7 +886,9 @@ _DRIVER_FRONT = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _queries_by_section()
-    front = {k: q[k] for k in _DRIVER_FRONT if k in q}
+    missing = set(_DRIVER_FRONT) - q.keys()
+    assert not missing, f"_DRIVER_FRONT names unknown queries: {sorted(missing)}"
+    front = {k: q[k] for k in _DRIVER_FRONT}
     return front | {k: v for k, v in q.items() if k not in front}
 
 

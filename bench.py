@@ -75,6 +75,8 @@ def main() -> None:
     # without doubling the wall cost of the expensive tail.
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     max_repeat = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPEAT", "5"))
+    # an explicitly-requested repeat must never be silently capped
+    max_repeat = max(max_repeat, repeat)
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "4"))
     timings: dict[str, float] = {}
     failed: list[str] = []
