@@ -502,6 +502,7 @@ def embedding_duplicate_pairs(
     block_col: str = "label",
     threshold: float = 0.99,
     n_cells: int = 16,
+    index=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates, EXACT, via metric ball pruning.
 
@@ -520,7 +521,15 @@ def embedding_duplicate_pairs(
     partition the corpus, the n_cells² candidate matrix is pruned
     driver-side from n_cells tiny rows, and the blocking column remains
     an equality predicate on the member join. Raise ``n_cells`` with
-    corpus size (cost: one O(N·n_cells) assignment pass)."""
+    corpus size (cost: one O(N·n_cells) assignment pass).
+
+    ``index``: a prebuilt ``similarity.IvfIndex`` over the SAME corpus
+    (build-once, serve both ANN queries and near-dup mining — one
+    assignment pass instead of two). Its raw-space centroids are
+    unit-normalized here and its cached cell assignments reused; pruning
+    stays exact because radii are always re-measured from actual members
+    against whatever centers are in play — assignment quality only
+    affects pruning efficiency, never correctness."""
     import math as _math
 
     from orientdb_spark.pipeline.common import vec_norm
@@ -545,12 +554,35 @@ def embedding_duplicate_pairs(
         ),
     ).persist()
 
-    # cheap deterministic quantizer: h60-seeded centers, no Lloyd step —
-    # pruning is exact regardless of assignment quality (radii are
-    # measured from actual members)
-    centroids, assignments = build_ivf_index(
-        unit, n_cells=n_cells, vec_col="__u", id_col="__id", refine_iters=0
-    )
+    if index is not None:
+        # reuse the index's cached cell assignments (zero build jobs) and
+        # project its raw-space centroids onto the unit sphere, where the
+        # ball-pruning algebra lives. cosine assignment is scale-invariant,
+        # so the cells are the same ones a unit-space build would produce.
+        assignments = index.corpus_cells.select(
+            F.col("neighbor_id").alias("__id"), "cid"
+        )
+        cn = vec_norm(F.col("cvec"))
+        centroids = index.centroids.select(
+            "cid",
+            F.when(
+                cn > 0,
+                F.zip_with(
+                    "cvec",
+                    F.array_repeat(cn, F.size("cvec")),
+                    lambda x, nn: x / nn,
+                ),
+            )
+            .otherwise(F.col("cvec"))
+            .alias("cvec"),
+        )
+    else:
+        # cheap deterministic quantizer: h60-seeded centers, no Lloyd step —
+        # pruning is exact regardless of assignment quality (radii are
+        # measured from actual members)
+        centroids, assignments = build_ivf_index(
+            unit, n_cells=n_cells, vec_col="__u", id_col="__id", refine_iters=0
+        )
     # persisted: scanned three times (radii + both sides of the pair
     # join); without this the Arrow assignment UDF and unit-normalization
     # re-run per scan (measured 3-4x the pair-join cost at sf0.1)

@@ -38,6 +38,47 @@ def test_build_once_query_many(spark):
     idx.unpersist()
 
 
+def test_one_index_serves_topk_and_neardup(spark):
+    """NOTES_r2 rough edge: one IvfIndex build must serve BOTH the ANN
+    query path (topk) and near-dup mining (embedding_duplicate_pairs) —
+    and sharing must not change the near-dup output, which is exact by
+    ball-pruning regardless of the center set."""
+    from orientdb_spark.pipeline import dedup
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") < 5)
+
+    idx = similarity.IvfIndex.build(embs, n_cells=8)
+    idx.topk(q, k=3, nprobe=3).collect()
+
+    own = sorted(
+        map(tuple, dedup.embedding_duplicate_pairs(embs, threshold=0.3).collect())
+    )
+
+    # the shared path must never touch the quantizer builder (that is the
+    # whole point of sharing) — job-count deltas are AQE-noisy, so assert
+    # the code path itself
+    def _boom(*a, **k):
+        raise AssertionError("shared-index path rebuilt the quantizer")
+
+    orig = similarity.build_ivf_index
+    similarity.build_ivf_index = _boom
+    try:
+        shared = sorted(
+            map(
+                tuple,
+                dedup.embedding_duplicate_pairs(
+                    embs, threshold=0.3, index=idx
+                ).collect(),
+            )
+        )
+    finally:
+        similarity.build_ivf_index = orig
+
+    assert shared == own and own  # exactness is center-set independent
+    idx.unpersist()
+
+
 def test_index_and_oneshot_agree(spark):
     embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = embs.filter(F.col("vec_id") < 5)
