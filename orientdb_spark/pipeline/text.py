@@ -136,6 +136,54 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/C4 quality filters):
+    per doc, the total and distinct word n-gram counts, the duplicate
+    n-gram fraction (1 − distinct/total), and the fraction of n-gram
+    slots taken by the single most frequent n-gram. Template-generated
+    and boilerplate-heavy text scores high on both; a training pipeline
+    thresholds them before the corpus reaches a model.
+
+    Scale shape: n-grams are built columnar (no shuffle), then ONE
+    explode + two groupBys keyed by doc_id — map-side partial aggregation
+    does the heavy lifting and the shuffle carries (doc_id, gram hash)
+    pairs. No per-row interpreted quadratic work (an array-level
+    mode-count would be O(distinct·total) per row)."""
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    staged = df.select(F.col(id_col), toks.alias("__toks"))
+    grams = F.when(
+        F.size("__toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - n + 1),
+            lambda i: F.concat_ws(" ", F.slice("__toks", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = staged.select(F.col(id_col), F.explode_outer(grams).alias("__g"))
+    per_gram = g.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__c"))
+    agg = per_gram.groupBy(id_col).agg(
+        F.sum(F.when(F.col("__g").isNotNull(), F.col("__c")).otherwise(0)).alias(
+            "n_ngrams"
+        ),
+        F.count(F.when(F.col("__g").isNotNull(), 1)).alias("n_distinct"),
+        F.max(F.when(F.col("__g").isNotNull(), F.col("__c")).otherwise(0)).alias(
+            "top_count"
+        ),
+    )
+    denom = F.greatest(F.col("n_ngrams"), F.lit(1)).cast("double")
+    return agg.select(
+        F.col(id_col),
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("top_count").cast("long").alias("top_count"),
+        F.round((F.col("n_ngrams") - F.col("n_distinct")) / denom, 6).alias(
+            "dup_ngram_frac"
+        ),
+        F.round(F.col("top_count") / denom, 6).alias("top_ngram_frac"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprint: md5 of normalized text (see
     pipeline/common.normalize_text) — stable under case/punct/ws noise."""

@@ -13,25 +13,28 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def test_build_once_query_many(spark):
     embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    tracker = spark.sparkContext.statusTracker()
     q = embs.filter(F.col("vec_id") < 5)
 
-    t0 = len(tracker.getJobIdsForGroup(None))
     idx = similarity.IvfIndex.build(embs, n_cells=8)
     r1 = sorted(map(tuple, idx.topk(q, k=3, nprobe=3).collect()))
-    build_and_first = len(tracker.getJobIdsForGroup(None)) - t0
 
-    t1 = len(tracker.getJobIdsForGroup(None))
-    out = idx.topk(q, k=3, nprobe=3)
-    r2 = sorted(map(tuple, out.collect()))
-    second = len(tracker.getJobIdsForGroup(None)) - t1
+    # a repeat query must run zero centroid-build work: no quantizer
+    # build, no Arrow re-assignment — only the probe/rerank over the
+    # cached cells. Job-count deltas are AQE/shared-session-noisy, so
+    # assert the code path itself (as test_one_index_serves_topk_and_
+    # neardup does) plus the plan shape.
+    def _boom(*a, **k):
+        raise AssertionError("repeat topk re-ran build-time work")
+
+    orig_build, orig_assign = similarity.build_ivf_index, similarity._assign_udf
+    similarity.build_ivf_index = similarity._assign_udf = _boom
+    try:
+        out = idx.topk(q, k=3, nprobe=3)
+        r2 = sorted(map(tuple, out.collect()))
+    finally:
+        similarity.build_ivf_index, similarity._assign_udf = orig_build, orig_assign
 
     assert r2 == r1
-    # the build runs its own jobs (seed collect, Lloyd means collect,
-    # assignment + eager checkpoint); a repeat query must not repeat them —
-    # it is strictly the probe/rerank query over the cached cells (AQE may
-    # split that one query into a few jobs, but fewer than build+query)
-    assert second < build_and_first, (second, build_and_first)
     # the queried plan reads the checkpointed corpus, not build lineage
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "posexplode" not in plan

@@ -113,3 +113,22 @@ def test_decontaminate_min_shared_threshold(spark):
     strict = dedup.decontaminate(train, ref, method="winnow", min_shared=1)
     lenient = dedup.decontaminate(train, ref, method="winnow", min_shared=4)
     assert strict.count() <= lenient.count()
+
+
+def test_repetition_stats_handcrafted(spark):
+    from orientdb_spark.pipeline import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),       # "a b c" repeats: 7 grams, 3 distinct
+            (2, "one two three four five"),  # all distinct: 3 grams
+            (3, "x y"),                      # too short for trigrams
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text.repetition_stats(docs, n=3).collect()}
+    assert rows[1]["n_ngrams"] == 7 and rows[1]["n_distinct"] == 3
+    assert rows[1]["top_count"] == 3  # "a b c" at positions 1,4,7
+    assert abs(rows[1]["dup_ngram_frac"] - (7 - 3) / 7) < 1e-6
+    assert rows[2]["n_ngrams"] == 3 and rows[2]["dup_ngram_frac"] == 0.0
+    assert rows[3]["n_ngrams"] == 0 and rows[3]["dup_ngram_frac"] == 0.0

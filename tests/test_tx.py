@@ -51,3 +51,56 @@ def test_tx_rollback_leaves_state(spark):
     assert eng.query("select r_name from acct where r_regionkey = 2")[0]["r_name"] == before
     with pytest.raises(OConcurrentModificationException):
         tx.commit()  # no longer active
+
+
+def _eng_rid(spark):
+    """acct with a STABLE record identity (rid_pos) — enables the
+    per-record commit path (reference: OTransactionOptimistic.java:22-45
+    re-checks each touched record's version, not whole-class state)."""
+    eng = Engine(spark)
+    eng.register_dataframe(
+        "acct",
+        spark.read.parquet(f"{SF_DIR}/region.parquet"),
+        rid_pos=lambda df: F.col("r_regionkey"),
+    )
+    return eng
+
+
+def test_tx_disjoint_records_both_commit(spark):
+    eng = _eng_rid(spark)
+    tx1 = eng.begin()
+    tx2 = eng.begin()
+    tx1.command("update acct set r_name = 'A' where r_regionkey = 1")
+    tx2.command("update acct set r_name = 'B' where r_regionkey = 3")
+    tx1.commit()
+    tx2.commit()  # disjoint write-sets: rebases instead of failing
+    rows = {
+        r["r_regionkey"]: r["r_name"]
+        for r in eng.query("select r_regionkey, r_name from acct")
+    }
+    assert rows[1] == "A" and rows[3] == "B"
+    assert len(rows) == 5  # no rows lost or duplicated by the rebase
+
+
+def test_tx_same_record_still_conflicts(spark):
+    eng = _eng_rid(spark)
+    tx1 = eng.begin()
+    tx2 = eng.begin()
+    tx1.command("update acct set r_name = 'A' where r_regionkey = 1")
+    tx2.command("update acct set r_name = 'B' where r_regionkey = 1")
+    tx1.commit()
+    with pytest.raises(OConcurrentModificationException):
+        tx2.commit()
+    assert eng.query("select r_name from acct where r_regionkey = 1")[0]["r_name"] == "A"
+
+
+def test_tx_update_of_concurrently_deleted_record_conflicts(spark):
+    eng = _eng_rid(spark)
+    tx1 = eng.begin()
+    tx2 = eng.begin()
+    tx1.command("delete from acct where r_regionkey = 2")
+    tx2.command("update acct set r_name = 'B' where r_regionkey = 2")
+    tx1.commit()
+    with pytest.raises(OConcurrentModificationException):
+        tx2.commit()
+    assert not eng.query("select * from acct where r_regionkey = 2")
