@@ -533,7 +533,7 @@ def embedding_duplicate_pairs(
     import math as _math
 
     from orientdb_spark.pipeline.common import vec_norm
-    from orientdb_spark.pipeline.similarity import build_ivf_index
+    from orientdb_spark.pipeline.similarity import _assign_udf, seed_centers
 
     g = (
         df.select(
@@ -554,6 +554,7 @@ def embedding_duplicate_pairs(
         ),
     ).persist()
 
+    spark = df.sparkSession
     if index is not None:
         # reuse the index's cached cell assignments (zero build jobs) and
         # project its raw-space centroids onto the unit sphere, where the
@@ -576,17 +577,27 @@ def embedding_duplicate_pairs(
             .otherwise(F.col("cvec"))
             .alias("cvec"),
         )
+        members = unit.join(assignments, "__id").persist()
+        cent_rows = {r["cid"]: list(r["cvec"]) for r in centroids.collect()}
     else:
         # cheap deterministic quantizer: h60-seeded centers, no Lloyd step —
         # pruning is exact regardless of assignment quality (radii are
-        # measured from actual members)
-        centroids, assignments = build_ivf_index(
-            unit, n_cells=n_cells, vec_col="__u", id_col="__id", refine_iters=0
+        # measured from actual members). Assignment is attached with a
+        # narrow withColumn over the persisted unit frame — NOT a self
+        # join back onto an (id, cid) table, which would shuffle the
+        # whole corpus once more for data computed from that same frame.
+        centers = seed_centers(
+            unit.select(F.col("__id"), F.col("__u").alias("__v")), n_cells
         )
-    # persisted: scanned three times (radii + both sides of the pair
-    # join); without this the Arrow assignment UDF and unit-normalization
-    # re-run per scan (measured 3-4x the pair-join cost at sf0.1)
-    members = unit.join(assignments, "__id").persist()
+        members = unit.withColumn("cid", _assign_udf(centers)(F.col("__u"))).persist()
+        centroids = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centers)], ["cid", "cvec"]
+        )
+        cent_rows = dict(enumerate(centers))
+    # members persisted: scanned three times (radii + both sides of the
+    # pair join); without this the Arrow assignment UDF and unit-
+    # normalization re-run per scan (measured 3-4x the pair-join cost
+    # at sf0.1)
     cdist = F.sqrt(
         F.aggregate(
             F.zip_with(F.col("__u"), F.col("cvec"), lambda x, c: (x - c) * (x - c)),
@@ -601,11 +612,9 @@ def embedding_duplicate_pairs(
         .agg(F.max("__d").alias("radius"))
     )
     # n_cells rows to the driver: centers + radii → candidate cell pairs
-    cent_rows = {r["cid"]: r["cvec"] for r in centroids.collect()}
     rad_rows = {r["cid"]: r["radius"] for r in radii.collect()}
     eps = _math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
     cand_cells = candidate_cell_pairs(cent_rows, rad_rows, eps)
-    spark = df.sparkSession
     cp = spark.createDataFrame(cand_cells or [(-1, -1)], ["__ca", "__cb"])
 
     a = members.select(

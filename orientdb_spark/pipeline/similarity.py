@@ -92,6 +92,21 @@ def _assign_udf(centers: list[list[float]]):
     return assign
 
 
+def seed_centers(corpus: DataFrame, n_cells: int) -> list[list[float]]:
+    """Deterministic quantizer seeds: the ``n_cells`` corpus vectors with
+    the smallest h60(id) — uniformly spread, no RNG state. ``corpus`` is
+    the normalized (__id, __v) projection. Shared by build_ivf_index and
+    dedup.embedding_duplicate_pairs so both quantize identically."""
+    seed_rows = (
+        corpus.withColumn("__h", h60(F.col("__id").cast("string")))
+        .orderBy("__h")
+        .limit(n_cells)
+        .select("__v")
+        .collect()
+    )
+    return [list(r["__v"]) for r in seed_rows]
+
+
 def build_ivf_index(
     df: DataFrame,
     n_cells: int = 16,
@@ -112,14 +127,7 @@ def build_ivf_index(
     corpus = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
     )
-    seed_rows = (
-        corpus.withColumn("__h", h60(F.col("__id").cast("string")))
-        .orderBy("__h")
-        .limit(n_cells)
-        .select("__v")
-        .collect()
-    )
-    centers = [list(r["__v"]) for r in seed_rows]
+    centers = seed_centers(corpus, n_cells)
 
     for _ in range(refine_iters):
         assigned = corpus.withColumn("cid", _assign_udf(centers)(F.col("__v")))
