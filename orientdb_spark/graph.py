@@ -233,21 +233,27 @@ class Graph:
         neighbor (and u) to the minimum neighbor. The single dedup per
         alternation lives here (post-orient), bounding edge growth.
 
-        min and row_number share ONE window exchange on u: the min feeds
-        the rewiring, rn==1 emits the single (u, min) center edge the
-        join formulation needed a separate aggregate for."""
+        min, row_number, and the dedup all share ONE window exchange on
+        u: partitioning by u colocates every duplicate of an oriented
+        (u, v) pair, so duplicates are exactly the rows whose lag(v)
+        within (u ORDER BY v) equals their own v — a separate
+        dropDuplicates would add a second full exchange (hash on (u, v))
+        for the same effect. min feeds the rewiring; rn==1 emits the
+        single (u, min) center edge the join formulation needed a
+        separate aggregate for."""
         from pyspark.sql import Window
 
-        ed = (
-            e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .dropDuplicates()
-        )
+        ed = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
         w = Window.partitionBy("u").orderBy("v")
-        ed2 = ed.withColumn(
-            "__mn", F.min("v").over(Window.partitionBy("u"))
-        ).withColumn("__rn", F.row_number().over(w))
-        rewired = ed2.filter(F.col("v") != F.col("__mn")).select(
+        ed2 = (
+            ed.withColumn("__mn", F.min("v").over(Window.partitionBy("u")))
+            .withColumn("__rn", F.row_number().over(w))
+            .withColumn("__dup", F.lag("v").over(w) == F.col("v"))
+        )
+        kept = ed2.filter(F.col("__dup").isNull() | ~F.col("__dup"))
+        rewired = kept.filter(F.col("v") != F.col("__mn")).select(
             F.col("v").alias("u"), F.col("__mn").alias("v")
         )
         center = ed2.filter(F.col("__rn") == 1).select("u", F.col("__mn").alias("v"))
