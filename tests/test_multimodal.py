@@ -82,3 +82,17 @@ def test_frame_sample_schema(payload_df):
     out = multimodal.sample_frames(payload_df)
     assert [f.name for f in out.schema.fields] == ["doc_id", "frame_index", "frame_ts", "frame"]
     assert out.schema["frame"].dataType.typeName() == "binary"
+
+
+def test_documents_text_is_ascii(oracle):
+    """The multimodal_frame_sample oracle md5s substring(text, ...) by
+    CHARS while Spark md5s the byte frame — equivalent only while the
+    corpus is pure ASCII (chars == bytes). The histogram/resize oracles
+    are byte-exact regardless (hex(encode(text))), but this pins the
+    frame-digest precondition so a future testdata regen that introduces
+    non-ASCII fails loudly here instead of as a driver hash mismatch."""
+    n_bad = oracle.sql(
+        "SELECT count(*) FROM documents "
+        "WHERE octet_length(encode(text)) <> length(text)"
+    ).fetchone()[0]
+    assert n_bad == 0
