@@ -311,15 +311,26 @@ class Graph:
     def pagerank(self, iterations: int = 10, damping: float = 0.85) -> DataFrame:
         """Iterative PageRank via aggregate-messages joins (the Pregel
         formulation on DataFrames). Returns (vid, rank)."""
+        from pyspark.sql import Window
+
         n = self.vertices.count()
         # weighted adjacency (src, dst, w=1/out_degree) computed once and
         # persisted — the per-iteration work is then join + groupBy, both
         # shuffling on vertex id (explicit pre-partitioning was measured
         # slower here: AQE coalesces the tiny shuffles anyway and the
-        # repartition barrier just adds a stage)
+        # repartition barrier just adds a stage). The out-degree rides a
+        # single window exchange on src; the former groupBy + join-back
+        # shuffled the edge set twice for the same column (the same
+        # one-exchange discipline as _large_star/_small_star).
         adj = (
-            self.edges.join(self.out_degrees().withColumnRenamed("vid", "src"), "src")
-            .select("src", F.col("dst"), (F.lit(1.0) / F.col("out_degree")).alias("w"))
+            self.edges.select(
+                "src",
+                "dst",
+                (
+                    F.lit(1.0)
+                    / F.count(F.lit(1)).over(Window.partitionBy("src"))
+                ).alias("w"),
+            )
             .persist()
         )
         vids = self.vertices.select("vid").persist()
