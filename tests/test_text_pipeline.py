@@ -132,3 +132,47 @@ def test_repetition_stats_handcrafted(spark):
     assert abs(rows[1]["dup_ngram_frac"] - (7 - 3) / 7) < 1e-6
     assert rows[2]["n_ngrams"] == 3 and rows[2]["dup_ngram_frac"] == 0.0
     assert rows[3]["n_ngrams"] == 0 and rows[3]["dup_ngram_frac"] == 0.0
+
+
+def test_repetition_stats_property(spark):
+    """Property check vs an independent Python reference over randomized
+    token strings (hypothesis; derandomized like test_property_oracle) —
+    covers the empty/short/duplicate-heavy edges the corpus oracle
+    doesn't."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from orientdb_spark.pipeline import text
+
+    token = st.sampled_from(["a", "b", "ab", "x1", "zz"])
+    docs_strategy = st.lists(
+        st.lists(token, min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(docs_strategy)
+    def run(texts):
+        df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+        got = {r["doc_id"]: r for r in text.repetition_stats(df, n=3).collect()}
+        for i, t in enumerate(texts):
+            toks = [w for w in t.lower().split() if w]
+            grams = [" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)]
+            counts = Counter(grams)
+            total, distinct = len(grams), len(counts)
+            top = max(counts.values()) if counts else 0
+            r = got[i]
+            assert r["n_ngrams"] == total
+            assert r["n_distinct"] == distinct
+            assert r["top_count"] == top
+            assert abs(r["dup_ngram_frac"] - (total - distinct) / max(total, 1)) < 1e-6
+            assert abs(r["top_ngram_frac"] - top / max(total, 1)) < 1e-6
+
+    run()

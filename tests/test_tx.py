@@ -104,3 +104,31 @@ def test_tx_update_of_concurrently_deleted_record_conflicts(spark):
     with pytest.raises(OConcurrentModificationException):
         tx2.commit()
     assert not eng.query("select * from acct where r_regionkey = 2")
+
+
+def test_tx_disjoint_inserts_both_commit(spark):
+    eng = _eng_rid(spark)
+    tx1 = eng.begin()
+    tx2 = eng.begin()
+    tx1.command("insert into acct (r_regionkey, r_name) values (100, 'N1')")
+    tx2.command("insert into acct (r_regionkey, r_name) values (200, 'N2')")
+    tx1.commit()
+    tx2.commit()  # different rids: rebase keeps both inserts
+    rows = {
+        r["r_regionkey"]: r["r_name"]
+        for r in eng.query("select r_regionkey, r_name from acct")
+    }
+    assert rows[100] == "N1" and rows[200] == "N2" and len(rows) == 7
+
+
+def test_tx_insert_rid_collision_conflicts(spark):
+    eng = _eng_rid(spark)
+    tx1 = eng.begin()
+    tx2 = eng.begin()
+    tx1.command("insert into acct (r_regionkey, r_name) values (100, 'N1')")
+    tx2.command("insert into acct (r_regionkey, r_name) values (100, 'N2')")
+    tx1.commit()
+    with pytest.raises(OConcurrentModificationException):
+        tx2.commit()  # same rid now taken in the live table
+    rows = [r["r_name"] for r in eng.query("select r_name from acct where r_regionkey = 100")]
+    assert rows == ["N1"]
