@@ -576,6 +576,12 @@ def _text_repetition(spark, sf_dir):
     return text.repetition_stats(_docs(spark, sf_dir), n=3)
 
 
+def _text_token_budget(spark, sf_dir):
+    from orientdb_spark.pipeline import text
+
+    return text.token_budget(_docs(spark, sf_dir))
+
+
 def _multimodal_features(spark, sf_dir):
     from orientdb_spark.pipeline import multimodal
 
@@ -1124,6 +1130,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_token_stats": _text_tokens,
         "text_winnow_fingerprint": _text_winnow,
         "text_repetition_stats": _text_repetition,
+        "text_token_budget": _text_token_budget,
         # pipeline: multimodal
         "multimodal_binary_features": _multimodal_features,
         "multimodal_fake_decode": _multimodal_fake_decode,
@@ -1756,6 +1763,16 @@ FROM q WHERE rk = 1
             "SELECT doc_id, len(fps)::BIGINT AS n_fp, list_min(fps) AS min_fp, "
             "list_max(fps) AS max_fp, "
             "list_sum(list_transform(fps, x -> x % 1000000007))::BIGINT AS sum_fp FROM w"
+        ),
+        "text_token_budget": (
+            # mirrors pipeline/text.token_budget(group_cols=[source, lang])
+            "SELECT source, lang, count(*)::BIGINT AS n_docs, "
+            "sum(len(list_filter(regexp_split_to_array(text, '\\s+'), "
+            "t -> len(t) > 0)))::BIGINT AS total_ws_tokens, "
+            "sum(len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS total_bpe_tokens, "
+            "sum(length(text))::BIGINT AS total_chars "
+            "FROM documents GROUP BY source, lang"
         ),
         "text_repetition_stats": (
             # mirrors pipeline/text.repetition_stats(n=3): lowercased

@@ -77,6 +77,36 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def token_budget(
+    df: DataFrame,
+    group_cols: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus token budget: docs / whitespace tokens / BPE-ish tokens /
+    chars per group (default per source × lang) — the "how many training
+    tokens do we have, and where" aggregation every pipeline runs before
+    sizing a training job.
+
+    One scan with the token expressions computed in the projection and
+    ONE groupBy (map-side partial aggregation carries only the counters)
+    — not token_stats joined back onto the corpus, which would shuffle
+    the whole table to re-attach columns it was derived from."""
+    group_cols = group_cols or ["source", "lang"]
+    t = F.col(text_col)
+    per_doc = df.select(
+        *group_cols,
+        F.size(ws_tokens(t)).alias("__ws"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_RE), 0)).alias("__bpe"),
+        F.length(t).alias("__ch"),
+    )
+    return per_doc.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__ws").cast("long").alias("total_ws_tokens"),
+        F.sum("__bpe").cast("long").alias("total_bpe_tokens"),
+        F.sum("__ch").cast("long").alias("total_chars"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document quality heuristics: length, mean word length, stopword
     ratio, punctuation ratio, and a composite score in [0,1].
