@@ -577,7 +577,18 @@ def embedding_duplicate_pairs(
             .otherwise(F.col("cvec"))
             .alias("cvec"),
         )
-        members = unit.join(assignments, "__id").persist()
+        # LEFT join + loud failure on uncovered ids: an index built over a
+        # different (or stale) corpus would otherwise silently drop the
+        # unmatched rows and under-report pairs despite the EXACT contract.
+        # The probe is limit(1)-bounded over the persisted frame.
+        members = unit.join(assignments, "__id", "left").persist()
+        uncovered = members.filter(F.col("cid").isNull()).select("__id").limit(1).collect()
+        if uncovered:
+            raise ValueError(
+                "IvfIndex does not cover this corpus (e.g. id "
+                f"{uncovered[0]['__id']!r} has no cell assignment); rebuild the "
+                "index over the same corpus or pass index=None"
+            )
         cent_rows = {r["cid"]: list(r["cvec"]) for r in centroids.collect()}
     else:
         # cheap deterministic quantizer: h60-seeded centers, no Lloyd step —

@@ -107,9 +107,19 @@ class Transaction:
                     # nothing moved underneath us: install the overlay as-is
                     installs[name] = ovl_sup
                     continue
+                if snap_sup is None:
+                    # class did not exist at begin (created concurrently and
+                    # then touched through the tx): no snapshot to diff a
+                    # write-set against, so this is a class-granular conflict
+                    raise OConcurrentModificationException(
+                        f"Class '{name}' was created after the transaction began"
+                    )
                 merged = self._rebase(cls, name, snap_sup(), cur_sup(), ovl_sup())
                 installs[name] = lambda _df=merged: _df
-        except OConcurrentModificationException:
+        except BaseException:
+            # any validation failure (conflict OR an unexpected analysis/
+            # execution error inside the rebase) must deactivate the tx —
+            # otherwise callers could retry commit on a half-validated state
             self._active = False
             raise
         for name, sup in installs.items():
@@ -122,7 +132,13 @@ class Transaction:
         live table. The write-set is the (snapshot vs overlay) diff keyed
         by rid; a record conflicts when the live table disagrees with the
         snapshot about it (presence or @version). Returns the merged
-        DataFrame, or raises OConcurrentModificationException."""
+        DataFrame, or raises OConcurrentModificationException.
+
+        Schema changes ride along even when the write-set is empty (e.g.
+        an UPDATE that matched zero rows but introduced a new all-null
+        column): the final unionByName(allowMissingColumns=True) takes
+        the union of the live and overlay schemas, null-filling the live
+        rows — pinned by test_tx_zero_row_update_schema_survives_rebase."""
         from pyspark.sql import functions as F
 
         from orientdb_spark.catalog import BACKING_VERSION_COL, RID_POS_COL

@@ -95,3 +95,20 @@ def test_index_and_oneshot_agree(spark):
     )
     assert a == b
     idx.unpersist()
+
+
+def test_stale_index_fails_loudly(spark):
+    """An index built over a DIFFERENT corpus must not silently drop the
+    unmatched rows from near-dup mining (the inner-join would under-
+    report pairs despite the EXACT contract) — it raises instead."""
+    import pytest
+
+    from orientdb_spark.pipeline import dedup
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    subset = embs.filter(F.col("vec_id") < 50)
+
+    idx = similarity.IvfIndex.build(subset, n_cells=4)
+    with pytest.raises(ValueError, match="does not cover"):
+        dedup.embedding_duplicate_pairs(embs, threshold=0.3, index=idx).collect()
+    idx.unpersist()

@@ -132,3 +132,59 @@ def test_tx_insert_rid_collision_conflicts(spark):
         tx2.commit()  # same rid now taken in the live table
     rows = [r["r_name"] for r in eng.query("select r_name from acct where r_regionkey = 100")]
     assert rows == ["N1"]
+
+
+def test_tx_class_created_after_begin_conflicts(spark):
+    """A class created after begin has no snapshot to diff a write-set
+    against; touching it through the tx must surface as a clean
+    class-granular conflict, not a TypeError on the missing supplier."""
+    eng = _eng_rid(spark)
+    tx = eng.begin()
+    eng.command("create class latecomer")
+    eng.command("insert into latecomer (v) values (1)")
+    eng.command("insert into latecomer (v) values (2)")  # moves the supplier
+    tx.command("update latecomer set v = 9 where v = 1")
+    with pytest.raises(OConcurrentModificationException):
+        tx.commit()
+    assert sorted(r["v"] for r in eng.query("select v from latecomer")) == [1, 2]
+
+
+def test_tx_unexpected_commit_error_deactivates(spark, monkeypatch):
+    """Any failure inside commit validation (not just a conflict) must
+    deactivate the tx so callers can't retry on half-validated state."""
+    from orientdb_spark.tx import Transaction
+
+    eng = _eng_rid(spark)
+    tx1 = eng.begin()
+    tx2 = eng.begin()
+    tx1.command("update acct set r_name = 'A' where r_regionkey = 1")
+    tx2.command("update acct set r_name = 'B' where r_regionkey = 3")
+    tx1.commit()
+
+    def boom(self, *a, **k):
+        raise RuntimeError("synthetic rebase failure")
+
+    monkeypatch.setattr(Transaction, "_rebase", boom)
+    with pytest.raises(RuntimeError):
+        tx2.commit()
+    with pytest.raises(OConcurrentModificationException):
+        tx2.commit()  # no longer active — retry is refused, not re-validated
+
+
+def test_tx_zero_row_update_schema_survives_rebase(spark):
+    """A tx UPDATE whose WHERE matched zero rows still adds its column
+    (all-null) via withColumn; the rebase's unionByName(allowMissing
+    Columns=True) carries that schema through even though the write-set
+    diff is empty. Regression-pins the schema-preservation contract."""
+    eng = _eng_rid(spark)
+    tx1 = eng.begin()
+    tx2 = eng.begin()
+    tx1.command("update acct set r_name = 'A' where r_regionkey = 1")
+    tx2.command("update acct set newcol = 'X' where r_regionkey = 999")
+    tx1.commit()
+    tx2.commit()  # empty write-set rebases cleanly onto tx1's table
+    rows = eng.query("select r_regionkey, r_name, newcol from acct")
+    assert len(rows) == 5
+    assert all(r["newcol"] is None for r in rows)
+    byk = {r["r_regionkey"]: r["r_name"] for r in rows}
+    assert byk[1] == "A"  # tx1's concurrent update was kept
