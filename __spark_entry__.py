@@ -489,13 +489,14 @@ def _sim_lsh(spark, sf_dir):
 
     embs = _embs(spark, sf_dir)
     # planes sized for the fixture corpus (~2^planes·30 vectors); nprobe=4
-    # multi-probes the 3 lowest-margin bit flips, and 4 independent salted
+    # multi-probes the 3 lowest-margin bit flips, and 6 independent salted
     # tables union their candidates (miss probability decays exponentially
     # in tables). Measured recall vs brute force: 0.32 (1 table, sf0.01)
-    # → 0.74 (4 tables); 0.68 at sf0.001. Gate: recall >= 0.5 in
-    # tests/test_entry.py.
+    # → 0.74 (4 tables) → 0.88 (6 tables); 0.80 at sf0.001. Gate:
+    # recall >= 0.65 in tests/test_entry.py — tight enough that a silent
+    # recall regression can't hide under a slack gate.
     return similarity.lsh_topk(
-        embs, embs.filter(F.col("vec_id") < 10), k=5, planes=5, nprobe=4, tables=4
+        embs, embs.filter(F.col("vec_id") < 10), k=5, planes=5, nprobe=4, tables=6
     )
 
 

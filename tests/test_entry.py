@@ -48,10 +48,12 @@ def test_lsh_recall_vs_bruteforce(spark):
         for r in QUERIES["sim_topk_lsh"](spark, SF_DIR).collect()
     }
     assert approx, "LSH returned nothing"
-    # 4-table multi-probe LSH must recover at least half the true top-k
-    # (same bar as the IVF gate; measured 0.68 at sf0.001 / 0.74 at sf0.01)
+    # 6-table multi-probe LSH must recover well over half the true top-k
+    # (measured 0.80 at sf0.001 / 0.88 at sf0.01 — the 0.65 gate leaves
+    # real margin yet still catches a silent recall regression that the
+    # old 0.5 gate would have let slide)
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"LSH recall too low: {recall:.2f}"
+    assert recall >= 0.65, f"LSH recall too low: {recall:.2f}"
     # multi-probe (own bucket + lowest-margin flips) must not lose recall
     # vs single-probe — deterministic on the fixture (hash-derived planes)
     from pyspark.sql import functions as F
