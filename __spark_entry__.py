@@ -583,6 +583,70 @@ def _text_token_budget(spark, sf_dir):
     return text.token_budget(_docs(spark, sf_dir))
 
 
+def _text_boilerplate(spark, sf_dir):
+    """Cross-doc boilerplate detection + removal. The synthetic corpus
+    has no boilerplate signal (measured max trigram doc-frequency 7/500,
+    no newlines — NOTES_r5), so the entry derives a fixture the same way
+    the embeddings/events entries do: a deterministic per-source header
+    and footer stamped onto every doc. The operator must rediscover
+    exactly those lines via per-source document frequency and strip
+    them; the oracle re-implements detection+strip independently in SQL."""
+    from orientdb_spark.pipeline import text
+
+    src = F.col("source")
+    fixture = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("== "), src, F.lit(" newsletter ==\n"),
+            F.col("text"),
+            F.lit("\nunsubscribe at "), src, F.lit(".example.com"),
+        ).alias("text"),
+    )
+    return text.strip_boilerplate(fixture)
+
+
+def _text_line_quality(spark, sf_dir):
+    """C4-style per-line quality pass over a fixture with deterministic
+    noise lines (too short / nav chrome / digit soup) plus one extra
+    good line on every third doc so per-doc counts vary."""
+    from orientdb_spark.pipeline import text
+
+    extra = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit("\nthe quick brown fox jumps over the lazy dog today"),
+    ).otherwise(F.lit(""))
+    fixture = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("ok\n"),
+            F.col("text"),
+            F.lit("\nHOME | ABOUT\n404 503 2024 17 42 99"),
+            extra,
+        ).alias("text"),
+    )
+    return text.line_quality(fixture)
+
+
+def _text_pii_redact(spark, sf_dir):
+    """PII pattern scan + redaction over a fixture injecting an email
+    per doc and phone/SSN/IP shapes on deterministic doc_id residues."""
+    from orientdb_spark.pipeline import text
+
+    did = F.col("doc_id")
+    fixture = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+            F.when(did % 2 == 0, F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+            F.when(did % 7 == 0, F.lit(" node 10.0.0.7 up")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text.pii_scan(fixture)
+
+
 def _multimodal_features(spark, sf_dir):
     from orientdb_spark.pipeline import multimodal
 
@@ -1132,6 +1196,9 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_winnow_fingerprint": _text_winnow,
         "text_repetition_stats": _text_repetition,
         "text_token_budget": _text_token_budget,
+        "text_boilerplate": _text_boilerplate,
+        "text_line_quality": _text_line_quality,
+        "text_pii_redact": _text_pii_redact,
         # pipeline: multimodal
         "multimodal_binary_features": _multimodal_features,
         "multimodal_fake_decode": _multimodal_fake_decode,
@@ -1796,6 +1863,80 @@ FROM q WHERE rk = 1
             "round(coalesce(agg.top_count, 0) "
             "/ greatest(coalesce(agg.n_ngrams, 0), 1), 6) AS top_ngram_frac "
             "FROM g LEFT JOIN agg ON g.doc_id = agg.doc_id"
+        ),
+        "text_boilerplate": (
+            # independently re-derives the fixture and re-implements
+            # detect (per-source line doc-frequency >= 0.5) + strip +
+            # ordered reassembly in SQL
+            "WITH b AS (SELECT doc_id, source, '== ' || source || "
+            "' newsletter ==' || chr(10) || text || chr(10) || "
+            "'unsubscribe at ' || source || '.example.com' AS text FROM documents), "
+            "p AS (SELECT doc_id, source, string_split(text, chr(10)) AS parts FROM b), "
+            "ld AS (SELECT DISTINCT doc_id, source, line FROM "
+            "(SELECT doc_id, source, trim(unnest(parts)) AS line FROM p) "
+            "WHERE len(line) >= 3), "
+            "lf AS (SELECT source, line, count(*) AS nd FROM ld GROUP BY source, line), "
+            "tot AS (SELECT source, count(*) AS n FROM b GROUP BY source), "
+            "boiler AS (SELECT lf.source, lf.line FROM lf JOIN tot ON lf.source = tot.source "
+            "WHERE round(nd * 1.0 / n, 6) >= 0.5), "
+            "lines AS (SELECT doc_id, source, unnest(list_transform(parts, "
+            "(x, i) -> struct_pack(pos := i, line := x))) AS s FROM p), "
+            "kept AS (SELECT l.doc_id, l.s.pos AS pos, l.s.line AS line FROM lines l "
+            "ANTI JOIN boiler bo ON l.source = bo.source AND trim(l.s.line) = bo.line), "
+            "agg AS (SELECT doc_id, count(*) AS n_kept, "
+            "string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id), "
+            "nl AS (SELECT doc_id, len(parts) AS n_lines FROM p) "
+            "SELECT nl.doc_id, nl.n_lines::INT AS n_lines, "
+            "(nl.n_lines - agg.n_kept)::INT AS n_removed, agg.clean_text "
+            "FROM nl JOIN agg ON nl.doc_id = agg.doc_id"
+        ),
+        "text_line_quality": (
+            # mirrors pipeline/text.line_quality: keep a trimmed line iff
+            # len >= 20 AND ws-tokens >= 3 AND digit fraction <= 0.5
+            "WITH fx AS (SELECT doc_id, 'ok' || chr(10) || text || chr(10) || "
+            "'HOME | ABOUT' || chr(10) || '404 503 2024 17 42 99' || "
+            "CASE WHEN doc_id % 3 = 0 THEN chr(10) || "
+            "'the quick brown fox jumps over the lazy dog today' ELSE '' END AS text "
+            "FROM documents), "
+            "p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM fx), "
+            "k AS (SELECT doc_id, len(parts) AS n_lines, list_filter(parts, "
+            "l -> len(trim(l)) >= 20 AND "
+            "len(list_filter(regexp_split_to_array(trim(l), '\\s+'), w -> len(w) > 0)) >= 3 "
+            "AND (len(trim(l)) - len(regexp_replace(trim(l), '[0-9]', '', 'g'))) * 1.0 "
+            "/ greatest(len(trim(l)), 1) <= 0.5) AS kept FROM p) "
+            "SELECT doc_id, n_lines::INT AS n_lines, len(kept)::INT AS n_kept, "
+            "round(len(kept) * 1.0 / greatest(n_lines, 1), 6) AS kept_frac, "
+            "array_to_string(kept, chr(10)) AS clean_text FROM k"
+        ),
+        "text_pii_redact": (
+            # mirrors pipeline/text.pii_scan patterns + redaction order
+            # (email -> ssn -> phone -> ip); RE2 and java.util.regex agree
+            # on these constructs
+            "WITH fx AS (SELECT doc_id, text || ' contact user' || doc_id::VARCHAR || "
+            "'@example.com' || "
+            "CASE WHEN doc_id % 2 = 0 THEN ' call 555-867-5309' ELSE '' END || "
+            "CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END || "
+            "CASE WHEN doc_id % 7 = 0 THEN ' node 10.0.0.7 up' ELSE '' END AS text "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INT AS n_emails, "
+            "len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))::INT AS n_ssns, "
+            "len(regexp_extract_all(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b'))::INT AS n_phones, "
+            "len(regexp_extract_all(text, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::INT AS n_ips, "
+            "(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) + "
+            "len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) + "
+            "len(regexp_extract_all(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) + "
+            "len(regexp_extract_all(text, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) > 0) AS has_pii, "
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), "
+            "'\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') "
+            "AS redacted_text FROM fx"
         ),
         # Multimodal oracles work on the exact UTF-8 bytes of documents.text
         # via hex(encode(text)) — byte i (0-indexed) is the 2-char hex slice

@@ -214,6 +214,222 @@ def repetition_stats(
     )
 
 
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    min_doc_frac: float = 0.5,
+    min_line_chars: int = 3,
+) -> DataFrame:
+    """Cross-document boilerplate detection: a line is boilerplate for a
+    source when it appears (trimmed, exact) in at least ``min_doc_frac``
+    of that source's documents — the header/footer/nav chrome a crawler
+    stamps onto every page of a site. Returns
+    (source, line, n_docs_with_line, doc_frac).
+
+    Scale shape: per-doc DISTINCT lines are built columnar (array ops, no
+    shuffle), then ONE explode + groupBy (source, line) with map-side
+    partial counts; per-source totals are a tiny broadcast join. The
+    output is bounded by lines that clear the frequency threshold — a
+    small table by construction, safe to broadcast into the strip join."""
+    lines = df.select(
+        F.col(source_col),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+                    lambda l: F.length(l) >= min_line_chars,
+                )
+            )
+        ).alias("line"),
+    )
+    freq = lines.groupBy(source_col, "line").agg(
+        F.count(F.lit(1)).alias("n_docs_with_line")
+    )
+    totals = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n_docs"))
+    return (
+        freq.join(F.broadcast(totals), source_col)
+        .withColumn(
+            "doc_frac", F.round(F.col("n_docs_with_line") / F.col("__n_docs"), 6)
+        )
+        .filter(F.col("doc_frac") >= min_doc_frac)
+        .select(source_col, "line", "n_docs_with_line", "doc_frac")
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    min_doc_frac: float = 0.5,
+    min_line_chars: int = 3,
+    boiler: DataFrame | None = None,
+) -> DataFrame:
+    """Remove per-source boilerplate lines (see boilerplate_lines) and
+    reassemble each document in original line order. Returns
+    (id, n_lines, n_removed, clean_text). Documents whose every line is
+    boilerplate drop out of the result (nothing left to keep).
+
+    Scale shape: one posexplode of the corpus, one broadcast ANTI join
+    against the (small, threshold-bounded) boilerplate set, one
+    groupBy(id) to reassemble — the only corpus-sized shuffle is the
+    reassembly, keyed by the id the downstream pipeline partitions on
+    anyway. Pass a precomputed ``boiler`` to detect on one corpus slice
+    and strip another (e.g. detect on a sample at 100 TB)."""
+    if boiler is None:
+        boiler = boilerplate_lines(
+            df,
+            text_col=text_col,
+            source_col=source_col,
+            min_doc_frac=min_doc_frac,
+            min_line_chars=min_line_chars,
+        )
+    parts = F.split(F.col(text_col), "\n")
+    staged = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.size(parts).alias("__n_lines"),
+        F.posexplode(parts).alias("__pos", "__line"),
+    )
+    b = boiler.select(
+        F.col(source_col).alias("__bsrc"), F.col("line").alias("__bline")
+    )
+    kept = staged.join(
+        F.broadcast(b),
+        (F.col(source_col) == F.col("__bsrc"))
+        & (F.trim(F.col("__line")) == F.col("__bline")),
+        "left_anti",
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.max("__n_lines").alias("__n_lines"),
+            F.count(F.lit(1)).cast("int").alias("__n_kept"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                    lambda s: s["__line"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__n_lines").cast("int").alias("n_lines"),
+            (F.col("__n_lines") - F.col("__n_kept")).cast("int").alias("n_removed"),
+            "clean_text",
+        )
+    )
+
+
+def line_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 20,
+    min_tokens: int = 3,
+    max_digit_frac: float = 0.5,
+) -> DataFrame:
+    """Per-line quality filter (the C4-style line pass): keep a line only
+    if, after trimming, it is long enough, has enough whitespace tokens,
+    and is not digit soup. Returns (id, n_lines, n_kept, kept_frac,
+    clean_text) with the surviving lines rejoined in order.
+
+    Zero-exchange: the line split, per-line predicate, and reassembly are
+    all array Column expressions inside one projection — no explode, no
+    shuffle, the whole pass rides the parquet scan. The filtered array is
+    staged once (interpreted HOFs get no subexpression elimination — see
+    language_id)."""
+
+    def _keep(l: Column) -> Column:
+        t = F.trim(l)
+        n_tok = F.size(F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0))
+        digits = F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))
+        return (
+            (F.length(t) >= min_chars)
+            & (n_tok >= min_tokens)
+            & (
+                digits.cast("double") / F.greatest(F.length(t), F.lit(1))
+                <= max_digit_frac
+            )
+        )
+
+    staged = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), "\n").alias("__parts"),
+    ).select(
+        F.col(id_col),
+        F.size("__parts").alias("__n_lines"),
+        F.filter(F.col("__parts"), _keep).alias("__kept"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("__n_lines").cast("int").alias("n_lines"),
+        F.size("__kept").cast("int").alias("n_kept"),
+        F.round(
+            F.size("__kept") / F.greatest(F.col("__n_lines"), F.lit(1)), 6
+        ).alias("kept_frac"),
+        F.concat_ws("\n", F.col("__kept")).alias("clean_text"),
+    )
+
+
+# PII patterns kept to syntax both java.util.regex and RE2 (the duckdb
+# oracle) agree on: character classes, bounded repetition, \b anchors.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# redaction order matters: emails first (their local part may contain
+# digit runs), then SSN before phone (both are dashed digit groups —
+# the groupings are disjoint, but fixed order keeps the output
+# deterministic if a pattern ever widens), IPs last
+_PII_REDACTIONS: list[tuple[str, str]] = [
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_SSN_RE, "<SSN>"),
+    (PII_PHONE_RE, "<PHONE>"),
+    (PII_IP_RE, "<IP>"),
+]
+
+
+def pii_scan(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII pattern scan + redaction: per document, match counts for
+    email / SSN-shaped / US-phone-shaped / IPv4-shaped substrings, a
+    has_pii flag, and the text with every match replaced by a typed
+    placeholder. Returns (id, n_emails, n_ssns, n_phones, n_ips,
+    has_pii, redacted_text).
+
+    Pure Column expressions (JVM regex, whole-stage codegen, no UDF,
+    no shuffle) — a single-pass scan at any corpus size. These are
+    pattern heuristics, not validators: 999-99-9999 counts as an SSN
+    shape, 999.999.999.999 as an IPv4 shape; a training pipeline wants
+    the conservative over-match before deciding to drop or redact."""
+    t = F.col(text_col)
+
+    def _n(pat: str) -> Column:
+        return F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+
+    red = t
+    for pat, token in _PII_REDACTIONS:
+        red = F.regexp_replace(red, pat, token)
+    counts = {
+        "n_emails": _n(PII_EMAIL_RE),
+        "n_ssns": _n(PII_SSN_RE),
+        "n_phones": _n(PII_PHONE_RE),
+        "n_ips": _n(PII_IP_RE),
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return df.select(
+        F.col(id_col),
+        *[c.cast("int").alias(name) for name, c in counts.items()],
+        (total > 0).alias("has_pii"),
+        red.alias("redacted_text"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprint: md5 of normalized text (see
     pipeline/common.normalize_text) — stable under case/punct/ws noise."""

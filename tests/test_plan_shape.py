@@ -69,3 +69,24 @@ def test_winnow_fingerprints_shuffle_only_for_digest(spark):
     the single allowed exchange is the digest groupBy in the entry."""
     plan = _formatted(QUERIES["text_winnow_fingerprint"](spark, SF_DIR))
     assert _nodes(plan, "Exchange") <= 1, plan
+
+
+def test_line_quality_and_pii_zero_exchange(spark):
+    """line_quality and pii_scan are single-projection array/regex ops —
+    the whole pass must ride the parquet scan with no shuffle."""
+    for name in ("text_line_quality", "text_pii_redact"):
+        plan = _formatted(QUERIES[name](spark, SF_DIR))
+        assert _nodes(plan, "Exchange") == 0, (name, plan)
+        assert _nodes(plan, "Scan parquet") == 1, name
+
+
+def test_strip_boilerplate_bounded_exchanges(spark):
+    """Boilerplate removal: detection groupBy + reassembly groupBy are
+    the only corpus-sized shuffles; the boilerplate set itself must join
+    in as a broadcast, never a shuffle join."""
+    plan = _formatted(QUERIES["text_boilerplate"](spark, SF_DIR))
+    assert _nodes(plan, "BroadcastHashJoin") >= 1, plan
+    assert _nodes(plan, "SortMergeJoin") == 0, plan
+    # corpus shuffles: line-frequency agg + per-source totals + final
+    # reassembly (partial aggs make each a single pair of exchanges)
+    assert _nodes(plan, "Exchange") <= 4, plan

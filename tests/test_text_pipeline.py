@@ -176,3 +176,94 @@ def test_repetition_stats_property(spark):
             assert abs(r["top_ngram_frac"] - top / max(total, 1)) < 1e-6
 
     run()
+
+
+@pytest.fixture(scope="module")
+def boiler_docs(spark):
+    """Two sources, each stamping its own header/footer on every doc;
+    content lines are unique per doc. srcB's footer appears in only
+    half its docs — below the 0.5+epsilon... exactly at 0.5."""
+    rows = []
+    for i in range(8):
+        src = "srcA" if i < 4 else "srcB"
+        head = f"== {src} header =="
+        body = f"unique content line number {i} with plenty of words"
+        if src == "srcA":
+            txt = f"{head}\n{body}\nvisit srcA dot example"
+        else:
+            # footer only on even docs → doc_frac 0.5 (boundary: kept IN)
+            foot = "\nhalf footer srcB" if i % 2 == 0 else ""
+            txt = f"{head}\n{body}{foot}"
+        rows.append((i, src, txt))
+    return spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+
+
+def test_boilerplate_lines_threshold(boiler_docs):
+    found = {
+        (r["source"], r["line"]): r["doc_frac"]
+        for r in text.boilerplate_lines(boiler_docs, min_doc_frac=0.5).collect()
+    }
+    assert found[("srcA", "== srcA header ==")] == 1.0
+    assert found[("srcA", "visit srcA dot example")] == 1.0
+    assert found[("srcB", "== srcB header ==")] == 1.0
+    # boundary: exactly at the threshold counts as boilerplate
+    assert found[("srcB", "half footer srcB")] == 0.5
+    # unique content lines never clear the threshold
+    assert all("unique content" not in line for (_, line) in found)
+
+
+def test_strip_boilerplate_reassembles_in_order(boiler_docs):
+    out = {r["doc_id"]: r for r in text.strip_boilerplate(boiler_docs).collect()}
+    assert out[0]["clean_text"] == "unique content line number 0 with plenty of words"
+    assert out[0]["n_lines"] == 3 and out[0]["n_removed"] == 2
+    # srcB odd doc: header only
+    assert out[5]["n_lines"] == 2 and out[5]["n_removed"] == 1
+    assert out[5]["clean_text"].startswith("unique content line number 5")
+
+
+def test_strip_boilerplate_detect_on_slice(spark, boiler_docs):
+    """The 100 TB pattern: detect boilerplate on one slice, strip
+    another — a doc that is ALL boilerplate drops out entirely."""
+    boiler = text.boilerplate_lines(boiler_docs)
+    extra = spark.createDataFrame(
+        [(99, "srcA", "== srcA header ==\nvisit srcA dot example")],
+        "doc_id bigint, source string, text string",
+    )
+    out = text.strip_boilerplate(extra, boiler=boiler).collect()
+    assert out == []  # nothing survives
+
+
+def test_line_quality_filters(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "ok\na genuinely long enough line of real words here\n404 2024 17 99 55 31"),
+            (2, "HOME | ABOUT"),  # everything filtered
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in text.line_quality(df).collect()}
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 1
+    assert out[1]["clean_text"] == "a genuinely long enough line of real words here"
+    # unlike strip_boilerplate, the zero-exchange form keeps empty docs
+    assert out[2]["n_kept"] == 0 and out[2]["clean_text"] == ""
+    assert out[2]["kept_frac"] == 0.0
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user@example.com or b@test.org call 555-867-5309"),
+            (2, "ssn 123-45-6789 host 10.0.0.7 fine text"),
+            (3, "nothing sensitive at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in text.pii_scan(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (2, 1)
+    assert out[1]["redacted_text"] == "mail <EMAIL> or <EMAIL> call <PHONE>"
+    assert (out[2]["n_ssns"], out[2]["n_ips"]) == (1, 1)
+    assert out[2]["redacted_text"] == "ssn <SSN> host <IP> fine text"
+    assert out[3]["has_pii"] is False
+    assert out[3]["redacted_text"] == "nothing sensitive at all"
+    # a phone shape must not double-count as an SSN shape and vice versa
+    assert out[1]["n_ssns"] == 0 and out[2]["n_phones"] == 0
