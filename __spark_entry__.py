@@ -1381,6 +1381,43 @@ _COS = (
 )
 
 
+def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power-iteration CTE chain mirroring Graph.pagerank on the
+    tpch_graph fixture (region→nation→customer→orders). DuckDB follows
+    the Postgres rule of no aggregates in a recursive term, so the fixed
+    iteration count is unrolled: r_i = (1-d)/n + d·Σ_in r_{i-1}·w, with
+    the LEFT JOIN back to the vertex set standing in for the engine's
+    zero-message dangling carrier."""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"s{i} AS (SELECT adj.dst AS vid, sum(r{i-1}.rank * adj.w) AS m "
+            f"FROM r{i-1} JOIN adj ON r{i-1}.vid = adj.src GROUP BY adj.dst), "
+            f"r{i} AS (SELECT v.vid, {1.0 - damping}/(SELECT nv FROM nn) + "
+            f"{damping} * coalesce(s{i}.m, 0) AS rank "
+            f"FROM v LEFT JOIN s{i} ON v.vid = s{i}.vid)"
+        )
+    return (
+        "WITH v AS ("
+        "SELECT 'region:' || r_regionkey AS vid FROM region "
+        "UNION ALL SELECT 'nation:' || n_nationkey FROM nation "
+        "UNION ALL SELECT 'customer:' || c_custkey FROM customer "
+        "UNION ALL SELECT 'orders:' || o_orderkey FROM orders), "
+        "nn AS (SELECT count(*)::DOUBLE AS nv FROM v), "
+        "e AS ("
+        "SELECT 'region:' || n_regionkey AS src, 'nation:' || n_nationkey AS dst "
+        "FROM nation "
+        "UNION ALL SELECT 'nation:' || c_nationkey, 'customer:' || c_custkey "
+        "FROM customer "
+        "UNION ALL SELECT 'customer:' || o_custkey, 'orders:' || o_orderkey "
+        "FROM orders), "
+        "adj AS (SELECT src, dst, 1.0 / count(*) OVER (PARTITION BY src) AS w FROM e), "
+        "r0 AS (SELECT vid, 1.0 / (SELECT nv FROM nn) AS rank FROM v), "
+        + ", ".join(steps)
+        + f" SELECT vid, round(rank, 8) AS rank FROM r{iterations}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     cos_ab = _COS.format(a="a.e", b="b.e")
     cos_qn = _COS.format(a="q.qv", b="e.ev")
@@ -1986,6 +2023,10 @@ FROM q WHERE rk = 1
             "least(64, n - fi * 64)::INTEGER AS n_frame_bytes, "
             "md5(substring(text, (fi * 64 + 1)::INTEGER, 64)) AS frame_digest FROM f"
         ),
+        # deterministic fixed-iteration PageRank is SQL-expressible after
+        # all (round 6): unrolled power-iteration CTE, rounded at 1e-8 on
+        # both sides (the pytest power-iteration gate at 1e-6 stays)
+        "graph_pagerank": _pagerank_oracle(iterations=5, damping=0.85),
         # no-oracle entries (approximate / stub): approx_distinct_parts,
-        # sim_topk_lsh, graph_pagerank
+        # sim_topk_lsh
     }
