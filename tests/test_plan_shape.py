@@ -90,3 +90,68 @@ def test_strip_boilerplate_bounded_exchanges(spark):
     # corpus shuffles: line-frequency agg + per-source totals + final
     # reassembly (partial aggs make each a single pair of exchanges)
     assert _nodes(plan, "Exchange") <= 4, plan
+
+
+def _graph_fixture(spark):
+    from orientdb_spark import Engine
+    from orientdb_spark.graph import tpch_graph
+
+    eng = Engine(spark)
+    eng.register_parquet_dir(SF_DIR)
+    return tpch_graph(eng)
+
+
+def _exchange_keys(plan: str) -> list[str]:
+    """First partitioning column of every shuffle Exchange in a formatted
+    plan (the detail section prints 'Arguments: hashpartitioning(col#id, …)')."""
+    return re.findall(r"Arguments: hashpartitioning\(([a-zA-Z_]+)#", plan)
+
+
+def test_cc_phases_single_window_exchange(spark, monkeypatch):
+    """The one-exchange-per-phase discipline of star contraction
+    (graph.py:_large_star/_small_star): per-u minima ride a window over
+    ONE hashpartitioning(u) exchange — a regression back to groupBy+join
+    (second exchange kind) or a separate dropDuplicates (an (u,v)
+    exchange) fails here. Checkpoints are neutralized so the full
+    lineage is visible to explain."""
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.graph import Graph
+
+    g = _graph_fixture(spark)
+    monkeypatch.setattr(
+        type(g.edges), "localCheckpoint", lambda self, eager=True: self
+    )
+    e = g.edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    large = _formatted(Graph._large_star(e))
+    assert _nodes(large, "Exchange") == 1, large
+    assert _exchange_keys(large) == ["u"]
+    # small-star: the same single logical u-shuffle appears once per
+    # union branch in the static plan (AQE stage-dedup reuses it at
+    # runtime); the load-bearing claim is that EVERY exchange partitions
+    # on u — min, row_number, and the dedup all share it, and no
+    # dropDuplicates-style (u,v) exchange exists
+    small = _formatted(Graph._small_star(e))
+    keys = _exchange_keys(small)
+    assert keys and set(keys) == {"u"}, small
+    assert _nodes(small, "Exchange") <= 2, small
+
+
+def test_pagerank_one_ranks_exchange_per_iteration(spark, monkeypatch):
+    """PageRank's per-iteration shuffle budget (graph.py:pagerank): the
+    message groupBy is the ONLY per-iteration exchange of rank state —
+    exactly one new hashpartitioning(vid) exchange per extra iteration.
+    (src-keyed exchanges in the static plan are the adjacency build,
+    re-inlined per join by explain but built once at runtime via
+    persist; the dangling-mass union adds none.)"""
+    g = _graph_fixture(spark)
+    monkeypatch.setattr(
+        type(g.edges), "localCheckpoint", lambda self, eager=True: self
+    )
+    vid_counts = []
+    for k in (1, 2, 3):
+        plan = _formatted(g.pagerank(iterations=k))
+        vid_counts.append(sum(c == "vid" for c in _exchange_keys(plan)))
+    assert vid_counts == [1, 2, 3], vid_counts
