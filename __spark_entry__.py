@@ -226,6 +226,25 @@ def _containstext_indexed(spark, sf_dir):
     return hit.select("doc_id", "n_chars").orderBy("doc_id")
 
 
+def _fulltext_dml_maintenance(spark, sf_dir):
+    """Index maintenance under DML, end-to-end (reference analog
+    core:index/OPropertyIndexManager.java — index updates ride the write
+    path as hooks): create a FULLTEXT index, then UPDATE text (adds a
+    token that exists nowhere else in the corpus) and DELETE a sub-range;
+    the containstext query auto-routes through the inverted index, so a
+    stale index returns wrong rows, not just slow ones. The oracle states
+    the post-DML ground truth directly."""
+    eng = _fresh_engine(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eng.register_dataframe("ftcorpus", docs, rid_pos=lambda df: F.col("doc_id"))
+    eng.command("create index ftcorpus.text fulltext")
+    eng.command("update ftcorpus set text = text.append(' zeppelin') where doc_id < 60")
+    eng.command("delete from ftcorpus where doc_id >= 30 and doc_id < 45")
+    return eng.sql(
+        "select doc_id from ftcorpus where text containstext 'zeppelin' order by doc_id"
+    )
+
+
 def _create_link_materialize(spark, sf_dir):
     eng = _fresh_engine(spark, sf_dir)
     eng.register_dataframe(
@@ -912,74 +931,74 @@ def _is_null_filter(spark, sf_dir):
 
 
 # The driver's CORRECTNESS record caps at the FIRST 50 keys of queries()
-# in insertion order. Rounds 1-3 recorded the same first 50 (scan_class ..
-# order_multikey_topk), leaving the back half (windows, set ops, DML/DDL,
-# graph, events, dedup/ANN/text/multimodal) with mirror-harness evidence
-# only (tests/test_entry.py). Rotate the never-recorded half to the front
-# so it finally gets driver rows; the previously-verified keys keep their
-# three rounds of green history plus the mirror harness. Entries that are
-# rows-only BY DESIGN (approximate/no SQL oracle) sit at the tail of the
-# front list so oracle-checked entries fill the recorded slots first.
+# in insertion order. Rotation history: r1-r3 recorded the core-SQL
+# front (scan_class .. order_multikey_topk); r5 recorded the back half
+# (windows/DML/graph/events/dedup/ANN/text/multimodal — all green, those
+# records stand). Round 6 rotates BACK the r3-era core-SQL surface so
+# its official record is refreshed on current code (it was two rounds
+# stale), plus every entry that has never had a driver row: the round-5
+# text_token_budget and the round-6 operators (boilerplate, line
+# quality, PII, fulltext DML maintenance, and graph_pagerank — now
+# hash-checkable via the unrolled power-iteration oracle). To fit 50,
+# six r3 rows rotate out on their standing r3 records + mirror-harness
+# coverage: the tool/API roundtrips (db_save_open_roundtrip,
+# export_import_diff, json_metadata_export, flat_record, bytes_record)
+# and the by-design rows-only approx_distinct_parts — none is core
+# SELECT surface. Every name below carries an oracle_sql() entry, so
+# CORRECTNESS_r06 should be 50/50 hash-checked.
 _DRIVER_FRONT = [
-    "range_keyset_pagination",
-    "window_rank_topn",
-    "window_running_frames",
-    "rollup_pricing",
-    "set_operations",
-    "dml_insert_append",
-    "dml_update_rewrite",
-    "dml_delete_filter",
-    "update_add_collection",
-    "update_put_map",
-    "update_remove_ops",
-    "ddl_schema_evolution",
-    "ddl_truncate",
-    "unique_index_violation",
-    "schema_mixed_insert",
-    "dictionary_keyset",
-    "csv_positional_roundtrip",
-    "custom_udf_bigger",
-    "geo_distance_filter",
-    "graph_out_degree",
-    "graph_delete_cascade",
-    "graph_bfs_levels",
-    "graph_connected_components",
-    "event_window_agg",
-    "event_sessionize",
-    "event_session_window",
-    "event_first_seen",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_minhash_lsh",
-    "dedup_decontaminate",
-    "dedup_canonicalize",
-    "sample_split_assign",
-    "sample_quota_per_source",
-    "dedup_bucket_audit",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "sim_topk_bruteforce",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_stats",
-    "text_winnow_fingerprint",
-    "multimodal_binary_features",
-    # oracle-bearing as of round 5 (previously broken array-shaped
-    # output / rows-only / new): kept in the recorded slots so they land
-    # in CORRECTNESS_r05
-    "multimodal_fake_decode",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "pipeline_end_to_end",
-    "text_repetition_stats",
-    # rows-only by design (approximate / non-SQL-expressible): recorded
-    # last so the oracle-checked entries above land in the capped slots.
-    # sim_topk_ivf and graph_pagerank rotate out this round to stay
-    # within the 50 recorded slots — their no_oracle records (r4) stand,
-    # and both now carry stronger pytest gates (IVF recall >= 0.5;
-    # PageRank vs power iteration at 1e-6).
-    "sim_topk_lsh",
+    # r3-era core SQL surface, re-recorded on r6 code
+    "scan_class",
+    "filter_projection",
+    "rid_point",
+    "rid_list",
+    "cluster_scan",
+    "dictionary_get",
+    "json_roundtrip",
+    "polymorphic_scan",
+    "embedded_struct_nav",
+    "projection_methods",
+    "projection_casts",
+    "format_and_coercion",
+    "record_attributes",
+    "flatten_unnest",
+    "column_positional",
+    "any_wildcard",
+    "all_wildcard_notnull",
+    "like_underscore_literal",
+    "compound_predicates",
+    "matches_anchored",
+    "not_prefix",
+    "is_null_filter",
+    "map_containskey",
+    "map_containsvalue",
+    "containsall_condition",
+    "contains_value",
+    "contains_condition",
+    "containstext_fallback",
+    "containstext_indexed",
+    "traverse_reachability",
+    "traverse_field_restricted",
+    "select_distinct",
+    "link_nav_2hop",
+    "create_link_materialize",
+    "fetchplan_prefetch",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q10_returns",
+    "tpch_q6_forecast",
+    "tpch_q5_local_supplier",
+    "global_aggregates",
+    "count_distinct_suppliers",
+    "group_having_order",
+    "order_multikey_topk",
+    # first-ever driver records
+    "text_token_budget",
+    "text_boilerplate",
+    "text_line_quality",
+    "text_pii_redact",
+    "fulltext_dml_maintenance",
+    "graph_pagerank",
 ]
 
 
@@ -1061,6 +1080,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
             "select doc_id from documents where text containstext 'spark' order by doc_id"
         ),
         "containstext_indexed": _containstext_indexed,
+        "fulltext_dml_maintenance": _fulltext_dml_maintenance,
         "traverse_reachability": _dsl(
             "select c_name from customer where any() traverse(0, 2) (r_name = 'ASIA') "
             "order by c_name"
@@ -1525,6 +1545,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars FROM documents WHERE list_contains("
             "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0), "
             "'spark') ORDER BY doc_id"
+        ),
+        "fulltext_dml_maintenance": (
+            # post-DML ground truth: 'zeppelin' was appended to doc_id < 60,
+            # then doc_id in [30, 45) deleted — a stale inverted index
+            # (missed rebuild on UPDATE or DELETE) diverges from this
+            "SELECT doc_id FROM documents WHERE doc_id < 30 "
+            "OR (doc_id >= 45 AND doc_id < 60) ORDER BY doc_id"
         ),
         "traverse_reachability": (
             "SELECT c_name FROM customer JOIN nation ON c_nationkey = n_nationkey "

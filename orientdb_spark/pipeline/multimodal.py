@@ -180,7 +180,14 @@ def sample_frames(
     ``mapInPandas`` iterator, no shuffle, no explode of a materialized
     array — is the production pattern (frames never all materialize in
     one row's memory, which matters when a 4 GB video yields 100k
-    frames)."""
+    frames).
+
+    Known non-vectorized remainder: the per-document Python loop below
+    is FRAME-granular (one iteration per emitted frame slice), not
+    byte-granular like the loops np.bincount/cumsum replaced elsewhere
+    in this module — O(frames) slice bookkeeping per batch is noise next
+    to the Arrow transfer of the frame bytes themselves, and a real
+    decoder replaces exactly this loop with its demux iterator."""
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
