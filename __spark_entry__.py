@@ -666,6 +666,43 @@ def _text_pii_redact(spark, sf_dir):
     return text.pii_scan(fixture)
 
 
+def _sample_pack_sequences(spark, sf_dir):
+    """Sequence packing over the documents table: whitespace token
+    counts, concatenated in doc_id order, cut into 256-token training
+    sequences via the distributed prefix sum."""
+    from orientdb_spark.pipeline import sampling, text
+
+    counts = text.token_stats(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("n_ws_tokens").cast("long").alias("n_tokens")
+    )
+    return sampling.pack_sequences(counts, budget=256)
+
+
+def _text_paragraph_dedup(spark, sf_dir):
+    """Cross-corpus paragraph dedup on a fixture injecting (a) one
+    paragraph shared across every fourth doc — only the lowest doc_id
+    keeps it — and (b) a paragraph doubled WITHIN every tenth doc — the
+    first occurrence in the lowest such doc survives, all others
+    (including the same doc's second copy) are removed."""
+    from orientdb_spark.pipeline import text
+
+    did = F.col("doc_id")
+    fixture = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 4 == 1, F.lit("\njoin our promo newsletter now")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                did % 10 == 2,
+                F.lit("\nrate this article five stars\nrate this article five stars"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text.paragraph_dedup(fixture)
+
+
 def _multimodal_features(spark, sf_dir):
     from orientdb_spark.pipeline import multimodal
 
@@ -1219,6 +1256,8 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_boilerplate": _text_boilerplate,
         "text_line_quality": _text_line_quality,
         "text_pii_redact": _text_pii_redact,
+        "text_paragraph_dedup": _text_paragraph_dedup,
+        "sample_pack_sequences": _sample_pack_sequences,
         # pipeline: multimodal
         "multimodal_binary_features": _multimodal_features,
         "multimodal_fake_decode": _multimodal_fake_decode,
@@ -2049,6 +2088,45 @@ FROM q WHERE rk = 1
             "SELECT doc_id, fi::INTEGER AS frame_index, fi / 30.0 AS frame_ts, "
             "least(64, n - fi * 64)::INTEGER AS n_frame_bytes, "
             "md5(substring(text, (fi * 64 + 1)::INTEGER, 64)) AS frame_digest FROM f"
+        ),
+        "sample_pack_sequences": (
+            # mirrors pipeline/sampling.pack_sequences(budget=256): the
+            # global-window formulation IS the spec; the Spark side must
+            # reproduce it with the distributed prefix sum
+            "WITH t AS (SELECT doc_id, len(list_filter("
+            "regexp_split_to_array(text, '\\s+'), w -> len(w) > 0))::BIGINT AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS bef FROM t) "
+            "SELECT doc_id, n_tokens, (bef // 256)::BIGINT AS seq_index, "
+            "(bef % 256)::BIGINT AS seq_offset, "
+            "(CASE WHEN n_tokens = 0 THEN 1 ELSE "
+            "((bef + n_tokens - 1) // 256) - (bef // 256) + 1 END)::BIGINT "
+            "AS n_seqs_spanned FROM c"
+        ),
+        "text_paragraph_dedup": (
+            # mirrors pipeline/text.paragraph_dedup: first occurrence by
+            # (doc_id, pos) wins corpus-wide; survivors rejoin in order
+            "WITH b AS (SELECT doc_id, text || "
+            "CASE WHEN doc_id % 4 = 1 THEN chr(10) || 'join our promo newsletter now' "
+            "ELSE '' END || "
+            "CASE WHEN doc_id % 10 = 2 THEN chr(10) || 'rate this article five stars' "
+            "|| chr(10) || 'rate this article five stars' ELSE '' END AS text "
+            "FROM documents), "
+            "p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM b), "
+            "x AS (SELECT doc_id, unnest(list_transform(parts, "
+            "(e, i) -> struct_pack(pos := i, para := e))) AS s FROM p), "
+            "r AS (SELECT doc_id, s.pos AS pos, s.para AS para, "
+            "row_number() OVER (PARTITION BY md5(trim(s.para)) "
+            "ORDER BY doc_id, s.pos) AS rn FROM x), "
+            "k AS (SELECT doc_id, pos, para FROM r WHERE rn = 1 OR len(trim(para)) < 1), "
+            "agg AS (SELECT doc_id, count(*) AS n_kept, "
+            "string_agg(para, chr(10) ORDER BY pos) AS clean_text FROM k GROUP BY doc_id), "
+            "np AS (SELECT doc_id, len(parts) AS n_paras FROM p) "
+            "SELECT np.doc_id, np.n_paras::INT AS n_paras, "
+            "(np.n_paras - agg.n_kept)::INT AS n_removed, agg.clean_text "
+            "FROM np JOIN agg USING (doc_id)"
         ),
         # deterministic fixed-iteration PageRank is SQL-expressible after
         # all (round 6): unrolled power-iteration CTE, rounded at 1e-8 on

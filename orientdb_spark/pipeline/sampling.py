@@ -181,3 +181,73 @@ def canonicalize(
         )
         .drop("__rk")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Sequence packing — the "where does each document land in the
+    training stream" assignment: documents are concatenated in ascending
+    id order into one token stream, which is cut into fixed ``budget``-
+    token training sequences (GPT-style pack-and-split: a document may
+    straddle a boundary and continue into the next sequence). Returns
+    (id, n_tokens, seq_index, seq_offset, n_seqs_spanned): the doc's
+    tokens begin at ``seq_offset`` inside sequence ``seq_index`` and
+    touch ``n_seqs_spanned`` consecutive sequences.
+
+    Scale shape — a distributed prefix sum, NOT a global single-partition
+    window (Window.orderBy without partitionBy funnels the corpus through
+    one task; at 10^10 docs that is the difference between minutes and
+    never): (1) repartitionByRange on id gives ordered partitions,
+    eagerly checkpointed so the partition assignment is frozen between
+    the two passes; (2) per-partition token totals (a counters-only
+    groupBy, n_partitions rows to the driver) become cumulative prefix
+    offsets, broadcast back as a literal map; (3) a window partitioned by
+    the physical partition id computes the local running sum, and
+    global_before = prefix[pid] + local_before. The shuffled payload is
+    (id, n_tokens) pairs — counters, never content. Output is a pure
+    function of (id order, token counts, budget): independent of the
+    partition count, re-runs, and input ordering."""
+    spark = df.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    base = (
+        df.select(F.col(id_col), F.col(token_col).cast("long").alias("__tok"))
+        .repartitionByRange(n_parts, F.col(id_col))
+        .localCheckpoint(eager=True)
+    )
+    with_pid = base.withColumn("__pid", F.spark_partition_id())
+    totals = with_pid.groupBy("__pid").agg(F.sum("__tok").alias("__t")).collect()
+    prefix: dict[int, int] = {}
+    acc = 0
+    for r in sorted(totals, key=lambda row: row["__pid"]):
+        prefix[r["__pid"]] = acc
+        acc += r["__t"] or 0
+    pmap = F.create_map(
+        *[F.lit(v) for kv in prefix.items() for v in kv]
+    ) if prefix else F.create_map()
+    w = Window.partitionBy("__pid").orderBy(id_col)
+    local_before = F.sum("__tok").over(w) - F.col("__tok")
+    gb = (F.coalesce(F.element_at(pmap, F.col("__pid")), F.lit(0)) + local_before).alias(
+        "__before"
+    )
+    staged = with_pid.select(F.col(id_col), F.col("__tok"), gb)
+    tok = F.col("__tok")
+    before = F.col("__before")
+    # integer `div`, not float `/`+cast: exact past 2^53 total tokens
+    return staged.select(
+        F.col(id_col),
+        tok.alias("n_tokens"),
+        F.expr(f"__before div {budget}").alias("seq_index"),
+        (before % budget).cast("long").alias("seq_offset"),
+        F.when(tok == 0, F.lit(1).cast("long"))
+        .otherwise(
+            F.expr(f"(__before + __tok - 1) div {budget}")
+            - F.expr(f"__before div {budget}")
+            + 1
+        )
+        .alias("n_seqs_spanned"),
+    )

@@ -430,6 +430,65 @@ def pii_scan(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_para_chars: int = 1,
+) -> DataFrame:
+    """Cross-corpus paragraph-level deduplication (the C4/RefinedWeb
+    pass that whole-document dedup misses): a paragraph occurrence is
+    kept only if it is the FIRST occurrence corpus-wide, ordered by
+    (id, position) — every later repetition of the same (trimmed)
+    paragraph is removed from its document. Returns
+    (id, n_paras, n_removed, clean_text) with survivors rejoined in
+    original order; documents whose every paragraph was seen before
+    drop out.
+
+    Scale shape: one posexplode, then first-occurrence election as a
+    row_number over ONE window exchange keyed by the paragraph hash (no
+    groupBy+join-back — the same one-exchange discipline as the graph
+    loops), then the reassembly groupBy on id. The shuffle carries
+    (hash, id, pos) plus the paragraph once; no driver-side state. Skew:
+    a pathologically hot paragraph concentrates its occurrences on one
+    reducer, but the window computes row_number only — AQE skew
+    handling applies and no candidate pairs are materialized."""
+    from pyspark.sql import Window
+
+    parts = F.split(F.col(text_col), sep)
+    staged = df.select(
+        F.col(id_col),
+        F.size(parts).alias("__n_paras"),
+        F.posexplode(parts).alias("__pos", "__para"),
+    ).withColumn("__ph", F.md5(F.trim(F.col("__para"))))
+    w = Window.partitionBy("__ph").orderBy(id_col, "__pos")
+    ranked = staged.withColumn("__rn", F.row_number().over(w))
+    kept = ranked.filter(
+        (F.col("__rn") == 1) | (F.length(F.trim("__para")) < min_para_chars)
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.max("__n_paras").alias("__n_paras"),
+            F.count(F.lit(1)).cast("int").alias("__n_kept"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__para"))),
+                    lambda s: s["__para"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__n_paras").cast("int").alias("n_paras"),
+            (F.col("__n_paras") - F.col("__n_kept")).cast("int").alias("n_removed"),
+            "clean_text",
+        )
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprint: md5 of normalized text (see
     pipeline/common.normalize_text) — stable under case/punct/ws noise."""

@@ -123,3 +123,30 @@ def test_canonicalize_from_lsh_pairs(spark):
         assert r["n_keep"] == 1 and r["n_canon"] == 1
     # survivors' count equals number of clusters; corpus is fully covered
     assert out.count() == docs.count()
+
+
+def test_pack_sequences_matches_reference_and_partition_invariant(spark):
+    from orientdb_spark.pipeline import sampling
+
+    rows = [(i, (i * 37) % 90 + (1 if i % 13 else 0)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    acc, ref = 0, {}
+    for i, t in rows:
+        ref[i] = (
+            acc // 64,
+            acc % 64,
+            1 if t == 0 else (acc + t - 1) // 64 - acc // 64 + 1,
+        )
+        acc += t
+    for parts in (2, 7):
+        got = {
+            r["doc_id"]: (r["seq_index"], r["seq_offset"], r["n_seqs_spanned"])
+            for r in sampling.pack_sequences(df, budget=64, partitions=parts).collect()
+        }
+        assert got == ref, parts  # exact + independent of partition count
+    # packing density: the stream has no holes — each doc starts exactly
+    # where the previous one ended (mod budget)
+    pos = 0
+    for i, t in rows:
+        assert ref[i][1] == pos % 64
+        pos += t

@@ -267,3 +267,36 @@ def test_pii_scan_counts_and_redaction(spark):
     assert out[3]["redacted_text"] == "nothing sensitive at all"
     # a phone shape must not double-count as an SSN shape and vice versa
     assert out[1]["n_ssns"] == 0 and out[2]["n_phones"] == 0
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "unique one\nshared para\nunique two"),
+            (2, "shared para\nunique three\nshared para"),
+            (3, "shared para"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in text.paragraph_dedup(df).collect()}
+    # doc 1 saw 'shared para' first (lowest doc_id) — keeps everything
+    assert out[1]["clean_text"] == "unique one\nshared para\nunique two"
+    assert out[1]["n_removed"] == 0
+    # doc 2 loses BOTH copies (cross-doc dup + its own second copy)
+    assert out[2]["clean_text"] == "unique three"
+    assert out[2]["n_removed"] == 2
+    # doc 3 was nothing but a dup → drops out entirely
+    assert 3 not in out
+
+
+def test_paragraph_dedup_blank_lines_are_structure(spark):
+    """Sub-min paragraphs (blank separators) are never deduped away —
+    they are document structure, not repeated content."""
+    df = spark.createDataFrame(
+        [(1, "alpha\n\nbeta"), (2, "gamma\n\ndelta")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in text.paragraph_dedup(df).collect()}
+    assert out[1]["clean_text"] == "alpha\n\nbeta"
+    assert out[2]["clean_text"] == "gamma\n\ndelta"
+    assert out[1]["n_removed"] == 0 and out[2]["n_removed"] == 0
