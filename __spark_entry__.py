@@ -403,6 +403,53 @@ def _event_first_seen(spark, sf_dir):
     )
 
 
+def _event_streams(spark, sf_dir):
+    ev = _engine(spark, sf_dir).table("events")
+    return (
+        ev.filter(F.col("event_type") == "error"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+
+
+def _event_asof_join(spark, sf_dir):
+    """Point-in-time join: each error event picks up the most recent
+    click (<= its ts) by the same user. Single-shuffle union+window
+    formulation (orientdb_spark/temporal.py); DuckDB ASOF LEFT JOIN is
+    the independent oracle. (user_id, ts) is unique in the click stream
+    at every driver SF, so the match is deterministic."""
+    from orientdb_spark.temporal import asof_join
+
+    err, clk = _event_streams(spark, sf_dir)
+    out = asof_join(
+        err, clk, on=["user_id"], payload=("event_id", "value"), prefix="prev_click_"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("prev_click_event_id").alias("prev_click_id"),
+        F.round("prev_click_value", 4).alias("prev_click_value"),
+    )
+
+
+def _event_range_join(spark, sf_dir):
+    """Binned range join: per error event, count + value-sum of the same
+    user's clicks in the preceding 30 minutes. Equi-join on
+    (user_id, time-bucket) with a 2x probe fan-out and exact residual
+    filter — never an inequality nested-loop (temporal.py)."""
+    from orientdb_spark.temporal import range_join_count
+
+    err, clk = _event_streams(spark, sf_dir)
+    out = range_join_count(
+        err, clk, on=["user_id"], left_id="event_id", window_sec=1800, value="value"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "n_in_window",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
 def _docs(spark, sf_dir):
     return _engine(spark, sf_dir).table("documents")
 
@@ -1229,6 +1276,8 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "event_sessionize": _event_sessionize,
         "event_session_window": _event_session_window,
         "event_first_seen": _event_first_seen,
+        "event_asof_join": _event_asof_join,
+        "event_range_join": _event_range_join,
         # pipeline: dedup
         "dedup_exact": _dedup_exact,
         "dedup_fingerprint": _dedup_fingerprint,
@@ -1785,6 +1834,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, "
             "count(*) AS n_events, round(sum(value), 4) AS total_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "event_asof_join": (
+            "SELECT e.event_id, e.user_id, o.event_id AS prev_click_id, "
+            "round(o.value, 4) AS prev_click_value "
+            "FROM (SELECT * FROM events WHERE event_type = 'error') e "
+            "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') o "
+            "ON e.user_id = o.user_id AND e.ts >= o.ts"
+        ),
+        "event_range_join": (
+            "SELECT e.event_id, e.user_id, count(c.ts)::BIGINT AS n_in_window, "
+            "round(coalesce(sum(c.value), 0), 4) AS sum_value "
+            "FROM (SELECT * FROM events WHERE event_type = 'error') e "
+            "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+            "ON e.user_id = c.user_id AND c.ts > e.ts - INTERVAL 30 MINUTE "
+            "AND c.ts <= e.ts GROUP BY 1, 2"
         ),
         "event_first_seen": (
             "SELECT event_id, user_id, event_type, "

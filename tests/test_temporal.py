@@ -1,0 +1,130 @@
+"""Temporal joins: handcrafted semantics + plan-shape checks.
+
+The sf0.001 oracle comparison lives in test_entry.py (event_asof_join /
+event_range_join); these tests pin the edge semantics the oracle data
+can't hit on purpose: exact-ts matches, strictness, empty windows, and
+the one-Exchange plan claim."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from orientdb_spark.temporal import asof_join, range_join_count
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 12, minute, second)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _ts(10)), (2, "u1", _ts(20)), (3, "u2", _ts(5)), (4, "u3", _ts(30))],
+        "lid INT, k STRING, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, "u1", _ts(10)),   # exactly at left lid=1
+            (101, "u1", _ts(15)),
+            (102, "u2", _ts(6)),    # after u2's only left row
+            (103, "u3", _ts(0)),
+            (104, "u3", _ts(29, 59)),
+        ],
+        "rid INT, k STRING, ts TIMESTAMP",
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(sides):
+    left, right = sides
+    out = asof_join(left, right, on=["k"], ts="ts", payload=("rid",), prefix="prev_")
+    got = {r["lid"]: r["prev_rid"] for r in out.collect()}
+    # lid=1: rid 100 shares the exact ts -> matched (<= semantics)
+    # lid=2: most recent of {100,101} -> 101
+    # lid=3: u2's only right row is later -> null
+    # lid=4: latest of u3 -> 104
+    assert got == {1: 100, 2: 101, 3: None, 4: 104}
+
+
+def test_asof_strict_excludes_equal_ts(sides):
+    left, right = sides
+    out = asof_join(
+        left, right, on=["k"], ts="ts", payload=("rid",), allow_exact_matches=False
+    )
+    got = {r["lid"]: r["prev_rid"] for r in out.collect()}
+    assert got[1] is None  # the equal-ts row no longer qualifies
+    assert got[2] == 101
+
+
+def test_asof_keeps_left_columns_and_rowcount(sides):
+    left, right = sides
+    out = asof_join(left, right, on=["k"], ts="ts", payload=("rid",))
+    assert out.count() == left.count()
+    assert {"lid", "k", "ts", "prev_rid"} <= set(out.columns)
+
+
+def test_asof_payload_prefix_collision_raises(sides):
+    left, right = sides
+    with pytest.raises(ValueError):
+        asof_join(left, right.withColumn("prev_rid", F.col("rid")), on=["k"],
+                  payload=("rid", "prev_rid"), prefix="prev_")
+
+
+def test_asof_single_exchange_plan(sides):
+    """The whole as-of join must cost exactly one shuffle (the window's
+    hashpartitioning on the key) — the scale claim in temporal.py."""
+    left, right = sides
+    out = asof_join(left, right, on=["k"], ts="ts", payload=("rid",))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_range_join_window_boundaries(sides, spark):
+    left, right = sides
+    out = range_join_count(
+        left, right, on=["k"], left_id="lid", ts="ts", window_sec=600
+    )
+    got = {r["lid"]: r["n_in_window"] for r in out.collect()}
+    # lid=1 (12:10, win (12:00,12:10]): rid100@12:10 in, rid103 other key
+    # lid=2 (12:20, win (12:10,12:20]): rid101@12:15 in, rid100@12:10 out (strict >)
+    # lid=3 (12:05): u2's row @12:06 is later -> 0
+    # lid=4 (12:30, win (12:20,12:30]): rid104@12:29:59 in
+    assert got == {1: 1, 2: 1, 3: 0, 4: 1}
+
+
+def test_range_join_equals_naive_inequality_join(spark, sides):
+    """The binned formulation must equal the naive inequality join; the
+    two-bucket probe covers every window position including the
+    cross-bucket ones."""
+    left, right = sides
+    out = {
+        (r["lid"], r["n_in_window"])
+        for r in range_join_count(
+            left, right, on=["k"], left_id="lid", ts="ts", window_sec=1800
+        ).collect()
+    }
+    l, r_ = left.alias("l"), right.alias("r")
+    naive = (
+        l.join(
+            r_,
+            (F.col("l.k") == F.col("r.k"))
+            & (F.col("r.ts") > F.col("l.ts") - F.expr("INTERVAL 1800 SECONDS"))
+            & (F.col("r.ts") <= F.col("l.ts")),
+            "left",
+        )
+        .groupBy("l.lid")
+        .agg(F.count("r.rid").alias("n"))
+    )
+    assert out == {(r["lid"], r["n"]) for r in naive.collect()}
+
+
+def test_range_join_hash_join_not_nested_loop(sides):
+    """The point of the binning: Catalyst must plan an equi hash join,
+    never BroadcastNestedLoopJoin."""
+    left, right = sides
+    out = range_join_count(left, right, on=["k"], left_id="lid", window_sec=600)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert ("HashJoin" in plan) or ("SortMergeJoin" in plan)
