@@ -649,6 +649,15 @@ def _text_token_budget(spark, sf_dir):
     return text.token_budget(_docs(spark, sf_dir))
 
 
+def _text_tfidf(spark, sf_dir):
+    """Per-doc top-3 terms by TF-IDF (keyword extraction). Ranking
+    compares the 6-dp-rounded score, so cross-engine ln() ulp noise
+    can't flip ranks (verified value-exact at all three SFs)."""
+    from orientdb_spark.pipeline import text
+
+    return text.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def _text_boilerplate(spark, sf_dir):
     """Cross-doc boilerplate detection + removal. The synthetic corpus
     has no boilerplate signal (measured max trigram doc-frequency 7/500,
@@ -1302,6 +1311,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_winnow_fingerprint": _text_winnow,
         "text_repetition_stats": _text_repetition,
         "text_token_budget": _text_token_budget,
+        "text_tfidf_topterms": _text_tfidf,
         "text_boilerplate": _text_boilerplate,
         "text_line_quality": _text_line_quality,
         "text_pii_redact": _text_pii_redact,
@@ -1998,6 +2008,19 @@ FROM q WHERE rk = 1
             "SELECT doc_id, len(fps)::BIGINT AS n_fp, list_min(fps) AS min_fp, "
             "list_max(fps) AS max_fp, "
             "list_sum(list_transform(fps, x -> x % 1000000007))::BIGINT AS sum_fp FROM w"
+        ),
+        "text_tfidf_topterms": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2), "
+            "dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1), "
+            "n AS (SELECT count(*)::DOUBLE AS nd FROM documents), "
+            "s AS (SELECT doc_id, term, round(tf * ln(nd / df), 6) AS tfidf "
+            "FROM tf JOIN dfq USING (term), n), "
+            "r AS (SELECT doc_id, term, tfidf, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM s) "
+            "SELECT doc_id, term, tfidf, rank::INTEGER AS rank FROM r WHERE rank <= 3"
         ),
         "text_token_budget": (
             # mirrors pipeline/text.token_budget(group_cols=[source, lang])

@@ -7,7 +7,7 @@ exactly reproducible in ANSI SQL for the duckdb oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from orientdb_spark.pipeline.common import h60, normalize_text, ws_tokens
 
@@ -104,6 +104,50 @@ def token_budget(
         F.sum("__ws").cast("long").alias("total_ws_tokens"),
         F.sum("__bpe").cast("long").alias("total_bpe_tokens"),
         F.sum("__ch").cast("long").alias("total_chars"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (keyword extraction).
+
+    score = tf * ln(N / df) over lowercased whitespace tokens; returns
+    (id, term, tfidf, rank) with rank 1..k per doc, ties broken by term.
+
+    Shape at scale: the explode is linear in corpus tokens, both
+    groupBys partial-aggregate map-side, N rides a broadcast 1-row
+    crossJoin (never a driver collect), and the tf<->df join shuffles on
+    term — the vocabulary key, which Zipf-skews toward stopwords; AQE's
+    skew-join split handles that without salting since each tf row
+    joins exactly one df row. Ranking compares the ROUNDED score (6 dp)
+    so a last-ulp ln() difference between engines cannot flip ranks
+    unless two scores agree to 1e-6 — and then the term tiebreak makes
+    both engines agree anyway."""
+    toks = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("__n") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 

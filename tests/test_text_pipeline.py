@@ -300,3 +300,38 @@ def test_paragraph_dedup_blank_lines_are_structure(spark):
     assert out[1]["clean_text"] == "alpha\n\nbeta"
     assert out[2]["clean_text"] == "gamma\n\ndelta"
     assert out[1]["n_removed"] == 0 and out[2]["n_removed"] == 0
+
+
+def test_tfidf_top_terms_handcrafted(spark):
+    """tf*ln(N/df) with N=3: a term in every doc scores 0 (ln 1) and can
+    never outrank a distinctive term; ranks are term-tiebroken."""
+    d = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = text.tfidf_top_terms(d, k=2)
+    rows = {(r["doc_id"], r["rank"]): (r["term"], r["tfidf"]) for r in out.collect()}
+    import math
+
+    # doc 1: apple tf=2 df=1 -> 2*ln3 wins; banana tf=1 df=2 -> ln(1.5)
+    assert rows[(1, 1)][0] == "apple"
+    assert rows[(1, 1)][1] == pytest.approx(round(2 * math.log(3), 6))
+    assert rows[(1, 2)][0] == "banana"
+    # doc 3: cherry tf=3 df=2 -> 3*ln1.5; 'common' df=3 scores exactly 0
+    assert rows[(3, 1)][0] == "cherry"
+    assert rows[(3, 2)][0] == "common"
+    assert rows[(3, 2)][1] == 0.0
+    # doc 2: banana vs cherry tie exactly (tf=1, df=2) -> term order
+    assert rows[(2, 1)][0] == "banana"
+    assert rows[(2, 2)][0] == "cherry"
+
+
+def test_tfidf_k_bounds_output(spark):
+    d = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id bigint, text string"
+    )
+    assert text.tfidf_top_terms(d, k=3).count() == 3
