@@ -450,6 +450,19 @@ def _event_range_join(spark, sf_dir):
     )
 
 
+def _profile_events(spark, sf_dir):
+    """One-pass column profiler over the events table (data-quality
+    audit: counts, nulls, exact distincts, typed min/max). approx=False
+    here because the oracle needs exact distincts; the 100 TB path is
+    approx=True (HLL, no Expand) — pipeline/profile.py."""
+    from orientdb_spark.pipeline.profile import profile_columns
+
+    ev = _engine(spark, sf_dir).table("events")
+    return profile_columns(
+        ev, ["event_id", "user_id", "event_type", "value", "props"]
+    )
+
+
 def _docs(spark, sf_dir):
     return _engine(spark, sf_dir).table("documents")
 
@@ -1287,6 +1300,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "event_first_seen": _event_first_seen,
         "event_asof_join": _event_asof_join,
         "event_range_join": _event_range_join,
+        "profile_events": _profile_events,
         # pipeline: dedup
         "dedup_exact": _dedup_exact,
         "dedup_fingerprint": _dedup_fingerprint,
@@ -1859,6 +1873,24 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
             "ON e.user_id = c.user_id AND c.ts > e.ts - INTERVAL 30 MINUTE "
             "AND c.ts <= e.ts GROUP BY 1, 2"
+        ),
+        "profile_events": (
+            "SELECT 'event_id' AS column, count(*)::BIGINT AS n_rows, "
+            "count(event_id)::BIGINT AS n_nonnull, count(DISTINCT event_id)::BIGINT AS n_distinct, "
+            "round(min(event_id)::DOUBLE, 4) AS min_num, round(max(event_id)::DOUBLE, 4) AS max_num, "
+            "NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM events "
+            "UNION ALL SELECT 'user_id', count(*)::BIGINT, count(user_id)::BIGINT, "
+            "count(DISTINCT user_id)::BIGINT, round(min(user_id)::DOUBLE, 4), "
+            "round(max(user_id)::DOUBLE, 4), NULL::VARCHAR, NULL::VARCHAR FROM events "
+            "UNION ALL SELECT 'event_type', count(*)::BIGINT, count(event_type)::BIGINT, "
+            "count(DISTINCT event_type)::BIGINT, NULL::DOUBLE, NULL::DOUBLE, "
+            "min(event_type), max(event_type) FROM events "
+            "UNION ALL SELECT 'value', count(*)::BIGINT, count(value)::BIGINT, "
+            "count(DISTINCT value)::BIGINT, round(min(value)::DOUBLE, 4), "
+            "round(max(value)::DOUBLE, 4), NULL::VARCHAR, NULL::VARCHAR FROM events "
+            "UNION ALL SELECT 'props', count(*)::BIGINT, count(props)::BIGINT, "
+            "count(DISTINCT props)::BIGINT, NULL::DOUBLE, NULL::DOUBLE, "
+            "min(props), max(props) FROM events"
         ),
         "event_first_seen": (
             "SELECT event_id, user_id, event_type, "

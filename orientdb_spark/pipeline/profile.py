@@ -1,0 +1,100 @@
+"""One-pass column profiling (data-quality audit).
+
+Per column: row count, non-null count, distinct count, numeric min/max,
+string min/max — the summary every ingest step runs before trusting a
+new drop of training data.
+
+Shape at scale: ONE aggregation job over ONE scan regardless of column
+count (the per-column aggregates are siblings in a single agg, then the
+1-row result is reshaped to a row per column with ``stack`` — reshaping
+1xN_cols is free). Exact ``countDistinct`` makes Spark Expand the input
+once per counted column, which is the right trade for a correctness
+audit at test scale; pass ``approx=True`` to switch to
+``approx_count_distinct`` (HLL sketch, no Expand, one pass) for the
+100 TB profile run.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import BooleanType, NumericType, StringType
+
+__all__ = ["profile_columns"]
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    approx: bool = False,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Profile ``cols`` (default: every numeric/string/boolean column).
+
+    Returns one row per column:
+    ``(column, n_rows, n_nonnull, n_distinct, min_num, max_num,
+    min_str, max_str)`` — the num/str min-max pair that doesn't apply to
+    the column's type is null, keeping one uniform output schema.
+    """
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    if cols is None:
+        cols = [
+            c
+            for c, t in schema.items()
+            if isinstance(t, (NumericType, StringType, BooleanType))
+        ]
+    cols = list(cols)
+    if not cols:
+        raise ValueError("no columns to profile")
+    for c in cols:
+        t = schema.get(c)
+        if t is None:
+            raise ValueError(f"unknown column: {c}")
+        if not isinstance(t, (NumericType, StringType, BooleanType)):
+            raise ValueError(f"unsupported type for profiling {c}: {t.simpleString()}")
+
+    nd = (
+        (lambda c: F.approx_count_distinct(c, rsd))
+        if approx
+        else (lambda c: F.count_distinct(F.col(c)))
+    )
+    aggs = []
+    for c in cols:
+        numeric = isinstance(schema[c], (NumericType, BooleanType))
+        num = F.col(c).cast("double") if numeric else F.lit(None).cast("double")
+        s = F.col(c) if isinstance(schema[c], StringType) else F.lit(None).cast("string")
+        aggs += [
+            F.count(F.lit(1)).alias(f"__{c}__n"),
+            F.count(F.col(c)).alias(f"__{c}__nn"),
+            nd(c).alias(f"__{c}__nd"),
+            F.round(F.min(num), 4).alias(f"__{c}__minn"),
+            F.round(F.max(num), 4).alias(f"__{c}__maxn"),
+            F.min(s).alias(f"__{c}__mins"),
+            F.max(s).alias(f"__{c}__maxs"),
+        ]
+    one = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        parts += [
+            F.lit(c),
+            F.col(f"__{c}__n"),
+            F.col(f"__{c}__nn"),
+            F.col(f"__{c}__nd"),
+            F.col(f"__{c}__minn"),
+            F.col(f"__{c}__maxn"),
+            F.col(f"__{c}__mins"),
+            F.col(f"__{c}__maxs"),
+        ]
+    return one.select(
+        F.stack(F.lit(len(cols)), *parts).alias(
+            "column",
+            "n_rows",
+            "n_nonnull",
+            "n_distinct",
+            "min_num",
+            "max_num",
+            "min_str",
+            "max_str",
+        )
+    )

@@ -1,0 +1,62 @@
+"""Column profiler unit tests (the oracle twin runs in test_entry.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from orientdb_spark.pipeline.profile import profile_columns
+
+
+@pytest.fixture(scope="module")
+def mixed(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 1.5, True),
+            (2, "b", None, False),
+            (3, None, -0.25, None),
+            (3, "a", 1.5, True),
+        ],
+        "i BIGINT, s STRING, d DOUBLE, b BOOLEAN",
+    )
+
+
+def test_profile_values(mixed):
+    rows = {r["column"]: r for r in profile_columns(mixed).collect()}
+    assert set(rows) == {"i", "s", "d", "b"}
+    i = rows["i"]
+    assert (i["n_rows"], i["n_nonnull"], i["n_distinct"]) == (4, 4, 3)
+    assert (i["min_num"], i["max_num"]) == (1.0, 3.0)
+    assert i["min_str"] is None and i["max_str"] is None
+    s = rows["s"]
+    assert (s["n_nonnull"], s["n_distinct"]) == (3, 2)
+    assert (s["min_str"], s["max_str"]) == ("a", "b")
+    assert s["min_num"] is None
+    d = rows["d"]
+    assert (d["n_nonnull"], d["n_distinct"]) == (3, 2)
+    assert (d["min_num"], d["max_num"]) == (-0.25, 1.5)
+    b = rows["b"]  # booleans profile as 0/1 numerics
+    assert (b["n_nonnull"], b["n_distinct"]) == (3, 2)
+    assert (b["min_num"], b["max_num"]) == (0.0, 1.0)
+
+
+def test_profile_rejects_unknown_and_complex(mixed, spark):
+    with pytest.raises(ValueError):
+        profile_columns(mixed, ["nope"])
+    arr = spark.createDataFrame([([1, 2],)], "a ARRAY<INT>")
+    with pytest.raises(ValueError):
+        profile_columns(arr, ["a"])
+    with pytest.raises(ValueError):
+        profile_columns(arr)  # no profilable columns at all
+
+
+def test_profile_single_scan_single_agg(mixed):
+    """The scale claim: one aggregate over one scan, no join of
+    per-column subqueries."""
+    plan = profile_columns(mixed, ["i", "s"])._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LocalRelation") + plan.count("Relation") <= 2  # one source
+    assert "Join" not in plan
+
+
+def test_profile_approx_mode_runs(mixed):
+    rows = {r["column"]: r for r in profile_columns(mixed, approx=True).collect()}
+    # HLL at rsd=0.01 is exact on tiny cardinalities
+    assert rows["i"]["n_distinct"] == 3
