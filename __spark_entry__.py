@@ -450,6 +450,31 @@ def _event_range_join(spark, sf_dir):
     )
 
 
+def _event_funnel(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase): deepest in-order
+    prefix per user. Single-shuffle HOF formulation (streaming.funnel);
+    the oracle is the independent sequential-min self-join cascade."""
+    from orientdb_spark.streaming import funnel
+
+    return funnel(_engine(spark, sf_dir).table("events"))
+
+
+def _event_value_quantiles(spark, sf_dir):
+    """Exact per-group quantiles (p25/p50/p75/p95 of value per
+    event_type) via F.percentile — linear-interpolation semantics shared
+    with DuckDB's quantile_cont. One map-side-combinable groupBy."""
+    ev = _engine(spark, sf_dir).table("events")
+    pcts = [0.25, 0.5, 0.75, 0.95]
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile("value", F.lit(p)), 6).alias(
+                f"p{int(p * 100)}"
+            )
+            for p in pcts
+        ]
+    )
+
+
 def _profile_events(spark, sf_dir):
     """One-pass column profiler over the events table (data-quality
     audit: counts, nulls, exact distincts, typed min/max). approx=False
@@ -1301,6 +1326,8 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "event_asof_join": _event_asof_join,
         "event_range_join": _event_range_join,
         "profile_events": _profile_events,
+        "event_funnel": _event_funnel,
+        "event_value_quantiles": _event_value_quantiles,
         # pipeline: dedup
         "dedup_exact": _dedup_exact,
         "dedup_fingerprint": _dedup_fingerprint,
@@ -1873,6 +1900,30 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
             "ON e.user_id = c.user_id AND c.ts > e.ts - INTERVAL 30 MINUTE "
             "AND c.ts <= e.ts GROUP BY 1, 2"
+        ),
+        "event_funnel": (
+            "WITH u AS (SELECT DISTINCT user_id FROM events "
+            "WHERE event_type IN ('view', 'click', 'purchase')), "
+            "t1 AS (SELECT user_id, min(ts) AS ts FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "t2 AS (SELECT e.user_id, min(e.ts) AS ts FROM events e "
+            "JOIN t1 ON e.user_id = t1.user_id "
+            "WHERE e.event_type = 'click' AND e.ts > t1.ts GROUP BY 1), "
+            "t3 AS (SELECT e.user_id, min(e.ts) AS ts FROM events e "
+            "JOIN t2 ON e.user_id = t2.user_id "
+            "WHERE e.event_type = 'purchase' AND e.ts > t2.ts GROUP BY 1) "
+            "SELECT u.user_id, CASE WHEN t3.ts IS NOT NULL THEN 3 "
+            "WHEN t2.ts IS NOT NULL THEN 2 WHEN t1.ts IS NOT NULL THEN 1 "
+            "ELSE 0 END AS funnel_stage "
+            "FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id) "
+            "LEFT JOIN t3 USING (user_id)"
+        ),
+        "event_value_quantiles": (
+            "SELECT event_type, round(quantile_cont(value, 0.25), 6) AS p25, "
+            "round(quantile_cont(value, 0.5), 6) AS p50, "
+            "round(quantile_cont(value, 0.75), 6) AS p75, "
+            "round(quantile_cont(value, 0.95), 6) AS p95 "
+            "FROM events GROUP BY event_type"
         ),
         "profile_events": (
             "SELECT 'event_id' AS column, count(*)::BIGINT AS n_rows, "

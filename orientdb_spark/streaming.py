@@ -140,6 +140,68 @@ def sessionize_stream(
     )
 
 
+def funnel(
+    events: DataFrame,
+    stages: list[str] | None = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the deepest prefix of
+    ``stages`` completed IN ORDER (each stage strictly after the
+    previous one). Returns (user, funnel_stage) with stage 0..len(stages).
+
+    Single-shuffle formulation: one groupBy collects each user's
+    (ts, stage) pairs, ``array_sort`` orders them, and the sequential
+    "first stage-k event after the stage-(k-1) match" scan runs as
+    chained higher-order ``filter`` calls on the in-row array — no
+    self-joins, no second exchange. Per-user state is bounded by that
+    user's event count, the same memory profile as sessionize. The
+    equivalent sequential-min self-join cascade would shuffle once per
+    stage."""
+    stages = stages or ["view", "click", "purchase"]
+    sts = (
+        events.filter(F.col(type_col).isin(stages))
+        .select(
+            F.col(user_col),
+            F.struct(
+                F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+                *[
+                    (F.col(type_col) == s).alias(f"is{i}")
+                    for i, s in enumerate(stages)
+                ],
+            ).alias("__e"),
+        )
+        .groupBy(user_col)
+        .agg(F.array_sort(F.collect_list("__e")).alias("__es"))
+    )
+    # walk the funnel: __t{k} = min ts of a stage-k event strictly after
+    # __t{k-1}; arrays are ts-sorted so the filter's first element is the
+    # min, and a null previous stage null-propagates through element_at
+    # NB: single-arg lambdas only — a second lambda param would receive
+    # the element INDEX from F.filter (see NOTES_r5), so stage state is
+    # captured with a closure factory instead of default args.
+    def _stage_pred(idx, prev):
+        if prev is None:
+            return lambda e: e[f"is{idx}"]
+        return lambda e: e[f"is{idx}"] & (e["us"] > prev)
+
+    for i in range(len(stages)):
+        prev = F.col(f"__t{i - 1}") if i else None
+        matches = F.filter(F.col("__es"), _stage_pred(i, prev))
+        sts = sts.withColumn(f"__t{i}", F.element_at(matches, 1)["us"])
+    return sts.select(
+        F.col(user_col),
+        F.coalesce(
+            *[
+                F.when(F.col(f"__t{i}").isNotNull(), F.lit(i + 1))
+                for i in reversed(range(len(stages)))
+            ],
+            F.lit(0),
+        ).alias("funnel_stage"),
+    )
+
+
 def _duration_ms(spec: str) -> int:
     """'24 hours' → milliseconds (the interval grammar subset the
     streaming helpers accept)."""

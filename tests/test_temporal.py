@@ -128,3 +128,56 @@ def test_range_join_hash_join_not_nested_loop(sides):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
     assert ("HashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+# --- ordered funnel (streaming.funnel shares the event-analytics family) ---
+
+
+def test_funnel_ordering_semantics(spark):
+    """Stage k counts only strictly after stage k-1: out-of-order and
+    equal-ts events must not advance the funnel."""
+    import datetime as dt
+
+    from orientdb_spark.streaming import funnel
+
+    T = lambda m: dt.datetime(2024, 1, 1, 12, m)
+    rows = [
+        (1, "u1", "view", T(1)), (2, "u1", "click", T(2)), (3, "u1", "purchase", T(3)),
+        (4, "u2", "click", T(1)), (5, "u2", "view", T(2)),   # click precedes view
+        (6, "u3", "purchase", T(1)),                          # no view at all
+        (7, "u4", "view", T(1)), (8, "u4", "purchase", T(2)), (9, "u4", "click", T(3)),
+        (10, "u5", "view", T(1)), (11, "u5", "click", T(1)),  # same-ts: not after
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id string, event_type string, ts timestamp"
+    )
+    got = {r["user_id"]: r["funnel_stage"] for r in funnel(df).collect()}
+    assert got == {"u1": 3, "u2": 1, "u3": 0, "u4": 2, "u5": 1}
+
+
+def test_funnel_single_exchange(spark):
+    """The one-groupBy claim: no per-stage self-join shuffle cascade."""
+    import datetime as dt
+
+    from orientdb_spark.streaming import funnel
+
+    df = spark.createDataFrame(
+        [(1, "u", "view", dt.datetime(2024, 1, 1))],
+        "event_id int, user_id string, event_type string, ts timestamp",
+    )
+    plan = funnel(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_funnel_custom_stages(spark):
+    import datetime as dt
+
+    from orientdb_spark.streaming import funnel
+
+    T = lambda m: dt.datetime(2024, 1, 1, 12, m)
+    df = spark.createDataFrame(
+        [(1, "u", "signup", T(0)), (2, "u", "error", T(1))],
+        "event_id int, user_id string, event_type string, ts timestamp",
+    )
+    got = funnel(df, stages=["signup", "error", "view"]).collect()
+    assert got[0]["funnel_stage"] == 2
