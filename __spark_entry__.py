@@ -581,6 +581,22 @@ def _pipeline_end_to_end(spark, sf_dir):
     )
 
 
+def _embedding_quantize(spark, sf_dir):
+    """Scalar quantization digest: per-vec code sum + midpoint
+    reconstruction error. floor/sub/mul/div are IEEE-exact so the
+    DuckDB oracle reproduces codes bit-identically (pipeline/quantize)."""
+    from orientdb_spark.pipeline.quantize import scalar_quantize
+
+    q = scalar_quantize(_embs(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "code_sum"
+        ),
+        F.round("max_abs_err", 9).alias("max_abs_err"),
+    )
+
+
 def _sim_bruteforce(spark, sf_dir):
     from orientdb_spark.pipeline import similarity
 
@@ -1341,6 +1357,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_embedding_cosine": _dedup_embedding,
+        "embedding_quantize": _embedding_quantize,
         # pipeline: similarity
         "sim_topk_bruteforce": _sim_bruteforce,
         "sim_topk_lsh": _sim_lsh,
@@ -2091,6 +2108,21 @@ FROM q WHERE rk = 1
             "SELECT doc_id, len(fps)::BIGINT AS n_fp, list_min(fps) AS min_fp, "
             "list_max(fps) AS max_fp, "
             "list_sum(list_transform(fps, x -> x % 1000000007))::BIGINT AS sum_fp FROM w"
+        ),
+        "embedding_quantize": (
+            "WITH ex0 AS (SELECT vec_id, unnest(list_transform("
+            "range(1, len(embedding) + 1), "
+            "i -> {'pos': i, 'x': embedding[i::INTEGER]::DOUBLE})) AS u "
+            "FROM embeddings), "
+            "ex AS (SELECT vec_id, u.pos AS pos, u.x AS x FROM ex0), "
+            "st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos), "
+            "c AS (SELECT vec_id, x, mn, mx, (CASE WHEN mx = mn THEN 0 "
+            "ELSE greatest(least(floor((x - mn) / (mx - mn) * 256), 255), 0) "
+            "END)::INTEGER AS code FROM ex JOIN st USING (pos)), "
+            "e AS (SELECT vec_id, code, CASE WHEN mx = mn THEN 0.0 "
+            "ELSE abs(x - (mn + (code + 0.5) * (mx - mn) / 256)) END AS err FROM c) "
+            "SELECT vec_id, sum(code)::BIGINT AS code_sum, "
+            "round(max(err), 9) AS max_abs_err FROM e GROUP BY vec_id"
         ),
         "text_tfidf_topterms": (
             "WITH toks AS (SELECT doc_id, unnest(list_filter("

@@ -1,0 +1,79 @@
+"""Embedding scalar quantization (float -> b-bit codes).
+
+Per-dimension min/max scalar quantization — the standard 4-8x storage
+cut for embedding corpora before ANN indexing (float64 -> uint8 codes
+plus a dim-sized scale table).
+
+Shape at scale: the per-dim stats aggregate is the only shuffle and its
+output is dim-bounded (64 rows here, 4k for a big model — the same
+bounded-collect discipline as the IVF centroid pull); code assignment
+is then a narrow per-row ``transform`` against the broadcast-literal
+scale arrays — zero additional exchanges, no explode of the corpus.
+
+Determinism: the quantization math is sub/mul/div/floor only — IEEE
+ops that are correctly rounded and therefore bit-identical across
+engines (unlike ln/exp library calls), so a SQL oracle can reproduce
+codes and reconstruction errors exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["scalar_quantize"]
+
+
+def scalar_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+) -> DataFrame:
+    """Quantize ``vec_col`` to per-dim b-bit codes. Returns
+    ``(id, codes array<int>, max_abs_err double)`` where
+    ``code = clamp(floor((x - mn_d) / (mx_d - mn_d) * 2^bits), 0, 2^bits - 1)``
+    and the error is against midpoint reconstruction
+    ``mn_d + (code + 0.5) * (mx_d - mn_d) / 2^bits``.
+
+    A constant dimension (mx == mn) codes to 0 with zero error.
+    """
+    if not 1 <= bits <= 16:
+        raise ValueError(f"bits must be in [1, 16], got {bits}")
+    levels = 2 ** bits
+    vec = F.col(vec_col).cast("array<double>")
+
+    stats = (
+        df.select(F.posexplode(vec).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("pos")
+        .collect()  # dim-bounded (one row per vector dimension)
+    )
+    mns = [r["mn"] for r in stats]
+    mxs = [r["mx"] for r in stats]
+    mn_a, mx_a = F.lit(mns), F.lit(mxs)
+
+    def _at(arr, i):
+        return F.element_at(arr, (i + F.lit(1)).cast("int"))
+
+    def _code(x, i):
+        mn, mx = _at(mn_a, i), _at(mx_a, i)
+        raw = F.floor((x - mn) / (mx - mn) * F.lit(levels))
+        return (
+            F.when(mx == mn, F.lit(0))
+            .otherwise(F.greatest(F.least(raw, F.lit(levels - 1)), F.lit(0)))
+            .cast("int")
+        )
+
+    def _err(x, i):
+        mn, mx = _at(mn_a, i), _at(mx_a, i)
+        recon = mn + (_code(x, i).cast("double") + F.lit(0.5)) * (mx - mn) / F.lit(
+            levels
+        )
+        return F.abs(x - recon)
+
+    return df.select(
+        F.col(id_col),
+        F.transform(vec, _code).alias("codes"),
+        F.array_max(F.transform(vec, _err)).alias("max_abs_err"),
+    )

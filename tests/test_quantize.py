@@ -1,0 +1,46 @@
+"""Scalar quantization unit tests (oracle twin in test_entry.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from orientdb_spark.pipeline.quantize import scalar_quantize
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(
+        [
+            (1, [0.0, 10.0, 5.0]),
+            (2, [1.0, 10.0, 5.0]),   # dim 1 and 2 constant across corpus? no: dim0 varies
+            (3, [0.5, 10.0, 5.0]),
+        ],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+
+
+def test_quantize_codes_and_bounds(vecs):
+    out = {r["vec_id"]: r for r in scalar_quantize(vecs, bits=8).collect()}
+    # dim 0 spans [0, 1]: 0.0 -> 0, 1.0 -> clamped 255, 0.5 -> 128
+    assert out[1]["codes"][0] == 0
+    assert out[2]["codes"][0] == 255
+    assert out[3]["codes"][0] == 128
+    # constant dims code to 0 with zero error contribution
+    assert out[1]["codes"][1] == 0 and out[1]["codes"][2] == 0
+    for r in out.values():
+        assert all(0 <= c <= 255 for c in r["codes"])
+        # midpoint reconstruction error bounded by half a quantization step
+        assert r["max_abs_err"] <= (1.0 / 256) * 0.5 + 1e-12
+
+
+def test_quantize_bit_width(vecs):
+    out = {r["vec_id"]: r for r in scalar_quantize(vecs, bits=2).collect()}
+    assert all(0 <= c <= 3 for r in out.values() for c in r["codes"])
+    with pytest.raises(ValueError):
+        scalar_quantize(vecs, bits=0)
+
+
+def test_quantize_error_reconstructs(vecs):
+    """1-bit error bound: half the (larger) step of a 2-level grid."""
+    out = scalar_quantize(vecs, bits=1)
+    max_err = out.agg(F.max("max_abs_err")).first()[0]
+    assert max_err <= 0.5 / 2 + 1e-12  # dim0 range 1.0, 2 levels -> step .5
