@@ -1087,65 +1087,70 @@ def _is_null_filter(spark, sf_dir):
 # text_token_budget and the round-6 operators (boilerplate, line
 # quality, PII, fulltext DML maintenance, and graph_pagerank — now
 # hash-checkable via the unrolled power-iteration oracle). To fit 50,
-# six r3 rows rotate out on their standing r3 records + mirror-harness
-# coverage: the tool/API roundtrips (db_save_open_roundtrip,
-# export_import_diff, json_metadata_export, flat_record, bytes_record)
-# and the by-design rows-only approx_distinct_parts — none is core
-# SELECT surface. Every name below carries an oracle_sql() entry, so
-# CORRECTNESS_r06 should be 50/50 hash-checked.
+# Rotation policy this round: every slot is oracle-bearing, so
+# CORRECTNESS_r06 should be 50/50 hash-checked. Rows rotating out keep
+# their standing r3/r5 records + per-run mirror-harness coverage; the
+# nine dropped r3-era rows are each the thin sibling of a kept entry on
+# the same compiler path (rid_list~rid_point, projection_casts~
+# projection_methods, map_containsvalue~map_containskey,
+# containsall~contains_condition, all_wildcard~any_wildcard,
+# traverse_field_restricted~traverse_reachability, not_prefix~
+# compound_predicates, tpch_q10~q1/q3/q5/q6, column_positional~
+# csv_positional_roundtrip[r5]) — so every compiler path still gets a
+# fresh record through its representative.
 _DRIVER_FRONT = [
     # r3-era core SQL surface, re-recorded on r6 code
     "scan_class",
     "filter_projection",
     "rid_point",
-    "rid_list",
     "cluster_scan",
     "dictionary_get",
     "json_roundtrip",
     "polymorphic_scan",
     "embedded_struct_nav",
     "projection_methods",
-    "projection_casts",
     "format_and_coercion",
     "record_attributes",
     "flatten_unnest",
-    "column_positional",
     "any_wildcard",
-    "all_wildcard_notnull",
     "like_underscore_literal",
     "compound_predicates",
     "matches_anchored",
-    "not_prefix",
     "is_null_filter",
     "map_containskey",
-    "map_containsvalue",
-    "containsall_condition",
     "contains_value",
     "contains_condition",
     "containstext_fallback",
     "containstext_indexed",
     "traverse_reachability",
-    "traverse_field_restricted",
     "select_distinct",
     "link_nav_2hop",
     "create_link_materialize",
     "fetchplan_prefetch",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    "tpch_q10_returns",
     "tpch_q6_forecast",
     "tpch_q5_local_supplier",
     "global_aggregates",
     "count_distinct_suppliers",
     "group_having_order",
     "order_multikey_topk",
-    # first-ever driver records
+    # first-ever driver records (added r5-post-window / r6)
     "text_token_budget",
     "text_boilerplate",
     "text_line_quality",
     "text_pii_redact",
     "fulltext_dml_maintenance",
     "graph_pagerank",
+    "text_paragraph_dedup",
+    "sample_pack_sequences",
+    "event_asof_join",
+    "event_range_join",
+    "event_funnel",
+    "event_value_quantiles",
+    "profile_events",
+    "text_tfidf_topterms",
+    "embedding_quantize",
 ]
 
 
