@@ -369,6 +369,34 @@ def _graph_pagerank(spark, sf_dir):
     return g.pagerank(iterations=5).select("vid", F.round("rank", 8).alias("rank"))
 
 
+def _graph_triangle_count(spark, sf_dir):
+    """Per-vertex triangle counts via degree-ordered wedge enumeration
+    (graph.py triangle_count). The TPC-H hierarchy graph is a forest
+    (triangle-free), so the entry builds the tripartite
+    order-part-supplier co-occurrence graph from lineitem — real
+    triangle structure with skewed supplier degrees. The oracle
+    enumerates triangles independently by canonical vid ordering."""
+    from orientdb_spark.graph import Graph
+
+    li = _engine(spark, sf_dir).table("lineitem")
+
+    def pref(c, p):
+        return F.concat(F.lit(p), F.col(c).cast("string"))
+
+    ed = (
+        li.select(
+            pref("l_orderkey", "order:").alias("src"),
+            pref("l_partkey", "part:").alias("dst"),
+        )
+        .unionAll(
+            li.select(pref("l_orderkey", "order:"), pref("l_suppkey", "supp:"))
+        )
+        .unionAll(li.select(pref("l_partkey", "part:"), pref("l_suppkey", "supp:")))
+    )
+    g = Graph(ed.select(F.col("src").alias("vid")).distinct(), ed)
+    return g.triangle_count()
+
+
 def _event_window_agg(spark, sf_dir):
     from orientdb_spark.streaming import windowed_event_counts
 
@@ -1096,15 +1124,15 @@ def _is_null_filter(spark, sf_dir):
 # containsall~contains_condition, all_wildcard~any_wildcard,
 # traverse_field_restricted~traverse_reachability, not_prefix~
 # compound_predicates, tpch_q10~q1/q3/q5/q6, column_positional~
-# csv_positional_roundtrip[r5]) — so every compiler path still gets a
-# fresh record through its representative.
+# csv_positional_roundtrip[r5], dictionary_get~dictionary_keyset[r5])
+# — so every compiler path still gets a fresh record through its
+# representative.
 _DRIVER_FRONT = [
     # r3-era core SQL surface, re-recorded on r6 code
     "scan_class",
     "filter_projection",
     "rid_point",
     "cluster_scan",
-    "dictionary_get",
     "json_roundtrip",
     "polymorphic_scan",
     "embedded_struct_nav",
@@ -1148,6 +1176,7 @@ _DRIVER_FRONT = [
     "event_range_join",
     "event_funnel",
     "event_value_quantiles",
+    "graph_triangle_count",
     "profile_events",
     "text_tfidf_topterms",
     "embedding_quantize",
@@ -1339,6 +1368,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "graph_bfs_levels": _graph_bfs_levels,
         "graph_connected_components": _graph_connected_components,
         "graph_pagerank": _graph_pagerank,
+        "graph_triangle_count": _graph_triangle_count,
         # §2.10 streaming-shaped (batch/stream agnostic transforms)
         "event_window_agg": _event_window_agg,
         "event_sessionize": _event_sessionize,
@@ -1902,6 +1932,20 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey) "
             "SELECT min(vid) AS component, count(*) AS n_vertices FROM vids GROUP BY rk"
+        ),
+        "graph_triangle_count": (
+            "WITH raw AS (SELECT 'order:' || l_orderkey AS s, "
+            "'part:' || l_partkey AS t FROM lineitem "
+            "UNION ALL SELECT 'order:' || l_orderkey, 'supp:' || l_suppkey FROM lineitem "
+            "UNION ALL SELECT 'part:' || l_partkey, 'supp:' || l_suppkey FROM lineitem), "
+            "e AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b "
+            "FROM raw WHERE s <> t), "
+            "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            "FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b "
+            "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), "
+            "c AS (SELECT x AS vid FROM tri UNION ALL SELECT y FROM tri "
+            "UNION ALL SELECT z FROM tri) "
+            "SELECT vid, count(*)::BIGINT AS n_triangles FROM c GROUP BY vid"
         ),
         "event_window_agg": (
             "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, "

@@ -308,6 +308,64 @@ class Graph:
         sym.unpersist()
         return labels
 
+    def triangle_count(self) -> DataFrame:
+        """Per-vertex triangle counts over the undirected simple graph
+        (direction/label/self-loops/multi-edges ignored). Returns
+        (vid, n_triangles) for vertices in >= 1 triangle.
+
+        Degree-ordered wedge enumeration (node-iterator++): each edge is
+        oriented from its lower-(degree, vid)-rank endpoint to the
+        higher, wedges are generated only at a triangle's lowest-rank
+        apex, and the closing oriented edge is matched with one
+        equi-join. The orientation bounds wedge count by O(m^1.5)
+        regardless of skew — a hub of degree d generates no wedges
+        unless it ranks below both neighbors, so the power-law hub that
+        would explode a naive shared-neighbor join contributes almost
+        nothing. Three shuffles total (degree agg, wedge join, closure
+        join) plus the final per-vertex count."""
+        und = (
+            self.edges.select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .dropDuplicates()
+        )
+        deg = (
+            und.select(F.col("a").alias("v"))
+            .unionAll(und.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        # rank = (degree, vid); orient u -> w upward in rank
+        ranked = (
+            und.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+            .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+        )
+        up = F.struct(F.col("da").alias("d"), F.col("a").alias("v")) < F.struct(
+            F.col("db").alias("d"), F.col("b").alias("v")
+        )
+        rb = F.struct(F.col("db").alias("d"), F.col("b").alias("v"))
+        ra = F.struct(F.col("da").alias("d"), F.col("a").alias("v"))
+        o = ranked.select(
+            F.when(up, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(up, F.col("b")).otherwise(F.col("a")).alias("w"),
+            F.when(up, rb).otherwise(ra).alias("wr"),
+        )
+        e1, e2 = o.alias("e1"), o.alias("e2")
+        wedges = e1.join(e2, F.col("e1.u") == F.col("e2.u")).filter(
+            F.col("e1.wr") < F.col("e2.wr")
+        ).select(
+            F.col("e1.u").alias("x"), F.col("e1.w").alias("y"), F.col("e2.w").alias("z")
+        )
+        closing = o.select(F.col("u").alias("y"), F.col("w").alias("z"))
+        tris = wedges.join(closing, ["y", "z"], "left_semi")
+        corners = (
+            tris.select(F.col("x").alias("vid"))
+            .unionAll(tris.select(F.col("y").alias("vid")))
+            .unionAll(tris.select(F.col("z").alias("vid")))
+        )
+        return corners.groupBy("vid").agg(F.count(F.lit(1)).alias("n_triangles"))
+
     def pagerank(self, iterations: int = 10, damping: float = 0.85) -> DataFrame:
         """Iterative PageRank via aggregate-messages joins (the Pregel
         formulation on DataFrames). Returns (vid, rank)."""

@@ -49,3 +49,40 @@ def test_two_phase_matches_label_prop(spark):
         ("x", "x"),
         ("y", "x"),
     ]
+
+
+# --- triangle counting -------------------------------------------------------
+
+
+def test_triangle_count_k4_plus_isolates(spark):
+    """K4 has 4 triangles with every vertex in 3; reverse duplicates,
+    self-loops, and triangle-free edges must not contribute."""
+    from orientdb_spark.graph import Graph
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+        ("e", "f"), ("b", "a"), ("g", "g"),
+    ]
+    g = Graph(
+        spark.createDataFrame([(x,) for x in "abcdefg"], ["vid"]),
+        spark.createDataFrame(edges, ["src", "dst"]),
+    )
+    got = {r["vid"]: r["n_triangles"] for r in g.triangle_count().collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangle_count_hub_is_wedge_cheap(spark):
+    """A star (hub + leaves) has no triangles, and the degree-ordered
+    orientation must not generate the hub's quadratic wedge set: the
+    hub ranks above every leaf, so every star edge orients leaf->hub
+    and the wedge join finds nothing to expand at the hub."""
+    from orientdb_spark.graph import Graph
+
+    hub_edges = [("hub", f"leaf{i}") for i in range(50)]
+    g = Graph(
+        spark.createDataFrame(
+            [("hub",)] + [(f"leaf{i}",) for i in range(50)], ["vid"]
+        ),
+        spark.createDataFrame(hub_edges, ["src", "dst"]),
+    )
+    assert g.triangle_count().count() == 0
