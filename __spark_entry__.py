@@ -369,6 +369,63 @@ def _graph_pagerank(spark, sf_dir):
     return g.pagerank(iterations=5).select("vid", F.round("rank", 8).alias("rank"))
 
 
+def _event_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention over events (streaming.cohort_retention);
+    Spark and DuckDB both truncate weeks to ISO Monday, so the cohort
+    keys line up exactly."""
+    from orientdb_spark.streaming import cohort_retention
+
+    return cohort_retention(_engine(spark, sf_dir).table("events"))
+
+
+def _integrity_orphans(spark, sf_dir):
+    """Referential-integrity audit over the TPC-H foreign-key chain
+    (pipeline/profile.fk_orphans). The synthetic data is consistent, so
+    the true orphan counts are zero — the operator's detection logic is
+    separately proven on handcrafted orphans in tests/test_profile.py."""
+    from orientdb_spark.pipeline.profile import fk_orphans
+
+    eng = _engine(spark, sf_dir)
+    t = eng.table
+    return fk_orphans(
+        [
+            ("lineitem.orderkey", t("lineitem"), "l_orderkey", t("orders"), "o_orderkey"),
+            ("orders.custkey", t("orders"), "o_custkey", t("customer"), "c_custkey"),
+            ("customer.nationkey", t("customer"), "c_nationkey", t("nation"), "n_nationkey"),
+            ("supplier.nationkey", t("supplier"), "s_nationkey", t("nation"), "n_nationkey"),
+            ("nation.regionkey", t("nation"), "n_regionkey", t("region"), "r_regionkey"),
+        ]
+    )
+
+
+def _salted_skew_aggregate(spark, sf_dir):
+    """Two-phase salted aggregation (scale.salted_aggregate) over a
+    genuinely skewed grouping — lineitem has only 3 return-flag groups,
+    so a direct groupBy lands each on one reducer. The salt spreads each
+    hot key over 32 partial reducers; the oracle is the plain GROUP BY,
+    proving the partial/merge decomposition is lossless."""
+    from orientdb_spark.scale import salted_aggregate
+
+    li = _engine(spark, sf_dir).table("lineitem")
+    out = salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "sum_qty": ("l_quantity", "sum"),
+            "n_items": ("l_orderkey", "count"),
+            "min_price": ("l_extendedprice", "min"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "n_items",
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
 def _graph_triangle_count(spark, sf_dir):
     """Per-vertex triangle counts via degree-ordered wedge enumeration
     (graph.py triangle_count). The TPC-H hierarchy graph is a forest
@@ -1124,17 +1181,16 @@ def _is_null_filter(spark, sf_dir):
 # containsall~contains_condition, all_wildcard~any_wildcard,
 # traverse_field_restricted~traverse_reachability, not_prefix~
 # compound_predicates, tpch_q10~q1/q3/q5/q6, column_positional~
-# csv_positional_roundtrip[r5], dictionary_get~dictionary_keyset[r5])
-# — so every compiler path still gets a fresh record through its
-# representative.
+# csv_positional_roundtrip[r5], dictionary_get~dictionary_keyset[r5],
+# json_roundtrip~csv/export siblings[r3+r5], polymorphic_scan~
+# scan_class, contains_value~contains_condition) — so every compiler
+# path still gets a fresh record through its representative.
 _DRIVER_FRONT = [
     # r3-era core SQL surface, re-recorded on r6 code
     "scan_class",
     "filter_projection",
     "rid_point",
     "cluster_scan",
-    "json_roundtrip",
-    "polymorphic_scan",
     "embedded_struct_nav",
     "projection_methods",
     "format_and_coercion",
@@ -1146,7 +1202,6 @@ _DRIVER_FRONT = [
     "matches_anchored",
     "is_null_filter",
     "map_containskey",
-    "contains_value",
     "contains_condition",
     "containstext_fallback",
     "containstext_indexed",
@@ -1177,6 +1232,9 @@ _DRIVER_FRONT = [
     "event_funnel",
     "event_value_quantiles",
     "graph_triangle_count",
+    "salted_skew_aggregate",
+    "event_cohort_retention",
+    "integrity_orphans",
     "profile_events",
     "text_tfidf_topterms",
     "embedding_quantize",
@@ -1369,6 +1427,9 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "graph_connected_components": _graph_connected_components,
         "graph_pagerank": _graph_pagerank,
         "graph_triangle_count": _graph_triangle_count,
+        "salted_skew_aggregate": _salted_skew_aggregate,
+        "event_cohort_retention": _event_cohort_retention,
+        "integrity_orphans": _integrity_orphans,
         # §2.10 streaming-shaped (batch/stream agnostic transforms)
         "event_window_agg": _event_window_agg,
         "event_sessionize": _event_sessionize,
@@ -1932,6 +1993,44 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey) "
             "SELECT min(vid) AS component, count(*) AS n_vertices FROM vids GROUP BY rk"
+        ),
+        "event_cohort_retention": (
+            "WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw "
+            "FROM events GROUP BY user_id) "
+            "SELECT cw::DATE AS cohort_week, "
+            "(datediff('day', cw::DATE, date_trunc('week', e.ts)::DATE) / 7)::INTEGER "
+            "AS week_offset, count(DISTINCT e.user_id)::BIGINT AS n_active "
+            "FROM events e JOIN f ON e.user_id = f.user_id GROUP BY 1, 2"
+        ),
+        "integrity_orphans": (
+            "SELECT 'lineitem.orderkey' AS relation, "
+            "count(l_orderkey)::BIGINT AS n_child, "
+            "(SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL AND "
+            "l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL))::BIGINT "
+            "AS n_orphans FROM lineitem "
+            "UNION ALL SELECT 'orders.custkey', count(o_custkey)::BIGINT, "
+            "(SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL AND "
+            "o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))::BIGINT "
+            "FROM orders "
+            "UNION ALL SELECT 'customer.nationkey', count(c_nationkey)::BIGINT, "
+            "(SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL AND "
+            "c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL))::BIGINT "
+            "FROM customer "
+            "UNION ALL SELECT 'supplier.nationkey', count(s_nationkey)::BIGINT, "
+            "(SELECT count(*) FROM supplier WHERE s_nationkey IS NOT NULL AND "
+            "s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL))::BIGINT "
+            "FROM supplier "
+            "UNION ALL SELECT 'nation.regionkey', count(n_regionkey)::BIGINT, "
+            "(SELECT count(*) FROM nation WHERE n_regionkey IS NOT NULL AND "
+            "n_regionkey NOT IN (SELECT r_regionkey FROM region WHERE r_regionkey IS NOT NULL))::BIGINT "
+            "FROM nation"
+        ),
+        "salted_skew_aggregate": (
+            "SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, "
+            "count(l_orderkey)::BIGINT AS n_items, "
+            "round(min(l_extendedprice), 2) AS min_price, "
+            "round(max(l_extendedprice), 2) AS max_price "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "graph_triangle_count": (
             "WITH raw AS (SELECT 'order:' || l_orderkey AS s, "

@@ -21,7 +21,38 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import BooleanType, NumericType, StringType
 
-__all__ = ["profile_columns"]
+__all__ = ["profile_columns", "fk_orphans"]
+
+
+def fk_orphans(
+    relations: Sequence[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit: for each
+    ``(name, child, child_key, parent, parent_key)`` relation, count the
+    child rows whose key has no parent (null keys excluded — a null FK
+    is absent, not dangling). Returns (relation, n_child, n_orphans).
+
+    Each relation costs one left anti-join (broadcast when the parent's
+    key projection is small; SMJ/AQE otherwise) plus a count-only agg —
+    the union glues together single-row aggregates, so the result is
+    relation-count-sized no matter how large the tables are."""
+    outs = []
+    for name, child, ckey, parent, pkey in relations:
+        keys = child.select(F.col(ckey).alias("__k")).filter(F.col("__k").isNotNull())
+        orphans = keys.join(
+            parent.select(F.col(pkey).alias("__k")).dropDuplicates(),
+            "__k",
+            "left_anti",
+        )
+        outs.append(
+            keys.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            ).select(F.lit(name).alias("relation"), "n_child", "n_orphans")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
 
 
 def profile_columns(

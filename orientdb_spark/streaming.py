@@ -202,6 +202,38 @@ def funnel(
     )
 
 
+def cohort_retention(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the ISO week of
+    their first event; returns (cohort_week, week_offset, n_active) =
+    distinct users of each cohort active in each later week.
+
+    Two keyed shuffles: the per-user first-event min (map-side
+    combinable) and the final (cohort, offset) distinct-count. The
+    user->cohort attach is an equi-join on user_id that AQE broadcasts
+    when the user dimension is small enough; at 100 TB both sides
+    hash-partition on user_id, the same key the first aggregate just
+    produced, so the exchange is reused."""
+    first = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("__cw")
+    )
+    joined = events.select(
+        user_col, F.date_trunc("week", F.col(ts_col)).alias("__aw")
+    ).join(first, user_col)
+    return (
+        joined.groupBy(
+            F.to_date("__cw").alias("cohort_week"),
+            (F.datediff(F.to_date("__aw"), F.to_date("__cw")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct(F.col(user_col)).alias("n_active"))
+    )
+
+
 def _duration_ms(spec: str) -> int:
     """'24 hours' → milliseconds (the interval grammar subset the
     streaming helpers accept)."""

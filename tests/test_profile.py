@@ -60,3 +60,31 @@ def test_profile_approx_mode_runs(mixed):
     rows = {r["column"]: r for r in profile_columns(mixed, approx=True).collect()}
     # HLL at rsd=0.01 is exact on tiny cardinalities
     assert rows["i"]["n_distinct"] == 3
+
+
+def test_fk_orphans_detects_dangling_keys(spark):
+    from orientdb_spark.pipeline.profile import fk_orphans
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (3,), (99,), (None,)], "k BIGINT"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk BIGINT")
+    out = fk_orphans([("c.k", child, "k", parent, "pk")]).collect()
+    assert len(out) == 1
+    r = out[0]
+    # the null FK is excluded from both counts; 99 is the one orphan
+    assert (r["relation"], r["n_child"], r["n_orphans"]) == ("c.k", 4, 1)
+
+
+def test_fk_orphans_multiple_relations(spark):
+    from orientdb_spark.pipeline.profile import fk_orphans
+
+    a = spark.createDataFrame([(1,), (2,)], "k BIGINT")
+    p = spark.createDataFrame([(1,)], "pk BIGINT")
+    out = {
+        r["relation"]: r["n_orphans"]
+        for r in fk_orphans(
+            [("r1", a, "k", p, "pk"), ("r2", p, "pk", a, "k")]
+        ).collect()
+    }
+    assert out == {"r1": 1, "r2": 0}

@@ -181,3 +181,31 @@ def test_funnel_custom_stages(spark):
     )
     got = funnel(df, stages=["signup", "error", "view"]).collect()
     assert got[0]["funnel_stage"] == 2
+
+
+def test_cohort_retention_semantics(spark):
+    """Users cohort by first-event ISO week; offsets count whole weeks."""
+    import datetime as dt
+
+    from orientdb_spark.streaming import cohort_retention
+
+    rows = [
+        # u1 first event Mon 2024-01-01 week; active again 2 weeks later
+        ("u1", dt.datetime(2024, 1, 2, 10)),
+        ("u1", dt.datetime(2024, 1, 16, 10)),
+        # u2 same cohort week, active only that week (two events)
+        ("u2", dt.datetime(2024, 1, 3, 10)),
+        ("u2", dt.datetime(2024, 1, 4, 10)),
+        # u3 next cohort week
+        ("u3", dt.datetime(2024, 1, 8, 10)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_active"]
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
