@@ -788,6 +788,15 @@ def _text_token_budget(spark, sf_dir):
     return text.token_budget(_docs(spark, sf_dir))
 
 
+def _text_lm_score(spark, sf_dir):
+    """Corpus-trained bigram-LM quality score (CCNet-style perplexity
+    filter; pipeline/text.lm_score). 6-dp rounding dwarfs cross-engine
+    FP accumulation noise (verified value-exact at all three SFs)."""
+    from orientdb_spark.pipeline import text
+
+    return text.lm_score(_docs(spark, sf_dir))
+
+
 def _text_tfidf(spark, sf_dir):
     """Per-doc top-3 terms by TF-IDF (keyword extraction). Ranking
     compares the 6-dp-rounded score, so cross-engine ln() ulp noise
@@ -1183,8 +1192,9 @@ def _is_null_filter(spark, sf_dir):
 # compound_predicates, tpch_q10~q1/q3/q5/q6, column_positional~
 # csv_positional_roundtrip[r5], dictionary_get~dictionary_keyset[r5],
 # json_roundtrip~csv/export siblings[r3+r5], polymorphic_scan~
-# scan_class, contains_value~contains_condition) — so every compiler
-# path still gets a fresh record through its representative.
+# scan_class, contains_value~contains_condition, tpch_q5~q1/q3/q6) —
+# so every compiler path still gets a fresh record through its
+# representative.
 _DRIVER_FRONT = [
     # r3-era core SQL surface, re-recorded on r6 code
     "scan_class",
@@ -1213,7 +1223,6 @@ _DRIVER_FRONT = [
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q6_forecast",
-    "tpch_q5_local_supplier",
     "global_aggregates",
     "count_distinct_suppliers",
     "group_having_order",
@@ -1237,6 +1246,7 @@ _DRIVER_FRONT = [
     "integrity_orphans",
     "profile_events",
     "text_tfidf_topterms",
+    "text_lm_score",
     "embedding_quantize",
 ]
 
@@ -1466,6 +1476,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_repetition_stats": _text_repetition,
         "text_token_budget": _text_token_budget,
         "text_tfidf_topterms": _text_tfidf,
+        "text_lm_score": _text_lm_score,
         "text_boilerplate": _text_boilerplate,
         "text_line_quality": _text_line_quality,
         "text_pii_redact": _text_pii_redact,
@@ -2271,6 +2282,23 @@ FROM q WHERE rk = 1
             "ELSE abs(x - (mn + (code + 0.5) * (mx - mn) / 256)) END AS err FROM c) "
             "SELECT vec_id, sum(code)::BIGINT AS code_sum, "
             "round(max(err), 9) AS max_abs_err FROM e GROUP BY vec_id"
+        ),
+        "text_lm_score": (
+            "WITH staged AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0) AS t "
+            "FROM documents), "
+            "s2 AS (SELECT doc_id, t FROM staged WHERE len(t) >= 2), "
+            "pairs AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(t)), "
+            "i -> {'w1': t[i::INTEGER], 'w2': t[i::INTEGER + 1]})) AS u FROM s2)), "
+            "c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM pairs GROUP BY 1, 2), "
+            "c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM pairs GROUP BY 1), "
+            "v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM ("
+            "SELECT w1 AS w FROM pairs UNION ALL SELECT w2 FROM pairs)), "
+            "sc AS (SELECT doc_id, -ln((c2 + 0.5) / (c1 + 0.5 * v)) AS nll "
+            "FROM pairs JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v) "
+            "SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
+            "round(avg(nll), 6) AS nll FROM sc GROUP BY doc_id"
         ),
         "text_tfidf_topterms": (
             "WITH toks AS (SELECT doc_id, unnest(list_filter("

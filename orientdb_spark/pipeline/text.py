@@ -151,6 +151,64 @@ def tfidf_top_terms(
     )
 
 
+def lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained bigram-LM quality score (the CCNet-style
+    perplexity filter): per doc, the mean negative log-likelihood of its
+    word bigrams under an add-k-smoothed bigram model trained on the
+    whole corpus. Lower = more typical of the corpus; high-NLL docs are
+    the gibberish/outlier candidates. Returns (id, n_bigrams, nll) for
+    docs with >= 1 bigram.
+
+    p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k*V), V = unigram vocab size.
+
+    Shape at scale: bigram expansion is a linear in-row transform
+    (two-arg lambda uses the element INDEX to pair w[i] with w[i+1] —
+    no self-join); both count tables partial-aggregate map-side; the
+    unigram count folds into the bigram table with a vocab-keyed join
+    before the corpus-sized occurrence join, so the big join happens
+    once, on the bigram key; V rides a broadcast 1-row crossJoin. The
+    per-doc mean sums ~1-10-magnitude logs, so cross-engine FP
+    accumulation noise sits ~1e-15 relative — far under the 6-dp
+    rounding."""
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    staged = df.select(F.col(id_col), toks.alias("__t")).filter(F.size("__t") >= 2)
+    pairs = staged.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                lambda w, i: F.struct(
+                    w.alias("w1"),
+                    F.element_at(F.col("__t"), (i + F.lit(2)).cast("int")).alias("w2"),
+                ),
+            )
+        ).alias("__bg"),
+    ).select(F.col(id_col), F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = pairs.select(F.col("w1").alias("w")).unionAll(
+        pairs.select(F.col("w2").alias("w"))
+    )
+    v = vocab.agg(F.count_distinct(F.col("w")).cast("double").alias("__v"))
+    model = c2.join(c1, "w1").crossJoin(F.broadcast(v))
+    scored = pairs.join(model, ["w1", "w2"]).select(
+        F.col(id_col),
+        (
+            -F.log((F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("__v")))
+        ).alias("__nll"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("__nll"), 6).alias("nll"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document quality heuristics: length, mean word length, stopword
     ratio, punctuation ratio, and a composite score in [0,1].

@@ -335,3 +335,32 @@ def test_tfidf_k_bounds_output(spark):
         [(1, "a b c d e f g h")], "doc_id bigint, text string"
     )
     assert text.tfidf_top_terms(d, k=3).count() == 3
+
+
+def test_lm_score_handcrafted(spark):
+    """Add-k bigram NLL: a repeated bigram scores lower (more probable)
+    than a singleton; docs with < 2 tokens are excluded."""
+    import math
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b a b"),   # bigrams: (a,b) x2, (b,a) x1
+            (2, "a b"),       # one common bigram
+            (3, "x y"),       # one rare bigram
+            (4, "solo"),      # no bigram -> excluded
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in text.lm_score(d, k=0.5).collect()}
+    assert set(out) == {1, 2, 3}
+    # corpus: c(a,b)=3, c(b,a)=1, c(x,y)=1; c1(a)=3, c1(b)=1, c1(x)=1; V=4
+    p_ab = (3 + 0.5) / (3 + 0.5 * 4)
+    p_ba = (1 + 0.5) / (1 + 0.5 * 4)
+    p_xy = (1 + 0.5) / (1 + 0.5 * 4)
+    assert out[2]["nll"] == pytest.approx(round(-math.log(p_ab), 6))
+    assert out[3]["nll"] == pytest.approx(round(-math.log(p_xy), 6))
+    exp1 = -(2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert out[1]["nll"] == pytest.approx(round(exp1, 6))
+    assert out[1]["n_bigrams"] == 3
+    # the common bigram is more probable than the rare one
+    assert out[2]["nll"] < out[3]["nll"]
