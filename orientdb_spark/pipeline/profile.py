@@ -36,6 +36,8 @@ def fk_orphans(
     key projection is small; SMJ/AQE otherwise) plus a count-only agg —
     the union glues together single-row aggregates, so the result is
     relation-count-sized no matter how large the tables are."""
+    if not relations:
+        raise ValueError("no relations to audit")
     outs = []
     for name, child, ckey, parent, pkey in relations:
         keys = child.select(F.col(ckey).alias("__k")).filter(F.col("__k").isNotNull())

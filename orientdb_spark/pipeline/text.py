@@ -175,6 +175,8 @@ def lm_score(
     per-doc mean sums ~1-10-magnitude logs, so cross-engine FP
     accumulation noise sits ~1e-15 relative — far under the 6-dp
     rounding."""
+    if k <= 0:
+        raise ValueError(f"smoothing k must be positive, got {k}")
     toks = ws_tokens(F.lower(F.col(text_col)))
     staged = df.select(F.col(id_col), toks.alias("__t")).filter(F.size("__t") >= 2)
     pairs = staged.select(

@@ -129,6 +129,8 @@ def range_join_count(
     bucket, so no dedup step is needed.
     """
     on = list(on)
+    if window_sec <= 0:
+        raise ValueError(f"window_sec must be positive, got {window_sec}")
     width_us = int(window_sec) * 1_000_000
     lb = left.select(
         left_id,

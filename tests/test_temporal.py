@@ -209,3 +209,18 @@ def test_cohort_retention_semantics(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_param_validation_guards(spark, sides):
+    """Misuse fails loudly instead of producing nonsense buckets/probs."""
+    from orientdb_spark.pipeline import text as _text
+    from orientdb_spark.pipeline.profile import fk_orphans
+
+    left, right = sides
+    with pytest.raises(ValueError):
+        range_join_count(left, right, on=["k"], left_id="lid", window_sec=0)
+    with pytest.raises(ValueError):
+        fk_orphans([])
+    d = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        _text.lm_score(d, k=0)
