@@ -370,6 +370,111 @@ def first_seen_stream(
     )
 
 
+def asof_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    payload: tuple[str, ...] = ("event_id", "value"),
+    prefix: str = "prev_",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming as-of join (point-in-time feature join) as a CUSTOM
+    STATEFUL OPERATOR: per key, GroupState holds the most recent
+    right-side (ts, payload); each left row is emitted with the latest
+    right payload at or before its timestamp. The streaming analog of
+    ``temporal.asof_join`` — the feature-store lookup shape.
+
+    Both streams are tagged and unioned (stream-stream state ops take
+    one input), grouped by key, and each micro-batch walks its rows in
+    (ts, side) order — the same algorithm as the batch union+window
+    formulation, with the window carry replaced by GroupState across
+    batches. State is one row per key (bounded by the key universe, not
+    the stream length).
+
+    Exactness: identical to the batch join when each key's rows arrive
+    in event-time order across micro-batches (always true for a single
+    ``availableNow`` batch — the stream==batch test). A right row that
+    arrives AFTER a left row it should have matched is missed, and a
+    right row older than the remembered one is ignored — the standard
+    no-buffering trade; buffer-and-reorder under a watermark would
+    trade state size for exactness.
+
+    Batch fallback: on static frames this delegates to
+    ``temporal.asof_join``."""
+    import pandas as pd
+
+    if not left.isStreaming and not right.isStreaming:
+        from orientdb_spark.temporal import asof_join
+
+        return asof_join(
+            left, right, on=list(on), ts=ts_col, payload=list(payload), prefix=prefix
+        )
+
+    from pyspark.sql.types import StructField, StructType
+
+    on = list(on)
+    payload = list(payload)
+    rschema = {f.name: f.dataType for f in right.schema.fields}
+    r = right.select(
+        *on,
+        F.col(ts_col).alias(ts_col),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in payload],
+    )
+    l = left.withColumn("__side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    left_cols = left.columns
+    out_schema = StructType(
+        list(left.schema.fields)
+        + [StructField(f"{prefix}{c}", rschema[c]) for c in payload]
+    )
+    state_schema = ", ".join(
+        ["__ts_us bigint"]
+        + [f"__p{i} {rschema[c].simpleString()}" for i, c in enumerate(payload)]
+    )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def walk(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs)).sort_values([ts_col, "__side"])
+        if state.exists:
+            last = list(state.get)
+        else:
+            last = [None] * (1 + len(payload))
+        out = []
+        for _, row in rows.iterrows():
+            ts_us = int(pd.Timestamp(row[ts_col]).value // 1_000)
+            if row["__side"] == 0:
+                # advance only forward in event time — an out-of-order
+                # right row must not regress the remembered payload
+                if last[0] is None or ts_us >= last[0]:
+                    last = [ts_us] + [row[f"__r_{c}"] for c in payload]
+            else:
+                out.append(
+                    [row[c] for c in left_cols]
+                    + (last[1:] if last[0] is not None else [None] * len(payload))
+                )
+        state.update(tuple(last))
+        if out:
+            yield pd.DataFrame(
+                out, columns=left_cols + [f"{prefix}{c}" for c in payload]
+            )
+
+    return (
+        u.withWatermark(ts_col, watermark)
+        .groupBy(*[F.col(c) for c in on])
+        .applyInPandasWithState(
+            walk,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_to_batches(stream_df: DataFrame, batch_fn, **options):
     """foreachBatch sink — the push-based listener surface for streams
     (the reference's per-record listener, batched)."""

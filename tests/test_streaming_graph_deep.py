@@ -228,3 +228,65 @@ def test_first_seen_ttl_readmits_by_event_time(spark):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_asof_join_stream_matches_batch(spark):
+    """Streaming as-of join (applyInPandasWithState) must agree with the
+    batch union+window formulation when the whole input arrives as one
+    availableNow batch (per-key event-time order holds trivially)."""
+    from orientdb_spark.streaming import asof_join_stream
+    from orientdb_spark.temporal import asof_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = fix_event_nanos(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    err_b = events.filter(F.col("event_type") == "error")
+    clk_b = events.filter(F.col("event_type") == "click")
+    src_dir = tempfile.mkdtemp(prefix="ospark_asof_src_")
+    ckpt = tempfile.mkdtemp(prefix="ospark_asof_ckpt_")
+    try:
+        events.write.mode("overwrite").parquet(src_dir)
+        stream = read_event_stream(spark, src_dir)
+        out = asof_join_stream(
+            stream.filter(F.col("event_type") == "error"),
+            stream.filter(F.col("event_type") == "click"),
+            on=("user_id",),
+            payload=("event_id", "value"),
+        )
+        assert out.isStreaming
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("asof_rows")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "select event_id, user_id, prev_event_id, round(prev_value, 4) as pv "
+            "from asof_rows"
+        )
+        batch = asof_join(
+            err_b, clk_b, on=["user_id"], payload=("event_id", "value")
+        ).select(
+            "event_id", "user_id", "prev_event_id",
+            F.round("prev_value", 4).alias("pv"),
+        )
+        assert got.count() == batch.count()
+        assert got.exceptAll(batch).count() == 0
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_asof_join_stream_static_fallback(spark):
+    from orientdb_spark.streaming import asof_join_stream
+
+    events = fix_event_nanos(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    out = asof_join_stream(
+        events.filter(F.col("event_type") == "error"),
+        events.filter(F.col("event_type") == "click"),
+        on=("user_id",),
+    )
+    assert not out.isStreaming
+    assert out.count() == events.filter(F.col("event_type") == "error").count()
