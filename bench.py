@@ -85,7 +85,13 @@ def main() -> None:
         best = None
         try:
             spent, n = 0.0, 0
-            while n < max_repeat and (n < repeat or spent < budget):
+            # sub-second queries are the ones host contention can bury
+            # (three recorded phantoms: r4 x2, r5 containstext) — let
+            # them sample past max_repeat (up to 15) while the budget
+            # lasts: cheap, and min-of-N then actually strips the noise
+            while (
+                n < max_repeat or (best is not None and best < 1.0 and n < 15)
+            ) and (n < repeat or spent < budget):
                 t0 = time.perf_counter()
                 _force(fn(spark, sf_dir))
                 dt = time.perf_counter() - t0
