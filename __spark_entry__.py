@@ -682,6 +682,17 @@ def _embedding_quantize(spark, sf_dir):
     )
 
 
+def _embedding_kmeans(spark, sf_dir):
+    """Spherical k-means cluster sizes (rows-only by design: the mean
+    update sums floats in partition order, so centroid last-ulp wiggle
+    makes a cross-engine hash the wrong check — the quality gate is the
+    numpy-Lloyd agreement test in tests/test_ivf_index.py)."""
+    from orientdb_spark.pipeline.similarity import kmeans
+
+    _, assign = kmeans(_embs(spark, sf_dir), k=8, iters=2)
+    return assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+
+
 def _sim_bruteforce(spark, sf_dir):
     from orientdb_spark.pipeline import similarity
 
@@ -1464,6 +1475,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_embedding_cosine": _dedup_embedding,
         "embedding_quantize": _embedding_quantize,
+        "embedding_kmeans": _embedding_kmeans,
         # pipeline: similarity
         "sim_topk_bruteforce": _sim_bruteforce,
         "sim_topk_lsh": _sim_lsh,

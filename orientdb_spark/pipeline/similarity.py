@@ -224,6 +224,34 @@ class IvfIndex:
         self.corpus_cells.unpersist()
 
 
+def kmeans(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Spherical k-means (cosine-assignment Lloyd) over an embedding
+    column — the corpus-clustering step behind cluster-balanced sampling
+    and topic-level dedup. Returns (centroids(cid, cvec),
+    assignments(id, cid)).
+
+    This is the IVF coarse quantizer loop exposed as a public operator:
+    deterministic h60-seeded centers (no RNG), per-iteration cost = one
+    narrow Arrow matmul assignment (no shuffle) + one element-wise-mean
+    groupBy; the centroid set stays driver-side, k*dim-bounded. Empty
+    cells drop out and the surviving cids renumber densely. The result
+    is gated against a pure-numpy Lloyd reference in
+    tests/test_ivf_index.py (rows-only in the driver: the mean-update
+    sums floats in partition order, so last-ulp centroid wiggle makes a
+    cross-engine hash oracle the wrong check)."""
+    if k < 1 or iters < 0:
+        raise ValueError(f"need k >= 1 and iters >= 0, got k={k}, iters={iters}")
+    return build_ivf_index(
+        df, n_cells=k, vec_col=vec_col, id_col=id_col, refine_iters=iters
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,

@@ -112,3 +112,61 @@ def test_stale_index_fails_loudly(spark):
     with pytest.raises(ValueError, match="does not cover"):
         dedup.embedding_duplicate_pairs(embs, threshold=0.3, index=idx).collect()
     idx.unpersist()
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """The public kmeans must reproduce a pure-numpy spherical Lloyd
+    run exactly: same h60 seeding, cosine argmax with ties to the lower
+    cid, raw-space mean update, empty cells dropped + renumbered."""
+    import hashlib
+
+    import numpy as np
+
+    from orientdb_spark.pipeline.similarity import kmeans
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    k, iters = 8, 2
+    cents, assign = kmeans(embs, k=k, iters=iters)
+    got = {r["vec_id"]: r["cid"] for r in assign.collect()}
+    got_c = {r["cid"]: np.array(r["cvec"]) for r in cents.collect()}
+
+    rows = embs.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    M = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+
+    def h60(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+    seed_ids = [i for _, i in sorted((h60(i), i) for i in ids)[:k]]
+    C = np.array([M[ids.index(i)] for i in seed_ids], dtype=np.float64)
+
+    def assign_np(C):
+        Cn = np.linalg.norm(C, axis=1)
+        Cn[Cn == 0] = 1.0
+        Mn = np.linalg.norm(M, axis=1)
+        Mn[Mn == 0] = 1.0
+        return np.argmax((M @ C.T) / np.outer(Mn, Cn), axis=1)
+
+    for _ in range(iters):
+        a = assign_np(C)
+        alive = sorted(set(a.tolist()))
+        C = np.array([M[a == c].mean(axis=0) for c in alive])
+    a = assign_np(C)
+
+    exp = {ids[i]: int(a[i]) for i in range(len(ids))}
+    agree = sum(1 for i in ids if got[i] == exp[i]) / len(ids)
+    # mean-update float order differs (Spark partial aggs vs numpy), so
+    # a boundary point may flip; demand near-total agreement, not bitwise
+    assert agree >= 0.99, f"kmeans/numpy agreement {agree:.3f}"
+    for cid, cv in got_c.items():
+        assert np.allclose(cv, C[cid], atol=1e-6)
+
+
+def test_kmeans_validates_params(spark):
+    import pytest as _pytest
+
+    from orientdb_spark.pipeline.similarity import kmeans
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with _pytest.raises(ValueError):
+        kmeans(embs, k=0)
