@@ -224,3 +224,55 @@ def test_param_validation_guards(spark, sides):
     d = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
     with pytest.raises(ValueError):
         _text.lm_score(d, k=0)
+
+
+def test_asof_property_vs_pandas_merge_asof(spark):
+    """Property check: asof_join must agree with pandas.merge_asof per
+    key on randomized event sets (derandomized hypothesis) — covers the
+    empty-side / all-before / all-after / interleaved edges the fixture
+    doesn't."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    ts_strat = st.integers(min_value=0, max_value=50)
+    side_rows = st.lists(
+        st.tuples(st.sampled_from(["k1", "k2"]), ts_strat),
+        min_size=0,
+        max_size=10,
+    )
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(side_rows, side_rows)
+    def run(lrows, rrows):
+        if not lrows:
+            return
+        # unique (key, ts) on the right — the documented determinism
+        # precondition (merge_asof also requires sorted unique backing)
+        rrows = list({(k, t): None for k, t in rrows}.keys())
+        l = spark.createDataFrame(
+            [(i, k, dt.datetime(2024, 1, 1, 0, 0, t)) for i, (k, t) in enumerate(lrows)],
+            "lid INT, k STRING, ts TIMESTAMP",
+        )
+        r = spark.createDataFrame(
+            [(100 + i, k, dt.datetime(2024, 1, 1, 0, 0, t)) for i, (k, t) in enumerate(rrows)],
+            "rid INT, k STRING, ts TIMESTAMP",
+        ) if rrows else spark.createDataFrame([], "rid INT, k STRING, ts TIMESTAMP")
+        got = {
+            row["lid"]: row["prev_rid"]
+            for row in asof_join(l, r, on=["k"], ts="ts", payload=("rid",)).collect()
+        }
+        lp = l.toPandas().sort_values("ts")
+        rp = r.toPandas().sort_values("ts")
+        merged = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+        exp = {
+            int(row.lid): (None if pd.isna(row.rid) else int(row.rid))
+            for row in merged.itertuples()
+        }
+        assert got == exp
+
+    run()
