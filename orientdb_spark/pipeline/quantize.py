@@ -49,6 +49,8 @@ def scalar_quantize(
         .orderBy("pos")
         .collect()  # dim-bounded (one row per vector dimension)
     )
+    if not stats:
+        raise ValueError("cannot quantize an empty corpus (no per-dim stats)")
     mns = [r["mn"] for r in stats]
     mxs = [r["mx"] for r in stats]
     mn_a, mx_a = F.lit(mns), F.lit(mxs)

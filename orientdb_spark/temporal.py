@@ -61,9 +61,17 @@ def asof_join(
     """
     on = list(on)
     pay = list(payload)
-    overlap = set(pay) & {f"{prefix}{c}" for c in pay}
+    out_names = {f"{prefix}{c}" for c in pay}
+    overlap = (set(pay) | set(left.columns)) & out_names
     if overlap:
-        raise ValueError(f"payload/prefix collision: {sorted(overlap)}")
+        raise ValueError(
+            f"as-of output column(s) would collide: {sorted(overlap)} — "
+            "pick a different prefix"
+        )
+    internal = {f"__r_{c}" for c in pay} | {_SIDE}
+    dirty = internal & set(left.columns)
+    if dirty:
+        raise ValueError(f"left side uses reserved column name(s): {sorted(dirty)}")
 
     # right side reduced to key + ts + tagged payload; left keeps its
     # full row. unionByName null-fills each side's missing columns.
@@ -122,6 +130,8 @@ def range_join_count(
 
     Returns ``(left_id, *on, n_in_window[, sum_value])`` with one row
     per left row (zero-count rows included — left-outer semantics).
+    ``left_id`` must identify left rows uniquely — duplicate ids merge
+    into one output row with combined counts.
 
     The bucket width equals the window length, so any window spans at
     most two buckets and the probe side fans out exactly 2x; a

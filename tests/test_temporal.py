@@ -276,3 +276,18 @@ def test_asof_property_vs_pandas_merge_asof(spark):
         assert got == exp
 
     run()
+
+
+def test_asof_rejects_left_column_collisions(sides, spark):
+    left, right = sides
+    with pytest.raises(ValueError):
+        asof_join(left.withColumn("prev_rid", F.lit(1)), right, on=["k"],
+                  payload=("rid",), prefix="prev_")
+    with pytest.raises(ValueError):
+        asof_join(left.withColumn("__r_rid", F.lit(1)), right, on=["k"],
+                  payload=("rid",))
+    from orientdb_spark.pipeline.quantize import scalar_quantize
+
+    empty = spark.createDataFrame([], "vec_id INT, embedding ARRAY<DOUBLE>")
+    with pytest.raises(ValueError):
+        scalar_quantize(empty)
