@@ -633,6 +633,21 @@ def _sample_quota_per_source(spark, sf_dir):
     )
 
 
+def _sample_mixture(spark, sf_dir):
+    """Data-mixture construction: 60-doc sample at weights
+    50/30/15/5 over four sources (integer floor quotas: 30/18/9/3;
+    src0 holds only 25 docs so it contributes everything — the
+    undershoot path is part of the contract)."""
+    from orientdb_spark.pipeline.sampling import sample_mixture
+
+    out = sample_mixture(
+        _docs(spark, sf_dir),
+        weights={"src0": 50, "src1": 30, "src2": 15, "src3": 5},
+        total=60,
+    )
+    return out.select("doc_id", "source", "sample_rank")
+
+
 def _dedup_canonicalize(spark, sf_dir):
     from orientdb_spark.pipeline import dedup, sampling
 
@@ -1203,7 +1218,8 @@ def _is_null_filter(spark, sf_dir):
 # compound_predicates, tpch_q10~q1/q3/q5/q6, column_positional~
 # csv_positional_roundtrip[r5], dictionary_get~dictionary_keyset[r5],
 # json_roundtrip~csv/export siblings[r3+r5], polymorphic_scan~
-# scan_class, contains_value~contains_condition, tpch_q5~q1/q3/q6) —
+# scan_class, contains_value~contains_condition, tpch_q5~q1/q3/q6,
+# global_aggregates~count_distinct_suppliers) —
 # so every compiler path still gets a fresh record through its
 # representative.
 _DRIVER_FRONT = [
@@ -1234,7 +1250,6 @@ _DRIVER_FRONT = [
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q6_forecast",
-    "global_aggregates",
     "count_distinct_suppliers",
     "group_having_order",
     "order_multikey_topk",
@@ -1247,6 +1262,7 @@ _DRIVER_FRONT = [
     "graph_pagerank",
     "text_paragraph_dedup",
     "sample_pack_sequences",
+    "sample_mixture",
     "event_asof_join",
     "event_range_join",
     "event_funnel",
@@ -1470,6 +1486,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "pipeline_end_to_end": _pipeline_end_to_end,
         "sample_split_assign": _sample_split_assign,
         "sample_quota_per_source": _sample_quota_per_source,
+        "sample_mixture": _sample_mixture,
         "dedup_bucket_audit": _dedup_bucket_audit,
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_ngram,
@@ -2224,6 +2241,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CASE WHEN (('0x' || substring(md5('42:' || doc_id), 1, 15))::UBIGINT::BIGINT) % 10000 < 9800 THEN 'train' "
             "WHEN (('0x' || substring(md5('42:' || doc_id), 1, 15))::UBIGINT::BIGINT) % 10000 < 9900 THEN 'valid' ELSE 'test' END AS split "
             "FROM documents"
+        ),
+        "sample_mixture": (
+            "WITH r AS (SELECT doc_id, source, row_number() OVER "
+            "(PARTITION BY source ORDER BY "
+            "(('0x' || substring(md5('42:' || doc_id), 1, 15))::UBIGINT::BIGINT) % 1000000, doc_id) "
+            "AS sample_rank FROM documents "
+            "WHERE source IN ('src0', 'src1', 'src2', 'src3')) "
+            "SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= "
+            "CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 18 "
+            "WHEN 'src2' THEN 9 ELSE 3 END"
         ),
         "sample_quota_per_source": (
             "SELECT doc_id, source, row_number() OVER "

@@ -116,6 +116,46 @@ def quota_sample(
     )
 
 
+def sample_mixture(
+    df: DataFrame,
+    weights: dict[str, int],
+    total: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Data-mixture construction: draw a deterministic ``total``-row
+    sample whose per-source composition follows integer ``weights``
+    (e.g. the temperature-scaled proportions of a training mix).
+    ``quota_s = total * w_s // sum(w)`` — integer floor allocation, so
+    the result can undershoot ``total`` by < n_sources rows but is
+    exactly reproducible (quotas never depend on float rounding).
+    Sources not in ``weights`` are excluded; a source smaller than its
+    quota contributes everything it has.
+
+    One window shuffle on source (the same hash-rank draw as
+    quota_sample, so mixtures and per-group caps compose); quotas ride
+    a map literal, not a join."""
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    if not weights:
+        raise ValueError("weights must name at least one source")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError(f"weights must be non-negative with a positive sum: {weights}")
+    wsum = sum(weights.values())
+    quotas = {s: total * w // wsum for s, w in weights.items()}
+    qmap = F.create_map(
+        *[x for s, qv in quotas.items() for x in (F.lit(s), F.lit(qv))]
+    )
+    bucket = F.pmod(_split_key(id_col, seed), F.lit(1_000_000))
+    w = Window.partitionBy(source_col).orderBy(bucket.asc(), F.col(id_col).asc())
+    return (
+        df.filter(F.col(source_col).isin(list(weights)))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= qmap[F.col(source_col)])
+    )
+
+
 def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
     """Connected components over duplicate pairs → (doc_id, cluster_id)
     for every doc that appears in at least one pair. cluster_id = min doc

@@ -150,3 +150,37 @@ def test_pack_sequences_matches_reference_and_partition_invariant(spark):
     for i, t in rows:
         assert ref[i][1] == pos % 64
         pos += t
+
+
+def test_sample_mixture_composition(spark):
+    """Integer floor quotas, undersized sources contribute everything,
+    unlisted sources are excluded, and the draw is deterministic."""
+    from orientdb_spark.pipeline.sampling import sample_mixture
+
+    rows = [(i, f"s{i % 3}") for i in range(30)]  # s0/s1/s2 x10 each
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = sample_mixture(df, weights={"s0": 60, "s1": 40}, total=10)
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_src == {"s0": 6, "s1": 4}  # 10*60//100, 10*40//100
+    # small source: quota larger than the source -> whole source
+    tiny = sample_mixture(df, weights={"s0": 100}, total=50)
+    assert tiny.count() == 10
+    # deterministic
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in sample_mixture(df, weights={"s0": 60, "s1": 40}, total=10).collect()}
+    assert a == b
+
+
+def test_sample_mixture_validates(spark):
+    from orientdb_spark.pipeline.sampling import sample_mixture
+
+    df = spark.createDataFrame([(1, "s0")], "doc_id bigint, source string")
+    with pytest.raises(ValueError):
+        sample_mixture(df, weights={}, total=10)
+    with pytest.raises(ValueError):
+        sample_mixture(df, weights={"s0": -1}, total=10)
+    with pytest.raises(ValueError):
+        sample_mixture(df, weights={"s0": 1}, total=-5)
