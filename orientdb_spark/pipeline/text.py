@@ -130,7 +130,16 @@ def tfidf_top_terms(
     toks = df.select(
         F.col(id_col), F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("term")
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds two branches (the df-counts and the scored join);
+    # checkpoint it once or each branch re-runs the corpus scan +
+    # explode — the triangle-count lesson (graph.py). N stays a
+    # count-star over the source (zero-column parquet scan): it must
+    # include token-less docs, which tf no longer holds.
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     scored = (
@@ -192,22 +201,33 @@ def lm_score(
         ).alias("__bg"),
     ).select(F.col(id_col), F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
 
-    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = pairs.select(F.col("w1").alias("w")).unionAll(
-        pairs.select(F.col("w2").alias("w"))
+    # per-doc bigram counts are the shared intermediate for all four
+    # downstream branches (c2, c1, vocab, scoring); checkpoint once or
+    # every branch re-scans and re-explodes the corpus (the
+    # triangle-count lesson, graph.py). pc is also strictly smaller
+    # than the raw pair stream — repeated in-doc bigrams collapse.
+    pc = (
+        pairs.groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .localCheckpoint(eager=False)
+    )
+    c2 = pc.groupBy("w1", "w2").agg(F.sum("nb").alias("c2"))
+    c1 = pc.groupBy("w1").agg(F.sum("nb").alias("c1"))
+    vocab = pc.select(F.col("w1").alias("w")).unionAll(
+        pc.select(F.col("w2").alias("w"))
     )
     v = vocab.agg(F.count_distinct(F.col("w")).cast("double").alias("__v"))
     model = c2.join(c1, "w1").crossJoin(F.broadcast(v))
-    scored = pairs.join(model, ["w1", "w2"]).select(
+    scored = pc.join(model, ["w1", "w2"]).select(
         F.col(id_col),
+        F.col("nb"),
         (
             -F.log((F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("__v")))
         ).alias("__nll"),
     )
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.avg("__nll"), 6).alias("nll"),
+        F.sum("nb").alias("n_bigrams"),
+        F.round(F.sum(F.col("nb") * F.col("__nll")) / F.sum("nb"), 6).alias("nll"),
     )
 
 
