@@ -291,3 +291,103 @@ def test_asof_rejects_left_column_collisions(sides, spark):
     empty = spark.createDataFrame([], "vec_id INT, embedding ARRAY<DOUBLE>")
     with pytest.raises(ValueError):
         scalar_quantize(empty)
+
+
+def test_range_join_property_vs_naive(spark):
+    """Property check: the binned range join equals the naive inequality
+    join on randomized timestamps, including bucket-boundary landings
+    (derandomized hypothesis)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    ts_strat = st.integers(min_value=0, max_value=120)  # seconds
+    rows = st.lists(
+        st.tuples(st.sampled_from(["k1", "k2"]), ts_strat), min_size=0, max_size=8
+    )
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows, rows)
+    def run(lrows, rrows):
+        if not lrows:
+            return
+        base = dt.datetime(2024, 1, 1)
+        l = spark.createDataFrame(
+            [
+                (i, k, base + dt.timedelta(seconds=t))
+                for i, (k, t) in enumerate(lrows)
+            ],
+            "lid INT, k STRING, ts TIMESTAMP",
+        )
+        r = spark.createDataFrame(
+            [
+                (100 + i, k, base + dt.timedelta(seconds=t))
+                for i, (k, t) in enumerate(rrows)
+            ],
+            "rid INT, k STRING, ts TIMESTAMP",
+        ) if rrows else spark.createDataFrame([], "rid INT, k STRING, ts TIMESTAMP")
+        win = 30  # seconds — several bucket boundaries inside the ts range
+        got = {
+            (row["lid"], row["n_in_window"])
+            for row in range_join_count(
+                l, r, on=["k"], left_id="lid", ts="ts", window_sec=win
+            ).collect()
+        }
+        exp = {}
+        for i, (k, t) in enumerate(lrows):
+            exp[i] = sum(1 for (rk, rt) in rrows if rk == k and t - win < rt <= t)
+        assert got == {(i, n) for i, n in exp.items()}
+
+    run()
+
+
+def test_funnel_property_vs_python(spark):
+    """Property check: funnel stages match a sequential-scan Python
+    reference on randomized event streams (ties, repeats, gaps)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from orientdb_spark.streaming import funnel
+
+    STAGES = ["view", "click", "purchase"]
+    ev = st.tuples(
+        st.sampled_from(["u1", "u2"]),
+        st.sampled_from(STAGES + ["other"]),
+        st.integers(min_value=0, max_value=20),
+    )
+    stream = st.lists(ev, min_size=1, max_size=15)
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(stream)
+    def run(rows):
+        df = spark.createDataFrame(
+            [
+                (i, u, ty, dt.datetime(2024, 1, 1, 0, 0, t))
+                for i, (u, ty, t) in enumerate(rows)
+            ],
+            "event_id INT, user_id STRING, event_type STRING, ts TIMESTAMP",
+        )
+        got = {r["user_id"]: r["funnel_stage"] for r in funnel(df, stages=STAGES).collect()}
+        exp = {}
+        for u in {u for (u, ty, _) in rows if ty in STAGES}:
+            evs = sorted(
+                [(t, ty) for (uu, ty, t) in rows if uu == u and ty in STAGES]
+            )
+            cur, stage = None, 0
+            for want in STAGES:
+                nxt = [t for (t, ty) in evs if ty == want and (cur is None or t > cur)]
+                if not nxt:
+                    break
+                cur = min(nxt)
+                stage += 1
+            exp[u] = stage
+        assert got == exp
+
+    run()
