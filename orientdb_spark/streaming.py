@@ -475,6 +475,44 @@ def asof_join_stream(
     )
 
 
+def range_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    window_sec: int = 1800,
+    watermark: str = "1 hour",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Watermarked stream-stream range join: every (left, right) pair
+    with the same key and ``right.ts in (left.ts - window_sec,
+    left.ts]``. The streaming counterpart of
+    ``temporal.range_join_count`` — here Spark's native stream-stream
+    join applies: the event-time range condition plus the watermark let
+    the state store evict rows older than ``watermark + window_sec``,
+    so state is bounded by the time window, not the stream length
+    (the binned trick exists for BATCH because a batch inequality join
+    would nested-loop; the streaming join is hash-keyed by ``on`` and
+    range-pruned by design).
+
+    Returns the joined pairs (left columns + prefixed right ts/extra
+    columns); aggregate downstream as needed. Works identically on
+    static frames (Spark plans an ordinary equi+range join)."""
+    r_cols = [c for c in right.columns if c != on]
+    l = left.withWatermark(ts_col, watermark) if left.isStreaming else left
+    r = right.withWatermark(ts_col, watermark) if right.isStreaming else right
+    r = r.select(
+        F.col(on), *[F.col(c).alias(f"{right_prefix}{c}") for c in r_cols]
+    )
+    rts = F.col(f"{right_prefix}{ts_col}")
+    cond = (
+        (l[on] == r[on])
+        & (rts > l[ts_col] - F.expr(f"INTERVAL {int(window_sec)} SECONDS"))
+        & (rts <= l[ts_col])
+    )
+    return l.join(r, cond, "inner").drop(r[on])
+
+
 def stream_to_batches(stream_df: DataFrame, batch_fn, **options):
     """foreachBatch sink — the push-based listener surface for streams
     (the reference's per-record listener, batched)."""

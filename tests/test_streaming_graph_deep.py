@@ -290,3 +290,69 @@ def test_asof_join_stream_static_fallback(spark):
     )
     assert not out.isStreaming
     assert out.count() == events.filter(F.col("event_type") == "error").count()
+
+
+def test_range_join_stream_matches_batch(spark):
+    """Watermarked stream-stream range join: pair counts must equal the
+    batch range_join_count when the whole input arrives availableNow."""
+    from orientdb_spark.streaming import range_join_stream
+    from orientdb_spark.temporal import range_join_count
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = fix_event_nanos(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    err_b = events.filter(F.col("event_type") == "error")
+    clk_b = events.filter(F.col("event_type") == "click")
+    src_dir = tempfile.mkdtemp(prefix="ospark_rjs_src_")
+    ckpt = tempfile.mkdtemp(prefix="ospark_rjs_ckpt_")
+    try:
+        events.write.mode("overwrite").parquet(src_dir)
+        stream = read_event_stream(spark, src_dir)
+        pairs = range_join_stream(
+            stream.filter(F.col("event_type") == "error"),
+            stream.filter(F.col("event_type") == "click"),
+            on="user_id",
+            window_sec=1800,
+        )
+        assert pairs.isStreaming
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("rjs_rows")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "select event_id, count(r_event_id) as n from rjs_rows group by event_id"
+        )
+        batch = range_join_count(
+            err_b, clk_b, on=["user_id"], left_id="event_id", window_sec=1800
+        ).filter(F.col("n_in_window") > 0).select(
+            "event_id", F.col("n_in_window").alias("n")
+        )
+        assert got.count() == batch.count()
+        assert got.exceptAll(batch).count() == 0
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_range_join_stream_static_input(spark):
+    """On static frames the same operator is an ordinary equi+range
+    join, pair-equal to the binned counter."""
+    from orientdb_spark.streaming import range_join_stream
+    from orientdb_spark.temporal import range_join_count
+
+    events = fix_event_nanos(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    err_b = events.filter(F.col("event_type") == "error")
+    clk_b = events.filter(F.col("event_type") == "click")
+    pairs = range_join_stream(err_b, clk_b, on="user_id", window_sec=1800)
+    got = pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n"))
+    batch = range_join_count(
+        err_b, clk_b, on=["user_id"], left_id="event_id", window_sec=1800
+    ).filter(F.col("n_in_window") > 0).select(
+        "event_id", F.col("n_in_window").alias("n")
+    )
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
