@@ -398,6 +398,29 @@ def _integrity_orphans(spark, sf_dir):
     )
 
 
+def _graph_kcore(spark, sf_dir):
+    """6-core of the tripartite lineitem graph (rows-only: the iterative
+    peeling fixpoint isn't recursive-CTE expressible; the quality gate
+    is the sequential Python peeling reference in tests/test_graph_cc)."""
+    from orientdb_spark.graph import Graph
+
+    li = _engine(spark, sf_dir).table("lineitem")
+
+    def pref(c, p):
+        return F.concat(F.lit(p), F.col(c).cast("string"))
+
+    ed = (
+        li.select(
+            pref("l_orderkey", "order:").alias("src"),
+            pref("l_partkey", "part:").alias("dst"),
+        )
+        .unionAll(li.select(pref("l_orderkey", "order:"), pref("l_suppkey", "supp:")))
+        .unionAll(li.select(pref("l_partkey", "part:"), pref("l_suppkey", "supp:")))
+    )
+    g = Graph(ed.select(F.col("src").alias("vid")).distinct(), ed)
+    return g.kcore(6)
+
+
 def _salted_skew_aggregate(spark, sf_dir):
     """Two-phase salted aggregation (scale.salted_aggregate) over a
     genuinely skewed grouping — lineitem has only 3 return-flag groups,
@@ -1464,6 +1487,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "graph_connected_components": _graph_connected_components,
         "graph_pagerank": _graph_pagerank,
         "graph_triangle_count": _graph_triangle_count,
+        "graph_kcore": _graph_kcore,
         "salted_skew_aggregate": _salted_skew_aggregate,
         "event_cohort_retention": _event_cohort_retention,
         "integrity_orphans": _integrity_orphans,

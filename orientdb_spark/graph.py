@@ -370,6 +370,48 @@ class Graph:
         )
         return corners.groupBy("vid").agg(F.count(F.lit(1)).alias("n_triangles"))
 
+    def kcore(self, k: int, max_iter: int = 100) -> DataFrame:
+        """Vertices of the k-core (maximal subgraph where every vertex
+        has undirected degree >= k). Returns (vid, core_degree) —
+        the vertex's degree WITHIN the surviving core.
+
+        Iterative peeling: each round drops every vertex whose current
+        degree is < k, until none is (the fixpoint is unique regardless
+        of drop order, so peeling all weak vertices per round is both
+        correct and round-minimal). Per round: one degree aggregate and
+        two anti-joins on the shrinking edge list, checkpointed so the
+        lineage stays bounded — the same loop discipline as BFS/CC. The
+        weak-set emptiness probe is the per-round materializing job."""
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        und = (
+            self.edges.select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(max_iter):
+            deg = (
+                und.select(F.col("a").alias("v"))
+                .unionAll(und.select(F.col("b").alias("v")))
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            weak = deg.filter(F.col("d") < k).select("v").localCheckpoint(eager=True)
+            if weak.isEmpty():
+                return deg.select(
+                    F.col("v").alias("vid"), F.col("d").alias("core_degree")
+                )
+            und = (
+                und.join(weak.withColumnRenamed("v", "a"), "a", "left_anti")
+                .join(weak.withColumnRenamed("v", "b"), "b", "left_anti")
+                .select("a", "b")
+                .localCheckpoint(eager=True)
+            )
+        raise RuntimeError(f"k-core did not converge in {max_iter} rounds")
+
     def pagerank(self, iterations: int = 10, damping: float = 0.85) -> DataFrame:
         """Iterative PageRank via aggregate-messages joins (the Pregel
         formulation on DataFrames). Returns (vid, rank)."""

@@ -86,3 +86,74 @@ def test_triangle_count_hub_is_wedge_cheap(spark):
         spark.createDataFrame(hub_edges, ["src", "dst"]),
     )
     assert g.triangle_count().count() == 0
+
+
+def test_kcore_handcrafted(spark):
+    """K4 + a pendant chain: the 3-core is exactly the K4; pendant and
+    chain vertices peel away; core_degree is the in-core degree."""
+    from orientdb_spark.graph import Graph
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"), ("e", "f"),  # tail hanging off the clique
+    ]
+    g = Graph(
+        spark.createDataFrame([(x,) for x in "abcdef"], ["vid"]),
+        spark.createDataFrame(edges, ["src", "dst"]),
+    )
+    got = {r["vid"]: r["core_degree"] for r in g.kcore(3).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # 1-core keeps everything connected by an edge
+    assert g.kcore(1).count() == 6
+    # empty core
+    assert g.kcore(4).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        g.kcore(0)
+
+
+def test_kcore_matches_python_peeling(spark):
+    """The distributed peeling must match a sequential Python reference
+    on the tripartite lineitem graph."""
+    from collections import defaultdict
+
+    from orientdb_spark.graph import Graph
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1500)
+
+    def pref(c, p):
+        return F.concat(F.lit(p), F.col(c).cast("string"))
+
+    ed = (
+        li.select(pref("l_orderkey", "o:").alias("src"), pref("l_partkey", "p:").alias("dst"))
+        .unionAll(li.select(pref("l_orderkey", "o:"), pref("l_suppkey", "s:")))
+        .unionAll(li.select(pref("l_partkey", "p:"), pref("l_suppkey", "s:")))
+    )
+    g = Graph(ed.select(F.col("src").alias("vid")).distinct(), ed)
+    k = 6
+    got = {r["vid"]: r["core_degree"] for r in g.kcore(k).collect()}
+
+    pairs = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in ed.collect()
+        if r["src"] != r["dst"]
+    }
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for n in adj[v]:
+                    adj[n].discard(v)
+                del adj[v]
+                changed = True
+    exp = {v: len(ns) for v, ns in adj.items()}
+    assert got == exp
