@@ -106,3 +106,43 @@ def test_random_method_chains_match_oracle(engine, oracle, method, key):
     assert_matches_oracle(
         df, oracle, f"SELECT {o_expr} AS v FROM customer WHERE c_custkey = {key}"
     )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    gcol=st.sampled_from(["c_nationkey", "c_mktsegment"]),
+    fn=st.sampled_from(
+        [
+            ("count(*)", "count(*)::BIGINT"),
+            ("round(sum(c_acctbal), 4)", "round(sum(c_acctbal), 4)"),
+            ("min(c_custkey)", "min(c_custkey)"),
+            ("round(max(c_acctbal), 4)", "round(max(c_acctbal), 4)"),
+            ("round(avg(c_acctbal), 4)", "round(avg(c_acctbal), 4)"),
+        ]
+    ),
+    having=st.integers(min_value=0, max_value=40),
+    desc=st.booleans(),
+    lim=st.integers(min_value=1, max_value=30),
+)
+def test_random_group_having_order_limit(engine, oracle, gcol, fn, having, desc, lim):
+    """Fuzz the agg→HAVING→ORDER→LIMIT pipeline: random group column,
+    aggregate, HAVING threshold, direction, and limit must match DuckDB.
+    The group column tiebreaks the ordering so LIMIT truncation is
+    deterministic on both engines."""
+    d_agg, o_agg = fn
+    direction = "desc" if desc else "asc"
+    df = engine.sql(
+        f"select {gcol}, {d_agg} as v from customer group by {gcol} "
+        f"having count(*) > {having} order by v {direction}, {gcol} limit {lim}"
+    )
+    assert_matches_oracle(
+        df,
+        oracle,
+        f"SELECT {gcol}, {o_agg} AS v FROM customer GROUP BY {gcol} "
+        f"HAVING count(*) > {having} ORDER BY v {direction.upper()}, {gcol} LIMIT {lim}",
+    )
