@@ -421,6 +421,17 @@ def _graph_kcore(spark, sf_dir):
     return g.kcore(6)
 
 
+def _hll_distinct_merge(spark, sf_dir):
+    """Mergeable-sketch distinct counts (scale.mergeable_distinct):
+    per-flag HLL sketches + a sketch-union TOTAL row. Rows-only by
+    design (HLL estimates); the error-bound + merge-equals-direct gate
+    lives in tests/test_scale.py."""
+    from orientdb_spark.scale import mergeable_distinct
+
+    li = _engine(spark, sf_dir).table("lineitem")
+    return mergeable_distinct(li, "l_partkey", ["l_returnflag"])
+
+
 def _salted_skew_aggregate(spark, sf_dir):
     """Two-phase salted aggregation (scale.salted_aggregate) over a
     genuinely skewed grouping — lineitem has only 3 return-flag groups,
@@ -1488,6 +1499,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "graph_pagerank": _graph_pagerank,
         "graph_triangle_count": _graph_triangle_count,
         "graph_kcore": _graph_kcore,
+        "hll_distinct_merge": _hll_distinct_merge,
         "salted_skew_aggregate": _salted_skew_aggregate,
         "event_cohort_retention": _event_cohort_retention,
         "integrity_orphans": _integrity_orphans,

@@ -128,3 +128,34 @@ def bucketed_join_plan_is_shuffle_free(spark, left_table: str, right_table: str,
         return "Exchange hashpartitioning" not in plan and "ShuffleExchange" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def mergeable_distinct(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    lgk: int = 12,
+) -> DataFrame:
+    """Distinct-count via mergeable HLL sketches (Apache DataSketches,
+    built into Spark): each group builds its own sketch, and a TOTAL row
+    comes from UNIONING the per-group sketches — never rescanning the
+    data. This is the 100 TB distinct pattern: shards/partitions sketch
+    independently, any rollup level merges sketch bytes (kilobytes per
+    group), and estimates stay within the HLL error bound (~1.6% at
+    lgk=12). Returns the per-group rows plus one ('__total__', ...) row.
+
+    Contrast: exact count_distinct re-shuffles raw values per rollup
+    level; approx_count_distinct gives per-group estimates but no
+    reusable sketch to merge later or across jobs."""
+    per = df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lgk)).alias("__sk")
+    )
+    per_rows = per.select(
+        *group_cols,
+        F.hll_sketch_estimate("__sk").cast("long").alias("approx_distinct"),
+    )
+    total = per.agg(F.hll_union_agg("__sk").alias("__sk")).select(
+        *[F.lit("__total__").alias(c) for c in group_cols],
+        F.hll_sketch_estimate("__sk").cast("long").alias("approx_distinct"),
+    )
+    return per_rows.unionByName(total)

@@ -107,3 +107,35 @@ def test_tpch_q6_filters_pushed_to_scan(spark):
     # column pruning: the scan schema must not include every lineitem column
     read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
     assert "l_comment" not in read_schema
+
+
+def test_mergeable_distinct_error_bound(spark):
+    """Per-group HLL estimates and the union-merged TOTAL row must sit
+    inside ~3x the lgk=12 HLL error bound of the exact counts, and the
+    merged total must equal sketching the whole table directly (sketch
+    algebra, not a second scan)."""
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.scale import mergeable_distinct
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = {
+        r["l_returnflag"]: r["approx_distinct"]
+        for r in mergeable_distinct(li, "l_partkey", ["l_returnflag"]).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("n"))
+        .collect()
+    }
+    exact["__total__"] = li.select("l_partkey").distinct().count()
+    assert set(out) == set(exact)
+    for g, est in out.items():
+        assert abs(est - exact[g]) / exact[g] < 0.05, (g, est, exact[g])
+    direct = (
+        li.agg(F.hll_sketch_agg(F.col("l_partkey"), F.lit(12)).alias("s"))
+        .select(F.hll_sketch_estimate("s").cast("long").alias("v"))
+        .first()["v"]
+    )
+    assert out["__total__"] == direct
