@@ -857,6 +857,48 @@ def _text_lm_score(spark, sf_dir):
     return text.lm_score(_docs(spark, sf_dir))
 
 
+def _pipeline_quality_gate(spark, sf_dir):
+    """Composite quality gate: language-ID + quality score + repetition
+    + bigram-LM NLL joined per doc, with keep = quality >= 0.5 AND
+    dup_ngram_frac <= 0.3 AND nll <= corpus-p90(nll). Proves the text
+    operators compose under one oracle the way pipeline_end_to_end
+    proves it for the dedup family; the p90 threshold exercises
+    exact-percentile parity inside a composition."""
+    from orientdb_spark.pipeline import text
+
+    docs = _docs(spark, sf_dir)
+    lid = text.language_id(docs).select("doc_id", "predicted_lang")
+    q = text.quality_score(docs).select("doc_id", "quality")
+    rep = text.repetition_stats(docs, n=3).select("doc_id", "dup_ngram_frac")
+    lm = text.lm_score(docs).select("doc_id", "nll")
+    p90 = lm.agg(F.percentile("nll", F.lit(0.9)).alias("__p90"))
+    joined = (
+        lid.join(q, "doc_id")
+        .join(rep, "doc_id")
+        .join(lm, "doc_id")
+        .crossJoin(F.broadcast(p90))
+    )
+    keep = (
+        (F.col("quality") >= 0.5)
+        & (F.col("dup_ngram_frac") <= 0.3)
+        & (F.col("nll") <= F.col("__p90"))
+    )
+    # component values pass through at their native 6 dp. Known edge:
+    # a raw score can sit within one ulp of a 6-dp rounding midpoint,
+    # where Spark's exact-decimal HALF_UP and DuckDB's scaled-double
+    # round() disagree in the last digit (observed on 1 of 5000 docs at
+    # sf0.1; zero at the driver-gate SFs — re-rounding coarser makes it
+    # WORSE because 6-dp values often land exactly on 4-dp midpoints).
+    return joined.select(
+        "doc_id",
+        "predicted_lang",
+        "quality",
+        "dup_ngram_frac",
+        "nll",
+        F.when(keep, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )
+
+
 def _text_tfidf(spark, sf_dir):
     """Per-doc top-3 terms by TF-IDF (keyword extraction). Ranking
     compares the 6-dp-rounded score, so cross-engine ln() ulp noise
@@ -1253,7 +1295,8 @@ def _is_null_filter(spark, sf_dir):
 # csv_positional_roundtrip[r5], dictionary_get~dictionary_keyset[r5],
 # json_roundtrip~csv/export siblings[r3+r5], polymorphic_scan~
 # scan_class, contains_value~contains_condition, tpch_q5~q1/q3/q6,
-# global_aggregates~count_distinct_suppliers) —
+# global_aggregates~count_distinct_suppliers, is_null_filter~
+# all-recorded entries exercising IS NULL internally) —
 # so every compiler path still gets a fresh record through its
 # representative.
 _DRIVER_FRONT = [
@@ -1271,7 +1314,6 @@ _DRIVER_FRONT = [
     "like_underscore_literal",
     "compound_predicates",
     "matches_anchored",
-    "is_null_filter",
     "map_containskey",
     "contains_condition",
     "containstext_fallback",
@@ -1308,6 +1350,7 @@ _DRIVER_FRONT = [
     "profile_events",
     "text_tfidf_topterms",
     "text_lm_score",
+    "pipeline_quality_gate",
     "embedding_quantize",
 ]
 
@@ -1542,6 +1585,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_token_budget": _text_token_budget,
         "text_tfidf_topterms": _text_tfidf,
         "text_lm_score": _text_lm_score,
+        "pipeline_quality_gate": _pipeline_quality_gate,
         "text_boilerplate": _text_boilerplate,
         "text_line_quality": _text_line_quality,
         "text_pii_redact": _text_pii_redact,
@@ -1691,6 +1735,50 @@ s AS (SELECT doc_id, {', '.join(score_cols)} FROM toks),
 b AS (SELECT *, {best} AS best FROM s)
 SELECT doc_id, CASE {case} END AS predicted_lang, round(best, 6) AS lang_score FROM b
 """
+
+
+def _repetition_oracle_sql() -> str:
+    return (
+        # whitespace-token trigrams; dup fraction = (total-distinct)/total
+        "WITH t0 AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(text), '\\s+'), x -> len(x) > 0) AS t FROM documents), "
+        "g AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN "
+        "list_transform(range(1, len(t) - 3 + 2), "
+        "i -> array_to_string(t[i::INTEGER:i::INTEGER+2], ' ')) "
+        "ELSE [] END AS grams FROM t0), "
+        "u AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
+        "pg AS (SELECT doc_id, gram, count(*) AS c FROM u GROUP BY doc_id, gram), "
+        "agg AS (SELECT doc_id, sum(c) AS n_ngrams, count(*) AS n_distinct, "
+        "max(c) AS top_count FROM pg GROUP BY doc_id) "
+        "SELECT g.doc_id, coalesce(agg.n_ngrams, 0)::BIGINT AS n_ngrams, "
+        "coalesce(agg.n_distinct, 0)::BIGINT AS n_distinct, "
+        "coalesce(agg.top_count, 0)::BIGINT AS top_count, "
+        "round((coalesce(agg.n_ngrams, 0) - coalesce(agg.n_distinct, 0)) "
+        "/ greatest(coalesce(agg.n_ngrams, 0), 1), 6) AS dup_ngram_frac, "
+        "round(coalesce(agg.top_count, 0) "
+        "/ greatest(coalesce(agg.n_ngrams, 0), 1), 6) AS top_ngram_frac "
+        "FROM g LEFT JOIN agg ON g.doc_id = agg.doc_id"
+    )
+
+
+def _lm_oracle_sql() -> str:
+    return (
+        "WITH staged AS (SELECT doc_id, list_filter("
+        "regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0) AS t "
+        "FROM documents), "
+        "s2 AS (SELECT doc_id, t FROM staged WHERE len(t) >= 2), "
+        "pairs AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM ("
+        "SELECT doc_id, unnest(list_transform(range(1, len(t)), "
+        "i -> {'w1': t[i::INTEGER], 'w2': t[i::INTEGER + 1]})) AS u FROM s2)), "
+        "c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM pairs GROUP BY 1, 2), "
+        "c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM pairs GROUP BY 1), "
+        "v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM ("
+        "SELECT w1 AS w FROM pairs UNION ALL SELECT w2 FROM pairs)), "
+        "sc AS (SELECT doc_id, -ln((c2 + 0.5) / (c1 + 0.5 * v)) AS nll "
+        "FROM pairs JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v) "
+        "SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
+        "round(avg(nll), 6) AS nll FROM sc GROUP BY doc_id"
+    )
 
 
 def _quality_oracle_sql() -> str:
@@ -2358,22 +2446,19 @@ FROM q WHERE rk = 1
             "SELECT vec_id, sum(code)::BIGINT AS code_sum, "
             "round(max(err), 9) AS max_abs_err FROM e GROUP BY vec_id"
         ),
-        "text_lm_score": (
-            "WITH staged AS (SELECT doc_id, list_filter("
-            "regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0) AS t "
-            "FROM documents), "
-            "s2 AS (SELECT doc_id, t FROM staged WHERE len(t) >= 2), "
-            "pairs AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM ("
-            "SELECT doc_id, unnest(list_transform(range(1, len(t)), "
-            "i -> {'w1': t[i::INTEGER], 'w2': t[i::INTEGER + 1]})) AS u FROM s2)), "
-            "c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM pairs GROUP BY 1, 2), "
-            "c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM pairs GROUP BY 1), "
-            "v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM ("
-            "SELECT w1 AS w FROM pairs UNION ALL SELECT w2 FROM pairs)), "
-            "sc AS (SELECT doc_id, -ln((c2 + 0.5) / (c1 + 0.5 * v)) AS nll "
-            "FROM pairs JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v) "
-            "SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
-            "round(avg(nll), 6) AS nll FROM sc GROUP BY doc_id"
+        "text_lm_score": _lm_oracle_sql(),
+        "pipeline_quality_gate": (
+            f"WITH l AS ({_langid_oracle_sql()}), "
+            f"q AS ({_quality_oracle_sql()}), "
+            f"r AS ({_repetition_oracle_sql()}), "
+            f"m AS ({_lm_oracle_sql()}), "
+            "thr AS (SELECT quantile_cont(nll, 0.9) AS p90 FROM m) "
+            "SELECT l.doc_id, l.predicted_lang, q.quality, r.dup_ngram_frac, "
+            "m.nll, (CASE WHEN q.quality >= 0.5 AND r.dup_ngram_frac <= 0.3 "
+            "AND m.nll <= thr.p90 THEN 1 ELSE 0 END) AS keep "
+            "FROM l JOIN q ON l.doc_id = q.doc_id "
+            "JOIN r ON l.doc_id = r.doc_id "
+            "JOIN m ON l.doc_id = m.doc_id, thr"
         ),
         "text_tfidf_topterms": (
             "WITH toks AS (SELECT doc_id, unnest(list_filter("
@@ -2398,28 +2483,7 @@ FROM q WHERE rk = 1
             "sum(length(text))::BIGINT AS total_chars "
             "FROM documents GROUP BY source, lang"
         ),
-        "text_repetition_stats": (
-            # mirrors pipeline/text.repetition_stats(n=3): lowercased
-            # whitespace-token trigrams; dup fraction = (total-distinct)/total
-            "WITH t0 AS (SELECT doc_id, list_filter(regexp_split_to_array("
-            "lower(text), '\\s+'), x -> len(x) > 0) AS t FROM documents), "
-            "g AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN "
-            "list_transform(range(1, len(t) - 3 + 2), "
-            "i -> array_to_string(t[i::INTEGER:i::INTEGER+2], ' ')) "
-            "ELSE [] END AS grams FROM t0), "
-            "u AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
-            "pg AS (SELECT doc_id, gram, count(*) AS c FROM u GROUP BY doc_id, gram), "
-            "agg AS (SELECT doc_id, sum(c) AS n_ngrams, count(*) AS n_distinct, "
-            "max(c) AS top_count FROM pg GROUP BY doc_id) "
-            "SELECT g.doc_id, coalesce(agg.n_ngrams, 0)::BIGINT AS n_ngrams, "
-            "coalesce(agg.n_distinct, 0)::BIGINT AS n_distinct, "
-            "coalesce(agg.top_count, 0)::BIGINT AS top_count, "
-            "round((coalesce(agg.n_ngrams, 0) - coalesce(agg.n_distinct, 0)) "
-            "/ greatest(coalesce(agg.n_ngrams, 0), 1), 6) AS dup_ngram_frac, "
-            "round(coalesce(agg.top_count, 0) "
-            "/ greatest(coalesce(agg.n_ngrams, 0), 1), 6) AS top_ngram_frac "
-            "FROM g LEFT JOIN agg ON g.doc_id = agg.doc_id"
-        ),
+        "text_repetition_stats": _repetition_oracle_sql(),
         "text_boilerplate": (
             # independently re-derives the fixture and re-implements
             # detect (per-source line doc-frequency >= 0.5) + strip +
