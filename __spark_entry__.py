@@ -899,6 +899,33 @@ def _pipeline_quality_gate(spark, sf_dir):
     )
 
 
+def _text_unicode_normalize(spark, sf_dir):
+    """NFC normalization over a derived fixture (the corpus is already
+    composed, so every third doc gets a deterministic decomposed
+    ' cafe'+COMBINING-ACUTE suffix — same in-entry synthesis pattern as
+    the boilerplate/PII entries). Digested to md5 so the oracle compares
+    the normalized text byte-exactly (unicodedata vs utf8proc — both
+    implement the Unicode standard)."""
+    from orientdb_spark.pipeline import text
+
+    docs = _docs(spark, sf_dir)
+    fx = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" cafe\u0301")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    out = text.unicode_normalize(fx)
+    return out.select(
+        "doc_id",
+        F.md5(F.encode(F.col("normalized"), "UTF-8")).alias("digest"),
+        "changed",
+    )
+
+
 def _text_tfidf(spark, sf_dir):
     """Per-doc top-3 terms by TF-IDF (keyword extraction). Ranking
     compares the 6-dp-rounded score, so cross-engine ln() ulp noise
@@ -1586,6 +1613,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_tfidf_topterms": _text_tfidf,
         "text_lm_score": _text_lm_score,
         "pipeline_quality_gate": _pipeline_quality_gate,
+        "text_unicode_normalize": _text_unicode_normalize,
         "text_boilerplate": _text_boilerplate,
         "text_line_quality": _text_line_quality,
         "text_pii_redact": _text_pii_redact,
@@ -2447,6 +2475,12 @@ FROM q WHERE rk = 1
             "round(max(err), 9) AS max_abs_err FROM e GROUP BY vec_id"
         ),
         "text_lm_score": _lm_oracle_sql(),
+        "text_unicode_normalize": (
+            "WITH fx AS (SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 "
+            "THEN ' cafe' || chr(769) ELSE '' END AS t FROM documents), "
+            "n AS (SELECT doc_id, t, nfc_normalize(t) AS nt FROM fx) "
+            "SELECT doc_id, md5(nt) AS digest, (t <> nt)::INTEGER AS changed FROM n"
+        ),
         "pipeline_quality_gate": (
             f"WITH l AS ({_langid_oracle_sql()}), "
             f"q AS ({_quality_oracle_sql()}), "

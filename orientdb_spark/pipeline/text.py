@@ -7,6 +7,8 @@ exactly reproducible in ANSI SQL for the duckdb oracle.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from orientdb_spark.pipeline.common import h60, normalize_text, ws_tokens
@@ -610,6 +612,44 @@ def paragraph_dedup(
             (F.col("__n_paras") - F.col("__n_kept")).cast("int").alias("n_removed"),
             "clean_text",
         )
+    )
+
+
+def unicode_normalize(
+    df: DataFrame,
+    form: str = "NFC",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode normalization (default NFC) — the canonicalization step
+    before dedup/hashing so 'e'+COMBINING ACUTE and the precomposed
+    e-acute stop being different documents. Returns
+    (id, normalized, changed).
+
+    Python is genuinely required (Spark SQL has no normalization
+    builtin), so this is an Arrow-batched pandas_udf over
+    ``unicodedata.normalize`` — one narrow map stage, no shuffle, the
+    same discipline as the multimodal decoders. Normalization semantics
+    are Unicode-standard-defined, so an independent engine
+    (DuckDB ``nfc_normalize``, utf8proc) reproduces outputs
+    byte-exactly — the oracle hook."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(texts: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return texts.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    out = df.select(F.col(id_col), F.col(text_col), _norm(F.col(text_col)).alias("normalized"))
+    return out.select(
+        F.col(id_col),
+        "normalized",
+        (F.col(text_col) != F.col("normalized")).cast("int").alias("changed"),
     )
 
 

@@ -364,3 +364,23 @@ def test_lm_score_handcrafted(spark):
     assert out[1]["n_bigrams"] == 3
     # the common bigram is more probable than the rare one
     assert out[2]["nll"] < out[3]["nll"]
+
+
+def test_unicode_normalize_forms(spark):
+    d = spark.createDataFrame(
+        [(1, "cafe\u0301"), (2, "caf\u00e9"), (3, None), (4, "plain")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in text.unicode_normalize(d).collect()}
+    # decomposed composes (changed), precomposed is a fixpoint
+    assert out[1]["normalized"] == "caf\u00e9" and out[1]["changed"] == 1
+    assert out[2]["normalized"] == "caf\u00e9" and out[2]["changed"] == 0
+    assert out[3]["normalized"] is None and out[3]["changed"] is None
+    assert out[4]["changed"] == 0
+    # NFD goes the other way
+    nfd = {r["doc_id"]: r["normalized"] for r in text.unicode_normalize(d, form="NFD").collect()}
+    assert nfd[2] == "cafe\u0301"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        text.unicode_normalize(d, form="NFX")
