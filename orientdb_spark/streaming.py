@@ -415,6 +415,12 @@ def asof_join_stream(
 
     on = list(on)
     payload = list(payload)
+    overlap = set(left.columns) & {f"{prefix}{c}" for c in payload}
+    if overlap:
+        raise ValueError(
+            f"as-of output column(s) would collide: {sorted(overlap)} — "
+            "pick a different prefix"
+        )
     rschema = {f.name: f.dataType for f in right.schema.fields}
     r = right.select(
         *on,
