@@ -146,3 +146,44 @@ def test_random_group_having_order_limit(engine, oracle, gcol, fn, having, desc,
         f"SELECT {gcol}, {o_agg} AS v FROM customer GROUP BY {gcol} "
         f"HAVING count(*) > {having} ORDER BY v {direction.upper()}, {gcol} LIMIT {lim}",
     )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    path=st.sampled_from(
+        [
+            # (dialect link path, equivalent join-derived ANSI expression)
+            ("o_custkey.c_name", "c.c_name"),
+            ("o_custkey.c_acctbal", "c.c_acctbal"),
+            ("o_custkey.c_nationkey.n_name", "n.n_name"),
+            ("o_custkey.c_nationkey.n_regionkey.r_name", "r.r_name"),
+        ]
+    ),
+    lo=st.integers(min_value=0, max_value=5000),
+    span=st.integers(min_value=1, max_value=400),
+)
+def test_random_link_chains_match_joins(engine, oracle, path, lo, span):
+    """Fuzz pointer-chase navigation: every dialect link chain must equal
+    the mechanically derived chain of equi-joins, over random orderkey
+    windows (including empty ones)."""
+    d_path, o_expr = path
+    df = engine.sql(
+        f"select o_orderkey, {d_path} as v from orders "
+        f"where o_orderkey >= {lo} and o_orderkey < {lo + span}"
+    )
+    assert_matches_oracle(
+        df,
+        oracle,
+        "SELECT o.o_orderkey, "
+        + o_expr
+        + " AS v FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        f"WHERE o.o_orderkey >= {lo} AND o.o_orderkey < {lo + span}",
+    )
