@@ -742,6 +742,29 @@ def _embedding_kmeans(spark, sf_dir):
     return assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
 
 
+def _pipeline_multimodal_end_to_end(spark, sf_dir):
+    """Multimodal composition proof: binary payload -> frame sampling
+    (1->N fan-out) -> per-frame resize to a 2x2 grid, all under one
+    oracle — the modality analog of pipeline_end_to_end /
+    pipeline_quality_gate. Frames get a synthetic composite id
+    (doc_id*1000 + frame_index; frame counts are ~8 per doc, far below
+    1000) because the resize stage keys rows by a single id column."""
+    from orientdb_spark.pipeline import multimodal
+
+    docs = multimodal.with_binary_payload(_docs(spark, sf_dir))
+    fr = multimodal.sample_frames(docs, frame_bytes=64, every=4)
+    fr2 = fr.select(
+        (F.col("doc_id") * 1000 + F.col("frame_index")).alias("fid"),
+        F.col("frame").alias("payload"),
+    )
+    px = multimodal.resize_images(fr2, id_col="fid", width=2, height=2)
+    return px.select(
+        F.floor(F.col("doc_id") / 1000).cast("long").alias("doc_id"),
+        (F.col("doc_id") % 1000).cast("int").alias("frame_index"),
+        F.posexplode("pixels").alias("cell", "pixel"),
+    )
+
+
 def _sim_bruteforce(spark, sf_dir):
     from orientdb_spark.pipeline import similarity
 
@@ -1614,6 +1637,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_lm_score": _text_lm_score,
         "pipeline_quality_gate": _pipeline_quality_gate,
         "text_unicode_normalize": _text_unicode_normalize,
+        "pipeline_multimodal_end_to_end": _pipeline_multimodal_end_to_end,
         "text_boilerplate": _text_boilerplate,
         "text_line_quality": _text_line_quality,
         "text_pii_redact": _text_pii_redact,
@@ -2627,6 +2651,26 @@ FROM q WHERE rk = 1
             "j -> ('0x' || substring(h, (2*j + 1)::INTEGER, 2))::INTEGER)) // (hi - lo) "
             "END AS pixel FROM seg) "
             "SELECT doc_id, 4 AS width, 4 AS height, cell::INTEGER AS cell, "
+            "pixel::INTEGER AS pixel FROM px"
+        ),
+        "pipeline_multimodal_end_to_end": (
+            # frames = every 4th 64-byte chunk (ASCII precondition as in
+            # multimodal_frame_sample); each frame average-pools into a
+            # 2x2 grid with the resize segment formula over fn bytes
+            "WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n "
+            "FROM documents), "
+            "f AS (SELECT doc_id, unnest(range(0, (n + 63) // 64, 4)) AS fi, text FROM d), "
+            "fr AS (SELECT doc_id, fi, substring(text, (fi * 64 + 1)::INTEGER, 64) AS ftxt FROM f), "
+            "hx AS (SELECT doc_id, fi, hex(encode(ftxt)) AS h, "
+            "octet_length(encode(ftxt)) AS fn FROM fr), "
+            "c AS (SELECT doc_id, fi, h, fn, unnest(range(0, 4)) AS cell FROM hx), "
+            "seg AS (SELECT doc_id, fi, cell, h, fn, (cell * fn) // 4 AS lo, "
+            "least(greatest(((cell + 1) * fn) // 4, (cell * fn) // 4 + 1), fn) AS hi FROM c), "
+            "px AS (SELECT doc_id, fi, cell, CASE WHEN hi <= lo THEN 0 ELSE "
+            "list_sum(list_transform(range(lo, hi), "
+            "j -> ('0x' || substring(h, (2 * j + 1)::INTEGER, 2))::INTEGER)) // (hi - lo) "
+            "END AS pixel FROM seg) "
+            "SELECT doc_id, fi::INTEGER AS frame_index, cell::INTEGER AS cell, "
             "pixel::INTEGER AS pixel FROM px"
         ),
         "multimodal_frame_sample": (
