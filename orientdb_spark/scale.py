@@ -135,6 +135,7 @@ def mergeable_distinct(
     col: str,
     group_cols: list[str],
     lgk: int = 12,
+    total_label: str = "__total__",
 ) -> DataFrame:
     """Distinct-count via mergeable HLL sketches (Apache DataSketches,
     built into Spark): each group builds its own sketch, and a TOTAL row
@@ -155,7 +156,7 @@ def mergeable_distinct(
         F.hll_sketch_estimate("__sk").cast("long").alias("approx_distinct"),
     )
     total = per.agg(F.hll_union_agg("__sk").alias("__sk")).select(
-        *[F.lit("__total__").alias(c) for c in group_cols],
+        *[F.lit(total_label).alias(c) for c in group_cols],
         F.hll_sketch_estimate("__sk").cast("long").alias("approx_distinct"),
     )
     return per_rows.unionByName(total)
