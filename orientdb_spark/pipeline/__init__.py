@@ -7,6 +7,22 @@ built from JVM-side built-in functions wherever possible; Pandas UDFs only
 where Spark genuinely lacks the primitive (multimodal byte decoding).
 """
 
-from orientdb_spark.pipeline import dedup, similarity, text, multimodal
+from orientdb_spark.pipeline import (
+    dedup,
+    multimodal,
+    profile,
+    quantize,
+    sampling,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = [
+    "dedup",
+    "multimodal",
+    "profile",
+    "quantize",
+    "sampling",
+    "similarity",
+    "text",
+]
