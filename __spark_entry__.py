@@ -731,6 +731,21 @@ def _embedding_quantize(spark, sf_dir):
     )
 
 
+def _embedding_label_centroids(spark, sf_dir):
+    """Per-label centroid digest (element-wise mean vector summed to one
+    scalar per label for the hash compare; similarity.label_centroids)."""
+    from orientdb_spark.pipeline.similarity import label_centroids
+
+    out = label_centroids(_embs(spark, sf_dir))
+    return out.select(
+        "label",
+        "n_members",
+        F.round(
+            F.aggregate("centroid", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("centroid_sum"),
+    )
+
+
 def _embedding_kmeans(spark, sf_dir):
     """Spherical k-means cluster sizes (rows-only by design: the mean
     update sums floats in partition order, so centroid last-ulp wiggle
@@ -1622,6 +1637,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_embedding_cosine": _dedup_embedding,
         "embedding_quantize": _embedding_quantize,
         "embedding_kmeans": _embedding_kmeans,
+        "embedding_label_centroids": _embedding_label_centroids,
         # pipeline: similarity
         "sim_topk_bruteforce": _sim_bruteforce,
         "sim_topk_lsh": _sim_lsh,
@@ -2482,6 +2498,16 @@ FROM q WHERE rk = 1
             "SELECT doc_id, len(fps)::BIGINT AS n_fp, list_min(fps) AS min_fp, "
             "list_max(fps) AS max_fp, "
             "list_sum(list_transform(fps, x -> x % 1000000007))::BIGINT AS sum_fp FROM w"
+        ),
+        "embedding_label_centroids": (
+            "WITH ex AS (SELECT label, u.pos AS pos, u.x AS x FROM ("
+            "SELECT label, unnest(list_transform(range(1, len(embedding) + 1), "
+            "i -> {'pos': i, 'x': embedding[i::INTEGER]::DOUBLE})) AS u "
+            "FROM embeddings)), "
+            "dims AS (SELECT label, pos, avg(x) AS m, count(*)::BIGINT AS n "
+            "FROM ex GROUP BY 1, 2) "
+            "SELECT label, max(n) AS n_members, round(sum(m), 6) AS centroid_sum "
+            "FROM dims GROUP BY label"
         ),
         "embedding_quantize": (
             "WITH ex0 AS (SELECT vec_id, unnest(list_transform("

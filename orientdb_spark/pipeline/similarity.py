@@ -422,3 +422,30 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid (element-wise mean vector) + member count —
+    the class-prototype aggregate behind nearest-centroid classification
+    and per-class drift monitoring. Returns (label, n_members, centroid).
+
+    One posexplode (linear) and one (label, pos) groupBy with map-side
+    partial means; the re-assembly groupBy collects label-count x dim
+    rows — tiny — so no corpus-sized second shuffle."""
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+    )
+    dims = ex.groupBy("label", "pos").agg(
+        F.avg("x").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    return dims.groupBy("label").agg(
+        F.max("n").alias("n_members"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("m")))
+        ).getField("m").alias("centroid"),
+    )
