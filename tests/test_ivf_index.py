@@ -170,3 +170,15 @@ def test_kmeans_validates_params(spark):
     embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     with _pytest.raises(ValueError):
         kmeans(embs, k=0)
+
+
+def test_label_centroids_handcrafted(spark):
+    from orientdb_spark.pipeline.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 3.0]), (2, "a", [3.0, 5.0]), (3, "b", [10.0, 0.0])],
+        "vec_id INT, label STRING, embedding ARRAY<DOUBLE>",
+    )
+    out = {r["label"]: r for r in label_centroids(df).collect()}
+    assert out["a"]["n_members"] == 2 and out["a"]["centroid"] == [2.0, 4.0]
+    assert out["b"]["n_members"] == 1 and out["b"]["centroid"] == [10.0, 0.0]
