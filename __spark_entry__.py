@@ -369,6 +369,27 @@ def _graph_pagerank(spark, sf_dir):
     return g.pagerank(iterations=5).select("vid", F.round("rank", 8).alias("rank"))
 
 
+def _event_hierarchical_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: minute/hour/day levels
+    where only the minute level scans raw events — each coarser level
+    re-aggregates the finer one (streaming.hierarchical_rollup; single
+    raw scan pinned by plan test). The oracle computes every level
+    DIRECTLY from raw, so equality proves the hierarchical composition
+    is lossless."""
+    from orientdb_spark.streaming import hierarchical_rollup
+
+    out = hierarchical_rollup(_engine(spark, sf_dir).table("events"))
+    return out.select(
+        "resolution",
+        F.date_trunc("second", "window_start").alias("window_start"),
+        "key",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )
+
+
 def _event_cohort_retention(spark, sf_dir):
     """Weekly cohort retention over events (streaming.cohort_retention);
     Spark and DuckDB both truncate weeks to ISO Monday, so the cohort
@@ -1610,6 +1631,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "hll_distinct_merge": _hll_distinct_merge,
         "salted_skew_aggregate": _salted_skew_aggregate,
         "event_cohort_retention": _event_cohort_retention,
+        "event_hierarchical_rollup": _event_hierarchical_rollup,
         "integrity_orphans": _integrity_orphans,
         # §2.10 streaming-shaped (batch/stream agnostic transforms)
         "event_window_agg": _event_window_agg,
@@ -2225,6 +2247,19 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey) "
             "SELECT min(vid) AS component, count(*) AS n_vertices FROM vids GROUP BY rk"
+        ),
+        "event_hierarchical_rollup": (
+            "WITH lv AS ("
+            "SELECT 'minute' AS resolution, date_trunc('minute', ts) AS ws, "
+            "event_type AS key, count(*)::BIGINT AS n, sum(value) AS tv, "
+            "min(value) AS mn, max(value) AS mx FROM events GROUP BY 2, 3 "
+            "UNION ALL SELECT 'hour', date_trunc('hour', ts), event_type, "
+            "count(*)::BIGINT, sum(value), min(value), max(value) FROM events GROUP BY 2, 3 "
+            "UNION ALL SELECT 'day', date_trunc('day', ts), event_type, "
+            "count(*)::BIGINT, sum(value), min(value), max(value) FROM events GROUP BY 2, 3) "
+            "SELECT resolution, ws AS window_start, key, n AS n_events, "
+            "round(tv, 4) AS total_value, round(mn, 4) AS min_value, "
+            "round(mx, 4) AS max_value FROM lv"
         ),
         "event_cohort_retention": (
             "WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw "

@@ -202,6 +202,58 @@ def funnel(
     )
 
 
+def hierarchical_rollup(
+    events: DataFrame,
+    levels: list[str] | None = None,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hypertable-style continuous aggregate: per (resolution, bucket,
+    key) counts/sums/min/max where ONLY the finest level scans the raw
+    events — every coarser level re-aggregates the previous one
+    (sum-of-sums, min-of-mins), so adding a day-level rollup to an
+    hour-level one costs hours-per-day rows, not another 100 TB scan.
+    Returns (resolution, window_start, key, n_events, total_value,
+    min_value, max_value) across all levels.
+
+    ``levels`` are date_trunc units ordered fine -> coarse (each must
+    nest in the next; date_trunc guarantees that for the standard
+    calendar units)."""
+    levels = levels or ["minute", "hour", "day"]
+    # every level is checkpointed before it feeds both the output union
+    # and the next level — otherwise each union branch re-derives its
+    # whole lineage from the raw source and the "one scan" contract is
+    # silently three scans (the same multi-reference trap as
+    # triangle_count / tfidf; pinned by tests/test_plan_shape.py)
+    base = events.groupBy(
+        F.date_trunc(levels[0], F.col(ts_col)).alias("window_start"),
+        F.col(key_col).alias("key"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("total_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    ).localCheckpoint(eager=False)
+    out = base.withColumn("resolution", F.lit(levels[0]))
+    prev = base
+    for lvl in levels[1:]:
+        prev = prev.groupBy(
+            F.date_trunc(lvl, F.col("window_start")).alias("window_start"),
+            "key",
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").alias("total_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        ).localCheckpoint(eager=False)
+        out = out.unionByName(prev.withColumn("resolution", F.lit(lvl)))
+    return out.select(
+        "resolution", "window_start", "key",
+        "n_events", "total_value", "min_value", "max_value",
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     ts_col: str = "ts",

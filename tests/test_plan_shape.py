@@ -155,3 +155,20 @@ def test_pagerank_one_ranks_exchange_per_iteration(spark, monkeypatch):
         plan = _formatted(g.pagerank(iterations=k))
         vid_counts.append(sum(c == "vid" for c in _exchange_keys(plan)))
     assert vid_counts == [1, 2, 3], vid_counts
+
+
+def test_hierarchical_rollup_single_raw_scan(spark):
+    """The continuous-aggregate claim: only the finest level reads the
+    source — three resolutions, ONE scan in the plan."""
+    from orientdb_spark.streaming import hierarchical_rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = (
+        hierarchical_rollup(ev)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the checkpointed levels surface as RDD scans; the raw parquet
+    # relation must appear at most once across all three resolutions
+    assert plan.count("Relation") <= 1, plan
