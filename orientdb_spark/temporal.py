@@ -49,16 +49,23 @@ def asof_join(
     payload: Sequence[str] = ("event_id", "value"),
     prefix: str = "prev_",
     allow_exact_matches: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the payload of the most recent right
     row with the same key and ``right.ts <= left.ts`` (backward as-of;
     strict ``<`` when ``allow_exact_matches=False``). Left rows with no
     prior right row keep null payload (left-outer semantics).
+    ``direction="forward"`` flips the search to the EARLIEST right row
+    at-or-after the left timestamp — the same single-shuffle plan with
+    the sort reversed.
 
     Matches ``ASOF LEFT JOIN ... ON l.key = r.key AND l.ts >= r.ts``
-    (DuckDB/pandas ``merge_asof`` semantics). Deterministic whenever
+    (DuckDB/pandas ``merge_asof`` semantics; forward matches
+    merge_asof(direction='forward')). Deterministic whenever
     ``(key, ts)`` is unique on the right side.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     on = list(on)
     pay = list(payload)
     out_names = {f"{prefix}{c}" for c in pay}
@@ -86,10 +93,13 @@ def asof_join(
 
     # at equal ts the right row sorts first (side 0 < 1) so it is
     # visible to the left row — i.e. <= semantics; flip for strict <.
+    # forward direction = identical walk over time reversed: sort ts
+    # desc and "last right seen" becomes "earliest right at-or-after".
     side_order = F.col(_SIDE).asc() if allow_exact_matches else F.col(_SIDE).desc()
+    ts_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts).asc(), side_order)
+        .orderBy(ts_order, side_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(

@@ -391,3 +391,66 @@ def test_funnel_property_vs_python(spark):
         assert got == exp
 
     run()
+
+
+def test_asof_forward_direction(sides):
+    """direction='forward' picks the earliest right row at-or-after the
+    left ts (merge_asof forward semantics)."""
+    left, right = sides
+    out = asof_join(
+        left, right, on=["k"], ts="ts", payload=("rid",), direction="forward"
+    )
+    got = {r["lid"]: r["prev_rid"] for r in out.collect()}
+    # lid=1 (12:10): rid100@12:10 at-or-after -> 100
+    # lid=2 (12:20): nothing after for u1 -> None
+    # lid=3 (12:05): rid102@12:06 -> 102
+    # lid=4 (12:30): nothing after for u3 -> None
+    assert got == {1: 100, 2: None, 3: 102, 4: None}
+    with pytest.raises(ValueError):
+        asof_join(left, right, on=["k"], direction="sideways")
+
+
+def test_asof_forward_matches_pandas(spark, sides):
+    import pandas as pd
+
+    left, right = sides
+    got = {
+        r["lid"]: r["prev_rid"]
+        for r in asof_join(
+            left, right, on=["k"], payload=("rid",), direction="forward"
+        ).collect()
+    }
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("ts")
+    merged = pd.merge_asof(lp, rp, on="ts", by="k", direction="forward")
+    exp = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in merged.itertuples()
+    }
+    assert got == exp
+
+
+def test_hierarchical_rollup_levels_compose(spark):
+    """Coarser levels must equal direct aggregation: counts sum, mins
+    min, across a fixture spanning two hours of one day."""
+    import datetime as dt
+
+    from orientdb_spark.streaming import hierarchical_rollup
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 10, 0, 30), 1.0),
+        ("a", dt.datetime(2024, 1, 1, 10, 0, 45), 3.0),
+        ("a", dt.datetime(2024, 1, 1, 11, 59, 0), 5.0),
+        ("b", dt.datetime(2024, 1, 1, 10, 30, 0), -2.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {
+        (r["resolution"], str(r["window_start"]), r["key"]): (
+            r["n_events"], r["total_value"], r["min_value"], r["max_value"]
+        )
+        for r in hierarchical_rollup(df).collect()
+    }
+    assert out[("minute", "2024-01-01 10:00:00", "a")] == (2, 4.0, 1.0, 3.0)
+    assert out[("hour", "2024-01-01 10:00:00", "a")] == (2, 4.0, 1.0, 3.0)
+    assert out[("day", "2024-01-01 00:00:00", "a")] == (3, 9.0, 1.0, 5.0)
+    assert out[("day", "2024-01-01 00:00:00", "b")] == (1, -2.0, -2.0, -2.0)
