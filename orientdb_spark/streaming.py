@@ -254,6 +254,38 @@ def hierarchical_rollup(
     )
 
 
+def rollup_merge(
+    existing: DataFrame,
+    new_events: DataFrame,
+    levels: list[str] | None = None,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Incremental continuous-aggregate refresh: fold a batch of new
+    events into an existing ``hierarchical_rollup`` WITHOUT recomputing
+    history — the delta rolls up on its own (it only scans the new
+    rows), unions with the existing aggregate, and re-merges per
+    (resolution, bucket, key). Buckets the delta doesn't touch pass
+    through the merge groupBy unchanged; cost is
+    O(delta + touched-bucket rows), never O(all history).
+
+    All four aggregates are decomposable (sum/sum/min/max re-merge
+    losslessly), so ``rollup_merge(rollup(a), b) == rollup(a ∪ b)``
+    exactly — the invariant the tests pin."""
+    delta = hierarchical_rollup(new_events, levels, ts_col, key_col, value_col)
+    return (
+        existing.unionByName(delta)
+        .groupBy("resolution", "window_start", "key")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").alias("total_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     ts_col: str = "ts",

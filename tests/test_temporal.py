@@ -454,3 +454,43 @@ def test_hierarchical_rollup_levels_compose(spark):
     assert out[("hour", "2024-01-01 10:00:00", "a")] == (2, 4.0, 1.0, 3.0)
     assert out[("day", "2024-01-01 00:00:00", "a")] == (3, 9.0, 1.0, 5.0)
     assert out[("day", "2024-01-01 00:00:00", "b")] == (1, -2.0, -2.0, -2.0)
+
+
+def test_rollup_merge_equals_full_recompute(spark):
+    """The incremental-refresh invariant:
+    rollup_merge(rollup(a), b) == rollup(a UNION b) — including buckets
+    only one side touches and buckets both touch."""
+    import datetime as dt
+
+    from orientdb_spark.streaming import hierarchical_rollup, rollup_merge
+
+    schema = "event_type string, ts timestamp, value double"
+    a = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1, 10, 0, 30), 1.0),
+            ("a", dt.datetime(2024, 1, 1, 11, 5, 0), 7.0),
+            ("b", dt.datetime(2024, 1, 2, 9, 0, 0), 2.0),
+        ],
+        schema,
+    )
+    b = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1, 10, 0, 45), -4.0),  # same minute as a's first
+            ("c", dt.datetime(2024, 1, 3, 8, 0, 0), 9.0),     # brand-new key/day
+        ],
+        schema,
+    )
+    merged = {
+        tuple(r)
+        for r in rollup_merge(hierarchical_rollup(a), b).collect()
+    }
+    full = {
+        tuple(r) for r in hierarchical_rollup(a.unionByName(b)).collect()
+    }
+    assert merged == full
+    # the shared minute actually merged (not duplicated)
+    m = {
+        (r[0], str(r[1]), r[2]): r[3:]
+        for r in merged
+    }
+    assert m[("minute", "2024-01-01 10:00:00", "a")] == (2, -3.0, -4.0, 1.0)
