@@ -108,3 +108,50 @@ def open_database(engine, db_dir: str) -> None:
 
     for cname, pname in fulltext:
         build_fulltext_index(engine, cname, pname)
+
+
+def compact_table(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+) -> dict:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(bytes / target) files — the maintenance pass every
+    append-heavy table needs (per-batch appends leave thousands of
+    KB-sized files whose open/footer overhead dominates scans long
+    before data volume does).
+
+    Rewrites into a sibling temp dir first and swaps atomically-enough
+    for the single-writer model this storage layer already assumes
+    (save_database has the same discipline); the original directory is
+    only removed after the rewrite succeeds. Returns
+    {files_before, files_after, bytes}.
+
+    ``coalesce`` (not repartition) merges files without a shuffle —
+    compaction is IO-bound and must not pay an exchange; row order
+    within merged files changes, which parquet tables don't promise
+    anyway."""
+    import math
+    import shutil
+
+    files = [
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    n_before = len(files)
+    total_bytes = sum(os.path.getsize(os.path.join(path, f)) for f in files)
+    n_target = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    if n_target >= n_before:
+        return {"files_before": n_before, "files_after": n_before, "bytes": total_bytes}
+
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.read.parquet(path).coalesce(n_target).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".__compact_old__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    return {"files_before": n_before, "files_after": n_after, "bytes": total_bytes}

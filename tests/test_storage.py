@@ -68,3 +68,26 @@ def test_save_collapses_dml_lineage(spark):
     eng2.open_database(db)
     names = sorted(r["r_name"] for r in eng2.query("select r_name from t"))
     assert names == ["N0", "N1", "N2", "N3", "N4"]
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    """Compaction must cut the file count without changing the rows, and
+    leave an already-compact table untouched."""
+    from orientdb_spark.storage import compact_table
+
+    p = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(p)
+    import os as _os
+
+    before = len([f for f in _os.listdir(p) if f.endswith(".parquet")])
+    assert before >= 40
+    stats = compact_table(spark, p, target_file_mb=128)
+    assert stats["files_before"] == before
+    assert stats["files_after"] == 1
+    back = spark.read.parquet(p)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+    # second pass is a no-op
+    stats2 = compact_table(spark, p, target_file_mb=128)
+    assert stats2["files_after"] == stats2["files_before"] == 1
