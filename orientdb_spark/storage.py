@@ -155,3 +155,21 @@ def compact_table(
     shutil.rmtree(old)
     n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     return {"files_before": n_before, "files_after": n_after, "bytes": total_bytes}
+
+
+def write_sorted(
+    df,
+    path: str,
+    by: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Layout-optimized write: range-partition by ``by`` and sort within
+    partitions before writing, so each parquet row group covers a tight,
+    near-disjoint key range. Parquet stores per-row-group min/max stats;
+    a filtered scan then skips every group whose range misses the
+    predicate — the poor man's clustered index, and the layout that
+    makes key-range queries cheap at 100 TB without any index structure.
+    (Random layout gives every row group ~the full key range, so stats
+    prune nothing.)"""
+    w = df.repartitionByRange(*(([n_files] if n_files else []) + by)).sortWithinPartitions(*by)
+    w.write.mode("overwrite").parquet(path)

@@ -91,3 +91,43 @@ def test_compact_table_merges_small_files(spark, tmp_path):
     # second pass is a no-op
     stats2 = compact_table(spark, p, target_file_mb=128)
     assert stats2["files_after"] == stats2["files_before"] == 1
+
+
+def test_write_sorted_produces_prunable_row_groups(spark, tmp_path):
+    """Sorted layout must yield near-disjoint per-file key ranges (the
+    parquet min/max stats a filtered scan prunes on), where a random
+    layout gives every file ~the full range."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from orientdb_spark.storage import write_sorted
+
+    df = spark.range(0, 100_000).withColumn(
+        "k", (F.col("id") * 2654435761 % 100_000).cast("long")
+    )
+
+    def ranges(p):
+        out = []
+        for f in _os.listdir(p):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(_os.path.join(p, f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["k"]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                out.append((st.min, st.max))
+        return out
+
+    sorted_p = str(tmp_path / "sorted")
+    random_p = str(tmp_path / "random")
+    write_sorted(df, sorted_p, by=["k"], n_files=8)
+    df.repartition(8).write.parquet(random_p)
+
+    full = 100_000
+    sorted_cov = sum(mx - mn for mn, mx in ranges(sorted_p)) / full
+    random_cov = sum(mx - mn for mn, mx in ranges(random_p)) / full
+    # sorted: ranges partition the key space (sum ~= 1x the domain);
+    # random: every group spans ~the whole domain (sum ~= n_groups x)
+    assert sorted_cov < 1.5, sorted_cov
+    assert random_cov > 4.0, random_cov
