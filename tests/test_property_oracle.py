@@ -187,3 +187,41 @@ def test_random_link_chains_match_joins(engine, oracle, path, lo, span):
         "JOIN region r ON n.n_regionkey = r.r_regionkey "
         f"WHERE o.o_orderkey >= {lo} AND o.o_orderkey < {lo + span}",
     )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    chain=st.sampled_from(
+        [
+            ("c_name.toUpperCase().trim()", "trim(upper(c_name))"),
+            ("c_name.left(8).toLowerCase()", "lower(substring(c_name, 1, 8))"),
+            ("c_name.trim().length()", "length(trim(c_name))::INTEGER"),
+            ("c_name.subString(1, 4).toUpperCase()", "upper(substring(c_name, 2, 3))"),
+            ("c_name.append('#').length()", "length(c_name || '#')::INTEGER"),
+            (
+                "c_name.toLowerCase().left(5).append('!')",
+                "lower(substring(c_name, 1, 5)) || '!'",
+            ),
+        ]
+    ),
+    lo=st.integers(min_value=0, max_value=1400),
+)
+def test_random_composed_method_chains(engine, oracle, chain, lo):
+    """Fuzz 2-3-deep method-chain compositions (the compiler folds each
+    chain link onto the previous Column) over sliding key windows."""
+    d_expr, o_expr = chain
+    df = engine.sql(
+        f"select {d_expr} as v from customer "
+        f"where c_custkey >= {lo} and c_custkey < {lo + 40}"
+    )
+    assert_matches_oracle(
+        df,
+        oracle,
+        f"SELECT {o_expr} AS v FROM customer "
+        f"WHERE c_custkey >= {lo} AND c_custkey < {lo + 40}",
+    )
