@@ -390,6 +390,26 @@ def _event_hierarchical_rollup(spark, sf_dir):
     )
 
 
+def _event_json_props(spark, sf_dir):
+    """Semi-structured extraction (the document-store column shape):
+    pull the numeric k out of the props JSON string per event and
+    aggregate it per type — get_json_object stays JVM-side, no UDF."""
+    ev = _engine(spark, sf_dir).table("events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def _event_cohort_retention(spark, sf_dir):
     """Weekly cohort retention over events (streaming.cohort_retention);
     Spark and DuckDB both truncate weeks to ISO Monday, so the cohort
@@ -1632,6 +1652,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "salted_skew_aggregate": _salted_skew_aggregate,
         "event_cohort_retention": _event_cohort_retention,
         "event_hierarchical_rollup": _event_hierarchical_rollup,
+        "event_json_props": _event_json_props,
         "integrity_orphans": _integrity_orphans,
         # §2.10 streaming-shaped (batch/stream agnostic transforms)
         "event_window_agg": _event_window_agg,
@@ -2247,6 +2268,13 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey) "
             "SELECT min(vid) AS component, count(*) AS n_vertices FROM vids GROUP BY rk"
+        ),
+        "event_json_props": (
+            "SELECT event_type, count(json_extract(props, '$.k'))::BIGINT AS n_with_k, "
+            "sum(json_extract(props, '$.k')::INTEGER)::BIGINT AS sum_k, "
+            "min(json_extract(props, '$.k')::INTEGER) AS min_k, "
+            "max(json_extract(props, '$.k')::INTEGER) AS max_k "
+            "FROM events GROUP BY event_type"
         ),
         "event_hierarchical_rollup": (
             "WITH lv AS ("
