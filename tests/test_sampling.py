@@ -184,3 +184,41 @@ def test_sample_mixture_validates(spark):
         sample_mixture(df, weights={"s0": -1}, total=10)
     with pytest.raises(ValueError):
         sample_mixture(df, weights={"s0": 1}, total=-5)
+
+
+def test_sample_mixture_property(spark):
+    """Property: per-source output equals min(floor quota, source size)
+    for random weights/totals, and the draw is a subset of the corpus."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from orientdb_spark.pipeline.sampling import sample_mixture
+
+    rows = [(i, f"s{i % 4}") for i in range(40)]  # 4 sources x 10
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        w=st.tuples(*(st.integers(min_value=0, max_value=9) for _ in range(3))),
+        total=st.integers(min_value=0, max_value=60),
+    )
+    def run(w, total):
+        weights = {f"s{i}": wi for i, wi in enumerate(w)}
+        if sum(weights.values()) == 0:
+            return
+        out = sample_mixture(df, weights=weights, total=total)
+        got = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        wsum = sum(weights.values())
+        for s, wi in weights.items():
+            quota = total * wi // wsum
+            assert got.get(s, 0) == min(quota, 10), (s, weights, total, got)
+        assert "s3" not in got  # unlisted source excluded
+
+    run()
