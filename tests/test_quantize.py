@@ -44,3 +44,31 @@ def test_quantize_error_reconstructs(vecs):
     out = scalar_quantize(vecs, bits=1)
     max_err = out.agg(F.max("max_abs_err")).first()[0]
     assert max_err <= 0.5 / 2 + 1e-12  # dim0 range 1.0, 2 levels -> step .5
+
+
+def test_quantize_property_random_vectors(spark):
+    """Property: codes stay in [0, 2^bits), reconstruction error is
+    bounded by half a quantization step of each dim's range, and
+    extreme values hit the extreme codes."""
+    import random
+
+    rng = random.Random(7)
+    dims = 6
+    rows = [
+        (i, [rng.uniform(-5, 5) for _ in range(dims)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    out = scalar_quantize(df, bits=6).collect()
+    # per-dim ranges from the raw data
+    mins = [min(r[1][d] for r in rows) for d in range(dims)]
+    maxs = [max(r[1][d] for r in rows) for d in range(dims)]
+    half_step = max((maxs[d] - mins[d]) / 64 / 2 for d in range(dims))
+    for r in out:
+        assert all(0 <= c < 64 for c in r["codes"])
+        assert r["max_abs_err"] <= half_step + 1e-12
+    by_id = {r["vec_id"]: r["codes"] for r in out}
+    for d in range(dims):
+        lo_id = min(rows, key=lambda x: x[1][d])[0]
+        hi_id = max(rows, key=lambda x: x[1][d])[0]
+        assert by_id[lo_id][d] == 0
+        assert by_id[hi_id][d] == 63

@@ -494,3 +494,19 @@ def test_rollup_merge_equals_full_recompute(spark):
         for r in merged
     }
     assert m[("minute", "2024-01-01 10:00:00", "a")] == (2, -3.0, -4.0, 1.0)
+
+
+def test_asof_composite_key(spark):
+    """Multi-column join keys partition the window correctly — rows
+    must never match across a partial key overlap."""
+    left = spark.createDataFrame(
+        [(1, "a", "x", _ts(10)), (2, "a", "y", _ts(10))],
+        "lid INT, k1 STRING, k2 STRING, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [(100, "a", "x", _ts(5)), (101, "a", "y", _ts(7)), (102, "b", "x", _ts(1))],
+        "rid INT, k1 STRING, k2 STRING, ts TIMESTAMP",
+    )
+    out = asof_join(left, right, on=["k1", "k2"], payload=("rid",))
+    got = {r["lid"]: r["prev_rid"] for r in out.collect()}
+    assert got == {1: 100, 2: 101}
