@@ -107,3 +107,11 @@ def test_fingerprint_and_simhash_duplicate_groups(spark):
     # byte-identical token sets share a simhash (1 and 4); doc 2 differs
     # in case/punctuation — the whitespace tokenizer keeps it distinct
     assert (1, 4) in ids and (1, 2) not in ids
+
+
+def test_bench_headline_names_are_valid():
+    """A renamed entry must fail CI, not the driver's bench run."""
+    import bench
+
+    missing = set(bench.HEADLINE) - set(QUERIES)
+    assert not missing, f"bench.HEADLINE names unknown queries: {sorted(missing)}"

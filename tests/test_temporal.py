@@ -510,3 +510,22 @@ def test_asof_composite_key(spark):
     out = asof_join(left, right, on=["k1", "k2"], payload=("rid",))
     got = {r["lid"]: r["prev_rid"] for r in out.collect()}
     assert got == {1: 100, 2: 101}
+
+
+def test_rollup_custom_levels(spark):
+    """Non-default level lists flow through the hierarchy (hour -> day
+    only) and merge with matching levels."""
+    import datetime as dt
+
+    from orientdb_spark.streaming import hierarchical_rollup
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 10, 0, 30), 1.0),
+         ("a", dt.datetime(2024, 1, 1, 12, 0, 0), 2.0)],
+        "event_type string, ts timestamp, value double",
+    )
+    out = hierarchical_rollup(df, levels=["hour", "day"])
+    res = {r["resolution"] for r in out.collect()}
+    assert res == {"hour", "day"}
+    day = [r for r in out.collect() if r["resolution"] == "day"]
+    assert len(day) == 1 and day[0]["n_events"] == 2 and day[0]["total_value"] == 3.0
