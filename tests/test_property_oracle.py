@@ -225,3 +225,28 @@ def test_random_composed_method_chains(engine, oracle, chain, lo):
         f"SELECT {o_expr} AS v FROM customer "
         f"WHERE c_custkey >= {lo} AND c_custkey < {lo + 40}",
     )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(inner=where_tree(), outer=where_tree())
+def test_random_subquery_targets_match_oracle(engine, oracle, inner, outer):
+    """Fuzz the FROM (select ...) path: a random inner WHERE tree under
+    a random outer one must equal the nested DuckDB query — predicate
+    composition across the subquery boundary."""
+    in_d, in_o = inner
+    out_d, out_o = outer
+    df = engine.sql(
+        f"select c_custkey from (select from customer where {in_d}) "
+        f"where {out_d}"
+    )
+    assert_matches_oracle(
+        df,
+        oracle,
+        f"SELECT c_custkey FROM (SELECT * FROM customer WHERE {in_o}) "
+        f"WHERE {out_o}",
+    )
