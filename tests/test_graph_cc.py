@@ -157,3 +157,49 @@ def test_kcore_matches_python_peeling(spark):
                 changed = True
     exp = {v: len(ns) for v, ns in adj.items()}
     assert got == exp
+
+
+def test_kcore_property_random_graphs(spark):
+    """Randomized graphs (derandomized hypothesis, few examples — each
+    runs a distributed peel loop) must match sequential Python peeling
+    for k in {2, 3}."""
+    from collections import defaultdict
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    verts = [f"v{i}" for i in range(8)]
+    edge = st.tuples(st.sampled_from(verts), st.sampled_from(verts))
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(edge, min_size=0, max_size=16), st.sampled_from([2, 3]))
+    def run(edges, k):
+        pairs = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        if not pairs:
+            return
+        g = Graph(
+            spark.createDataFrame([(v,) for v in verts], ["vid"]),
+            spark.createDataFrame(sorted(pairs), ["src", "dst"]),
+        )
+        got = {r["vid"]: r["core_degree"] for r in g.kcore(k).collect()}
+        adj = defaultdict(set)
+        for a, b in pairs:
+            adj[a].add(b)
+            adj[b].add(a)
+        changed = True
+        while changed:
+            changed = False
+            for v in list(adj):
+                if len(adj[v]) < k:
+                    for n in adj[v]:
+                        adj[n].discard(v)
+                    del adj[v]
+                    changed = True
+        exp = {v: len(ns) for v, ns in adj.items() if ns}
+        assert got == exp, (sorted(pairs), k, got, exp)
+
+    run()
