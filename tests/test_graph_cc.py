@@ -203,3 +203,41 @@ def test_kcore_property_random_graphs(spark):
         assert got == exp, (sorted(pairs), k, got, exp)
 
     run()
+
+
+def test_triangle_property_random_graphs(spark):
+    """Randomized graphs must match a brute-force Python triangle count
+    (all C(n,3) checks — fine at n=8)."""
+    from itertools import combinations
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    verts = [f"v{i}" for i in range(8)]
+    edge = st.tuples(st.sampled_from(verts), st.sampled_from(verts))
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(edge, min_size=0, max_size=18))
+    def run(edges):
+        pairs = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        if not pairs:
+            return
+        g = Graph(
+            spark.createDataFrame([(v,) for v in verts], ["vid"]),
+            spark.createDataFrame(sorted(pairs), ["src", "dst"]),
+        )
+        got = {r["vid"]: r["n_triangles"] for r in g.triangle_count().collect()}
+        exp = {}
+        for x, y, z in combinations(sorted(verts), 3):
+            if (
+                (x, y) in pairs and (x, z) in pairs and (y, z) in pairs
+            ):
+                for v in (x, y, z):
+                    exp[v] = exp.get(v, 0) + 1
+        assert got == exp, (sorted(pairs), got, exp)
+
+    run()
