@@ -356,3 +356,56 @@ def test_range_join_stream_static_input(spark):
     )
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_asof_join_stream_state_across_batches(spark):
+    """Force two micro-batches split on event time (one file per
+    trigger): a left event in batch 2 must match a right event that
+    arrived in batch 1 purely through GroupState."""
+    import datetime as dt
+
+    from orientdb_spark.streaming import asof_join_stream
+
+    src_dir = tempfile.mkdtemp(prefix="ospark_asof2_src_")
+    ckpt = tempfile.mkdtemp(prefix="ospark_asof2_ckpt_")
+    try:
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+        early = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 10, 0), 7, "click", 1.5)], schema
+        )
+        late = spark.createDataFrame(
+            [(2, dt.datetime(2024, 1, 1, 11, 0), 7, "error", 0.0)], schema
+        )
+        # two files written separately -> maxFilesPerTrigger=1 yields two
+        # ordered micro-batches (file mtime order == write order here)
+        early.coalesce(1).write.parquet(src_dir + "/f0")
+        late.coalesce(1).write.parquet(src_dir + "/f1")
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src_dir + "/f0").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir + "/f*")
+        )
+        out = asof_join_stream(
+            stream.filter(F.col("event_type") == "error"),
+            stream.filter(F.col("event_type") == "click"),
+            on=("user_id",),
+            payload=("event_id", "value"),
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("asof2_rows")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from asof2_rows").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["event_id"] == 2 and r["prev_event_id"] == 1 and r["prev_value"] == 1.5
+        # the run really split into multiple batches
+        assert len(q.recentProgress) >= 2
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
