@@ -409,3 +409,49 @@ def test_asof_join_stream_state_across_batches(spark):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_first_seen_stream_suppresses_across_batches(spark):
+    """The dedup claim that matters: a duplicate key arriving in a LATER
+    micro-batch must be suppressed by state carried from the first."""
+    import datetime as dt
+
+    from orientdb_spark.streaming import first_seen_stream
+
+    src_dir = tempfile.mkdtemp(prefix="ospark_fs2_src_")
+    ckpt = tempfile.mkdtemp(prefix="ospark_fs2_ckpt_")
+    try:
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+        b1 = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 10, 0), 7, "click", 1.0)], schema
+        )
+        b2 = spark.createDataFrame(
+            [
+                (2, dt.datetime(2024, 1, 1, 11, 0), 7, "click", 2.0),   # dup key
+                (3, dt.datetime(2024, 1, 1, 11, 0), 8, "view", 3.0),    # new key
+            ],
+            schema,
+        )
+        b1.coalesce(1).write.parquet(src_dir + "/f0")
+        b2.coalesce(1).write.parquet(src_dir + "/f1")
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir + "/f*")
+        )
+        out = first_seen_stream(stream, key_cols=("user_id", "event_type"))
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("fs2_rows")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["event_id"] for r in spark.sql("select * from fs2_rows").collect()}
+        assert got == {1, 3}  # event 2 suppressed by cross-batch state
+        assert len(q.recentProgress) >= 2
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
