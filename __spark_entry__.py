@@ -815,8 +815,8 @@ def _pipeline_multimodal_end_to_end(spark, sf_dir):
     )
     px = multimodal.resize_images(fr2, id_col="fid", width=2, height=2)
     return px.select(
-        F.floor(F.col("doc_id") / 1000).cast("long").alias("doc_id"),
-        (F.col("doc_id") % 1000).cast("int").alias("frame_index"),
+        F.floor(F.col("fid") / 1000).cast("long").alias("doc_id"),
+        (F.col("fid") % 1000).cast("int").alias("frame_index"),
         F.posexplode("pixels").alias("cell", "pixel"),
     )
 

@@ -142,14 +142,19 @@ def resize_images(
                 out.append(((csum[hi] - csum[lo]) // (hi - lo)).tolist())
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col].astype("int64"),
                     "width": width,
                     "height": height,
                     "pixels": out,
                 }
             )
 
-    return df.select(id_col, binary_col).mapInPandas(pool, RESIZE_SCHEMA)
+    # the output id keeps the caller's id_col name (a custom id used to
+    # come back mislabeled as doc_id)
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType())] + list(RESIZE_SCHEMA.fields[1:])
+    )
+    return df.select(id_col, binary_col).mapInPandas(pool, schema)
 
 
 FRAME_SCHEMA = T.StructType(
