@@ -37,6 +37,12 @@ FAKE_DECODE_SCHEMA = T.StructType(
 )
 
 
+def _with_id(schema: "T.StructType", id_col: str) -> "T.StructType":
+    """Output schema with the caller's id column name in slot 0 (every
+    mapInPandas stage here keys rows by one long id)."""
+    return T.StructType([T.StructField(id_col, T.LongType())] + list(schema.fields[1:]))
+
+
 def decode_image(payload: bytes) -> "object":
     """Real image decode — STUB: no codec libraries in this container.
     The production implementation would go through PIL/libvips here."""
@@ -56,13 +62,15 @@ def binary_features(df: DataFrame, binary_col: str = "payload", id_col: str = "d
             payloads = pdf[binary_col]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col].astype("int64"),
                     "n_bytes": payloads.map(len).astype("int32"),
                     "digest": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
                 }
             )
 
-    return df.select(id_col, binary_col).mapInPandas(extract, FEATURE_SCHEMA)
+    return df.select(id_col, binary_col).mapInPandas(
+        extract, _with_id(FEATURE_SCHEMA, id_col)
+    )
 
 
 def fake_decode_features(
@@ -82,13 +90,15 @@ def fake_decode_features(
             ]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col].astype("int64"),
                     "n_bytes": pdf[binary_col].map(len).astype("int32"),
                     "histogram": hists,
                 }
             )
 
-    return df.select(id_col, binary_col).mapInPandas(extract, FAKE_DECODE_SCHEMA)
+    return df.select(id_col, binary_col).mapInPandas(
+        extract, _with_id(FAKE_DECODE_SCHEMA, id_col)
+    )
 
 
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -149,12 +159,9 @@ def resize_images(
                 }
             )
 
-    # the output id keeps the caller's id_col name (a custom id used to
-    # come back mislabeled as doc_id)
-    schema = T.StructType(
-        [T.StructField(id_col, T.LongType())] + list(RESIZE_SCHEMA.fields[1:])
+    return df.select(id_col, binary_col).mapInPandas(
+        pool, _with_id(RESIZE_SCHEMA, id_col)
     )
-    return df.select(id_col, binary_col).mapInPandas(pool, schema)
 
 
 FRAME_SCHEMA = T.StructType(
@@ -207,11 +214,13 @@ def sample_frames(
                     payloads.append(data[fi * frame_bytes:(fi + 1) * frame_bytes])
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    id_col: pd.Series(ids, dtype="int64"),
                     "frame_index": pd.Series(idxs, dtype="int32"),
                     "frame_ts": pd.Series(tss, dtype="float64"),
                     "frame": payloads,
                 }
             )
 
-    return df.select(id_col, binary_col).mapInPandas(frames, FRAME_SCHEMA)
+    return df.select(id_col, binary_col).mapInPandas(
+        frames, _with_id(FRAME_SCHEMA, id_col)
+    )
