@@ -250,3 +250,44 @@ def test_random_subquery_targets_match_oracle(engine, oracle, inner, outer):
         f"SELECT c_custkey FROM (SELECT * FROM customer WHERE {in_o}) "
         f"WHERE {out_o}",
     )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cond=st.sampled_from(
+        [
+            # (field, value, link depth of that field from customer)
+            ("n_name", "NATION_3", 1),
+            ("n_name", "NATION_17", 1),
+            ("r_name", "ASIA", 2),
+            ("r_name", "EUROPE", 2),
+        ]
+    ),
+    window=st.sampled_from([(0, 1), (0, 2), (1, 2), (2, 2), (0, 3)]),
+)
+def test_random_traverse_windows_match_depth_logic(engine, oracle, cond, window):
+    """Fuzz TRAVERSE depth windows on the single-path customer→nation→
+    region hierarchy: a condition on a field that lives at link depth d
+    is satisfiable iff lo <= d <= hi, and then reachability reduces to
+    the explicit join chain."""
+    field, val, d = cond
+    lo, hi = window
+    df = engine.sql(
+        f"select c_custkey from customer "
+        f"where any() traverse({lo}, {hi}) ({field} = '{val}')"
+    )
+    if lo <= d <= hi:
+        sql = (
+            "SELECT c_custkey FROM customer c "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            f"WHERE {field} = '{val}'"
+        )
+    else:
+        sql = "SELECT c_custkey FROM customer WHERE FALSE"
+    assert_matches_oracle(df, oracle, sql)
