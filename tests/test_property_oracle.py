@@ -291,3 +291,47 @@ def test_random_traverse_windows_match_depth_logic(engine, oracle, cond, window)
     else:
         sql = "SELECT c_custkey FROM customer WHERE FALSE"
     assert_matches_oracle(df, oracle, sql)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    leaves=st.lists(
+        st.tuples(
+            st.sampled_from(["c_custkey", "c_nationkey"]),
+            st.sampled_from(["minor", "major", "eq", "minor_eq", "major_eq"]),
+            st.integers(min_value=0, max_value=1500),
+            st.sampled_from(["and", "or"]),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_random_native_dsl_matches_oracle(engine, oracle, leaves):
+    """Fuzz the native-query builder: random comparison chains with
+    and/or/not must equal the LEFT-FOLDED SQL (the DSL folds each leaf
+    onto the accumulated expression, so a.and(b).or(c) == (a AND b) OR c)."""
+    from orientdb_spark.native import OQueryContextNative
+
+    OPSQL = {"minor": "<", "major": ">", "eq": "=", "minor_eq": "<=", "major_eq": ">="}
+    ctx = OQueryContextNative()
+    sql = None
+    for i, (col, op, val, conn, neg) in enumerate(leaves):
+        if i:
+            getattr(ctx, conn + "_")()
+        if neg:
+            ctx.not_()
+        getattr(ctx.field(col), op)(val)
+        frag = f"{col} {OPSQL[op]} {val}"
+        if neg:
+            frag = f"NOT ({frag})"
+        sql = frag if sql is None else f"({sql}) {conn.upper()} ({frag})"
+    df = engine.table("customer").filter(ctx.expression()).select("c_custkey")
+    assert_matches_oracle(
+        df, oracle, f"SELECT c_custkey FROM customer WHERE {sql}"
+    )
