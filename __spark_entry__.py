@@ -1014,6 +1014,27 @@ def _text_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def _text_duplicate_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (the distributed analog of
+    Lee et al. 2022 suffix-array substring dedup;
+    pipeline/dedup.duplicate_spans — two-exchange n-gram window plan).
+    Corpus = documents plus a prefixed recrawl of every 3rd doc: the
+    prefix SHIFTS token positions in the copy, so matching spans prove
+    the position arithmetic and the island merge, not just gram
+    equality. The oracle re-derives the corpus and the islands-and-gaps
+    walk independently in SQL."""
+    from orientdb_spark.pipeline.dedup import duplicate_spans
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    recrawl = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.lit("RECRAWL "), F.col("doc_id").cast("string"), F.lit(" "), F.col("text")
+        ).alias("text"),
+    )
+    return duplicate_spans(docs.unionByName(recrawl), n=5, min_df=2)
+
+
 def _text_boilerplate(spark, sf_dir):
     """Cross-doc boilerplate detection + removal. The synthetic corpus
     has no boilerplate signal (measured max trigram doc-frequency 7/500,
@@ -1698,6 +1719,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_unicode_normalize": _text_unicode_normalize,
         "pipeline_multimodal_end_to_end": _pipeline_multimodal_end_to_end,
         "text_boilerplate": _text_boilerplate,
+        "text_duplicate_spans": _text_duplicate_spans,
         "text_line_quality": _text_line_quality,
         "text_pii_redact": _text_pii_redact,
         "text_paragraph_dedup": _text_paragraph_dedup,
@@ -2631,6 +2653,32 @@ FROM q WHERE rk = 1
             "FROM documents GROUP BY source, lang"
         ),
         "text_repetition_stats": _repetition_oracle_sql(),
+        "text_duplicate_spans": (
+            # re-derives the recrawl corpus, the positioned 5-grams, the
+            # distinct-doc frequency filter, and the islands-and-gaps
+            # span merge (break when the position gap exceeds n-1)
+            "WITH corpus AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 1000000, "
+            "'RECRAWL ' || doc_id || ' ' || text FROM documents WHERE doc_id % 3 = 0), "
+            "toks AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS t FROM corpus), "
+            "grams AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(t) - 3), i -> "
+            "{'pos': i::INTEGER, 'gram': array_to_string("
+            "t[i::INTEGER : i::INTEGER + 4], ' ')})) AS u "
+            "FROM toks WHERE len(t) >= 5)), "
+            "dfq AS (SELECT gram FROM grams GROUP BY gram "
+            "HAVING count(DISTINCT doc_id) >= 2), "
+            "dup AS (SELECT g.doc_id, g.pos FROM grams g JOIN dfq USING (gram)), "
+            "isl AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER "
+            "(PARTITION BY doc_id ORDER BY pos) <= 4 THEN 0 ELSE 1 END AS brk FROM dup), "
+            "sp AS (SELECT doc_id, pos, sum(brk) OVER "
+            "(PARTITION BY doc_id ORDER BY pos) AS span_id FROM isl) "
+            "SELECT doc_id, min(pos)::INTEGER AS span_start, "
+            "(max(pos) + 4)::INTEGER AS span_end, "
+            "(max(pos) + 4 - min(pos) + 1)::INTEGER AS n_dup_tokens "
+            "FROM sp GROUP BY doc_id, span_id"
+        ),
         "text_boilerplate": (
             # independently re-derives the fixture and re-implements
             # detect (per-source line doc-frequency >= 0.5) + strip +

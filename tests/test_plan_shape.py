@@ -172,3 +172,17 @@ def test_hierarchical_rollup_single_raw_scan(spark):
     # the checkpointed levels surface as RDD scans; the raw parquet
     # relation must appear at most once across all three resolutions
     assert plan.count("Relation") <= 1, plan
+
+
+def test_duplicate_spans_two_exchanges(spark):
+    """duplicate_spans claims exactly two shuffles: one on the gram key
+    (dense_rank/max doc-frequency windows share it) and one on the doc
+    key (island merge window + span groupBy share it via partial agg)."""
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    plan = _formatted(duplicate_spans(docs, n=5, min_df=2))
+    assert _nodes(plan, "Exchange") == 2, plan
+    assert _nodes(plan, "Scan parquet") == 1
