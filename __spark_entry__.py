@@ -501,6 +501,26 @@ def _salted_skew_aggregate(spark, sf_dir):
     )
 
 
+def _bloom_prefilter_join(spark, sf_dir):
+    """Semi-join reduction via an explicit Bloom pre-filter
+    (scale.bloom_prefilter_join): lineitem rows whose suppkey can't be
+    in the nation-3 supplier subset are dropped BEFORE the join shuffle.
+    The oracle is the PLAIN join — equality proves the bitmap admits no
+    false negatives and the join re-check absorbs its false positives.
+    m_bits=1<<16 keeps the bitmap at 8 KiB driver state."""
+    from orientdb_spark.scale import bloom_prefilter_join
+
+    eng = _engine(spark, sf_dir)
+    dim = eng.table("supplier").filter(F.col("s_nationkey") == 3)
+    out = bloom_prefilter_join(
+        eng.table("lineitem"), dim, "l_suppkey", "s_suppkey", m_bits=1 << 16, k=5
+    )
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
 def _graph_triangle_count(spark, sf_dir):
     """Per-vertex triangle counts via degree-ordered wedge enumeration
     (graph.py triangle_count). The TPC-H hierarchy graph is a forest
@@ -1671,6 +1691,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "graph_kcore": _graph_kcore,
         "hll_distinct_merge": _hll_distinct_merge,
         "salted_skew_aggregate": _salted_skew_aggregate,
+        "bloom_prefilter_join": _bloom_prefilter_join,
         "event_cohort_retention": _event_cohort_retention,
         "event_hierarchical_rollup": _event_hierarchical_rollup,
         "event_json_props": _event_json_props,
@@ -2348,6 +2369,15 @@ def oracle_sql() -> dict[str, str]:
             "round(min(l_extendedprice), 2) AS min_price, "
             "round(max(l_extendedprice), 2) AS max_price "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "bloom_prefilter_join": (
+            # the PLAIN join: equality proves the Bloom pre-filter is a
+            # pure semi-join reduction (no false negatives, re-checked
+            # false positives)
+            "SELECT l_returnflag, count(*)::BIGINT AS n_items, "
+            "round(sum(l_extendedprice), 2) AS sum_price "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE s_nationkey = 3 GROUP BY l_returnflag"
         ),
         "graph_triangle_count": (
             "WITH raw AS (SELECT 'order:' || l_orderkey AS s, "

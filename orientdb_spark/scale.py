@@ -160,3 +160,91 @@ def mergeable_distinct(
         F.hll_sketch_estimate("__sk").cast("long").alias("approx_distinct"),
     )
     return per_rows.unionByName(total)
+
+
+# all 64 single-bit long masks as signed-64 literals (1<<63 wraps
+# negative): F.shiftleft only takes a static shift amount, so runtime
+# bit selection is an element_at into this array instead
+_BIT_MASKS = [(1 << b) - (1 << 64) if b == 63 else (1 << b) for b in range(64)]
+
+
+def _bit_mask(bit: Column) -> Column:
+    return F.element_at(F.lit(_BIT_MASKS), bit.cast("int") + 1)
+
+
+def _bloom_positions(key: Column, k: int, m_bits: int) -> Column:
+    """Kirsch-Mitzenmacher double hashing: pos_i = (h1 + i*h2) mod m —
+    k bit positions from two xxhash64 evaluations, all JVM-side."""
+    h1 = F.xxhash64(key)
+    h2 = F.xxhash64(F.lit("__bloom_salt__"), key)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.pmod(h1 + i * h2, F.lit(m_bits)),
+    )
+
+
+def bloom_filter_build(
+    dim: DataFrame, key: str, m_bits: int = 1 << 20, k: int = 5
+) -> list[int]:
+    """Build a Bloom bitmap (as ``m_bits/64`` longs) from a dimension
+    key column. Distributed OR: each key explodes to k (word, bit)
+    pairs, one groupBy on the word index bit_or's them, and only the
+    word array (m_bits/64 longs — 128 KiB at the 1M-bit default) ever
+    reaches the driver. Catalyst's own runtime bloom (AQE
+    spark.sql.optimizer.runtime.bloomFilter) covers the automatic case;
+    this explicit form serves engine paths that join AFTER
+    transformations AQE can't see through, and its bitmap is reusable
+    across queries."""
+    pos = _bloom_positions(F.col(key), k, m_bits)
+    words = (
+        dim.select(F.explode(pos).alias("__p"))
+        .select(
+            (F.col("__p") / 64).cast("int").alias("__w"),
+            _bit_mask(F.col("__p") % 64).alias("__m"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__m").alias("__bits"))
+        .collect()
+    )
+    bitmap = [0] * (m_bits // 64)
+    for r in words:
+        bitmap[r["__w"]] = r["__bits"]
+    return bitmap
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    dim_key: str | None = None,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with a Bloom pre-filter on the fact side: rows whose key
+    can't be in ``dim`` are dropped BEFORE the join's shuffle. At 100 TB
+    this is the difference between shuffling the whole fact table and
+    shuffling only the ~matching fraction — the classic semi-join
+    reduction with O(m_bits) driver state instead of a full key set.
+
+    No false negatives (every true match survives — the join result is
+    IDENTICAL to the plain join; oracle-checked), only false positives
+    (wasted shuffle rows, rate ~(1-e^{-kn/m})^k), so correctness never
+    depends on the bitmap. The bitmap rides into the filter as an array
+    literal: zero extra exchanges on the fact side (plan-pinned)."""
+    dk = dim_key or key
+    bitmap = bloom_filter_build(dim, dk, m_bits=m_bits, k=k)
+    lit_bitmap = F.lit(bitmap)
+    pos = _bloom_positions(F.col(key), k, m_bits)
+    hit = F.forall(
+        pos,
+        lambda p: (
+            F.element_at(lit_bitmap, (p / 64).cast("int") + 1).bitwiseAND(
+                _bit_mask(p % 64)
+            )
+            != 0
+        ),
+    )
+    pruned = fact.filter(hit)
+    cond = pruned[key] == dim[dk]
+    return pruned.join(dim, cond, how)

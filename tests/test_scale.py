@@ -139,3 +139,69 @@ def test_mergeable_distinct_error_bound(spark):
         .first()["v"]
     )
     assert out["__total__"] == direct
+
+
+def test_bloom_prefilter_join_matches_plain_join(spark):
+    """Never a false negative: the Bloom-prefiltered join equals the
+    plain join even with a tiny bitmap (high false-positive rate — the
+    join re-check absorbs those)."""
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.scale import bloom_prefilter_join
+
+    fact = spark.range(0, 5000).select((F.col("id") % 613).alias("fk"), F.col("id").alias("v"))
+    dim = spark.range(0, 40).select((F.col("id") * 11).alias("dk"), F.col("id").alias("dv"))
+    for m_bits in (1 << 8, 1 << 14):  # 256 bits forces false positives
+        got = bloom_prefilter_join(fact, dim, "fk", "dk", m_bits=m_bits, k=4)
+        plain = fact.join(dim, fact["fk"] == dim["dk"])
+        assert got.count() == plain.count(), m_bits
+        assert sorted(r["v"] for r in got.collect()) == sorted(
+            r["v"] for r in plain.collect()
+        )
+
+
+def test_bloom_prefilter_prunes_nonmatching_rows(spark):
+    """The point of the operator: with an adequate bitmap, the fact rows
+    that can't match never reach the join (here: exact semi-join
+    selectivity, zero false positives at m/n = 800)."""
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.scale import _bit_mask, _bloom_positions, bloom_filter_build
+
+    fact = spark.range(0, 10000).select((F.col("id") % 997).alias("fk"))
+    dim = spark.range(0, 20).select((F.col("id") * 7).alias("dk"))
+    bitmap = bloom_filter_build(dim, "dk", m_bits=1 << 14, k=5)
+    lit = F.lit(bitmap)
+    pos = _bloom_positions(F.col("fk"), 5, 1 << 14)
+    hit = F.forall(
+        pos,
+        lambda p: (
+            F.element_at(lit, (p / 64).cast("int") + 1).bitwiseAND(_bit_mask(p % 64))
+            != 0
+        ),
+    )
+    kept = fact.filter(hit).count()
+    true_matches = fact.join(dim, fact["fk"] == dim["dk"], "left_semi").count()
+    assert kept < 1000, kept  # >90% of the 10k fact rows pruned pre-shuffle
+    assert kept >= true_matches
+
+
+def test_bloom_prefilter_adds_no_fact_side_exchange(spark):
+    """The bitmap rides in as a literal — the fact side must show a plain
+    Filter over the scan, no Exchange before the (broadcast) join."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.scale import bloom_prefilter_join
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet").filter(
+        F.col("s_nationkey") == 3
+    )
+    out = bloom_prefilter_join(li, sup, "l_suppkey", "s_suppkey", m_bits=1 << 16)
+    plan = out._jdf.queryExecution().explainString(
+        out.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    n_shuffles = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE))
+    assert n_shuffles == 0, plan
