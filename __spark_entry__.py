@@ -369,6 +369,51 @@ def _graph_pagerank(spark, sf_dir):
     return g.pagerank(iterations=5).select("vid", F.round("rank", 8).alias("rank"))
 
 
+def _graph_sssp(spark, sf_dir):
+    """Weighted single-source shortest paths (Graph.shortest_paths,
+    Bellman-Ford with a fixed 6-round horizon — one min-groupBy exchange
+    per round). Edge weights are deterministic residue functions of the
+    FK keys so both engines derive identical weights; the oracle unrolls
+    the same relaxation recurrence as a 6-step CTE chain. Integer-valued
+    weights keep the min() exact — no FP-order sensitivity."""
+    from orientdb_spark.graph import Graph
+
+    eng = _engine(spark, sf_dir)
+
+    def vid(prefix, col):
+        return F.concat(F.lit(prefix + ":"), F.col(col).cast("string"))
+
+    e1 = eng.table("nation").select(
+        vid("region", "n_regionkey").alias("src"),
+        vid("nation", "n_nationkey").alias("dst"),
+        ((F.col("n_nationkey") % 3) + 1).cast("double").alias("w"),
+    )
+    e2 = eng.table("customer").select(
+        vid("nation", "c_nationkey").alias("src"),
+        vid("customer", "c_custkey").alias("dst"),
+        ((F.col("c_custkey") % 5) + 1).cast("double").alias("w"),
+    )
+    e3 = eng.table("orders").select(
+        vid("customer", "o_custkey").alias("src"),
+        vid("orders", "o_orderkey").alias("dst"),
+        ((F.col("o_orderkey") % 7) + 1).cast("double").alias("w"),
+    )
+    edges = e1.unionByName(e2).unionByName(e3)
+    g = Graph(edges.select(F.col("src").alias("vid")).distinct(), edges)
+    return g.shortest_paths(["region:0"], iterations=6, weight_col="w").select(
+        "vid", F.round("dist", 6).alias("dist")
+    )
+
+
+def _graph_label_propagation(spark, sf_dir):
+    """Deterministic synchronous label propagation over the FK graph
+    (Graph.label_propagation — min-label tie break makes the classic
+    order-sensitive algorithm reproducible and CTE-oracle-able). Three
+    sweeps; the oracle unrolls vote-count + per-vertex argmax + carry
+    per round."""
+    return _graph(spark, sf_dir).label_propagation(iterations=3)
+
+
 def _event_hierarchical_rollup(spark, sf_dir):
     """Hypertable-style continuous aggregate: minute/hour/day levels
     where only the minute level scans raw events — each coarser level
@@ -1687,6 +1732,8 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "graph_bfs_levels": _graph_bfs_levels,
         "graph_connected_components": _graph_connected_components,
         "graph_pagerank": _graph_pagerank,
+        "graph_sssp": _graph_sssp,
+        "graph_label_propagation": _graph_label_propagation,
         "graph_triangle_count": _graph_triangle_count,
         "graph_kcore": _graph_kcore,
         "hll_distinct_merge": _hll_distinct_merge,
@@ -1969,6 +2016,67 @@ _COS = (
     "(list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
 )
+
+
+def _sssp_oracle(iterations: int = 6) -> str:
+    """Unrolled Bellman-Ford relaxation mirroring Graph.shortest_paths on
+    the residue-weighted FK graph: d_i = min(d_{i-1} ∪ relax(d_{i-1}))."""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"d{i} AS (SELECT vid, min(dist) AS dist FROM ("
+            f"SELECT vid, dist FROM d{i-1} "
+            f"UNION ALL SELECT e.dst, d{i-1}.dist + e.w "
+            f"FROM d{i-1} JOIN e ON d{i-1}.vid = e.src) GROUP BY vid)"
+        )
+    return (
+        "WITH e AS ("
+        "SELECT 'region:' || n_regionkey AS src, 'nation:' || n_nationkey AS dst, "
+        "(n_nationkey % 3 + 1)::DOUBLE AS w FROM nation "
+        "UNION ALL SELECT 'nation:' || c_nationkey, 'customer:' || c_custkey, "
+        "(c_custkey % 5 + 1)::DOUBLE FROM customer "
+        "UNION ALL SELECT 'customer:' || o_custkey, 'orders:' || o_orderkey, "
+        "(o_orderkey % 7 + 1)::DOUBLE FROM orders), "
+        "d0 AS (SELECT 'region:0' AS vid, 0.0::DOUBLE AS dist), "
+        + ", ".join(steps)
+        + f" SELECT vid, round(dist, 6) AS dist FROM d{iterations}"
+    )
+
+
+def _lpa_oracle(iterations: int = 3) -> str:
+    """Unrolled synchronous label propagation on the FK graph: per round,
+    per-(vertex,label) vote counts over the undirected edge set, then the
+    (max count, min label) winner, isolated vertices keeping their own
+    vid — exactly Graph.label_propagation's deterministic sweep."""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"v{i} AS (SELECT e.dst AS vid, l.label, count(*) AS n "
+            f"FROM l{i-1} l JOIN e ON l.vid = e.src GROUP BY 1, 2), "
+            f"w{i} AS (SELECT vid, label FROM ("
+            f"SELECT vid, label, row_number() OVER ("
+            f"PARTITION BY vid ORDER BY n DESC, label) AS rk FROM v{i}) WHERE rk = 1), "
+            f"l{i} AS (SELECT v.vid, coalesce(w{i}.label, v.vid) AS label "
+            f"FROM v LEFT JOIN w{i} ON v.vid = w{i}.vid)"
+        )
+    return (
+        "WITH v AS ("
+        "SELECT 'region:' || r_regionkey AS vid FROM region "
+        "UNION ALL SELECT 'nation:' || n_nationkey FROM nation "
+        "UNION ALL SELECT 'customer:' || c_custkey FROM customer "
+        "UNION ALL SELECT 'orders:' || o_orderkey FROM orders), "
+        "e0 AS ("
+        "SELECT 'region:' || n_regionkey AS src, 'nation:' || n_nationkey AS dst "
+        "FROM nation "
+        "UNION ALL SELECT 'nation:' || c_nationkey, 'customer:' || c_custkey "
+        "FROM customer "
+        "UNION ALL SELECT 'customer:' || o_custkey, 'orders:' || o_orderkey "
+        "FROM orders), "
+        "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), "
+        "l0 AS (SELECT vid, vid AS label FROM v), "
+        + ", ".join(steps)
+        + f" SELECT vid, label FROM l{iterations}"
+    )
 
 
 def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
@@ -2894,6 +3002,8 @@ FROM q WHERE rk = 1
         # all (round 6): unrolled power-iteration CTE, rounded at 1e-8 on
         # both sides (the pytest power-iteration gate at 1e-6 stays)
         "graph_pagerank": _pagerank_oracle(iterations=5, damping=0.85),
+        "graph_sssp": _sssp_oracle(iterations=6),
+        "graph_label_propagation": _lpa_oracle(iterations=3),
         # no-oracle entries (approximate / stub): approx_distinct_parts,
         # sim_topk_lsh
     }

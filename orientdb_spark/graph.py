@@ -467,6 +467,111 @@ class Graph:
         vids.unpersist()
         return ranks
 
+    def shortest_paths(
+        self,
+        source_vids: list,
+        iterations: int = 10,
+        weight_col: str | None = None,
+    ) -> DataFrame:
+        """Single-source (or multi-source) shortest paths, Bellman-Ford
+        style: ``iterations`` synchronous relaxation rounds, so the
+        result is the exact minimum path weight over paths of at most
+        ``iterations`` edges (set it >= the graph diameter for the true
+        SSSP fixpoint). Returns (vid, dist) for reached vertices only.
+
+        Shuffle budget (plan-pinned): LINEAR in rounds — two vid
+        exchanges per round (the relax join's state alignment + the
+        message min-groupBy) plus the one-time self-loop carrier build.
+        The self-loop trick is what keeps it linear: every vertex gets a
+        zero-weight loop once, so the carried distance rides the SAME
+        relax join as the messages — new_dist(v) = min over (in-edges ∪
+        self-loop) — and the state DataFrame feeds exactly ONE operator
+        per round. The naive carry (union old dist with messages)
+        references the state twice and doubles the inlined plan every
+        round (measured 2^k growth). Deterministic for a fixed
+        iteration count — the driver oracle unrolls the same recurrence
+        as a CTE chain. Multi-edges need no pre-aggregation: min()
+        absorbs them. Negative weights are fine (it's Bellman-Ford),
+        but no negative-cycle detection at a fixed horizon."""
+        w = F.col(weight_col) if weight_col else F.lit(1.0)
+        spark = self.edges.sparkSession
+        real = self.edges.select("src", "dst", w.cast("double").alias("__w"))
+        srcs = spark.createDataFrame([(v,) for v in source_vids], ["vid"])
+        # self-loop carrier over every vertex that could ever hold a
+        # distance (edge endpoints + sources) — built once, persisted
+        loops = (
+            real.select(F.col("src").alias("vid"))
+            .unionByName(real.select(F.col("dst").alias("vid")))
+            .unionByName(srcs)
+            .distinct()
+            .select(
+                F.col("vid").alias("src"),
+                F.col("vid").alias("dst"),
+                F.lit(0.0).alias("__w"),
+            )
+        )
+        edges = real.unionByName(loops).persist()
+        dist = srcs.withColumn("dist", F.lit(0.0)).localCheckpoint(eager=True)
+        for i in range(iterations):
+            dist = (
+                dist.join(edges, dist["vid"] == edges["src"])
+                .select(
+                    F.col("dst").alias("vid"),
+                    (F.col("dist") + F.col("__w")).alias("dist"),
+                )
+                .groupBy("vid")
+                .agg(F.min("dist").alias("dist"))
+            )
+            if i % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1 or i == iterations - 1:
+                dist = dist.localCheckpoint(eager=True)
+        edges.unpersist()
+        return dist
+
+    def label_propagation(self, iterations: int = 5) -> DataFrame:
+        """Synchronous label-propagation community detection (Raghavan et
+        al. 2007), made DETERMINISTIC: every vertex starts with its own
+        vid as label, and each round adopts the most frequent label among
+        its (undirected) neighbors, ties broken by the SMALLEST label;
+        isolated vertices keep their own. Returns (vid, label).
+
+        A fixed iteration count + total tie order makes the result
+        reproducible and CTE-oracle-able — the usual LPA caveat (update
+        order changes communities) is removed by the synchronous sweep.
+        Per round: one exchange for the (dst,label) vote count, one for
+        the per-dst argmax (min over (-count, label) structs — max
+        count, then min label, in one deterministic agg)."""
+        both = self.edges.select("src", "dst").unionByName(
+            self.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).persist()
+        labels = self.vertices.select("vid", F.col("vid").alias("label"))
+        for i in range(iterations):
+            votes = (
+                labels.join(both, labels["vid"] == both["src"])
+                .groupBy(F.col("dst").alias("vid"), "label")
+                .agg(F.count(F.lit(1)).alias("__n"))
+            )
+            winner = (
+                votes.groupBy("vid")
+                .agg(
+                    F.min(F.struct((-F.col("__n")).alias("nn"), F.col("label"))).alias(
+                        "__win"
+                    )
+                )
+                .select("vid", F.col("__win.label").alias("label"))
+            )
+            labels = (
+                self.vertices.select("vid")
+                .join(winner, "vid", "left")
+                .select(
+                    "vid",
+                    F.coalesce(F.col("label"), F.col("vid")).alias("label"),
+                )
+            )
+            if i % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1 or i == iterations - 1:
+                labels = labels.localCheckpoint(eager=True)
+        both.unpersist()
+        return labels
+
 
 def tpch_graph(engine) -> Graph:
     """The driver tables as a property graph: region→nation→customer→

@@ -1,0 +1,147 @@
+"""shortest_paths (Bellman-Ford) and label_propagation: handcrafted
+semantics + property tests against sequential Python references.
+
+Reference analog: the 2010 engine's graph surface stops at traversal
+(GraphDatabaseTest.java); weighted paths and communities are the
+analytics extension, same family as pagerank/kcore.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from orientdb_spark.graph import Graph
+
+
+def _graph(spark, edges, weights=None, vertices=None):
+    vs = vertices or sorted({v for e in edges for v in e})
+    vdf = spark.createDataFrame([(v,) for v in vs], ["vid"])
+    if weights is not None:
+        edf = spark.createDataFrame(
+            [(s, d, float(w)) for (s, d), w in zip(edges, weights)],
+            ["src", "dst", "w"],
+        )
+    else:
+        edf = spark.createDataFrame(edges, ["src", "dst"])
+    return Graph(vdf, edf)
+
+
+def test_sssp_prefers_cheap_long_path(spark):
+    # a->b->c->d costs 3, direct a->d costs 10: more hops, less weight
+    g = _graph(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")],
+        weights=[1, 1, 1, 10],
+    )
+    got = {r["vid"]: r["dist"] for r in g.shortest_paths(["a"], 5, "w").collect()}
+    assert got == {"a": 0.0, "b": 1.0, "c": 2.0, "d": 3.0}
+
+
+def test_sssp_horizon_bounds_hops(spark):
+    # with only 2 relaxation rounds the 3-hop path is invisible
+    g = _graph(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")],
+        weights=[1, 1, 1, 10],
+    )
+    got = {r["vid"]: r["dist"] for r in g.shortest_paths(["a"], 2, "w").collect()}
+    assert got["d"] == 10.0
+
+
+def test_sssp_multi_source_and_multi_edge(spark):
+    # two sources; parallel edges of different weight — min absorbs them
+    g = _graph(
+        spark,
+        [("s1", "x"), ("s2", "x"), ("s2", "x")],
+        weights=[5, 9, 2],
+    )
+    got = {r["vid"]: r["dist"] for r in g.shortest_paths(["s1", "s2"], 3, "w").collect()}
+    assert got == {"s1": 0.0, "s2": 0.0, "x": 2.0}
+
+
+def _py_bf(edges, sources, rounds):
+    dist = {s: 0.0 for s in sources}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for s, d, w in edges:
+            if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                nxt[d] = dist[s] + w
+        dist = nxt
+    return dist
+
+
+def test_sssp_property_random_graphs(spark):
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 12
+        edges = [
+            (f"v{rng.randrange(n)}", f"v{rng.randrange(n)}")
+            for _ in range(30)
+        ]
+        ws = [rng.randrange(1, 9) for _ in edges]
+        g = _graph(spark, edges, weights=ws, vertices=[f"v{i}" for i in range(n)])
+        got = {r["vid"]: r["dist"] for r in g.shortest_paths(["v0"], 6, "w").collect()}
+        ref = _py_bf([(s, d, w) for (s, d), w in zip(edges, ws)], ["v0"], 6)
+        assert got == ref, f"trial {trial}"
+
+
+def _py_lpa(vertices, edges, rounds):
+    adj: dict = {v: [] for v in vertices}
+    for s, d in edges:
+        adj[s].append(d)
+        adj[d].append(s)
+    labels = {v: v for v in vertices}
+    for _ in range(rounds):
+        nxt = {}
+        for v in vertices:
+            if not adj[v]:
+                nxt[v] = v
+                continue
+            counts: dict = {}
+            for nb in adj[v]:
+                counts[labels[nb]] = counts.get(labels[nb], 0) + 1
+            nxt[v] = min(counts, key=lambda l: (-counts[l], l))
+        labels = nxt
+    return labels
+
+
+def test_lpa_triangle_adopts_min_label_isolated_keeps_own(spark):
+    g = _graph(spark, [("b", "c"), ("c", "d"), ("d", "b")], vertices=["b", "c", "d", "z"])
+    got = {r["vid"]: r["label"] for r in g.label_propagation(1).collect()}
+    # each triangle vertex sees two distinct neighbor labels -> min wins
+    assert got == {"b": "c", "c": "b", "d": "b", "z": "z"}
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    clique1 = [("a1", "a2"), ("a1", "a3"), ("a2", "a3")]
+    clique2 = [("b1", "b2"), ("b1", "b3"), ("b2", "b3")]
+    edges = clique1 + clique2 + [("a1", "b1")]
+    vs = sorted({v for e in edges for v in e})
+    g = _graph(spark, edges)
+    # after ONE sweep each clique coalesces on its own min label
+    got1 = {r["vid"]: r["label"] for r in g.label_propagation(1).collect()}
+    assert {got1["a2"], got1["a3"]} == {"a1"} and {got1["b2"], got1["b3"]} == {"b1"}
+    # more rounds: the global min floods across the bridge (known LPA
+    # epidemic under min tie-break) — pin equality with the reference
+    got4 = {r["vid"]: r["label"] for r in g.label_propagation(4).collect()}
+    assert got4 == _py_lpa(vs, edges, 4)
+
+
+def test_lpa_property_random_graphs(spark):
+    rng = random.Random(23)
+    for trial in range(3):
+        n = 10
+        vertices = [f"v{i}" for i in range(n)]
+        edges = list(
+            {
+                tuple(sorted((f"v{rng.randrange(n)}", f"v{rng.randrange(n)}")))
+                for _ in range(14)
+            }
+        )
+        edges = [(s, d) for s, d in edges if s != d]
+        g = _graph(spark, edges, vertices=vertices)
+        for rounds in (1, 3):
+            got = {r["vid"]: r["label"] for r in g.label_propagation(rounds).collect()}
+            assert got == _py_lpa(vertices, edges, rounds), f"trial {trial} r{rounds}"

@@ -186,3 +186,21 @@ def test_duplicate_spans_two_exchanges(spark):
     plan = _formatted(duplicate_spans(docs, n=5, min_df=2))
     assert _nodes(plan, "Exchange") == 2, plan
     assert _nodes(plan, "Scan parquet") == 1
+
+
+def test_sssp_linear_exchange_growth(spark, monkeypatch):
+    """shortest_paths' per-round shuffle budget is LINEAR: two vid
+    exchanges per relaxation round (state-join alignment + message
+    min-groupBy) over the one-time self-loop-carrier distinct. The
+    self-loop carry is load-bearing — the naive union carry references
+    the state twice per round and the inlined plan doubles (2^k)."""
+    g = _graph_fixture(spark)
+    monkeypatch.setattr(
+        type(g.edges), "localCheckpoint", lambda self, eager=True: self
+    )
+    src = [g.vertices.limit(1).collect()[0]["vid"]]
+    vid_counts = []
+    for k in (1, 2, 3):
+        plan = _formatted(g.shortest_paths(src, iterations=k))
+        vid_counts.append(sum(c == "vid" for c in _exchange_keys(plan)))
+    assert vid_counts == [3, 5, 7], vid_counts
