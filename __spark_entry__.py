@@ -675,6 +675,47 @@ def _event_range_join(spark, sf_dir):
     )
 
 
+def _event_gap_fill(spark, sf_dir):
+    """Time-series gap-fill + forward-fill (temporal.gap_fill): per-user
+    6-hour buckets from first to last observation, missing buckets
+    carry the last seen bucket-average forward and are flagged. The
+    spine is generated in-row (sequence + explode) per key — bounded by
+    each key's own extent, never a global calendar cross join. Oracle:
+    DuckDB generate_series spine + IGNORE NULLS window."""
+    from orientdb_spark.temporal import gap_fill
+
+    ev = _engine(spark, sf_dir).table("events")
+    out = gap_fill(ev, on=["user_id"], step_sec=21600)
+    return out.select(
+        "user_id",
+        F.date_trunc("second", "bucket_ts").alias("bucket_ts"),
+        "n_obs",
+        F.round("value", 4).alias("value"),
+        "is_gap",
+    )
+
+
+def _event_scd2(spark, sf_dir):
+    """Type-2 slowly-changing-dimension build (temporal.scd2_intervals):
+    each user's event_type change stream collapses into validity
+    intervals with version numbers and an open current row — the
+    warehouse history-table primitive, two stacked windows on ONE key
+    partitioning (plan-pinned in tests). (user_id, ts) is unique at
+    every SF, so the lag/lead walk is deterministic."""
+    from orientdb_spark.temporal import scd2_intervals
+
+    ev = _engine(spark, sf_dir).table("events")
+    out = scd2_intervals(ev, key="user_id", ts="ts", attrs=["event_type"])
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("second", "valid_from").alias("valid_from"),
+        F.date_trunc("second", "valid_to").alias("valid_to"),
+        "version",
+        "is_current",
+    )
+
+
 def _event_funnel(spark, sf_dir):
     """Ordered funnel (view -> click -> purchase): deepest in-order
     prefix per user. Single-shuffle HOF formulation (streaming.funnel);
@@ -1749,6 +1790,8 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "event_session_window": _event_session_window,
         "event_first_seen": _event_first_seen,
         "event_asof_join": _event_asof_join,
+        "event_gap_fill": _event_gap_fill,
+        "event_scd2": _event_scd2,
         "event_range_join": _event_range_join,
         "profile_events": _profile_events,
         "event_funnel": _event_funnel,
@@ -2439,6 +2482,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT resolution, ws AS window_start, key, n AS n_events, "
             "round(tv, 4) AS total_value, round(mn, 4) AS min_value, "
             "round(mx, 4) AS max_value FROM lv"
+        ),
+        "event_gap_fill": (
+            # spine re-derived via generate_series, fill via IGNORE NULLS
+            "WITH obs AS (SELECT user_id, "
+            "floor(epoch_us(ts) / 21600000000) AS b, "
+            "count(*)::BIGINT AS n_obs, avg(value) AS v FROM events GROUP BY 1, 2), "
+            "bounds AS (SELECT user_id, min(b)::BIGINT AS b0, max(b)::BIGINT AS b1 "
+            "FROM obs GROUP BY user_id), "
+            "sp AS (SELECT user_id, unnest(generate_series(b0, b1)) AS b FROM bounds), "
+            "j AS (SELECT sp.user_id, sp.b, obs.n_obs, obs.v "
+            "FROM sp LEFT JOIN obs ON sp.user_id = obs.user_id AND sp.b = obs.b) "
+            "SELECT user_id, make_timestamp((b * 21600000000)::BIGINT) AS bucket_ts, "
+            "coalesce(n_obs, 0)::BIGINT AS n_obs, "
+            "round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value, "
+            "(v IS NULL) AS is_gap FROM j"
+        ),
+        "event_scd2": (
+            "WITH m AS (SELECT user_id, ts, event_type, "
+            "(lag(ts) OVER w IS NULL OR "
+            "event_type IS DISTINCT FROM lag(event_type) OVER w) AS chg "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "c AS (SELECT user_id, ts, event_type FROM m WHERE chg) "
+            "SELECT user_id, event_type, "
+            "date_trunc('second', ts) AS valid_from, "
+            "date_trunc('second', lead(ts) OVER w2) AS valid_to, "
+            "row_number() OVER w2 AS version, "
+            "(lead(ts) OVER w2 IS NULL) AS is_current "
+            "FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)"
         ),
         "event_cohort_retention": (
             "WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw "

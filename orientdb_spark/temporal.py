@@ -36,7 +36,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join_count"]
+__all__ = ["asof_join", "range_join_count", "gap_fill", "scd2_intervals"]
 
 _SIDE = "__asof_side"
 
@@ -183,3 +183,95 @@ def range_join_count(
             )
         )
     return j.groupBy(left_id, *on).agg(*aggs)
+
+
+def gap_fill(
+    df: DataFrame,
+    on: Sequence[str],
+    ts: str = "ts",
+    value: str = "value",
+    step_sec: int = 3600,
+) -> DataFrame:
+    """Regularize an irregular per-key time series onto an epoch-aligned
+    grid and forward-fill the gaps (the time-series resample +
+    locf/gap-fill primitive; no backfill — leading gaps stay null).
+
+    Per key: bucket every observation to ``floor(ts / step)``, aggregate
+    each bucket to ``(n_obs, avg value)``, generate the dense bucket
+    spine from the key's first to last bucket IN-ROW (sequence + explode
+    — never a driver-side loop or a cross join against a global
+    calendar), left-join observations, and carry the last seen value
+    forward with ``last(ignorenulls=True)``. Returns
+    ``(*on, bucket_ts, n_obs, value, is_gap)``.
+
+    Scale: every exchange is on the key (bucket agg on (key, bucket) is
+    the finest) — spine size is bounded by the key's own time extent, so
+    a 100x-longer corpus grows the spine linearly with per-key span, not
+    with corpus size. Skew profile matches any keyed window.
+    """
+    on = list(on)
+    if step_sec <= 0:
+        raise ValueError(f"step_sec must be positive, got {step_sec}")
+    width_us = int(step_sec) * 1_000_000
+    obs = (
+        df.select(*on, _bucket(F.col(ts), width_us).alias("__b"), F.col(value))
+        .groupBy(*on, "__b")
+        .agg(F.count(F.lit(1)).alias("n_obs"), F.avg(value).alias("__v"))
+    )
+    spine = (
+        obs.groupBy(*on)
+        .agg(F.min("__b").alias("__b0"), F.max("__b").alias("__b1"))
+        .select(*on, F.explode(F.sequence("__b0", "__b1")).alias("__b"))
+    )
+    joined = spine.join(obs, on + ["__b"], "left")
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *on,
+        F.timestamp_micros(F.col("__b") * width_us).alias("bucket_ts"),
+        F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+        F.last("__v", ignorenulls=True).over(w).alias(value),
+        F.col("__v").isNull().alias("is_gap"),
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    attrs: Sequence[str] = ("value",),
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a change
+    stream: consecutive rows whose tracked ``attrs`` are unchanged
+    collapse into one validity interval ``[valid_from, valid_to)``, the
+    open current row gets ``valid_to = NULL`` + ``is_current``, and
+    ``version`` numbers a key's intervals from 1.
+
+    One exchange (the key window); change detection is lag-compare over
+    (key, ts), interval close is lead over the surviving change rows —
+    the standard warehouse SCD2 build as two stacked windows on ONE
+    partitioning. Requires unique (key, ts); NULL attr values compare
+    via null-safe equality (a NULL→value transition IS a change).
+    """
+    attrs = list(attrs)
+    w = Window.partitionBy(key).orderBy(ts)
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    first = F.lag(ts).over(w).isNull()
+    marked = df.select(key, ts, *attrs).withColumn(
+        "__chg", first | changed
+    )
+    changes = marked.filter(F.col("__chg")).drop("__chg")
+    w2 = Window.partitionBy(key).orderBy(ts)
+    return changes.select(
+        key,
+        *attrs,
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        F.lead(ts).over(w2).isNull().alias("is_current"),
+    )

@@ -529,3 +529,101 @@ def test_rollup_custom_levels(spark):
     assert res == {"hour", "day"}
     day = [r for r in out.collect() if r["resolution"] == "day"]
     assert len(day) == 1 and day[0]["n_events"] == 2 and day[0]["total_value"] == 3.0
+
+
+def test_gap_fill_forward_fills_and_flags(spark):
+    import datetime as dt
+
+    from orientdb_spark.temporal import gap_fill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("u1", t0, 10.0),
+        ("u1", t0 + dt.timedelta(hours=3), 40.0),
+        ("u2", t0 + dt.timedelta(hours=1), 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = gap_fill(df, on=["user_id"], step_sec=3600)
+    got = {
+        (r["user_id"], r["bucket_ts"].hour): (r["n_obs"], r["value"], r["is_gap"])
+        for r in out.collect()
+    }
+    # u1: hours 0..3, hours 1-2 are gaps carrying 10.0 forward
+    assert got[("u1", 0)] == (1, 10.0, False)
+    assert got[("u1", 1)] == (0, 10.0, True)
+    assert got[("u1", 2)] == (0, 10.0, True)
+    assert got[("u1", 3)] == (1, 40.0, False)
+    # u2 spans a single bucket — no spine beyond its own extent
+    assert [k for k in got if k[0] == "u2"] == [("u2", 1)]
+
+
+def test_gap_fill_buckets_average_multiple_obs(spark):
+    import datetime as dt
+
+    from orientdb_spark.temporal import gap_fill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("k", t0 + dt.timedelta(minutes=5), 2.0),
+        ("k", t0 + dt.timedelta(minutes=50), 4.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"])
+    got = gap_fill(df, on=["k"], step_sec=3600).collect()
+    assert len(got) == 1 and got[0]["n_obs"] == 2 and got[0]["value"] == 3.0
+
+
+def test_scd2_collapses_unchanged_and_closes_intervals(spark):
+    import datetime as dt
+
+    from orientdb_spark.temporal import scd2_intervals
+
+    t = lambda h: dt.datetime(2024, 1, 1, h, 0, 0)
+    rows = [
+        ("u", t(0), "A"),
+        ("u", t(1), "A"),   # unchanged -> collapses into version 1
+        ("u", t(2), "B"),
+        ("u", t(3), "A"),   # back to A: NEW interval, not merged with v1
+        ("v", t(0), "X"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "state"])
+    out = scd2_intervals(df, key="user_id", attrs=["state"]).collect()
+    by = {(r["user_id"], r["version"]): r for r in out}
+    assert len(by) == 4
+    assert by[("u", 1)]["state"] == "A" and by[("u", 1)]["valid_to"] == t(2)
+    assert by[("u", 2)]["state"] == "B" and by[("u", 2)]["valid_to"] == t(3)
+    assert by[("u", 3)]["state"] == "A" and by[("u", 3)]["valid_to"] is None
+    assert by[("u", 3)]["is_current"] and not by[("u", 1)]["is_current"]
+    assert by[("v", 1)]["is_current"]
+
+
+def test_scd2_null_transitions_are_changes(spark):
+    import datetime as dt
+
+    from orientdb_spark.temporal import scd2_intervals
+
+    t = lambda h: dt.datetime(2024, 1, 1, h, 0, 0)
+    rows = [("u", t(0), None), ("u", t(1), None), ("u", t(2), "A")]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "state"]).withColumn(
+        "state", F.col("state").cast("string")
+    )
+    out = scd2_intervals(df, key="user_id", attrs=["state"]).collect()
+    # NULL->NULL collapses (null-safe equal); NULL->A is a change
+    assert len(out) == 2
+
+
+def test_scd2_single_partitioning(spark):
+    """Both stacked windows share one (key) exchange."""
+    import datetime as dt
+    import re
+
+    from orientdb_spark.temporal import scd2_intervals
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame([("u", t0, "A")], ["user_id", "ts", "state"])
+    out = scd2_intervals(df, key="user_id", attrs=["state"])
+    plan = out._jdf.queryExecution().explainString(
+        out.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE)) == 1, plan
