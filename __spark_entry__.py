@@ -1111,6 +1111,26 @@ def _text_unicode_normalize(spark, sf_dir):
     )
 
 
+def _text_vocabulary(spark, sf_dir):
+    """Tokenizer-style vocabulary construction (pipeline/text.vocabulary):
+    top-200 lowercased whitespace tokens at min_count>=2 under the total
+    (count desc, token) order — the rank-k boundary is deterministic, so
+    the DuckDB oracle reproduces the truncation exactly."""
+    from orientdb_spark.pipeline import text
+
+    return text.vocabulary(_docs(spark, sf_dir), min_count=2, k=200)
+
+
+def _profile_value_histogram(spark, sf_dir):
+    """Equi-width 20-bin histogram of events.value
+    (pipeline/profile.histogram): global min/max ride back as a
+    broadcast one-row cross join; identical IEEE expression order on
+    both engines keeps boundary values in the same bin."""
+    from orientdb_spark.pipeline.profile import histogram
+
+    return histogram(_engine(spark, sf_dir).table("events"), "value", bins=20)
+
+
 def _text_tfidf(spark, sf_dir):
     """Per-doc top-3 terms by TF-IDF (keyword extraction). Ranking
     compares the 6-dp-rounded score, so cross-engine ln() ulp noise
@@ -1825,6 +1845,8 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_repetition_stats": _text_repetition,
         "text_token_budget": _text_token_budget,
         "text_tfidf_topterms": _text_tfidf,
+        "text_vocabulary": _text_vocabulary,
+        "profile_value_histogram": _profile_value_histogram,
         "text_lm_score": _text_lm_score,
         "pipeline_quality_gate": _pipeline_quality_gate,
         "text_unicode_normalize": _text_unicode_normalize,
@@ -2863,6 +2885,26 @@ FROM q WHERE rk = 1
             "FROM documents GROUP BY source, lang"
         ),
         "text_repetition_stats": _repetition_oracle_sql(),
+        "text_vocabulary": (
+            "WITH toks AS (SELECT unnest(list_filter("
+            "regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)) AS token "
+            "FROM documents), "
+            "c AS (SELECT token, count(*)::BIGINT AS n_occurrences FROM toks "
+            "GROUP BY token HAVING count(*) >= 2 "
+            "ORDER BY n_occurrences DESC, token LIMIT 200) "
+            "SELECT row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank, "
+            "token, n_occurrences FROM c"
+        ),
+        "profile_value_histogram": (
+            "WITH s AS (SELECT min(value::DOUBLE) AS lo, max(value::DOUBLE) AS hi "
+            "FROM events), "
+            "b AS (SELECT (CASE WHEN hi = lo THEN 0 ELSE "
+            "least(floor((value::DOUBLE - lo) / ((hi - lo) / 20)), 19) END)::INTEGER "
+            "AS bin, lo, hi FROM events, s) "
+            "SELECT bin, round(lo + bin * (hi - lo) / 20, 6) AS bin_lo, "
+            "round(lo + (bin + 1) * (hi - lo) / 20, 6) AS bin_hi, "
+            "count(*)::BIGINT AS n FROM b GROUP BY bin, lo, hi"
+        ),
         "text_duplicate_spans": (
             # re-derives the recrawl corpus, the positioned 5-grams, the
             # distinct-doc frequency filter, and the islands-and-gaps

@@ -131,3 +131,40 @@ def profile_columns(
             "max_str",
         )
     )
+
+
+def histogram(df: DataFrame, col: str, bins: int = 20) -> DataFrame:
+    """Equi-width histogram of a numeric column: global [min, max] split
+    into ``bins`` buckets, the max value folded into the last bucket.
+    Returns (bin, bin_lo, bin_hi, n) — empty buckets are absent.
+
+    Two passes over the column, both single-aggregate: the (min, max)
+    pair rides back in as a broadcast one-row cross join (the same
+    pattern as tfidf's corpus size), then bin assignment is a narrow
+    projection into one bins-bounded groupBy. A degenerate column
+    (min == max) lands everything in bin 0 instead of dividing by zero.
+    """
+    if bins <= 0:
+        raise ValueError(f"bins must be positive, got {bins}")
+    c = F.col(col).cast("double")
+    stats = df.agg(F.min(c).alias("__lo"), F.max(c).alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / bins
+    idx = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(F.floor((c - F.col("__lo")) / width), F.lit(bins - 1))
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .select(idx.cast("int").alias("bin"), "__lo", "__hi")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("__lo").alias("__lo"),
+            F.first("__hi").alias("__hi"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("__lo") + F.col("bin") * (F.col("__hi") - F.col("__lo")) / bins, 6).alias("bin_lo"),
+            F.round(F.col("__lo") + (F.col("bin") + 1) * (F.col("__hi") - F.col("__lo")) / bins, 6).alias("bin_hi"),
+            "n",
+        )
+    )

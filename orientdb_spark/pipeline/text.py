@@ -710,3 +710,36 @@ def winnow_fingerprints(
     return hashed.select(
         F.col(id_col), F.explode(F.array_distinct(wins)).alias("fingerprint")
     )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    k: int = 1000,
+) -> DataFrame:
+    """Corpus vocabulary construction (the tokenizer-training counting
+    pass): lowercased whitespace tokens ranked by global frequency,
+    floored at ``min_count``, truncated to the top ``k`` under the TOTAL
+    order (count desc, token asc) so the rank-k boundary is
+    deterministic. Returns (rank, token, n_occurrences).
+
+    One explode + one map-side-combinable groupBy; the top-k runs as
+    TakeOrderedAndProject (per-partition heads merged on the driver),
+    never a full global sort — the same pattern at 100 TB yields a
+    k-bounded result regardless of vocabulary size.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return counts.select(
+        F.row_number().over(w).alias("rank"), "token", "n_occurrences"
+    )

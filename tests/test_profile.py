@@ -88,3 +88,29 @@ def test_fk_orphans_multiple_relations(spark):
         ).collect()
     }
     assert out == {"r1": 1, "r2": 0}
+
+
+def test_histogram_degenerate_and_max_edge(spark):
+    from orientdb_spark.pipeline.profile import histogram
+
+    # constant column: everything in bin 0, no divide-by-zero
+    const = spark.createDataFrame([(5.0,)] * 4, ["x"])
+    got = histogram(const, "x", bins=10).collect()
+    assert len(got) == 1 and got[0]["bin"] == 0 and got[0]["n"] == 4
+
+    # the max value folds into the LAST bin, not a phantom bins-th bin
+    df = spark.createDataFrame([(0.0,), (5.0,), (10.0,)], ["x"])
+    rows = {r["bin"]: r for r in histogram(df, "x", bins=10).collect()}
+    assert set(rows) == {0, 5, 9}
+    assert rows[9]["n"] == 1 and rows[9]["bin_hi"] == 10.0
+    assert rows[0]["bin_lo"] == 0.0 and rows[0]["bin_hi"] == 1.0
+
+
+def test_histogram_counts_sum_to_rowcount(spark):
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.profile import histogram
+
+    df = spark.range(0, 1000).select((F.col("id") % 97).cast("double").alias("x"))
+    got = histogram(df, "x", bins=7).collect()
+    assert sum(r["n"] for r in got) == 1000

@@ -410,3 +410,26 @@ def test_winnow_guarantee_holds_under_fast_hash(spark, docs):
         assert (1, 3) not in shared   # unrelated docs
     finally:
         common.use_fast_hash(False)
+
+
+def test_vocabulary_rank_order_and_floor(spark):
+    from orientdb_spark.pipeline.text import vocabulary
+
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c Z z"), (2, "a z B")], ["doc_id", "text"]
+    )
+    got = [(r["rank"], r["token"], r["n_occurrences"]) for r in
+           vocabulary(docs, min_count=2, k=10).collect()]
+    # lowercased: a=3 b=4 z=3 c=1(floored); ties a/z broken by token asc
+    assert sorted(got) == [(1, "b", 4), (2, "a", 3), (3, "z", 3)]
+
+
+def test_vocabulary_k_truncation_is_deterministic(spark):
+    from orientdb_spark.pipeline.text import vocabulary
+
+    docs = spark.createDataFrame(
+        [(1, "x x y y w w v v")], ["doc_id", "text"]
+    )
+    got = [r["token"] for r in vocabulary(docs, min_count=2, k=2).collect()]
+    # all count 2 -> rank boundary cut by token asc: v, w survive
+    assert got == ["v", "w"]
