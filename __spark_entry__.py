@@ -1111,6 +1111,19 @@ def _text_unicode_normalize(spark, sf_dir):
     )
 
 
+def _sample_negatives(spark, sf_dir):
+    """Deterministic contrastive negative sampling
+    (pipeline/sampling.contrastive_negatives): 3 hash-drawn partners per
+    document via bucket-bounded equi-join + argmin — never a cross join.
+    Every draw is a pure function of (seed, id, slot), so the oracle
+    re-derives the identical pairs from the md5 arithmetic alone."""
+    from orientdb_spark.pipeline.sampling import contrastive_negatives
+
+    return contrastive_negatives(
+        _docs(spark, sf_dir), id_col="doc_id", k=3, n_buckets=32
+    )
+
+
 def _text_vocabulary(spark, sf_dir):
     """Tokenizer-style vocabulary construction (pipeline/text.vocabulary):
     top-200 lowercased whitespace tokens at min_count>=2 under the total
@@ -1846,6 +1859,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_token_budget": _text_token_budget,
         "text_tfidf_topterms": _text_tfidf,
         "text_vocabulary": _text_vocabulary,
+        "sample_negatives": _sample_negatives,
         "profile_value_histogram": _profile_value_histogram,
         "text_lm_score": _text_lm_score,
         "pipeline_quality_gate": _pipeline_quality_gate,
@@ -2885,6 +2899,23 @@ FROM q WHERE rk = 1
             "FROM documents GROUP BY source, lang"
         ),
         "text_repetition_stats": _repetition_oracle_sql(),
+        "sample_negatives": (
+            # re-derives bucket membership, probe targets, and the
+            # (score, partner) argmin from the shared md5-h60 arithmetic
+            "WITH m AS (SELECT "
+            + _dk_h60("'42:m:' || doc_id")
+            + " % 32 AS b, doc_id AS partner_id FROM documents), "
+            "p AS (SELECT doc_id, u.slot AS slot, "
+            + _dk_h60("'42:p:' || doc_id || ':' || u.slot")
+            + " % 32 AS b FROM documents, "
+            "unnest([0, 1, 2]) AS u(slot)), "
+            "c AS (SELECT p.doc_id, p.slot, m.partner_id, "
+            + _dk_h60("'42:w:' || p.doc_id || ':' || p.slot || ':' || m.partner_id")
+            + " AS s FROM p JOIN m ON p.b = m.b WHERE m.partner_id <> p.doc_id), "
+            "r AS (SELECT doc_id, slot, partner_id, row_number() OVER ("
+            "PARTITION BY doc_id, slot ORDER BY s, partner_id) AS rk FROM c) "
+            "SELECT doc_id, slot::INTEGER AS slot, partner_id FROM r WHERE rk = 1"
+        ),
         "text_vocabulary": (
             "WITH toks AS (SELECT unnest(list_filter("
             "regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)) AS token "

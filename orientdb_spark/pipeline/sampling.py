@@ -291,3 +291,70 @@ def pack_sequences(
         )
         .alias("n_seqs_spanned"),
     )
+
+
+def contrastive_negatives(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_buckets: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    document draws up to ``k`` pseudo-random partners, every draw a pure
+    function of (seed, id, slot) — reproducible across runs, engines,
+    and input orderings, unlike rand()-based sampling.
+
+    Never a cross join: documents hash into ``n_buckets`` groups, each
+    (id, slot) probe hashes to ONE bucket, and the winner inside the
+    bucket is the minimal (h60(seed:w:id:slot:partner), partner) pair —
+    a bucket-bounded equi-join plus one argmin groupBy, so candidate
+    fan-out is k * N/B per document, tunable by ``n_buckets``. At 100 TB
+    you scale n_buckets with the corpus to hold the per-probe candidate
+    count constant. A slot whose probe lands in a bucket holding only
+    its own document yields no pair (self-pairs are excluded); with
+    N >> n_buckets this is vanishingly rare. Returns
+    (id_col, slot, partner_id).
+    """
+    if k <= 0 or n_buckets <= 0:
+        raise ValueError(f"k and n_buckets must be positive, got {k}, {n_buckets}")
+    sid = F.col(id_col).cast("string")
+    members = df.select(
+        F.pmod(h60(F.concat(F.lit(f"{seed}:m:"), sid)), F.lit(n_buckets)).alias("__b"),
+        F.col(id_col).alias("partner_id"),
+    )
+    probes = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot"),
+    ).select(
+        id_col,
+        "slot",
+        F.pmod(
+            h60(
+                F.concat(
+                    F.lit(f"{seed}:p:"), sid, F.lit(":"), F.col("slot").cast("string")
+                )
+            ),
+            F.lit(n_buckets),
+        ).alias("__b"),
+    )
+    cand = probes.join(members, "__b").filter(F.col("partner_id") != F.col(id_col))
+    score = h60(
+        F.concat(
+            F.lit(f"{seed}:w:"),
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.col("slot").cast("string"),
+            F.lit(":"),
+            F.col("partner_id").cast("string"),
+        )
+    )
+    return (
+        cand.groupBy(id_col, "slot")
+        .agg(
+            F.min(
+                F.struct(score.alias("s"), F.col("partner_id").alias("p"))
+            ).alias("__w")
+        )
+        .select(id_col, "slot", F.col("__w.p").alias("partner_id"))
+    )

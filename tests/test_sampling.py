@@ -222,3 +222,40 @@ def test_sample_mixture_property(spark):
         assert "s3" not in got  # unlisted source excluded
 
     run()
+
+
+def test_contrastive_negatives_deterministic_and_self_free(spark):
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.sampling import contrastive_negatives
+
+    docs = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    a = sorted(map(tuple, contrastive_negatives(docs, k=3, n_buckets=8).collect()))
+    # input order must not matter: reversed input, same draws
+    rev = docs.orderBy(F.col("doc_id").desc())
+    b = sorted(map(tuple, contrastive_negatives(rev, k=3, n_buckets=8).collect()))
+    assert a == b and len(a) > 0
+    assert all(d != p for d, _, p in a), "self-pair leaked"
+    # k slots per doc (buckets of 100/8 docs: every probe finds a partner)
+    per_doc: dict = {}
+    for d, s, _ in a:
+        per_doc.setdefault(d, set()).add(s)
+    assert all(slots == {0, 1, 2} for slots in per_doc.values())
+    # different seeds draw different partner sets
+    c = sorted(
+        map(tuple, contrastive_negatives(docs, k=3, n_buckets=8, seed=7).collect())
+    )
+    assert c != a
+
+
+def test_contrastive_negatives_partner_spread(spark):
+    """The draws must not collapse onto a handful of partners (the
+    bucket argmin could degenerate if the score ignored the slot)."""
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.sampling import contrastive_negatives
+
+    docs = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    got = contrastive_negatives(docs, k=4, n_buckets=16).collect()
+    partners = {r["partner_id"] for r in got}
+    assert len(partners) > 100, f"only {len(partners)} distinct partners"
