@@ -1111,6 +1111,33 @@ def _text_unicode_normalize(spark, sf_dir):
     )
 
 
+def _profile_json_keys(spark, sf_dir):
+    """Semi-structured schema discovery (pipeline/profile.json_profile):
+    the corpus props carry a single key, so the entry derives a richer
+    JSON fixture from the event columns (numeric key, string key, a
+    conditionally-present key) — the same in-entry derivation pattern as
+    the boilerplate/PII fixtures. One from_json parse per row, exploded,
+    one key groupBy; the oracle re-derives the fixture and walks it with
+    DuckDB's json functions."""
+    from orientdb_spark.pipeline.profile import json_profile
+
+    ev = _engine(spark, sf_dir).table("events")
+    fixture = ev.select(
+        F.concat(
+            F.lit('{"k": '),
+            F.get_json_object("props", "$.k"),
+            F.lit(', "et": "'),
+            F.col("event_type"),
+            F.lit('"'),
+            F.when(F.col("user_id") % 5 == 0, F.lit(', "vip": "y"')).otherwise(
+                F.lit("")
+            ),
+            F.lit("}"),
+        ).alias("props2")
+    )
+    return json_profile(fixture, "props2")
+
+
 def _sample_negatives(spark, sf_dir):
     """Deterministic contrastive negative sampling
     (pipeline/sampling.contrastive_negatives): 3 hash-drawn partners per
@@ -1860,6 +1887,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_tfidf_topterms": _text_tfidf,
         "text_vocabulary": _text_vocabulary,
         "sample_negatives": _sample_negatives,
+        "profile_json_keys": _profile_json_keys,
         "profile_value_histogram": _profile_value_histogram,
         "text_lm_score": _text_lm_score,
         "pipeline_quality_gate": _pipeline_quality_gate,
@@ -2899,6 +2927,19 @@ FROM q WHERE rk = 1
             "FROM documents GROUP BY source, lang"
         ),
         "text_repetition_stats": _repetition_oracle_sql(),
+        "profile_json_keys": (
+            "WITH fx AS (SELECT '{\"k\": ' || json_extract_string(props, '$.k') || "
+            "', \"et\": \"' || event_type || '\"' || "
+            "CASE WHEN user_id % 5 = 0 THEN ', \"vip\": \"y\"' ELSE '' END || '}' "
+            "AS props2 FROM events), "
+            "kv AS (SELECT u.key AS key, "
+            "json_extract_string(props2, '$.' || u.key) AS value "
+            "FROM fx, unnest(json_keys(props2)) AS u(key)) "
+            "SELECT key, count(*)::BIGINT AS n_present, "
+            "count(DISTINCT value)::BIGINT AS n_distinct_values, "
+            "count(try_cast(value AS DOUBLE))::BIGINT AS n_numeric "
+            "FROM kv GROUP BY key"
+        ),
         "sample_negatives": (
             # re-derives bucket membership, probe targets, and the
             # (score, partner) argmin from the shared md5-h60 arithmetic

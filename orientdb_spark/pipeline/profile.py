@@ -168,3 +168,29 @@ def histogram(df: DataFrame, col: str, bins: int = 20) -> DataFrame:
             "n",
         )
     )
+
+
+def json_profile(df: DataFrame, json_col: str) -> DataFrame:
+    """Schema discovery over a semi-structured JSON string column: one
+    row per key with presence count, distinct-value count, and how many
+    values parse as numbers. Returns (key, n_present, n_distinct_values,
+    n_numeric).
+
+    The document is parsed ONCE per row into map<string,string>
+    (from_json — dynamic keys, unlike get_json_object's foldable-path
+    limit) and exploded; everything downstream is one groupBy on the
+    key. Key cardinality, not row count, bounds the output — the shape
+    you want when profiling a 100 TB event stream with a dozen-key
+    schema. Exact distincts here; swap count_distinct for
+    approx_count_distinct when the value domain is unbounded.
+    """
+    kv = df.select(
+        F.explode(F.from_json(F.col(json_col), "map<string,string>")).alias(
+            "key", "value"
+        )
+    )
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.count_distinct(F.col("value")).alias("n_distinct_values"),
+        F.count(F.col("value").cast("double")).alias("n_numeric"),
+    )

@@ -114,3 +114,26 @@ def test_histogram_counts_sum_to_rowcount(spark):
     df = spark.range(0, 1000).select((F.col("id") % 97).cast("double").alias("x"))
     got = histogram(df, "x", bins=7).collect()
     assert sum(r["n"] for r in got) == 1000
+
+
+def test_json_profile_dynamic_keys_and_types(spark):
+    from orientdb_spark.pipeline.profile import json_profile
+
+    rows = [
+        ('{"a": 1, "b": "x"}',),
+        ('{"a": 2.5, "c": "7"}',),
+        ('{"b": "x"}',),
+    ]
+    df = spark.createDataFrame(rows, ["j"])
+    got = {r["key"]: (r["n_present"], r["n_distinct_values"], r["n_numeric"])
+           for r in json_profile(df, "j").collect()}
+    # a: two numeric values; b: one distinct string twice; c: numeric-ish string
+    assert got == {"a": (2, 2, 2), "b": (2, 1, 0), "c": (1, 1, 1)}
+
+
+def test_json_profile_malformed_rows_contribute_nothing(spark):
+    from orientdb_spark.pipeline.profile import json_profile
+
+    df = spark.createDataFrame([("not json",), ('{"k": 1}',), (None,)], ["j"])
+    got = json_profile(df, "j").collect()
+    assert len(got) == 1 and got[0]["key"] == "k" and got[0]["n_present"] == 1
