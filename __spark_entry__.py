@@ -566,6 +566,23 @@ def _bloom_prefilter_join(spark, sf_dir):
     )
 
 
+def _cms_event_type_counts(spark, sf_dir):
+    """Count-min-sketch frequency estimates (scale.cms_build/estimate)
+    for the event-type keys. The oracle is the EXACT group-by count:
+    with 3 distinct keys x depth 5 in a width-2048 sketch, the 15
+    occupied cells cannot collide (fixed xxhash64 positions, verified by
+    the never-underestimate gate in tests/test_scale.py), so the CMS
+    estimate equals truth at every SF — proving the sketch arithmetic,
+    not just running it. The general error bound (est <= true + eps*N)
+    is pytest-gated on a zipf fixture."""
+    from orientdb_spark.scale import cms_build, cms_estimate
+
+    ev = _engine(spark, sf_dir).table("events")
+    sk = cms_build(ev, "event_type", width=2048, depth=5)
+    keys = ev.select("event_type").distinct()
+    return cms_estimate(sk, keys, "event_type", width=2048, depth=5)
+
+
 def _graph_triangle_count(spark, sf_dir):
     """Per-vertex triangle counts via degree-ordered wedge enumeration
     (graph.py triangle_count). The TPC-H hierarchy graph is a forest
@@ -1840,6 +1857,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "hll_distinct_merge": _hll_distinct_merge,
         "salted_skew_aggregate": _salted_skew_aggregate,
         "bloom_prefilter_join": _bloom_prefilter_join,
+        "cms_event_type_counts": _cms_event_type_counts,
         "event_cohort_retention": _event_cohort_retention,
         "event_hierarchical_rollup": _event_hierarchical_rollup,
         "event_json_props": _event_json_props,
@@ -2613,6 +2631,11 @@ def oracle_sql() -> dict[str, str]:
             "round(min(l_extendedprice), 2) AS min_price, "
             "round(max(l_extendedprice), 2) AS max_price "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "cms_event_type_counts": (
+            # exact truth: collision-free sketch => estimate == count
+            "SELECT event_type, count(*)::BIGINT AS est_count "
+            "FROM events GROUP BY event_type"
         ),
         "bloom_prefilter_join": (
             # the PLAIN join: equality proves the Bloom pre-filter is a

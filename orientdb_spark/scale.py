@@ -248,3 +248,73 @@ def bloom_prefilter_join(
     pruned = fact.filter(hit)
     cond = pruned[key] == dim[dk]
     return pruned.join(dim, cond, how)
+
+
+def cms_build(
+    df: DataFrame, key_col: str, width: int = 2048, depth: int = 5
+) -> DataFrame:
+    """Build a count-min sketch of a key column as a SPARSE DataFrame of
+    (``__row``, ``__col``, ``__n``) cells — the frequency analog of the
+    HLL sketch above. Each key increments ``depth`` cells (one per hash
+    row, Kirsch-Mitzenmacher positions); a cell's count is the sum of
+    everything hashing there, so estimates only ever OVER-count.
+
+    Kept sparse on purpose: the populated-cell count is bounded by
+    width*depth (a few thousand rows) regardless of input size, merges
+    are a plain union + sum-groupBy (``cms_merge``), and the sketch can
+    be persisted/reused across jobs like any table. One explode + one
+    groupBy over the input — map-side partial aggs absorb the depth-x
+    fan-out."""
+    if width <= 0 or depth <= 0:
+        raise ValueError(f"width and depth must be positive, got {width}, {depth}")
+    key = F.col(key_col).cast("string")
+    h1 = F.xxhash64(key)
+    h2 = F.xxhash64(F.lit("__cms_salt__"), key)
+    cells = F.transform(
+        F.sequence(F.lit(0), F.lit(depth - 1)),
+        lambda r: F.struct(r.alias("r"), F.pmod(h1 + r * h2, F.lit(width)).alias("c")),
+    )
+    return (
+        df.select(F.explode(cells).alias("__cell"))
+        .groupBy(
+            F.col("__cell.r").alias("__row"), F.col("__cell.c").alias("__col")
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with the SAME (width, depth):
+    cell-wise sum — the linearity that makes CMS shard-friendly."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("__row", "__col").agg(F.sum("__n").alias("__n"))
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, width: int = 2048, depth: int = 5
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` from a sketch: the min over
+    the key's ``depth`` cells (absent cell = 0). Returns
+    (key_col, est_count); est >= true count always, and
+    est <= true + eps*N with prob 1-delta for eps=e/width,
+    delta=e^-depth. The probe explodes depth rows per key and left-joins
+    the sparse cells — sketch-sized, not corpus-sized, work."""
+    key = F.col(key_col).cast("string")
+    h1 = F.xxhash64(key)
+    h2 = F.xxhash64(F.lit("__cms_salt__"), key)
+    cells = F.transform(
+        F.sequence(F.lit(0), F.lit(depth - 1)),
+        lambda r: F.struct(r.alias("r"), F.pmod(h1 + r * h2, F.lit(width)).alias("c")),
+    )
+    probes = keys.select(key_col, F.explode(cells).alias("__cell")).select(
+        key_col, F.col("__cell.r").alias("__row"), F.col("__cell.c").alias("__col")
+    )
+    return (
+        probes.join(sketch, ["__row", "__col"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("__n"), F.lit(0))).alias("est_count"))
+    )

@@ -205,3 +205,58 @@ def test_bloom_prefilter_adds_no_fact_side_exchange(spark):
     )
     n_shuffles = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE))
     assert n_shuffles == 0, plan
+
+
+def test_cms_never_underestimates_and_bounds_error(spark):
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.scale import cms_build, cms_estimate
+
+    # zipf-ish: key i appears (200 // (i+1)) times
+    rows = [(f"k{i}",) for i in range(50) for _ in range(200 // (i + 1))]
+    df = spark.createDataFrame(rows, ["key"])
+    n = len(rows)
+    truth = {}
+    for (k,) in rows:
+        truth[k] = truth.get(k, 0) + 1
+    sk = cms_build(df, "key", width=1024, depth=5)
+    keys = df.select("key").distinct()
+    est = {
+        r["key"]: r["est_count"]
+        for r in cms_estimate(sk, keys, "key", width=1024, depth=5).collect()
+    }
+    assert set(est) == set(truth)
+    eps_n = (2.718 / 1024) * n  # e/width * N
+    for k, t in truth.items():
+        assert est[k] >= t, f"{k} underestimated: {est[k]} < {t}"
+        assert est[k] - t <= max(eps_n, 1), f"{k} over by {est[k] - t}"
+
+
+def test_cms_merge_equals_direct_sketch(spark):
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.scale import cms_build, cms_merge
+
+    df = spark.range(0, 3000).select((F.col("id") % 37).cast("string").alias("key"))
+    a = df.filter(F.col("key").cast("int") % 2 == 0)
+    b = df.filter(F.col("key").cast("int") % 2 == 1)
+    merged = sorted(map(tuple, cms_merge(cms_build(a, "key"), cms_build(b, "key")).collect()))
+    direct = sorted(map(tuple, cms_build(df, "key").collect()))
+    assert merged == direct
+
+
+def test_cms_heavy_hitters_exact_on_skewed_keys(spark):
+    """For keys holding >> eps*N of the mass, the CMS estimate must be
+    exact or near-exact — the heavy-hitter use case."""
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.scale import cms_build, cms_estimate
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    truth = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sk = cms_build(ev, "event_type", width=2048, depth=5)
+    keys = ev.select("event_type").distinct()
+    est = {r["event_type"]: r["est_count"] for r in
+           cms_estimate(sk, keys, "event_type", width=2048, depth=5).collect()}
+    assert est == truth  # few keys, wide sketch: collisions impossible
