@@ -1168,6 +1168,19 @@ def _sample_negatives(spark, sf_dir):
     )
 
 
+def _fulltext_phrase_search(spark, sf_dir):
+    """Exact phrase query over the positional inverted index
+    (fulltext.positional_index + phrase_search — IR posting
+    intersection, one shuffle, no raw-text scan). The oracle rebuilds
+    the token stream in SQL and counts consecutive-position matches;
+    this corpus is punctuation-free so the ignore-chars tokenizer
+    reduces to ws-split + stop-word drop on both engines."""
+    from orientdb_spark.fulltext import phrase_search, positional_index
+
+    idx = positional_index(_docs(spark, sf_dir))
+    return phrase_search(idx, "table scan")
+
+
 def _text_vocabulary(spark, sf_dir):
     """Tokenizer-style vocabulary construction (pipeline/text.vocabulary):
     top-200 lowercased whitespace tokens at min_count>=2 under the total
@@ -1906,6 +1919,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_vocabulary": _text_vocabulary,
         "sample_negatives": _sample_negatives,
         "profile_json_keys": _profile_json_keys,
+        "fulltext_phrase_search": _fulltext_phrase_search,
         "profile_value_histogram": _profile_value_histogram,
         "text_lm_score": _text_lm_score,
         "pipeline_quality_gate": _pipeline_quality_gate,
@@ -1928,6 +1942,25 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
 # --- oracle SQL --------------------------------------------------------------
 
 # shared duckdb snippets (must mirror orientdb_spark/pipeline exactly)
+
+
+def _phrase_oracle_sql() -> str:
+    """Rebuilds the reference-tokenizer stream (punctuation-free corpus:
+    ws-split + stop-word drop) and counts consecutive-position 'table
+    scan' matches per doc — the ground truth for the positional-index
+    posting intersection."""
+    from orientdb_spark.fulltext import STOP_WORDS
+
+    sl = ", ".join(f"'{s}'" for s in sorted(STOP_WORDS))
+    return (
+        "WITH toks AS (SELECT doc_id, list_filter("
+        "regexp_split_to_array(lower(text), '\\s+'), "
+        f"t -> len(t) > 0 AND NOT list_contains([{sl}], t)) AS t FROM documents), "
+        "m AS (SELECT doc_id, len(list_filter(range(1, len(t)), "
+        "i -> t[i::INTEGER] = 'table' AND t[i::INTEGER + 1] = 'scan'))::BIGINT AS n_matches "
+        "FROM toks) "
+        "SELECT doc_id, n_matches FROM m WHERE n_matches > 0"
+    )
 
 
 def _dk_h60(s: str) -> str:
@@ -2950,6 +2983,7 @@ FROM q WHERE rk = 1
             "FROM documents GROUP BY source, lang"
         ),
         "text_repetition_stats": _repetition_oracle_sql(),
+        "fulltext_phrase_search": _phrase_oracle_sql(),
         "profile_json_keys": (
             "WITH fx AS (SELECT '{\"k\": ' || json_extract_string(props, '$.k') || "
             "', \"et\": \"' || event_type || '\"' || "

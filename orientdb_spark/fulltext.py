@@ -100,3 +100,51 @@ def containstext_semijoin(engine, class_name: str, prop: str, text: str) -> Data
     postings = idx.filter(F.col("term") == text.lower()).select(F.col("rid"))
     base = engine.catalog.dataframe(class_name, polymorphic=False, with_meta=True)
     return base.join(postings, base[RID_COL] == postings["rid"], "left_semi")
+
+
+def positional_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional inverted index — (id, pos, term) over the reference
+    tokenizer stream (lower, ignore-chars split, stop words dropped).
+    The positional extension of build_fulltext_index's (term, rid)
+    postings: same one-scan explode, positions kept, enabling phrase
+    queries the reference's CONTAINSTEXT cannot express."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(tokenize_column(F.col(text_col))).alias("pos", "term"),
+    )
+
+
+def phrase_search(
+    index: DataFrame, phrase: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact phrase query over a positional index: documents where the
+    phrase's tokens occur at consecutive positions of the tokenized
+    stream (stop words removed on BOTH sides, so 'jump the fence'
+    matches 'jump fence' — reference tokenizer semantics). Returns
+    (id, n_matches), matching docs only.
+
+    IR-standard posting intersection, one shuffle: each occurrence of a
+    phrase word maps to its candidate start (pos - slot) via a broadcast
+    join against the slot list, and one (id, start) groupBy checks all
+    slots are present — no n-way self-join, no scan of the raw text.
+    Repeated phrase words are handled by the distinct-slot count."""
+    words = tokenize(phrase)
+    if not words:
+        raise ValueError(f"phrase has no indexable tokens: {phrase!r}")
+    spark = index.sparkSession
+    slots = spark.createDataFrame(
+        list(enumerate(words)), ["__slot", "term"]
+    )
+    cand = index.join(F.broadcast(slots), "term").select(
+        id_col, (F.col("pos") - F.col("__slot")).alias("__p0"), "__slot"
+    )
+    return (
+        cand.filter(F.col("__p0") >= 0)
+        .groupBy(id_col, "__p0")
+        .agg(F.count_distinct("__slot").alias("__k"))
+        .filter(F.col("__k") == len(words))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )

@@ -149,3 +149,43 @@ def test_containstext_auto_uses_fulltext_index(spark):
     df = eng.sql(sql)
     assert [r["doc_id"] for r in df.collect()] == [1]
     assert "LeftSemi" in df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_phrase_search_consecutive_and_stopword_semantics(spark):
+    from orientdb_spark.fulltext import phrase_search, positional_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "beta alpha gamma"),          # words present, wrong order
+            (3, "alpha the beta"),            # stop word removed -> adjacent
+            (4, "alpha beta alpha beta"),     # two matches
+            (5, "alpha"),                     # partial phrase only
+        ],
+        ["doc_id", "text"],
+    )
+    idx = positional_index(docs)
+    got = {r["doc_id"]: r["n_matches"] for r in
+           phrase_search(idx, "alpha beta").collect()}
+    assert got == {1: 1, 3: 1, 4: 2}
+
+
+def test_phrase_search_repeated_word_phrase(spark):
+    from orientdb_spark.fulltext import phrase_search, positional_index
+
+    docs = spark.createDataFrame(
+        [(1, "x batch batch y"), (2, "batch x batch")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["n_matches"] for r in
+           phrase_search(positional_index(docs), "batch batch").collect()}
+    assert got == {1: 1}
+
+
+def test_phrase_search_rejects_stopword_only_phrase(spark):
+    import pytest as _pytest
+
+    from orientdb_spark.fulltext import phrase_search, positional_index
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        phrase_search(positional_index(docs), "the and")
