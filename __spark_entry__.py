@@ -910,6 +910,20 @@ def _embedding_label_centroids(spark, sf_dir):
     )
 
 
+def _embedding_random_projection(spark, sf_dir):
+    """Deterministic ±1 random projection 64 -> 8 dims
+    (pipeline/quantize.sign_random_projection): the sign matrix derives
+    from md5 arithmetic, so the oracle regenerates it in SQL and
+    reproduces every component bit-for-bit via the same sequential-fold
+    dot product. Zero shuffles — pure narrow projection."""
+    from orientdb_spark.pipeline.quantize import sign_random_projection
+
+    out = sign_random_projection(_embs(spark, sf_dir), in_dim=64, out_dim=8)
+    return out.select("vec_id", F.posexplode("proj").alias("j", "y")).select(
+        "vec_id", "j", F.round("y", 6).alias("y")
+    )
+
+
 def _embedding_kmeans(spark, sf_dir):
     """Spherical k-means cluster sizes (rows-only by design: the mean
     update sums floats in partition order, so centroid last-ulp wiggle
@@ -1902,6 +1916,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_embedding_cosine": _dedup_embedding,
         "embedding_quantize": _embedding_quantize,
+        "embedding_random_projection": _embedding_random_projection,
         "embedding_kmeans": _embedding_kmeans,
         "embedding_label_centroids": _embedding_label_centroids,
         # pipeline: similarity
@@ -1942,6 +1957,24 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
 # --- oracle SQL --------------------------------------------------------------
 
 # shared duckdb snippets (must mirror orientdb_spark/pipeline exactly)
+
+
+def _rp_oracle_sql(in_dim: int = 64, out_dim: int = 8, seed: int = 42) -> str:
+    """Regenerates the ±1 sign matrix from the shared md5-h60 arithmetic
+    and projects with the same sequential-fold dot product; the scale
+    multiplies by the identical double literal Spark uses (x * (1/sqrt k)
+    is NOT x / sqrt k in IEEE)."""
+    scale = repr(1.0 / (out_dim ** 0.5))
+    sign = _dk_h60(f"'{seed}:rp:' || i || ':' || j")
+    return (
+        f"WITH s AS (SELECT j, list_transform(range(0, {in_dim}), "
+        f"i -> CASE WHEN {sign} % 2 = 0 THEN 1.0 ELSE -1.0 END) AS sg "
+        f"FROM range(0, {out_dim}) t(j)), "
+        "p AS (SELECT vec_id, j::INTEGER AS j, "
+        "list_dot_product(list_transform(embedding, x -> x::DOUBLE), sg) "
+        f"* {scale} AS y FROM embeddings, s) "
+        "SELECT vec_id, j, round(y, 6) AS y FROM p"
+    )
 
 
 def _phrase_oracle_sql() -> str:
@@ -2939,6 +2972,7 @@ FROM q WHERE rk = 1
             "SELECT vec_id, sum(code)::BIGINT AS code_sum, "
             "round(max(err), 9) AS max_abs_err FROM e GROUP BY vec_id"
         ),
+        "embedding_random_projection": _rp_oracle_sql(),
         "text_lm_score": _lm_oracle_sql(),
         "text_unicode_normalize": (
             "WITH fx AS (SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 "

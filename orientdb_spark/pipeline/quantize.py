@@ -79,3 +79,45 @@ def scalar_quantize(
         F.transform(vec, _code).alias("codes"),
         F.array_max(F.transform(vec, _err)).alias("max_abs_err"),
     )
+
+
+def _rp_sign(seed: int, i: int, j: int) -> int:
+    """Driver-side twin of pipeline/common.h60's md5 path: the (i, j)
+    entry of the sign matrix is a pure function of the seed."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{seed}:rp:{i}:{j}".encode()).hexdigest()[:15], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def sign_random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    in_dim: int = 64,
+    out_dim: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Dimensionality reduction by a deterministic ±1 random projection
+    (Achlioptas 2003 sign matrix; the Johnson-Lindenstrauss workhorse):
+    ``y_j = (1/sqrt(out_dim)) * Σ_i x_i * s(i, j)`` with the sign matrix
+    derived from md5 arithmetic — reproducible across runs AND engines,
+    unlike randn()-seeded matrices. Returns (id, proj array<double>).
+
+    The matrix rides in as ``out_dim`` literal arrays; each projection
+    is the same sequential-fold dot product the cosine oracles use, so
+    DuckDB's list_dot_product reproduces every component bit-for-bit.
+    Pure narrow projection: zero shuffles, O(in_dim * out_dim) per row —
+    the 100 TB shape for shrinking an embedding column before ANN or
+    clustering."""
+    from orientdb_spark.pipeline.common import dot_product
+
+    if in_dim <= 0 or out_dim <= 0:
+        raise ValueError(f"dims must be positive, got {in_dim}, {out_dim}")
+    vec = F.col(vec_col).cast("array<double>")
+    scale = 1.0 / (out_dim ** 0.5)
+    cols = []
+    for j in range(out_dim):
+        signs = [float(_rp_sign(seed, i, j)) for i in range(in_dim)]
+        cols.append(dot_product(vec, F.lit(signs)) * F.lit(scale))
+    return df.select(F.col(id_col), F.array(*cols).alias("proj"))

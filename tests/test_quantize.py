@@ -72,3 +72,45 @@ def test_quantize_property_random_vectors(spark):
         hi_id = max(rows, key=lambda x: x[1][d])[0]
         assert by_id[lo_id][d] == 0
         assert by_id[hi_id][d] == 63
+
+
+def test_sign_rp_preserves_norms_and_separations(spark):
+    """JL sanity at out_dim=32: projected squared norms concentrate
+    around the originals, and the projection is linear + deterministic."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.quantize import sign_random_projection
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["proj"] for r in
+           sign_random_projection(df, in_dim=64, out_dim=32).collect()}
+    ok = 0
+    for i, v in rows:
+        orig = sum(x * x for x in v)
+        proj = sum(y * y for y in out[i])
+        if 0.5 <= proj / orig <= 1.6:
+            ok += 1
+    assert ok >= 54, f"norm preservation failed for {60 - ok}/60 vectors"
+    # determinism across invocations
+    again = {r["vec_id"]: r["proj"] for r in
+             sign_random_projection(df, in_dim=64, out_dim=32).collect()}
+    assert again == out
+
+
+def test_sign_rp_zero_shuffle_plan(spark):
+    import re
+
+    from orientdb_spark.pipeline.quantize import sign_random_projection
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = sign_random_projection(embs, in_dim=64, out_dim=8)
+    plan = out._jdf.queryExecution().explainString(
+        out.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE)) == 0, plan
