@@ -173,3 +173,84 @@ def write_sorted(
     prune nothing.)"""
     w = df.repartitionByRange(*(([n_files] if n_files else []) + by)).sortWithinPartitions(*by)
     w.write.mode("overwrite").parquet(path)
+
+
+def zorder_value(x, y, bits: int = 10):
+    """Interleave the low ``bits`` of two non-negative integer bucket
+    columns into a Morton (Z-order) value: bit b of x lands at position
+    2b, bit b of y at 2b+1. Static shifts only — a Python loop over bit
+    positions composing Column arithmetic, fully JVM-side."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = (
+            z
+            + (x.bitwiseAND(1 << b) != 0).cast("long") * (1 << (2 * b))
+            + (y.bitwiseAND(1 << b) != 0).cast("long") * (1 << (2 * b + 1))
+        )
+    return z
+
+
+def write_zordered(
+    df,
+    path: str,
+    cols: list[str],
+    bits: int = 10,
+    n_files: int | None = None,
+) -> None:
+    """Multi-dimensional clustered write: normalize TWO numeric columns
+    onto a 2^bits grid (global min/max ride back as a broadcast one-row
+    cross join) and range-partition + sort by the interleaved Morton
+    value. Each parquet row group then covers a tight RECTANGLE of the
+    (x, y) space, so min/max stats prune 2-D box predicates — the layout
+    single-column sorting cannot give: sorting by x leaves every row
+    group spanning the full y domain. The Delta/Iceberg OPTIMIZE ZORDER
+    primitive, as a plain write strategy."""
+    from pyspark.sql import functions as F
+
+    if len(cols) != 2:
+        raise ValueError(f"zorder write takes exactly 2 columns, got {cols}")
+    cx, cy = (F.col(c).cast("double") for c in cols)
+    stats = df.agg(
+        F.min(cx).alias("__x0"),
+        F.max(cx).alias("__x1"),
+        F.min(cy).alias("__y0"),
+        F.max(cy).alias("__y1"),
+    )
+    grid = (1 << bits) - 1
+
+    def _bucket(c, lo, hi):
+        span = F.col(hi) - F.col(lo)
+        raw = F.floor((c - F.col(lo)) / span * (grid + 1))
+        return (
+            F.when(span == 0, F.lit(0))
+            .otherwise(F.least(raw, F.lit(grid)))
+            .cast("long")
+        )
+
+    zed = (
+        df.join(F.broadcast(stats))
+        .withColumn(
+            "__z",
+            zorder_value(_bucket(cx, "__x0", "__x1"), _bucket(cy, "__y0", "__y1"), bits),
+        )
+        .drop("__x0", "__x1", "__y0", "__y1")
+    )
+    # partition on the ALIGNED top bits of z (quadtree tiles), not raw
+    # z-quantiles: sampled range boundaries land mid-tile, and a range
+    # crossing a high-order bit flip spans a huge bounding rectangle —
+    # aligned tiles keep every file's min/max box tile-sized
+    if n_files:
+        tile_bits = max((n_files - 1).bit_length(), 1)
+        zed = zed.withColumn(
+            "__tile", F.shiftright("__z", 2 * bits - tile_bits)
+        )
+        out = (
+            zed.repartitionByRange(n_files, "__tile")
+            .sortWithinPartitions("__z")
+            .drop("__z", "__tile")
+        )
+    else:
+        out = zed.repartitionByRange("__z").sortWithinPartitions("__z").drop("__z")
+    out.write.mode("overwrite").parquet(path)

@@ -131,3 +131,64 @@ def test_write_sorted_produces_prunable_row_groups(spark, tmp_path):
     # random: every group spans ~the whole domain (sum ~= n_groups x)
     assert sorted_cov < 1.5, sorted_cov
     assert random_cov > 4.0, random_cov
+
+
+def test_write_zordered_prunes_2d_boxes(spark, tmp_path):
+    """Z-order layout must bound row groups in BOTH dimensions: a small
+    2-D box predicate should intersect far fewer row-group rectangles
+    than under a single-column sort (where y-extents stay ~full-domain),
+    and the written data must be byte-identical content-wise."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from orientdb_spark.storage import write_sorted, write_zordered
+
+    n = 100_000
+    # two INDEPENDENT hash scatters — linear-congruential pairs of the
+    # same id are collinear mod n and break the 2-D geometry
+    df = spark.range(0, n).select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n)).cast("double").alias("x"),
+        F.pmod(F.xxhash64(F.lit("y"), F.col("id")), F.lit(n)).cast("double").alias("y"),
+    )
+
+    def rects(p):
+        out = []
+        for f in _os.listdir(p):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(_os.path.join(p, f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                sx = md.row_group(rg).column(idx["x"]).statistics
+                sy = md.row_group(rg).column(idx["y"]).statistics
+                out.append((sx.min, sx.max, sy.min, sy.max))
+        return out
+
+    zp, sp = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zordered(df, zp, cols=["x", "y"], bits=10, n_files=64)
+    write_sorted(df, sp, by=["x"], n_files=64)
+
+    def hit(rs, box):
+        x0, x1, y0, y1 = box
+        return sum(
+            1 for (a, b, c, d) in rs if not (b < x0 or a > x1 or d < y0 or c > y1)
+        )
+
+    import random as _random
+
+    rng = _random.Random(5)
+    boxes = []
+    for _ in range(20):
+        x0, y0 = rng.uniform(0, 0.95) * n, rng.uniform(0, 0.95) * n
+        boxes.append((x0, x0 + 0.05 * n, y0, y0 + 0.05 * n))
+    zr_, lr_ = rects(zp), rects(sp)
+    z_hits = sum(hit(zr_, b) for b in boxes)
+    lin_hits = sum(hit(lr_, b) for b in boxes)
+    # z-order: a 5%x5% box hits a few curve tiles; x-sort: every group
+    # spans the full y domain, so ~4 groups per box regardless of y
+    assert z_hits < 0.7 * lin_hits, (z_hits, lin_hits)
+    # content preserved exactly
+    zr = sorted(map(tuple, spark.read.parquet(zp).collect()))
+    orig = sorted(map(tuple, df.collect()))
+    assert zr == orig
