@@ -1169,6 +1169,17 @@ def _profile_json_keys(spark, sf_dir):
     return json_profile(fixture, "props2")
 
 
+def _sample_weighted(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (A-ES
+    exponential keys, pipeline/sampling.weighted_sample): top-20 docs
+    per source weighted by n_chars. The oracle re-derives u = h60/2^60
+    and the rounded u^(1/w) ranking key from the same md5 arithmetic."""
+    from orientdb_spark.pipeline.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return weighted_sample(docs, weight_col="n_chars", k=20, group_col="source")
+
+
 def _sample_negatives(spark, sf_dir):
     """Deterministic contrastive negative sampling
     (pipeline/sampling.contrastive_negatives): 3 hash-drawn partners per
@@ -1933,6 +1944,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_tfidf_topterms": _text_tfidf,
         "text_vocabulary": _text_vocabulary,
         "sample_negatives": _sample_negatives,
+        "sample_weighted": _sample_weighted,
         "profile_json_keys": _profile_json_keys,
         "fulltext_phrase_search": _fulltext_phrase_search,
         "profile_value_histogram": _profile_value_histogram,
@@ -3030,6 +3042,15 @@ FROM q WHERE rk = 1
             "count(DISTINCT value)::BIGINT AS n_distinct_values, "
             "count(try_cast(value AS DOUBLE))::BIGINT AS n_numeric "
             "FROM kv GROUP BY key"
+        ),
+        "sample_weighted": (
+            "WITH kx AS (SELECT doc_id, source, n_chars, round(pow("
+            + _dk_h60("'42:' || doc_id")
+            + " / 1152921504606846976.0, 1.0 / n_chars), 9) AS wk "
+            "FROM documents WHERE n_chars > 0), "
+            "r AS (SELECT doc_id, source, n_chars, row_number() OVER ("
+            "PARTITION BY source ORDER BY wk DESC, doc_id) AS rk FROM kx) "
+            "SELECT doc_id, source, n_chars FROM r WHERE rk <= 20"
         ),
         "sample_negatives": (
             # re-derives bucket membership, probe targets, and the

@@ -358,3 +358,43 @@ def contrastive_negatives(
         )
         .select(id_col, "slot", F.col("__w.p").alias("partner_id"))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirtsis A-ES): each row draws u = h60(seed:id)/2^60 and keeps key
+    u^(1/w); the top-k keys per group are EXACTLY a weight-proportional
+    sample, as one window pass. Heavier rows win more often, every draw
+    is a pure function of (seed, id), and re-runs/engines agree — the
+    reproducibility rand()-weighted sampling can't give. Non-positive
+    weights are excluded (their inclusion probability is 0).
+
+    The ranking key is rounded to 9 decimals with the id as tiebreak:
+    u^(1/w) crosses engines through libm pow, whose last-ulp differences
+    would otherwise flip near-equal ranks (same discipline as tfidf's
+    rounded-score ranking). One exchange (the group window; a constant
+    group for global sampling)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = _split_key(id_col, seed) / F.lit(float(1 << 60))
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+    )
+    gcols = [group_col] if group_col else []
+    w = Window.partitionBy(*[F.col(c) for c in gcols] or [F.lit(1)]).orderBy(
+        F.col("__wkey").desc(), F.col(id_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__wkey", key)
+        .withColumn("__wrank", F.row_number().over(w))
+        .filter(F.col("__wrank") <= k)
+        .drop("__wkey", "__wrank")
+    )

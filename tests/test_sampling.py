@@ -259,3 +259,40 @@ def test_contrastive_negatives_partner_spread(spark):
     got = contrastive_negatives(docs, k=4, n_buckets=16).collect()
     partners = {r["partner_id"] for r in got}
     assert len(partners) > 100, f"only {len(partners)} distinct partners"
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """A-ES correctness signal: across seeds, a 50x-heavier row must be
+    selected far more often than a light one."""
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.sampling import weighted_sample
+
+    rows = [(0, 50.0)] + [(i, 1.0) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    heavy_hits = light_hits = 0
+    for seed in range(20):
+        got = {r["doc_id"] for r in
+               weighted_sample(df, "w", k=5, seed=seed).collect()}
+        assert len(got) == 5
+        heavy_hits += 0 in got
+        light_hits += 1 in got
+    assert heavy_hits >= 15, heavy_hits  # P(select) ~ 1 for the heavy row
+    assert light_hits <= 10, light_hits
+
+
+def test_weighted_sample_deterministic_and_filters_nonpositive(spark):
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.sampling import weighted_sample
+
+    rows = [(i, float(i % 7) - 1.0) for i in range(30)]  # some w <= 0
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    a = sorted(r["doc_id"] for r in weighted_sample(df, "w", k=8).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_sample(df.orderBy(F.desc("doc_id")), "w", k=8).collect()
+    )
+    assert a == b and len(a) == 8
+    bad = {i for i, w in rows if w <= 0}
+    assert not (set(a) & bad), "non-positive weight sampled"
