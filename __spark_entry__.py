@@ -733,6 +733,73 @@ def _event_scd2(spark, sf_dir):
     )
 
 
+def _event_rolling_avg(spark, sf_dir):
+    """Trailing 1-hour moving aggregates per user
+    (temporal.rolling_aggregate): ONE RANGE-frame window on microsecond
+    ordering — no self-join, no probe fan-out. (user_id, ts) unique at
+    every SF keeps the frame deterministic."""
+    from orientdb_spark.temporal import rolling_aggregate
+
+    ev = _engine(spark, sf_dir).table("events")
+    out = rolling_aggregate(ev, on=["user_id"], window_sec=3600)
+    return out.select(
+        "event_id",
+        "user_id",
+        "rolling_n",
+        F.round("rolling_sum", 4).alias("rolling_sum"),
+        F.round("rolling_avg", 6).alias("rolling_avg"),
+    )
+
+
+def _profile_iqr_outliers(spark, sf_dir):
+    """Tukey 1.5-IQR outlier audit per event type
+    (pipeline/profile.iqr_outlier_fences): exact interpolated quartiles
+    (the quantile_cont semantics DuckDB shares), fences broadcast back,
+    one count agg."""
+    from orientdb_spark.pipeline.profile import iqr_outlier_fences
+
+    ev = _engine(spark, sf_dir).table("events")
+    out = iqr_outlier_fences(ev, "value", ["event_type"])
+    return out.select(
+        "event_type",
+        F.round("q1", 6).alias("q1"),
+        F.round("q3", 6).alias("q3"),
+        F.round("lo_fence", 6).alias("lo_fence"),
+        F.round("hi_fence", 6).alias("hi_fence"),
+        "n_rows",
+        "n_outliers",
+    )
+
+
+def _storage_merge_upsert(spark, sf_dir):
+    """CDC MERGE/upsert (storage.merge_upsert): every 10th order is
+    updated (status 'U', price +100), every 7th key reappears shifted as
+    a brand-new insert, the rest survive untouched — one anti join plus
+    a union, the small batch broadcast. The oracle applies the same
+    batch with NOT IN + UNION ALL. The update adds a constant rather
+    than scaling: x*1.1 manufactures exact .005 midpoints where Spark's
+    BigDecimal HALF_UP and DuckDB's away-from-zero disagree."""
+    from orientdb_spark.storage import merge_upsert
+
+    target = _engine(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = target.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+    )
+    inserts = target.filter(F.col("o_orderkey") % 7 == 0).select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    out = merge_upsert(target, updates.unionByName(inserts), "o_orderkey")
+    return out.select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
 def _event_funnel(spark, sf_dir):
     """Ordered funnel (view -> click -> purchase): deepest in-order
     prefix per user. Single-shuffle HOF formulation (streaming.funnel);
@@ -1908,6 +1975,9 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "event_asof_join": _event_asof_join,
         "event_gap_fill": _event_gap_fill,
         "event_scd2": _event_scd2,
+        "event_rolling_avg": _event_rolling_avg,
+        "profile_iqr_outliers": _profile_iqr_outliers,
+        "storage_merge_upsert": _storage_merge_upsert,
         "event_range_join": _event_range_join,
         "profile_events": _profile_events,
         "event_funnel": _event_funnel,
@@ -2671,6 +2741,37 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER w2 AS version, "
             "(lead(ts) OVER w2 IS NULL) AS is_current "
             "FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)"
+        ),
+        "event_rolling_avg": (
+            "SELECT event_id, user_id, count(*) OVER w AS rolling_n, "
+            "round(sum(value) OVER w, 4) AS rolling_sum, "
+            "round(avg(value) OVER w, 6) AS rolling_avg "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) "
+            "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
+        ),
+        "profile_iqr_outliers": (
+            "WITH f AS (SELECT event_type, "
+            "quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3 "
+            "FROM events GROUP BY event_type), "
+            "f2 AS (SELECT event_type, q1, q3, q1 - 1.5 * (q3 - q1) AS lo, "
+            "q3 + 1.5 * (q3 - q1) AS hi FROM f) "
+            "SELECT e.event_type, round(q1, 6) AS q1, round(q3, 6) AS q3, "
+            "round(lo, 6) AS lo_fence, round(hi, 6) AS hi_fence, "
+            "count(*)::BIGINT AS n_rows, "
+            "sum((value < lo OR value > hi)::INT)::BIGINT AS n_outliers "
+            "FROM events e JOIN f2 USING (event_type) "
+            "GROUP BY e.event_type, q1, q3, lo, hi"
+        ),
+        "storage_merge_upsert": (
+            "WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders), "
+            "s AS (SELECT o_orderkey, 'U' AS o_orderstatus, "
+            "o_totalprice + 100.0 AS o_totalprice FROM orders "
+            "WHERE o_orderkey % 10 = 0 "
+            "UNION ALL SELECT o_orderkey + 1000000000, 'N', 1.0 FROM orders "
+            "WHERE o_orderkey % 7 = 0) "
+            "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice "
+            "FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s) "
+            "UNION ALL SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) FROM s"
         ),
         "event_cohort_retention": (
             "WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw "

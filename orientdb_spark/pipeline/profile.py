@@ -194,3 +194,39 @@ def json_profile(df: DataFrame, json_col: str) -> DataFrame:
         F.count_distinct(F.col("value")).alias("n_distinct_values"),
         F.count(F.col("value").cast("double")).alias("n_numeric"),
     )
+
+
+def iqr_outlier_fences(
+    df: DataFrame, col: str, group_cols: "Sequence[str]" = ()
+) -> DataFrame:
+    """Tukey outlier audit per group: exact q1/q3 (linear interpolation,
+    the quantile_cont semantics DuckDB shares), fences at 1.5 IQR, and
+    how many rows fall outside. One two-pass shape: a percentile agg per
+    group, broadcast back onto the rows, one count agg — both groupBys
+    on the same key. Returns (*group_cols, q1, q3, lo_fence, hi_fence,
+    n_rows, n_outliers)."""
+    gcols = list(group_cols)
+    c = F.col(col).cast("double")
+    fences = df.groupBy(*gcols).agg(
+        F.percentile(c, F.lit(0.25)).alias("q1"),
+        F.percentile(c, F.lit(0.75)).alias("q3"),
+    )
+    fences = fences.select(
+        *gcols,
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo_fence"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi_fence"),
+    )
+    joined = (
+        df.join(F.broadcast(fences), gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(fences))
+    )
+    out_flag = (c < F.col("lo_fence")) | (c > F.col("hi_fence"))
+    return joined.groupBy(
+        *gcols, "q1", "q3", "lo_fence", "hi_fence"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(out_flag.cast("long")).alias("n_outliers"),
+    )

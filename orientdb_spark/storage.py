@@ -254,3 +254,25 @@ def write_zordered(
     else:
         out = zed.repartitionByRange("__z").sortWithinPartitions("__z").drop("__z")
     out.write.mode("overwrite").parquet(path)
+
+
+def merge_upsert(target, source, key: str):
+    """MERGE/upsert between snapshots (the warehouse CDC-apply
+    primitive): source rows REPLACE same-key target rows, new source
+    keys append, untouched target rows survive. Equivalent to
+    ``MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED THEN INSERT *``.
+
+    One left-anti join (target side) + a narrow union — the source is
+    usually the small CDC batch, so the anti join broadcasts it and the
+    whole merge costs one pass over the target. Schemas must match;
+    a duplicate-key source would fan out, so dedupe upstream."""
+    from pyspark.sql import functions as F  # noqa: F401  (doc symmetry)
+
+    if set(target.columns) != set(source.columns):
+        raise ValueError(
+            f"merge_upsert schema mismatch: {sorted(target.columns)} vs "
+            f"{sorted(source.columns)}"
+        )
+    survivors = target.join(source.select(key), key, "left_anti")
+    return survivors.unionByName(source)

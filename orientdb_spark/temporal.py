@@ -36,7 +36,13 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join_count", "gap_fill", "scd2_intervals"]
+__all__ = [
+    "asof_join",
+    "range_join_count",
+    "gap_fill",
+    "scd2_intervals",
+    "rolling_aggregate",
+]
 
 _SIDE = "__asof_side"
 
@@ -274,4 +280,35 @@ def scd2_intervals(
         F.lead(ts).over(w2).alias("valid_to"),
         F.row_number().over(w2).alias("version"),
         F.lead(ts).over(w2).isNull().alias("is_current"),
+    )
+
+
+def rolling_aggregate(
+    df: DataFrame,
+    on: Sequence[str],
+    ts: str = "ts",
+    value: str = "value",
+    window_sec: int = 3600,
+) -> DataFrame:
+    """Trailing time-window aggregates per row: for every event, the
+    count / sum / mean of the same key's values inside
+    ``[ts - window_sec, ts]`` (inclusive both ends — the event itself
+    always counts). The time-series moving-average primitive as ONE
+    RANGE-frame window over microsecond ordering: one exchange on the
+    key, no self-join, no probe fan-out (contrast range_join_count,
+    which joins two different streams). Adds
+    (rolling_n, rolling_sum, rolling_avg)."""
+    if window_sec <= 0:
+        raise ValueError(f"window_sec must be positive, got {window_sec}")
+    width_us = int(window_sec) * 1_000_000
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(_micros(F.col(ts)))
+        .rangeBetween(-width_us, 0)
+    )
+    return df.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("rolling_n"),
+        F.sum(F.col(value)).over(w).alias("rolling_sum"),
+        F.avg(F.col(value)).over(w).alias("rolling_avg"),
     )

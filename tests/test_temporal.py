@@ -627,3 +627,44 @@ def test_scd2_single_partitioning(spark):
         )
     )
     assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE)) == 1, plan
+
+
+def test_rolling_aggregate_window_boundaries(spark):
+    import datetime as dt
+
+    from orientdb_spark.temporal import rolling_aggregate
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("u", t0, 1.0),
+        ("u", t0 + dt.timedelta(minutes=30), 2.0),
+        ("u", t0 + dt.timedelta(minutes=60), 4.0),   # exactly 1h after t0: inclusive
+        ("u", t0 + dt.timedelta(minutes=61), 8.0),   # t0 drops out
+        ("v", t0 + dt.timedelta(minutes=45), 100.0), # other key isolated
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {
+        (r["user_id"], int((r["ts"] - t0).total_seconds() // 60)): (
+            r["rolling_n"],
+            r["rolling_sum"],
+        )
+        for r in rolling_aggregate(df, on=["user_id"], window_sec=3600).collect()
+    }
+    assert out[("u", 0)] == (1, 1.0)
+    assert out[("u", 30)] == (2, 3.0)
+    assert out[("u", 60)] == (3, 7.0)   # inclusive lower bound: t0 still in
+    assert out[("u", 61)] == (3, 14.0)  # t0 aged out
+    assert out[("v", 45)] == (1, 100.0)  # keys isolated
+
+
+def test_merge_upsert_semantics_and_schema_guard(spark):
+    import pytest as _pytest
+
+    from orientdb_spark.storage import merge_upsert
+
+    t = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    s = spark.createDataFrame([(2, "B"), (9, "Z")], ["k", "v"])
+    got = sorted(map(tuple, merge_upsert(t, s, "k").collect()))
+    assert got == [(1, "a"), (2, "B"), (3, "c"), (9, "Z")]
+    with _pytest.raises(ValueError):
+        merge_upsert(t, s.withColumnRenamed("v", "w"), "k")
