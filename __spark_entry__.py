@@ -1273,6 +1273,25 @@ def _fulltext_phrase_search(spark, sf_dir):
     return phrase_search(idx, "table scan")
 
 
+def _text_chunk_documents(spark, sf_dir):
+    """RAG chunking (pipeline/text.chunk_documents): 32-token windows,
+    8-token overlap, digested to md5 so the compare stays byte-exact
+    without shipping chunk bodies. Start enumeration is pure integer
+    arithmetic — both engines derive the identical chunk set."""
+    from orientdb_spark.pipeline.text import chunk_documents
+
+    out = chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=32, overlap=8
+    )
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        "n_tokens",
+        F.md5(F.encode("chunk_text", "UTF-8")).alias("chunk_digest"),
+    )
+
+
 def _text_vocabulary(spark, sf_dir):
     """Tokenizer-style vocabulary construction (pipeline/text.vocabulary):
     top-200 lowercased whitespace tokens at min_count>=2 under the total
@@ -2013,6 +2032,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_token_budget": _text_token_budget,
         "text_tfidf_topterms": _text_tfidf,
         "text_vocabulary": _text_vocabulary,
+        "text_chunk_documents": _text_chunk_documents,
         "sample_negatives": _sample_negatives,
         "sample_weighted": _sample_weighted,
         "profile_json_keys": _profile_json_keys,
@@ -3169,6 +3189,22 @@ FROM q WHERE rk = 1
             "r AS (SELECT doc_id, slot, partner_id, row_number() OVER ("
             "PARTITION BY doc_id, slot ORDER BY s, partner_id) AS rk FROM c) "
             "SELECT doc_id, slot::INTEGER AS slot, partner_id FROM r WHERE rk = 1"
+        ),
+        "text_chunk_documents": (
+            # same integer start enumeration: 1 + k*24 for
+            # k in [0, ceil(max(len-32,0)/24)], tail chunk may be short
+            "WITH toks AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS t "
+            "FROM documents), "
+            "st AS (SELECT doc_id, t, k::INTEGER AS chunk_idx, "
+            "(1 + k * 24)::INTEGER AS start_tok FROM ("
+            "SELECT doc_id, t, unnest(range(0, 1 + "
+            "((greatest(len(t) - 32, 0) + 23) // 24))) AS k "
+            "FROM toks WHERE len(t) > 0)), "
+            "c AS (SELECT doc_id, chunk_idx::INTEGER AS chunk_idx, start_tok, "
+            "t[start_tok : start_tok + 31] AS ck FROM st) "
+            "SELECT doc_id, chunk_idx, start_tok, len(ck)::INTEGER AS n_tokens, "
+            "md5(array_to_string(ck, ' ')) AS chunk_digest FROM c"
         ),
         "text_vocabulary": (
             "WITH toks AS (SELECT unnest(list_filter("

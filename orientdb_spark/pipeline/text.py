@@ -743,3 +743,50 @@ def vocabulary(
     return counts.select(
         F.row_number().over(w).alias("rank"), "token", "n_occurrences"
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """RAG-style document chunking: overlapping token windows of
+    ``chunk_tokens`` with stride ``chunk_tokens - overlap``. Start
+    positions are 1 + k*stride for k in [0, ceil(max(len - chunk, 0) /
+    stride)] — pure integer arithmetic, so both engines enumerate the
+    identical chunk set; the final chunk is the (possibly short) tail.
+    Returns (id, chunk_idx, start_tok, n_tokens, chunk_text).
+
+    In-row windowing (sequence + slice + posexplode): zero shuffles,
+    fan-out ~len/stride rows per doc — the narrow transform you want
+    before embedding 100 TB of documents.
+    """
+    if chunk_tokens <= 0 or not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need chunk_tokens > 0 and 0 <= overlap < chunk_tokens, "
+            f"got {chunk_tokens}, {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    toks = ws_tokens(F.col(text_col))
+    n = F.size("__t")
+    n_extra = F.floor(
+        (F.greatest(n - chunk_tokens, F.lit(0)) + stride - 1) / stride
+    ).cast("int")
+    starts = F.transform(
+        F.sequence(F.lit(0), n_extra), lambda k: F.lit(1) + k * stride
+    )
+    chunk = F.slice("__t", F.col("start_tok"), chunk_tokens)
+    return (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .filter(F.size("__t") > 0)
+        .select(id_col, "__t", F.posexplode(starts).alias("chunk_idx", "start_tok"))
+        .select(
+            id_col,
+            "chunk_idx",
+            "start_tok",
+            F.size(chunk).alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

@@ -433,3 +433,37 @@ def test_vocabulary_k_truncation_is_deterministic(spark):
     got = [r["token"] for r in vocabulary(docs, min_count=2, k=2).collect()]
     # all count 2 -> rank boundary cut by token asc: v, w survive
     assert got == ["v", "w"]
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from orientdb_spark.pipeline.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(1, 101))  # 100 tokens
+    docs = spark.createDataFrame([(1, text), (2, "a b c")], ["doc_id", "text"])
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_tok"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, chunk_tokens=32, overlap=8).collect()
+    )
+    d1 = [r for r in rows if r[0] == 1]
+    # stride 24: starts 1, 25, 49, 73 (ceil(68/24)=3 extras); tail short
+    assert [(r[2], r[3]) for r in d1] == [(1, 32), (25, 32), (49, 32), (73, 28)]
+    # consecutive chunks overlap by exactly 8 tokens
+    first, second = d1[0][4].split(), d1[1][4].split()
+    assert first[-8:] == second[:8]
+    # every token is covered
+    covered = {t for r in d1 for t in r[4].split()}
+    assert covered == {f"t{i}" for i in range(1, 101)}
+    # short doc: one chunk, whole doc
+    d2 = [r for r in rows if r[0] == 2]
+    assert d2 == [(2, 0, 1, 3, "a b c")]
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from orientdb_spark.pipeline.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    for ck, ov in ((0, 0), (8, 8), (8, -1)):
+        with _pytest.raises(ValueError):
+            chunk_documents(docs, chunk_tokens=ck, overlap=ov)
