@@ -1247,6 +1247,30 @@ def _sample_weighted(spark, sf_dir):
     return weighted_sample(docs, weight_col="n_chars", k=20, group_col="source")
 
 
+def _pipeline_rag_prep(spark, sf_dir):
+    """Composition proof for the RAG-prep chain: chunk (32/8) -> drop
+    short chunks (<16 tokens) -> deterministic split keyed on the
+    chunk identity -> per-split totals, all under ONE oracle that
+    re-derives every stage in SQL. Chunk-keyed splitting is the
+    leakage-safe choice the composition demonstrates: a chunk keeps its
+    split even as the corpus grows."""
+    from orientdb_spark.pipeline import sampling, text
+
+    chunks = text.chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+    kept = chunks.filter(F.col("n_tokens") >= 16).withColumn(
+        "chunk_id",
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), F.col("chunk_idx").cast("string")
+        ),
+    )
+    split = sampling.assign_split(kept, id_col="chunk_id")
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("chunk_id").alias("first_chunk"),
+    )
+
+
 def _sample_negatives(spark, sf_dir):
     """Deterministic contrastive negative sampling
     (pipeline/sampling.contrastive_negatives): 3 hash-drawn partners per
@@ -2033,6 +2057,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_tfidf_topterms": _text_tfidf,
         "text_vocabulary": _text_vocabulary,
         "text_chunk_documents": _text_chunk_documents,
+        "pipeline_rag_prep": _pipeline_rag_prep,
         "sample_negatives": _sample_negatives,
         "sample_weighted": _sample_weighted,
         "profile_json_keys": _profile_json_keys,
@@ -3205,6 +3230,27 @@ FROM q WHERE rk = 1
             "t[start_tok : start_tok + 31] AS ck FROM st) "
             "SELECT doc_id, chunk_idx, start_tok, len(ck)::INTEGER AS n_tokens, "
             "md5(array_to_string(ck, ' ')) AS chunk_digest FROM c"
+        ),
+        "pipeline_rag_prep": (
+            # chunk -> len>=16 filter -> h60 split -> per-split totals
+            "WITH toks AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS t "
+            "FROM documents), "
+            "st AS (SELECT doc_id, t, k::INTEGER AS chunk_idx, "
+            "(1 + k * 24)::INTEGER AS start_tok FROM ("
+            "SELECT doc_id, t, unnest(range(0, 1 + "
+            "((greatest(len(t) - 32, 0) + 23) // 24))) AS k "
+            "FROM toks WHERE len(t) > 0)), "
+            "c AS (SELECT doc_id || ':' || chunk_idx AS chunk_id, "
+            "len(t[start_tok : start_tok + 31])::BIGINT AS n_tokens FROM st), "
+            "kept AS (SELECT chunk_id, n_tokens, "
+            + _dk_h60("'42:' || chunk_id")
+            + " % 10000 AS b FROM c WHERE n_tokens >= 16), "
+            "sp AS (SELECT chunk_id, n_tokens, CASE WHEN b < 9800 THEN 'train' "
+            "WHEN b < 9900 THEN 'valid' ELSE 'test' END AS split FROM kept) "
+            "SELECT split, count(*)::BIGINT AS n_chunks, "
+            "sum(n_tokens)::BIGINT AS total_tokens, "
+            "min(chunk_id) AS first_chunk FROM sp GROUP BY split"
         ),
         "text_vocabulary": (
             "WITH toks AS (SELECT unnest(list_filter("
