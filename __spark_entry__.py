@@ -692,6 +692,27 @@ def _event_range_join(spark, sf_dir):
     )
 
 
+def _event_pivot(spark, sf_dir):
+    """Pivot/crosstab: per-user event-type value sums spread into
+    columns. Spark's groupBy().pivot() with EXPLICIT pivot values — the
+    scale-correct form: without the value list the planner runs an extra
+    distinct job to discover columns, and an unbounded value domain
+    explodes the schema. The oracle is the equivalent conditional
+    aggregation."""
+    ev = _engine(spark, sf_dir).table("events")
+    kinds = ["click", "view", "purchase"]
+    out = (
+        ev.filter(F.col("event_type").isin(kinds))
+        .groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.round(F.sum("value"), 4))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0.0)).alias(f"sum_{k}") for k in kinds],
+    )
+
+
 def _event_gap_fill(spark, sf_dir):
     """Time-series gap-fill + forward-fill (temporal.gap_fill): per-user
     6-hour buckets from first to last observation, missing buckets
@@ -2019,6 +2040,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "event_gap_fill": _event_gap_fill,
         "event_scd2": _event_scd2,
         "event_rolling_avg": _event_rolling_avg,
+        "event_pivot": _event_pivot,
         "profile_iqr_outliers": _profile_iqr_outliers,
         "storage_merge_upsert": _storage_merge_upsert,
         "event_range_join": _event_range_join,
@@ -2786,6 +2808,17 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER w2 AS version, "
             "(lead(ts) OVER w2 IS NULL) AS is_current "
             "FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)"
+        ),
+        "event_pivot": (
+            "SELECT user_id, "
+            "coalesce(round(sum(value) FILTER (event_type = 'click'), 4), 0.0) "
+            "AS sum_click, "
+            "coalesce(round(sum(value) FILTER (event_type = 'view'), 4), 0.0) "
+            "AS sum_view, "
+            "coalesce(round(sum(value) FILTER (event_type = 'purchase'), 4), 0.0) "
+            "AS sum_purchase "
+            "FROM events WHERE event_type IN ('click', 'view', 'purchase') "
+            "GROUP BY user_id"
         ),
         "event_rolling_avg": (
             "SELECT event_id, user_id, count(*) OVER w AS rolling_n, "
