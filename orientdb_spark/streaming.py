@@ -612,3 +612,106 @@ def stream_to_batches(stream_df: DataFrame, batch_fn, **options):
         .options(**options)
         .start()
     )
+
+
+def gap_fill_stream(
+    df: DataFrame,
+    on: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    value: str = "value",
+    step_sec: int = 21600,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-fill/forward-fill as a CUSTOM STATEFUL OPERATOR
+    (the third in this engine, after first-seen dedup and the as-of
+    join): per key, GroupState accumulates the OPEN time bucket
+    (bucket, count, sum, carry); when an event lands in a later bucket,
+    the open bucket closes and is emitted with its (n_obs, avg), any
+    skipped buckets are emitted as gap rows carrying the last average
+    forward, and the new bucket opens. Emit-on-close semantics: the
+    final open bucket stays in state until a later event closes it —
+    so a single availableNow pass equals batch ``temporal.gap_fill``
+    minus each key's last bucket (stream==batch test pins exactly
+    that). A late event older than the open bucket is dropped — the
+    same no-buffering trade as the streaming as-of join. State is one
+    4-field row per key.
+
+    Batch fallback: static frames delegate to ``temporal.gap_fill``."""
+    import pandas as pd
+
+    if not df.isStreaming:
+        from orientdb_spark.temporal import gap_fill
+
+        return gap_fill(df, on=list(on), ts=ts_col, value=value, step_sec=step_sec)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    if step_sec <= 0:
+        raise ValueError(f"step_sec must be positive, got {step_sec}")
+    on = list(on)
+    width_us = int(step_sec) * 1_000_000
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [in_fields[c] for c in on]
+        + [
+            StructField("bucket_ts", TimestampType()),
+            StructField("n_obs", LongType()),
+            StructField(value, DoubleType()),
+            StructField("is_gap", BooleanType()),
+        ]
+    )
+
+    def walk(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        if state.exists:
+            cur_b, n, s, carry = state.get
+        else:
+            cur_b, n, s, carry = None, 0, 0.0, None
+        out = []
+        for _, row in rows.iterrows():
+            ts_us = int(pd.Timestamp(row[ts_col]).value // 1_000)
+            b = ts_us // width_us
+            v = float(row[value])
+            if cur_b is None:
+                cur_b, n, s = b, 1, v
+            elif b == cur_b:
+                n += 1
+                s += v
+            elif b > cur_b:
+                avg = s / n
+                out.append((cur_b, n, avg, False))
+                carry = avg
+                for g in range(cur_b + 1, b):
+                    out.append((g, 0, carry, True))
+                cur_b, n, s = b, 1, v
+            # b < cur_b: late arrival after close — dropped (documented)
+        state.update((cur_b, n, s, carry))
+        if out:
+            yield pd.DataFrame(
+                [
+                    list(key)
+                    + [pd.Timestamp(b * width_us * 1000), nn, vv, gap]
+                    for (b, nn, vv, gap) in out
+                ],
+                columns=on + ["bucket_ts", "n_obs", value, "is_gap"],
+            )
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*[F.col(c) for c in on])
+        .applyInPandasWithState(
+            walk,
+            outputStructType=out_schema,
+            stateStructType="cur_b bigint, n bigint, s double, carry double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -455,3 +455,105 @@ def test_first_seen_stream_suppresses_across_batches(spark):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_gap_fill_stream_matches_batch_minus_open_bucket(spark):
+    """Streaming gap-fill (emit-on-close) over one availableNow pass
+    must equal batch gap_fill minus each key's final (still-open)
+    bucket — gaps included, carries identical."""
+    from orientdb_spark.streaming import gap_fill_stream
+    from orientdb_spark.temporal import gap_fill
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = fix_event_nanos(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    src_dir = tempfile.mkdtemp(prefix="ospark_gf_src_")
+    ckpt = tempfile.mkdtemp(prefix="ospark_gf_ckpt_")
+    try:
+        events.write.mode("overwrite").parquet(src_dir)
+        stream = read_event_stream(spark, src_dir)
+        out = gap_fill_stream(stream, on=("user_id",), step_sec=21600)
+        assert out.isStreaming
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("gf_rows")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "select user_id, bucket_ts, n_obs, round(value, 6) as v, is_gap "
+            "from gf_rows"
+        )
+        batch = gap_fill(events, on=["user_id"], step_sec=21600)
+        from pyspark.sql import Window
+
+        last = Window.partitionBy("user_id")
+        closed = (
+            batch.withColumn("__mx", F.max("bucket_ts").over(last))
+            .filter(F.col("bucket_ts") < F.col("__mx"))
+            .select(
+                "user_id", "bucket_ts", "n_obs",
+                F.round("value", 6).alias("v"), "is_gap",
+            )
+        )
+        assert got.count() == closed.count()
+        assert got.exceptAll(closed).count() == 0
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_gap_fill_stream_state_carries_across_batches(spark):
+    """A gap spanning two micro-batches must still be filled: the open
+    bucket and carry live in GroupState, not in the batch."""
+    import datetime as dt
+
+    from orientdb_spark.streaming import gap_fill_stream
+
+    src_dir = tempfile.mkdtemp(prefix="ospark_gf2_src_")
+    ckpt = tempfile.mkdtemp(prefix="ospark_gf2_ckpt_")
+    t0 = dt.datetime(2024, 1, 1, 0, 30, 0)
+    schema = "user_id bigint, ts timestamp, value double"
+    try:
+        # two files -> maxFilesPerTrigger=1 gives two ordered
+        # micro-batches inside ONE availableNow query (same harness as
+        # the as-of cross-batch test)
+        b1 = spark.createDataFrame([(7, t0, 10.0)], schema)
+        b2 = spark.createDataFrame([(7, t0 + dt.timedelta(hours=3), 40.0)], schema)
+        b1.coalesce(1).write.parquet(src_dir + "/f0")
+        b2.coalesce(1).write.parquet(src_dir + "/f1")
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir + "/f*")
+        )
+        out = gap_fill_stream(stream, on=("user_id",), step_sec=3600)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("gf2_rows")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(60)
+        rows = sorted(
+            (r["bucket_ts"].hour, r["n_obs"], r["value"], r["is_gap"])
+            for r in spark.sql("select * from gf2_rows").collect()
+        )
+        # bucket 0 closed by the batch-2 event; 2 gap rows carry 10.0
+        assert rows == [(0, 1, 10.0, False), (1, 0, 10.0, True), (2, 0, 10.0, True)]
+        assert len(q.recentProgress) >= 2
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_gap_fill_stream_static_fallback(spark):
+    from orientdb_spark.streaming import gap_fill_stream
+
+    events = fix_event_nanos(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    out = gap_fill_stream(events, on=("user_id",), step_sec=21600)
+    assert not out.isStreaming and out.count() > 0
