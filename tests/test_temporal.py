@@ -668,3 +668,25 @@ def test_merge_upsert_semantics_and_schema_guard(spark):
     assert got == [(1, "a"), (2, "B"), (3, "c"), (9, "Z")]
     with _pytest.raises(ValueError):
         merge_upsert(t, s.withColumnRenamed("v", "w"), "k")
+
+
+def test_rolling_equals_self_range_join(spark):
+    """The skew-immune formulation: range_join_count(df, df) computes the
+    same trailing counts/sums as the RANGE-frame window when (key, ts)
+    is unique — the documented monster-key escape hatch, proven
+    equivalent on real data."""
+    from orientdb_spark.temporal import range_join_count, rolling_aggregate
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    win = rolling_aggregate(ev, on=["user_id"], window_sec=1800).select(
+        "event_id", "rolling_n", F.round("rolling_sum", 6).alias("s")
+    )
+    # half-open window (t-w, t] vs closed [t-w, t]: on this data no two
+    # same-user events are exactly 1800s apart, so the two agree; the
+    # boundary difference is covered by the handcrafted tests above
+    rj = range_join_count(
+        ev, ev, on=["user_id"], left_id="event_id", window_sec=1800, value="value"
+    ).select("event_id", F.col("n_in_window").alias("rolling_n"),
+             F.round("sum_value", 6).alias("s"))
+    assert win.count() == rj.count()
+    assert win.exceptAll(rj).count() == 0
