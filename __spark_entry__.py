@@ -364,6 +364,28 @@ def _graph_connected_components(spark, sf_dir):
     )
 
 
+def _graph_cc_incremental(spark, sf_dir):
+    """Warm-start connected components (graph.incremental_components):
+    prev = CC of the region-nation-customer subgraph; the orders edges
+    arrive as the delta and re-cluster via the CONTRACTED graph (old
+    components + delta endpoints), never re-touching old edges. The
+    oracle is the full-graph ground truth — equality proves the
+    incremental path lands on identical components."""
+    from orientdb_spark.graph import Graph, incremental_components
+
+    g = _graph(spark, sf_dir)
+    base_edges = g.edges.filter(F.col("label") != "placed")
+    base_verts = (
+        base_edges.select(F.col("src").alias("vid"))
+        .unionByName(base_edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    prev = Graph(base_verts, base_edges).connected_components()
+    delta = g.edges.filter(F.col("label") == "placed").select("src", "dst")
+    final = incremental_components(prev, delta)
+    return final.groupBy("component").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
 def _graph_pagerank(spark, sf_dir):
     g = _graph(spark, sf_dir)
     return g.pagerank(iterations=5).select("vid", F.round("rank", 8).alias("rank"))
@@ -2019,6 +2041,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "graph_bfs_levels": _graph_bfs_levels,
         "graph_connected_components": _graph_connected_components,
         "graph_pagerank": _graph_pagerank,
+        "graph_cc_incremental": _graph_cc_incremental,
         "graph_sssp": _graph_sssp,
         "graph_label_propagation": _graph_label_propagation,
         "graph_triangle_count": _graph_triangle_count,
@@ -2748,6 +2771,18 @@ def oracle_sql() -> dict[str, str]:
             "ON c_nationkey = n_nationkey WHERE n_regionkey = 0 "
             "UNION ALL SELECT 3, count(*) FROM orders JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey WHERE n_regionkey = 0"
+        ),
+        "graph_cc_incremental": (
+            # full-graph ground truth: incremental must land exactly here
+            "WITH vids AS ("
+            "SELECT r_regionkey AS rk, 'region:' || r_regionkey AS vid FROM region "
+            "UNION ALL SELECT n_regionkey, 'nation:' || n_nationkey FROM nation "
+            "UNION ALL SELECT n_regionkey, 'customer:' || c_custkey FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "UNION ALL SELECT n_regionkey, 'orders:' || o_orderkey FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey) "
+            "SELECT min(vid) AS component, count(*) AS n_vertices FROM vids GROUP BY rk"
         ),
         "graph_connected_components": (
             "WITH vids AS ("

@@ -605,3 +605,53 @@ def tpch_graph(engine) -> Graph:
         .unionByName(e("orders", "o_custkey", "customer", "o_orderkey", "orders", "placed"))
     )
     return Graph(vertices, edges)
+
+
+def incremental_components(
+    prev: DataFrame, new_edges: DataFrame, **cc_kwargs
+) -> DataFrame:
+    """Warm-start connected components: given a previous (vid, component)
+    assignment and a batch of NEW edges, contract every old component to
+    its representative id, run star contraction on the CONTRACTED graph
+    (old components + new endpoints — usually orders of magnitude
+    smaller than the full graph), and map the merged labels back.
+    Labels equal a from-scratch run on the union graph exactly: the
+    contracted representative ids are old min-vids, new vertices ride
+    as themselves, so the final min is the global min (tested).
+
+    This is the 100 TB ingest pattern: a daily edge delta re-clusters
+    in time proportional to (components + delta), not (vertices +
+    edges). Old edges never re-enter — their connectivity is fully
+    summarized by ``prev``."""
+    e = new_edges.select("src", "dst")
+    lsrc = prev.select(F.col("vid").alias("src"), F.col("component").alias("__cs"))
+    ldst = prev.select(F.col("vid").alias("dst"), F.col("component").alias("__cd"))
+    m = (
+        e.join(lsrc, "src", "left")
+        .join(ldst, "dst", "left")
+        .select(
+            F.coalesce("__cs", "src").alias("src"),
+            F.coalesce("__cd", "dst").alias("dst"),
+        )
+    )
+    verts = (
+        prev.select(F.col("component").alias("vid"))
+        .unionByName(m.select(F.col("src").alias("vid")))
+        .unionByName(m.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    cc2 = Graph(verts, m).connected_components(**cc_kwargs)
+    old = (
+        prev.select("vid", F.col("component").alias("__pc"))
+        .join(cc2.select(F.col("vid").alias("__pc"), "component"), "__pc")
+        .select("vid", "component")
+    )
+    newv = (
+        e.select(F.col("src").alias("vid"))
+        .unionByName(e.select(F.col("dst").alias("vid")))
+        .distinct()
+        .join(prev.select("vid"), "vid", "left_anti")
+        .join(cc2, "vid")
+        .select("vid", "component")
+    )
+    return old.unionByName(newv)

@@ -145,3 +145,51 @@ def test_lpa_property_random_graphs(spark):
         for rounds in (1, 3):
             got = {r["vid"]: r["label"] for r in g.label_propagation(rounds).collect()}
             assert got == _py_lpa(vertices, edges, rounds), f"trial {trial} r{rounds}"
+
+
+def test_incremental_components_equals_full(spark):
+    """Warm-start CC on an edge delta must produce IDENTICAL labels to a
+    from-scratch run on the union graph — including merges across old
+    components and brand-new vertices."""
+    import random
+
+    from orientdb_spark.graph import Graph, incremental_components
+
+    rng = random.Random(31)
+    n = 40
+    all_edges = list(
+        {
+            tuple(sorted((f"v{rng.randrange(n)}", f"v{rng.randrange(n)}")))
+            for _ in range(45)
+        }
+    )
+    all_edges = [(s, d) for s, d in all_edges if s != d]
+    half = len(all_edges) // 2
+    batch1, batch2 = all_edges[:half], all_edges[half:]
+    # new vertices appear only in batch2 (v40..) plus a bridging edge
+    batch2 += [("v40", "v41"), ("v0", "v40")]
+
+    def g(edges, verts):
+        return Graph(
+            spark.createDataFrame([(v,) for v in verts], ["vid"]),
+            spark.createDataFrame(edges, ["src", "dst"]),
+        )
+
+    verts1 = sorted({v for e in batch1 for v in e})
+    prev = g(batch1, verts1).connected_components()
+    inc = {
+        (r["vid"], r["component"])
+        for r in incremental_components(
+            prev, spark.createDataFrame(batch2, ["src", "dst"])
+        ).collect()
+    }
+    verts_all = sorted({v for e in all_edges + batch2 for v in e})
+    full = {
+        (r["vid"], r["component"])
+        for r in g(all_edges + batch2, verts_all).connected_components().collect()
+    }
+    # incremental covers prev vertices + batch2 endpoints; the full run
+    # additionally lists batch-1-isolated vertices — compare on overlap
+    inc_vids = {v for v, _ in inc}
+    assert inc == {(v, c) for v, c in full if v in inc_vids}
+    assert {v for v, _ in full} == inc_vids  # same coverage here in fact
