@@ -1314,6 +1314,45 @@ def _pipeline_rag_prep(spark, sf_dir):
     )
 
 
+def _pipeline_incremental_dedup(spark, sf_dir):
+    """Incremental near-dup clustering — the daily-crawl shape: the old
+    batch (doc_id % 3 != 0) is already clustered; the delta arrives,
+    only pairs TOUCHING a delta doc feed graph.incremental_components,
+    and old pairs never re-enter (their connectivity lives in the prev
+    labels; delta docs start as registered singletons). The oracle is
+    the FULL-corpus minhash -> transitive-closure ground truth, so
+    equality proves incremental == from-scratch. (Pair mining here
+    reuses the full-corpus LSH run for simplicity; in production the
+    stored band signatures make the delta-restricted bucket join
+    incremental too. Old-old pairs agree between the runs because
+    bucket ids depend only on each doc's own signature; the bucket-size
+    cap never triggers at these SFs.)"""
+    from orientdb_spark.graph import incremental_components
+    from orientdb_spark.pipeline import dedup, sampling
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    prev_pairs = dedup.minhash_lsh_pairs(old, threshold=0.9)
+    old_clusters = sampling.duplicate_clusters(prev_pairs)
+    prev = (
+        docs.select(F.col("doc_id").alias("vid"))
+        .join(
+            old_clusters.select(F.col("doc_id").alias("vid"), "cluster_id"),
+            "vid",
+            "left",
+        )
+        .select("vid", F.coalesce("cluster_id", F.col("vid")).alias("component"))
+    )
+    all_pairs = dedup.minhash_lsh_pairs(docs, threshold=0.9)
+    new_pairs = all_pairs.filter(
+        (F.col("id_a") % 3 == 0) | (F.col("id_b") % 3 == 0)
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    final = incremental_components(prev, new_pairs)
+    return final.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).select(F.col("component").alias("cluster_id"), "n_docs")
+
+
 def _sample_negatives(spark, sf_dir):
     """Deterministic contrastive negative sampling
     (pipeline/sampling.contrastive_negatives): 3 hash-drawn partners per
@@ -2103,6 +2142,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_vocabulary": _text_vocabulary,
         "text_chunk_documents": _text_chunk_documents,
         "pipeline_rag_prep": _pipeline_rag_prep,
+        "pipeline_incremental_dedup": _pipeline_incremental_dedup,
         "sample_negatives": _sample_negatives,
         "sample_weighted": _sample_weighted,
         "profile_json_keys": _profile_json_keys,
@@ -3157,6 +3197,17 @@ SELECT doc_id, cluster_id, lang, source,
             WHEN (('0x' || substring(md5('42:' || doc_id), 1, 15))::UBIGINT::BIGINT) % 10000 < 9900 THEN 'valid'
             ELSE 'test' END AS split
 FROM q WHERE rk = 1
+""",
+        "pipeline_incremental_dedup": _minhash_oracle_sql(pairs_cte=True)
+        + """,
+e AS (SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b AS a, id_a AS b FROM pairs),
+reach AS (SELECT a, b FROM e
+          UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+full0 AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
 """,
         "text_winnow_fingerprint": (
             # mirrors pipeline/text.winnow_fingerprints(k=5, window=4):
