@@ -714,6 +714,49 @@ def _event_range_join(spark, sf_dir):
     )
 
 
+def _event_transitions(spark, sf_dir):
+    """First-order Markov transition counts between consecutive event
+    types per user (the product-analytics path matrix): one lag window
+    on (user, ts) + one pair groupBy, with per-source probabilities from
+    a window sum — no self-join against the shifted stream."""
+    from pyspark.sql import Window
+
+    ev = _engine(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    pairs = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn("__next", F.lead("event_type").over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("__next").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    )
+
+
+def _profile_correlations(spark, sf_dir):
+    """Pairwise Pearson correlations over lineitem numerics in ONE
+    aggregate pass (every F.corr rides the same map-side agg — no
+    per-pair scans). DuckDB's corr shares the definition; 6-dp rounding
+    absorbs accumulation-order ulps."""
+    li = _engine(spark, sf_dir).table("lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [
+        F.round(F.corr(a, b), 6).alias(f"corr_{a[2:]}_{b[2:]}")
+        for i, a in enumerate(cols)
+        for b in cols[i + 1 :]
+    ]
+    return li.agg(*aggs)
+
+
 def _event_pivot(spark, sf_dir):
     """Pivot/crosstab: per-user event-type value sums spread into
     columns. Spark's groupBy().pivot() with EXPLICIT pivot values — the
@@ -1396,6 +1439,17 @@ def _text_chunk_documents(spark, sf_dir):
         "n_tokens",
         F.md5(F.encode("chunk_text", "UTF-8")).alias("chunk_digest"),
     )
+
+
+def _text_cooccurrence(spark, sf_dir):
+    """Top-40 token co-occurrence pairs with PMI over the top-30
+    document-frequency vocabulary (pipeline/text.cooccurrence). The
+    in-row pair expansion is checked against the oracle's naive
+    (doc, token) self-join — two independent formulations of the same
+    counts."""
+    from orientdb_spark.pipeline import text
+
+    return text.cooccurrence(_docs(spark, sf_dir), top_terms=30, k=40)
 
 
 def _text_vocabulary(spark, sf_dir):
@@ -2103,6 +2157,8 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "event_scd2": _event_scd2,
         "event_rolling_avg": _event_rolling_avg,
         "event_pivot": _event_pivot,
+        "event_transitions": _event_transitions,
+        "profile_correlations": _profile_correlations,
         "profile_iqr_outliers": _profile_iqr_outliers,
         "storage_merge_upsert": _storage_merge_upsert,
         "event_range_join": _event_range_join,
@@ -2141,6 +2197,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_tfidf_topterms": _text_tfidf,
         "text_vocabulary": _text_vocabulary,
         "text_chunk_documents": _text_chunk_documents,
+        "text_cooccurrence": _text_cooccurrence,
         "pipeline_rag_prep": _pipeline_rag_prep,
         "pipeline_incremental_dedup": _pipeline_incremental_dedup,
         "sample_negatives": _sample_negatives,
@@ -2884,6 +2941,26 @@ def oracle_sql() -> dict[str, str]:
             "(lead(ts) OVER w2 IS NULL) AS is_current "
             "FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)"
         ),
+        "event_transitions": (
+            "WITH p AS (SELECT event_type AS from_type, "
+            "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS to_type "
+            "FROM events), "
+            "c AS (SELECT from_type, to_type, count(*)::BIGINT AS n FROM p "
+            "WHERE to_type IS NOT NULL GROUP BY 1, 2) "
+            "SELECT from_type, to_type, n, "
+            "round(n / (sum(n) OVER (PARTITION BY from_type)), 6) AS p FROM c"
+        ),
+        "profile_correlations": (
+            "SELECT round(corr(l_quantity, l_extendedprice), 6) "
+            "AS corr_quantity_extendedprice, "
+            "round(corr(l_quantity, l_discount), 6) AS corr_quantity_discount, "
+            "round(corr(l_quantity, l_tax), 6) AS corr_quantity_tax, "
+            "round(corr(l_extendedprice, l_discount), 6) "
+            "AS corr_extendedprice_discount, "
+            "round(corr(l_extendedprice, l_tax), 6) AS corr_extendedprice_tax, "
+            "round(corr(l_discount, l_tax), 6) AS corr_discount_tax "
+            "FROM lineitem"
+        ),
         "event_pivot": (
             "SELECT user_id, "
             "coalesce(round(sum(value) FILTER (event_type = 'click'), 4), 0.0) "
@@ -3370,6 +3447,26 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "SELECT split, count(*)::BIGINT AS n_chunks, "
             "sum(n_tokens)::BIGINT AS total_tokens, "
             "min(chunk_id) AS first_chunk FROM sp GROUP BY split"
+        ),
+        "text_cooccurrence": (
+            # naive (doc, token) self-join — independent of the in-row
+            # pair expansion the Spark side uses
+            "WITH ex AS (SELECT DISTINCT doc_id, unnest(list_filter("
+            "regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)) AS token "
+            "FROM documents), "
+            "dfq AS (SELECT token, count(*)::BIGINT AS n_docs FROM ex GROUP BY token "
+            "ORDER BY n_docs DESC, token LIMIT 30), "
+            "kept AS (SELECT ex.doc_id, ex.token FROM ex JOIN dfq USING (token)), "
+            "pc AS (SELECT a.token AS ta, b.token AS tb, count(*)::BIGINT AS n_ab "
+            "FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.token < b.token "
+            "GROUP BY 1, 2), "
+            "nn AS (SELECT count(*)::DOUBLE AS N FROM documents), "
+            "sc AS (SELECT ta, tb, n_ab, round(ln(n_ab * N / "
+            "(da.n_docs * db.n_docs)), 6) AS pmi "
+            "FROM pc JOIN dfq da ON pc.ta = da.token "
+            "JOIN dfq db ON pc.tb = db.token, nn), "
+            "r AS (SELECT *, row_number() OVER (ORDER BY n_ab DESC, ta, tb) AS rk "
+            "FROM sc) SELECT ta, tb, n_ab, pmi FROM r WHERE rk <= 40"
         ),
         "text_vocabulary": (
             "WITH toks AS (SELECT unnest(list_filter("

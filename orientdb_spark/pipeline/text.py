@@ -790,3 +790,77 @@ def chunk_documents(
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+def cooccurrence(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_terms: int = 50,
+    k: int = 100,
+) -> DataFrame:
+    """Token co-occurrence mining with PMI over the document corpus:
+    restrict to the ``top_terms`` highest-document-frequency tokens
+    (the blocking step — pair fan-out is bounded by C(top_terms, 2) per
+    doc, never vocabulary^2), expand each doc's surviving token set to
+    ordered pairs IN-ROW, count pairs corpus-wide, and score
+    pmi = ln(n_ab * N / (n_a * n_b)). Returns the top ``k`` pairs under
+    the total (count desc, ta, tb) order:
+    (ta, tb, n_ab, pmi).
+
+    The oracle deliberately uses the naive (doc,token) self-join
+    formulation — agreement checks the in-row expansion against an
+    independent shape."""
+    from pyspark.sql import Window
+
+    toks = F.array_distinct(ws_tokens(F.lower(F.col(text_col))))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    docfreq = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("n_docs"))
+    vocab = (
+        docfreq.orderBy(F.col("n_docs").desc(), F.col("token")).limit(top_terms)
+    )
+    kept = exploded.join(F.broadcast(vocab.select("token")), "token")
+    per_doc = kept.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("token")).alias("__t")
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("__t"),
+            lambda a, i: F.transform(
+                F.slice(F.col("__t"), i + 2, F.size("__t")),
+                lambda b: F.struct(a.alias("ta"), b.alias("tb")),
+            ),
+        )
+    )
+    pair_counts = (
+        per_doc.select(F.explode(pairs_arr).alias("__p"))
+        .groupBy(F.col("__p.ta").alias("ta"), F.col("__p.tb").alias("tb"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    n_total = df.agg(F.count(F.lit(1)).alias("__N"))
+    scored = (
+        pair_counts.join(
+            F.broadcast(vocab.select(F.col("token").alias("ta"), F.col("n_docs").alias("__na"))),
+            "ta",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("token").alias("tb"), F.col("n_docs").alias("__nb"))),
+            "tb",
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "ta",
+            "tb",
+            "n_ab",
+            F.round(
+                F.log(F.col("n_ab") * F.col("__N") / (F.col("__na") * F.col("__nb"))),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("n_ab").desc(), "ta", "tb")
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -467,3 +467,27 @@ def test_chunk_documents_rejects_bad_params(spark):
     for ck, ov in ((0, 0), (8, 8), (8, -1)):
         with _pytest.raises(ValueError):
             chunk_documents(docs, chunk_tokens=ck, overlap=ov)
+
+
+def test_cooccurrence_counts_and_pmi(spark):
+    import math
+
+    from orientdb_spark.pipeline.text import cooccurrence
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z"),
+            (2, "x y"),
+            (3, "x q"),
+            (4, "y y x"),   # duplicate token counts once per doc
+        ],
+        ["doc_id", "text"],
+    )
+    got = {(r["ta"], r["tb"]): (r["n_ab"], r["pmi"])
+           for r in cooccurrence(docs, top_terms=10, k=10).collect()}
+    # x in 4 docs, y in 3, together in 3; N=4
+    n_ab, pmi = got[("x", "y")]
+    assert n_ab == 3
+    assert abs(pmi - round(math.log(3 * 4 / (4 * 3)), 6)) < 1e-9  # = 0
+    assert got[("x", "z")][0] == 1 and got[("y", "z")][0] == 1
+    assert ("q", "x") in got  # ordered pair, q < x lexicographically
