@@ -690,3 +690,104 @@ def test_rolling_equals_self_range_join(spark):
              F.round("sum_value", 6).alias("s"))
     assert win.count() == rj.count()
     assert win.exceptAll(rj).count() == 0
+
+
+def _py_gap_fill(rows, step):
+    """Sequential reference: bucket avg + dense spine + forward fill."""
+    from collections import defaultdict
+
+    obs = defaultdict(list)
+    for k, ts_us, v in rows:
+        obs[(k, ts_us // (step * 1_000_000))].append(v)
+    out = {}
+    keys = {k for k, _, _ in rows}
+    for k in keys:
+        bs = sorted(b for kk, b in obs if kk == k)
+        carry = None
+        for b in range(bs[0], bs[-1] + 1):
+            vals = obs.get((k, b))
+            if vals:
+                carry = sum(vals) / len(vals)
+                out[(k, b)] = (len(vals), round(carry, 6), False)
+            else:
+                out[(k, b)] = (0, round(carry, 6), True)
+    return out
+
+
+def test_gap_fill_property_random_series(spark):
+    import datetime as dt
+    import random
+
+    from orientdb_spark.temporal import gap_fill
+
+    rng = random.Random(17)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for k in ("a", "b", "c"):
+        for _ in range(rng.randrange(3, 12)):
+            ts = base + dt.timedelta(minutes=rng.randrange(0, 3000))
+            rows.append((k, ts, round(rng.uniform(-5, 5), 3)))
+    rows = list({(k, ts): v for k, ts, v in rows}.items())
+    rows = [(k, ts, v) for (k, ts), v in rows]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"])
+    got = {
+        (r["k"], int(r["bucket_ts"].timestamp() // 3600)): (
+            r["n_obs"],
+            round(r["value"], 6),
+            r["is_gap"],
+        )
+        for r in gap_fill(df, on=["k"], step_sec=3600).collect()
+    }
+    ref = _py_gap_fill(
+        [(k, int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000), v)
+         for k, ts, v in rows],
+        3600,
+    )
+    assert got == ref
+
+
+def _py_scd2(rows):
+    """Sequential reference: change-collapse + interval close per key."""
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for k, ts, a in rows:
+        by[k].append((ts, a))
+    out = []
+    for k, seq in by.items():
+        seq.sort()
+        changes = [
+            (ts, a)
+            for i, (ts, a) in enumerate(seq)
+            if i == 0 or a != seq[i - 1][1]
+        ]
+        for i, (ts, a) in enumerate(changes):
+            nxt = changes[i + 1][0] if i + 1 < len(changes) else None
+            out.append((k, a, ts, nxt, i + 1, nxt is None))
+    return sorted(out)
+
+
+def test_scd2_property_random_streams(spark):
+    import datetime as dt
+    import random
+
+    from orientdb_spark.temporal import scd2_intervals
+
+    rng = random.Random(29)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    used = set()
+    for k in ("u", "v", "w"):
+        for _ in range(rng.randrange(4, 15)):
+            ts = base + dt.timedelta(minutes=rng.randrange(0, 500))
+            if (k, ts) in used:
+                continue
+            used.add((k, ts))
+            rows.append((k, ts, rng.choice("AB")))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "state"])
+    got = sorted(
+        (r["user_id"], r["state"], r["valid_from"], r["valid_to"],
+         r["version"], r["is_current"])
+        for r in scd2_intervals(df, key="user_id", attrs=["state"]).collect()
+    )
+    assert got == _py_scd2(rows)
