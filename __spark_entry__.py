@@ -1441,6 +1441,21 @@ def _text_chunk_documents(spark, sf_dir):
     )
 
 
+def _text_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training (pipeline/text.bpe_train) — 10 merge
+    rounds over the corpus word-frequency table. Rows-only by design:
+    the per-round global argmax is inherently iterative (one collected
+    row per round), so the gate is the sequential-reference equality in
+    tests/test_text_pipeline.py, not a SQL oracle."""
+    from orientdb_spark.pipeline.text import bpe_train
+
+    merges, _ = bpe_train(_docs(spark, sf_dir), n_merges=10)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        ["rank", "left", "right"],
+    )
+
+
 def _text_cooccurrence(spark, sf_dir):
     """Top-40 token co-occurrence pairs with PMI over the top-30
     document-frequency vocabulary (pipeline/text.cooccurrence). The
@@ -2198,6 +2213,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_vocabulary": _text_vocabulary,
         "text_chunk_documents": _text_chunk_documents,
         "text_cooccurrence": _text_cooccurrence,
+        "text_bpe_merges": _text_bpe_merges,
         "pipeline_rag_prep": _pipeline_rag_prep,
         "pipeline_incremental_dedup": _pipeline_incremental_dedup,
         "sample_negatives": _sample_negatives,

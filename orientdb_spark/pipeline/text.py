@@ -864,3 +864,85 @@ def cooccurrence(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def _merge_pair_col(arr: Column, a: str, b: str, ab: str) -> Column:
+    """Left-to-right non-overlapping merge of adjacent (a, b) inside a
+    symbol array — the BPE apply step as one aggregate fold (the
+    replace-last trick: overlapping runs resolve exactly like the
+    sequential scan)."""
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == a)
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    end_of_word: str = "</w>",
+) -> tuple[list, DataFrame]:
+    """Train byte-pair-encoding merges on the corpus (Sennrich et al.
+    2016, the LLM tokenizer-training loop) distributed: the corpus
+    collapses ONCE to a (word, freq) table — all later work is
+    vocabulary-sized, not corpus-sized — then each round counts
+    adjacent symbol pairs in-row (weighted by word frequency), picks
+    the global argmax under the total (count desc, pair) order, and
+    applies the merge with a columnar fold. Driver state is ONE row per
+    round (the winning pair) — the legitimate bounded collect, same
+    discipline as the IVF centroid pull.
+
+    Returns (merges, vocab_df): ``merges`` is [(left, right)] in rank
+    order; ``vocab_df`` is the final (word, freq, symbols) table.
+    Deterministic: ties at the argmax break lexicographically, so
+    re-runs and the sequential reference agree exactly (tested)."""
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    words = (
+        df.select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.concat(
+                F.split(F.col("word"), ""), F.array(F.lit(end_of_word))
+            ).alias("symbols"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_arr = F.transform(
+            F.sequence(F.lit(1), F.size("symbols") - 1),
+            lambda i: F.struct(
+                F.element_at("symbols", i).alias("a"),
+                F.element_at("symbols", i + 1).alias("b"),
+            ),
+        )
+        top = (
+            words.filter(F.size("symbols") >= 2)
+            .select("freq", F.explode(pair_arr).alias("__p"))
+            .groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        words = words.withColumn(
+            "symbols", _merge_pair_col(F.col("symbols"), a, b, a + b)
+        ).localCheckpoint(eager=True)
+    return merges, words

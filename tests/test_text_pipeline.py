@@ -491,3 +491,78 @@ def test_cooccurrence_counts_and_pmi(spark):
     assert abs(pmi - round(math.log(3 * 4 / (4 * 3)), 6)) < 1e-9  # = 0
     assert got[("x", "z")][0] == 1 and got[("y", "z")][0] == 1
     assert ("q", "x") in got  # ordered pair, q < x lexicographically
+
+
+def _py_bpe(word_freqs, n):
+    """Sequential reference BPE (Sennrich et al. 2016 pseudocode),
+    ties broken lexicographically."""
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n):
+        counts = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        merges.append(pair)
+        new = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == pair[0]
+                    and syms[i + 1] == pair[1]
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new[t] = new.get(t, 0) + f
+        vocab = new
+    return merges, vocab
+
+
+def test_bpe_train_matches_reference(spark):
+    import random
+
+    from orientdb_spark.pipeline.text import bpe_train
+
+    rng = random.Random(13)
+    words = ["low", "lower", "lowest", "newer", "newest", "wide", "wider"]
+    corpus = " ".join(rng.choice(words) for _ in range(300))
+    docs = spark.createDataFrame([(1, corpus)], ["doc_id", "text"])
+    merges, vocab_df = bpe_train(docs, n_merges=12)
+
+    freqs: dict = {}
+    for w in corpus.split():
+        freqs[w] = freqs.get(w, 0) + 1
+    ref_merges, ref_vocab = _py_bpe(freqs, 12)
+    assert merges == ref_merges
+    got_vocab = {
+        tuple(r["symbols"]): r["freq"] for r in vocab_df.collect()
+    }
+    assert got_vocab == ref_vocab
+
+
+def test_bpe_repeated_symbol_runs_merge_left_to_right(spark):
+    from orientdb_spark.pipeline.text import bpe_train
+
+    # 'aaaa' stresses the overlapping-run rule: (a,a) merges pairwise
+    # left-to-right -> ['aa','aa','</w>'] after one merge (three 'a a'
+    # pairs collapse to two tokens, not a chain)
+    docs = spark.createDataFrame([(1, "aaaa aaaa aaaa")], ["doc_id", "text"])
+    merges, vocab_df = bpe_train(docs, n_merges=1)
+    assert merges == [("a", "a")]
+    syms = vocab_df.collect()[0]["symbols"]
+    assert syms == ["aa", "aa", "</w>"]
+    # second round: ('aa','</w>') and ('aa','aa') tie at 3 — the '<' of
+    # the end marker sorts first, matching the sequential reference
+    merges2, vocab2 = bpe_train(docs, n_merges=2)
+    freqs = {"aaaa": 3}
+    assert (merges2, {tuple(r["symbols"]): r["freq"] for r in vocab2.collect()}) == _py_bpe(freqs, 2)
