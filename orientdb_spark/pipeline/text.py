@@ -946,3 +946,38 @@ def bpe_train(
             "symbols", _merge_pair_col(F.col("symbols"), a, b, a + b)
         ).localCheckpoint(eager=True)
     return merges, words
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Apply a learned BPE merge table: each word becomes chars + the
+    end marker, then every merge folds through IN RANK ORDER (the order
+    is semantics — a later merge can only see symbols earlier merges
+    created). One narrow projection, no shuffle, expression depth is
+    len(merges) nested folds. Returns (id, n_words, n_tokens,
+    tokens_per_word) — the corpus token-count under the trained
+    tokenizer. Segmentation provably equals the training vocabulary's
+    (tested by joining encoded words back to bpe_train's vocab)."""
+    symbols = F.transform(
+        ws_tokens(F.lower(F.col(text_col))),
+        lambda w: F.concat(F.split(w, ""), F.array(F.lit(end_of_word))),
+    )
+    for a, b in merges:
+        symbols = F.transform(symbols, lambda s: _merge_pair_col(s, a, b, a + b))
+    return df.select(
+        F.col(id_col),
+        F.size(symbols).alias("n_words"),
+        F.aggregate(
+            F.transform(symbols, lambda s: F.size(s)),
+            F.lit(0),
+            lambda acc, n: acc + n,
+        ).alias("n_tokens"),
+    ).withColumn(
+        "tokens_per_word",
+        F.round(F.col("n_tokens") / F.greatest(F.col("n_words"), F.lit(1)), 6),
+    )

@@ -566,3 +566,29 @@ def test_bpe_repeated_symbol_runs_merge_left_to_right(spark):
     merges2, vocab2 = bpe_train(docs, n_merges=2)
     freqs = {"aaaa": 3}
     assert (merges2, {tuple(r["symbols"]): r["freq"] for r in vocab2.collect()}) == _py_bpe(freqs, 2)
+
+
+def test_bpe_encode_matches_training_vocab_segmentation(spark):
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.text import bpe_encode, bpe_train, ws_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "lower lowest newer newest lower"), (2, "wide wider wide")],
+        ["doc_id", "text"],
+    )
+    merges, vocab = bpe_train(docs, n_merges=8)
+    # encode single-word docs and compare the implied token count with
+    # the training vocabulary's segmentation length, word by word
+    words = vocab.select("word", F.size("symbols").alias("n_syms")).collect()
+    single = spark.createDataFrame(
+        [(i, r["word"]) for i, r in enumerate(words)], ["doc_id", "text"]
+    )
+    enc = {r["doc_id"]: r["n_tokens"] for r in bpe_encode(single, merges).collect()}
+    for i, r in enumerate(words):
+        assert enc[i] == r["n_syms"], r["word"]
+    # more merges never increase the token count
+    m2, _ = bpe_train(docs, n_merges=2)
+    enc2 = bpe_encode(docs, m2).agg(F.sum("n_tokens")).collect()[0][0]
+    enc8 = bpe_encode(docs, merges).agg(F.sum("n_tokens")).collect()[0][0]
+    assert enc8 <= enc2
