@@ -364,6 +364,18 @@ def _graph_connected_components(spark, sf_dir):
     )
 
 
+def _graph_pagerank_personalized(spark, sf_dir):
+    """Personalized PageRank with the restart vector pinned to region:0
+    (Graph.pagerank(personalized_for=...)): teleport mass rides the
+    zero-message carrier, so personalization costs no extra join or
+    exchange. Oracle: the same unrolled power-iteration CTE with the
+    restart-vector teleport."""
+    g = _graph(spark, sf_dir)
+    return g.pagerank(iterations=5, personalized_for=["region:0"]).select(
+        "vid", F.round("rank", 8).alias("rank")
+    )
+
+
 def _graph_cc_incremental(spark, sf_dir):
     """Warm-start connected components (graph.incremental_components):
     prev = CC of the region-nation-customer subgraph; the orders edges
@@ -2150,6 +2162,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "graph_connected_components": _graph_connected_components,
         "graph_pagerank": _graph_pagerank,
         "graph_cc_incremental": _graph_cc_incremental,
+        "graph_pagerank_personalized": _graph_pagerank_personalized,
         "graph_sssp": _graph_sssp,
         "graph_label_propagation": _graph_label_propagation,
         "graph_triangle_count": _graph_triangle_count,
@@ -2555,19 +2568,29 @@ def _lpa_oracle(iterations: int = 3) -> str:
     )
 
 
-def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+def _pagerank_oracle(
+    iterations: int = 5, damping: float = 0.85, sources: list | None = None
+) -> str:
     """Unrolled power-iteration CTE chain mirroring Graph.pagerank on the
     tpch_graph fixture (region→nation→customer→orders). DuckDB follows
     the Postgres rule of no aggregates in a recursive term, so the fixed
-    iteration count is unrolled: r_i = (1-d)/n + d·Σ_in r_{i-1}·w, with
-    the LEFT JOIN back to the vertex set standing in for the engine's
-    zero-message dangling carrier."""
+    iteration count is unrolled: r_i = (1-d)·tp(v) + d·Σ_in r_{i-1}·w,
+    with the LEFT JOIN back to the vertex set standing in for the
+    engine's zero-message dangling carrier. ``sources`` switches tp to
+    the personalized restart vector (1/|S| on sources, 0 elsewhere);
+    the uniform branch multiplies (1-d) by (1/n) — the engine's exact
+    IEEE expression order, not the algebraically-equal (1-d)/n."""
+    if sources:
+        in_list = ", ".join(f"'{s}'" for s in sources)
+        tp = f"(CASE WHEN v.vid IN ({in_list}) THEN {1.0 / len(sources)!r} ELSE 0.0 END)"
+    else:
+        tp = "(1.0 / (SELECT nv FROM nn))"
     steps = []
     for i in range(1, iterations + 1):
         steps.append(
             f"s{i} AS (SELECT adj.dst AS vid, sum(r{i-1}.rank * adj.w) AS m "
             f"FROM r{i-1} JOIN adj ON r{i-1}.vid = adj.src GROUP BY adj.dst), "
-            f"r{i} AS (SELECT v.vid, {1.0 - damping}/(SELECT nv FROM nn) + "
+            f"r{i} AS (SELECT v.vid, {1.0 - damping} * {tp} + "
             f"{damping} * coalesce(s{i}.m, 0) AS rank "
             f"FROM v LEFT JOIN s{i} ON v.vid = s{i}.vid)"
         )
@@ -2586,7 +2609,7 @@ def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
         "UNION ALL SELECT 'customer:' || o_custkey, 'orders:' || o_orderkey "
         "FROM orders), "
         "adj AS (SELECT src, dst, 1.0 / count(*) OVER (PARTITION BY src) AS w FROM e), "
-        "r0 AS (SELECT vid, 1.0 / (SELECT nv FROM nn) AS rank FROM v), "
+        f"r0 AS (SELECT vid, {tp.replace('v.vid', 'vid')} AS rank FROM v), "
         + ", ".join(steps)
         + f" SELECT vid, round(rank, 8) AS rank FROM r{iterations}"
     )
@@ -3715,6 +3738,9 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
         # all (round 6): unrolled power-iteration CTE, rounded at 1e-8 on
         # both sides (the pytest power-iteration gate at 1e-6 stays)
         "graph_pagerank": _pagerank_oracle(iterations=5, damping=0.85),
+        "graph_pagerank_personalized": _pagerank_oracle(
+            iterations=5, damping=0.85, sources=["region:0"]
+        ),
         "graph_sssp": _sssp_oracle(iterations=6),
         "graph_label_propagation": _lpa_oracle(iterations=3),
         # no-oracle entries (approximate / stub): approx_distinct_parts,

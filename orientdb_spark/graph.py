@@ -412,9 +412,22 @@ class Graph:
             )
         raise RuntimeError(f"k-core did not converge in {max_iter} rounds")
 
-    def pagerank(self, iterations: int = 10, damping: float = 0.85) -> DataFrame:
+    def pagerank(
+        self,
+        iterations: int = 10,
+        damping: float = 0.85,
+        personalized_for: list | None = None,
+    ) -> DataFrame:
         """Iterative PageRank via aggregate-messages joins (the Pregel
-        formulation on DataFrames). Returns (vid, rank)."""
+        formulation on DataFrames). Returns (vid, rank).
+
+        ``personalized_for`` switches to personalized PageRank (the
+        recommendation/similarity ranking): the teleport mass lands only
+        on the given source vertices (1/|S| each) instead of uniformly —
+        r_i(v) = (1-d)·p(v) + d·Σ msgs. Same one-exchange-per-iteration
+        loop: the teleport vector rides the zero-message carrier (max()
+        recovers it after the sum groupBy — msgs carry tp=0), so
+        personalization adds NO join."""
         from pyspark.sql import Window
 
         n = self.vertices.count()
@@ -438,25 +451,37 @@ class Graph:
             .persist()
         )
         vids = self.vertices.select("vid").persist()
+        if personalized_for is not None:
+            if not personalized_for:
+                raise ValueError("personalized_for must name at least one vertex")
+            tp = F.when(
+                F.col("vid").isin(list(personalized_for)),
+                F.lit(1.0 / len(personalized_for)),
+            ).otherwise(F.lit(0.0))
+        else:
+            tp = F.lit(1.0 / n)
         # zero-message carrier: unioned into every round's aggregation so
         # dangling vertices (no in-edges) survive with msg=0 WITHOUT a
         # second join per iteration — one exchange per round (the message
         # groupBy) instead of two (groupBy + vids left-join). The union is
-        # narrow; sum() absorbs the zeros.
-        zeros = vids.withColumn("contrib", F.lit(0.0))
-        ranks = vids.withColumn("rank", F.lit(1.0 / n))
+        # narrow; sum() absorbs the zeros, and max() recovers the carried
+        # teleport (message rows ride tp=0).
+        zeros = vids.withColumn("contrib", F.lit(0.0)).withColumn("__tp", tp)
+        ranks = vids.withColumn("rank", tp)
         for i in range(iterations):
             msgs = ranks.join(adj, ranks["vid"] == adj["src"]).select(
-                F.col("dst").alias("vid"), (F.col("rank") * F.col("w")).alias("contrib")
+                F.col("dst").alias("vid"),
+                (F.col("rank") * F.col("w")).alias("contrib"),
+                F.lit(0.0).alias("__tp"),
             )
             ranks = (
                 msgs.unionByName(zeros)
                 .groupBy("vid")
-                .agg(F.sum("contrib").alias("msg"))
+                .agg(F.sum("contrib").alias("msg"), F.max("__tp").alias("__t"))
                 .select(
                     "vid",
                     (
-                        F.lit((1.0 - damping) / n)
+                        F.lit(1.0 - damping) * F.col("__t")
                         + F.lit(damping) * F.col("msg")
                     ).alias("rank"),
                 )

@@ -58,3 +58,32 @@ def test_pagerank_matches_power_iteration(graph):
     n = len(vids)
     floor = (1.0 - DAMPING) / n
     assert min(got.values()) >= floor - 1e-12
+
+
+def test_personalized_pagerank_concentrates_on_source_subtree(spark):
+    """PPR from region:0 must give its own subtree strictly positive
+    rank and every other region's subtree exactly zero (the FK graph is
+    a forest — no path crosses regions), and the source must dominate
+    nothing upstream of it (nothing points at region:0)."""
+    from pyspark.sql import functions as F
+
+    from orientdb_spark import Engine
+    from orientdb_spark.graph import tpch_graph
+
+    eng = Engine(spark)
+    eng.register_parquet_dir("/root/testdata/sf0.001")
+    g = tpch_graph(eng)
+    pr = g.pagerank(iterations=5, personalized_for=["region:0"])
+    nations = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in eng.table("nation").select("n_nationkey", "n_regionkey").collect()
+    }
+    rows = {r["vid"]: r["rank"] for r in pr.filter(F.col("vid").like("nation:%")).collect()}
+    for vid, rank in rows.items():
+        rk = nations[int(vid.split(":")[1])]
+        if rk == 0:
+            assert rank > 0, vid
+        else:
+            assert rank == 0.0, vid
+    src_rank = pr.filter(F.col("vid") == "region:0").collect()[0]["rank"]
+    assert src_rank > 0
