@@ -1089,6 +1089,17 @@ def _embedding_random_projection(spark, sf_dir):
     )
 
 
+def _embedding_nearest_centroid(spark, sf_dir):
+    """Nearest-centroid classification confusion matrix
+    (pipeline/similarity.nearest_centroid_confusion): every vector
+    assigned to its highest-cosine class prototype, cross-tabbed
+    against the true label. Oracle rebuilds centroids and the rounded
+    argmax in SQL."""
+    from orientdb_spark.pipeline.similarity import nearest_centroid_confusion
+
+    return nearest_centroid_confusion(_embs(spark, sf_dir))
+
+
 def _embedding_kmeans(spark, sf_dir):
     """Spherical k-means cluster sizes (rows-only by design: the mean
     update sums floats in partition order, so centroid last-ulp wiggle
@@ -2209,6 +2220,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_embedding_cosine": _dedup_embedding,
         "embedding_quantize": _embedding_quantize,
         "embedding_random_projection": _embedding_random_projection,
+        "embedding_nearest_centroid": _embedding_nearest_centroid,
         "embedding_kmeans": _embedding_kmeans,
         "embedding_label_centroids": _embedding_label_centroids,
         # pipeline: similarity
@@ -3366,6 +3378,23 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "round(max(err), 9) AS max_abs_err FROM e GROUP BY vec_id"
         ),
         "embedding_random_projection": _rp_oracle_sql(),
+        "embedding_nearest_centroid": (
+            "WITH ex AS (SELECT label, u.pos AS pos, u.x AS x FROM ("
+            "SELECT label, unnest(list_transform(range(1, len(embedding) + 1), "
+            "i -> {'pos': i, 'x': embedding[i::INTEGER]::DOUBLE})) AS u "
+            "FROM embeddings)), "
+            "dims AS (SELECT label AS clabel, pos, avg(x) AS m FROM ex GROUP BY 1, 2), "
+            "cent AS (SELECT clabel, list(m ORDER BY pos) AS c FROM dims "
+            "GROUP BY clabel), "
+            "vv AS (SELECT vec_id, label, "
+            "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), "
+            "sc AS (SELECT vec_id, label, clabel, "
+            "round(" + _COS.format(a="v", b="c") + ", 6) AS s FROM vv, cent), "
+            "b AS (SELECT vec_id, label, clabel, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY s DESC, clabel) AS rk FROM sc) "
+            "SELECT label, clabel::INTEGER AS predicted, count(*)::BIGINT AS n "
+            "FROM b WHERE rk = 1 GROUP BY 1, 2"
+        ),
         "text_lm_score": _lm_oracle_sql(),
         "text_unicode_normalize": (
             "WITH fx AS (SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 "

@@ -449,3 +449,41 @@ def label_centroids(
             F.collect_list(F.struct(F.col("pos"), F.col("m")))
         ).getField("m").alias("centroid"),
     )
+
+
+def nearest_centroid_confusion(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid classification self-evaluation: assign every
+    vector to its highest-cosine class prototype (label_centroids) and
+    cross-tabulate against the true label — the confusion matrix that
+    tells you whether an embedding space separates its classes at all.
+    Returns (label, predicted, n).
+
+    The centroid table is k rows and broadcasts; assignment is a
+    k-fan-out narrow join + one (vec, centroid)-cosine per pair, argmax
+    via struct-max with the 6-dp-rounded score (cross-engine FP
+    discipline) and the label as tiebreak. One corpus-sized groupBy."""
+    from orientdb_spark.pipeline.common import cosine_similarity
+
+    cents = label_centroids(df, label_col=label_col, vec_col=vec_col).select(
+        F.col("label").alias("__clabel"), F.col("centroid")
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    scored = df.select(
+        F.col(id_col), F.col(label_col).alias("label"), vec.alias("__v")
+    ).crossJoin(F.broadcast(cents))
+    score = F.round(cosine_similarity(F.col("__v"), F.col("centroid")), 6)
+    best = (
+        scored.groupBy(id_col, "label")
+        .agg(
+            F.max(
+                F.struct(score.alias("s"), (-F.col("__clabel")).alias("nl"))
+            ).alias("__w")
+        )
+        .select("label", (-F.col("__w.nl")).cast("int").alias("predicted"))
+    )
+    return best.groupBy("label", "predicted").agg(F.count(F.lit(1)).alias("n"))

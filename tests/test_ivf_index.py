@@ -182,3 +182,31 @@ def test_label_centroids_handcrafted(spark):
     out = {r["label"]: r for r in label_centroids(df).collect()}
     assert out["a"]["n_members"] == 2 and out["a"]["centroid"] == [2.0, 4.0]
     assert out["b"]["n_members"] == 1 and out["b"]["centroid"] == [10.0, 0.0]
+
+
+def test_nearest_centroid_confusion_on_separable_clusters(spark):
+    """Handcrafted separable classes: tight clusters around orthogonal
+    axes must classify perfectly; a vector planted closer to the other
+    class's prototype must be its one off-diagonal count."""
+    from orientdb_spark.pipeline.similarity import nearest_centroid_confusion
+
+    rows = []
+    vid = 0
+    for label, axis in ((0, 0), (1, 1)):
+        for i in range(5):
+            v = [0.0] * 8
+            v[axis] = 10.0
+            v[7] = 0.1 * i
+            rows.append((vid, v, label))
+            vid += 1
+    # planted outlier: labeled 0 but lies on class 1's axis
+    out = [0.0] * 8
+    out[1] = 10.0
+    rows.append((vid, out, 0))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {(r["label"], r["predicted"]): r["n"]
+           for r in nearest_centroid_confusion(df).collect()}
+    assert got[(1, 1)] == 5
+    assert got[(0, 0)] == 5
+    assert got[(0, 1)] == 1  # the planted cross-class vector
+    assert (1, 0) not in got
