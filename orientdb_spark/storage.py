@@ -267,8 +267,6 @@ def merge_upsert(target, source, key: str):
     usually the small CDC batch, so the anti join broadcasts it and the
     whole merge costs one pass over the target. Schemas must match;
     a duplicate-key source would fan out, so dedupe upstream."""
-    from pyspark.sql import functions as F  # noqa: F401  (doc symmetry)
-
     if set(target.columns) != set(source.columns):
         raise ValueError(
             f"merge_upsert schema mismatch: {sorted(target.columns)} vs "
