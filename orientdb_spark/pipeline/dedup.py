@@ -750,6 +750,8 @@ def duplicate_spans(
 
     from orientdb_spark.pipeline.common import ws_tokens
 
+    if n <= 0 or min_df < 1:
+        raise ValueError(f"need n > 0 and min_df >= 1, got {n}, {min_df}")
     toks = ws_tokens(F.col(text_col))
     base = df.select(F.col(id_col), toks.alias("__t")).filter(F.size("__t") >= n)
     # grams built in-row, then a narrow (pos, gram) explode — the token

@@ -731,6 +731,8 @@ def vocabulary(
     """
     from pyspark.sql import Window
 
+    if min_count < 1 or k <= 0:
+        raise ValueError(f"need min_count >= 1 and k > 0, got {min_count}, {k}")
     counts = (
         df.select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"))
         .groupBy("token")
@@ -813,6 +815,8 @@ def cooccurrence(
     independent shape."""
     from pyspark.sql import Window
 
+    if top_terms <= 0 or k <= 0:
+        raise ValueError(f"need top_terms > 0 and k > 0, got {top_terms}, {k}")
     toks = F.array_distinct(ws_tokens(F.lower(F.col(text_col))))
     exploded = df.select(F.col(id_col), F.explode(toks).alias("token"))
     docfreq = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -195,6 +195,10 @@ def bloom_filter_build(
     this explicit form serves engine paths that join AFTER
     transformations AQE can't see through, and its bitmap is reusable
     across queries."""
+    if k <= 0 or m_bits < 64 or m_bits % 64:
+        raise ValueError(
+            f"need k > 0 and m_bits a positive multiple of 64, got {k}, {m_bits}"
+        )
     pos = _bloom_positions(F.col(key), k, m_bits)
     words = (
         dim.select(F.explode(pos).alias("__p"))

@@ -263,6 +263,8 @@ def scd2_intervals(
     via null-safe equality (a NULL→value transition IS a change).
     """
     attrs = list(attrs)
+    if not attrs:
+        raise ValueError("scd2_intervals needs at least one tracked attribute")
     w = Window.partitionBy(key).orderBy(ts)
     changed = F.lit(False)
     for a in attrs:

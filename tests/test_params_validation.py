@@ -231,3 +231,33 @@ def test_traverse_explicit_any_fields(spark):
         "select id from chain_any where any() traverse(0, 3) (id = 5) order by id"
     )
     assert [r["id"] for r in explicit] == [r["id"] for r in default] == [2, 3, 4, 5]
+
+
+def test_continuation_operator_param_validation(spark):
+    """Bad parameters fail fast with ValueError, not mid-job."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.dedup import duplicate_spans
+    from orientdb_spark.pipeline.text import cooccurrence, vocabulary
+    from orientdb_spark.scale import bloom_filter_build, cms_build
+    from orientdb_spark.temporal import gap_fill, rolling_aggregate, scd2_intervals
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    ev = spark.createDataFrame([(1, "k")], ["id", "key"])
+    cases = [
+        lambda: duplicate_spans(docs, n=0),
+        lambda: duplicate_spans(docs, min_df=0),
+        lambda: vocabulary(docs, min_count=0),
+        lambda: vocabulary(docs, k=0),
+        lambda: cooccurrence(docs, top_terms=0),
+        lambda: bloom_filter_build(ev, "key", m_bits=100),   # not a /64 multiple
+        lambda: bloom_filter_build(ev, "key", k=0),
+        lambda: cms_build(ev, "key", width=0),
+        lambda: gap_fill(docs, on=["doc_id"], step_sec=0),
+        lambda: rolling_aggregate(docs, on=["doc_id"], window_sec=0),
+        lambda: scd2_intervals(docs, key="doc_id", attrs=[]),
+    ]
+    for i, c in enumerate(cases):
+        with _pytest.raises(ValueError):
+            c()
