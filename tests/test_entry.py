@@ -115,3 +115,13 @@ def test_bench_headline_names_are_valid():
 
     missing = set(bench.HEADLINE) - set(QUERIES)
     assert not missing, f"bench.HEADLINE names unknown queries: {sorted(missing)}"
+
+
+def test_driver_front_slots_all_oracle_bearing():
+    """The round-6 rotation contract: all 50 recorded slots carry an
+    oracle, so CORRECTNESS_r06 can be 50/50 hash-checked — a rename or
+    oracle drop must fail CI, not the driver run."""
+    front = list(QUERIES)[:50]
+    assert len(front) == 50
+    missing = [n for n in front if n not in ORACLES]
+    assert not missing, f"front-50 slots without oracles: {missing}"
