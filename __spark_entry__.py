@@ -1318,6 +1318,39 @@ def _text_unicode_normalize(spark, sf_dir):
     )
 
 
+def _profile_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (pipeline/profile.k_anonymity) over the
+    (event_type, value band) quasi-identifier pair at k=5 — equivalence
+    class sizes with violation flags."""
+    from orientdb_spark.pipeline.profile import k_anonymity
+
+    ev = _engine(spark, sf_dir).table("events")
+    fixture = ev.select(
+        "event_type", F.floor(F.col("value") / 20).cast("long").alias("value_band")
+    )
+    return k_anonymity(fixture, ["event_type", "value_band"], k=5)
+
+
+def _profile_stat_drift(spark, sf_dir):
+    """Snapshot drift audit (pipeline/profile.stat_drift): the new
+    snapshot injects a +5 mean shift on click values and nulls every
+    7th user's props — the audit must surface exactly those deltas.
+    One aggregate pass per side, stack-reshaped."""
+    from orientdb_spark.pipeline.profile import stat_drift
+
+    ev = _engine(spark, sf_dir).table("events")
+    new = ev.select(
+        (
+            F.col("value")
+            + F.when(F.col("event_type") == "click", F.lit(5.0)).otherwise(F.lit(0.0))
+        ).alias("value"),
+        F.when(F.col("user_id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    return stat_drift(ev.select("value", "props"), new, ["value", "props"])
+
+
 def _profile_json_keys(spark, sf_dir):
     """Semi-structured schema discovery (pipeline/profile.json_profile):
     the corpus props carry a single key, so the entry derives a richer
@@ -2244,6 +2277,8 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sample_negatives": _sample_negatives,
         "sample_weighted": _sample_weighted,
         "profile_json_keys": _profile_json_keys,
+        "profile_k_anonymity": _profile_k_anonymity,
+        "profile_stat_drift": _profile_stat_drift,
         "fulltext_phrase_search": _fulltext_phrase_search,
         "profile_value_histogram": _profile_value_histogram,
         "text_lm_score": _text_lm_score,
@@ -3440,6 +3475,30 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
         ),
         "text_repetition_stats": _repetition_oracle_sql(),
         "fulltext_phrase_search": _phrase_oracle_sql(),
+        "profile_k_anonymity": (
+            "SELECT event_type, floor(value / 20)::BIGINT AS value_band, "
+            "count(*)::BIGINT AS class_size, (count(*) < 5) AS violates_k "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "profile_stat_drift": (
+            "WITH o AS (SELECT count(*)::BIGINT AS n, "
+            "sum((value IS NULL)::INT) / count(*) AS nf_value, avg(value) AS m_value, "
+            "sum((props IS NULL)::INT) / count(*) AS nf_props, "
+            "avg(try_cast(props AS DOUBLE)) AS m_props FROM events), "
+            "nw AS (SELECT count(*)::BIGINT AS n, "
+            "sum((v IS NULL)::INT) / count(*) AS nf_value, avg(v) AS m_value, "
+            "sum((p IS NULL)::INT) / count(*) AS nf_props, "
+            "avg(try_cast(p AS DOUBLE)) AS m_props FROM ("
+            "SELECT value + CASE WHEN event_type = 'click' THEN 5.0 ELSE 0.0 END AS v, "
+            "CASE WHEN user_id % 7 = 0 THEN NULL ELSE props END AS p FROM events)) "
+            "SELECT 'value' AS column, o.n AS old_n, nw.n AS new_n, "
+            "round(o.nf_value, 6) AS old_null_frac, round(nw.nf_value, 6) AS new_null_frac, "
+            "round(o.m_value, 6) AS old_mean, round(nw.m_value, 6) AS new_mean, "
+            "round(nw.m_value - o.m_value, 6) AS mean_shift FROM o, nw "
+            "UNION ALL SELECT 'props', o.n, nw.n, round(o.nf_props, 6), "
+            "round(nw.nf_props, 6), round(o.m_props, 6), round(nw.m_props, 6), "
+            "round(nw.m_props - o.m_props, 6) FROM o, nw"
+        ),
         "profile_json_keys": (
             "WITH fx AS (SELECT '{\"k\": ' || json_extract_string(props, '$.k') || "
             "', \"et\": \"' || event_type || '\"' || "

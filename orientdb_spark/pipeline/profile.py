@@ -230,3 +230,66 @@ def iqr_outlier_fences(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(out_flag.cast("long")).alias("n_outliers"),
     )
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: "Sequence[str]", k: int = 5
+) -> DataFrame:
+    """Privacy audit: equivalence classes over the quasi-identifier
+    columns with their sizes, flagging classes smaller than ``k`` (the
+    re-identification risk a release must not ship). Returns
+    (*quasi_cols, class_size, violates_k) — one groupBy, map-side
+    combinable; at 100 TB add a salted pre-agg only if a single
+    quasi-class dominates (same trade as any keyed count)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qc = list(quasi_cols)
+    if not qc:
+        raise ValueError("k_anonymity needs at least one quasi-identifier column")
+    return df.groupBy(*qc).agg(
+        F.count(F.lit(1)).alias("class_size")
+    ).withColumn("violates_k", F.col("class_size") < k)
+
+
+def stat_drift(
+    old: DataFrame, new: DataFrame, cols: "Sequence[str]"
+) -> DataFrame:
+    """Snapshot drift audit between two versions of a table: per column,
+    row counts, null fractions, and (numeric) means side by side with
+    deltas — the monitoring pass that catches a silently-shifted
+    upstream. One aggregate pass per side (every column's stats ride a
+    single agg), stack-reshaped to rows; never a per-column scan.
+    Returns (column, old_n, new_n, old_null_frac, new_null_frac,
+    old_mean, new_mean, mean_shift)."""
+    cols = list(cols)
+    if not cols:
+        raise ValueError("stat_drift needs at least one column")
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            aggs.append(
+                (F.sum(F.col(c).isNull().cast("long")) / F.count(F.lit(1))).alias(
+                    f"__nf_{c}"
+                )
+            )
+            aggs.append(F.avg(F.col(c).cast("double")).alias(f"__m_{c}"))
+        wide = df.agg(*aggs)
+        stack = ", ".join(f"'{c}', __nf_{c}, __m_{c}" for c in cols)
+        return wide.selectExpr(
+            f"stack({len(cols)}, {stack}) as (column, {tag}_null_frac, {tag}_mean)",
+            f"__n as {tag}_n",
+        )
+
+    o = side(old, "old")
+    nw = side(new, "new")
+    return o.join(nw, "column").select(
+        "column",
+        "old_n",
+        "new_n",
+        F.round("old_null_frac", 6).alias("old_null_frac"),
+        F.round("new_null_frac", 6).alias("new_null_frac"),
+        F.round("old_mean", 6).alias("old_mean"),
+        F.round("new_mean", 6).alias("new_mean"),
+        F.round(F.col("new_mean") - F.col("old_mean"), 6).alias("mean_shift"),
+    )

@@ -137,3 +137,28 @@ def test_json_profile_malformed_rows_contribute_nothing(spark):
     df = spark.createDataFrame([("not json",), ('{"k": 1}',), (None,)], ["j"])
     got = json_profile(df, "j").collect()
     assert len(got) == 1 and got[0]["key"] == "k" and got[0]["n_present"] == 1
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from orientdb_spark.pipeline.profile import k_anonymity
+
+    rows = [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 1)]
+    df = spark.createDataFrame(rows, ["q1", "q2"])
+    got = {(r["q1"], r["q2"]): (r["class_size"], r["violates_k"])
+           for r in k_anonymity(df, ["q1", "q2"], k=3).collect()}
+    assert got == {("a", 1): (5, False), ("a", 2): (2, True), ("b", 1): (1, True)}
+
+
+def test_stat_drift_surfaces_injected_shift(spark):
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.profile import stat_drift
+
+    old = spark.createDataFrame([(float(i), "x") for i in range(10)], ["v", "s"])
+    new = old.select((F.col("v") + 2.0).alias("v"),
+                     F.when(F.col("v") < 5, F.col("s")).alias("s"))
+    got = {r["column"]: r for r in stat_drift(old, new, ["v", "s"]).collect()}
+    assert got["v"]["mean_shift"] == 2.0
+    assert got["v"]["old_null_frac"] == 0.0 and got["v"]["new_null_frac"] == 0.0
+    assert got["s"]["new_null_frac"] == 0.5 and got["s"]["old_null_frac"] == 0.0
+    assert got["s"]["old_mean"] is None  # non-numeric column
