@@ -235,20 +235,35 @@ def bloom_prefilter_join(
     IDENTICAL to the plain join; oracle-checked), only false positives
     (wasted shuffle rows, rate ~(1-e^{-kn/m})^k), so correctness never
     depends on the bitmap. The bitmap rides into the filter as an array
-    literal: zero extra exchanges on the fact side (plan-pinned)."""
+    literal: zero extra exchanges on the fact side (plan-pinned).
+
+    When to use (measured, BENCH.md): on local[32] the probe CPU
+    (~165 ns/row: 2 xxhash64 + k modular bit tests) costs MORE than the
+    in-memory shuffle it avoids — 3.1 s vs 1.1 s on a 12M-row A/B with
+    broadcast disabled — so this op is for real clusters where shuffle
+    means network serialization of the full fact row, not for
+    single-node runs (and never when the dim side broadcasts: the hash
+    probe of a broadcast join is already cheaper than the bloom test)."""
     dk = dim_key or key
     bitmap = bloom_filter_build(dim, dk, m_bits=m_bits, k=k)
-    lit_bitmap = F.lit(bitmap)
-    pos = _bloom_positions(F.col(key), k, m_bits)
-    hit = F.forall(
-        pos,
-        lambda p: (
+    # ONE py4j call: F.lit(list) round-trips py4j per element — measured
+    # 11 s of pure driver time for a 2^20-bit bitmap (16K longs); the
+    # SQL-text literal parses JVM-side in ~10 ms and folds identically
+    lit_bitmap = F.expr("array(" + ",".join(f"{w}L" for w in bitmap) + ")")
+    # the k probes unroll into plain scalar conjunctions: higher-order
+    # functions (transform/forall) run INTERPRETED per row — measured
+    # ~6 s over 12M rows where the unrolled codegen form is sub-second
+    h1 = F.xxhash64(F.col(key))
+    h2 = F.xxhash64(F.lit("__bloom_salt__"), F.col(key))
+    hit = F.lit(True)
+    for i in range(k):
+        p = F.pmod(h1 + i * h2, F.lit(m_bits))
+        hit = hit & (
             F.element_at(lit_bitmap, (p / 64).cast("int") + 1).bitwiseAND(
                 _bit_mask(p % 64)
             )
             != 0
-        ),
-    )
+        )
     pruned = fact.filter(hit)
     cond = pruned[key] == dim[dk]
     return pruned.join(dim, cond, how)
