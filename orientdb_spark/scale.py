@@ -289,9 +289,16 @@ def cms_build(
     key = F.col(key_col).cast("string")
     h1 = F.xxhash64(key)
     h2 = F.xxhash64(F.lit("__cms_salt__"), key)
-    cells = F.transform(
-        F.sequence(F.lit(0), F.lit(depth - 1)),
-        lambda r: F.struct(r.alias("r"), F.pmod(h1 + r * h2, F.lit(width)).alias("c")),
+    # static unrolled array, not transform(sequence(...)): HOFs evaluate
+    # interpreted per row, and this runs once per INPUT row (see the
+    # bloom A/B in BENCH.md)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"), F.pmod(h1 + r * h2, F.lit(width)).alias("c")
+            )
+            for r in range(depth)
+        ]
     )
     return (
         df.select(F.explode(cells).alias("__cell"))
@@ -325,9 +332,13 @@ def cms_estimate(
     key = F.col(key_col).cast("string")
     h1 = F.xxhash64(key)
     h2 = F.xxhash64(F.lit("__cms_salt__"), key)
-    cells = F.transform(
-        F.sequence(F.lit(0), F.lit(depth - 1)),
-        lambda r: F.struct(r.alias("r"), F.pmod(h1 + r * h2, F.lit(width)).alias("c")),
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"), F.pmod(h1 + r * h2, F.lit(width)).alias("c")
+            )
+            for r in range(depth)
+        ]
     )
     probes = keys.select(key_col, F.explode(cells).alias("__cell")).select(
         key_col, F.col("__cell.r").alias("__row"), F.col("__cell.c").alias("__col")
