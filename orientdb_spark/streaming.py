@@ -715,3 +715,102 @@ def gap_fill_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def scd2_stream(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    attrs: tuple[str, ...] = ("event_type",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming SCD2 history build as a CUSTOM STATEFUL OPERATOR (the
+    fourth, after first-seen dedup, the as-of join, and gap-fill): per
+    key, GroupState holds the OPEN interval (valid_from, version,
+    tracked attrs); a row whose attrs differ closes it — emitting
+    ``[valid_from, change_ts)`` with its version — and opens the next.
+    Unchanged rows extend the open interval silently. Emit-on-close: a
+    single availableNow pass equals batch ``temporal.scd2_intervals``
+    restricted to CLOSED intervals (the stream==batch test pins
+    exactly that); rows older than the open interval drop — the same
+    no-buffering trade as the other stateful operators. State is one
+    row per key regardless of history length.
+
+    Batch fallback: static frames delegate to scd2_intervals."""
+    import pandas as pd
+
+    if not df.isStreaming:
+        from orientdb_spark.temporal import scd2_intervals
+
+        return scd2_intervals(df, key=key, ts=ts_col, attrs=list(attrs))
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import IntegerType, StructField, StructType, TimestampType
+
+    attrs = list(attrs)
+    if not attrs:
+        raise ValueError("scd2_stream needs at least one tracked attribute")
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [in_fields[key]]
+        + [in_fields[a] for a in attrs]
+        + [
+            StructField("valid_from", TimestampType()),
+            StructField("valid_to", TimestampType()),
+            StructField("version", IntegerType()),
+        ]
+    )
+    state_schema = ", ".join(
+        ["__from_us bigint", "__ver int"]
+        + [
+            f"__a{i} {in_fields[a].dataType.simpleString()}"
+            for i, a in enumerate(attrs)
+        ]
+    )
+
+    def walk(kv, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        if state.exists:
+            st = list(state.get)
+            open_us, ver, vals = st[0], st[1], st[2:]
+        else:
+            open_us, ver, vals = None, 0, [None] * len(attrs)
+        out = []
+        for _, row in rows.iterrows():
+            ts_us = int(pd.Timestamp(row[ts_col]).value // 1_000)
+            cur = [row[a] for a in attrs]
+            if open_us is None:
+                open_us, ver, vals = ts_us, 1, cur
+            elif ts_us < open_us:
+                continue  # late arrival after the interval opened — drop
+            elif cur != vals:
+                out.append((vals, open_us, ts_us, ver))
+                open_us, vals = ts_us, cur
+                ver += 1
+        state.update(tuple([open_us, ver] + list(vals)))
+        if out:
+            yield pd.DataFrame(
+                [
+                    list(kv)
+                    + list(v)
+                    + [
+                        pd.Timestamp(f * 1000),
+                        pd.Timestamp(t * 1000),
+                        vr,
+                    ]
+                    for (v, f, t, vr) in out
+                ],
+                columns=[key] + attrs + ["valid_from", "valid_to", "version"],
+            )
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key))
+        .applyInPandasWithState(
+            walk,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

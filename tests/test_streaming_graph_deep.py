@@ -557,3 +557,94 @@ def test_gap_fill_stream_static_fallback(spark):
     events = fix_event_nanos(spark.read.parquet(f"{SF_DIR}/events.parquet"))
     out = gap_fill_stream(events, on=("user_id",), step_sec=21600)
     assert not out.isStreaming and out.count() > 0
+
+
+def test_scd2_stream_matches_batch_closed_intervals(spark):
+    """Streaming SCD2 (emit-on-close) over one availableNow pass must
+    equal batch scd2_intervals restricted to CLOSED intervals —
+    versions, bounds, and attrs identical."""
+    from orientdb_spark.streaming import scd2_stream
+    from orientdb_spark.temporal import scd2_intervals
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = fix_event_nanos(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    src_dir = tempfile.mkdtemp(prefix="ospark_scd2_src_")
+    ckpt = tempfile.mkdtemp(prefix="ospark_scd2_ckpt_")
+    try:
+        events.write.mode("overwrite").parquet(src_dir)
+        out = scd2_stream(read_event_stream(spark, src_dir))
+        assert out.isStreaming
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("scd2_rows")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "select user_id, event_type, valid_from, valid_to, version from scd2_rows"
+        )
+        batch = (
+            scd2_intervals(events, key="user_id", attrs=["event_type"])
+            .filter(F.col("valid_to").isNotNull())
+            .select("user_id", "event_type", "valid_from", "valid_to", "version")
+        )
+        assert got.count() == batch.count()
+        assert got.exceptAll(batch).count() == 0
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_scd2_stream_state_across_batches(spark):
+    """An interval opened in batch 1 must close from a change arriving
+    in batch 2 — purely through GroupState."""
+    import datetime as dt
+
+    from orientdb_spark.streaming import scd2_stream
+
+    src_dir = tempfile.mkdtemp(prefix="ospark_scd22_src_")
+    ckpt = tempfile.mkdtemp(prefix="ospark_scd22_ckpt_")
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    schema = "user_id bigint, ts timestamp, event_type string"
+    try:
+        b1 = spark.createDataFrame([(7, t0, "A"), (7, t0 + dt.timedelta(hours=1), "A")], schema)
+        b2 = spark.createDataFrame([(7, t0 + dt.timedelta(hours=2), "B")], schema)
+        b1.coalesce(1).write.parquet(src_dir + "/f0")
+        b2.coalesce(1).write.parquet(src_dir + "/f1")
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir + "/f*")
+        )
+        q = (
+            scd2_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("scd22_rows")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(60)
+        rows = spark.sql("select * from scd22_rows").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # interval opened at t0 (batch 1, duplicate 'A' extends it),
+        # closed by 'B' at t0+2h arriving in batch 2
+        assert r["event_type"] == "A" and r["version"] == 1
+        assert r["valid_from"] == t0 and r["valid_to"] == t0 + dt.timedelta(hours=2)
+        assert len(q.recentProgress) >= 2
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_scd2_stream_static_fallback(spark):
+    from orientdb_spark.streaming import scd2_stream
+
+    events = fix_event_nanos(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    out = scd2_stream(events)
+    assert not out.isStreaming and out.count() > 0
