@@ -726,6 +726,20 @@ def _event_range_join(spark, sf_dir):
     )
 
 
+def _docs_cube(spark, sf_dir):
+    """CUBE grouping sets over (source, lang): all four aggregation
+    levels in one pass (Spark Expand), NULL as the roll-up marker on
+    both engines."""
+    docs = _engine(spark, sf_dir).table("documents")
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 def _event_transitions(spark, sf_dir):
     """First-order Markov transition counts between consecutive event
     types per user (the product-analytics path matrix): one lag window
@@ -2230,6 +2244,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "event_rolling_avg": _event_rolling_avg,
         "event_pivot": _event_pivot,
         "event_transitions": _event_transitions,
+        "docs_cube_rollup": _docs_cube,
         "profile_correlations": _profile_correlations,
         "profile_iqr_outliers": _profile_iqr_outliers,
         "storage_merge_upsert": _storage_merge_upsert,
@@ -3026,6 +3041,11 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER w2 AS version, "
             "(lead(ts) OVER w2 IS NULL) AS is_current "
             "FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)"
+        ),
+        "docs_cube_rollup": (
+            "SELECT source, lang, count(*)::BIGINT AS n_docs, "
+            "sum(n_chars)::BIGINT AS total_chars "
+            "FROM documents GROUP BY CUBE (source, lang)"
         ),
         "event_transitions": (
             "WITH p AS (SELECT event_type AS from_type, "
