@@ -95,3 +95,83 @@ def test_dml_sequences_match_reference_model(spark):
         )
         want = sorted((k, r["s"], r["v"]) for k, r in model.items())
         assert got == want, f"trial {trial}: divergence after {len(ops)} ops\nops={ops}"
+
+
+def test_graph_crud_sequences_match_adjacency_model(spark):
+    """Random link/unlink/delete_vertex sequences vs a Python adjacency
+    model: edge multiset and degree views must agree after every-5th op
+    and at the end."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.graph import Graph
+
+    rng = random.Random(53)
+    vids = [f"n{i}" for i in range(8)]
+    g = Graph(
+        spark.createDataFrame([(v,) for v in vids], ["vid"]),
+        spark.createDataFrame([], "src string, dst string, label string"),
+    )
+    edges: list = []
+    alive = set(vids)
+    for step in range(15):
+        roll = rng.random()
+        if roll < 0.55 or not edges:
+            s, d = rng.choice(vids), rng.choice(vids)
+            g = g.link(s, d, "e")
+            edges.append((s, d))
+        elif roll < 0.8:
+            s, d = rng.choice(edges)
+            g = g.unlink(s, d)
+            edges = [e for e in edges if e != (s, d)]
+        else:
+            v = rng.choice(sorted(alive))
+            g = g.delete_vertex(v)
+            alive.discard(v)
+            edges = [(s, d) for s, d in edges if s != v and d != v]
+        if step % 5 == 4 or step == 14:
+            got_edges = sorted((r["src"], r["dst"]) for r in g.edges.collect())
+            assert got_edges == sorted(edges), f"step {step}"
+            got_deg = {
+                r["vid"]: r["out_degree"] for r in g.out_degrees().collect()
+            }
+            want_deg: dict = {}
+            for s, _ in edges:
+                want_deg[s] = want_deg.get(s, 0) + 1
+            assert got_deg == want_deg, f"step {step}"
+
+
+def test_dictionary_sequences_match_dict_model(spark):
+    """Random put/remove sequences vs a Python dict: keyset, size, and
+    contains_key agree throughout (reference ODictionary semantics —
+    put overwrites)."""
+    import random
+
+    from orientdb_spark import Engine
+
+    rng = random.Random(61)
+    eng = Engine(spark)
+    eng.register_dataframe(
+        "dictfuzz",
+        spark.range(0, 20).selectExpr("id as pk", "concat('r', id) as payload"),
+        rid_pos=lambda d: d["pk"],
+    )
+    model: dict = {}
+    keys = [f"key{i}" for i in range(6)]
+    cid = eng.catalog.get("dictfuzz").cluster_id
+    for step in range(25):
+        k = rng.choice(keys)
+        if rng.random() < 0.7:
+            pos = rng.randrange(0, 20)
+            eng.dictionary.put(k, "dictfuzz", (cid, pos))
+            model[k] = pos
+        else:
+            eng.dictionary.remove(k)
+            model.pop(k, None)
+        assert eng.dictionary.contains_key(k) == (k in model), f"step {step}"
+    assert sorted(eng.dictionary.keys()) == sorted(model)
+    assert eng.dictionary.size() == len(model)
+    for k, pos in model.items():
+        rec = eng.dictionary.get_record(k)
+        assert rec is not None and rec.collect()[0]["pk"] == pos, k
