@@ -726,6 +726,42 @@ def _event_range_join(spark, sf_dir):
     )
 
 
+def _event_sequence_mining(spark, sf_dir):
+    """Frequent behavior-path mining: each user's ts-ordered event-type
+    stream yields its length-3 subsequences IN-ROW (sort_array over
+    (ts, type) structs — one groupBy, no window), counted corpus-wide,
+    top-20 under the total (count desc, path) order. The product-
+    analytics 'common journeys' query; (user_id, ts) uniqueness makes
+    the ordering deterministic."""
+    from pyspark.sql import Window
+
+    ev = _engine(spark, sf_dir).table("events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts"), F.col("event_type")))
+            ).getField("event_type").alias("__seq")
+        )
+        .filter(F.size("__seq") >= 3)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__seq") - 2),
+        lambda i: F.array_join(F.slice("__seq", i, 3), ">"),
+    )
+    counts = (
+        seq.select(F.explode(grams).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "path")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "path", "n")
+    )
+
+
 def _docs_cube(spark, sf_dir):
     """CUBE grouping sets over (source, lang): all four aggregation
     levels in one pass (Spark Expand), NULL as the roll-up marker on
@@ -2245,6 +2281,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "event_pivot": _event_pivot,
         "event_transitions": _event_transitions,
         "docs_cube_rollup": _docs_cube,
+        "event_sequence_mining": _event_sequence_mining,
         "profile_correlations": _profile_correlations,
         "profile_iqr_outliers": _profile_iqr_outliers,
         "storage_merge_upsert": _storage_merge_upsert,
@@ -3041,6 +3078,17 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER w2 AS version, "
             "(lead(ts) OVER w2 IS NULL) AS is_current "
             "FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)"
+        ),
+        "event_sequence_mining": (
+            "WITH s AS (SELECT user_id, list(event_type ORDER BY ts) AS sq "
+            "FROM events GROUP BY user_id), "
+            "g AS (SELECT array_to_string(sq[i::INTEGER : i::INTEGER + 2], '>') "
+            "AS path FROM (SELECT sq, unnest(range(1, len(sq) - 1)) AS i "
+            "FROM s WHERE len(sq) >= 3)), "
+            "c AS (SELECT path, count(*)::BIGINT AS n FROM g GROUP BY path), "
+            "r AS (SELECT path, n, row_number() OVER (ORDER BY n DESC, path) "
+            "AS rank FROM c) SELECT rank::INTEGER AS rank, path, n FROM r "
+            "WHERE rank <= 20"
         ),
         "docs_cube_rollup": (
             "SELECT source, lang, count(*)::BIGINT AS n_docs, "
