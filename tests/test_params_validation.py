@@ -261,3 +261,47 @@ def test_continuation_operator_param_validation(spark):
     for i, c in enumerate(cases):
         with _pytest.raises(ValueError):
             c()
+
+
+def test_continuation_operators_handle_empty_input(spark):
+    """Empty frames in -> empty frames out, no crash: the classic
+    empty-partition failure mode checked across the continuation
+    operator batch."""
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.graph import Graph
+    from orientdb_spark.pipeline.dedup import duplicate_spans
+    from orientdb_spark.pipeline.profile import histogram, json_profile, k_anonymity
+    from orientdb_spark.pipeline.sampling import contrastive_negatives, weighted_sample
+    from orientdb_spark.pipeline.text import chunk_documents, cooccurrence, vocabulary
+    from orientdb_spark.scale import cms_build
+    from orientdb_spark.temporal import gap_fill, rolling_aggregate, scd2_intervals
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    ev = spark.createDataFrame([], "user_id long, ts timestamp, value double")
+    outs = [
+        duplicate_spans(docs),
+        vocabulary(docs),
+        cooccurrence(docs),
+        chunk_documents(docs),
+        json_profile(docs.select(F.col("text").alias("j")), "j"),
+        k_anonymity(docs, ["doc_id"]),
+        contrastive_negatives(docs),
+        weighted_sample(docs.withColumn("w", F.lit(1.0)), "w", k=3),
+        cms_build(docs, "text"),
+        gap_fill(ev, on=["user_id"]),
+        rolling_aggregate(ev, on=["user_id"]),
+        scd2_intervals(ev, key="user_id", attrs=["value"]),
+    ]
+    for i, out in enumerate(outs):
+        assert out.count() == 0, f"case {i} returned rows from empty input"
+    # histogram over an empty column: a single all-null stats row must
+    # not produce phantom bins
+    assert histogram(ev, "value").count() == 0
+    # empty graph: analytics return empty, not errors
+    g = Graph(
+        spark.createDataFrame([], "vid string"),
+        spark.createDataFrame([], "src string, dst string"),
+    )
+    assert g.shortest_paths(["nowhere"], 2).count() == 1  # source itself
+    assert g.label_propagation(1).count() == 0
