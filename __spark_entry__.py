@@ -899,6 +899,71 @@ def _event_rolling_avg(spark, sf_dir):
     )
 
 
+def _event_time_weighted_avg(spark, sf_dir):
+    """Hypertable-style LOCF time-weighted average per user
+    (temporal.time_weighted_average): each value holds until the user's
+    next event, weighted by the integer-microsecond gap; one lead()
+    window + one groupBy sharing the same key exchange."""
+    from orientdb_spark.temporal import time_weighted_average
+
+    ev = _engine(spark, sf_dir).table("events")
+    out = time_weighted_average(ev, on=["user_id"])
+    return out.select(
+        "user_id", "n_samples", "span_us", F.round("twa", 6).alias("twa")
+    )
+
+
+def _event_interval_overlap(spark, sf_dir):
+    """Interval-interval overlap join (temporal.interval_overlap_count):
+    purchase windows [ts, ts+30 min] vs view windows [ts, ts+10 min] of
+    the same user — bucketed equi-join with exact residual, never an
+    inequality nested loop."""
+    from orientdb_spark.temporal import interval_overlap_count
+
+    ev = _engine(spark, sf_dir).table("events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("r_event_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+    )
+    return interval_overlap_count(
+        left,
+        right,
+        on=["user_id"],
+        left_id="event_id",
+        right_id="r_event_id",
+        bucket_sec=1800,
+    )
+
+
+def _event_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly flags (temporal.anomaly_zscore): trailing
+    24 h mean/stddev per user in ONE RANGE window; |z| > 2.0 flags, null
+    below 5 samples (cold start). The flag compares the 4 dp-rounded z
+    so a last-ulp stddev difference cannot flip it."""
+    from orientdb_spark.temporal import anomaly_zscore
+
+    ev = _engine(spark, sf_dir).table("events")
+    out = anomaly_zscore(
+        ev, on=["user_id"], window_sec=86400, z_threshold=2.0, min_samples=5
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("rolling_mean", 6).alias("rolling_mean"),
+        F.round("rolling_std", 6).alias("rolling_std"),
+        "zscore",
+        "is_anomaly",
+    )
+
+
 def _profile_iqr_outliers(spark, sf_dir):
     """Tukey 1.5-IQR outlier audit per event type
     (pipeline/profile.iqr_outlier_fences): exact interpolated quartiles
@@ -2278,6 +2343,9 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "event_gap_fill": _event_gap_fill,
         "event_scd2": _event_scd2,
         "event_rolling_avg": _event_rolling_avg,
+        "event_time_weighted_avg": _event_time_weighted_avg,
+        "event_interval_overlap": _event_interval_overlap,
+        "event_anomaly_zscore": _event_anomaly_zscore,
         "event_pivot": _event_pivot,
         "event_transitions": _event_transitions,
         "docs_cube_rollup": _docs_cube,
@@ -3132,6 +3200,41 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(value) OVER w, 6) AS rolling_avg "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) "
             "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
+        ),
+        "event_time_weighted_avg": (
+            "WITH g AS (SELECT user_id, value AS v, "
+            "lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) "
+            "- epoch_us(ts) AS w FROM events) "
+            "SELECT user_id, count(*)::BIGINT AS n_samples, "
+            "coalesce(sum(w), 0)::BIGINT AS span_us, "
+            "round(CASE WHEN coalesce(sum(w), 0) = 0 THEN avg(v) "
+            "ELSE sum(v * w) / sum(w) END, 6) AS twa "
+            "FROM g GROUP BY user_id"
+        ),
+        "event_interval_overlap": (
+            "WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS s, "
+            "epoch_us(ts) + 1800000000 AS e FROM events "
+            "WHERE event_type = 'purchase'), "
+            "r AS (SELECT event_id AS rid, user_id, epoch_us(ts) AS s, "
+            "epoch_us(ts) + 600000000 AS e FROM events "
+            "WHERE event_type = 'view') "
+            "SELECT l.event_id, l.user_id, "
+            "count(DISTINCT r.rid)::BIGINT AS n_overlaps "
+            "FROM l LEFT JOIN r ON r.user_id = l.user_id "
+            "AND l.s <= r.e AND r.s <= l.e "
+            "GROUP BY l.event_id, l.user_id"
+        ),
+        "event_anomaly_zscore": (
+            "WITH s AS (SELECT event_id, user_id, value, "
+            "count(*) OVER w AS n, avg(value) OVER w AS m, "
+            "stddev_samp(value) OVER w AS sd FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) "
+            "RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)), "
+            "z AS (SELECT *, CASE WHEN n >= 5 AND sd > 1e-12 "
+            "THEN round((value - m) / sd, 4) END AS zs FROM s) "
+            "SELECT event_id, user_id, round(m, 6) AS rolling_mean, "
+            "round(sd, 6) AS rolling_std, zs AS zscore, "
+            "abs(zs) > 2.0 AS is_anomaly FROM z"
         ),
         "profile_iqr_outliers": (
             "WITH f AS (SELECT event_type, "

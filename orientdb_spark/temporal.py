@@ -42,6 +42,9 @@ __all__ = [
     "gap_fill",
     "scd2_intervals",
     "rolling_aggregate",
+    "time_weighted_average",
+    "interval_overlap_count",
+    "anomaly_zscore",
 ]
 
 _SIDE = "__asof_side"
@@ -313,4 +316,156 @@ def rolling_aggregate(
         F.count(F.lit(1)).over(w).alias("rolling_n"),
         F.sum(F.col(value)).over(w).alias("rolling_sum"),
         F.avg(F.col(value)).over(w).alias("rolling_avg"),
+    )
+
+
+def time_weighted_average(
+    df: DataFrame,
+    on: Sequence[str],
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Per-key time-weighted average over irregular samples (the
+    hypertable ``time_weight('locf')`` analog): each sample's value
+    holds until the next sample, so it is weighted by the microsecond
+    gap to its successor; the last sample carries no weight. Keys whose
+    samples all share one timestamp (zero total span) fall back to the
+    plain mean.
+
+    ONE lead() window plus ONE groupBy on the same key — the window's
+    hash partitioning is reused by the aggregate, so the whole operator
+    costs a single exchange at any scale. Weights are integer
+    microseconds, so the only FP work is the final products/ratio;
+    relative error is n*eps of the dot product, far inside a 6 dp
+    round.
+
+    Returns ``(*on, n_samples, span_us, twa)``.
+    """
+    on = list(on)
+    w = Window.partitionBy(*on).orderBy(_micros(F.col(ts)))
+    gapped = df.select(
+        *on,
+        F.col(value).alias("__v"),
+        (F.lead(_micros(F.col(ts))).over(w) - _micros(F.col(ts))).alias("__w"),
+    )
+    span = F.sum("__w")
+    return gapped.groupBy(*on).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.coalesce(span, F.lit(0)).cast("long").alias("span_us"),
+        F.when(
+            span.isNull() | (span == 0), F.avg("__v")
+        ).otherwise(
+            F.sum(F.col("__v") * F.col("__w")) / span
+        ).alias("twa"),
+    )
+
+
+def interval_overlap_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_id: str,
+    right_id: str,
+    start: str = "start_ts",
+    end: str = "end_ts",
+    bucket_sec: int = 1800,
+) -> DataFrame:
+    """Per left interval: how many right intervals with the same key
+    overlap it (``l.start <= r.end AND r.start <= l.end``, both ends
+    inclusive). Interval-interval overlap is the two-sided sibling of
+    ``range_join_count`` (point-in-window) and falls back to an
+    O(n*m) BroadcastNestedLoopJoin if written as a raw inequality join.
+
+    Bucketed equi-join formulation: each interval explodes to the time
+    buckets it covers (``ceil(len/W)+1`` rows — bounded fan-out), pairs
+    meet in any shared bucket via a plain hash join on ``(key,
+    bucket)``, an exact residual keeps true overlaps, and
+    ``count(DISTINCT right_id)`` collapses pairs that met in more than
+    one shared bucket. Lossless: two intervals overlap iff some instant
+    lies in both, and that instant's bucket is covered by both sides.
+
+    Returns ``(left_id, *on, n_overlaps)`` with one row per left
+    interval (zero-overlap rows kept — left-outer semantics).
+    """
+    on = list(on)
+    if bucket_sec <= 0:
+        raise ValueError(f"bucket_sec must be positive, got {bucket_sec}")
+    width_us = int(bucket_sec) * 1_000_000
+
+    def covered(df: DataFrame, id_col: str, a: str, b: str) -> DataFrame:
+        return df.select(
+            id_col,
+            *on,
+            _micros(F.col(a)).alias(f"__{id_col}_s"),
+            _micros(F.col(b)).alias(f"__{id_col}_e"),
+        ).withColumn(
+            "__bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"__{id_col}_s") / width_us),
+                    F.floor(F.col(f"__{id_col}_e") / width_us),
+                )
+            ),
+        )
+
+    lb = covered(left, left_id, start, end)
+    rb = covered(right, right_id, start, end)
+    j = lb.join(rb, on=on + ["__bkt"], how="left")
+    overlap = (F.col(f"__{left_id}_s") <= F.col(f"__{right_id}_e")) & (
+        F.col(f"__{right_id}_s") <= F.col(f"__{left_id}_e")
+    )
+    hit = F.when(overlap, F.col(right_id))
+    return j.groupBy(left_id, *on).agg(
+        F.count_distinct(hit).alias("n_overlaps")
+    )
+
+
+def anomaly_zscore(
+    df: DataFrame,
+    on: Sequence[str],
+    ts: str = "ts",
+    value: str = "value",
+    window_sec: int = 21600,
+    z_threshold: float = 3.0,
+    min_samples: int = 5,
+) -> DataFrame:
+    """Rolling z-score anomaly flags: for every row, mean and sample
+    stddev of the same key's trailing ``window_sec`` values (current row
+    included), then ``z = (x - mean) / std``. Rows in windows with fewer
+    than ``min_samples`` points or ~zero variance get a null z (cold
+    start / constant signal — not enough evidence to call an anomaly).
+
+    ONE RANGE-frame window over microsecond ordering computes all three
+    statistics — no self-join, single exchange on the key, identical
+    scale profile to ``rolling_aggregate``. The flag compares a
+    4 dp-rounded z so a cross-engine last-ulp stddev difference cannot
+    flip it at the threshold boundary.
+
+    Adds ``(rolling_mean, rolling_std, zscore, is_anomaly)``.
+    """
+    if window_sec <= 0:
+        raise ValueError(f"window_sec must be positive, got {window_sec}")
+    if min_samples < 2:
+        raise ValueError(f"min_samples must be >= 2, got {min_samples}")
+    width_us = int(window_sec) * 1_000_000
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(_micros(F.col(ts)))
+        .rangeBetween(-width_us, 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    mean = F.avg(F.col(value)).over(w)
+    std = F.stddev_samp(F.col(value)).over(w)
+    z = F.when(
+        (n >= min_samples) & (std > 1e-12),
+        F.round((F.col(value) - mean) / std, 4),
+    )
+    # Spark's stddev_samp yields NaN on a 1-row frame (0/0) where SQL
+    # engines yield NULL — gate to the SQL convention.
+    return df.select(
+        "*",
+        mean.alias("rolling_mean"),
+        F.when(n >= 2, std).alias("rolling_std"),
+        z.alias("zscore"),
+        (F.abs(z) > F.lit(float(z_threshold))).alias("is_anomaly"),
     )

@@ -791,3 +791,169 @@ def test_scd2_property_random_streams(spark):
         for r in scd2_intervals(df, key="user_id", attrs=["state"]).collect()
     )
     assert got == _py_scd2(rows)
+
+
+# --- time-weighted average / interval overlap / rolling z-score ---
+
+
+def test_twa_locf_weighting(spark):
+    """Value holds until the next sample: weights are the forward gaps,
+    the last sample carries none; a zero-span key falls back to the
+    plain mean."""
+    from orientdb_spark.temporal import time_weighted_average
+
+    df = spark.createDataFrame(
+        [
+            # key a: 10 held 10s, 20 held 20s, 99 unweighted
+            ("a", _ts(0, 0), 10.0),
+            ("a", _ts(0, 10), 20.0),
+            ("a", _ts(0, 30), 99.0),
+            # key b: single sample -> plain mean fallback
+            ("b", _ts(0, 0), 7.0),
+            # key c: two samples at one instant -> span 0 -> mean
+            ("c", _ts(5), 1.0),
+            ("c", _ts(5), 3.0),
+        ],
+        "k STRING, ts TIMESTAMP, value DOUBLE",
+    )
+    got = {
+        r["k"]: (r["n_samples"], r["span_us"], round(r["twa"], 6))
+        for r in time_weighted_average(df, on=["k"]).collect()
+    }
+    assert got["a"] == (3, 30_000_000, round((10 * 10 + 20 * 20) / 30, 6))
+    assert got["b"] == (1, 0, 7.0)
+    assert got["c"] == (2, 0, 2.0)
+
+
+def test_twa_single_exchange(spark):
+    from orientdb_spark.temporal import time_weighted_average
+
+    df = spark.createDataFrame(
+        [("a", _ts(0), 1.0)], "k STRING, ts TIMESTAMP, value DOUBLE"
+    )
+    out = time_weighted_average(df, on=["k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # window exchange reused by the groupBy -> exactly one shuffle
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+@pytest.fixture(scope="module")
+def interval_sides(spark):
+    left = spark.createDataFrame(
+        [
+            # (lid, key, start, end)
+            (1, "u1", _ts(0), _ts(10)),
+            (2, "u1", _ts(40), _ts(50)),
+            (3, "u2", _ts(0), _ts(59)),   # longer than one bucket
+            (4, "u3", _ts(5), _ts(6)),
+        ],
+        "lid INT, k STRING, start_ts TIMESTAMP, end_ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, "u1", _ts(10), _ts(12)),  # touches lid=1 at its endpoint
+            (101, "u1", _ts(20), _ts(30)),  # gap -> overlaps nothing
+            (102, "u1", _ts(39), _ts(41)),  # crosses into lid=2
+            (103, "u2", _ts(30), _ts(58)),  # long, shares 2+ buckets w/ lid=3
+            (104, "u2", _ts(58), _ts(59)),
+        ],
+        "rid INT, k STRING, start_ts TIMESTAMP, end_ts TIMESTAMP",
+    )
+    return left, right
+
+
+def test_interval_overlap_semantics(interval_sides):
+    """Inclusive endpoint touch counts; multi-bucket pairs count once;
+    zero-overlap left rows survive with 0."""
+    from orientdb_spark.temporal import interval_overlap_count
+
+    left, right = interval_sides
+    out = interval_overlap_count(
+        left, right, on=["k"], left_id="lid", right_id="rid", bucket_sec=600
+    )
+    got = {r["lid"]: r["n_overlaps"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 0}
+
+
+def test_interval_overlap_equals_naive(spark, interval_sides):
+    from orientdb_spark.temporal import interval_overlap_count
+
+    left, right = interval_sides
+    for w in (60, 600, 7200):
+        out = {
+            (r["lid"], r["n_overlaps"])
+            for r in interval_overlap_count(
+                left, right, on=["k"], left_id="lid", right_id="rid",
+                bucket_sec=w,
+            ).collect()
+        }
+        l, r_ = left.alias("l"), right.alias("r")
+        naive = (
+            l.join(
+                r_,
+                (F.col("l.k") == F.col("r.k"))
+                & (F.col("l.start_ts") <= F.col("r.end_ts"))
+                & (F.col("r.start_ts") <= F.col("l.end_ts")),
+                "left",
+            )
+            .groupBy("l.lid")
+            .agg(F.count_distinct(F.col("r.rid")).alias("n"))
+        )
+        assert out == {(r["lid"], r["n"]) for r in naive.collect()}, w
+
+
+def test_interval_overlap_hash_join_not_nested_loop(interval_sides):
+    from orientdb_spark.temporal import interval_overlap_count
+
+    left, right = interval_sides
+    out = interval_overlap_count(
+        left, right, on=["k"], left_id="lid", right_id="rid", bucket_sec=600
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert ("HashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_anomaly_zscore_flags_outlier(spark):
+    """Nine near-constant values then a spike: the spike's
+    trailing-window z exceeds the threshold; cold-start rows
+    (n < min_samples) stay null; a 1-row frame yields NULL std (not
+    Spark's NaN); a zero-variance window also yields null z."""
+    from orientdb_spark.temporal import anomaly_zscore
+
+    rows = [("u1", _ts(i), 10.0 + (i % 2)) for i in range(9)] + [
+        ("u1", _ts(9), 100.0)
+    ]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, value DOUBLE")
+    out = (
+        anomaly_zscore(df, on=["k"], window_sec=3600, z_threshold=2.5)
+        .orderBy("ts")
+        .collect()
+    )
+    assert out[0]["rolling_std"] is None          # 1-row frame
+    assert all(r["zscore"] is None for r in out[:4])   # cold start
+    assert out[4]["zscore"] is not None
+    # zero-variance window: constant values -> null z even past min_samples
+    const = spark.createDataFrame(
+        [("u2", _ts(i), 5.0) for i in range(8)],
+        "k STRING, ts TIMESTAMP, value DOUBLE",
+    )
+    cz = anomaly_zscore(const, on=["k"], window_sec=3600).collect()
+    assert all(r["zscore"] is None for r in cz)
+    spike = out[-1]
+    assert spike["zscore"] > 2.5 and spike["is_anomaly"] is True
+    assert all(r["is_anomaly"] is not True for r in out[:-1])
+
+
+def test_anomaly_zscore_param_validation(spark):
+    from orientdb_spark.temporal import anomaly_zscore
+
+    df = spark.createDataFrame(
+        [("a", _ts(0), 1.0)], "k STRING, ts TIMESTAMP, value DOUBLE"
+    )
+    with pytest.raises(ValueError):
+        anomaly_zscore(df, on=["k"], window_sec=0)
+    with pytest.raises(ValueError):
+        anomaly_zscore(df, on=["k"], min_samples=1)
