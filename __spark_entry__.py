@@ -645,6 +645,59 @@ def _graph_triangle_count(spark, sf_dir):
     return g.triangle_count()
 
 
+def _graph_clustering_coeff(spark, sf_dir):
+    """Per-vertex local clustering coefficient
+    (graph.clustering_coefficient) over the same tripartite
+    order-part-supplier graph as the triangle entry: 2T/(d(d-1)), one
+    degree agg + left join on top of the O(m^1.5) triangle pass. The
+    oracle recomputes triangles and degrees independently."""
+    from orientdb_spark.graph import Graph
+
+    li = _engine(spark, sf_dir).table("lineitem")
+
+    def pref(c, p):
+        return F.concat(F.lit(p), F.col(c).cast("string"))
+
+    ed = (
+        li.select(
+            pref("l_orderkey", "order:").alias("src"),
+            pref("l_partkey", "part:").alias("dst"),
+        )
+        .unionAll(
+            li.select(pref("l_orderkey", "order:"), pref("l_suppkey", "supp:"))
+        )
+        .unionAll(li.select(pref("l_partkey", "part:"), pref("l_suppkey", "supp:")))
+    )
+    g = Graph(ed.select(F.col("src").alias("vid")).distinct(), ed)
+    out = g.clustering_coefficient()
+    return out.select(
+        "vid", "degree", "n_triangles", F.round("coefficient", 6).alias("coefficient")
+    )
+
+
+def _graph_neighbor_features(spark, sf_dir):
+    """Two-hop mean feature propagation (graph.neighbor_aggregate,
+    GraphSAGE mean-aggregator analog): customer acctbal seeds the
+    customer-nation bipartite graph; hop 1 lands each nation the mean
+    of its customers, hop 2 hands it back to every customer — the
+    classic 'neighborhood average' feature a training pipeline joins
+    onto each record. One join + one groupBy per hop."""
+    from orientdb_spark.graph import Graph
+
+    cu = _engine(spark, sf_dir).table("customer")
+    ed = cu.select(
+        F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("nation:"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    feats = cu.select(
+        F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("vid"),
+        F.col("c_acctbal").alias("f"),
+    )
+    g = Graph(ed.select(F.col("src").alias("vid")).distinct(), ed)
+    out = g.neighbor_aggregate(feats, value="f", hops=2)
+    return out.select("vid", "n_neighbors", F.round("feature", 6).alias("feature"))
+
+
 def _event_window_agg(spark, sf_dir):
     from orientdb_spark.streaming import windowed_event_counts
 
@@ -2325,6 +2378,8 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "graph_sssp": _graph_sssp,
         "graph_label_propagation": _graph_label_propagation,
         "graph_triangle_count": _graph_triangle_count,
+        "graph_clustering_coeff": _graph_clustering_coeff,
+        "graph_neighbor_features": _graph_neighbor_features,
         "graph_kcore": _graph_kcore,
         "hll_distinct_merge": _hll_distinct_merge,
         "salted_skew_aggregate": _salted_skew_aggregate,
@@ -3325,6 +3380,36 @@ def oracle_sql() -> dict[str, str]:
             "c AS (SELECT x AS vid FROM tri UNION ALL SELECT y FROM tri "
             "UNION ALL SELECT z FROM tri) "
             "SELECT vid, count(*)::BIGINT AS n_triangles FROM c GROUP BY vid"
+        ),
+        "graph_clustering_coeff": (
+            "WITH raw AS (SELECT 'order:' || l_orderkey AS s, "
+            "'part:' || l_partkey AS t FROM lineitem "
+            "UNION ALL SELECT 'order:' || l_orderkey, 'supp:' || l_suppkey FROM lineitem "
+            "UNION ALL SELECT 'part:' || l_partkey, 'supp:' || l_suppkey FROM lineitem), "
+            "e AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b "
+            "FROM raw WHERE s <> t), "
+            "deg AS (SELECT vid, count(*)::BIGINT AS degree FROM "
+            "(SELECT a AS vid FROM e UNION ALL SELECT b FROM e) GROUP BY vid), "
+            "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            "FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b "
+            "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), "
+            "c AS (SELECT x AS vid FROM tri UNION ALL SELECT y FROM tri "
+            "UNION ALL SELECT z FROM tri), "
+            "t AS (SELECT vid, count(*)::BIGINT AS n_triangles FROM c GROUP BY vid) "
+            "SELECT d.vid, d.degree, coalesce(t.n_triangles, 0) AS n_triangles, "
+            "round(CASE WHEN d.degree >= 2 THEN "
+            "2.0 * coalesce(t.n_triangles, 0) / (d.degree * (d.degree - 1)) "
+            "ELSE 0.0 END, 6) AS coefficient "
+            "FROM deg d LEFT JOIN t USING (vid)"
+        ),
+        "graph_neighbor_features": (
+            "WITH e AS (SELECT 'customer:' || c_custkey AS c, "
+            "'nation:' || c_nationkey AS n, c_acctbal FROM customer), "
+            "nav AS (SELECT n, avg(c_acctbal) AS av, count(*)::BIGINT AS deg "
+            "FROM e GROUP BY n) "
+            "SELECT c AS vid, 1::BIGINT AS n_neighbors, round(av, 6) AS feature "
+            "FROM e JOIN nav USING (n) "
+            "UNION ALL SELECT n, deg, NULL FROM nav"
         ),
         "event_window_agg": (
             "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, "

@@ -370,6 +370,77 @@ class Graph:
         )
         return corners.groupBy("vid").agg(F.count(F.lit(1)).alias("n_triangles"))
 
+    def clustering_coefficient(self) -> DataFrame:
+        """Per-vertex local clustering coefficient over the undirected
+        simple graph: ``cc(v) = 2*T(v) / (d(v)*(d(v)-1))`` with T from
+        the degree-ordered O(m^1.5) triangle enumeration. Vertices of
+        degree < 2 (no possible wedge) get 0.0; isolated vertices (no
+        edges at all) don't appear, matching triangle_count. Cost on
+        top of triangle_count: one degree aggregate + one left join —
+        triangle-free vertices count 0 triangles.
+
+        Returns ``(vid, degree, n_triangles, coefficient)``."""
+        und = (
+            self.edges.select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .dropDuplicates()
+        )
+        deg = (
+            und.select(F.col("a").alias("vid"))
+            .unionAll(und.select(F.col("b").alias("vid")))
+            .groupBy("vid")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        j = deg.join(self.triangle_count(), "vid", "left").withColumn(
+            "n_triangles", F.coalesce("n_triangles", F.lit(0))
+        )
+        coef = F.when(
+            F.col("degree") >= 2,
+            2.0 * F.col("n_triangles") / (F.col("degree") * (F.col("degree") - 1)),
+        ).otherwise(F.lit(0.0))
+        return j.select("vid", "degree", "n_triangles", coef.alias("coefficient"))
+
+    def neighbor_aggregate(
+        self, features: DataFrame, value: str, hops: int = 1
+    ) -> DataFrame:
+        """GNN-style mean neighborhood feature aggregation (the
+        mean-aggregator GraphSAGE propagation step without learned
+        weights): round t assigns every vertex the mean of its
+        undirected-simple-graph neighbors' round-(t-1) values, nulls
+        ignored; a vertex whose neighbors are all null stays null.
+        Round 0 is ``features`` (vid, value) — vertices absent from it
+        start null.
+
+        One equi-join + one groupBy per hop, both on vid — linear in
+        edges per round, no neighborhood materialization beyond the
+        message stream. Returns ``(vid, n_neighbors, feature)`` for
+        every vertex with >= 1 edge."""
+        if hops < 1:
+            raise ValueError(f"hops must be >= 1, got {hops}")
+        und = (
+            self.edges.select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .dropDuplicates()
+        )
+        # both directions: message u -> v for every undirected edge
+        adj = und.select(
+            F.col("a").alias("vid"), F.col("b").alias("nbr")
+        ).unionAll(und.select(F.col("b").alias("vid"), F.col("a").alias("nbr")))
+        state = features.select(F.col("vid"), F.col(value).alias("__f"))
+        for _ in range(hops):
+            msgs = adj.join(
+                state.select(F.col("vid").alias("nbr"), "__f"), "nbr", "left"
+            )
+            state = msgs.groupBy("vid").agg(
+                F.count(F.lit(1)).alias("n_neighbors"),
+                F.avg("__f").alias("__f"),
+            )
+        return state.select("vid", "n_neighbors", F.col("__f").alias("feature"))
+
     def kcore(self, k: int, max_iter: int = 100) -> DataFrame:
         """Vertices of the k-core (maximal subgraph where every vertex
         has undirected degree >= k). Returns (vid, core_degree) —

@@ -193,3 +193,98 @@ def test_incremental_components_equals_full(spark):
     inc_vids = {v for v, _ in inc}
     assert inc == {(v, c) for v, c in full if v in inc_vids}
     assert {v for v, _ in full} == inc_vids  # same coverage here in fact
+
+
+# --- clustering coefficient / neighborhood feature aggregation ---
+
+
+def test_clustering_coefficient_known_shapes(spark):
+    """Triangle with a pendant: the pendant vertex has cc 0 (degree 1),
+    its anchor drops to 2*1/(3*2)=1/3, the other two corners stay 1.0;
+    a hub star stays 0 everywhere."""
+    tri_plus = _graph(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("a", "p")])
+    got = {
+        r["vid"]: (r["degree"], r["n_triangles"], round(r["coefficient"], 6))
+        for r in tri_plus.clustering_coefficient().collect()
+    }
+    assert got == {
+        "a": (3, 1, round(1 / 3, 6)),
+        "b": (2, 1, 1.0),
+        "c": (2, 1, 1.0),
+        "p": (1, 0, 0.0),
+    }
+    star = _graph(spark, [("h", f"l{i}") for i in range(6)])
+    sc = {r["vid"]: r["coefficient"] for r in star.clustering_coefficient().collect()}
+    assert all(v == 0.0 for v in sc.values())
+
+
+def test_clustering_coefficient_ignores_direction_and_dupes(spark):
+    """Reverse edges, duplicates, and self-loops collapse to the simple
+    undirected graph before counting."""
+    g = _graph(
+        spark,
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "a"), ("b", "c")],
+    )
+    got = {
+        r["vid"]: (r["degree"], r["coefficient"])
+        for r in g.clustering_coefficient().collect()
+    }
+    assert got == {"a": (2, 1.0), "b": (2, 1.0), "c": (2, 1.0)}
+
+
+def test_neighbor_aggregate_one_hop_mean(spark):
+    """Hop 1 is the plain neighbor mean, nulls (featureless vertices)
+    ignored; all-null neighborhoods stay null."""
+    g = _graph(spark, [("a", "b"), ("a", "c"), ("c", "d")])
+    feats = spark.createDataFrame(
+        [("b", 10.0), ("c", 20.0)], ["vid", "f"]
+    )
+    got = {
+        r["vid"]: (r["n_neighbors"], r["feature"])
+        for r in g.neighbor_aggregate(feats, value="f", hops=1).collect()
+    }
+    # a: nbrs {b,c} -> 15; b: nbr {a} null; c: nbrs {a,d} null; d: nbr {c} -> 20
+    assert got == {
+        "a": (2, 15.0),
+        "b": (1, None),
+        "c": (2, None),
+        "d": (1, 20.0),
+    }
+
+
+def test_neighbor_aggregate_two_hops_matches_manual(spark):
+    """Hop 2 averages the hop-1 means — verified against a hand-rolled
+    two-step computation on a small graph."""
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "d")]
+    base = {"a": 1.0, "b": 2.0, "c": 3.0, "d": 4.0}
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+
+    def step(f):
+        out = {}
+        for v, ns in adj.items():
+            vals = [f[n] for n in ns if f.get(n) is not None]
+            out[v] = sum(vals) / len(vals) if vals else None
+        return out
+
+    expect = step(step(base))
+    g = _graph(spark, edges)
+    feats = spark.createDataFrame(list(base.items()), ["vid", "f"])
+    got = {
+        r["vid"]: r["feature"]
+        for r in g.neighbor_aggregate(feats, value="f", hops=2).collect()
+    }
+    assert got.keys() == expect.keys()
+    for v in expect:
+        assert abs(got[v] - expect[v]) < 1e-9, v
+
+
+def test_neighbor_aggregate_rejects_zero_hops(spark):
+    import pytest
+
+    g = _graph(spark, [("a", "b")])
+    feats = spark.createDataFrame([("a", 1.0)], ["vid", "f"])
+    with pytest.raises(ValueError):
+        g.neighbor_aggregate(feats, value="f", hops=0)
