@@ -1817,6 +1817,35 @@ def _sample_pack_sequences(spark, sf_dir):
     return sampling.pack_sequences(counts, budget=256)
 
 
+def _sample_stratified_split(spark, sf_dir):
+    """Exact-proportion stratified split by language
+    (sampling.stratified_split): per-lang hash-ranked 80/10/10 carve
+    with integer-permille thresholds — every stratum's split sizes are
+    exact floors, rare labels included. One window exchange."""
+    from orientdb_spark.pipeline.sampling import stratified_split
+
+    docs = _docs(spark, sf_dir)
+    return stratified_split(docs, strata=["lang"]).select("doc_id", "lang", "split")
+
+
+def _profile_quantile_bins(spark, sf_dir):
+    """Equal-frequency quartile binning of event values per type
+    (profile.quantile_bins): exact interpolated cutpoints broadcast
+    back, bin = 1 + #{cuts < x}; two groupBys on the same key, nothing
+    grows with q."""
+    from orientdb_spark.pipeline.profile import quantile_bins
+
+    ev = _engine(spark, sf_dir).table("events")
+    out = quantile_bins(ev, "value", ["event_type"], q=4)
+    return out.select(
+        "event_type",
+        "bin",
+        "n_rows",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+    )
+
+
 def _text_paragraph_dedup(spark, sf_dir):
     """Cross-corpus paragraph dedup on a fixture injecting (a) one
     paragraph shared across every fourth doc — only the lowest doc_id
@@ -2421,6 +2450,8 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "pipeline_end_to_end": _pipeline_end_to_end,
         "sample_split_assign": _sample_split_assign,
         "sample_quota_per_source": _sample_quota_per_source,
+        "sample_stratified_split": _sample_stratified_split,
+        "profile_quantile_bins": _profile_quantile_bins,
         "sample_mixture": _sample_mixture,
         "dedup_bucket_audit": _dedup_bucket_audit,
         "dedup_simhash": _dedup_simhash,
@@ -3566,6 +3597,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CASE WHEN (('0x' || substring(md5('42:' || doc_id), 1, 15))::UBIGINT::BIGINT) % 10000 < 9800 THEN 'train' "
             "WHEN (('0x' || substring(md5('42:' || doc_id), 1, 15))::UBIGINT::BIGINT) % 10000 < 9900 THEN 'valid' ELSE 'test' END AS split "
             "FROM documents"
+        ),
+        "sample_stratified_split": (
+            "WITH r AS (SELECT doc_id, lang, row_number() OVER "
+            "(PARTITION BY lang ORDER BY "
+            "(('0x' || substring(md5('42:' || doc_id), 1, 15))::UBIGINT::BIGINT) % 1000000, doc_id) "
+            "AS rk, count(*) OVER (PARTITION BY lang) AS n FROM documents) "
+            "SELECT doc_id, lang, "
+            "CASE WHEN rk <= floor(n * 800 / 1000.0) THEN 'train' "
+            "WHEN rk <= floor(n * 900 / 1000.0) THEN 'valid' "
+            "ELSE 'test' END AS split FROM r"
+        ),
+        "profile_quantile_bins": (
+            "WITH c AS (SELECT event_type, "
+            "quantile_cont(value, 0.25) AS c1, quantile_cont(value, 0.5) AS c2, "
+            "quantile_cont(value, 0.75) AS c3 FROM events GROUP BY event_type), "
+            "b AS (SELECT e.event_type, e.value, 1 + (e.value > c.c1)::INT "
+            "+ (e.value > c.c2)::INT + (e.value > c.c3)::INT AS bin "
+            "FROM events e JOIN c USING (event_type)) "
+            "SELECT event_type, bin, count(*)::BIGINT AS n_rows, "
+            "round(min(value), 6) AS lo, round(max(value), 6) AS hi "
+            "FROM b GROUP BY event_type, bin"
         ),
         "sample_mixture": (
             "WITH r AS (SELECT doc_id, source, row_number() OVER "

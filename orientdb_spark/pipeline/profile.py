@@ -21,7 +21,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import BooleanType, NumericType, StringType
 
-__all__ = ["profile_columns", "fk_orphans"]
+__all__ = ["profile_columns", "fk_orphans", "quantile_bins"]
 
 
 def fk_orphans(
@@ -292,4 +292,53 @@ def stat_drift(
         F.round("old_mean", 6).alias("old_mean"),
         F.round("new_mean", 6).alias("new_mean"),
         F.round(F.col("new_mean") - F.col("old_mean"), 6).alias("mean_shift"),
+    )
+
+
+def quantile_bins(
+    df: DataFrame, col: str, group_cols: "Sequence[str]" = (), q: int = 4
+) -> DataFrame:
+    """Equal-frequency discretization per group: cut a numeric column at
+    its exact interpolated ``i/q`` quantiles (quantile_cont semantics)
+    and report each bin's population and value range — the feature-
+    binning step of a training pipeline, and the per-group histogram
+    whose bucket edges adapt to the distribution (contrast
+    ``histogram``'s fixed equal-width grid).
+
+    Bin membership: ``bin = 1 + #{cutpoints < x}`` — values equal to a
+    cutpoint close the lower bin, matching SQL's ``x <= c`` convention.
+    Same two-pass shape as iqr_outlier_fences: one percentile agg per
+    group (a q-1-element result), broadcast back onto the rows, one
+    count agg — the rows are scanned twice and shuffled once per
+    groupBy, nothing grows with q.
+
+    Returns ``(*group_cols, bin, n_rows, lo, hi)`` with bins 1..q
+    (empty bins absent — a heavily tied distribution can starve one).
+    """
+    if q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")
+    gcols = list(group_cols)
+    c = F.col(col).cast("double")
+    cuts = df.groupBy(*gcols).agg(
+        *[
+            F.percentile(c, F.lit(i / q)).alias(f"__c{i}")
+            for i in range(1, q)
+        ]
+    )
+    joined = (
+        df.join(F.broadcast(cuts), gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(cuts))
+    )
+    bin_col = F.lit(1)
+    for i in range(1, q):
+        bin_col = bin_col + F.when(c > F.col(f"__c{i}"), 1).otherwise(0)
+    return (
+        joined.withColumn("bin", bin_col)
+        .groupBy(*gcols, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(c).alias("lo"),
+            F.max(c).alias("hi"),
+        )
     )

@@ -398,3 +398,51 @@ def weighted_sample(
         .filter(F.col("__wrank") <= k)
         .drop("__wkey", "__wrank")
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    strata: list[str],
+    ratios: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Exact-proportion per-stratum split: within every stratum, rows
+    rank by the deterministic hash draw (ties by id) and cumulative
+    floor thresholds carve the ranked order, so each stratum's split
+    sizes are exact integer floors of its row count — unlike
+    ``assign_split``'s global hash-bucket carve, which is only exact in
+    expectation and can starve a rare stratum's eval splits entirely.
+    The class-imbalance use case: every label, however rare, lands in
+    valid/test in exact proportion.
+
+    Ratios must be expressible in thousandths (validated); thresholds
+    are pure integer arithmetic (``floor(n * permille / 1000)``) so the
+    carve is bit-reproducible cross-engine — no FP cumsum drift.
+    Earlier-listed splits take the floor, the last absorbs the
+    remainder. ONE window exchange on the stratum key; the per-stratum
+    count rides the same partition.
+    """
+    ratios = ratios or {"train": 0.8, "valid": 0.1, "test": 0.1}
+    permille = {k: int(round(v * 1000)) for k, v in ratios.items()}
+    if sum(permille.values()) != 1000:
+        raise ValueError(
+            f"ratios must be thousandths summing to 1.0, got {ratios}"
+        )
+    if any(p <= 0 for p in permille.values()):
+        raise ValueError(f"every ratio must be >= 0.001, got {ratios}")
+    bucket = F.pmod(_split_key(id_col, seed), F.lit(1_000_000))
+    wp = Window.partitionBy(*strata)
+    w = wp.orderBy(bucket.asc(), F.col(id_col).asc())
+    n = F.count(F.lit(1)).over(wp)
+    r = F.row_number().over(w)
+    expr = None
+    acc = 0
+    items = list(permille.items())
+    for name, pm in items[:-1]:
+        acc += pm
+        cond = r <= F.floor(n * F.lit(acc) / F.lit(1000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

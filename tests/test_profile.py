@@ -162,3 +162,57 @@ def test_stat_drift_surfaces_injected_shift(spark):
     assert got["v"]["old_null_frac"] == 0.0 and got["v"]["new_null_frac"] == 0.0
     assert got["s"]["new_null_frac"] == 0.5 and got["s"]["old_null_frac"] == 0.0
     assert got["s"]["old_mean"] is None  # non-numeric column
+
+
+def test_quantile_bins_quartiles_balanced(spark):
+    """1..8 cuts into four 2-row bins with contiguous ranges; a value
+    equal to a cutpoint closes the lower bin."""
+    from orientdb_spark.pipeline.profile import quantile_bins
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 9)], ["value"]
+    )
+    got = {
+        r["bin"]: (r["n_rows"], r["lo"], r["hi"])
+        for r in quantile_bins(df, "value", q=4).collect()
+    }
+    assert got == {
+        1: (2, 1.0, 2.0),
+        2: (2, 3.0, 4.0),
+        3: (2, 5.0, 6.0),
+        4: (2, 7.0, 8.0),
+    }
+
+
+def test_quantile_bins_ties_can_starve_a_bin(spark):
+    """A massively tied distribution collapses cutpoints; the starved
+    bin is absent, members pile into the lowest bin that contains the
+    tie value."""
+    from orientdb_spark.pipeline.profile import quantile_bins
+
+    df = spark.createDataFrame(
+        [(5.0,)] * 10 + [(9.0,)], ["value"]
+    )
+    got = {r["bin"]: r["n_rows"] for r in quantile_bins(df, "value", q=4).collect()}
+    assert got[1] == 10 and got[4] == 1 and 2 not in got and 3 not in got
+
+
+def test_quantile_bins_per_group_and_validation(spark):
+    from orientdb_spark.pipeline.profile import quantile_bins
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 9)] + [("b", float(100 + i)) for i in range(4)],
+        ["g", "value"],
+    )
+    rows = quantile_bins(df, "value", ["g"], q=2).collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["g"], 0)
+        by_g[r["g"]] += r["n_rows"]
+    assert by_g == {"a": 8, "b": 4}
+    # group b's bins only span b's values
+    assert all(r["lo"] >= 100 for r in rows if r["g"] == "b")
+    import pytest
+
+    with pytest.raises(ValueError):
+        quantile_bins(df, "value", ["g"], q=1)

@@ -296,3 +296,60 @@ def test_weighted_sample_deterministic_and_filters_nonpositive(spark):
     assert a == b and len(a) == 8
     bad = {i for i, w in rows if w <= 0}
     assert not (set(a) & bad), "non-positive weight sampled"
+
+
+def test_stratified_split_exact_floors(spark):
+    """Per stratum: earlier-listed splits get exact integer floors of
+    the stratum size, the last absorbs the remainder — even for a rare
+    3-row stratum where a hash-bucket carve could starve eval."""
+    from orientdb_spark.pipeline.sampling import stratified_split
+
+    rows = [(f"a{i}", "big") for i in range(100)] + [
+        (f"b{i}", "rare") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "label"])
+    out = stratified_split(df, strata=["label"]).collect()
+    counts = {}
+    for r in out:
+        counts.setdefault(r["label"], {}).setdefault(r["split"], 0)
+        counts[r["label"]][r["split"]] += 1
+    assert counts["big"] == {"train": 80, "valid": 10, "test": 10}
+    # n=3: train floor(2.4)=2, valid floor(2.7)-2=0, test remainder 1
+    assert counts["rare"] == {"train": 2, "test": 1}
+
+
+def test_stratified_split_deterministic_and_stable(spark):
+    """Same (seed, id) -> same split regardless of extra rows in other
+    strata; changing the seed reshuffles."""
+    from orientdb_spark.pipeline.sampling import stratified_split
+
+    base = spark.createDataFrame(
+        [(f"d{i}", "x") for i in range(50)], ["doc_id", "label"]
+    )
+    more = base.unionAll(
+        spark.createDataFrame([(f"e{i}", "y") for i in range(20)], ["doc_id", "label"])
+    )
+    a = {r["doc_id"]: r["split"] for r in stratified_split(base, ["label"]).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in stratified_split(more, ["label"]).collect()
+        if r["label"] == "x"
+    }
+    assert a == b
+    s2 = {
+        r["doc_id"]: r["split"]
+        for r in stratified_split(base, ["label"], seed=7).collect()
+    }
+    assert s2 != a  # 50 rows: P[identical under reseed] ~ 0
+
+
+def test_stratified_split_validates_ratios(spark):
+    from orientdb_spark.pipeline.sampling import stratified_split
+
+    df = spark.createDataFrame([("a", "x")], ["doc_id", "label"])
+    import pytest
+
+    with pytest.raises(ValueError):
+        stratified_split(df, ["label"], ratios={"train": 0.5, "test": 0.4})
+    with pytest.raises(ValueError):
+        stratified_split(df, ["label"], ratios={"train": 1.0, "test": 0.0})
