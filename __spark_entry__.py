@@ -1846,6 +1846,40 @@ def _profile_quantile_bins(spark, sf_dir):
     )
 
 
+def _text_edit_distance_join(spark, sf_dir):
+    """Typo-tolerant entity-resolution join (dedup.edit_distance_join,
+    PassJoin segment signatures): part names plus a deterministically
+    corrupted copy of every 5th name (first char replaced) — the join
+    must recover each corruption at distance 1 via the segment
+    equi-join, never an all-pairs product. The oracle is the naive
+    quadratic levenshtein join."""
+    from orientdb_spark.pipeline.dedup import edit_distance_join
+
+    pa = _engine(spark, sf_dir).table("part")
+    clean = pa.select(
+        F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("text")
+    )
+    dirty = pa.filter(F.col("p_partkey") % 5 == 0).select(
+        (F.col("p_partkey") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("x"), F.expr("substring(p_name, 2)")).alias("text"),
+    )
+    return edit_distance_join(clean.unionAll(dirty), max_dist=1)
+
+
+def _mining_frequent_pairs(spark, sf_dir):
+    """Market-basket frequent part pairs over orders
+    (mining.frequent_pairs): one row per basket through the shuffle,
+    in-row pair expansion, lift against per-item basket counts with the
+    total riding a broadcast 1-row crossJoin."""
+    from orientdb_spark.mining import frequent_pairs
+
+    li = _engine(spark, sf_dir).table("lineitem")
+    out = frequent_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    return out.select(
+        "item_a", "item_b", "n_ab", F.round("lift", 6).alias("lift")
+    )
+
+
 def _text_paragraph_dedup(spark, sf_dir):
     """Cross-corpus paragraph dedup on a fixture injecting (a) one
     paragraph shared across every fourth doc — only the lowest doc_id
@@ -2452,6 +2486,8 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sample_quota_per_source": _sample_quota_per_source,
         "sample_stratified_split": _sample_stratified_split,
         "profile_quantile_bins": _profile_quantile_bins,
+        "text_edit_distance_join": _text_edit_distance_join,
+        "mining_frequent_pairs": _mining_frequent_pairs,
         "sample_mixture": _sample_mixture,
         "dedup_bucket_audit": _dedup_bucket_audit,
         "dedup_simhash": _dedup_simhash,
@@ -3597,6 +3633,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CASE WHEN (('0x' || substring(md5('42:' || doc_id), 1, 15))::UBIGINT::BIGINT) % 10000 < 9800 THEN 'train' "
             "WHEN (('0x' || substring(md5('42:' || doc_id), 1, 15))::UBIGINT::BIGINT) % 10000 < 9900 THEN 'valid' ELSE 'test' END AS split "
             "FROM documents"
+        ),
+        "text_edit_distance_join": (
+            "WITH c AS (SELECT p_partkey AS id, p_name AS s FROM part "
+            "UNION ALL SELECT p_partkey + 10000000, 'x' || substring(p_name, 2) "
+            "FROM part WHERE p_partkey % 5 = 0) "
+            "SELECT a.id AS id_a, b.id AS id_b, "
+            "levenshtein(a.s, b.s)::INTEGER AS dist "
+            "FROM c a JOIN c b ON a.id < b.id "
+            "AND abs(length(a.s) - length(b.s)) <= 1 "
+            "WHERE levenshtein(a.s, b.s) <= 1"
+        ),
+        "mining_frequent_pairs": (
+            "WITH b AS (SELECT DISTINCT l_orderkey AS bid, l_partkey AS item "
+            "FROM lineitem), "
+            "nb AS (SELECT count(DISTINCT bid)::DOUBLE AS n FROM b), "
+            "ic AS (SELECT item, count(*)::BIGINT AS n FROM b GROUP BY item), "
+            "pc AS (SELECT a.item AS item_a, b2.item AS item_b, "
+            "count(*)::BIGINT AS n_ab FROM b a "
+            "JOIN b b2 ON a.bid = b2.bid AND a.item < b2.item "
+            "GROUP BY 1, 2 HAVING count(*) >= 2) "
+            "SELECT pc.item_a, pc.item_b, pc.n_ab, "
+            "round(pc.n_ab * nb.n / (ia.n * ib.n), 6) AS lift "
+            "FROM pc CROSS JOIN nb "
+            "JOIN ic ia ON pc.item_a = ia.item "
+            "JOIN ic ib ON pc.item_b = ib.item"
         ),
         "sample_stratified_split": (
             "WITH r AS (SELECT doc_id, lang, row_number() OVER "

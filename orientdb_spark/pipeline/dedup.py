@@ -788,3 +788,119 @@ def duplicate_spans(
         .drop("__span")
     )
     return spans
+
+
+def edit_distance_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 1,
+) -> DataFrame:
+    """All pairs within Levenshtein distance <= ``max_dist``, via
+    partition-based signature blocking (the PassJoin scheme —
+    Li/Deng/Feng, PVLDB 2011, public algorithm): every string splits
+    into k+1 even segments; if ``ed(r, s) <= k``, pigeonhole says some
+    segment of s survives untouched, and the alignment bound says it
+    occurs verbatim in r shifted by at most k — so candidates come from
+    ONE equi-join on ``(segment_index, indexed_length, substring)``,
+    never an all-pairs product. Probe fan-out is a constant
+    ``(k+1)(2k+1)^2`` rows per string (segment x candidate-length x
+    shift); we use the full [-k, k] shift window — the paper's
+    multi-match-aware window is a strict subset (a pruning
+    optimization, not a correctness requirement). The exact residual is
+    the JVM-codegen ``levenshtein()`` over candidate pairs only.
+
+    Strings shorter than k+1 chars cannot donate a non-empty segment,
+    so the (tiny, alphabet-bounded) short set is pairwise-checked among
+    itself; short-vs-long pairs still flow through the main join — the
+    long side is indexed, the short side probes.
+
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``, each pair
+    once. Degenerate corpora where many strings share a full segment
+    (e.g. a constant prefix longer than ``len/(k+1)``) inflate the
+    candidate set — that is inherent to exact signature schemes; strip
+    the shared prefix first if the data has one.
+    """
+    k = int(max_dist)
+    if k < 1:
+        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+    m = k + 1
+    base_df = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__s"),
+        F.length(text_col).alias("__l"),
+    )
+    long_side = base_df.filter(F.col("__l") >= m)
+    short_side = base_df.filter(F.col("__l") < m)
+
+    def seg_geom(l, i):
+        # even partition: first (m - l%m) segments get floor(l/m) chars,
+        # the rest one more; returns (0-based start, length) Columns
+        b, rem = F.floor(l / m), l % m
+        start = i * b + F.greatest(F.lit(0), i - (F.lit(m) - rem))
+        seglen = b + F.when(i >= F.lit(m) - rem, 1).otherwise(0)
+        return start, seglen
+
+    i_col = F.col("__i")
+    idx = long_side.select(
+        "__id", "__s", "__l",
+        F.explode(F.sequence(F.lit(0), F.lit(k))).alias("__i"),
+    )
+    s0, n0 = seg_geom(F.col("__l"), i_col)
+    idx = idx.select(
+        F.col("__id").alias("__id_s"),
+        F.col("__s").alias("__s_s"),
+        "__i",
+        F.col("__l").alias("__ls"),
+        F.col("__s").substr(s0 + 1, n0).alias("__seg"),
+    )
+
+    pr = (
+        base_df.select(
+            "__id", "__s", "__l",
+            F.explode(
+                F.sequence(F.col("__l") - k, F.col("__l") + k)
+            ).alias("__cl"),
+        )
+        .filter(F.col("__cl") >= m)
+        .select("*", F.explode(F.sequence(F.lit(0), F.lit(k))).alias("__i"))
+        .select("*", F.explode(F.sequence(F.lit(-k), F.lit(k))).alias("__d"))
+    )
+    cs, cn = seg_geom(F.col("__cl"), i_col)
+    cs = cs + F.col("__d")
+    pr = pr.filter((cs >= 0) & (cs + cn <= F.col("__l"))).select(
+        F.col("__id").alias("__id_r"),
+        F.col("__s").alias("__s_r"),
+        "__i",
+        F.col("__cl").alias("__ls"),
+        F.col("__s").substr(cs + 1, cn).alias("__seg"),
+    )
+
+    lt = F.col("__id_r") < F.col("__id_s")
+    cand = (
+        pr.join(idx, ["__i", "__ls", "__seg"])
+        .filter(F.col("__id_r") != F.col("__id_s"))
+        .select(
+            F.when(lt, F.col("__id_r")).otherwise(F.col("__id_s")).alias("id_a"),
+            F.when(lt, F.col("__id_s")).otherwise(F.col("__id_r")).alias("id_b"),
+            F.when(lt, F.col("__s_r")).otherwise(F.col("__s_s")).alias("__sa"),
+            F.when(lt, F.col("__s_s")).otherwise(F.col("__s_r")).alias("__sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    main = (
+        cand.withColumn("dist", F.levenshtein("__sa", "__sb"))
+        .filter(F.col("dist") <= k)
+        .select("id_a", "id_b", "dist")
+    )
+    a, b = short_side.alias("a"), short_side.alias("b")
+    shorts = (
+        a.join(b, F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.levenshtein(F.col("a.__s"), F.col("b.__s")).alias("dist"),
+        )
+        .filter(F.col("dist") <= k)
+    )
+    return main.unionAll(shorts)
