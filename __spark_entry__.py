@@ -617,6 +617,24 @@ def _cms_event_type_counts(spark, sf_dir):
     return cms_estimate(sk, keys, "event_type", width=2048, depth=5)
 
 
+def _cms_join_size_estimate(spark, sf_dir):
+    """Sketch-only join-cardinality estimation (scale.cms_join_size):
+    the AMS/CMS inner product of two event-type sketches — all events
+    vs the value>100 slice — sizes the equi-join without touching
+    either input again. Same collision-free-key argument as
+    cms_event_type_counts, so the estimate EQUALS the oracle's exact
+    join count; the general never-underestimate + eps*|A|*|B| bound is
+    pytest-gated."""
+    from orientdb_spark.scale import cms_build, cms_join_size
+
+    ev = _engine(spark, sf_dir).table("events")
+    a = cms_build(ev, "event_type", width=2048, depth=5)
+    b = cms_build(
+        ev.filter(F.col("value") > 100), "event_type", width=2048, depth=5
+    )
+    return cms_join_size(a, b, depth=5)
+
+
 def _graph_triangle_count(spark, sf_dir):
     """Per-vertex triangle counts via degree-ordered wedge enumeration
     (graph.py triangle_count). The TPC-H hierarchy graph is a forest
@@ -2448,6 +2466,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "salted_skew_aggregate": _salted_skew_aggregate,
         "bloom_prefilter_join": _bloom_prefilter_join,
         "cms_event_type_counts": _cms_event_type_counts,
+        "cms_join_size_estimate": _cms_join_size_estimate,
         "event_cohort_retention": _event_cohort_retention,
         "event_hierarchical_rollup": _event_hierarchical_rollup,
         "event_json_props": _event_json_props,
@@ -3419,6 +3438,11 @@ def oracle_sql() -> dict[str, str]:
             "round(min(l_extendedprice), 2) AS min_price, "
             "round(max(l_extendedprice), 2) AS max_price "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "cms_join_size_estimate": (
+            "SELECT count(*)::BIGINT AS est_join_size FROM events a "
+            "JOIN (SELECT event_type FROM events WHERE value > 100) b "
+            "ON a.event_type = b.event_type"
         ),
         "cms_event_type_counts": (
             # exact truth: collision-free sketch => estimate == count

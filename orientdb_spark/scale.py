@@ -320,6 +320,45 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("__row", "__col").agg(F.sum("__n").alias("__n"))
 
 
+def cms_join_size(
+    sketch_a: DataFrame, sketch_b: DataFrame, depth: int = 5
+) -> DataFrame:
+    """Join-cardinality estimate from two count-min sketches over the
+    same (width, depth): the equi-join's output size is the inner
+    product ``sum_k fA(k) * fB(k)``, estimated as the MIN over hash
+    rows of the cell-wise product sum (the AMS/CMS inner-product
+    estimator). Never underestimates — every true (kA, kB) match lands
+    in a shared cell on every row — and overshoots by at most
+    ``eps * |A| * |B|`` per the CMS guarantee. The cost-based-planner
+    use case: size a join from two sketch tables (each width*depth
+    cells, mergeable across shards) without touching either input.
+
+    A hash row with NO overlapping cells has inner product 0, so absent
+    rows are restored as zeros before the min. Returns one row
+    ``(est_join_size)``."""
+    if depth <= 0:
+        raise ValueError(f"depth must be positive, got {depth}")
+    j = sketch_a.select(
+        "__row", "__col", F.col("__n").alias("__na")
+    ).join(
+        sketch_b.select("__row", "__col", F.col("__n").alias("__nb")),
+        ["__row", "__col"],
+    )
+    per_row = j.groupBy("__row").agg(
+        F.sum(F.col("__na") * F.col("__nb")).alias("__ip")
+    )
+    spark = sketch_a.sparkSession
+    rows = spark.range(depth).select(F.col("id").cast("int").alias("__row"))
+    return (
+        rows.join(per_row, "__row", "left")
+        .agg(
+            F.min(F.coalesce(F.col("__ip"), F.lit(0)))
+            .cast("long")
+            .alias("est_join_size")
+        )
+    )
+
+
 def cms_estimate(
     sketch: DataFrame, keys: DataFrame, key_col: str, width: int = 2048, depth: int = 5
 ) -> DataFrame:

@@ -260,3 +260,32 @@ def test_cms_heavy_hitters_exact_on_skewed_keys(spark):
     est = {r["event_type"]: r["est_count"] for r in
            cms_estimate(sk, keys, "event_type", width=2048, depth=5).collect()}
     assert est == truth  # few keys, wide sketch: collisions impossible
+
+
+def test_cms_join_size_bounds_and_empty(spark):
+    """The inner-product estimator never underestimates the true join
+    cardinality and overshoots by at most eps*|A|*|B|; an empty side
+    estimates 0."""
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.scale import cms_build, cms_join_size
+
+    rows_a = [(f"k{i}",) for i in range(40) for _ in range(120 // (i + 1))]
+    rows_b = [(f"k{i}",) for i in range(10, 60) for _ in range(3)]
+    da = spark.createDataFrame(rows_a, ["key"])
+    db = spark.createDataFrame(rows_b, ["key"])
+    ca, cb = {}, {}
+    for (k,) in rows_a:
+        ca[k] = ca.get(k, 0) + 1
+    for (k,) in rows_b:
+        cb[k] = cb.get(k, 0) + 1
+    truth = sum(ca.get(k, 0) * cb.get(k, 0) for k in ca)
+    sa = cms_build(da, "key", width=1024, depth=5)
+    sb = cms_build(db, "key", width=1024, depth=5)
+    est = cms_join_size(sa, sb, depth=5).collect()[0]["est_join_size"]
+    assert est >= truth
+    eps = 2.718 / 1024
+    assert est - truth <= max(eps * len(rows_a) * len(rows_b), 1)
+    # empty probe side -> every hash row's inner product is 0
+    empty = cms_build(da.filter(F.lit(False)), "key", width=1024, depth=5)
+    assert cms_join_size(sa, empty, depth=5).collect()[0]["est_join_size"] == 0
