@@ -1084,6 +1084,46 @@ def _storage_merge_upsert(spark, sf_dir):
     )
 
 
+def _storage_snapshot_diff(spark, sf_dir):
+    """CDC extraction between snapshots (storage.snapshot_diff, the
+    merge_upsert inverse): the new snapshot drops every 13th order,
+    updates every 10th survivor (status 'U', price +100 — constant add,
+    see the merge_upsert midpoint note), and adds shifted inserts for
+    every 7th key. One full outer join with null-safe struct compare;
+    unchanged rows are omitted. The oracle classifies by the same key
+    arithmetic, never by float comparison."""
+    from orientdb_spark.storage import snapshot_diff
+
+    old = _engine(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = F.col("o_orderkey") % 10 == 0
+    new = (
+        old.filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            "o_orderkey",
+            F.when(upd, "U").otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+            F.when(upd, F.col("o_totalprice") + 100.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 7 == 0).select(
+                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(1.0).alias("o_totalprice"),
+            )
+        )
+    )
+    out = snapshot_diff(old, new, "o_orderkey")
+    return out.select(
+        "o_orderkey",
+        "change",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
 def _event_funnel(spark, sf_dir):
     """Ordered funnel (view -> click -> purchase): deepest in-order
     prefix per user. Single-shuffle HOF formulation (streaming.funnel);
@@ -1864,6 +1904,19 @@ def _profile_quantile_bins(spark, sf_dir):
     )
 
 
+def _profile_entropy(spark, sf_dir):
+    """Language-mix diversity per source (profile.column_entropy):
+    Shannon entropy in nats from the ln(n) - sum(c ln c)/n identity —
+    two partial-agg groupBys over value counts, no window."""
+    from orientdb_spark.pipeline.profile import column_entropy
+
+    docs = _docs(spark, sf_dir)
+    out = column_entropy(docs, "lang", ["source"])
+    return out.select(
+        "source", "n_rows", "n_distinct", F.round("entropy", 6).alias("entropy")
+    )
+
+
 def _text_edit_distance_join(spark, sf_dir):
     """Typo-tolerant entity-resolution join (dedup.edit_distance_join,
     PassJoin segment signatures): part names plus a deterministically
@@ -2490,6 +2543,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "profile_correlations": _profile_correlations,
         "profile_iqr_outliers": _profile_iqr_outliers,
         "storage_merge_upsert": _storage_merge_upsert,
+        "storage_snapshot_diff": _storage_snapshot_diff,
         "event_range_join": _event_range_join,
         "profile_events": _profile_events,
         "event_funnel": _event_funnel,
@@ -2505,6 +2559,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sample_quota_per_source": _sample_quota_per_source,
         "sample_stratified_split": _sample_stratified_split,
         "profile_quantile_bins": _profile_quantile_bins,
+        "profile_entropy": _profile_entropy,
         "text_edit_distance_join": _text_edit_distance_join,
         "mining_frequent_pairs": _mining_frequent_pairs,
         "sample_mixture": _sample_mixture,
@@ -3390,6 +3445,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e JOIN f2 USING (event_type) "
             "GROUP BY e.event_type, q1, q3, lo, hi"
         ),
+        "storage_snapshot_diff": (
+            "WITH old AS (SELECT o_orderkey AS k, o_orderstatus AS st, "
+            "o_totalprice AS tp FROM orders) "
+            "SELECT k AS o_orderkey, 'delete' AS change, "
+            "NULL::VARCHAR AS o_orderstatus, NULL::DOUBLE AS o_totalprice "
+            "FROM old WHERE k % 13 = 0 "
+            "UNION ALL SELECT k, 'update', 'U', round(tp + 100.0, 2) "
+            "FROM old WHERE k % 13 <> 0 AND k % 10 = 0 "
+            "UNION ALL SELECT k + 1000000000, 'insert', 'N', 1.0 "
+            "FROM old WHERE k % 7 = 0"
+        ),
         "storage_merge_upsert": (
             "WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders), "
             "s AS (SELECT o_orderkey, 'U' AS o_orderstatus, "
@@ -3692,6 +3758,14 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN rk <= floor(n * 800 / 1000.0) THEN 'train' "
             "WHEN rk <= floor(n * 900 / 1000.0) THEN 'valid' "
             "ELSE 'test' END AS split FROM r"
+        ),
+        "profile_entropy": (
+            "WITH c AS (SELECT source, lang, count(*)::BIGINT AS c "
+            "FROM documents GROUP BY source, lang) "
+            "SELECT source, sum(c)::BIGINT AS n_rows, "
+            "count(*)::BIGINT AS n_distinct, "
+            "round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy "
+            "FROM c GROUP BY source"
         ),
         "profile_quantile_bins": (
             "WITH c AS (SELECT event_type, "

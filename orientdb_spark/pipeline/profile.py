@@ -21,7 +21,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import BooleanType, NumericType, StringType
 
-__all__ = ["profile_columns", "fk_orphans", "quantile_bins"]
+__all__ = ["profile_columns", "fk_orphans", "quantile_bins", "column_entropy"]
 
 
 def fk_orphans(
@@ -341,4 +341,29 @@ def quantile_bins(
             F.min(c).alias("lo"),
             F.max(c).alias("hi"),
         )
+    )
+
+
+def column_entropy(
+    df: DataFrame, col: str, group_cols: "Sequence[str]" = ()
+) -> DataFrame:
+    """Shannon entropy (nats) of a categorical column per group — the
+    corpus-composition diversity metric (is one source all-English? is
+    a label column collapsing?). Uses the identity
+    ``H = ln(n) - (sum c_v ln c_v) / n`` over the value counts, so the
+    whole thing is two partial-agg groupBys (value counts, then one
+    per-group fold) — no window, no second scan of the rows. NULL
+    counts as its own category. Returns
+    ``(*group_cols, n_rows, n_distinct, entropy)``."""
+    gcols = list(group_cols)
+    counts = df.groupBy(*gcols, F.col(col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    n = F.sum("__c")
+    return counts.groupBy(*gcols).agg(
+        n.alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (
+            F.log(n) - F.sum(F.col("__c") * F.log("__c")) / n
+        ).alias("entropy"),
     )

@@ -274,3 +274,44 @@ def merge_upsert(target, source, key: str):
         )
     survivors = target.join(source.select(key), key, "left_anti")
     return survivors.unionByName(source)
+
+
+def snapshot_diff(old, new, key: str, compare_cols: list[str] | None = None):
+    """Change-data extraction between two snapshots of a keyed table:
+    classify every key as ``insert`` (new only), ``delete`` (old only),
+    or ``update`` (present in both with any compared column changed) —
+    the inverse of ``merge_upsert``, producing the CDC batch that
+    replays one snapshot into the other. Unchanged rows are omitted.
+
+    ONE full outer join on the key; change detection compares the
+    column structs null-safely (``<=>``) so NULL-to-value and
+    value-to-NULL edits register as updates. Returns
+    ``(key, change, <new-side columns named as-is, null for deletes>)``
+    — apply inserts+updates via merge_upsert and deletes via anti join
+    to reconstruct ``new`` from ``old``.
+    """
+    cols = compare_cols or [c for c in new.columns if c != key]
+    missing = [c for c in cols if c not in old.columns or c not in new.columns]
+    if missing:
+        raise ValueError(f"compare columns absent from a side: {missing}")
+    o = old.select(
+        F.col(key).alias("__ko"), F.struct(*cols).alias("__vo")
+    )
+    n = new.select(
+        F.col(key).alias("__kn"), F.struct(*cols).alias("__vn")
+    )
+    j = o.join(n, F.col("__ko") == F.col("__kn"), "full_outer")
+    change = (
+        F.when(F.col("__ko").isNull(), F.lit("insert"))
+        .when(F.col("__kn").isNull(), F.lit("delete"))
+        .when(~F.col("__vo").eqNullSafe(F.col("__vn")), F.lit("update"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            F.coalesce(F.col("__kn"), F.col("__ko")).alias(key),
+            "change",
+            *[F.col("__vn").getField(c).alias(c) for c in cols],
+        )
+    )

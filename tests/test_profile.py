@@ -216,3 +216,26 @@ def test_quantile_bins_per_group_and_validation(spark):
 
     with pytest.raises(ValueError):
         quantile_bins(df, "value", ["g"], q=1)
+
+
+def test_column_entropy_known_values(spark):
+    """Uniform k categories -> ln k; constant -> 0; NULL is a category;
+    per-group isolation."""
+    import math
+
+    from orientdb_spark.pipeline.profile import column_entropy
+
+    rows = (
+        [("u", x) for x in ("a", "b", "c", "d")]          # uniform over 4
+        + [("k", "z")] * 5                                 # constant
+        + [("n", "a"), ("n", None)]                        # null category
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {
+        r["g"]: (r["n_rows"], r["n_distinct"], r["entropy"])
+        for r in column_entropy(df, "v", ["g"]).collect()
+    }
+    assert got["k"] == (5, 1, 0.0)
+    assert got["u"][0] == 4 and got["u"][1] == 4
+    assert abs(got["u"][2] - math.log(4)) < 1e-12
+    assert got["n"][1] == 2 and abs(got["n"][2] - math.log(2)) < 1e-12

@@ -192,3 +192,46 @@ def test_write_zordered_prunes_2d_boxes(spark, tmp_path):
     zr = sorted(map(tuple, spark.read.parquet(zp).collect()))
     orig = sorted(map(tuple, df.collect()))
     assert zr == orig
+
+
+def test_snapshot_diff_roundtrip_reconstructs_new(spark):
+    """Applying the extracted changes to old (upsert inserts+updates,
+    anti-join deletes) must reconstruct new exactly — the CDC
+    round-trip contract with merge_upsert."""
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.storage import merge_upsert, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "k INT, s STRING, v DOUBLE",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (3, "c", 3.0), (5, "e", 5.0)],
+        "k INT, s STRING, v DOUBLE",
+    )
+    diff = snapshot_diff(old, new, "k").cache()
+    got = {r["k"]: r["change"] for r in diff.collect()}
+    # 1 unchanged (absent), 2 updated, 3 NULL->value update, 4 deleted, 5 inserted
+    assert got == {2: "update", 3: "update", 4: "delete", 5: "insert"}
+    applied = merge_upsert(
+        old,
+        diff.filter(F.col("change") != "delete").select("k", "s", "v"),
+        "k",
+    ).join(diff.filter(F.col("change") == "delete").select("k"), "k", "left_anti")
+    assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_snapshot_diff_compare_cols_subset_and_validation(spark):
+    """Restricting compare_cols makes out-of-scope edits invisible;
+    unknown columns fail fast."""
+    import pytest
+
+    from orientdb_spark.storage import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 1.0)], "k INT, s STRING, v DOUBLE")
+    new = spark.createDataFrame([(1, "a", 9.0)], "k INT, s STRING, v DOUBLE")
+    assert snapshot_diff(old, new, "k", compare_cols=["s"]).count() == 0
+    assert snapshot_diff(old, new, "k", compare_cols=["v"]).count() == 1
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new, "k", compare_cols=["nope"])
