@@ -693,6 +693,27 @@ def _graph_clustering_coeff(spark, sf_dir):
     )
 
 
+def _graph_link_prediction(spark, sf_dir):
+    """Common-neighbors / Adamic-Adar link prediction
+    (graph.link_prediction) over the order-part bipartite graph from
+    lineitem: order pairs sharing >= 2 parts (and part pairs sharing
+    >= 2 orders) that aren't already adjacent, scored by
+    sum 1/ln(deg(center)). Wedge self-join + one pair groupBy + edge
+    anti join; min_common prunes the tail inside the aggregate."""
+    from orientdb_spark.graph import Graph
+
+    li = _engine(spark, sf_dir).table("lineitem")
+    ed = li.select(
+        F.concat(F.lit("order:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    g = Graph(ed.select(F.col("src").alias("vid")).distinct(), ed)
+    out = g.link_prediction(min_common=2)
+    return out.select(
+        "id_a", "id_b", "common_neighbors", F.round("aa_score", 6).alias("aa_score")
+    )
+
+
 def _graph_neighbor_features(spark, sf_dir):
     """Two-hop mean feature propagation (graph.neighbor_aggregate,
     GraphSAGE mean-aggregator analog): customer acctbal seeds the
@@ -2514,6 +2535,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "graph_triangle_count": _graph_triangle_count,
         "graph_clustering_coeff": _graph_clustering_coeff,
         "graph_neighbor_features": _graph_neighbor_features,
+        "graph_link_prediction": _graph_link_prediction,
         "graph_kcore": _graph_kcore,
         "hll_distinct_merge": _hll_distinct_merge,
         "salted_skew_aggregate": _salted_skew_aggregate,
@@ -3558,6 +3580,22 @@ def oracle_sql() -> dict[str, str]:
             "2.0 * coalesce(t.n_triangles, 0) / (d.degree * (d.degree - 1)) "
             "ELSE 0.0 END, 6) AS coefficient "
             "FROM deg d LEFT JOIN t USING (vid)"
+        ),
+        "graph_link_prediction": (
+            "WITH e AS (SELECT DISTINCT "
+            "least('order:' || l_orderkey, 'part:' || l_partkey) AS a, "
+            "greatest('order:' || l_orderkey, 'part:' || l_partkey) AS b "
+            "FROM lineitem), "
+            "adj AS (SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e), "
+            "d AS (SELECT w, count(*)::BIGINT AS dw FROM adj GROUP BY w), "
+            "wed AS (SELECT e1.n AS id_a, e2.n AS id_b, d.dw "
+            "FROM adj e1 JOIN adj e2 ON e1.w = e2.w AND e1.n < e2.n "
+            "JOIN d ON d.w = e1.w), "
+            "sc AS (SELECT id_a, id_b, count(*)::BIGINT AS common_neighbors, "
+            "round(sum(1.0 / ln(dw)), 6) AS aa_score "
+            "FROM wed GROUP BY id_a, id_b HAVING count(*) >= 2) "
+            "SELECT sc.* FROM sc LEFT JOIN e "
+            "ON e.a = sc.id_a AND e.b = sc.id_b WHERE e.a IS NULL"
         ),
         "graph_neighbor_features": (
             "WITH e AS (SELECT 'customer:' || c_custkey AS c, "

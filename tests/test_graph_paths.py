@@ -288,3 +288,40 @@ def test_neighbor_aggregate_rejects_zero_hops(spark):
     feats = spark.createDataFrame([("a", 1.0)], ["vid", "f"])
     with pytest.raises(ValueError):
         g.neighbor_aggregate(feats, value="f", hops=0)
+
+
+def test_link_prediction_semantics(spark):
+    """Path graph a-b-c-d: (a,c) and (b,d) share one center each,
+    (a,d) shares none; adjacent pairs are excluded; AA = 1/ln(2) for
+    degree-2 centers."""
+    import math
+
+    g = _graph(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = {
+        (r["id_a"], r["id_b"]): (r["common_neighbors"], r["aa_score"])
+        for r in g.link_prediction().collect()
+    }
+    aa = 1 / math.log(2)
+    assert set(got) == {("a", "c"), ("b", "d")}
+    for cn, score in got.values():
+        assert cn == 1 and abs(score - aa) < 1e-12
+
+
+def test_link_prediction_min_common_and_hub_cap(spark):
+    """K2,3: the two left vertices share all 3 centers (the r-pairs
+    share only the 2 left ones); min_common=3 keeps just the l-pair."""
+    edges = [(u, v) for u in ("l1", "l2") for v in ("r1", "r2", "r3")]
+    g = _graph(spark, edges)
+    got = {
+        (r["id_a"], r["id_b"]): r["common_neighbors"]
+        for r in g.link_prediction(min_common=3).collect()
+    }
+    assert got == {("l1", "l2"): 3}
+    # r-side pairs share the 2 high-degree left centers; capping center
+    # degree at 2 kills exactly those wedges
+    capped = g.link_prediction(max_center_degree=2)
+    assert {(r["id_a"], r["id_b"]) for r in capped.collect()} == {("l1", "l2")}
+    import pytest
+
+    with pytest.raises(ValueError):
+        g.link_prediction(min_common=0)
