@@ -814,3 +814,125 @@ def scd2_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def anomaly_zscore_stream(
+    df: DataFrame,
+    on: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_sec: int = 86400,
+    z_threshold: float = 2.0,
+    min_samples: int = 5,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming rolling z-score anomaly flags as a CUSTOM STATEFUL
+    OPERATOR (the fifth): per key, GroupState buffers the (ts, value)
+    pairs inside the trailing ``window_sec`` window; each event evicts
+    the expired prefix, appends itself, and is emitted with the
+    window's mean / sample stddev / 4 dp z / threshold flag — the
+    online-monitoring analog of ``temporal.anomaly_zscore``, same
+    gates (null z under ``min_samples`` or ~zero variance, NULL — not
+    NaN — stddev on a 1-row window).
+
+    State is the per-key window occupancy (two parallel arrays), so it
+    is bounded by event rate * window length per key, not by stream
+    length — the inherent cost of an exact trailing window; a
+    Welford-style O(1) running summary cannot EVICT, which a trailing
+    window requires. Exactness: identical to the batch operator when
+    each key's rows arrive in event-time order across micro-batches
+    (always true for one availableNow batch — the stream==batch test);
+    a late row computes against its batch-local prefix, the standard
+    no-reorder trade shared with asof_join_stream.
+
+    Batch fallback: on a static frame this delegates to
+    ``temporal.anomaly_zscore``."""
+    import pandas as pd
+
+    if not df.isStreaming:
+        from orientdb_spark.temporal import anomaly_zscore
+
+        return anomaly_zscore(
+            df,
+            on=list(on),
+            ts=ts_col,
+            value=value_col,
+            window_sec=window_sec,
+            z_threshold=z_threshold,
+            min_samples=min_samples,
+        )
+    if window_sec <= 0:
+        raise ValueError(f"window_sec must be positive, got {window_sec}")
+    if min_samples < 2:
+        raise ValueError(f"min_samples must be >= 2, got {min_samples}")
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    on = list(on)
+    width_us = int(window_sec) * 1_000_000
+    in_cols = df.columns
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("rolling_mean", DoubleType()),
+            StructField("rolling_std", DoubleType()),
+            StructField("zscore", DoubleType()),
+            StructField("is_anomaly", BooleanType()),
+        ]
+    )
+    state_schema = "ts_arr array<bigint>, v_arr array<double>"
+
+    def walk(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        if state.exists:
+            ts_arr, v_arr = (list(x) for x in state.get)
+        else:
+            ts_arr, v_arr = [], []
+        out = []
+        for _, row in rows.iterrows():
+            ts_us = int(pd.Timestamp(row[ts_col]).value // 1_000)
+            lo = ts_us - width_us
+            while ts_arr and ts_arr[0] < lo:
+                ts_arr.pop(0)
+                v_arr.pop(0)
+            x = float(row[value_col])
+            ts_arr.append(ts_us)
+            v_arr.append(x)
+            n = len(v_arr)
+            mean = sum(v_arr) / n
+            if n >= 2:
+                var = sum((v - mean) ** 2 for v in v_arr) / (n - 1)
+                std = var**0.5
+            else:
+                std = None
+            if n >= min_samples and std is not None and std > 1e-12:
+                z = round((x - mean) / std, 4)
+                flag = abs(z) > z_threshold
+            else:
+                z, flag = None, None
+            out.append([row[c] for c in in_cols] + [mean, std, z, flag])
+        state.update((ts_arr, v_arr))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=in_cols
+                + ["rolling_mean", "rolling_std", "zscore", "is_anomaly"],
+            )
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*[F.col(c) for c in on])
+        .applyInPandasWithState(
+            walk,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -648,3 +648,124 @@ def test_scd2_stream_static_fallback(spark):
     events = fix_event_nanos(spark.read.parquet(f"{SF_DIR}/events.parquet"))
     out = scd2_stream(events)
     assert not out.isStreaming and out.count() > 0
+
+
+def test_anomaly_zscore_stream_matches_batch(spark):
+    """Streaming rolling z-score (fifth stateful operator) must agree
+    with temporal.anomaly_zscore when the whole input arrives as one
+    availableNow batch."""
+    from orientdb_spark.streaming import anomaly_zscore_stream
+    from orientdb_spark.temporal import anomaly_zscore
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = fix_event_nanos(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    src_dir = tempfile.mkdtemp(prefix="ospark_az_src_")
+    ckpt = tempfile.mkdtemp(prefix="ospark_az_ckpt_")
+    try:
+        events.write.mode("overwrite").parquet(src_dir)
+        stream = read_event_stream(spark, src_dir)
+        out = anomaly_zscore_stream(
+            stream, on=("user_id",), window_sec=86400, z_threshold=2.0
+        )
+        assert out.isStreaming
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("az_rows")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "select event_id, round(rolling_mean, 6) as m, "
+            "round(rolling_std, 6) as s, zscore, is_anomaly from az_rows"
+        )
+        batch = anomaly_zscore(
+            events, on=["user_id"], window_sec=86400, z_threshold=2.0
+        ).select(
+            "event_id",
+            F.round("rolling_mean", 6).alias("m"),
+            F.round("rolling_std", 6).alias("s"),
+            "zscore",
+            "is_anomaly",
+        )
+        assert got.count() == batch.count()
+        assert got.exceptAll(batch).count() == 0
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_anomaly_zscore_stream_state_across_batches(spark):
+    """The window buffer must survive micro-batch boundaries: feeding
+    the same key in two file-batches equals one batch (per-key
+    event-time order holds across the split)."""
+    import datetime as dt
+
+    from orientdb_spark.streaming import anomaly_zscore_stream
+
+    def _rows(lo, hi):
+        base = dt.datetime(2024, 1, 1, 12, 0)
+        return [
+            ("u1", base + dt.timedelta(minutes=i), 10.0 + (i % 2) if i < 9 else 100.0)
+            for i in range(lo, hi)
+        ]
+
+    src_dir = tempfile.mkdtemp(prefix="ospark_az2_src_")
+    ckpt = tempfile.mkdtemp(prefix="ospark_az2_ckpt_")
+    try:
+        schema = "k STRING, ts TIMESTAMP, value DOUBLE"
+        # one FILE per micro-batch with ordered mtimes — multi-part
+        # writes would let the source split/reorder rows mid-key
+        import time
+
+        spark.createDataFrame(_rows(0, 5), schema).coalesce(1).write.parquet(
+            f"{src_dir}/b1"
+        )
+        time.sleep(1.1)
+        spark.createDataFrame(_rows(5, 10), schema).coalesce(1).write.parquet(
+            f"{src_dir}/b2"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(f"{src_dir}/*")
+        )
+        out = anomaly_zscore_stream(
+            stream, on=("k",), ts_col="ts", value_col="value",
+            window_sec=3600, z_threshold=2.5,
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("az2_rows")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = {
+            r["ts"]: (r["zscore"], r["is_anomaly"])
+            for r in spark.sql("select * from az2_rows").collect()
+        }
+        assert len(rows) == 10
+        # last row (the spike) sees the full 10-row window even though
+        # the first 5 rows arrived in an earlier micro-batch
+        spike_ts = max(rows)
+        z, flag = rows[spike_ts]
+        assert z is not None and z > 2.5 and flag is True
+        assert sum(1 for z_, f_ in rows.values() if f_ is True) == 1
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_anomaly_zscore_stream_static_fallback(spark):
+    from orientdb_spark.streaming import anomaly_zscore_stream
+
+    events = fix_event_nanos(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    out = anomaly_zscore_stream(events, on=("user_id",))
+    assert not out.isStreaming
+    assert out.count() == events.count()
