@@ -1358,6 +1358,20 @@ def _embedding_kmeans(spark, sf_dir):
     return assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
 
 
+def _embedding_pca(spark, sf_dir):
+    """Distributed PCA projection (quantize.pca_fit/pca_project):
+    Arrow-batched per-partition covariance partials, driver-side d x d
+    eig, narrow literal-array projection. Rows-only by design: the
+    eigenbasis is LAPACK-derived, so a cross-engine value hash is the
+    wrong check — the quality gate is the numpy agreement + variance-
+    recovery test in tests/test_quantize.py."""
+    from orientdb_spark.pipeline.quantize import pca_fit, pca_project
+
+    embs = _embs(spark, sf_dir)
+    model = pca_fit(embs, n_components=8)
+    return pca_project(embs, model)
+
+
 def _pipeline_multimodal_end_to_end(spark, sf_dir):
     """Multimodal composition proof: binary payload -> frame sampling
     (1->N fan-out) -> per-frame resize to a 2x2 grid, all under one
@@ -2593,6 +2607,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "embedding_random_projection": _embedding_random_projection,
         "embedding_nearest_centroid": _embedding_nearest_centroid,
         "embedding_kmeans": _embedding_kmeans,
+        "embedding_pca": _embedding_pca,
         "embedding_label_centroids": _embedding_label_centroids,
         # pipeline: similarity
         "sim_topk_bruteforce": _sim_bruteforce,

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["scalar_quantize"]
+__all__ = ["scalar_quantize", "pca_fit", "pca_project"]
 
 
 def scalar_quantize(
@@ -120,4 +120,98 @@ def sign_random_projection(
     for j in range(out_dim):
         signs = [float(_rp_sign(seed, i, j)) for i in range(in_dim)]
         cols.append(dot_product(vec, F.lit(signs)) * F.lit(scale))
+    return df.select(F.col(id_col), F.array(*cols).alias("proj"))
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_components: int = 8,
+) -> dict:
+    """Fit PCA over an embedding column, distributed the way a 100 TB
+    corpus demands: each partition folds its rows into ONE partial
+    (n, sum_x, sum_xxT) via an Arrow-batched ``mapInPandas`` (numpy
+    matmul per batch — no per-row Python), the partition partials (a
+    partition-count-bounded collect, same discipline as the IVF
+    centroid pull) reduce on the driver, and the d x d eigenproblem —
+    micro-work for embedding dims — runs in numpy. Sign convention:
+    each component is flipped so its largest-|w| coordinate is
+    positive, making the result deterministic across LAPACK builds.
+
+    Returns ``{"mean": [d], "components": [k][d] (rows = top-k
+    eigenvectors), "explained_variance_ratio": [k], "n": int}``.
+    """
+    import numpy as np
+
+    if n_components < 1:
+        raise ValueError(f"n_components must be >= 1, got {n_components}")
+
+    def partials(batches):
+        import pandas as pd
+
+        n = 0
+        s = None
+        ss = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            g = x.T @ x
+            ss = g if ss is None else ss + g
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.reshape(-1).tolist()]}
+            )
+
+    rows = df.select(vec_col).mapInPandas(
+        partials, "n long, s array<double>, ss array<double>"
+    ).collect()
+    if not rows:
+        raise ValueError("cannot fit PCA on an empty corpus")
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    if n_components > d:
+        raise ValueError(f"n_components {n_components} > dim {d}")
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    ss = np.sum([np.array(r["ss"]).reshape(d, d) for r in rows], axis=0)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T
+    # deterministic sign: largest-|w| coordinate positive
+    for row in comps:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1.0
+    ev = np.clip(evals[order], 0.0, None)
+    total = float(np.clip(evals, 0.0, None).sum()) or 1.0
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "explained_variance_ratio": (ev / total).tolist(),
+        "n": int(n),
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project vectors onto a fitted PCA basis:
+    ``y_j = (x - mean) . component_j`` as a pure narrow transform —
+    the mean and each component ride in as broadcast literal arrays,
+    zero shuffles (the sign_random_projection shape). Returns
+    ``(id, proj array<double>)``."""
+    from orientdb_spark.pipeline.common import dot_product
+
+    mean = model["mean"]
+    comps = model["components"]
+    vec = F.col(vec_col).cast("array<double>")
+    centered = F.zip_with(vec, F.lit(mean), lambda x, m: x - m)
+    cols = [dot_product(centered, F.lit(list(c))) for c in comps]
     return df.select(F.col(id_col), F.array(*cols).alias("proj"))

@@ -114,3 +114,57 @@ def test_sign_rp_zero_shuffle_plan(spark):
         )
     )
     assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE)) == 0, plan
+
+
+def test_pca_matches_numpy_reference(spark):
+    """Distributed partial-covariance fit must agree with plain numpy
+    PCA on the collected corpus: same components (after the shared sign
+    convention), same explained-variance ratios, same projections."""
+    import numpy as np
+
+    from orientdb_spark.pipeline.quantize import pca_fit, pca_project
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    model = pca_fit(df, n_components=8)
+    x = np.stack([r["embedding"] for r in df.orderBy("vec_id").collect()]).astype(
+        np.float64
+    )
+    mean = x.mean(axis=0)
+    cov = (x.T @ x) / len(x) - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:8]
+    comps = evecs[:, order].T.copy()
+    for row in comps:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1.0
+    assert np.allclose(model["mean"], mean, atol=1e-9)
+    assert np.allclose(model["components"], comps, atol=1e-7)
+    ev = np.clip(evals[order], 0, None) / np.clip(evals, 0, None).sum()
+    assert np.allclose(model["explained_variance_ratio"], ev, atol=1e-9)
+    # projections: narrow Column transform == numpy (x - mean) @ C.T
+    proj = {
+        r["vec_id"]: np.array(r["proj"])
+        for r in pca_project(df, model).collect()
+    }
+    want = (x - mean) @ np.array(model["components"]).T
+    ids = [r["vec_id"] for r in df.orderBy("vec_id").collect()]
+    got = np.stack([proj[i] for i in ids])
+    assert np.allclose(got, want, atol=1e-7)
+    # component variances recover the eigenvalues (the PCA contract)
+    assert np.allclose(got.var(axis=0), np.clip(evals[order], 0, None), atol=1e-7)
+
+
+def test_pca_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.quantize import pca_fit
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError):
+        pca_fit(df, n_components=0)
+    with pytest.raises(ValueError):
+        pca_fit(df, n_components=65)  # > dim
+    with pytest.raises(ValueError):
+        pca_fit(df.filter(F.lit(False)))
