@@ -474,6 +474,10 @@ class Graph:
             )
             .filter(F.col("a") != F.col("b"))
             .dropDuplicates()
+            # feeds adjacency (twice via the union), the degree agg, and
+            # the final anti join — checkpoint once, same discipline as
+            # triangle_count's oriented edge list
+            .localCheckpoint(eager=False)
         )
         adj = und.select(
             F.col("a").alias("w"), F.col("b").alias("n")
@@ -481,7 +485,8 @@ class Graph:
         deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("__d"))
         if max_center_degree is not None:
             deg = deg.filter(F.col("__d") <= max_center_degree)
-        centers = adj.join(deg, "w")
+        # both wedge sides read the same degree-annotated adjacency
+        centers = adj.join(deg, "w").localCheckpoint(eager=False)
         e1, e2 = centers.alias("e1"), centers.alias("e2")
         wedges = e1.join(
             e2,
