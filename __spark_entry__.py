@@ -1217,6 +1217,21 @@ def _dedup_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
 
+def _dedup_simhash_hamming(spark, sf_dir):
+    """Banded SimHash near-dup pairs within Hamming distance 3
+    (dedup.simhash_hamming_pairs, the WWW'07 block scheme): pigeonhole
+    block equi-join + bit_count(xor) residual — never all-pairs.
+    48-bit fingerprints (12-bit blocks): 16 bits saturate on this
+    homogeneous synthetic corpus (73k of 125k pairs within distance 3 —
+    the fingerprint, not the join, degenerates). The oracle recomputes
+    the fingerprints and compares every pair quadratically."""
+    from orientdb_spark.pipeline import dedup
+
+    return dedup.simhash_hamming_pairs(
+        _docs(spark, sf_dir), bits=48, max_hamming=3
+    )
+
+
 def _dedup_ngram(spark, sf_dir):
     from orientdb_spark.pipeline import dedup
 
@@ -1939,6 +1954,44 @@ def _profile_quantile_bins(spark, sf_dir):
     )
 
 
+def _profile_winsorize(spark, sf_dir):
+    """Winsorized summary per event type (profile.winsorize_stats):
+    exact interpolated p05/p95 fences broadcast back, clip counts and
+    before/after means in one count agg — the outlier-robust
+    preprocessing audit."""
+    from orientdb_spark.pipeline.profile import winsorize_stats
+
+    ev = _engine(spark, sf_dir).table("events")
+    out = winsorize_stats(ev, "value", ["event_type"], lo=0.05, hi=0.95)
+    return out.select(
+        "event_type",
+        F.round("p_lo", 6).alias("p_lo"),
+        F.round("p_hi", 6).alias("p_hi"),
+        "n_rows",
+        "n_clipped_lo",
+        "n_clipped_hi",
+        F.round("mean_raw", 6).alias("mean_raw"),
+        F.round("mean_winsorized", 6).alias("mean_winsorized"),
+    )
+
+
+def _event_trend(spark, sf_dir):
+    """Per-user OLS value trend (temporal.trend_fit): slope per day,
+    intercept, R² from the built-in regression aggregates — one
+    partial-agg groupBy, the metric-drift detector."""
+    from orientdb_spark.temporal import trend_fit
+
+    ev = _engine(spark, sf_dir).table("events")
+    out = trend_fit(ev, on=["user_id"])
+    return out.select(
+        "user_id",
+        "n_samples",
+        F.round("slope_per_day", 6).alias("slope_per_day"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )
+
+
 def _profile_entropy(spark, sf_dir):
     """Language-mix diversity per source (profile.column_entropy):
     Shannon entropy in nats from the ln(n) - sum(c ln c)/n identity —
@@ -2596,11 +2649,14 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sample_stratified_split": _sample_stratified_split,
         "profile_quantile_bins": _profile_quantile_bins,
         "profile_entropy": _profile_entropy,
+        "profile_winsorize": _profile_winsorize,
+        "event_trend": _event_trend,
         "text_edit_distance_join": _text_edit_distance_join,
         "mining_frequent_pairs": _mining_frequent_pairs,
         "sample_mixture": _sample_mixture,
         "dedup_bucket_audit": _dedup_bucket_audit,
         "dedup_simhash": _dedup_simhash,
+        "dedup_simhash_hamming": _dedup_simhash_hamming,
         "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_embedding_cosine": _dedup_embedding,
         "embedding_quantize": _embedding_quantize,
@@ -2786,6 +2842,17 @@ WITH toks AS (SELECT doc_id, {_DK_TOKS} AS t FROM documents),
 h AS (SELECT doc_id, list_transform(t, x -> {_dk_h60('x')}) AS hs FROM toks)
 SELECT doc_id, ({terms})::BIGINT AS simhash FROM h
 """
+
+
+def _simhash_hamming_oracle_sql(bits: int = 16, k: int = 3) -> str:
+    inner = _simhash_oracle_sql(bits)
+    return (
+        f"WITH sh AS ({inner}) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {k}"
+    )
 
 
 def _ngram_oracle_sql(n: int = 2, threshold: float = 0.05) -> str:
@@ -3723,6 +3790,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_bucket_audit": _minhash_oracle_sql(stop_at_posts=True),
         "dedup_simhash": _simhash_oracle_sql(),
+        "dedup_simhash_hamming": _simhash_hamming_oracle_sql(48, 3),
         "dedup_ngram_jaccard": _ngram_oracle_sql(),
         "dedup_embedding_cosine": (
             "SELECT id_a, id_b, cosine FROM ("
@@ -3819,6 +3887,26 @@ def oracle_sql() -> dict[str, str]:
             "count(*)::BIGINT AS n_distinct, "
             "round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy "
             "FROM c GROUP BY source"
+        ),
+        "profile_winsorize": (
+            "WITH f AS (SELECT event_type, "
+            "quantile_cont(value, 0.05) AS p_lo, quantile_cont(value, 0.95) AS p_hi "
+            "FROM events GROUP BY event_type) "
+            "SELECT e.event_type, round(p_lo, 6) AS p_lo, round(p_hi, 6) AS p_hi, "
+            "count(*)::BIGINT AS n_rows, "
+            "sum((value < p_lo)::INT)::BIGINT AS n_clipped_lo, "
+            "sum((value > p_hi)::INT)::BIGINT AS n_clipped_hi, "
+            "round(avg(value), 6) AS mean_raw, "
+            "round(avg(greatest(least(value, p_hi), p_lo)), 6) AS mean_winsorized "
+            "FROM events e JOIN f USING (event_type) "
+            "GROUP BY e.event_type, p_lo, p_hi"
+        ),
+        "event_trend": (
+            "SELECT user_id, count(*)::BIGINT AS n_samples, "
+            "round(regr_slope(value, epoch_us(ts) / 86400000000.0), 6) AS slope_per_day, "
+            "round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 6) AS intercept, "
+            "round(regr_r2(value, epoch_us(ts) / 86400000000.0), 6) AS r2 "
+            "FROM events GROUP BY user_id"
         ),
         "profile_quantile_bins": (
             "WITH c AS (SELECT event_type, "

@@ -904,3 +904,75 @@ def edit_distance_join(
         .filter(F.col("dist") <= k)
     )
     return main.unionAll(shorts)
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs whose SimHash fingerprints differ in at most
+    ``max_hamming`` bits — the banded upgrade of
+    ``simhash_duplicate_pairs`` (zero-distance only), using the
+    pigeonhole block scheme of the web-dedup literature (Manku et al.,
+    WWW 2007, public): split the b-bit fingerprint into k+1 even
+    blocks; two fingerprints within Hamming distance k must agree
+    EXACTLY on at least one block, so candidates come from one
+    equi-join on ``(block_index, block_bits)`` — never an all-pairs
+    product — and the exact residual is one ``bit_count(xor)`` per
+    candidate. Same signature-blocking idea as PassJoin, applied to
+    bits instead of characters.
+
+    Block selectivity is ``2^(bits/(k+1))``; size ``bits`` so that
+    blocks stay selective for the corpus (64-bit fingerprints with
+    k=3 give 16-bit blocks — the WWW'07 production shape).
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    """
+    k = int(max_hamming)
+    if k < 1:
+        raise ValueError(f"max_hamming must be >= 1, got {max_hamming}")
+    m = k + 1
+    if bits < m:
+        raise ValueError(f"bits {bits} < blocks {m}")
+    s = simhash(df, text_col, id_col, bits)
+    base, rem = bits // m, bits % m
+    # static unrolled block extraction (not a HOF — interpreted per row)
+    blocks = []
+    for i in range(m):
+        start = i * base + max(0, i - (m - rem))
+        blen = base + (1 if i >= m - rem else 0)
+        blocks.append(
+            F.struct(
+                F.lit(i).alias("i"),
+                F.pmod(
+                    F.shiftright(F.col("simhash"), start), F.lit(1 << blen)
+                ).alias("v"),
+            )
+        )
+    ex = s.select(
+        F.col(id_col).alias("__id"),
+        "simhash",
+        F.explode(F.array(*blocks)).alias("__b"),
+    ).select("__id", "simhash", F.col("__b.i").alias("__bi"), F.col("__b.v").alias("__bv"))
+    a = ex.select(
+        F.col("__id").alias("id_a"), F.col("simhash").alias("__sa"), "__bi", "__bv"
+    )
+    b = ex.select(
+        F.col("__id").alias("id_b"), F.col("simhash").alias("__sb"), "__bi", "__bv"
+    )
+    cand = (
+        a.join(b, ["__bi", "__bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= k)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -21,7 +21,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import BooleanType, NumericType, StringType
 
-__all__ = ["profile_columns", "fk_orphans", "quantile_bins", "column_entropy"]
+__all__ = ["profile_columns", "fk_orphans", "quantile_bins", "column_entropy", "winsorize_stats"]
 
 
 def fk_orphans(
@@ -366,4 +366,43 @@ def column_entropy(
         (
             F.log(n) - F.sum(F.col("__c") * F.log("__c")) / n
         ).alias("entropy"),
+    )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    col: str,
+    group_cols: "Sequence[str]" = (),
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Winsorized summary per group: clip the column at its exact
+    interpolated ``lo``/``hi`` quantiles (quantile_cont semantics) and
+    report how many rows each fence clipped plus the mean before and
+    after — the outlier-robust preprocessing step, same two-pass
+    broadcast-fences shape as iqr_outlier_fences.
+
+    Returns ``(*group_cols, p_lo, p_hi, n_rows, n_clipped_lo,
+    n_clipped_hi, mean_raw, mean_winsorized)``.
+    """
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"need 0 <= lo < hi <= 1, got {lo}, {hi}")
+    gcols = list(group_cols)
+    c = F.col(col).cast("double")
+    fences = df.groupBy(*gcols).agg(
+        F.percentile(c, F.lit(lo)).alias("p_lo"),
+        F.percentile(c, F.lit(hi)).alias("p_hi"),
+    )
+    joined = (
+        df.join(F.broadcast(fences), gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(fences))
+    )
+    clipped = F.greatest(F.least(c, F.col("p_hi")), F.col("p_lo"))
+    return joined.groupBy(*gcols, "p_lo", "p_hi").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((c < F.col("p_lo")).cast("long")).alias("n_clipped_lo"),
+        F.sum((c > F.col("p_hi")).cast("long")).alias("n_clipped_hi"),
+        F.avg(c).alias("mean_raw"),
+        F.avg(clipped).alias("mean_winsorized"),
     )

@@ -45,6 +45,7 @@ __all__ = [
     "time_weighted_average",
     "interval_overlap_count",
     "anomaly_zscore",
+    "trend_fit",
 ]
 
 _SIDE = "__asof_side"
@@ -468,4 +469,29 @@ def anomaly_zscore(
         F.when(n >= 2, std).alias("rolling_std"),
         z.alias("zscore"),
         (F.abs(z) > F.lit(float(z_threshold))).alias("is_anomaly"),
+    )
+
+
+def trend_fit(
+    df: DataFrame,
+    on: Sequence[str],
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend of value over time: slope
+    (per day), intercept (at the epoch), and R² from the built-in
+    regression aggregates — ONE partial-agg groupBy, no window, no
+    collect; the metric-drift detector for event streams. Time enters
+    as fractional days since the epoch so slopes are human-scaled and
+    the x² sums stay far from double overflow. Keys with a single
+    sample (or zero time variance) return null slope/intercept/r2, the
+    SQL regression convention. Returns
+    ``(*on, n_samples, slope_per_day, intercept, r2)``."""
+    x = _micros(F.col(ts)) / F.lit(86_400_000_000.0)
+    y = F.col(value).cast("double")
+    return df.groupBy(*on).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.regr_slope(y, x).alias("slope_per_day"),
+        F.regr_intercept(y, x).alias("intercept"),
+        F.regr_r2(y, x).alias("r2"),
     )

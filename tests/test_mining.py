@@ -121,3 +121,34 @@ def test_edit_distance_join_validation(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         edit_distance_join(df, max_dist=0)
+
+
+def test_simhash_hamming_pairs_vs_bruteforce(spark):
+    """The block-join candidates + residual must equal the quadratic
+    answer over the simhash values, at two distances."""
+    from orientdb_spark.pipeline.dedup import simhash, simhash_hamming_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=48).collect()}
+    for k in (1, 3):
+        want = {
+            (a, b, bin(sh[a] ^ sh[b]).count("1"))
+            for a in sh
+            for b in sh
+            if a < b and bin(sh[a] ^ sh[b]).count("1") <= k
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_hamming_pairs(docs, bits=48, max_hamming=k).collect()
+        }
+        assert got == want, k
+
+
+def test_simhash_hamming_validation(spark):
+    from orientdb_spark.pipeline.dedup import simhash_hamming_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(5)
+    with pytest.raises(ValueError):
+        simhash_hamming_pairs(docs, max_hamming=0)
+    with pytest.raises(ValueError):
+        simhash_hamming_pairs(docs, bits=3, max_hamming=3)

@@ -239,3 +239,26 @@ def test_column_entropy_known_values(spark):
     assert got["u"][0] == 4 and got["u"][1] == 4
     assert abs(got["u"][2] - math.log(4)) < 1e-12
     assert got["n"][1] == 2 and abs(got["n"][2] - math.log(2)) < 1e-12
+
+
+def test_winsorize_stats_clips_known_tails(spark):
+    """1..100 at p05/p95: interpolated fences, ~5 clipped per side, and
+    the winsorized mean equals the hand-computed clip."""
+    from orientdb_spark.pipeline.profile import winsorize_stats
+
+    vals = [float(i) for i in range(1, 101)]
+    df = spark.createDataFrame([(v,) for v in vals], ["value"])
+    r = winsorize_stats(df, "value", lo=0.05, hi=0.95).collect()[0]
+    p_lo = 1 + 0.05 * 99  # quantile_cont interpolation over 1..100
+    p_hi = 1 + 0.95 * 99
+    assert abs(r["p_lo"] - p_lo) < 1e-9 and abs(r["p_hi"] - p_hi) < 1e-9
+    assert r["n_rows"] == 100
+    assert r["n_clipped_lo"] == sum(v < p_lo for v in vals)
+    assert r["n_clipped_hi"] == sum(v > p_hi for v in vals)
+    clipped = [min(max(v, p_lo), p_hi) for v in vals]
+    assert abs(r["mean_winsorized"] - sum(clipped) / 100) < 1e-9
+    assert abs(r["mean_raw"] - 50.5) < 1e-9
+    import pytest
+
+    with pytest.raises(ValueError):
+        winsorize_stats(df, "value", lo=0.5, hi=0.4)

@@ -957,3 +957,26 @@ def test_anomaly_zscore_param_validation(spark):
         anomaly_zscore(df, on=["k"], window_sec=0)
     with pytest.raises(ValueError):
         anomaly_zscore(df, on=["k"], min_samples=1)
+
+
+def test_trend_fit_recovers_known_line(spark):
+    """y = 3x + 5 over days recovers slope 3, intercept 5, R² = 1;
+    noisy keys get R² < 1; a 1-sample key nulls out."""
+    import datetime as dt
+
+    from orientdb_spark.temporal import trend_fit
+
+    day0 = dt.datetime(2024, 1, 1)
+    x0 = (day0 - dt.datetime(1970, 1, 1)).days
+    rows = [
+        ("lin", day0 + dt.timedelta(days=i), 3.0 * (x0 + i) + 5.0) for i in range(10)
+    ] + [
+        ("noisy", day0 + dt.timedelta(days=i), float(i % 3)) for i in range(10)
+    ] + [("single", day0, 7.0)]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, value DOUBLE")
+    got = {r["k"]: r for r in trend_fit(df, on=["k"]).collect()}
+    assert abs(got["lin"]["slope_per_day"] - 3.0) < 1e-6
+    assert abs(got["lin"]["intercept"] - 5.0) < 1e-3
+    assert abs(got["lin"]["r2"] - 1.0) < 1e-9
+    assert got["noisy"]["r2"] < 0.5
+    assert got["single"]["slope_per_day"] is None
