@@ -617,6 +617,25 @@ def _cms_event_type_counts(spark, sf_dir):
     return cms_estimate(sk, keys, "event_type", width=2048, depth=5)
 
 
+def _scale_skew_report(spark, sf_dir):
+    """Join/agg key skew diagnostics (scale.key_skew_report): row count,
+    distinct keys, and the hottest key's share per candidate column —
+    the salting/broadcast decision input. One stacked explode + three
+    tiny aggregates over the distinct-values-sized count table."""
+    from orientdb_spark.scale import key_skew_report
+
+    li = _engine(spark, sf_dir).table("lineitem")
+    out = key_skew_report(li, ["l_returnflag", "l_suppkey", "l_partkey"])
+    return out.select(
+        "column",
+        "n_rows",
+        "n_distinct",
+        "top1_value",
+        "top1_count",
+        F.round("top1_share", 6).alias("top1_share"),
+    )
+
+
 def _cms_join_size_estimate(spark, sf_dir):
     """Sketch-only join-cardinality estimation (scale.cms_join_size):
     the AMS/CMS inner product of two event-type sketches — all events
@@ -2609,6 +2628,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "bloom_prefilter_join": _bloom_prefilter_join,
         "cms_event_type_counts": _cms_event_type_counts,
         "cms_join_size_estimate": _cms_join_size_estimate,
+        "scale_skew_report": _scale_skew_report,
         "event_cohort_retention": _event_cohort_retention,
         "event_hierarchical_rollup": _event_hierarchical_rollup,
         "event_json_props": _event_json_props,
@@ -3608,6 +3628,9 @@ def oracle_sql() -> dict[str, str]:
             "round(min(l_extendedprice), 2) AS min_price, "
             "round(max(l_extendedprice), 2) AS max_price "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "scale_skew_report": (
+            """(WITH c1 AS (SELECT l_returnflag::VARCHAR AS v, count(*)::BIGINT AS n FROM lineitem GROUP BY 1) SELECT 'l_returnflag' AS "column", sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_distinct, (SELECT min(v) FROM c1 WHERE n = (SELECT max(n) FROM c1)) AS top1_value, max(n)::BIGINT AS top1_count, round(max(n)::DOUBLE / sum(n), 6) AS top1_share FROM c1) UNION ALL (WITH c1 AS (SELECT l_suppkey::VARCHAR AS v, count(*)::BIGINT AS n FROM lineitem GROUP BY 1) SELECT 'l_suppkey' AS "column", sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_distinct, (SELECT min(v) FROM c1 WHERE n = (SELECT max(n) FROM c1)) AS top1_value, max(n)::BIGINT AS top1_count, round(max(n)::DOUBLE / sum(n), 6) AS top1_share FROM c1) UNION ALL (WITH c1 AS (SELECT l_partkey::VARCHAR AS v, count(*)::BIGINT AS n FROM lineitem GROUP BY 1) SELECT 'l_partkey' AS "column", sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_distinct, (SELECT min(v) FROM c1 WHERE n = (SELECT max(n) FROM c1)) AS top1_value, max(n)::BIGINT AS top1_count, round(max(n)::DOUBLE / sum(n), 6) AS top1_share FROM c1)"""
         ),
         "cms_join_size_estimate": (
             "SELECT count(*)::BIGINT AS est_join_size FROM events a "

@@ -387,3 +387,61 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("__n"), F.lit(0))).alias("est_count"))
     )
+
+
+def key_skew_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Partition-planning skew diagnostics: for each candidate join/agg
+    key column, the row count, distinct-key count, and the hottest
+    key's count and share — the number that decides between a plain
+    hash join, salting, and a broadcast (a top1_share near 1/shuffle-
+    partitions or above means one task owns the key).
+
+    One stacked explode (row x len(cols) — len(cols) is small) feeds a
+    single (column, value) count aggregate; per-column rollup and a
+    deterministic hottest-key pick (max count, ties broken by the
+    smallest value string) are two more tiny aggregates over the
+    count table, which is distinct-values-sized, not corpus-sized.
+
+    Returns ``(column, n_rows, n_distinct, top1_value, top1_count,
+    top1_share)``.
+    """
+    if not cols:
+        raise ValueError("key_skew_report needs at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns absent from the frame: {missing}")
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("__s")
+    ).select(F.col("__s.column"), F.col("__s.v"))
+    counts = stacked.groupBy("column", "v").agg(F.count(F.lit(1)).alias("__n"))
+    per_col = counts.groupBy("column").agg(
+        F.sum("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("__n").alias("top1_count"),
+    )
+    top_val = (
+        counts.join(
+            per_col.select("column", F.col("top1_count").alias("__n")),
+            ["column", "__n"],
+        )
+        .groupBy("column")
+        .agg(F.min("v").alias("top1_value"))
+    )
+    return per_col.join(top_val, "column").select(
+        "column",
+        "n_rows",
+        "n_distinct",
+        "top1_value",
+        "top1_count",
+        (F.col("top1_count") / F.col("n_rows")).alias("top1_share"),
+    )

@@ -289,3 +289,30 @@ def test_cms_join_size_bounds_and_empty(spark):
     # empty probe side -> every hash row's inner product is 0
     empty = cms_build(da.filter(F.lit(False)), "key", width=1024, depth=5)
     assert cms_join_size(sa, empty, depth=5).collect()[0]["est_join_size"] == 0
+
+
+def test_key_skew_report_finds_hot_key_deterministically(spark):
+    """A 60%-hot key is reported with its exact share; a tie on the max
+    count picks the smallest value string (deterministic)."""
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.scale import key_skew_report
+
+    df = spark.range(0, 100).select(
+        F.when(F.col("id") < 60, "hot").otherwise(F.col("id").cast("string")).alias("k"),
+        (F.col("id") % 2).alias("tied"),
+    )
+    got = {r["column"]: r for r in key_skew_report(df, ["k", "tied"]).collect()}
+    k = got["k"]
+    assert (k["n_rows"], k["n_distinct"], k["top1_value"], k["top1_count"]) == (
+        100, 41, "hot", 60,
+    )
+    assert abs(k["top1_share"] - 0.6) < 1e-12
+    # 50/50 tie between "0" and "1" -> smallest string wins
+    assert got["tied"]["top1_value"] == "0" and got["tied"]["top1_count"] == 50
+    import pytest
+
+    with pytest.raises(ValueError):
+        key_skew_report(df, [])
+    with pytest.raises(ValueError):
+        key_skew_report(df, ["nope"])
