@@ -617,6 +617,49 @@ def _cms_event_type_counts(spark, sf_dir):
     return cms_estimate(sk, keys, "event_type", width=2048, depth=5)
 
 
+def _quality_expectations(spark, sf_dir):
+    """Declarative data-contract checks (quality.validate_expectations):
+    four rules — including one that FAILS (a deliberately tight price
+    range) — compiled into ONE aggregate pass over orders."""
+    from orientdb_spark.quality import validate_expectations
+
+    od = _engine(spark, sf_dir).table("orders")
+    return validate_expectations(
+        od,
+        [
+            {"kind": "not_null", "col": "o_orderkey"},
+            {"kind": "unique", "col": "o_orderkey"},
+            {"kind": "in_range", "col": "o_totalprice", "lo": 0, "hi": 200000},
+            {"kind": "accepted_values", "col": "o_orderstatus",
+             "values": ["O", "F", "P"]},
+        ],
+    )
+
+
+def _quality_fd_check(spark, sf_dir):
+    """Functional-dependency audit (quality.fd_violations): does
+    l_orderkey determine l_returnflag? Orders whose line items carry
+    more than one return flag are the violating keys — one groupBy on
+    the determinant."""
+    from orientdb_spark.quality import fd_violations
+
+    li = _engine(spark, sf_dir).table("lineitem")
+    return fd_violations(li, "l_orderkey", "l_returnflag")
+
+
+def _quality_table_digest(spark, sf_dir):
+    """Order/partition-insensitive content digest (quality.table_digest)
+    of the nation table: per-row h60 of the canonical row string,
+    summed mod 2^60 — snapshot equality in one exchanged number. The
+    oracle recomputes the identical digest in DuckDB (the md5 path is
+    cross-engine; int/string canonical forms agree — doubles would
+    not)."""
+    from orientdb_spark.quality import table_digest
+
+    na = _engine(spark, sf_dir).table("nation")
+    return table_digest(na, ["n_nationkey", "n_name", "n_regionkey"])
+
+
 def _scale_skew_report(spark, sf_dir):
     """Join/agg key skew diagnostics (scale.key_skew_report): row count,
     distinct keys, and the hottest key's share per candidate column —
@@ -2628,6 +2671,9 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "bloom_prefilter_join": _bloom_prefilter_join,
         "cms_event_type_counts": _cms_event_type_counts,
         "cms_join_size_estimate": _cms_join_size_estimate,
+        "quality_expectations": _quality_expectations,
+        "quality_fd_check": _quality_fd_check,
+        "quality_table_digest": _quality_table_digest,
         "scale_skew_report": _scale_skew_report,
         "event_cohort_retention": _event_cohort_retention,
         "event_hierarchical_rollup": _event_hierarchical_rollup,
@@ -3628,6 +3674,34 @@ def oracle_sql() -> dict[str, str]:
             "round(min(l_extendedprice), 2) AS min_price, "
             "round(max(l_extendedprice), 2) AS max_price "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "quality_expectations": (
+            "SELECT 'not_null(o_orderkey)' AS rule, "
+            "sum((o_orderkey IS NULL)::INT)::BIGINT = 0 AS passed, "
+            "sum((o_orderkey IS NULL)::INT)::BIGINT AS n_violations FROM orders "
+            "UNION ALL SELECT 'unique(o_orderkey)', "
+            "count(o_orderkey) - count(DISTINCT o_orderkey) = 0, "
+            "count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders "
+            "UNION ALL SELECT 'in_range(o_totalprice,0,200000)', "
+            "sum((NOT coalesce(o_totalprice BETWEEN 0 AND 200000, false))::INT)::BIGINT = 0, "
+            "sum((NOT coalesce(o_totalprice BETWEEN 0 AND 200000, false))::INT)::BIGINT FROM orders "
+            "UNION ALL SELECT 'accepted_values(o_orderstatus)', "
+            "sum((NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), false))::INT)::BIGINT = 0, "
+            "sum((NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), false))::INT)::BIGINT FROM orders"
+        ),
+        "quality_fd_check": (
+            "SELECT l_orderkey, count(DISTINCT coalesce(l_returnflag, chr(0)))::BIGINT "
+            "AS n_rhs_values FROM lineitem GROUP BY l_orderkey "
+            "HAVING count(DISTINCT coalesce(l_returnflag, chr(0))) > 1"
+        ),
+        "quality_table_digest": (
+            "WITH c AS (SELECT concat_ws('|', "
+            "coalesce(replace(n_nationkey::VARCHAR, '|', '\\|'), '\\N'), "
+            "coalesce(replace(n_name, '|', '\\|'), '\\N'), "
+            "coalesce(replace(n_regionkey::VARCHAR, '|', '\\|'), '\\N')) AS canon "
+            "FROM nation) "
+            "SELECT count(*)::BIGINT AS n_rows, "
+            "(sum((('0x' || substring(md5(canon), 1, 15))::UBIGINT::BIGINT)::HUGEINT) % 1152921504606846976)::BIGINT AS digest FROM c"
         ),
         "scale_skew_report": (
             """(WITH c1 AS (SELECT l_returnflag::VARCHAR AS v, count(*)::BIGINT AS n FROM lineitem GROUP BY 1) SELECT 'l_returnflag' AS "column", sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_distinct, (SELECT min(v) FROM c1 WHERE n = (SELECT max(n) FROM c1)) AS top1_value, max(n)::BIGINT AS top1_count, round(max(n)::DOUBLE / sum(n), 6) AS top1_share FROM c1) UNION ALL (WITH c1 AS (SELECT l_suppkey::VARCHAR AS v, count(*)::BIGINT AS n FROM lineitem GROUP BY 1) SELECT 'l_suppkey' AS "column", sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_distinct, (SELECT min(v) FROM c1 WHERE n = (SELECT max(n) FROM c1)) AS top1_value, max(n)::BIGINT AS top1_count, round(max(n)::DOUBLE / sum(n), 6) AS top1_share FROM c1) UNION ALL (WITH c1 AS (SELECT l_partkey::VARCHAR AS v, count(*)::BIGINT AS n FROM lineitem GROUP BY 1) SELECT 'l_partkey' AS "column", sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_distinct, (SELECT min(v) FROM c1 WHERE n = (SELECT max(n) FROM c1)) AS top1_value, max(n)::BIGINT AS top1_count, round(max(n)::DOUBLE / sum(n), 6) AS top1_share FROM c1)"""
