@@ -2077,12 +2077,15 @@ def _text_edit_distance_join(spark, sf_dir):
     from orientdb_spark.pipeline.dedup import edit_distance_join
 
     pa = _engine(spark, sf_dir).table("part")
-    clean = pa.select(
-        F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("text")
-    )
+    # p_name has only 64 distinct values (347x duplication at sf0.1), so
+    # raw names make the ANSWER quadratic (dist-0 pairs alone ~3M);
+    # suffixing the key yields a realistic near-unique entity corpus
+    name = F.concat(F.col("p_name"), F.lit(" #"), F.col("p_partkey").cast("string"))
+    clean = pa.select(F.col("p_partkey").alias("doc_id"), name.alias("text"))
     dirty = pa.filter(F.col("p_partkey") % 5 == 0).select(
         (F.col("p_partkey") + 10_000_000).alias("doc_id"),
-        F.concat(F.lit("x"), F.expr("substring(p_name, 2)")).alias("text"),
+        F.concat(F.lit("x"), F.expr("substring(p_name, 2)"),
+                 F.lit(" #"), F.col("p_partkey").cast("string")).alias("text"),
     )
     return edit_distance_join(clean.unionAll(dirty), max_dist=1)
 
@@ -3943,8 +3946,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "text_edit_distance_join": (
-            "WITH c AS (SELECT p_partkey AS id, p_name AS s FROM part "
-            "UNION ALL SELECT p_partkey + 10000000, 'x' || substring(p_name, 2) "
+            "WITH c AS (SELECT p_partkey AS id, "
+            "p_name || ' #' || p_partkey AS s FROM part "
+            "UNION ALL SELECT p_partkey + 10000000, "
+            "'x' || substring(p_name, 2) || ' #' || p_partkey "
             "FROM part WHERE p_partkey % 5 = 0) "
             "SELECT a.id AS id_a, b.id AS id_b, "
             "levenshtein(a.s, b.s)::INTEGER AS dist "

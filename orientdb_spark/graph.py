@@ -323,12 +323,21 @@ class Graph:
         would explode a naive shared-neighbor join contributes almost
         nothing. Three shuffles total (degree agg, wedge join, closure
         join) plus the final per-vertex count."""
+        und, deg = self._und_deg()
+        return self._triangle_counts(und, deg)
+
+    def _und_deg(self) -> tuple[DataFrame, DataFrame]:
+        """Undirected simple edge list (a < b) + per-vertex degrees —
+        the shared base of the triangle family. The edge list is
+        checkpointed because every consumer feeds it into multiple plan
+        branches."""
         und = (
             self.edges.select(
                 F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
             )
             .filter(F.col("a") != F.col("b"))
             .dropDuplicates()
+            .localCheckpoint(eager=False)
         )
         deg = (
             und.select(F.col("a").alias("v"))
@@ -336,6 +345,10 @@ class Graph:
             .groupBy("v")
             .agg(F.count(F.lit(1)).alias("d"))
         )
+        return und, deg
+
+    @staticmethod
+    def _triangle_counts(und: DataFrame, deg: DataFrame) -> DataFrame:
         # rank = (degree, vid); orient u -> w upward in rank
         ranked = (
             und.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
@@ -380,20 +393,9 @@ class Graph:
         triangle-free vertices count 0 triangles.
 
         Returns ``(vid, degree, n_triangles, coefficient)``."""
-        und = (
-            self.edges.select(
-                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-            )
-            .filter(F.col("a") != F.col("b"))
-            .dropDuplicates()
-        )
-        deg = (
-            und.select(F.col("a").alias("vid"))
-            .unionAll(und.select(F.col("b").alias("vid")))
-            .groupBy("vid")
-            .agg(F.count(F.lit(1)).alias("degree"))
-        )
-        j = deg.join(self.triangle_count(), "vid", "left").withColumn(
+        und, deg = self._und_deg()  # shared with the triangle pass
+        degrees = deg.select(F.col("v").alias("vid"), F.col("d").alias("degree"))
+        j = degrees.join(self._triangle_counts(und, deg), "vid", "left").withColumn(
             "n_triangles", F.coalesce("n_triangles", F.lit(0))
         )
         coef = F.when(
