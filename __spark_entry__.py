@@ -617,6 +617,42 @@ def _cms_event_type_counts(spark, sf_dir):
     return cms_estimate(sk, keys, "event_type", width=2048, depth=5)
 
 
+def _pipeline_entity_resolution(spark, sf_dir):
+    """Entity-resolution composition: the key-suffixed part-name corpus
+    (clean + corrupted every-5th copies, the text_edit_distance_join
+    fixture) -> PassJoin distance-1 pairs -> star-contraction CC ->
+    every record mapped to its entity (min id in the component;
+    singletons to themselves) with member counts. The oracle recomputes
+    the pairs quadratically and the components with a recursive CTE."""
+    from orientdb_spark.pipeline.dedup import edit_distance_join
+    from orientdb_spark.pipeline.sampling import duplicate_clusters
+
+    pa = _engine(spark, sf_dir).table("part")
+    name = F.concat(F.col("p_name"), F.lit(" #"), F.col("p_partkey").cast("string"))
+    corpus = pa.select(F.col("p_partkey").alias("doc_id"), name.alias("text")).unionAll(
+        pa.filter(F.col("p_partkey") % 5 == 0).select(
+            (F.col("p_partkey") + 10_000_000).alias("doc_id"),
+            F.concat(
+                F.lit("x"), F.expr("substring(p_name, 2)"),
+                F.lit(" #"), F.col("p_partkey").cast("string"),
+            ).alias("text"),
+        )
+    )
+    pairs = edit_distance_join(corpus, max_dist=1)
+    clusters = duplicate_clusters(pairs)
+    joined = corpus.join(clusters, "doc_id", "left")
+    ent = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    from pyspark.sql import Window as W
+
+    return (
+        joined.withColumn("entity_id", ent)
+        .withColumn(
+            "n_members", F.count(F.lit(1)).over(W.partitionBy("entity_id"))
+        )
+        .select("doc_id", "entity_id", "n_members")
+    )
+
+
 def _quality_expectations(spark, sf_dir):
     """Declarative data-contract checks (quality.validate_expectations):
     four rules — including one that FAILS (a deliberately tight price
@@ -2674,6 +2710,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "bloom_prefilter_join": _bloom_prefilter_join,
         "cms_event_type_counts": _cms_event_type_counts,
         "cms_join_size_estimate": _cms_join_size_estimate,
+        "pipeline_entity_resolution": _pipeline_entity_resolution,
         "quality_expectations": _quality_expectations,
         "quality_fd_check": _quality_fd_check,
         "quality_table_digest": _quality_table_digest,
@@ -3677,6 +3714,25 @@ def oracle_sql() -> dict[str, str]:
             "round(min(l_extendedprice), 2) AS min_price, "
             "round(max(l_extendedprice), 2) AS max_price "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "pipeline_entity_resolution": (
+            "WITH RECURSIVE c AS (SELECT p_partkey AS id, "
+            "p_name || ' #' || p_partkey AS s FROM part "
+            "UNION ALL SELECT p_partkey + 10000000, "
+            "'x' || substring(p_name, 2) || ' #' || p_partkey "
+            "FROM part WHERE p_partkey % 5 = 0), "
+            "pairs AS (SELECT a.id AS id_a, b.id AS id_b FROM c a JOIN c b "
+            "ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1 "
+            "AND levenshtein(a.s, b.s) <= 1), "
+            "e AS (SELECT id_a AS a, id_b AS b FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach AS (SELECT a, b FROM e "
+            "UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a), "
+            "comp AS (SELECT a AS id, least(a, min(b)) AS cid "
+            "FROM reach GROUP BY a) "
+            "SELECT c.id AS doc_id, coalesce(comp.cid, c.id) AS entity_id, "
+            "count(*) OVER (PARTITION BY coalesce(comp.cid, c.id))::BIGINT "
+            "AS n_members FROM c LEFT JOIN comp ON comp.id = c.id"
         ),
         "quality_expectations": (
             "SELECT 'not_null(o_orderkey)' AS rule, "
