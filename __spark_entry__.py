@@ -696,6 +696,37 @@ def _quality_table_digest(spark, sf_dir):
     return table_digest(na, ["n_nationkey", "n_name", "n_regionkey"])
 
 
+def _scale_quantile_sketch(spark, sf_dir):
+    """Mergeable bottom-k quantile sketch (scale.quantile_sketch_*):
+    per event type, the deterministic 128-sample sketch built shard-wise
+    (even/odd event ids) and MERGED — the merge identity makes shard
+    order irrelevant — then p50/p95 interpolated over the sample. The
+    oracle reproduces the identical sample membership from the md5
+    ranks, so the estimates hash-match exactly."""
+    from orientdb_spark.scale import (
+        quantile_sketch_build,
+        quantile_sketch_estimate,
+        quantile_sketch_merge,
+    )
+
+    ev = _engine(spark, sf_dir).table("events")
+    a = quantile_sketch_build(
+        ev.filter(F.col("event_id") % 2 == 0), "value", "event_id",
+        ["event_type"], b=128,
+    )
+    b = quantile_sketch_build(
+        ev.filter(F.col("event_id") % 2 == 1), "value", "event_id",
+        ["event_type"], b=128,
+    )
+    est = quantile_sketch_estimate(quantile_sketch_merge(a, b, b=128), [0.5, 0.95])
+    return est.select(
+        "event_type",
+        "n_rows",
+        F.round("q_0_5", 6).alias("p50_est"),
+        F.round("q_0_95", 6).alias("p95_est"),
+    )
+
+
 def _scale_skew_report(spark, sf_dir):
     """Join/agg key skew diagnostics (scale.key_skew_report): row count,
     distinct keys, and the hottest key's share per candidate column —
@@ -2714,6 +2745,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "quality_expectations": _quality_expectations,
         "quality_fd_check": _quality_fd_check,
         "quality_table_digest": _quality_table_digest,
+        "scale_quantile_sketch": _scale_quantile_sketch,
         "scale_skew_report": _scale_skew_report,
         "event_cohort_retention": _event_cohort_retention,
         "event_hierarchical_rollup": _event_hierarchical_rollup,
@@ -3761,6 +3793,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM nation) "
             "SELECT count(*)::BIGINT AS n_rows, "
             "(sum((('0x' || substring(md5(canon), 1, 15))::UBIGINT::BIGINT)::HUGEINT) % 1152921504606846976)::BIGINT AS digest FROM c"
+        ),
+        "scale_quantile_sketch": (
+            "WITH r AS (SELECT event_type, value, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY "
+            "(('0x' || substring(md5('42:' || event_id), 1, 15))::UBIGINT::BIGINT), event_id) "
+            "AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM events) "
+            "SELECT event_type, max(n)::BIGINT AS n_rows, "
+            "round(quantile_cont(value, 0.5) FILTER (rn <= 128), 6) AS p50_est, "
+            "round(quantile_cont(value, 0.95) FILTER (rn <= 128), 6) AS p95_est "
+            "FROM r GROUP BY event_type"
         ),
         "scale_skew_report": (
             """(WITH c1 AS (SELECT l_returnflag::VARCHAR AS v, count(*)::BIGINT AS n FROM lineitem GROUP BY 1) SELECT 'l_returnflag' AS "column", sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_distinct, (SELECT min(v) FROM c1 WHERE n = (SELECT max(n) FROM c1)) AS top1_value, max(n)::BIGINT AS top1_count, round(max(n)::DOUBLE / sum(n), 6) AS top1_share FROM c1) UNION ALL (WITH c1 AS (SELECT l_suppkey::VARCHAR AS v, count(*)::BIGINT AS n FROM lineitem GROUP BY 1) SELECT 'l_suppkey' AS "column", sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_distinct, (SELECT min(v) FROM c1 WHERE n = (SELECT max(n) FROM c1)) AS top1_value, max(n)::BIGINT AS top1_count, round(max(n)::DOUBLE / sum(n), 6) AS top1_share FROM c1) UNION ALL (WITH c1 AS (SELECT l_partkey::VARCHAR AS v, count(*)::BIGINT AS n FROM lineitem GROUP BY 1) SELECT 'l_partkey' AS "column", sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_distinct, (SELECT min(v) FROM c1 WHERE n = (SELECT max(n) FROM c1)) AS top1_value, max(n)::BIGINT AS top1_count, round(max(n)::DOUBLE / sum(n), 6) AS top1_share FROM c1)"""

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def salted_aggregate(
@@ -445,3 +445,102 @@ def key_skew_report(df: DataFrame, cols: list[str]) -> DataFrame:
         "top1_count",
         (F.col("top1_count") / F.col("n_rows")).alias("top1_share"),
     )
+
+
+def quantile_sketch_build(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols: list[str] | None = None,
+    b: int = 128,
+    seed: int = 42,
+) -> DataFrame:
+    """Mergeable quantile sketch per group: keep the ``b`` rows with the
+    lowest deterministic hash rank (``h60(seed:id)``, ties by id) — a
+    bottom-k/KMV-style uniform sample WITHOUT replacement whose
+    membership is a pure function of (seed, id), so two engines (and
+    two shards) agree on the sample bit-for-bit. Quantiles interpolate
+    over the sample with the usual quantile_cont semantics; error is
+    the sampling error, ~sqrt(p(1-p)/b) in rank terms.
+
+    Why this over percentile_approx: the sketch is a first-class TABLE
+    (persist it, ship it, merge it across days with
+    ``quantile_sketch_merge`` — bottom-k of a union IS the bottom-k of
+    the unions' bottom-k's, an exact identity) and its estimates are
+    deterministically reproducible cross-engine, which the JVM's
+    internal KLL buffers are not.
+
+    Scale note: the window sorts each group only to drop all but b
+    rows; for hot groups add the quota_sample prefilter-overshoot trick
+    (threshold on the SAME rank value) before the window.
+
+    Returns ``(*group_cols, n_rows, ranks array<long>,
+    samples array<double>)`` with the arrays co-sorted by rank.
+    """
+    if b < 2:
+        raise ValueError(f"b must be >= 2, got {b}")
+    gcols = list(group_cols or [])
+    rank = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    wp = Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    w = wp.orderBy(rank.asc(), F.col(id_col).asc())
+    ranked = df.select(
+        *gcols,
+        F.col(value_col).cast("double").alias("__v"),
+        rank.alias("__rk"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wp).alias("__n"),
+    )
+    kept = ranked.filter(F.col("__rn") <= b)
+    pairs = F.array_sort(F.collect_list(F.struct("__rk", "__v")))
+    return kept.groupBy(*gcols).agg(
+        F.max("__n").alias("n_rows"),
+        F.transform(pairs, lambda s: s["__rk"]).alias("ranks"),
+        F.transform(pairs, lambda s: s["__v"]).alias("samples"),
+    )
+
+
+def quantile_sketch_merge(a: DataFrame, b_df: DataFrame, b: int = 128) -> DataFrame:
+    """Merge two sketches built with the same (b, seed) over disjoint
+    row sets: concatenate the (rank, value) pairs, keep the b lowest
+    ranks, sum the row counts. Exactly equals building one sketch over
+    the union — the bottom-k identity (pytest-pinned)."""
+    gcols = [c for c in a.columns if c not in ("n_rows", "ranks", "samples")]
+    u = a.unionByName(b_df)
+    zipped = F.arrays_zip(F.col("ranks"), F.col("samples"))
+    per_group = u.groupBy(*gcols).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list(zipped))), 1, b
+        ).alias("__pairs"),
+    )
+    return per_group.select(
+        *gcols,
+        "n_rows",
+        F.transform(F.col("__pairs"), lambda s: s["ranks"]).alias("ranks"),
+        F.transform(F.col("__pairs"), lambda s: s["samples"]).alias("samples"),
+    )
+
+
+def quantile_sketch_estimate(
+    sketch: DataFrame, probs: list[float]
+) -> DataFrame:
+    """Quantile estimates from a sketch: quantile_cont interpolation
+    over the sample values (one explode over b-bounded arrays — sketch-
+    sized work). Returns ``(*group_cols, n_rows, q_<p> ...)``."""
+    if not probs:
+        raise ValueError("need at least one probability")
+    gcols = [c for c in sketch.columns if c not in ("n_rows", "ranks", "samples")]
+    ex = sketch.select(
+        *gcols, "n_rows", F.explode("samples").alias("__v")
+    )
+    aggs = [
+        F.percentile(F.col("__v"), F.lit(p)).alias(f"q_{str(p).replace('.', '_')}")
+        for p in probs
+    ]
+    return ex.groupBy(*gcols, "n_rows").agg(*aggs)

@@ -316,3 +316,52 @@ def test_key_skew_report_finds_hot_key_deterministically(spark):
         key_skew_report(df, [])
     with pytest.raises(ValueError):
         key_skew_report(df, ["nope"])
+
+
+def test_quantile_sketch_merge_identity_and_error(spark):
+    """bottom-k identity: merging shard sketches equals sketching the
+    union, exactly (deterministic hash ranks); the p50 estimate lands
+    within sampling error of the exact median in rank terms."""
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.scale import (
+        quantile_sketch_build,
+        quantile_sketch_estimate,
+        quantile_sketch_merge,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    whole = quantile_sketch_build(ev, "value", "event_id", ["event_type"], b=64)
+    a = quantile_sketch_build(
+        ev.filter(F.col("event_id") % 3 == 0), "value", "event_id",
+        ["event_type"], b=64,
+    )
+    bc = quantile_sketch_build(
+        ev.filter(F.col("event_id") % 3 != 0), "value", "event_id",
+        ["event_type"], b=64,
+    )
+    merged = quantile_sketch_merge(a, bc, b=64)
+    w = {r["event_type"]: (r["n_rows"], r["ranks"], r["samples"])
+         for r in whole.collect()}
+    m = {r["event_type"]: (r["n_rows"], r["ranks"], r["samples"])
+         for r in merged.collect()}
+    assert w == m
+    # rank-space error: the estimated median's rank among the TRUE
+    # values stays within ~3.4 sigma = 0.5 +- 3.4*sqrt(.25/64)
+    est = {
+        r["event_type"]: r["q_0_5"]
+        for r in quantile_sketch_estimate(whole, [0.5]).collect()
+    }
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for et, q in est.items():
+        xs = sorted(vals[et])
+        frac = sum(v <= q for v in xs) / len(xs)
+        assert abs(frac - 0.5) < 0.22, (et, frac)
+    import pytest
+
+    with pytest.raises(ValueError):
+        quantile_sketch_build(ev, "value", "event_id", b=1)
+    with pytest.raises(ValueError):
+        quantile_sketch_estimate(whole, [])
