@@ -822,6 +822,41 @@ def _graph_clustering_coeff(spark, sf_dir):
     )
 
 
+def _graph_topological_levels(spark, sf_dir):
+    """DAG scheduling depth (graph.topological_levels): distributed
+    Kahn peeling over the region -> nation -> customer -> orders
+    hierarchy; level = longest predecessor chain. The oracle walks all
+    root paths with a recursive CTE and takes each vertex's max
+    depth."""
+    from orientdb_spark.graph import Graph
+
+    eng = _engine(spark, sf_dir)
+
+    def pref(df, c, p):
+        return df.select(F.concat(F.lit(p), F.col(c).cast("string")))
+
+    na, cu, od = eng.table("nation"), eng.table("customer"), eng.table("orders")
+    ed = (
+        na.select(
+            F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias("src"),
+            F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("dst"),
+        )
+        .unionAll(cu.select(
+            F.concat(F.lit("nation:"), F.col("c_nationkey").cast("string")),
+            F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")),
+        ))
+        .unionAll(od.select(
+            F.concat(F.lit("customer:"), F.col("o_custkey").cast("string")),
+            F.concat(F.lit("orders:"), F.col("o_orderkey").cast("string")),
+        ))
+    )
+    verts = ed.select(F.col("src").alias("vid")).unionAll(
+        ed.select(F.col("dst").alias("vid"))
+    ).distinct()
+    out = Graph(verts, ed).topological_levels()
+    return out.select("vid", "level", "is_cyclic")
+
+
 def _graph_link_prediction(spark, sf_dir):
     """Common-neighbors / Adamic-Adar link prediction
     (graph.link_prediction) over the order-part bipartite graph from
@@ -2734,6 +2769,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "graph_triangle_count": _graph_triangle_count,
         "graph_clustering_coeff": _graph_clustering_coeff,
         "graph_neighbor_features": _graph_neighbor_features,
+        "graph_topological_levels": _graph_topological_levels,
         "graph_link_prediction": _graph_link_prediction,
         "graph_kcore": _graph_kcore,
         "hll_distinct_merge": _hll_distinct_merge,
@@ -3860,6 +3896,22 @@ def oracle_sql() -> dict[str, str]:
             "2.0 * coalesce(t.n_triangles, 0) / (d.degree * (d.degree - 1)) "
             "ELSE 0.0 END, 6) AS coefficient "
             "FROM deg d LEFT JOIN t USING (vid)"
+        ),
+        "graph_topological_levels": (
+            "WITH RECURSIVE e AS ("
+            "SELECT 'region:' || n_regionkey AS src, 'nation:' || n_nationkey AS dst "
+            "FROM nation "
+            "UNION ALL SELECT 'nation:' || c_nationkey, 'customer:' || c_custkey "
+            "FROM customer "
+            "UNION ALL SELECT 'customer:' || o_custkey, 'orders:' || o_orderkey "
+            "FROM orders), "
+            "v AS (SELECT DISTINCT vid FROM "
+            "(SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)), "
+            "roots AS (SELECT vid FROM v WHERE vid NOT IN (SELECT dst FROM e)), "
+            "p AS (SELECT vid, 0 AS d FROM roots "
+            "UNION ALL SELECT e.dst, p.d + 1 FROM p JOIN e ON e.src = p.vid), "
+            "lv AS (SELECT vid, max(d)::INTEGER AS level FROM p GROUP BY vid) "
+            "SELECT vid, level, false AS is_cyclic FROM lv"
         ),
         "graph_link_prediction": (
             "WITH e AS (SELECT DISTINCT "

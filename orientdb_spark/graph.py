@@ -443,6 +443,64 @@ class Graph:
             )
         return state.select("vid", "n_neighbors", F.col("__f").alias("feature"))
 
+    def topological_levels(self, max_iter: int = 200) -> DataFrame:
+        """Topological level assignment over the DIRECTED graph by
+        distributed Kahn peeling: round t removes the vertices with no
+        remaining incoming edge and assigns them ``level = t`` — so a
+        vertex's level is the length of the longest predecessor chain
+        above it (the scheduling depth of a DAG of jobs / tables).
+        Vertices never peeled (a cycle, or past ``max_iter``) come back
+        with null level and ``is_cyclic = true`` — cycle DETECTION
+        falls out of the algorithm for free.
+
+        Per round: two anti joins (surviving vertices minus the ones
+        with incoming edges; surviving edges minus those from peeled
+        sources), each frontier eagerly checkpointed because it feeds
+        the result union AND both prunes. Round count = DAG depth, the
+        same iteration profile as kcore's peeling. Self-loops are
+        inherently cyclic and left unpeeled.
+
+        Returns ``(vid, level, is_cyclic)`` for every vertex."""
+        if max_iter < 1:
+            raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+        edges = (
+            self.edges.select("src", "dst")
+            .dropDuplicates()
+            .localCheckpoint(eager=False)
+        )
+        remaining_v = self.vertices.select("vid").dropDuplicates()
+        remaining_e = edges
+        peeled = []
+        for t in range(max_iter):
+            has_in = remaining_e.select(F.col("dst").alias("vid")).dropDuplicates()
+            zero_in = (
+                remaining_v.join(has_in, "vid", "left_anti")
+                .withColumn("level", F.lit(t))
+                .localCheckpoint()
+            )
+            if not zero_in.take(1):
+                break
+            peeled.append(zero_in)
+            remaining_v = remaining_v.join(
+                zero_in.select("vid"), "vid", "left_anti"
+            ).localCheckpoint(eager=False)
+            remaining_e = remaining_e.join(
+                zero_in.select(F.col("vid").alias("src")), "src", "left_anti"
+            ).localCheckpoint(eager=False)
+        acyclic = peeled[0] if peeled else None
+        for df in peeled[1:]:
+            acyclic = acyclic.unionByName(df)
+        cyclic = remaining_v.select(
+            "vid",
+            F.lit(None).cast("int").alias("level"),
+            F.lit(True).alias("is_cyclic"),
+        )
+        if acyclic is None:
+            return cyclic
+        return acyclic.select(
+            "vid", F.col("level").cast("int"), F.lit(False).alias("is_cyclic")
+        ).unionByName(cyclic)
+
     def link_prediction(
         self,
         min_common: int = 1,

@@ -325,3 +325,26 @@ def test_link_prediction_min_common_and_hub_cap(spark):
 
     with pytest.raises(ValueError):
         g.link_prediction(min_common=0)
+
+
+def test_topological_levels_dag_and_cycle(spark):
+    """Diamond DAG levels = longest predecessor chain; a cycle (and
+    everything downstream of it) is flagged, the clean prefix still
+    levels; a self-loop is inherently cyclic."""
+    # diamond: a -> b, a -> c, b -> d, c -> d, plus chain d -> e
+    g = _graph(spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")])
+    got = {r["vid"]: (r["level"], r["is_cyclic"]) for r in g.topological_levels().collect()}
+    assert got == {
+        "a": (0, False), "b": (1, False), "c": (1, False),
+        "d": (2, False), "e": (3, False),
+    }
+    # cycle x <-> y hangs off root r; z depends on the cycle
+    g2 = _graph(spark, [("r", "x"), ("x", "y"), ("y", "x"), ("y", "z")])
+    got2 = {r["vid"]: (r["level"], r["is_cyclic"]) for r in g2.topological_levels().collect()}
+    assert got2["r"] == (0, False)
+    assert got2["x"] == (None, True) and got2["y"] == (None, True)
+    assert got2["z"] == (None, True)
+    g3 = _graph(spark, [("s", "s")])
+    assert {r["vid"]: r["is_cyclic"] for r in g3.topological_levels().collect()} == {
+        "s": True
+    }
