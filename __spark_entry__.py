@@ -2202,7 +2202,10 @@ def _mining_frequent_pairs(spark, sf_dir):
     li = _engine(spark, sf_dir).table("lineitem")
     out = frequent_pairs(li, "l_orderkey", "l_partkey", min_support=2)
     return out.select(
-        "item_a", "item_b", "n_ab", F.round("lift", 6).alias("lift")
+        "item_a", "item_b", "n_ab",
+        F.round("lift", 6).alias("lift"),
+        F.round("cosine", 6).alias("cosine"),
+        F.round("jaccard", 6).alias("jaccard"),
     )
 
 
@@ -4117,7 +4120,9 @@ def oracle_sql() -> dict[str, str]:
             "JOIN b b2 ON a.bid = b2.bid AND a.item < b2.item "
             "GROUP BY 1, 2 HAVING count(*) >= 2) "
             "SELECT pc.item_a, pc.item_b, pc.n_ab, "
-            "round(pc.n_ab * nb.n / (ia.n * ib.n), 6) AS lift "
+            "round(pc.n_ab * nb.n / (ia.n * ib.n), 6) AS lift, "
+            "round(pc.n_ab / sqrt(ia.n * ib.n), 6) AS cosine, "
+            "round(pc.n_ab::DOUBLE / (ia.n + ib.n - pc.n_ab), 6) AS jaccard "
             "FROM pc CROSS JOIN nb "
             "JOIN ic ia ON pc.item_a = ia.item "
             "JOIN ic ib ON pc.item_b = ib.item"

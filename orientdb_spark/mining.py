@@ -32,12 +32,16 @@ def frequent_pairs(
     max_basket_size: int | None = None,
 ) -> DataFrame:
     """Unordered item pairs co-occurring in >= ``min_support`` baskets,
-    with lift = P(a,b) / (P(a) P(b)) over the basket universe.
+    scored three ways from the same counts: lift = P(a,b)/(P(a)P(b))
+    (association strength), cosine = n_ab/sqrt(n_a*n_b) (the item-item
+    collaborative-filtering similarity), and jaccard =
+    n_ab/(n_a+n_b-n_ab) (overlap). All pure arithmetic over
+    (n_ab, n_a, n_b, N) — no extra passes.
 
-    Returns ``(item_a, item_b, n_ab, lift)`` with ``item_a < item_b``.
-    Item membership is per-basket distinct (quantity ignored). Lift's
-    denominators count each item's baskets, the numerator their joint
-    baskets, scaled by the total basket count.
+    Returns ``(item_a, item_b, n_ab, lift, cosine, jaccard)`` with
+    ``item_a < item_b``. Item membership is per-basket distinct
+    (quantity ignored); denominators count each item's surviving
+    baskets.
     """
     if min_support < 1:
         raise ValueError(f"min_support must be >= 1, got {min_support}")
@@ -102,5 +106,11 @@ def frequent_pairs(
                 F.col("n_ab") * F.col("__n_baskets")
                 / (F.col("__na") * F.col("__nb"))
             ).alias("lift"),
+            (
+                F.col("n_ab") / F.sqrt(F.col("__na") * F.col("__nb"))
+            ).alias("cosine"),
+            (
+                F.col("n_ab") / (F.col("__na") + F.col("__nb") - F.col("n_ab"))
+            ).alias("jaccard"),
         )
     )

@@ -23,10 +23,20 @@ def test_frequent_pairs_counts_and_lift(spark):
     ]
     df = spark.createDataFrame(rows, ["bid", "item"])
     got = {
-        (r["item_a"], r["item_b"]): (r["n_ab"], round(r["lift"], 6))
+        (r["item_a"], r["item_b"]): (
+            r["n_ab"], round(r["lift"], 6), round(r["cosine"], 6),
+            round(r["jaccard"], 6),
+        )
         for r in frequent_pairs(df, "bid", "item", min_support=2).collect()
     }
-    assert got == {("a", "b"): (2, round(2 * 4 / (3 * 2), 6))}
+    assert got == {
+        ("a", "b"): (
+            2,
+            round(2 * 4 / (3 * 2), 6),
+            round(2 / (3 * 2) ** 0.5, 6),
+            round(2 / (3 + 2 - 2), 6),
+        )
+    }
     # min_support=1 admits the single-basket pairs too
     all_pairs = {
         (r["item_a"], r["item_b"]): r["n_ab"]
