@@ -617,6 +617,31 @@ def _cms_event_type_counts(spark, sf_dir):
     return cms_estimate(sk, keys, "event_type", width=2048, depth=5)
 
 
+def _multimodal_phash_dedup(spark, sf_dir):
+    """Perceptual-hash image near-dup join (multimodal.perceptual_hash
+    -> dedup.hamming_pairs): every 7th payload reappears with its first
+    byte changed; the 64-bit aHash puts the copy within Hamming 6 and
+    the block join recovers it. Rows-only by design (the hash derives
+    from the Arrow pooling stage — no SQL path); the recall and
+    brute-force-equality gates live in tests/test_multimodal.py."""
+    from orientdb_spark.pipeline.dedup import hamming_pairs
+    from orientdb_spark.pipeline.multimodal import (
+        perceptual_hash,
+        with_binary_payload,
+    )
+
+    docs = _docs(spark, sf_dir)
+    corpus = with_binary_payload(docs).select("doc_id", "payload").unionByName(
+        with_binary_payload(
+            docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+                "text", F.concat(F.lit("Z"), F.expr("substring(text, 2)"))
+            )
+        ).select((F.col("doc_id") + 1_000_000).alias("doc_id"), "payload")
+    )
+    ph = perceptual_hash(corpus)
+    return hamming_pairs(ph, "doc_id", "phash", 64, 6)
+
+
 def _pipeline_entity_resolution(spark, sf_dir):
     """Entity-resolution composition: the key-suffixed part-name corpus
     (clean + corrupted every-5th copies, the text_edit_distance_join
@@ -2780,6 +2805,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "bloom_prefilter_join": _bloom_prefilter_join,
         "cms_event_type_counts": _cms_event_type_counts,
         "cms_join_size_estimate": _cms_join_size_estimate,
+        "multimodal_phash_dedup": _multimodal_phash_dedup,
         "pipeline_entity_resolution": _pipeline_entity_resolution,
         "quality_expectations": _quality_expectations,
         "quality_fd_check": _quality_fd_check,

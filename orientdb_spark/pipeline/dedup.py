@@ -931,13 +931,31 @@ def simhash_hamming_pairs(
 
     Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
     """
+    return hamming_pairs(
+        simhash(df, text_col, id_col, bits), id_col, "simhash", bits, max_hamming
+    )
+
+
+def hamming_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """General Hamming-distance pair join over ANY (id, b-bit hash)
+    frame — the pigeonhole block scheme factored out of
+    simhash_hamming_pairs so other fingerprints (perceptual image
+    hashes, sign projections packed to bits) reuse it. See
+    simhash_hamming_pairs for the algorithm and selectivity notes.
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
     k = int(max_hamming)
     if k < 1:
         raise ValueError(f"max_hamming must be >= 1, got {max_hamming}")
     m = k + 1
     if bits < m:
         raise ValueError(f"bits {bits} < blocks {m}")
-    s = simhash(df, text_col, id_col, bits)
+    s = hashed.select(F.col(id_col), F.col(hash_col).alias("simhash"))
     base, rem = bits // m, bits % m
     # static unrolled block extraction (not a HOF — interpreted per row)
     blocks = []

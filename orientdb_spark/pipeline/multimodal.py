@@ -224,3 +224,41 @@ def sample_frames(
     return df.select(id_col, binary_col).mapInPandas(
         frames, _with_id(FRAME_SCHEMA, id_col)
     )
+
+
+def perceptual_hash(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = 8,
+) -> DataFrame:
+    """aHash perceptual fingerprint of a binary image column: the
+    ``grid x grid`` average-pooled grayscale grid (resize_images' fake
+    resample — a real deployment swaps in a codec there and keeps
+    everything else) thresholded at its own mean, one bit per cell,
+    packed into a ``grid²``-bit integer with bitwise OR (no arithmetic
+    overflow at bit 63). A small payload edit perturbs few cells, so
+    near-duplicate media sits at low Hamming distance — compose with
+    ``dedup.hamming_pairs`` for the image near-dup join; that block
+    scheme handles sign-bit-set 64-bit hashes (arithmetic shifts +
+    pmod keep low bits exact, bit_count is two's-complement-correct).
+
+    Returns ``(id, phash)``."""
+    if not 2 <= grid <= 8:
+        raise ValueError(f"grid must be in [2, 8] (<= 64 bits), got {grid}")
+    cells = grid * grid
+    sized = resize_images(df, binary_col, id_col, width=grid, height=grid)
+    px = F.col("pixels")
+    total = F.aggregate(px, F.lit(0).cast("long"), lambda a, x: a + x)
+    mean = (total / F.lit(cells)).alias("__mean")
+    out = F.lit(0).cast("long")
+    for j in range(cells):
+        bit = F.when(
+            F.element_at(px, j + 1) > F.col("__mean"),
+            F.shiftleft(F.lit(1).cast("long"), j),
+        ).otherwise(F.lit(0).cast("long"))
+        out = out.bitwiseOR(bit)
+    return (
+        sized.withColumn("__mean", mean)
+        .select(F.col(id_col), out.alias("phash"))
+    )

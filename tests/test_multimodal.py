@@ -96,3 +96,59 @@ def test_documents_text_is_ascii(oracle):
         "WHERE octet_length(encode(text)) <> length(text)"
     ).fetchone()[0]
     assert n_bad == 0
+
+
+def test_perceptual_hash_near_dup_recovery(spark):
+    """Planted one-byte-changed copies sit within Hamming 6 of their
+    originals (recall >= 0.9); every reported pair at this threshold is
+    a planted one (no cross-doc noise on this corpus); and the block
+    join equals brute force over the hash set — including 64-bit hashes
+    with the sign bit set."""
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.dedup import hamming_pairs
+    from orientdb_spark.pipeline.multimodal import (
+        perceptual_hash,
+        with_binary_payload,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = with_binary_payload(docs).select("doc_id", "payload").unionByName(
+        with_binary_payload(
+            docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+                "text", F.concat(F.lit("Z"), F.expr("substring(text, 2)"))
+            )
+        ).select((F.col("doc_id") + 1_000_000).alias("doc_id"), "payload")
+    )
+    ph = perceptual_hash(corpus)
+    hashes = {r["doc_id"]: r["phash"] for r in ph.collect()}
+    assert any(h < 0 for h in hashes.values())  # sign bit exercised
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_pairs(ph, "doc_id", "phash", 64, 6).collect()
+    }
+    want = {
+        (a, b, bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1"))
+        for a in hashes
+        for b in hashes
+        if a < b and bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1") <= 6
+    }
+    assert got == want
+    planted = {(a, b) for a, b, _ in got if b - a == 1_000_000}
+    n_planted = docs.filter(F.col("doc_id") % 7 == 0).count()
+    assert len(planted) >= 0.9 * n_planted
+    assert planted == {(a, b) for a, b, _ in got}  # zero non-planted pairs
+
+
+def test_perceptual_hash_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.multimodal import (
+        perceptual_hash,
+        with_binary_payload,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(3)
+    with pytest.raises(ValueError):
+        perceptual_hash(with_binary_payload(docs), grid=9)
