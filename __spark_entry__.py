@@ -617,6 +617,43 @@ def _cms_event_type_counts(spark, sf_dir):
     return cms_estimate(sk, keys, "event_type", width=2048, depth=5)
 
 
+def _event_funnel_rates(spark, sf_dir):
+    """Funnel conversion-rate summary: collapses the per-user deepest
+    stages (streaming.funnel — the single-exchange formulation) into
+    stage populations and step conversion rates, the dashboard number
+    on top of the per-user table. One extra tiny aggregate."""
+    from orientdb_spark.streaming import funnel
+
+    ev = _engine(spark, sf_dir).table("events")
+    per_user = funnel(ev)
+    agg = per_user.agg(
+        F.count(F.lit(1)).alias("__n0"),
+        *[
+            F.sum((F.col("funnel_stage") >= s).cast("long")).alias(f"__n{s}")
+            for s in (1, 2, 3)
+        ],
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("stage"),
+                F.col(f"__n{s}").alias("n_users"),
+                F.round(
+                    F.col(f"__n{s}")
+                    / F.when(F.col(f"__n{s - 1}") > 0, F.col(f"__n{s - 1}")),
+                    6,
+                ).alias("conversion_from_prev"),
+            )
+            for s in (1, 2, 3)
+        ]
+    )
+    return agg.select(F.explode(stages).alias("__s")).select(
+        F.col("__s.stage").alias("stage"),
+        F.col("__s.n_users").alias("n_users"),
+        F.col("__s.conversion_from_prev").alias("conversion_from_prev"),
+    )
+
+
 def _multimodal_phash_dedup(spark, sf_dir):
     """Perceptual-hash image near-dup join (multimodal.perceptual_hash
     -> dedup.hamming_pairs): every 7th payload reappears with its first
@@ -2805,6 +2842,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "bloom_prefilter_join": _bloom_prefilter_join,
         "cms_event_type_counts": _cms_event_type_counts,
         "cms_join_size_estimate": _cms_join_size_estimate,
+        "event_funnel_rates": _event_funnel_rates,
         "multimodal_phash_dedup": _multimodal_phash_dedup,
         "pipeline_entity_resolution": _pipeline_entity_resolution,
         "quality_expectations": _quality_expectations,
@@ -3986,6 +4024,30 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
             "ON e.user_id = c.user_id AND c.ts > e.ts - INTERVAL 30 MINUTE "
             "AND c.ts <= e.ts GROUP BY 1, 2"
+        ),
+        "event_funnel_rates": (
+            "WITH u AS (SELECT DISTINCT user_id FROM events "
+            "WHERE event_type IN ('view', 'click', 'purchase')), "
+            "t1 AS (SELECT user_id, min(ts) AS ts FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "t2 AS (SELECT e.user_id, min(e.ts) AS ts FROM events e "
+            "JOIN t1 ON e.user_id = t1.user_id "
+            "WHERE e.event_type = 'click' AND e.ts > t1.ts GROUP BY 1), "
+            "t3 AS (SELECT e.user_id, min(e.ts) AS ts FROM events e "
+            "JOIN t2 ON e.user_id = t2.user_id "
+            "WHERE e.event_type = 'purchase' AND e.ts > t2.ts GROUP BY 1), "
+            "s AS (SELECT u.user_id, CASE WHEN t3.ts IS NOT NULL THEN 3 "
+            "WHEN t2.ts IS NOT NULL THEN 2 WHEN t1.ts IS NOT NULL THEN 1 "
+            "ELSE 0 END AS st FROM u LEFT JOIN t1 USING (user_id) "
+            "LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)), "
+            "a AS (SELECT count(*)::BIGINT AS n0, "
+            "sum((st >= 1)::INT)::BIGINT AS n1, "
+            "sum((st >= 2)::INT)::BIGINT AS n2, "
+            "sum((st >= 3)::INT)::BIGINT AS n3 FROM s) "
+            "SELECT 1 AS stage, n1 AS n_users, "
+            "round(n1 / nullif(n0, 0)::DOUBLE, 6) AS conversion_from_prev FROM a "
+            "UNION ALL SELECT 2, n2, round(n2 / nullif(n1, 0)::DOUBLE, 6) FROM a "
+            "UNION ALL SELECT 3, n3, round(n3 / nullif(n2, 0)::DOUBLE, 6) FROM a"
         ),
         "event_funnel": (
             "WITH u AS (SELECT DISTINCT user_id FROM events "
