@@ -617,6 +617,26 @@ def _cms_event_type_counts(spark, sf_dir):
     return cms_estimate(sk, keys, "event_type", width=2048, depth=5)
 
 
+def _event_m4_downsample(spark, sf_dir):
+    """M4 chart downsampling (temporal.m4_downsample, PVLDB'14): per
+    user and day, the four pixel-column values (first/last/min/max) in
+    one partial-agg groupBy — the dashboard query that never sorts the
+    raw series."""
+    from orientdb_spark.temporal import m4_downsample
+
+    ev = _engine(spark, sf_dir).table("events")
+    out = m4_downsample(ev, on=["user_id"], bucket_sec=86400)
+    return out.select(
+        "user_id",
+        "bucket_start_us",
+        "n_points",
+        F.round("v_first", 6).alias("v_first"),
+        F.round("v_last", 6).alias("v_last"),
+        F.round("v_min", 6).alias("v_min"),
+        F.round("v_max", 6).alias("v_max"),
+    )
+
+
 def _event_funnel_rates(spark, sf_dir):
     """Funnel conversion-rate summary: collapses the per-user deepest
     stages (streaming.funnel — the single-exchange formulation) into
@@ -2842,6 +2862,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "bloom_prefilter_join": _bloom_prefilter_join,
         "cms_event_type_counts": _cms_event_type_counts,
         "cms_join_size_estimate": _cms_join_size_estimate,
+        "event_m4_downsample": _event_m4_downsample,
         "event_funnel_rates": _event_funnel_rates,
         "multimodal_phash_dedup": _multimodal_phash_dedup,
         "pipeline_entity_resolution": _pipeline_entity_resolution,
@@ -4024,6 +4045,15 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
             "ON e.user_id = c.user_id AND c.ts > e.ts - INTERVAL 30 MINUTE "
             "AND c.ts <= e.ts GROUP BY 1, 2"
+        ),
+        "event_m4_downsample": (
+            "SELECT user_id, "
+            "(epoch_us(ts) // 86400000000) * 86400000000 AS bucket_start_us, "
+            "count(*)::BIGINT AS n_points, "
+            "round(arg_min(value, epoch_us(ts)), 6) AS v_first, "
+            "round(arg_max(value, epoch_us(ts)), 6) AS v_last, "
+            "round(min(value), 6) AS v_min, round(max(value), 6) AS v_max "
+            "FROM events GROUP BY user_id, bucket_start_us"
         ),
         "event_funnel_rates": (
             "WITH u AS (SELECT DISTINCT user_id FROM events "

@@ -46,6 +46,7 @@ __all__ = [
     "interval_overlap_count",
     "anomaly_zscore",
     "trend_fit",
+    "m4_downsample",
 ]
 
 _SIDE = "__asof_side"
@@ -494,4 +495,44 @@ def trend_fit(
         F.regr_slope(y, x).alias("slope_per_day"),
         F.regr_intercept(y, x).alias("intercept"),
         F.regr_r2(y, x).alias("r2"),
+    )
+
+
+def m4_downsample(
+    df: DataFrame,
+    on: Sequence[str],
+    ts: str = "ts",
+    value: str = "value",
+    bucket_sec: int = 86400,
+) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al., PVLDB 2014 —
+    public): per key and time bucket, keep exactly the four values a
+    pixel column can show — first, last, min, max — which reproduces
+    the line chart of the full series at that resolution with a
+    constant per-bucket output. ONE partial-agg groupBy (min_by/max_by
+    pick the endpoints), no window, no sort of the raw series; the
+    100 TB dashboard query.
+
+    Returns ``(*on, bucket_start_us, n_points, v_first, v_last,
+    v_min, v_max)``."""
+    if bucket_sec <= 0:
+        raise ValueError(f"bucket_sec must be positive, got {bucket_sec}")
+    width_us = int(bucket_sec) * 1_000_000
+    us = _micros(F.col(ts))
+    v = F.col(value).cast("double")
+    return (
+        df.select(
+            *on,
+            (F.floor(us / width_us) * width_us).alias("bucket_start_us"),
+            us.alias("__us"),
+            v.alias("__v"),
+        )
+        .groupBy(*on, "bucket_start_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min_by("__v", "__us").alias("v_first"),
+            F.max_by("__v", "__us").alias("v_last"),
+            F.min("__v").alias("v_min"),
+            F.max("__v").alias("v_max"),
+        )
     )

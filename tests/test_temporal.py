@@ -980,3 +980,31 @@ def test_trend_fit_recovers_known_line(spark):
     assert abs(got["lin"]["r2"] - 1.0) < 1e-9
     assert got["noisy"]["r2"] < 0.5
     assert got["single"]["slope_per_day"] is None
+
+
+def test_m4_downsample_semantics(spark):
+    """Each bucket keeps exactly first/last/min/max by event time; a
+    single-point bucket repeats its value four times."""
+    from orientdb_spark.temporal import m4_downsample
+
+    rows = [
+        ("k", _ts(0, 0), 5.0),    # bucket 0: first
+        ("k", _ts(0, 10), 1.0),   #   min
+        ("k", _ts(0, 20), 9.0),   #   max
+        ("k", _ts(0, 30), 4.0),   #   last
+        ("k", _ts(2, 0), 7.0),    # bucket 2 (60s buckets): singleton
+    ]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, value DOUBLE")
+    got = {
+        r["bucket_start_us"]: (
+            r["n_points"], r["v_first"], r["v_last"], r["v_min"], r["v_max"]
+        )
+        for r in m4_downsample(df, on=["k"], bucket_sec=60).collect()
+    }
+    buckets = sorted(got)
+    assert got[buckets[0]] == (4, 5.0, 4.0, 1.0, 9.0)
+    assert got[buckets[1]] == (1, 7.0, 7.0, 7.0, 7.0)
+    import pytest
+
+    with pytest.raises(ValueError):
+        m4_downsample(df, on=["k"], bucket_sec=0)
