@@ -204,3 +204,25 @@ def test_sssp_linear_exchange_growth(spark, monkeypatch):
         plan = _formatted(g.shortest_paths(src, iterations=k))
         vid_counts.append(sum(c == "vid" for c in _exchange_keys(plan)))
     assert vid_counts == [3, 5, 7], vid_counts
+
+
+def test_m4_downsample_single_exchange(spark):
+    """M4 is one partial-agg groupBy — a second Exchange would mean the
+    endpoint picks (min_by/max_by) forced an extra pass."""
+    from orientdb_spark.temporal import m4_downsample
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = m4_downsample(ev, on=["user_id"], bucket_sec=86400)
+    plan = _formatted(out)
+    assert _nodes(plan, "Exchange") == 1, plan
+
+
+def test_time_weighted_average_single_exchange(spark):
+    """The lead() window's hash partitioning must be reused by the
+    groupBy — the single-shuffle claim in temporal.py."""
+    from orientdb_spark.temporal import time_weighted_average
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = time_weighted_average(ev, on=["user_id"])
+    plan = _formatted(out)
+    assert _nodes(plan, "Exchange") == 1, plan
