@@ -1008,3 +1008,30 @@ def test_m4_downsample_semantics(spark):
 
     with pytest.raises(ValueError):
         m4_downsample(df, on=["k"], bucket_sec=0)
+
+
+def test_anomaly_binned_equals_window_form(spark):
+    """The monster-key escape hatch must reproduce the window operator
+    exactly on real data (z is 4dp-rounded in both; mean/std compared
+    at 6dp to absorb the sum-of-squares vs Welford FP difference)."""
+    from orientdb_spark.temporal import anomaly_zscore, anomaly_zscore_binned
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cols = ["event_id", "user_id"]
+
+    def norm(df):
+        return {
+            tuple(r[c] for c in cols): (
+                round(r["rolling_mean"], 6),
+                None if r["rolling_std"] is None else round(r["rolling_std"], 6),
+                r["zscore"],
+                r["is_anomaly"],
+            )
+            for r in df.collect()
+        }
+
+    a = norm(anomaly_zscore(ev, on=["user_id"], window_sec=86400, z_threshold=2.0))
+    b = norm(
+        anomaly_zscore_binned(ev, on=["user_id"], window_sec=86400, z_threshold=2.0)
+    )
+    assert a == b
