@@ -1035,3 +1035,128 @@ def test_anomaly_binned_equals_window_form(spark):
         anomaly_zscore_binned(ev, on=["user_id"], window_sec=86400, z_threshold=2.0)
     )
     assert a == b
+
+
+def test_twa_property_vs_python(spark):
+    """Random irregular streams: TWA equals the sequential LOCF
+    computation."""
+    import random
+
+    from orientdb_spark.temporal import time_weighted_average
+
+    rng = random.Random(71)
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    for k in ("a", "b", "c"):
+        ts_set = sorted(rng.sample(range(0, 50_000), rng.randrange(1, 40)))
+        rows += [
+            (k, base + dt.timedelta(seconds=s), round(rng.uniform(-5, 5), 3))
+            for s in ts_set
+        ]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, value DOUBLE")
+
+    def py_twa(series):
+        series = sorted(series)
+        if len(series) < 2:
+            return series[0][1] if series else None
+        num = den = 0.0
+        for (t0, v), (t1, _) in zip(series, series[1:]):
+            w = (t1 - t0).total_seconds() * 1e6
+            num += v * w
+            den += w
+        return num / den if den else sum(v for _, v in series) / len(series)
+
+    byk = {}
+    for k, t, v in rows:
+        byk.setdefault(k, []).append((t, v))
+    got = {r["k"]: r["twa"] for r in time_weighted_average(df, on=["k"]).collect()}
+    for k, series in byk.items():
+        assert abs(got[k] - py_twa(series)) < 1e-9, k
+
+
+def test_interval_overlap_property_vs_python(spark):
+    """Random interval sets at several bucket widths equal the
+    quadratic reference."""
+    import random
+
+    from orientdb_spark.temporal import interval_overlap_count
+
+    rng = random.Random(43)
+    base = dt.datetime(2024, 5, 1)
+
+    def mk(n, max_len):
+        out = []
+        for i in range(n):
+            s = rng.randrange(0, 20_000)
+            e = s + rng.randrange(0, max_len)
+            out.append(
+                (i, rng.choice("xy"), base + dt.timedelta(seconds=s),
+                 base + dt.timedelta(seconds=e))
+            )
+        return out
+
+    L, R = mk(25, 900), mk(30, 2500)
+    ldf = spark.createDataFrame(L, "lid INT, k STRING, start_ts TIMESTAMP, end_ts TIMESTAMP")
+    rdf = spark.createDataFrame(R, "rid INT, k STRING, start_ts TIMESTAMP, end_ts TIMESTAMP")
+    want = {
+        lid: sum(
+            1
+            for (rid, rk, rs, re_) in R
+            if rk == k and ls <= re_ and rs <= le
+        )
+        for (lid, k, ls, le) in L
+    }
+    for w in (300, 1800, 7200):
+        got = {
+            r["lid"]: r["n_overlaps"]
+            for r in interval_overlap_count(
+                ldf, rdf, on=["k"], left_id="lid", right_id="rid", bucket_sec=w
+            ).collect()
+        }
+        assert got == want, w
+
+
+def test_anomaly_property_vs_python(spark):
+    """Random streams: window stats and z equal a sequential trailing-
+    window reference (inclusive both ends)."""
+    import random
+
+    from orientdb_spark.temporal import anomaly_zscore
+
+    rng = random.Random(97)
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    for k in ("a", "b"):
+        secs = sorted(rng.sample(range(0, 30_000), 35))
+        rows += [
+            (k, base + dt.timedelta(seconds=s), round(rng.uniform(0, 100), 2))
+            for s in secs
+        ]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, value DOUBLE")
+    W = 5000
+    got = {
+        (r["k"], r["ts"]): (r["zscore"], r["is_anomaly"])
+        for r in anomaly_zscore(
+            df, on=["k"], window_sec=W, z_threshold=1.5, min_samples=5
+        ).collect()
+    }
+    byk = {}
+    for k, t, v in rows:
+        byk.setdefault(k, []).append((t, v))
+    for k, series in byk.items():
+        series.sort()
+        for t, v in series:
+            win = [x for (u, x) in series if 0 <= (t - u).total_seconds() <= W]
+            n = len(win)
+            z = None
+            if n >= 5:
+                m = sum(win) / n
+                var = sum((x - m) ** 2 for x in win) / (n - 1)
+                if var ** 0.5 > 1e-12:
+                    z = round((v - m) / var ** 0.5, 4)
+            flag = None if z is None else abs(z) > 1.5
+            gz, gf = got[(k, t)]
+            assert (gz is None) == (z is None), (k, t)
+            if z is not None:
+                assert abs(gz - z) <= 1e-4 + 1e-12, (k, t, gz, z)
+                assert gf == flag or abs(abs(z) - 1.5) < 1e-3, (k, t)
