@@ -617,6 +617,23 @@ def _cms_event_type_counts(spark, sf_dir):
     return cms_estimate(sk, keys, "event_type", width=2048, depth=5)
 
 
+def _event_cusum_changepoints(spark, sf_dir):
+    """CUSUM mean-shift detection per user (temporal.cusum_changepoints,
+    Page 1954): standardized deviations accumulate into S+/S-, ±h
+    crossings alarm and reset. Rows-only by design — CUSUM is a
+    sequential per-key recurrence with data-dependent resets, which SQL
+    can't express without simulating the scan; the correctness gates
+    are the sequential-reference equality + planted-shift tests in
+    tests/test_temporal.py and the stream==batch pin of the streaming
+    twin."""
+    from orientdb_spark.temporal import cusum_changepoints
+
+    ev = _engine(spark, sf_dir).table("events")
+    return cusum_changepoints(
+        ev, on=["user_id"], target=50.0, scale=50.0, k=0.5, h=5.0
+    ).select("user_id", "ts", "direction", F.round("statistic", 4).alias("statistic"))
+
+
 def _event_m4_downsample(spark, sf_dir):
     """M4 chart downsampling (temporal.m4_downsample, PVLDB'14): per
     user and day, the four pixel-column values (first/last/min/max) in
@@ -2862,6 +2879,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "bloom_prefilter_join": _bloom_prefilter_join,
         "cms_event_type_counts": _cms_event_type_counts,
         "cms_join_size_estimate": _cms_join_size_estimate,
+        "event_cusum_changepoints": _event_cusum_changepoints,
         "event_m4_downsample": _event_m4_downsample,
         "event_funnel_rates": _event_funnel_rates,
         "multimodal_phash_dedup": _multimodal_phash_dedup,

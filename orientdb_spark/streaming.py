@@ -936,3 +936,87 @@ def anomaly_zscore_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def cusum_stream(
+    df: DataFrame,
+    on: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k: float = 0.5,
+    h: float = 5.0,
+    target: float = 0.0,
+    scale: float = 1.0,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming CUSUM change-point detection as a CUSTOM STATEFUL
+    OPERATOR (the sixth): per key, GroupState carries the running
+    (S+, S-) sums; each event updates them with the standardized
+    deviation and a ±h crossing emits a change-point row and resets —
+    the online twin of ``temporal.cusum_changepoints`` with EXPLICIT
+    ``target``/``scale`` (an online monitor can't see the future mean;
+    the batch operator's per-key default is the retrospective
+    convenience). Exactly equal to the batch operator under per-key
+    event-time-ordered arrival — stream==batch pinned.
+
+    State is two floats per key — O(keys), the cheapest of the stateful
+    family. Emits ``(*on, ts, direction, statistic)``, append mode.
+    """
+    import pandas as pd
+
+    if not df.isStreaming:
+        from orientdb_spark.temporal import cusum_changepoints
+
+        return cusum_changepoints(
+            df, on=list(on), ts=ts_col, value=value_col,
+            k=k, h=h, target=target, scale=scale,
+        )
+    if h <= 0 or k < 0:
+        raise ValueError(f"need h > 0 and k >= 0, got h={h}, k={k}")
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    on = list(on)
+    key_fields = [f for f in df.schema.fields if f.name in on]
+    ts_field = next(f for f in df.schema.fields if f.name == ts_col)
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField(ts_col, ts_field.dataType),
+            StructField("direction", StringType()),
+            StructField("statistic", DoubleType()),
+        ]
+    )
+
+    def walk(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        sp, sn = state.get if state.exists else (0.0, 0.0)
+        out = []
+        for _, r in rows.iterrows():
+            x = (float(r[value_col]) - target) / scale
+            sp = max(0.0, sp + x - k)
+            sn = min(0.0, sn + x + k)
+            if sp > h:
+                out.append(list(key) + [r[ts_col], "up", sp])
+                sp = sn = 0.0
+            elif sn < -h:
+                out.append(list(key) + [r[ts_col], "down", sn])
+                sp = sn = 0.0
+        state.update((sp, sn))
+        if out:
+            yield pd.DataFrame(out, columns=on + [ts_col, "direction", "statistic"])
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*[F.col(c) for c in on])
+        .applyInPandasWithState(
+            walk,
+            outputStructType=out_schema,
+            stateStructType="sp double, sn double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

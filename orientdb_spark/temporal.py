@@ -48,6 +48,7 @@ __all__ = [
     "trend_fit",
     "m4_downsample",
     "anomaly_zscore_binned",
+    "cusum_changepoints",
 ]
 
 _SIDE = "__asof_side"
@@ -628,3 +629,80 @@ def anomaly_zscore_binned(
         )
         .drop("__n", "__s", "__s2", "__lus")
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    on: Sequence[str],
+    ts: str = "ts",
+    value: str = "value",
+    k: float = 0.5,
+    h: float = 5.0,
+    target: float | None = None,
+    scale: float | None = None,
+) -> DataFrame:
+    """CUSUM mean-shift detection (Page 1954, public): per key, the
+    standardized deviations accumulate into S+ = max(0, S+ + x' - k)
+    and S- = min(0, S- + x' + k); crossing ±h raises a change point
+    (direction 'up'/'down') and resets both sums. ``k`` is the
+    slack (in sigmas) and ``h`` the decision threshold — the classic
+    (0.5, 5) detects ~1-sigma shifts with ~low false-positive rate.
+
+    ``target``/``scale`` default to each key's OWN mean/stddev (one
+    extra aggregate pass, broadcast back) — fine for retrospective
+    analysis; pass explicit values for the online-monitoring semantics
+    (and for stream==batch equality with ``streaming.cusum_stream``).
+
+    CUSUM is inherently sequential per key, so this runs as an
+    Arrow-batched ``applyInPandas`` scan over each key's time-ordered
+    rows — the keyed-sequential class shared with the stateful
+    streaming operators (one key's stream must fit one task; that is
+    the algorithm, not the implementation). Returns
+    ``(*on, ts, direction, statistic)`` — one row per change point.
+    """
+    import numpy as np
+    import pandas as pd
+
+    on = list(on)
+    if h <= 0 or k < 0:
+        raise ValueError(f"need h > 0 and k >= 0, got h={h}, k={k}")
+    if (target is None) != (scale is None):
+        raise ValueError("pass both target and scale, or neither")
+    work = df.select(*on, F.col(ts).alias("__ts"), F.col(value).cast("double").alias("__v"))
+    if target is None:
+        stats = work.groupBy(*on).agg(
+            F.avg("__v").alias("__mu"), F.stddev_samp("__v").alias("__sd")
+        )
+        work = work.join(F.broadcast(stats), on)
+    else:
+        work = work.withColumn("__mu", F.lit(float(target))).withColumn(
+            "__sd", F.lit(float(scale))
+        )
+    out_fields = ", ".join(
+        [f"`{c}` {t}" for c, t in df.select(*on).dtypes]
+        + [f"__ts {dict(df.dtypes)[ts]}", "direction string", "statistic double"]
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__ts")
+        sd = pdf["__sd"].iloc[0]
+        mu = pdf["__mu"].iloc[0]
+        rows = []
+        if sd is None or not np.isfinite(sd) or sd <= 0:
+            return pd.DataFrame(rows, columns=list(pdf.columns[: len(on)]) + ["__ts", "direction", "statistic"])
+        sp = sn = 0.0
+        keyvals = [pdf[c].iloc[0] for c in pdf.columns[: len(on)]]
+        for _, r in pdf.iterrows():
+            x = (r["__v"] - mu) / sd
+            sp = max(0.0, sp + x - k)
+            sn = min(0.0, sn + x + k)
+            if sp > h:
+                rows.append(keyvals + [r["__ts"], "up", sp])
+                sp = sn = 0.0
+            elif sn < -h:
+                rows.append(keyvals + [r["__ts"], "down", sn])
+                sp = sn = 0.0
+        return pd.DataFrame(rows, columns=list(pdf.columns[: len(on)]) + ["__ts", "direction", "statistic"])
+
+    res = work.groupBy(*on).applyInPandas(scan, out_fields)
+    return res.withColumnRenamed("__ts", ts)

@@ -769,3 +769,116 @@ def test_anomaly_zscore_stream_static_fallback(spark):
     out = anomaly_zscore_stream(events, on=("user_id",))
     assert not out.isStreaming
     assert out.count() == events.count()
+
+
+def test_cusum_stream_matches_batch(spark):
+    """Streaming CUSUM (sixth stateful operator) equals the batch
+    operator with the same explicit target/scale when the input arrives
+    availableNow."""
+    import datetime as dt
+    import random
+
+    from orientdb_spark.streaming import cusum_stream
+    from orientdb_spark.temporal import cusum_changepoints
+
+    rng = random.Random(9)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for k in ("a", "b"):
+        shift = 80 if k == "a" else 10_000
+        for i in range(160):
+            rows.append(
+                (k, base + dt.timedelta(minutes=i),
+                 rng.gauss(0 if i < shift else -2.5, 1))
+            )
+    schema = "k STRING, ts TIMESTAMP, value DOUBLE"
+    df = spark.createDataFrame(rows, schema)
+    src_dir = tempfile.mkdtemp(prefix="ospark_cusum_src_")
+    ckpt = tempfile.mkdtemp(prefix="ospark_cusum_ckpt_")
+    try:
+        df.coalesce(1).write.parquet(src_dir + "/b1")
+        stream = spark.readStream.schema(schema).parquet(src_dir + "/*")
+        out = cusum_stream(stream, on=("k",), target=0.0, scale=1.0)
+        assert out.isStreaming
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("cusum_rows")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["k"], r["ts"], r["direction"], round(r["statistic"], 9))
+            for r in spark.sql("select * from cusum_rows").collect()
+        }
+        batch = {
+            (r["k"], r["ts"], r["direction"], round(r["statistic"], 9))
+            for r in cusum_changepoints(
+                df, on=["k"], target=0.0, scale=1.0
+            ).collect()
+        }
+        assert got == batch and got
+        assert all(d == "down" for (_, _, d, _) in got)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_cusum_stream_state_across_batches(spark):
+    """The (S+, S-) sums survive micro-batch boundaries: a drift split
+    across two file-batches still alarms, at the same point as one
+    batch."""
+    import datetime as dt
+
+    from orientdb_spark.streaming import cusum_stream
+    from orientdb_spark.temporal import cusum_changepoints
+
+    base = dt.datetime(2024, 1, 1)
+    # steady +1 sigma drift: S+ grows by 0.5 per sample, alarm ~sample 11
+    rows = [("u", base + dt.timedelta(minutes=i), 1.0) for i in range(16)]
+    schema = "k STRING, ts TIMESTAMP, value DOUBLE"
+    src_dir = tempfile.mkdtemp(prefix="ospark_cusum2_src_")
+    ckpt = tempfile.mkdtemp(prefix="ospark_cusum2_ckpt_")
+    try:
+        import time
+
+        spark.createDataFrame(rows[:8], schema).coalesce(1).write.parquet(
+            src_dir + "/b1"
+        )
+        time.sleep(1.1)
+        spark.createDataFrame(rows[8:], schema).coalesce(1).write.parquet(
+            src_dir + "/b2"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(src_dir + "/*")
+        )
+        out = cusum_stream(stream, on=("k",), target=0.0, scale=1.0)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("cusum2_rows")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = sorted(
+            (r["ts"], r["direction"])
+            for r in spark.sql("select * from cusum2_rows").collect()
+        )
+        want = sorted(
+            (r["ts"], r["direction"])
+            for r in cusum_changepoints(
+                spark.createDataFrame(rows, schema),
+                on=["k"], target=0.0, scale=1.0,
+            ).collect()
+        )
+        assert got == want and got
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

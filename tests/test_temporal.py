@@ -1160,3 +1160,71 @@ def test_anomaly_property_vs_python(spark):
             if z is not None:
                 assert abs(gz - z) <= 1e-4 + 1e-12, (k, t, gz, z)
                 assert gf == flag or abs(abs(z) - 1.5) < 1e-3, (k, t)
+
+
+def test_cusum_detects_planted_shift_not_noise(spark):
+    """Mean shift of 3 sigma at step 100: first alarm lands within 15
+    samples of the shift, direction 'up'; a stationary key raises
+    nothing; equality with a sequential Python reference."""
+    import random
+
+    from orientdb_spark.temporal import cusum_changepoints
+
+    rng = random.Random(5)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(200):
+        rows.append(("a", base + dt.timedelta(minutes=i),
+                     rng.gauss(0 if i < 100 else 3, 1)))
+    for i in range(200):
+        rows.append(("b", base + dt.timedelta(minutes=i), rng.gauss(0, 1)))
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, value DOUBLE")
+    got = cusum_changepoints(df, on=["k"], target=0.0, scale=1.0).collect()
+    a_alarms = sorted(r["ts"] for r in got if r["k"] == "a")
+    assert a_alarms and a_alarms[0] <= base + dt.timedelta(minutes=115)
+    assert all(r["direction"] == "up" for r in got if r["k"] == "a")
+    assert not [r for r in got if r["k"] == "b"]
+
+    # sequential reference equality (same resets, same statistics)
+    def py_cusum(series, k=0.5, h=5.0):
+        sp = sn = 0.0
+        out = []
+        for t, v in sorted(series):
+            x = v
+            sp = max(0.0, sp + x - k)
+            sn = min(0.0, sn + x + k)
+            if sp > h:
+                out.append((t, "up", round(sp, 9)))
+                sp = sn = 0.0
+            elif sn < -h:
+                out.append((t, "down", round(sn, 9)))
+                sp = sn = 0.0
+        return out
+
+    byk = {}
+    for kk, t, v in rows:
+        byk.setdefault(kk, []).append((t, v))
+    for kk, series in byk.items():
+        want = py_cusum(series)
+        have = sorted(
+            (r["ts"], r["direction"], round(r["statistic"], 9))
+            for r in got
+            if r["k"] == kk
+        )
+        assert have == want, kk
+
+
+def test_cusum_default_per_key_baseline_and_validation(spark):
+    import pytest
+
+    from orientdb_spark.temporal import cusum_changepoints
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("z", base + dt.timedelta(minutes=i), float(i % 2)) for i in range(30)]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, value DOUBLE")
+    # stationary alternation around its own mean -> no alarms
+    assert cusum_changepoints(df, on=["k"]).count() == 0
+    with pytest.raises(ValueError):
+        cusum_changepoints(df, on=["k"], h=0)
+    with pytest.raises(ValueError):
+        cusum_changepoints(df, on=["k"], target=1.0)  # scale missing
