@@ -617,6 +617,41 @@ def _cms_event_type_counts(spark, sf_dir):
     return cms_estimate(sk, keys, "event_type", width=2048, depth=5)
 
 
+def _event_seasonal_baseline(spark, sf_dir):
+    """Hour-of-day seasonal profile + residual per event type
+    (temporal.seasonal_baseline): the de-seasonalization step in front
+    of alerting; one profile aggregate broadcast back onto the rows."""
+    from orientdb_spark.temporal import seasonal_baseline
+
+    ev = _engine(spark, sf_dir).table("events")
+    out = seasonal_baseline(ev, on=["event_type"], period="hour_of_day")
+    return out.select(
+        "event_id",
+        "event_type",
+        "season_slot",
+        F.round("seasonal_mean", 6).alias("seasonal_mean"),
+        F.round("residual", 6).alias("residual"),
+    )
+
+
+def _text_vocab_growth(spark, sf_dir):
+    """Lexical-diversity screen per source (text.vocab_growth_stats):
+    token/type/hapax counts, TTR, hapax share — two map-side
+    groupBys."""
+    from orientdb_spark.pipeline.text import vocab_growth_stats
+
+    docs = _docs(spark, sf_dir)
+    out = vocab_growth_stats(docs, group_cols=["source"])
+    return out.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.round("ttr", 6).alias("ttr"),
+        F.round("hapax_ratio", 6).alias("hapax_ratio"),
+    )
+
+
 def _event_cusum_changepoints(spark, sf_dir):
     """CUSUM mean-shift detection per user (temporal.cusum_changepoints,
     Page 1954): standardized deviations accumulate into S+/S-, ±h
@@ -2879,6 +2914,8 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "bloom_prefilter_join": _bloom_prefilter_join,
         "cms_event_type_counts": _cms_event_type_counts,
         "cms_join_size_estimate": _cms_join_size_estimate,
+        "event_seasonal_baseline": _event_seasonal_baseline,
+        "text_vocab_growth": _text_vocab_growth,
         "event_cusum_changepoints": _event_cusum_changepoints,
         "event_m4_downsample": _event_m4_downsample,
         "event_funnel_rates": _event_funnel_rates,
@@ -4063,6 +4100,26 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
             "ON e.user_id = c.user_id AND c.ts > e.ts - INTERVAL 30 MINUTE "
             "AND c.ts <= e.ts GROUP BY 1, 2"
+        ),
+        "event_seasonal_baseline": (
+            "WITH p AS (SELECT event_type, hour(ts) AS season_slot, "
+            "avg(value) AS sm FROM events GROUP BY 1, 2) "
+            "SELECT e.event_id, e.event_type, hour(e.ts) AS season_slot, "
+            "round(p.sm, 6) AS seasonal_mean, "
+            "round(e.value - p.sm, 6) AS residual "
+            "FROM events e JOIN p ON p.event_type = e.event_type "
+            "AND p.season_slot = hour(e.ts)"
+        ),
+        "text_vocab_growth": (
+            "WITH t AS (SELECT source, unnest(list_filter("
+            "regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)) AS tok "
+            "FROM documents), "
+            "c AS (SELECT source, tok, count(*)::BIGINT AS n FROM t GROUP BY 1, 2) "
+            "SELECT source, sum(n)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types, "
+            "sum((n = 1)::INT)::BIGINT AS n_hapax, "
+            "round(count(*)::DOUBLE / sum(n), 6) AS ttr, "
+            "round(sum((n = 1)::INT)::DOUBLE / count(*), 6) AS hapax_ratio "
+            "FROM c GROUP BY source"
         ),
         "event_m4_downsample": (
             "SELECT user_id, "

@@ -985,3 +985,38 @@ def bpe_encode(
         "tokens_per_word",
         F.round(F.col("n_tokens") / F.greatest(F.col("n_words"), F.lit(1)), 6),
     )
+
+
+def vocab_growth_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Vocabulary-growth corpus diagnostics per group: total token
+    occurrences, distinct types, hapax legomena (once-only tokens),
+    type-token ratio, and hapax share — the quick lexical-diversity
+    screen (template-generated or looping text collapses TTR; OCR noise
+    and boilerplate-free natural text push hapax share up). Lowercased
+    whitespace tokens, same tokenization as ``vocabulary``. Two
+    map-side-combinable groupBys: (group, token) counts, then the
+    per-group fold over the counts table (types-sized, not
+    corpus-sized). Returns
+    ``(*group_cols, n_tokens, n_types, n_hapax, ttr, hapax_ratio)``."""
+    gcols = list(group_cols or [])
+    counts = (
+        df.select(
+            *gcols,
+            F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("__tok"),
+        )
+        .groupBy(*gcols, "__tok")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return counts.groupBy(*gcols).agg(
+        F.sum("__n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("__n") == 1).cast("long")).alias("n_hapax"),
+        (F.count(F.lit(1)) / F.sum("__n")).alias("ttr"),
+        (
+            F.sum((F.col("__n") == 1).cast("long")) / F.count(F.lit(1))
+        ).alias("hapax_ratio"),
+    )

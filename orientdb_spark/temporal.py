@@ -49,6 +49,7 @@ __all__ = [
     "m4_downsample",
     "anomaly_zscore_binned",
     "cusum_changepoints",
+    "seasonal_baseline",
 ]
 
 _SIDE = "__asof_side"
@@ -706,3 +707,36 @@ def cusum_changepoints(
 
     res = work.groupBy(*on).applyInPandas(scan, out_fields)
     return res.withColumnRenamed("__ts", ts)
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    on: Sequence[str],
+    ts: str = "ts",
+    value: str = "value",
+    period: str = "hour_of_day",
+) -> DataFrame:
+    """Seasonality profile + residual: each row gets its key's mean for
+    the row's seasonal slot (hour-of-day, day-of-week, or day-of-month)
+    and the deviation from it — the de-seasonalization step in front of
+    threshold/z-score alerting (a 9am spike is only a spike relative to
+    9am's baseline). One profile aggregate broadcast back onto the rows
+    — the iqr/winsorize two-pass shape. Adds
+    ``(season_slot, seasonal_mean, residual)``."""
+    slots = {
+        "hour_of_day": F.hour(F.col(ts)),
+        "day_of_week": F.dayofweek(F.col(ts)),
+        "day_of_month": F.dayofmonth(F.col(ts)),
+    }
+    if period not in slots:
+        raise ValueError(f"period must be one of {sorted(slots)}, got {period}")
+    on = list(on)
+    slot = slots[period].alias("season_slot")
+    v = F.col(value).cast("double")
+    work = df.withColumn("season_slot", slot)
+    prof = work.groupBy(*on, "season_slot").agg(
+        F.avg(v).alias("seasonal_mean")
+    )
+    return work.join(F.broadcast(prof), on + ["season_slot"]).withColumn(
+        "residual", v - F.col("seasonal_mean")
+    )

@@ -1228,3 +1228,27 @@ def test_cusum_default_per_key_baseline_and_validation(spark):
         cusum_changepoints(df, on=["k"], h=0)
     with pytest.raises(ValueError):
         cusum_changepoints(df, on=["k"], target=1.0)  # scale missing
+
+
+def test_seasonal_baseline_profile_and_residual(spark):
+    """Hour slots profile independently per key; residuals sum to ~0
+    within each (key, slot); unknown period rejected."""
+    from orientdb_spark.temporal import seasonal_baseline
+
+    rows = []
+    for d in range(4):
+        rows.append(("k", dt.datetime(2024, 1, 1 + d, 9, 0), 10.0 + d))   # 9h: mean 11.5
+        rows.append(("k", dt.datetime(2024, 1, 1 + d, 17, 0), 100.0 + d))  # 17h: mean 101.5
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, value DOUBLE")
+    out = seasonal_baseline(df, on=["k"]).collect()
+    for r in out:
+        assert r["seasonal_mean"] == (11.5 if r["season_slot"] == 9 else 101.5)
+    by_slot = {}
+    for r in out:
+        by_slot.setdefault(r["season_slot"], 0.0)
+        by_slot[r["season_slot"]] += r["residual"]
+    assert all(abs(v) < 1e-9 for v in by_slot.values())
+    import pytest
+
+    with pytest.raises(ValueError):
+        seasonal_baseline(df, on=["k"], period="phase_of_moon")

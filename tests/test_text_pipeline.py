@@ -592,3 +592,21 @@ def test_bpe_encode_matches_training_vocab_segmentation(spark):
     enc2 = bpe_encode(docs, m2).agg(F.sum("n_tokens")).collect()[0][0]
     enc8 = bpe_encode(docs, merges).agg(F.sum("n_tokens")).collect()[0][0]
     assert enc8 <= enc2
+
+
+def test_vocab_growth_stats_known_corpus(spark):
+    """'a a b' + 'b c': tokens 5, types 3, hapax 1 (only 'c');
+    per-group isolation and case folding."""
+    from orientdb_spark.pipeline.text import vocab_growth_stats
+
+    df = spark.createDataFrame(
+        [("s1", "a A b"), ("s1", "b c"), ("s2", "x")],
+        ["source", "text"],
+    )
+    got = {
+        r["source"]: (r["n_tokens"], r["n_types"], r["n_hapax"],
+                      round(r["ttr"], 6), round(r["hapax_ratio"], 6))
+        for r in vocab_growth_stats(df, group_cols=["source"]).collect()
+    }
+    assert got["s1"] == (5, 3, 1, round(3 / 5, 6), round(1 / 3, 6))
+    assert got["s2"] == (1, 1, 1, 1.0, 1.0)
