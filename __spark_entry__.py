@@ -956,6 +956,24 @@ def _graph_clustering_coeff(spark, sf_dir):
     )
 
 
+def _graph_min_spanning_forest(spark, sf_dir):
+    """Distributed Borůvka MSF (graph.minimum_spanning_forest) over the
+    part-supplier graph weighted by minimum shipped quantity — the
+    cheapest-connectivity backbone. Rows-only by design (MST has no SQL
+    oracle); the correctness gate is exact equality with sequential
+    Kruskal under the shared total order, tests/test_graph_paths.py."""
+    from orientdb_spark.graph import Graph
+
+    li = _engine(spark, sf_dir).table("lineitem")
+    ed = li.select(
+        F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("supp:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        F.col("l_quantity").cast("double").alias("w"),
+    )
+    g = Graph(ed.select(F.col("src").alias("vid")).distinct(), ed)
+    return g.minimum_spanning_forest()
+
+
 def _graph_topological_levels(spark, sf_dir):
     """DAG scheduling depth (graph.topological_levels): distributed
     Kahn peeling over the region -> nation -> customer -> orders
@@ -2906,6 +2924,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "graph_triangle_count": _graph_triangle_count,
         "graph_clustering_coeff": _graph_clustering_coeff,
         "graph_neighbor_features": _graph_neighbor_features,
+        "graph_min_spanning_forest": _graph_min_spanning_forest,
         "graph_topological_levels": _graph_topological_levels,
         "graph_link_prediction": _graph_link_prediction,
         "graph_kcore": _graph_kcore,

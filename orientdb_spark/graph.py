@@ -443,6 +443,104 @@ class Graph:
             )
         return state.select("vid", "n_neighbors", F.col("__f").alias("feature"))
 
+    def minimum_spanning_forest(
+        self, weight_col: str = "w", max_iter: int = 30
+    ) -> DataFrame:
+        """Distributed Borůvka minimum spanning forest over the
+        undirected simple graph: every round, each component selects
+        its minimum outgoing edge under the TOTAL order
+        ``(weight, a, b)`` (the tie-break plays the role of unique
+        weights, so simultaneous selection can never close a cycle —
+        the classic Borůvka argument), the selected edges join the
+        forest, and components merge by running the star-contraction CC
+        over the selection graph (component-count-sized, a forest — it
+        contracts in a couple of alternations). Rounds are O(log V):
+        every component merges every round. Per round: one
+        endpoint-relabel join, one per-component min (struct-min agg —
+        map-side combinable), the small CC, one label-remap join.
+
+        Parallel edges collapse to their minimum weight under the same
+        total order; self-loops drop. Returns the forest edges
+        ``(src, dst, weight)`` with ``src < dst`` — |V| - #components
+        rows, the unique MSF under the total order (pytest-pinned
+        against sequential Kruskal)."""
+        und = (
+            self.edges.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+                F.col(weight_col).cast("double").alias("w"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.min("w").alias("w"))
+            .localCheckpoint(eager=False)
+        )
+        comp = (
+            und.select(F.col("a").alias("vid"))
+            .unionAll(und.select(F.col("b").alias("vid")))
+            .dropDuplicates()
+            .withColumn("component", F.col("vid"))
+            .localCheckpoint()
+        )
+        forest = None
+        for _ in range(max_iter):
+            lab = comp.select(
+                F.col("vid"), F.col("component").alias("__c")
+            )
+            e = (
+                und.join(lab.withColumnRenamed("vid", "a").withColumnRenamed("__c", "__ca"), "a")
+                .join(lab.withColumnRenamed("vid", "b").withColumnRenamed("__c", "__cb"), "b")
+                .filter(F.col("__ca") != F.col("__cb"))
+            )
+            # min outgoing edge per component under the (w, a, b) total
+            # order; each side of the edge votes from its own component
+            cand = e.select(F.col("__ca").alias("__c"), "w", "a", "b").unionAll(
+                e.select(F.col("__cb").alias("__c"), "w", "a", "b")
+            )
+            picked = (
+                cand.groupBy("__c")
+                .agg(F.min(F.struct("w", "a", "b")).alias("__m"))
+                .select(
+                    F.col("__m.a").alias("a"),
+                    F.col("__m.b").alias("b"),
+                    F.col("__m.w").alias("w"),
+                )
+                .dropDuplicates(["a", "b"])
+                .localCheckpoint()
+            )
+            if not picked.take(1):
+                break
+            forest = picked if forest is None else forest.unionByName(picked).localCheckpoint(eager=False)
+            # merge the touched components: CC over the selection graph,
+            # expressed on component labels
+            sel = (
+                picked.join(lab.withColumnRenamed("vid", "a").withColumnRenamed("__c", "__ca"), "a")
+                .join(lab.withColumnRenamed("vid", "b").withColumnRenamed("__c", "__cb"), "b")
+                .select(F.col("__ca").alias("src"), F.col("__cb").alias("dst"))
+            )
+            cverts = sel.select(F.col("src").alias("vid")).unionAll(
+                sel.select(F.col("dst").alias("vid"))
+            ).dropDuplicates()
+            merged = Graph(cverts, sel).connected_components().select(
+                F.col("vid").alias("__old"), F.col("component").alias("__new")
+            )
+            comp = (
+                comp.join(merged, comp["component"] == merged["__old"], "left")
+                .select(
+                    "vid",
+                    F.coalesce(F.col("__new"), F.col("component")).alias("component"),
+                )
+                .localCheckpoint()
+            )
+        if forest is None:
+            return und.filter(F.lit(False)).select(
+                F.col("a").alias("src"), F.col("b").alias("dst"),
+                F.col("w").alias("weight"),
+            )
+        return forest.select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), F.col("w").alias("weight")
+        )
+
     def topological_levels(self, max_iter: int = 200) -> DataFrame:
         """Topological level assignment over the DIRECTED graph by
         distributed Kahn peeling: round t removes the vertices with no

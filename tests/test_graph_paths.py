@@ -348,3 +348,65 @@ def test_topological_levels_dag_and_cycle(spark):
     assert {r["vid"]: r["is_cyclic"] for r in g3.topological_levels().collect()} == {
         "s": True
     }
+
+
+# --- minimum spanning forest (Boruvka) ---
+
+
+def _kruskal(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = []
+    for w, a, b in sorted((w, a, b) for a, b, w in edges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.append((a, b, w))
+    return sorted(out)
+
+
+def test_msf_property_vs_kruskal(spark):
+    """Random weighted graphs: the distributed Boruvka forest equals
+    sequential Kruskal under the shared (w, a, b) total order."""
+    import random
+
+    rng = random.Random(17)
+    for trial in range(2):
+        raw = {}
+        for _ in range(60):
+            a, b = rng.randrange(25), rng.randrange(25)
+            if a == b:
+                continue
+            a, b = sorted((f"v{a}", f"v{b}"))
+            raw[(a, b)] = min(raw.get((a, b), 1e9), round(rng.uniform(1, 100), 3))
+        edges = [(a, b, w) for (a, b), w in raw.items()]
+        g = _graph(spark, [(a, b) for a, b, _ in edges],
+                   weights=[w for _, _, w in edges])
+        got = sorted(
+            (r["src"], r["dst"], r["weight"])
+            for r in g.minimum_spanning_forest().collect()
+        )
+        assert got == _kruskal(edges), trial
+
+
+def test_msf_forest_ties_and_parallel_edges(spark):
+    """Two components stay two trees; equal weights break by (a, b);
+    parallel edges collapse to their minimum."""
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"),   # triangle, all weight 1
+        ("b", "a"),                           # parallel (reversed), heavier
+        ("x", "y"),                           # separate component
+    ]
+    g = _graph(spark, edges, weights=[1.0, 1.0, 1.0, 5.0, 2.0])
+    got = sorted(
+        (r["src"], r["dst"], r["weight"])
+        for r in g.minimum_spanning_forest().collect()
+    )
+    # tie-break picks (a,b) then (a,c) over (b,c); parallel 5.0 collapses to 1.0
+    assert got == [("a", "b", 1.0), ("a", "c", 1.0), ("x", "y", 2.0)]
