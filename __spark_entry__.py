@@ -956,6 +956,18 @@ def _graph_clustering_coeff(spark, sf_dir):
     )
 
 
+def _graph_effective_diameter(spark, sf_dir):
+    """HyperBall neighborhood function (graph.neighborhood_function)
+    over the TPC-H hierarchy graph: N(t) growth per round via HLL ball
+    sketches (one exchange per round, O(2^lgk) state per vertex) —
+    the effective-diameter estimator that never materializes a
+    closure. Rows-only by design (HLL estimates; exactness below the
+    sparse threshold + a 2% closure gate are pytest-pinned)."""
+    from orientdb_spark.graph import tpch_graph
+
+    return tpch_graph(_engine(spark, sf_dir)).neighborhood_function(max_t=8)
+
+
 def _graph_min_spanning_forest(spark, sf_dir):
     """Distributed Borůvka MSF (graph.minimum_spanning_forest) over the
     part-supplier graph weighted by minimum shipped quantity — the
@@ -2924,6 +2936,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "graph_triangle_count": _graph_triangle_count,
         "graph_clustering_coeff": _graph_clustering_coeff,
         "graph_neighbor_features": _graph_neighbor_features,
+        "graph_effective_diameter": _graph_effective_diameter,
         "graph_min_spanning_forest": _graph_min_spanning_forest,
         "graph_topological_levels": _graph_topological_levels,
         "graph_link_prediction": _graph_link_prediction,

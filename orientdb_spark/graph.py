@@ -443,6 +443,69 @@ class Graph:
             )
         return state.select("vid", "n_neighbors", F.col("__f").alias("feature"))
 
+    def neighborhood_function(
+        self, max_t: int = 10, lgk: int = 12, converge_tol: float = 0.001
+    ) -> DataFrame:
+        """HyperBall/HyperANF-style neighborhood function (Boldi &
+        Vigna, public): N(t) = the number of (u, v) pairs within
+        undirected distance <= t, estimated by giving every vertex an
+        HLL sketch of its ball and unioning sketches along edges each
+        round — ball_t(v) = ball_{t-1}(v) ∪ ball_{t-1}(neighbors).
+        Sketches make the per-vertex state O(2^lgk) bytes instead of
+        O(ball size), which is the whole trick: exact transitive
+        closure is quadratic, this is |V| sketches and one exchange per
+        round. N(t)'s growth curve yields the effective diameter (the
+        smallest t with N(t) >= 0.9 * N(inf)) without ever
+        materializing a closure.
+
+        Stops early when N(t) grows by < ``converge_tol`` (relative) —
+        the ball union is monotone, so a flat round means (near-)
+        convergence. Returns one row per computed t:
+        ``(t, reachable_pairs, avg_ball_size)`` (estimates, HLL
+        accuracy ~1.6% at lgk=12; gated vs exact closure in tests)."""
+        if max_t < 1:
+            raise ValueError(f"max_t must be >= 1, got {max_t}")
+        und = (
+            self.edges.select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .dropDuplicates()
+        )
+        adj = und.select(
+            F.col("a").alias("vid"), F.col("b").alias("nbr")
+        ).unionAll(und.select(F.col("b").alias("vid"), F.col("a").alias("nbr")))
+        verts = self.vertices.select("vid").dropDuplicates()
+        state = verts.groupBy("vid").agg(
+            F.hll_sketch_agg(F.col("vid"), F.lit(lgk)).alias("__ball")
+        ).localCheckpoint()
+        n0 = float(verts.count())
+        rows = [(0, n0, 1.0)]
+        prev = n0
+        for t in range(1, max_t + 1):
+            msgs = adj.join(
+                state.select(F.col("vid").alias("nbr"), "__ball"), "nbr"
+            ).select("vid", "__ball")
+            state = (
+                state.select("vid", "__ball")
+                .unionByName(msgs)
+                .groupBy("vid")
+                .agg(F.hll_union_agg(F.col("__ball")).alias("__ball"))
+                .localCheckpoint()
+            )
+            total = float(
+                state.select(
+                    F.sum(F.hll_sketch_estimate(F.col("__ball"))).alias("s")
+                ).first()["s"]
+            )
+            rows.append((t, total, total / n0))
+            if prev > 0 and (total - prev) / prev < converge_tol:
+                break
+            prev = total
+        return self.vertices.sparkSession.createDataFrame(
+            rows, "t INT, reachable_pairs DOUBLE, avg_ball_size DOUBLE"
+        )
+
     def minimum_spanning_forest(
         self, weight_col: str = "w", max_iter: int = 30
     ) -> DataFrame:

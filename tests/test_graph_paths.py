@@ -410,3 +410,61 @@ def test_msf_forest_ties_and_parallel_edges(spark):
     )
     # tie-break picks (a,b) then (a,c) over (b,c); parallel 5.0 collapses to 1.0
     assert got == [("a", "b", 1.0), ("a", "c", 1.0), ("x", "y", 2.0)]
+
+
+def test_neighborhood_function_vs_exact_closure(spark):
+    """HLL ball estimates track the exact BFS closure (exact below the
+    sketch's sparse threshold; <=2% in general at lgk=12), and the
+    monotone convergence early-stop fires."""
+    import random
+
+    rng = random.Random(31)
+    n = 30
+    edges = list(
+        {tuple(sorted((f"v{rng.randrange(n)}", f"v{rng.randrange(n)}"))) for _ in range(40)}
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    verts = [f"v{i}" for i in range(n)]
+
+    def exact(t):
+        total = 0
+        for v in verts:
+            seen, frontier = {v}, {v}
+            for _ in range(t):
+                frontier = {w for u in frontier for w in adj.get(u, ())} - seen
+                seen |= frontier
+            total += len(seen)
+        return total
+
+    g = _graph(spark, edges, vertices=verts)
+    out = {r["t"]: r["reachable_pairs"] for r in g.neighborhood_function(max_t=12).collect()}
+    for t, est in out.items():
+        ex = exact(t)
+        assert abs(est - ex) / ex <= 0.02, (t, est, ex)
+    # early stop: the 30-vertex graph converges long before t=12
+    assert max(out) < 12
+
+
+def test_neighborhood_function_chain_effective_diameter(spark, chain_like=None):
+    """On a 40-chain the ball grows linearly: N(t) = sum min ball sizes;
+    the 90% effective diameter lands near 0.9 * length."""
+    n = 40
+    edges = [(f"c{i}", f"c{i+1}") for i in range(n - 1)]
+    g = _graph(spark, edges)
+    out = sorted(
+        (r["t"], r["reachable_pairs"])
+        for r in g.neighborhood_function(max_t=39, converge_tol=1e-9).collect()
+    )
+    # exact chain N(t): each vertex reaches min(i, t) left + min(n-1-i, t) right + itself
+    def exact(t):
+        return sum(1 + min(i, t) + min(n - 1 - i, t) for i in range(n))
+
+    for t, est in out:
+        assert abs(est - exact(t)) / exact(t) <= 0.02, t
+    n_inf = exact(n - 1)
+    eff = min(t for t, est in out if est >= 0.9 * n_inf)
+    assert 25 <= eff <= 39  # 90% of pairs within ~this radius on a 40-chain
