@@ -956,6 +956,29 @@ def _graph_clustering_coeff(spark, sf_dir):
     )
 
 
+def _graph_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus (graph.random_walks) over the
+    customer-nation graph: every step is h60(seed:walk:t) mod degree
+    into the sorted neighbor array, so the DuckDB oracle replays the
+    walks bit-identically with a recursive CTE — a fully hash-green
+    random-walk generator."""
+    from orientdb_spark.graph import Graph
+
+    cu = _engine(spark, sf_dir).table("customer")
+    ed = cu.select(
+        F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("nation:"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    verts = ed.select(F.col("src").alias("vid")).unionAll(
+        ed.select(F.col("dst").alias("vid"))
+    ).distinct()
+    g = Graph(verts, ed)
+    out = g.random_walks(length=4, walks_per_vertex=1, seed=42)
+    return out.select(
+        "walk_id", "start", F.array_join("path", ">").alias("path_str")
+    )
+
+
 def _graph_effective_diameter(spark, sf_dir):
     """HyperBall neighborhood function (graph.neighborhood_function)
     over the TPC-H hierarchy graph: N(t) growth per round via HLL ball
@@ -2936,6 +2959,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "graph_triangle_count": _graph_triangle_count,
         "graph_clustering_coeff": _graph_clustering_coeff,
         "graph_neighbor_features": _graph_neighbor_features,
+        "graph_random_walks": _graph_random_walks,
         "graph_effective_diameter": _graph_effective_diameter,
         "graph_min_spanning_forest": _graph_min_spanning_forest,
         "graph_topological_levels": _graph_topological_levels,
@@ -4071,6 +4095,28 @@ def oracle_sql() -> dict[str, str]:
             "2.0 * coalesce(t.n_triangles, 0) / (d.degree * (d.degree - 1)) "
             "ELSE 0.0 END, 6) AS coefficient "
             "FROM deg d LEFT JOIN t USING (vid)"
+        ),
+        "graph_random_walks": (
+            "WITH RECURSIVE e AS (SELECT DISTINCT "
+            "least('customer:' || c_custkey, 'nation:' || c_nationkey) AS a, "
+            "greatest('customer:' || c_custkey, 'nation:' || c_nationkey) AS b "
+            "FROM customer), "
+            "adj AS (SELECT vid, list_sort(list(nbr)) AS nbrs FROM "
+            "(SELECT a AS vid, b AS nbr FROM e UNION ALL SELECT b, a FROM e) "
+            "GROUP BY vid), "
+            "v AS (SELECT DISTINCT vid FROM "
+            "(SELECT a AS vid FROM e UNION ALL SELECT b FROM e)), "
+            "walk AS (SELECT vid || '#0' AS wid, vid AS start, vid AS cur, "
+            "[vid] AS path, 0 AS t FROM v "
+            "UNION ALL SELECT w.wid, w.start, "
+            "CASE WHEN a.nbrs IS NULL THEN NULL "
+            "ELSE a.nbrs[(1 + (('0x' || substring(md5('42:' || w.wid || ':' || w.t + 1), 1, 15))::UBIGINT::BIGINT % len(a.nbrs)))::INT] END, "
+            "CASE WHEN a.nbrs IS NULL THEN w.path "
+            "ELSE list_append(w.path, "
+            "a.nbrs[(1 + (('0x' || substring(md5('42:' || w.wid || ':' || w.t + 1), 1, 15))::UBIGINT::BIGINT % len(a.nbrs)))::INT]) END, w.t + 1 "
+            "FROM walk w LEFT JOIN adj a ON a.vid = w.cur WHERE w.t < 4) "
+            "SELECT wid AS walk_id, start, "
+            "array_to_string(path, '>') AS path_str FROM walk WHERE t = 4"
         ),
         "graph_topological_levels": (
             "WITH RECURSIVE e AS ("

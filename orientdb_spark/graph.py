@@ -443,6 +443,79 @@ class Graph:
             )
         return state.select("vid", "n_neighbors", F.col("__f").alias("feature"))
 
+    def random_walks(
+        self,
+        length: int = 5,
+        walks_per_vertex: int = 1,
+        seed: int = 42,
+    ) -> DataFrame:
+        """Deterministic uniform random walks over the undirected simple
+        graph — the DeepWalk/node2vec corpus-generation step. Every
+        step's choice is ``h60(seed:walk_id:t) mod degree`` into the
+        vertex's SORTED neighbor array, so walks are a pure function of
+        (seed, start, walk index): reproducible across runs, engines,
+        and partitionings — no RNG state, the same discipline as the
+        split/sample operators. Dead ends freeze the walk.
+
+        One adjacency-array build (groupBy + sorted collect,
+        checkpointed), then ``length`` equi-joins of the walk frontier
+        against it — walk state is one row per walk with the path
+        in-row, so the shuffle carries walks, not steps. Returns
+        ``(walk_id, start, path array<string-of-vid-type>)``."""
+        if length < 1 or walks_per_vertex < 1:
+            raise ValueError(
+                f"need length >= 1 and walks_per_vertex >= 1, got "
+                f"{length}, {walks_per_vertex}"
+            )
+        und = (
+            self.edges.select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .dropDuplicates()
+        )
+        adj = (
+            und.select(F.col("a").alias("vid"), F.col("b").alias("nbr"))
+            .unionAll(und.select(F.col("b").alias("vid"), F.col("a").alias("nbr")))
+            .groupBy("vid")
+            .agg(F.array_sort(F.collect_set("nbr")).alias("__nbrs"))
+            .localCheckpoint(eager=False)
+        )
+        walks = self.vertices.select("vid").dropDuplicates().select(
+            F.col("vid").alias("start"),
+            F.explode(
+                F.array(*[F.lit(i) for i in range(walks_per_vertex)])
+            ).alias("__i"),
+        ).select(
+            F.concat(F.col("start").cast("string"), F.lit("#"), F.col("__i")).alias(
+                "walk_id"
+            ),
+            "start",
+            F.col("start").alias("__cur"),
+            F.array(F.col("start")).alias("path"),
+        )
+        from orientdb_spark.pipeline.common import h60
+
+        for t in range(1, length + 1):
+            step = walks.join(
+                adj.select(F.col("vid").alias("__cur"), "__nbrs"), "__cur", "left"
+            )
+            alive = F.col("__cur").isNotNull() & F.col("__nbrs").isNotNull()
+            idx = F.pmod(
+                h60(F.concat(F.lit(f"{seed}:"), F.col("walk_id"), F.lit(f":{t}"))),
+                F.size("__nbrs"),
+            )
+            nxt = F.when(alive, F.element_at("__nbrs", (idx + 1).cast("int")))
+            walks = step.select(
+                "walk_id",
+                "start",
+                nxt.alias("__cur"),
+                F.when(alive, F.concat(F.col("path"), F.array(nxt)))
+                .otherwise(F.col("path"))
+                .alias("path"),
+            )
+        return walks.select("walk_id", "start", "path")
+
     def neighborhood_function(
         self, max_t: int = 10, lgk: int = 12, converge_tol: float = 0.001
     ) -> DataFrame:

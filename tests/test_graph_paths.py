@@ -468,3 +468,53 @@ def test_neighborhood_function_chain_effective_diameter(spark, chain_like=None):
     n_inf = exact(n - 1)
     eff = min(t for t, est in out if est >= 0.9 * n_inf)
     assert 25 <= eff <= 39  # 90% of pairs within ~this radius on a 40-chain
+
+
+def test_random_walks_deterministic_and_correct(spark):
+    """Walks replay a sequential reference exactly (same md5 choices),
+    are stable across repartitioning, and freeze at dead ends."""
+    import hashlib
+    import random
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rng = random.Random(3)
+    n = 20
+    edges = list(
+        {tuple(sorted((f"v{rng.randrange(n)}", f"v{rng.randrange(n)}"))) for _ in range(28)}
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    verts = [f"v{i}" for i in range(n)]
+
+    def py_walk(start, i, L, seed=42):
+        wid = f"{start}#{i}"
+        cur, path = start, [start]
+        for t in range(1, L + 1):
+            nbrs = sorted(adj.get(cur, ()))
+            if not nbrs:
+                break
+            cur = nbrs[h60(f"{seed}:{wid}:{t}") % len(nbrs)]
+            path.append(cur)
+        return wid, path
+
+    g = _graph(spark, edges, vertices=verts)
+    got = {
+        r["walk_id"]: r["path"]
+        for r in g.random_walks(length=6, walks_per_vertex=2).collect()
+    }
+    want = dict(py_walk(v, i, 6) for v in verts for i in range(2))
+    assert got == want
+    # isolated vertex: walk freezes at length 1
+    g2 = _graph(spark, [("a", "b")], vertices=["a", "b", "z"])
+    paths = {r["walk_id"]: r["path"] for r in g2.random_walks(length=3).collect()}
+    assert paths["z#0"] == ["z"]
+    assert len(paths["a#0"]) == 4  # bounces a-b-a-b
+    import pytest
+
+    with pytest.raises(ValueError):
+        g2.random_walks(length=0)
