@@ -617,6 +617,25 @@ def _cms_event_type_counts(spark, sf_dir):
     return cms_estimate(sk, keys, "event_type", width=2048, depth=5)
 
 
+def _event_interarrival_stats(spark, sf_dir):
+    """Per-user inter-arrival gaps + burstiness index
+    (temporal.interarrival_stats): mean/std/CV of consecutive gaps and
+    (sigma-mu)/(sigma+mu) — the watermark/session-gap tuning
+    diagnostic; one lag window + groupBy on the shared key exchange."""
+    from orientdb_spark.temporal import interarrival_stats
+
+    ev = _engine(spark, sf_dir).table("events")
+    out = interarrival_stats(ev, on=["user_id"])
+    return out.select(
+        "user_id",
+        "n_gaps",
+        F.round("mean_gap_sec", 4).alias("mean_gap_sec"),
+        F.round("std_gap_sec", 4).alias("std_gap_sec"),
+        F.round("cv", 6).alias("cv"),
+        F.round("burstiness", 6).alias("burstiness"),
+    )
+
+
 def _event_seasonal_baseline(spark, sf_dir):
     """Hour-of-day seasonal profile + residual per event type
     (temporal.seasonal_baseline): the de-seasonalization step in front
@@ -2970,6 +2989,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "bloom_prefilter_join": _bloom_prefilter_join,
         "cms_event_type_counts": _cms_event_type_counts,
         "cms_join_size_estimate": _cms_join_size_estimate,
+        "event_interarrival_stats": _event_interarrival_stats,
         "event_seasonal_baseline": _event_seasonal_baseline,
         "text_vocab_growth": _text_vocab_growth,
         "event_cusum_changepoints": _event_cusum_changepoints,
@@ -4178,6 +4198,20 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
             "ON e.user_id = c.user_id AND c.ts > e.ts - INTERVAL 30 MINUTE "
             "AND c.ts <= e.ts GROUP BY 1, 2"
+        ),
+        "event_interarrival_stats": (
+            "WITH g AS (SELECT user_id, (epoch_us(ts) - "
+            "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))) "
+            "/ 1e6 AS gap FROM events) "
+            "SELECT user_id, count(gap)::BIGINT AS n_gaps, "
+            "round(avg(gap), 4) AS mean_gap_sec, "
+            "round(CASE WHEN count(gap) >= 2 THEN stddev_samp(gap) END, 4) "
+            "AS std_gap_sec, "
+            "round(CASE WHEN count(gap) >= 2 AND avg(gap) > 0 "
+            "THEN stddev_samp(gap) / avg(gap) END, 6) AS cv, "
+            "round(CASE WHEN count(gap) >= 2 AND stddev_samp(gap) + avg(gap) > 0 "
+            "THEN (stddev_samp(gap) - avg(gap)) / (stddev_samp(gap) + avg(gap)) END, 6) "
+            "AS burstiness FROM g GROUP BY user_id"
         ),
         "event_seasonal_baseline": (
             "WITH p AS (SELECT event_type, hour(ts) AS season_slot, "

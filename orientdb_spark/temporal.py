@@ -50,6 +50,7 @@ __all__ = [
     "anomaly_zscore_binned",
     "cusum_changepoints",
     "seasonal_baseline",
+    "interarrival_stats",
 ]
 
 _SIDE = "__asof_side"
@@ -739,4 +740,36 @@ def seasonal_baseline(
     )
     return work.join(F.broadcast(prof), on + ["season_slot"]).withColumn(
         "residual", v - F.col("seasonal_mean")
+    )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    on: Sequence[str],
+    ts: str = "ts",
+) -> DataFrame:
+    """Inter-arrival characterization per key: mean/stddev/CV of the
+    gaps between consecutive events plus the burstiness index
+    ``B = (sigma - mu) / (sigma + mu)`` (Goh & Barabási, public):
+    -1 = perfectly periodic, 0 = Poisson, -> 1 = extreme bursts. The
+    stream-shape diagnostic behind watermark and session-gap tuning.
+    One lag() window + one groupBy sharing the key exchange (the
+    time_weighted_average shape). Keys with < 2 events return nulls.
+    Returns ``(*on, n_gaps, mean_gap_sec, std_gap_sec, cv, burstiness)``."""
+    on = list(on)
+    w = Window.partitionBy(*on).orderBy(_micros(F.col(ts)))
+    gap = (
+        (_micros(F.col(ts)) - F.lag(_micros(F.col(ts))).over(w)) / 1e6
+    ).alias("__gap")
+    gapped = df.select(*on, gap)
+    mu = F.avg("__gap")
+    sd = F.stddev_samp("__gap")
+    return gapped.groupBy(*on).agg(
+        F.count("__gap").alias("n_gaps"),
+        mu.alias("mean_gap_sec"),
+        F.when(F.count("__gap") >= 2, sd).alias("std_gap_sec"),
+        F.when((F.count("__gap") >= 2) & (mu > 0), sd / mu).alias("cv"),
+        F.when(
+            (F.count("__gap") >= 2) & ((sd + mu) > 0), (sd - mu) / (sd + mu)
+        ).alias("burstiness"),
     )

@@ -1252,3 +1252,24 @@ def test_seasonal_baseline_profile_and_residual(spark):
 
     with pytest.raises(ValueError):
         seasonal_baseline(df, on=["k"], period="phase_of_moon")
+
+
+def test_interarrival_burstiness_known_shapes(spark):
+    """Perfectly periodic gaps -> B = -1 (sigma 0); a single event has
+    no gaps (nulls); a bursty train sits above the periodic one."""
+    from orientdb_spark.temporal import interarrival_stats
+
+    rows = (
+        [("per", _ts(0, 10 * i), 0.0) for i in range(6)]          # gaps all 10s
+        + [("one", _ts(0, 0), 0.0)]
+        + [("burst", _ts(0, s), 0.0) for s in (0, 1, 2, 3, 50)]   # long tail gap
+    )
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, value DOUBLE")
+    got = {r["k"]: r for r in interarrival_stats(df, on=["k"]).collect()}
+    p = got["per"]
+    assert (p["n_gaps"], p["mean_gap_sec"], p["std_gap_sec"]) == (5, 10.0, 0.0)
+    assert p["burstiness"] == -1.0 and p["cv"] == 0.0
+    o = got["one"]
+    assert o["n_gaps"] == 0 and o["mean_gap_sec"] is None and o["burstiness"] is None
+    assert got["burst"]["burstiness"] > p["burstiness"]
+    assert got["burst"]["cv"] > 1.0  # heavier-than-Poisson dispersion
