@@ -998,6 +998,26 @@ def _graph_random_walks(spark, sf_dir):
     )
 
 
+def _graph_walk_skipgrams(spark, sf_dir):
+    """DeepWalk skip-gram pairs (graph.walk_skipgrams over
+    graph.random_walks): in-row window expansion of the deterministic
+    walks, both directions, counted per (center, context, distance).
+    The oracle replays the walks with the recursive CTE and expands
+    positions with a double unnest."""
+    from orientdb_spark.graph import Graph
+
+    cu = _engine(spark, sf_dir).table("customer")
+    ed = cu.select(
+        F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("nation:"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    verts = ed.select(F.col("src").alias("vid")).unionAll(
+        ed.select(F.col("dst").alias("vid"))
+    ).distinct()
+    walks = Graph(verts, ed).random_walks(length=4, walks_per_vertex=1, seed=42)
+    return Graph.walk_skipgrams(walks, window=2)
+
+
 def _graph_effective_diameter(spark, sf_dir):
     """HyperBall neighborhood function (graph.neighborhood_function)
     over the TPC-H hierarchy graph: N(t) growth per round via HLL ball
@@ -2979,6 +2999,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "graph_clustering_coeff": _graph_clustering_coeff,
         "graph_neighbor_features": _graph_neighbor_features,
         "graph_random_walks": _graph_random_walks,
+        "graph_walk_skipgrams": _graph_walk_skipgrams,
         "graph_effective_diameter": _graph_effective_diameter,
         "graph_min_spanning_forest": _graph_min_spanning_forest,
         "graph_topological_levels": _graph_topological_levels,
@@ -4137,6 +4158,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM walk w LEFT JOIN adj a ON a.vid = w.cur WHERE w.t < 4) "
             "SELECT wid AS walk_id, start, "
             "array_to_string(path, '>') AS path_str FROM walk WHERE t = 4"
+        ),
+        "graph_walk_skipgrams": (
+            "WITH RECURSIVE e AS (SELECT DISTINCT "
+            "least('customer:' || c_custkey, 'nation:' || c_nationkey) AS a, "
+            "greatest('customer:' || c_custkey, 'nation:' || c_nationkey) AS b "
+            "FROM customer), "
+            "adj AS (SELECT vid, list_sort(list(nbr)) AS nbrs FROM "
+            "(SELECT a AS vid, b AS nbr FROM e UNION ALL SELECT b, a FROM e) "
+            "GROUP BY vid), "
+            "v AS (SELECT DISTINCT vid FROM "
+            "(SELECT a AS vid FROM e UNION ALL SELECT b FROM e)), "
+            "walk AS (SELECT vid || '#0' AS wid, vid AS start, vid AS cur, "
+            "[vid] AS path, 0 AS t FROM v "
+            "UNION ALL SELECT w.wid, w.start, "
+            "CASE WHEN a.nbrs IS NULL THEN NULL "
+            "ELSE a.nbrs[(1 + (('0x' || substring(md5('42:' || w.wid || ':' || w.t + 1), 1, 15))::UBIGINT::BIGINT % len(a.nbrs)))::INT] END, "
+            "CASE WHEN a.nbrs IS NULL THEN w.path "
+            "ELSE list_append(w.path, "
+            "a.nbrs[(1 + (('0x' || substring(md5('42:' || w.wid || ':' || w.t + 1), 1, 15))::UBIGINT::BIGINT % len(a.nbrs)))::INT]) END, w.t + 1 "
+            "FROM walk w LEFT JOIN adj a ON a.vid = w.cur WHERE w.t < 4), "
+            "pos AS (SELECT path, i FROM (SELECT path FROM walk WHERE t = 4), "
+            "(VALUES (1), (2), (3), (4), (5)) g(i) WHERE i <= len(path)), "
+            "pairs AS (SELECT path[i] AS center, path[i + 1] AS context, "
+            "1 AS distance FROM pos WHERE i + 1 <= len(path) "
+            "UNION ALL SELECT path[i], path[i + 2], 2 FROM pos "
+            "WHERE i + 2 <= len(path)), "
+            "sym AS (SELECT * FROM pairs "
+            "UNION ALL SELECT context, center, distance FROM pairs) "
+            "SELECT center, context, distance, count(*)::BIGINT AS n_pairs "
+            "FROM sym GROUP BY center, context, distance"
         ),
         "graph_topological_levels": (
             "WITH RECURSIVE e AS ("

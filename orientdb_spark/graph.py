@@ -516,6 +516,43 @@ class Graph:
             )
         return walks.select("walk_id", "start", "path")
 
+    @staticmethod
+    def walk_skipgrams(walks: DataFrame, window: int = 2) -> DataFrame:
+        """Skip-gram training pairs from random-walk paths — the step
+        between ``random_walks`` and embedding training (DeepWalk's
+        corpus → (center, context) expansion). For every path position
+        i and offset d in [1, window], emits both directions of the
+        (path[i], path[i+d]) pair with its distance. IN-ROW expansion
+        over the path array (posexplode of positions, unrolled offsets
+        — no self-join), then one count groupBy; the shuffle carries
+        distinct pairs, not walk steps.
+
+        Returns ``(center, context, distance, n_pairs)`` aggregated
+        over all walks."""
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        ex = walks.select(
+            F.posexplode(F.col("path")).alias("__i", "center"),
+            F.col("path").alias("__p"),
+        )
+        pairs = None
+        for d in range(1, window + 1):
+            ctx = F.element_at(F.col("__p"), F.col("__i") + 1 + d)
+            part = ex.select(
+                "center", ctx.alias("context"), F.lit(d).alias("distance")
+            ).filter(F.col("context").isNotNull())
+            pairs = part if pairs is None else pairs.unionAll(part)
+        sym = pairs.unionAll(
+            pairs.select(
+                F.col("context").alias("center"),
+                F.col("center").alias("context"),
+                "distance",
+            )
+        )
+        return sym.groupBy("center", "context", "distance").agg(
+            F.count(F.lit(1)).alias("n_pairs")
+        )
+
     def neighborhood_function(
         self, max_t: int = 10, lgk: int = 12, converge_tol: float = 0.001
     ) -> DataFrame:

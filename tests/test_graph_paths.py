@@ -518,3 +518,27 @@ def test_random_walks_deterministic_and_correct(spark):
 
     with pytest.raises(ValueError):
         g2.random_walks(length=0)
+
+
+def test_walk_skipgrams_semantics(spark):
+    """A single path a-b-c with window 2 yields the textbook pair set,
+    symmetric, with correct distances; window validation."""
+    from orientdb_spark.graph import Graph
+
+    walks = spark.createDataFrame(
+        [("w0", "a", ["a", "b", "c"])],
+        "walk_id STRING, start STRING, path ARRAY<STRING>",
+    )
+    got = {
+        (r["center"], r["context"], r["distance"]): r["n_pairs"]
+        for r in Graph.walk_skipgrams(walks, window=2).collect()
+    }
+    assert got == {
+        ("a", "b", 1): 1, ("b", "a", 1): 1,
+        ("b", "c", 1): 1, ("c", "b", 1): 1,
+        ("a", "c", 2): 1, ("c", "a", 2): 1,
+    }
+    import pytest
+
+    with pytest.raises(ValueError):
+        Graph.walk_skipgrams(walks, window=0)
