@@ -617,6 +617,22 @@ def _cms_event_type_counts(spark, sf_dir):
     return cms_estimate(sk, keys, "event_type", width=2048, depth=5)
 
 
+def _event_silence_audit(spark, sf_dir):
+    """Currently-silent keys (streaming.silence_alerts_stream's batch
+    fallback): users whose last event trails the corpus's newest event
+    by more than 12 hours — the dead-feed audit; the streaming twin fires
+    the same alerts from event-time state timeouts (pytest-gated)."""
+    from orientdb_spark.streaming import silence_alerts_stream
+
+    ev = _engine(spark, sf_dir).table("events")
+    out = silence_alerts_stream(ev, on=("user_id",), silence="12 hours")
+    return out.select(
+        "user_id",
+        F.date_trunc("second", F.col("last_seen")).alias("last_seen"),
+        F.date_trunc("second", F.col("deadline")).alias("deadline"),
+    )
+
+
 def _event_interarrival_stats(spark, sf_dir):
     """Per-user inter-arrival gaps + burstiness index
     (temporal.interarrival_stats): mean/std/CV of consecutive gaps and
@@ -3010,6 +3026,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "bloom_prefilter_join": _bloom_prefilter_join,
         "cms_event_type_counts": _cms_event_type_counts,
         "cms_join_size_estimate": _cms_join_size_estimate,
+        "event_silence_audit": _event_silence_audit,
         "event_interarrival_stats": _event_interarrival_stats,
         "event_seasonal_baseline": _event_seasonal_baseline,
         "text_vocab_growth": _text_vocab_growth,
@@ -4249,6 +4266,15 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
             "ON e.user_id = c.user_id AND c.ts > e.ts - INTERVAL 30 MINUTE "
             "AND c.ts <= e.ts GROUP BY 1, 2"
+        ),
+        "event_silence_audit": (
+            "WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events), "
+            "pk AS (SELECT user_id, max(epoch_us(ts)) AS lu FROM events "
+            "GROUP BY user_id) "
+            "SELECT user_id, "
+            "date_trunc('second', make_timestamp(lu)) AS last_seen, "
+            "date_trunc('second', make_timestamp(lu + 43200000000)) AS deadline "
+            "FROM pk, mx WHERE mx.m - pk.lu > 43200000000"
         ),
         "event_interarrival_stats": (
             "WITH g AS (SELECT user_id, (epoch_us(ts) - "

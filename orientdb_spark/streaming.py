@@ -1020,3 +1020,100 @@ def cusum_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def silence_alerts_stream(
+    df: DataFrame,
+    on: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    silence: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Dead-feed / liveness monitoring as a CUSTOM STATEFUL OPERATOR
+    (the seventh, and the only one driven by STATE TIMEOUTS): each
+    event refreshes its key's last-seen timestamp and arms an
+    EVENT-TIME timeout at ``last_seen + silence``; when the watermark
+    passes that deadline with no newer event, Spark invokes the
+    function in the timed-out branch and the alert row emits — no
+    polling, no self-join against a clock table. One alert per silence
+    (state clears on alert and re-arms on the key's next event).
+
+    Timeouts fire on WATERMARK ADVANCEMENT, so an alert needs a later
+    micro-batch whose data pushes the watermark past the deadline — the
+    semantics of event-time monitoring (stream time only moves when
+    events prove it moved).
+
+    Batch fallback: keys whose last event precedes the frame's max
+    timestamp by more than ``silence`` (the "currently silent" audit).
+
+    Emits ``(*on, last_seen, deadline)``, append mode.
+    """
+    import pandas as pd
+
+    on = list(on)
+    silence_ms = _duration_ms(silence)
+    if not df.isStreaming:
+        mx = df.agg(F.max(ts_col).alias("__mx"))
+        per_key = df.groupBy(*on).agg(F.max(ts_col).alias("last_seen"))
+        return (
+            per_key.crossJoin(F.broadcast(mx))
+            .filter(
+                F.unix_micros(F.col("__mx")) - F.unix_micros(F.col("last_seen"))
+                > silence_ms * 1000
+            )
+            .select(
+                *on,
+                "last_seen",
+                (
+                    F.timestamp_micros(
+                        F.unix_micros(F.col("last_seen")) + silence_ms * 1000
+                    )
+                ).alias("deadline"),
+            )
+        )
+
+    from pyspark.sql.types import StructField, StructType, TimestampType
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_fields = [f for f in df.schema.fields if f.name in on]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("last_seen", TimestampType()),
+            StructField("deadline", TimestampType()),
+        ]
+    )
+
+    def walk(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (last_us,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [list(key) + [pd.Timestamp(last_us * 1000),
+                              pd.Timestamp((last_us + silence_ms * 1000) * 1000)]],
+                columns=on + ["last_seen", "deadline"],
+            )
+            return
+        last_us = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            mx = int(pd.Timestamp(pdf[ts_col].max()).value // 1_000)
+            last_us = mx if last_us is None else max(last_us, mx)
+        if last_us is not None:
+            state.update((last_us,))
+            state.setTimeoutTimestamp((last_us + silence_ms * 1000) // 1000)
+        return
+        yield  # pragma: no cover - keeps the function a generator
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*[F.col(c) for c in on])
+        .applyInPandasWithState(
+            walk,
+            outputStructType=out_schema,
+            stateStructType="last_us bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -882,3 +882,73 @@ def test_cusum_stream_state_across_batches(spark):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_silence_alerts_event_time_timeout(spark):
+    """Seventh stateful operator, the timeout-driven one: key A goes
+    silent after batch 1; batch 2 (other keys) advances the watermark
+    past A's deadline and the alert fires WITHOUT any A event; a key
+    that keeps talking never alerts."""
+    import datetime as dt
+    import time
+
+    from orientdb_spark.streaming import silence_alerts_stream
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "k STRING, ts TIMESTAMP, value DOUBLE"
+    src_dir = tempfile.mkdtemp(prefix="ospark_sil_src_")
+    ckpt = tempfile.mkdtemp(prefix="ospark_sil_ckpt_")
+    try:
+        b1 = [("A", t0, 1.0), ("B", t0, 1.0)]
+        b2 = [("B", t0 + dt.timedelta(hours=2), 1.0)]
+        b3 = [("C", t0 + dt.timedelta(hours=4), 1.0)]
+        for i, rows in enumerate((b1, b2, b3), 1):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                f"{src_dir}/b{i}"
+            )
+            time.sleep(1.1)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(f"{src_dir}/*")
+        )
+        out = silence_alerts_stream(
+            stream, on=("k",), silence="1 hour", watermark="0 seconds"
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sil_rows")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            r["k"]: (r["last_seen"], r["deadline"])
+            for r in spark.sql("select * from sil_rows").collect()
+        }
+        # A alerted (silent since t0, deadline t0+1h); B alerted for its
+        # second silence window once batch 3 advanced the watermark past
+        # t0+3h; C's deadline was never passed by any later watermark
+        assert "A" in got and got["A"] == (t0, t0 + dt.timedelta(hours=1))
+        assert "C" not in got
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_silence_alerts_batch_fallback(spark):
+    import datetime as dt
+
+    from orientdb_spark.streaming import silence_alerts_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("A", t0, 1.0), ("B", t0 + dt.timedelta(hours=3), 1.0)],
+        "k STRING, ts TIMESTAMP, value DOUBLE",
+    )
+    out = silence_alerts_stream(df, on=("k",), silence="1 hour")
+    got = {r["k"]: r["deadline"] for r in out.collect()}
+    assert got == {"A": t0 + dt.timedelta(hours=1)}
