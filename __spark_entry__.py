@@ -837,6 +837,8 @@ def _quality_expectations(spark, sf_dir):
             {"kind": "in_range", "col": "o_totalprice", "lo": 0, "hi": 200000},
             {"kind": "accepted_values", "col": "o_orderstatus",
              "values": ["O", "F", "P"]},
+            {"kind": "not_null_when", "col": "o_orderdate",
+             "when_col": "o_orderstatus", "when_value": "F"},
         ],
     )
 
@@ -4071,7 +4073,10 @@ def oracle_sql() -> dict[str, str]:
             "sum((NOT coalesce(o_totalprice BETWEEN 0 AND 200000, false))::INT)::BIGINT FROM orders "
             "UNION ALL SELECT 'accepted_values(o_orderstatus)', "
             "sum((NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), false))::INT)::BIGINT = 0, "
-            "sum((NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), false))::INT)::BIGINT FROM orders"
+            "sum((NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), false))::INT)::BIGINT FROM orders "
+            "UNION ALL SELECT 'not_null_when(o_orderdate,o_orderstatus=F)', "
+            "sum((coalesce(o_orderstatus = 'F', false) AND o_orderdate IS NULL)::INT)::BIGINT = 0, "
+            "sum((coalesce(o_orderstatus = 'F', false) AND o_orderdate IS NULL)::INT)::BIGINT FROM orders"
         ),
         "quality_fd_check": (
             "SELECT l_orderkey, count(DISTINCT coalesce(l_returnflag, chr(0)))::BIGINT "

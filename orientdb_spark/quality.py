@@ -44,6 +44,10 @@ def validate_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
         nulls violate — range implies presence)
       - ``{"kind": "accepted_values", "col": c, "values": [...]}``
         (nulls violate)
+      - ``{"kind": "not_null_when", "col": c, "when_col": w,
+        "when_value": x}`` — c must be present on rows where w = x
+        (the cross-column conditional: "shipped orders have a ship
+        date"); rows where w != x or w is null are exempt
 
     Returns one row per rule: ``(rule, passed, n_violations)`` where
     ``rule`` is a stable human-readable label.
@@ -76,6 +80,13 @@ def validate_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
             label = f"accepted_values({col})"
             ok = c.isin(vals)
             viol = F.sum((~F.coalesce(ok, F.lit(False))).cast("long"))
+        elif kind == "not_null_when":
+            wcol, wval = r["when_col"], r["when_value"]
+            if wcol not in df.columns:
+                raise ValueError(f"unknown column in rule: {r}")
+            label = f"not_null_when({col},{wcol}={wval})"
+            applies = F.coalesce(F.col(wcol) == F.lit(wval), F.lit(False))
+            viol = F.sum((applies & c.isNull()).cast("long"))
         else:
             raise ValueError(f"unknown rule kind: {r}")
         labels.append(label)

@@ -88,3 +88,29 @@ def test_table_digest_invariances(spark):
     )
     with pytest.raises(ValueError):
         table_digest(df, ["nope"])
+
+
+def test_not_null_when_conditional_rule(spark):
+    """The cross-column conditional: c required only where the guard
+    matches; null guards are exempt; still one aggregate pass."""
+    df = spark.createDataFrame(
+        [
+            ("shipped", "2024-01-01"),
+            ("shipped", None),          # violation
+            ("pending", None),          # exempt
+            (None, None),               # null guard exempt
+        ],
+        "status STRING, ship_date STRING",
+    )
+    rule = {
+        "kind": "not_null_when", "col": "ship_date",
+        "when_col": "status", "when_value": "shipped",
+    }
+    r = validate_expectations(df, [rule]).collect()[0]
+    assert r["rule"] == "not_null_when(ship_date,status=shipped)"
+    assert (r["passed"], r["n_violations"]) == (False, 1)
+    with pytest.raises(ValueError):
+        validate_expectations(
+            df, [{"kind": "not_null_when", "col": "ship_date",
+                  "when_col": "nope", "when_value": 1}]
+        )
