@@ -4085,9 +4085,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "quality_table_digest": (
             "WITH c AS (SELECT concat_ws('|', "
-            "coalesce(replace(n_nationkey::VARCHAR, '|', '\\|'), '\\N'), "
-            "coalesce(replace(n_name, '|', '\\|'), '\\N'), "
-            "coalesce(replace(n_regionkey::VARCHAR, '|', '\\|'), '\\N')) AS canon "
+            "coalesce(replace(replace(n_nationkey::VARCHAR, '\\', '\\\\'), '|', '\\|'), '\\N'), "
+            "coalesce(replace(replace(n_name, '\\', '\\\\'), '|', '\\|'), '\\N'), "
+            "coalesce(replace(replace(n_regionkey::VARCHAR, '\\', '\\\\'), '|', '\\|'), '\\N')) AS canon "
             "FROM nation) "
             "SELECT count(*)::BIGINT AS n_rows, "
             "(sum((('0x' || substring(md5(canon), 1, 15))::UBIGINT::BIGINT)::HUGEINT) % 1152921504606846976)::BIGINT AS digest FROM c"

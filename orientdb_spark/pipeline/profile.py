@@ -314,10 +314,15 @@ def quantile_bins(
 
     Returns ``(*group_cols, bin, n_rows, lo, hi)`` with bins 1..q
     (empty bins absent — a heavily tied distribution can starve one).
+    NULL values are excluded from binning entirely — they are invisible
+    to the cutpoints (percentile skips them) and would otherwise land
+    in bin 1 because ``NULL > cut`` is falsy, silently inflating its
+    count while lo/hi ignored them.
     """
     if q < 2:
         raise ValueError(f"q must be >= 2, got {q}")
     gcols = list(group_cols)
+    df = df.filter(F.col(col).isNotNull())
     c = F.col(col).cast("double")
     cuts = df.groupBy(*gcols).agg(
         *[

@@ -90,7 +90,12 @@ def validate_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
         else:
             raise ValueError(f"unknown rule kind: {r}")
         labels.append(label)
-        aggs.append(viol.alias(f"__v{len(aggs)}"))
+        # F.sum over zero rows is NULL — coalesce so an empty table
+        # yields n_violations=0, passed=true (the vacuous-truth verdict
+        # a promotion gate needs), not NULL/NULL.
+        aggs.append(
+            F.coalesce(viol, F.lit(0)).cast("long").alias(f"__v{len(aggs)}")
+        )
     row = df.agg(*aggs)
     pairs = F.array(
         *[
@@ -127,11 +132,18 @@ def fd_violations(df: DataFrame, lhs: str, rhs: str) -> DataFrame:
 
 def table_digest(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Order/partitioning-insensitive content digest: per row,
-    h60 of the canonical ``|``-joined string of the selected columns
-    (nulls as the marker ``\\N``, the join char escaped), summed mod
-    2^60. Identical multisets of rows — in any order, any partitioning,
-    either engine — give identical digests. Returns one row
-    ``(n_rows, digest)``."""
+    h60 of the canonical ``|``-joined string of the selected columns,
+    summed mod 2^60. Identical multisets of rows — in any order, any
+    partitioning, either engine — give identical digests. Returns one
+    row ``(n_rows, digest)``.
+
+    Canonical form: per field, escape the escape char first
+    (``\\`` -> ``\\\\``) then the separator (``|`` -> ``\\|``); NULL is
+    the field ``\\N`` — unreachable by escaped data, since every data
+    backslash is doubled, so a single ``\\`` followed by ``N`` can only
+    mean NULL. This makes the encoding injective (a literal ``\\N``
+    value encodes as ``\\\\N``), closing the collision the bare
+    pipe-escape had."""
     cols = cols or df.columns
     missing = [c for c in cols if c not in df.columns]
     if missing:
@@ -140,7 +152,11 @@ def table_digest(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         "|",
         *[
             F.coalesce(
-                F.regexp_replace(F.col(c).cast("string"), r"\|", r"\\|"),
+                F.regexp_replace(
+                    F.regexp_replace(F.col(c).cast("string"), r"\\", r"\\\\"),
+                    r"\|",
+                    r"\\|",
+                ),
                 F.lit("\\N"),
             )
             for c in cols

@@ -396,14 +396,34 @@ def interval_overlap_count(
     on = list(on)
     if bucket_sec <= 0:
         raise ValueError(f"bucket_sec must be positive, got {bucket_sec}")
+    if left_id == right_id:
+        # the generated __<id>_s/__<id>_e scratch columns collide
+        raise ValueError(
+            f"left_id and right_id must differ, both are {left_id!r}"
+        )
     width_us = int(bucket_sec) * 1_000_000
 
     def covered(df: DataFrame, id_col: str, a: str, b: str) -> DataFrame:
+        s_us = _micros(F.col(a))
+        e_us = _micros(F.col(b))
+        # An inverted interval would feed sequence() a descending range
+        # and silently fabricate candidate buckets — fail loudly instead.
+        e_checked = F.when(
+            e_us < s_us,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"interval_overlap_count: {b} < {a} for {id_col}="
+                    ),
+                    F.col(id_col).cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(e_us)
         return df.select(
             id_col,
             *on,
-            _micros(F.col(a)).alias(f"__{id_col}_s"),
-            _micros(F.col(b)).alias(f"__{id_col}_e"),
+            s_us.alias(f"__{id_col}_s"),
+            e_checked.alias(f"__{id_col}_e"),
         ).withColumn(
             "__bkt",
             F.explode(
@@ -588,11 +608,16 @@ def anomaly_zscore_binned(
         raise ValueError(f"min_samples must be >= 2, got {min_samples}")
     width_us = int(window_sec) * 1_000_000
     us = _micros(F.col(ts))
+    # Unique per-row key BEFORE the probe fan-out: grouping the join
+    # back together on this key (not on every input column) preserves
+    # exact-duplicate rows as distinct outputs — identical semantics to
+    # the window operator — and tolerates non-groupable column types
+    # (maps) in the frame.
     left = df.select(
         "*",
         us.alias("__lus"),
         F.floor(us / width_us).alias("__b"),
-    )
+    ).withColumn("__rowid", F.monotonically_increasing_id())
     probes = left.withColumn(
         "__pb", F.explode(F.array(F.col("__b") - 1, F.col("__b")))
     ).drop("__b")
@@ -608,8 +633,11 @@ def anomaly_zscore_binned(
         F.col("__rus") <= F.col("__lus")
     )
     hit = F.when(in_win, F.col("__rv"))
-    group_keys = [c for c in probes.columns if c != "__pb"]
-    agg = j.groupBy(*group_keys).agg(
+    # Left-side columns are constant within a __rowid group, so FIRST
+    # is deterministic; it also carries types groupBy keys can't (map).
+    carry = [c for c in probes.columns if c not in ("__pb", "__rowid")]
+    agg = j.groupBy("__rowid").agg(
+        *[F.first(c).alias(c) for c in carry],
         F.count(hit).alias("__n"),
         F.sum(hit).alias("__s"),
         F.sum(hit * hit).alias("__s2"),
@@ -629,7 +657,7 @@ def anomaly_zscore_binned(
         .withColumn(
             "is_anomaly", F.abs(F.col("zscore")) > F.lit(float(z_threshold))
         )
-        .drop("__n", "__s", "__s2", "__lus")
+        .drop("__n", "__s", "__s2", "__lus", "__rowid")
     )
 
 

@@ -262,3 +262,19 @@ def test_winsorize_stats_clips_known_tails(spark):
 
     with pytest.raises(ValueError):
         winsorize_stats(df, "value", lo=0.5, hi=0.4)
+
+
+def test_quantile_bins_excludes_nulls(spark):
+    """r6 ADVICE: NULL values must not inflate bin 1 — they are
+    filtered before binning, so bin counts reflect only real values."""
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.profile import quantile_bins
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 9)] + [(None,), (None,), (None,)],
+        "value DOUBLE",
+    )
+    got = {r["bin"]: r["n_rows"] for r in quantile_bins(df, "value", q=4).collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 2}
+    assert sum(got.values()) == 8  # the 3 NULLs are gone, not in bin 1

@@ -114,3 +114,51 @@ def test_not_null_when_conditional_rule(spark):
             df, [{"kind": "not_null_when", "col": "ship_date",
                   "when_col": "nope", "when_value": 1}]
         )
+
+
+def test_expectations_empty_table_is_vacuous_pass(spark):
+    """r6 ADVICE: on a zero-row table every rule must report
+    passed=true, n_violations=0 — not NULL/NULL from F.sum over no
+    rows. The empty-snapshot case is exactly what promotion gates
+    exist to catch."""
+    df = spark.createDataFrame([], "a INT, b STRING")
+    out = validate_expectations(
+        df,
+        [
+            {"kind": "not_null", "col": "a"},
+            {"kind": "unique", "col": "a"},
+            {"kind": "in_range", "col": "a", "lo": 0, "hi": 10},
+            {"kind": "accepted_values", "col": "b", "values": ["x"]},
+            {"kind": "not_null_when", "col": "a", "when_col": "b", "when_value": "x"},
+        ],
+    ).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["passed"] is True and r["n_violations"] == 0, r
+
+
+def test_table_digest_escape_injective(spark):
+    """r6 ADVICE: a literal string value '\\N' must not hash equal to
+    NULL, and trailing-backslash values must stay distinct from their
+    separator-adjacent twins (backslash escaped before pipe)."""
+    lit_backslash_n = spark.createDataFrame([("\\N",)], "x STRING")
+    real_null = spark.createDataFrame([(None,)], "x STRING")
+    assert (
+        table_digest(lit_backslash_n).collect()[0]["digest"]
+        != table_digest(real_null).collect()[0]["digest"]
+    )
+    # ('a\', 'b') vs ('a', '\b'): without backslash-doubling both
+    # canonicalize to a\|b
+    t1 = spark.createDataFrame([("a\\", "b")], "x STRING, y STRING")
+    t2 = spark.createDataFrame([("a", "\\b")], "x STRING, y STRING")
+    assert (
+        table_digest(t1).collect()[0]["digest"]
+        != table_digest(t2).collect()[0]["digest"]
+    )
+    # ('a\', 'b') vs ('a\|b') one-column-ish collision via escaped pipe
+    t3 = spark.createDataFrame([("a\\|b", "c")], "x STRING, y STRING")
+    t4 = spark.createDataFrame([("a\\", "b|c")], "x STRING, y STRING")
+    assert (
+        table_digest(t3).collect()[0]["digest"]
+        != table_digest(t4).collect()[0]["digest"]
+    )

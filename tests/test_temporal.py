@@ -1273,3 +1273,55 @@ def test_interarrival_burstiness_known_shapes(spark):
     assert o["n_gaps"] == 0 and o["mean_gap_sec"] is None and o["burstiness"] is None
     assert got["burst"]["burstiness"] > p["burstiness"]
     assert got["burst"]["cv"] > 1.0  # heavier-than-Poisson dispersion
+
+
+def test_anomaly_binned_preserves_duplicate_rows(spark):
+    """r6 ADVICE: exact-duplicate input rows must stay distinct output
+    rows (row-key grouping, not group-by-every-column), and a map-typed
+    passenger column must not break the aggregate."""
+    from orientdb_spark.temporal import anomaly_zscore_binned
+
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        ("k1", base + dt.timedelta(seconds=s), v)
+        for s, v in [(0, 1.0), (60, 2.0), (120, 3.0), (180, 4.0), (240, 100.0)]
+    ]
+    rows.append(rows[2])  # exact duplicate
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, value DOUBLE")
+    out = anomaly_zscore_binned(df, on=["k"], window_sec=3600, min_samples=2)
+    assert out.count() == 6
+    # the duplicate pair carries identical stats
+    dups = out.filter(F.col("value") == 3.0).collect()
+    assert len(dups) == 2
+    assert dups[0]["rolling_mean"] == dups[1]["rolling_mean"]
+    # a map column rides along untouched
+    withmap = df.withColumn("props", F.create_map(F.lit("a"), F.lit(1)))
+    out2 = anomaly_zscore_binned(withmap, on=["k"], window_sec=3600, min_samples=2)
+    assert out2.count() == 6 and "props" in out2.columns
+
+
+def test_interval_overlap_rejects_malformed_input(spark, interval_sides):
+    """r6 ADVICE: inverted intervals raise instead of silently seeding
+    a descending bucket sequence; colliding id column names are
+    rejected up front."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from orientdb_spark.temporal import interval_overlap_count
+
+    left, right = interval_sides
+    bad = spark.createDataFrame(
+        [(9, "u1", _ts(50), _ts(40))],
+        "lid INT, k STRING, start_ts TIMESTAMP, end_ts TIMESTAMP",
+    )
+    with pytest.raises(Exception) as ei:
+        interval_overlap_count(
+            left.unionByName(bad), right, on=["k"], left_id="lid",
+            right_id="rid", bucket_sec=600,
+        ).collect()
+    assert "end_ts < start_ts" in str(ei.value) and "lid=9" in str(ei.value)
+    with pytest.raises(ValueError, match="must differ"):
+        interval_overlap_count(
+            left, right.withColumnRenamed("rid", "lid"),
+            on=["k"], left_id="lid", right_id="lid",
+        )
