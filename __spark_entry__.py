@@ -690,12 +690,14 @@ def _text_vocab_growth(spark, sf_dir):
 def _event_cusum_changepoints(spark, sf_dir):
     """CUSUM mean-shift detection per user (temporal.cusum_changepoints,
     Page 1954): standardized deviations accumulate into S+/S-, ±h
-    crossings alarm and reset. Rows-only by design — CUSUM is a
-    sequential per-key recurrence with data-dependent resets, which SQL
-    can't express without simulating the scan; the correctness gates
-    are the sequential-reference equality + planted-shift tests in
-    tests/test_temporal.py and the stream==batch pin of the streaming
-    twin."""
+    crossings alarm and reset. The oracle unrolls the same per-key
+    recurrence as a recursive CTE stepping one row_number per
+    iteration (the graph_sssp determinism trick) — (user_id, ts) is
+    unique in the testdata so the order is total, and both engines run
+    the identical double-precision update ((S + x') - k before the
+    clamp), so the 4 dp-rounded statistics hash-match. The remaining
+    gates (planted shifts, stream==batch twin) stay in
+    tests/test_temporal.py."""
     from orientdb_spark.temporal import cusum_changepoints
 
     ev = _engine(spark, sf_dir).table("events")
@@ -765,16 +767,22 @@ def _multimodal_phash_dedup(spark, sf_dir):
     """Perceptual-hash image near-dup join (multimodal.perceptual_hash
     -> dedup.hamming_pairs): every 7th payload reappears with its first
     byte changed; the 64-bit aHash puts the copy within Hamming 6 and
-    the block join recovers it. Rows-only by design (the hash derives
-    from the Arrow pooling stage — no SQL path); the recall and
-    brute-force-equality gates live in tests/test_multimodal.py."""
+    the block join recovers it. The fake decode is pure integer
+    arithmetic on the payload bytes, so the oracle re-derives the hash
+    in SQL: the testdata text is ASCII (unicode(char) == byte) and the
+    fixture keeps docs with length >= 64, where the average-pool
+    segments partition the bytes and char p's cell has the closed form
+    (64*(p+1)+n-1)//n - 1 (pinned against the numpy pooling in
+    tests). Bit 63 packs as -2^63 — two's-complement addition gives the
+    signed 64-bit hash both engines compare. Recall/brute-force gates
+    stay in tests/test_multimodal.py."""
     from orientdb_spark.pipeline.dedup import hamming_pairs
     from orientdb_spark.pipeline.multimodal import (
         perceptual_hash,
         with_binary_payload,
     )
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 64)
     corpus = with_binary_payload(docs).select("doc_id", "payload").unionByName(
         with_binary_payload(
             docs.filter(F.col("doc_id") % 7 == 0).withColumn(
@@ -1049,14 +1057,21 @@ def _graph_effective_diameter(spark, sf_dir):
 
 
 def _graph_min_spanning_forest(spark, sf_dir):
-    """Distributed Borůvka MSF (graph.minimum_spanning_forest) over the
-    part-supplier graph weighted by minimum shipped quantity — the
-    cheapest-connectivity backbone. Rows-only by design (MST has no SQL
-    oracle); the correctness gate is exact equality with sequential
-    Kruskal under the shared total order, tests/test_graph_paths.py."""
+    """Distributed Borůvka MSF (graph.minimum_spanning_forest) over a
+    part-supplier subgraph (l_partkey % 20 — bounds the oracle's
+    sequential simulation) weighted by minimum shipped quantity. The
+    (w, a, b) total order makes the forest unique, so the oracle can
+    replay sequential Kruskal as a recursive CTE — one edge per
+    iteration, carrying the component labeling as the working table —
+    and Borůvka must land on the exact same edge set. The full-graph
+    Kruskal-equality gate stays in tests/test_graph_paths.py."""
     from orientdb_spark.graph import Graph
 
-    li = _engine(spark, sf_dir).table("lineitem")
+    li = (
+        _engine(spark, sf_dir)
+        .table("lineitem")
+        .filter(F.col("l_partkey") % 20 == 0)
+    )
     ed = li.select(
         F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias("src"),
         F.concat(F.lit("supp:"), F.col("l_suppkey").cast("string")).alias("dst"),
@@ -2739,88 +2754,240 @@ def _is_null_filter(spark, sf_dir):
     return eng.sql("select o_orderkey from ordersnull where o_pri is null order by o_orderkey")
 
 
+# --- effect queries: non-SQL §2 surfaces observed through SQL ---------------
+# Each performs the operation through its API surface and SELECTs the
+# observable aftermath; the oracle is the expected literal table
+# (reference analog: tests:database/auto/SQLCommandsTest.java:36-70 runs
+# DDL then asserts the visible state).
+
+
+def _ddl_remove_property_effect(spark, sf_dir):
+    """REMOVE PROPERTY drops the property from the schema AND the column
+    from the class data (dml.py RemovePropertyCmd); the aftermath SELECT *
+    proves the column is gone via the driver's schema compare — `extra`
+    appearing in the Spark result would fail the column-set match."""
+    eng = _fresh_engine(spark, sf_dir)
+    eng.command("create class rptmp")
+    eng.command("create property rptmp.name string")
+    eng.command("create property rptmp.extra integer")
+    eng.command("insert into rptmp (name, extra) values ('a', 1)")
+    eng.command("insert into rptmp (name, extra) values ('b', 2)")
+    eng.command("remove property rptmp.extra")
+    return eng.sql("select * from rptmp order by name")
+
+
+def _ddl_remove_index_effect(spark, sf_dir):
+    """REMOVE INDEX lifts unique enforcement: the same duplicate INSERT
+    that raises OIndexException while the index exists succeeds after
+    removal — the aftermath count proves both phases ran."""
+    from orientdb_spark.errors import OIndexException
+
+    eng = _fresh_engine(spark, sf_dir)
+    eng.command("create class ritmp")
+    eng.command("create property ritmp.code string")
+    eng.command("create index ritmp.code unique")
+    eng.command("insert into ritmp (code) values ('A')")
+    try:
+        eng.command("insert into ritmp (code) values ('A')")
+        raise AssertionError("unique index must reject the duplicate")
+    except OIndexException:
+        pass
+    eng.command("remove index ritmp.code")
+    eng.command("insert into ritmp (code) values ('A')")
+    return eng.sql("select code, count(*) as n from ritmp group by code")
+
+
+def _security_grant_effect(spark, sf_dir):
+    """GRANT/REVOKE enforcement observed as an outcome table: a role
+    holding READ on one class can select it and nothing else, writes
+    stay denied (ORole CRUD bitmask checked at query entry,
+    core:sql/OCommandExecutorSQLSelect.java:90,158-165), and REVOKE
+    restores the denial."""
+    from orientdb_spark.security import OSecurityAccessException
+
+    eng = _fresh_engine(spark, sf_dir)
+    eng.command("grant read on database.class.region to auditor")
+    probes = []
+
+    def attempt(probe, fn):
+        eng.set_role("auditor")
+        try:
+            fn()
+            probes.append((probe, "allowed"))
+        except OSecurityAccessException as e:
+            # "... has no permission to <OP> against the resource: ..."
+            op = str(e).split("permission to ")[1].split(" ")[0]
+            probes.append((probe, f"denied:{op}"))
+        finally:
+            eng.set_role(None)
+
+    attempt("read_granted_class", lambda: eng.query("select r_name from region"))
+    attempt("read_other_class", lambda: eng.sql("select n_name from nation"))
+    attempt(
+        "insert_granted_class",
+        lambda: eng.command(
+            "insert into region (r_regionkey, r_name) values (99, 'X')"
+        ),
+    )
+    eng.command("revoke read on database.class.region from auditor")
+    attempt("read_after_revoke", lambda: eng.sql("select r_name from region"))
+    return spark.createDataFrame(probes, "probe string, outcome string")
+
+
+def _dictionary_named_roots(spark, sf_dir):
+    """Named graph roots (dictionary-backed, ODictionary analog): put
+    two named roots pointing at records, then resolve each root back to
+    its record — the lookup table IS the observable effect. RID position
+    in the synthetic region cluster equals r_regionkey (same mapping the
+    recorded dictionary_get entry pins)."""
+    eng = _fresh_engine(spark, sf_dir)
+    cid = eng.catalog.get("region").cluster_id
+    eng.dictionary.put("root:apac", "region", (cid, 2))
+    eng.dictionary.put("root:emea", "region", (cid, 3))
+    parts = [
+        eng.dictionary.get_record(k).select(
+            F.lit(k).alias("root"), "r_regionkey", "r_name"
+        )
+        for k in ("root:apac", "root:emea")
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+def _async_query_abort_effect(spark, sf_dir):
+    """Push-based async query with abort-by-return-value
+    (OSQLAsynchQuery + OCommandResultListener, SQLSelect.java:228-242):
+    the listener stops after three rows, so exactly the three smallest
+    orderkeys of the ordered stream are observed."""
+    eng = _engine(spark, sf_dir)
+    seen = []
+
+    def listener(row):
+        seen.append((row["o_orderkey"],))
+        return len(seen) < 3
+
+    eng.async_query("select o_orderkey from orders order by o_orderkey", listener)
+    return spark.createDataFrame(seen, "o_orderkey long")
+
+
+def _custom_operator_where(spark, sf_dir):
+    """Custom WHERE operator registry (OSQLHelper.registerOperator
+    parity, core:sql/OSQLHelper.java:98-102): a registered word becomes
+    a binary condition operator compiled to its Column builder; the
+    oracle re-expresses the predicate in plain SQL."""
+    from orientdb_spark import register_operator, unregister_operator
+
+    register_operator(
+        "icontains", lambda l, r: F.instr(F.lower(l), F.lower(r)) > 0
+    )
+    try:
+        return _fresh_engine(spark, sf_dir).sql(
+            "select n_name from nation where n_name icontains 'tion_1' "
+            "order by n_name"
+        )
+    finally:
+        unregister_operator("icontains")
+
+
+def _native_fluent_query(spark, sf_dir):
+    """Native fluent query API (OQueryContextNative /
+    ONativeSynchQuery, core:query/nativ/): field chains with casts,
+    between, and negation compile to one distributed filter."""
+    from orientdb_spark.native import ONativeSynchQuery, OQueryContextNative
+
+    ctx = (
+        OQueryContextNative()
+        .field("n_nationkey")
+        .to_long()
+        .between(3, 7)
+        .and_()
+        .not_()
+        .field("n_name")
+        .eq("NATION_5")
+    )
+    eng = _engine(spark, sf_dir)
+    return (
+        ONativeSynchQuery(eng, "nation", ctx)
+        .dataframe()
+        .select("n_nationkey", "n_name")
+    )
+
+
 # --- queries registry --------------------------------------------------------
 
 
 # The driver's CORRECTNESS record caps at the FIRST 50 keys of queries()
 # in insertion order. Rotation history: r1-r3 recorded the core-SQL
-# front (scan_class .. order_multikey_topk); r5 recorded the back half
-# (windows/DML/graph/events/dedup/ANN/text/multimodal — all green, those
-# records stand). Round 6 rotates BACK the r3-era core-SQL surface so
-# its official record is refreshed on current code (it was two rounds
-# stale), plus every entry that has never had a driver row: the round-5
-# text_token_budget and the round-6 operators (boilerplate, line
-# quality, PII, fulltext DML maintenance, and graph_pagerank — now
-# hash-checkable via the unrolled power-iteration oracle). To fit 50,
-# Rotation policy this round: every slot is oracle-bearing, so
-# CORRECTNESS_r06 should be 50/50 hash-checked. Rows rotating out keep
-# their standing r3/r5 records + per-run mirror-harness coverage; the
-# nine dropped r3-era rows are each the thin sibling of a kept entry on
-# the same compiler path (rid_list~rid_point, projection_casts~
-# projection_methods, map_containsvalue~map_containskey,
-# containsall~contains_condition, all_wildcard~any_wildcard,
-# traverse_field_restricted~traverse_reachability, not_prefix~
-# compound_predicates, tpch_q10~q1/q3/q5/q6, column_positional~
-# csv_positional_roundtrip[r5], dictionary_get~dictionary_keyset[r5],
-# json_roundtrip~csv/export siblings[r3+r5], polymorphic_scan~
-# scan_class, contains_value~contains_condition, tpch_q5~q1/q3/q6,
-# global_aggregates~count_distinct_suppliers, is_null_filter~
-# all-recorded entries exercising IS NULL internally) —
-# so every compiler path still gets a fresh record through its
-# representative.
+# front; r5 the back half (windows/DML/graph/events/dedup/ANN/text/
+# multimodal); r6 re-recorded the core-SQL surface plus the first batch
+# of never-recorded entries — all 50/50 green. Round 7 policy (per the
+# r6 verdict): keep a 10-row core-SQL canary spanning the scan/filter/
+# link/traverse/aggregate/sort compiler paths, then fill all 40
+# remaining slots with FIRST-EVER driver records — 30 from the
+# never-recorded oracle backlog (sessions 2-3 operators) and the 10
+# entries new this round (three former rows-only entries that gained
+# exact oracles: CUSUM via a recursive-CTE replay of the per-key
+# recurrence, MSF via sequential-Kruskal replay, pHash via SQL
+# re-derivation of the integer byte arithmetic — plus the seven
+# effect-queries that observe the non-SQL §2 surfaces through literal
+# aftermath tables). Every slot is oracle-bearing. Rows rotating out
+# keep their standing r3/r5/r6 records plus per-run mirror-harness
+# coverage (tests/test_entry.py re-compares all oracle entries each
+# run). The remaining ~37 never-recorded entries are the r8 queue
+# (listed in NOTES_r7.md).
 _DRIVER_FRONT = [
-    # r3-era core SQL surface, re-recorded on r6 code
+    # core-SQL canary (all previously recorded, refreshed r6)
     "scan_class",
     "filter_projection",
-    "rid_point",
-    "cluster_scan",
-    "embedded_struct_nav",
-    "projection_methods",
-    "format_and_coercion",
-    "record_attributes",
-    "flatten_unnest",
-    "any_wildcard",
-    "like_underscore_literal",
     "compound_predicates",
-    "matches_anchored",
-    "map_containskey",
     "contains_condition",
-    "containstext_fallback",
-    "containstext_indexed",
-    "traverse_reachability",
-    "select_distinct",
     "link_nav_2hop",
-    "create_link_materialize",
-    "fetchplan_prefetch",
+    "traverse_reachability",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    "tpch_q6_forecast",
-    "count_distinct_suppliers",
     "group_having_order",
     "order_multikey_topk",
-    # first-ever driver records (added r5-post-window / r6)
-    "text_token_budget",
-    "text_boilerplate",
-    "text_line_quality",
-    "text_pii_redact",
-    "fulltext_dml_maintenance",
-    "graph_pagerank",
-    "text_paragraph_dedup",
-    "sample_pack_sequences",
-    "sample_mixture",
-    "event_asof_join",
-    "event_range_join",
-    "event_funnel",
-    "event_value_quantiles",
-    "graph_triangle_count",
-    "salted_skew_aggregate",
-    "event_cohort_retention",
-    "integrity_orphans",
-    "profile_events",
-    "text_tfidf_topterms",
-    "text_lm_score",
-    "pipeline_quality_gate",
-    "embedding_quantize",
+    # first-ever: new this round (oracle-ified + effect queries)
+    "event_cusum_changepoints",
+    "graph_min_spanning_forest",
+    "multimodal_phash_dedup",
+    "ddl_remove_property_effect",
+    "ddl_remove_index_effect",
+    "security_grant_effect",
+    "dictionary_named_roots",
+    "async_query_abort_effect",
+    "custom_operator_where",
+    "native_fluent_query",
+    # first-ever: never-recorded oracle backlog (sessions 2-3)
+    "graph_cc_incremental",
+    "graph_sssp",
+    "graph_label_propagation",
+    "graph_pagerank_personalized",
+    "graph_clustering_coeff",
+    "graph_topological_levels",
+    "graph_random_walks",
+    "bloom_prefilter_join",
+    "cms_event_type_counts",
+    "scale_quantile_sketch",
+    "scale_skew_report",
+    "event_gap_fill",
+    "event_scd2",
+    "event_rolling_avg",
+    "event_time_weighted_avg",
+    "event_interval_overlap",
+    "event_anomaly_zscore",
+    "event_m4_downsample",
+    "event_silence_audit",
+    "event_seasonal_baseline",
+    "event_hierarchical_rollup",
+    "quality_expectations",
+    "quality_fd_check",
+    "quality_table_digest",
+    "profile_quantile_bins",
+    "dedup_simhash_hamming",
+    "text_duplicate_spans",
+    "pipeline_entity_resolution",
+    "pipeline_incremental_dedup",
+    "pipeline_rag_prep",
 ]
 
 
@@ -2994,6 +3161,14 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "ddl_schema_evolution": _ddl_schema_evolution,
         "ddl_truncate": _ddl_truncate,
         "unique_index_violation": _unique_index_violation,
+        # effect queries: non-SQL §2 surfaces observed through SQL (r7)
+        "ddl_remove_property_effect": _ddl_remove_property_effect,
+        "ddl_remove_index_effect": _ddl_remove_index_effect,
+        "security_grant_effect": _security_grant_effect,
+        "dictionary_named_roots": _dictionary_named_roots,
+        "async_query_abort_effect": _async_query_abort_effect,
+        "custom_operator_where": _custom_operator_where,
+        "native_fluent_query": _native_fluent_query,
         "schema_mixed_insert": _schema_mixed_insert,
         "dictionary_keyset": _dictionary_keyset,
         "csv_positional_roundtrip": _csv_positional_roundtrip,
@@ -3750,6 +3925,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM (VALUES ('alpha', 10), ('beta', 20)) AS t(name, score) ORDER BY name"
         ),
         "ddl_truncate": "SELECT 0::BIGINT AS n",
+        # effect-query literals (r7): the expected aftermath tables
+        "ddl_remove_property_effect": (
+            "SELECT * FROM (VALUES ('a'), ('b')) AS t(name) ORDER BY name"
+        ),
+        "ddl_remove_index_effect": "SELECT 'A' AS code, 2::BIGINT AS n",
+        "security_grant_effect": (
+            "SELECT * FROM (VALUES "
+            "('read_granted_class', 'allowed'), "
+            "('read_other_class', 'denied:READ'), "
+            "('insert_granted_class', 'denied:CREATE'), "
+            "('read_after_revoke', 'denied:READ')) AS t(probe, outcome)"
+        ),
+        "dictionary_named_roots": (
+            "SELECT 'root:apac' AS root, r_regionkey, r_name FROM region "
+            "WHERE r_regionkey = 2 UNION ALL "
+            "SELECT 'root:emea', r_regionkey, r_name FROM region "
+            "WHERE r_regionkey = 3"
+        ),
+        "async_query_abort_effect": (
+            "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3"
+        ),
+        "custom_operator_where": (
+            "SELECT n_name FROM nation "
+            "WHERE position('tion_1' IN lower(n_name)) > 0 ORDER BY n_name"
+        ),
+        "native_fluent_query": (
+            "SELECT n_nationkey, n_name FROM nation "
+            "WHERE n_nationkey BETWEEN 3 AND 7 AND n_name <> 'NATION_5'"
+        ),
         "unique_index_violation": (
             "SELECT * FROM (VALUES ('A', 1::BIGINT), ('B', 2::BIGINT)) "
             "AS t(code, v) ORDER BY code"
@@ -5083,6 +5287,84 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
         ),
         "graph_sssp": _sssp_oracle(iterations=6),
         "graph_label_propagation": _lpa_oracle(iterations=3),
+        # r7: three former rows-only entries gain exact oracles — the
+        # sequential recurrences replay as recursive CTEs (one
+        # row_number / one Kruskal edge per iteration), and the fake
+        # image decode is pure integer byte arithmetic DuckDB can
+        # re-derive. NB DuckDB quirk: inside WITH RECURSIVE, a
+        # union-shaped helper CTE loses UNION's dedup — vertex lists
+        # below use DISTINCT unnest([a, b]) instead.
+        "event_cusum_changepoints": (
+            "WITH RECURSIVE seq AS ("
+            "  SELECT user_id, ts, value, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS rn FROM events), "
+            "r AS ("
+            "  SELECT user_id, 0 AS rn, 0.0::DOUBLE AS sp, 0.0::DOUBLE AS sn, "
+            "CAST(NULL AS VARCHAR) AS direction, CAST(NULL AS DOUBLE) AS stat, "
+            "CAST(NULL AS TIMESTAMP) AS ts "
+            "FROM (SELECT DISTINCT user_id FROM seq) "
+            "  UNION ALL "
+            "  SELECT user_id, rn, "
+            "CASE WHEN sp1 > 5.0 OR sn1 < -5.0 THEN 0.0::DOUBLE ELSE sp1 END, "
+            "CASE WHEN sp1 > 5.0 OR sn1 < -5.0 THEN 0.0::DOUBLE ELSE sn1 END, "
+            "CASE WHEN sp1 > 5.0 THEN 'up' WHEN sn1 < -5.0 THEN 'down' END, "
+            "CASE WHEN sp1 > 5.0 THEN sp1 WHEN sn1 < -5.0 THEN sn1 END, ts "
+            "  FROM ("
+            "    SELECT s.user_id, s.rn, s.ts, "
+            "greatest(0.0::DOUBLE, r.sp + (s.value - 50.0)/50.0 - 0.5) AS sp1, "
+            "least(0.0::DOUBLE, r.sn + (s.value - 50.0)/50.0 + 0.5) AS sn1 "
+            "    FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1)) "
+            "SELECT user_id, ts, direction, round(stat, 4) AS statistic "
+            "FROM r WHERE direction IS NOT NULL"
+        ),
+        "graph_min_spanning_forest": (
+            "WITH RECURSIVE e AS ("
+            "  SELECT a, b, w, row_number() OVER (ORDER BY w, a, b) AS rn FROM ("
+            "    SELECT least('part:'||l_partkey::VARCHAR, 'supp:'||l_suppkey::VARCHAR) AS a, "
+            "greatest('part:'||l_partkey::VARCHAR, 'supp:'||l_suppkey::VARCHAR) AS b, "
+            "min(l_quantity::DOUBLE) AS w "
+            "    FROM lineitem WHERE l_partkey % 20 = 0 GROUP BY 1, 2)), "
+            "v AS (SELECT DISTINCT unnest([a, b]) AS vid FROM e), "
+            "k AS ("
+            "  SELECT 0 AS s, vid, vid AS comp FROM v "
+            "  UNION ALL "
+            "  SELECT s + 1, vid, "
+            "CASE WHEN ca <> cb AND comp IN (ca, cb) THEN least(ca, cb) ELSE comp END "
+            "  FROM ("
+            "    SELECT k.s, k.vid, k.comp, "
+            "max(CASE WHEN k.vid = e.a THEN k.comp END) OVER () AS ca, "
+            "max(CASE WHEN k.vid = e.b THEN k.comp END) OVER () AS cb "
+            "    FROM k JOIN e ON e.rn = k.s + 1)) "
+            "SELECT e.a AS src, e.b AS dst, e.w AS weight FROM e "
+            "JOIN k ka ON ka.s = e.rn - 1 AND ka.vid = e.a "
+            "JOIN k kb ON kb.s = e.rn - 1 AND kb.vid = e.b "
+            "WHERE ka.comp <> kb.comp"
+        ),
+        "multimodal_phash_dedup": (
+            "WITH base AS ("
+            "  SELECT doc_id, text FROM documents WHERE length(text) >= 64 "
+            "  UNION ALL "
+            "  SELECT doc_id + 1000000, 'Z' || substring(text, 2) "
+            "FROM documents WHERE length(text) >= 64 AND doc_id % 7 = 0), "
+            "chars AS ("
+            "  SELECT doc_id, ((64*i + length(text) - 1) // length(text)) - 1 AS cell, "
+            "unicode(substring(text, i, 1)) AS bv "
+            "  FROM base, unnest(range(1, length(text)+1)) AS t(i)), "
+            "pooled AS ("
+            "  SELECT doc_id, cell, sum(bv) // count(*) AS px "
+            "FROM chars GROUP BY doc_id, cell), "
+            "hashed AS ("
+            "  SELECT doc_id, sum(CASE WHEN px > m THEN "
+            "CASE WHEN cell = 63 THEN -9223372036854775808 "
+            "ELSE (1::BIGINT << cell::INT) END ELSE 0 END)::BIGINT AS phash "
+            "  FROM (SELECT doc_id, cell, px, "
+            "sum(px) OVER (PARTITION BY doc_id) / 64.0 AS m FROM pooled) "
+            "  GROUP BY doc_id) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "bit_count(xor(a.phash, b.phash))::INT AS hamming "
+            "FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.phash, b.phash)) <= 6"
+        ),
         # no-oracle entries (approximate / stub): approx_distinct_parts,
         # sim_topk_lsh
     }

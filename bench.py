@@ -78,11 +78,21 @@ def main() -> None:
     # an explicitly-requested repeat must never be silently capped
     max_repeat = max(max_repeat, repeat)
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "4"))
+    # the documented multi-second swingers (±1.2 s run-to-run on this
+    # shared host) get a 3-sample floor regardless of the budget, so
+    # round-over-round deltas measure code, not the scheduler
+    noisy_min = {
+        "graph_connected_components": 3,
+        "graph_pagerank": 3,
+        "dedup_embedding_cosine": 3,
+    }
     timings: dict[str, float] = {}
+    samples: dict[str, int] = {}
     failed: list[str] = []
     for name in HEADLINE:
         fn = qs[name]
         best = None
+        min_n = max(repeat, noisy_min.get(name, 0))
         try:
             spent, n = 0.0, 0
             # sub-second queries are the ones host contention can bury
@@ -91,7 +101,7 @@ def main() -> None:
             # lasts: cheap, and min-of-N then actually strips the noise
             while (
                 n < max_repeat or (best is not None and best < 1.0 and n < 15)
-            ) and (n < repeat or spent < budget):
+            ) and (n < min_n or spent < budget):
                 t0 = time.perf_counter()
                 _force(fn(spark, sf_dir))
                 dt = time.perf_counter() - t0
@@ -99,6 +109,7 @@ def main() -> None:
                 n += 1
                 best = dt if best is None or dt < best else best
             timings[name] = round(best, 3)
+            samples[name] = n
         except Exception as e:  # one broken query must not sink the whole run
             failed.append(name)
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
@@ -109,6 +120,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "samples": samples,
         "sf": sf,
     }
     if failed:

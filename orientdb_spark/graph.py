@@ -898,7 +898,18 @@ class Graph:
         r_i(v) = (1-d)·p(v) + d·Σ msgs. Same one-exchange-per-iteration
         loop: the teleport vector rides the zero-message carrier (max()
         recovers it after the sum groupBy — msgs carry tp=0), so
-        personalization adds NO join."""
+        personalization adds NO join.
+
+        Dangling-vertex semantics: sink vertices KEEP receiving rank
+        (the zero-message carrier keeps them alive) but their outgoing
+        mass is dropped, not redistributed — so Σrank < 1 on graphs
+        with sinks. This is the no-redistribution variant (what a
+        plain aggregate-messages loop computes, and what the unrolled
+        power-iteration oracle replays); classic-PageRank semantics
+        would add a per-iteration dangling-sum aggregate spread
+        uniformly. Chosen deliberately: ranks stay proportional within
+        a component, and the invariants are pinned in
+        tests/test_pagerank_gate.py."""
         from pyspark.sql import Window
 
         n = self.vertices.count()

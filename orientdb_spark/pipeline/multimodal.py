@@ -43,12 +43,72 @@ def _with_id(schema: "T.StructType", id_col: str) -> "T.StructType":
     return T.StructType([T.StructField(id_col, T.LongType())] + list(schema.fields[1:]))
 
 
+def _pillow():
+    """Optional codec dependency: Pillow if importable, else None (this
+    container ships no codecs — the deterministic fake stays the oracle
+    path either way)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image(payload: bytes) -> "object":
-    """Real image decode — STUB: no codec libraries in this container.
-    The production implementation would go through PIL/libvips here."""
-    raise NotImplementedError(
-        "image decode requires codec libraries not present in this container; "
-        "use fake_decode_features for pipeline testing"
+    """Real image decode behind the optional Pillow dependency: returns
+    a ``(height, width)`` uint8 grayscale ndarray when Pillow is
+    importable; raises NotImplementedError otherwise (this container
+    ships no codecs — use ``fake_decode_features`` / ``resize_images``
+    for pipeline testing, which exercise the same Spark plumbing on a
+    deterministic fake)."""
+    Image = _pillow()
+    if Image is None:
+        raise NotImplementedError(
+            "image decode requires codec libraries not present in this "
+            "container; use fake_decode_features for pipeline testing"
+        )
+    import io
+
+    with Image.open(io.BytesIO(bytes(payload))) as im:
+        return np.asarray(im.convert("L"), dtype=np.uint8)
+
+
+def decode_image_features(
+    df: DataFrame, binary_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Real-codec decode stage (Arrow-batched mapInPandas, same schema
+    as ``fake_decode_features``): per image, the 16-bucket pixel-value
+    histogram of the grayscale decode. Requires Pillow — raises
+    NotImplementedError at plan-build time when absent, so callers fail
+    fast instead of inside executors. The fake path remains the oracle;
+    this stage proves the real-codec plumbing slots into the identical
+    (id, n_bytes, histogram) contract."""
+    if _pillow() is None:
+        raise NotImplementedError(
+            "decode_image_features requires Pillow; "
+            "use fake_decode_features in codec-less environments"
+        )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hists, nbytes = [], []
+            for b in pdf[binary_col]:
+                px = decode_image(b)
+                hists.append(
+                    np.bincount(px.ravel() // 16, minlength=16).tolist()
+                )
+                nbytes.append(len(b))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "n_bytes": pd.Series(nbytes, dtype="int32"),
+                    "histogram": hists,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        extract, _with_id(FAKE_DECODE_SCHEMA, id_col)
     )
 
 

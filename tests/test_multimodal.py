@@ -25,9 +25,58 @@ def payload_df(spark):
     return multimodal.with_binary_payload(df)
 
 
-def test_decode_image_is_stub():
+def _tiny_png(w=4, h=4):
+    """Hand-built grayscale PNG (stdlib only) — pixel (r, c) = 16r + 4c."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    rows = b"".join(
+        b"\x00" + bytes(range(r * 16, r * 16 + 4 * w, 4)) for r in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(rows))
+        + chunk(b"IEND", b"")
+    )
+
+
+_HAS_PILLOW = multimodal._pillow() is not None
+
+
+@pytest.mark.skipif(_HAS_PILLOW, reason="Pillow present: stub path not taken")
+def test_decode_image_is_stub_without_pillow():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_features(None)  # fails fast, pre-plan
+
+
+@pytest.mark.skipif(not _HAS_PILLOW, reason="needs Pillow")
+def test_decode_image_real_png_matches_fake_schema(spark):
+    """Real-codec path: decode the 4x4 PNG fixture, run the real
+    feature stage, and pin its schema to the fake path's (identical
+    (id, n_bytes, histogram) contract)."""
+    import numpy as np
+
+    px = multimodal.decode_image(_tiny_png())
+    assert px.shape == (4, 4) and px.dtype == np.uint8
+    assert px[0, 0] == 0 and px[3, 3] == 60  # 16r + 4c
+    df = spark.createDataFrame([(1, bytearray(_tiny_png()))], "doc_id bigint, payload binary")
+    real = multimodal.decode_image_features(df)
+    fake = multimodal.fake_decode_features(df)
+    assert real.schema == fake.schema
+    row = real.collect()[0]
+    assert row["n_bytes"] == len(_tiny_png())
+    assert sum(row["histogram"]) == 16  # 16 pixels histogrammed
 
 
 def test_binary_features_digest(payload_df):
