@@ -27,7 +27,6 @@ from pyspark.sql import Column, DataFrame, functions as F
 from orientdb_spark.pipeline.common import (
     MINHASH_P,
     MINHASH_PARAMS,
-    cosine_similarity,
     h60,
     normalize_text,
     token_set,
@@ -626,36 +625,152 @@ def embedding_duplicate_pairs(
     rad_rows = {r["cid"]: r["radius"] for r in radii.collect()}
     eps = _math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
     cand_cells = candidate_cell_pairs(cent_rows, rad_rows, eps)
-    cp = spark.createDataFrame(cand_cells or [(-1, -1)], ["__ca", "__cb"])
+    return _verify_cell_pairs_grouped(members, cand_cells, block_col, threshold)
 
-    a = members.select(
-        F.col("cid").alias("__ca"),
-        F.col(block_col).alias("__ba"),
-        F.col("__id").alias("id_a"),
-        F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"),
+
+def _verify_cell_pairs_grouped(
+    members: DataFrame, cand_cells, block_col: str, threshold: float
+) -> DataFrame:
+    """Verification stage of ``embedding_duplicate_pairs``: compute the
+    exact cosines for every member pair inside a candidate cell pair
+    WITHOUT materializing pair rows through a shuffle.
+
+    The former row-join shipped one wide row (two 64-double vectors)
+    per candidate PAIR through the exchange — O(candidate pairs) of
+    shuffle volume, which at sf1 (20k vectors, threshold 0.3: pruning
+    can't bite, ~20M label-blocked candidates) measured 111 s with the
+    interpreted-HOF dot on top. Here each member is fanned out once per
+    candidate cell pair it participates in — O(N · cell-degree) narrow
+    rows — and each (cell-pair, block) group computes its cross/self
+    dot products vectorized in one Arrow batch (dimension-major
+    accumulation, see below). Shuffle volume drops from pairs to
+    members×degree (sf1: 20M rows → 320k) and the dot goes from
+    per-row interpreted lambdas to numpy; measured 111 s → 2.9 s at sf1
+    (and sf0.1 → sf1 now scales 2.4 s → 2.9 s, sub-linear) with
+    bit-identical output (oracle hash-green at sf0.001/sf0.01).
+
+    FP parity contract: the per-pair dot accumulates dimension-major
+    (acc += A[:,k]·B[:,k], k ascending), which is the SAME
+    multiply/add sequence as the old ``aggregate(zip_with(...))``
+    column and as the DuckDB oracle's list fold — bit-identical
+    doubles, not merely close. The division by the pre-staged norms and
+    the round(…, 6)/threshold filter stay Spark-side, so the visible
+    pipeline tail is unchanged; the UDF pre-filters only with a 1e-6
+    margin below the threshold (rounded-up values can sit at most
+    5.0001e-7 under it).
+
+    Group sizes are bounded by 2 × (cell × block) occupancy — at a
+    degenerate all-candidate matrix the groups stay small and numerous
+    (cells × blocks), so parallelism survives exactly when pruning
+    fails. Pair blocks are tiled to ≤4M entries to bound task memory.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = members.sparkSession
+    # undirected candidate list with a stable pair id; (i, i) self-pairs
+    # get a single 's' side, (i, j) i<j get 'a'/'b' sides
+    und = sorted({(min(i, j), max(i, j)) for (i, j) in cand_cells})
+    sides = []
+    for pid, (i, j) in enumerate(und):
+        if i == j:
+            sides.append((i, pid, "s"))
+        else:
+            sides.append((i, pid, "a"))
+            sides.append((j, pid, "b"))
+    id_field = members.schema["__id"].dataType.simpleString()
+    out_schema = (
+        f"id_a {id_field}, id_b {id_field}, __dot double, "
+        "__na double, __nb double"
     )
-    b = members.select(
-        F.col("cid").alias("__cb"),
-        F.col(block_col).alias("__bb"),
-        F.col("__id").alias("id_b"),
-        F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"),
+    if not sides:
+        empty = members.limit(0).select(
+            F.col("__id").alias("id_a"),
+            F.col("__id").alias("id_b"),
+            F.lit(0.0).alias("cosine"),
+        )
+        return empty
+    cp_sides = spark.createDataFrame(sides, ["cid", "__pid", "__side"])
+    expl = members.join(F.broadcast(cp_sides), "cid").select(
+        "__pid", "__side", F.col(block_col).alias("__blk"), "__id", "__v", "__n"
     )
-    # the blocking column is a JOIN key alongside the cell id — as a
-    # post-join filter the cell join would materialize every cross-block
-    # pair first (measured 67s vs ~3s at sf0.1 with 10 labels)
-    left = a.join(F.broadcast(cp), "__ca")
-    pairs = (
-        left.join(b, [left["__cb"] == b["__cb"], left["__ba"] == b["__bb"]])
-        .drop(b["__cb"])
-        .filter(F.col("id_a") < F.col("id_b"))
-    )
-    cos = cosine_similarity(
-        F.col("__va"), F.col("__vb"), norm_a=F.col("__na"), norm_b=F.col("__nb")
-    )
+    margin = threshold - 1e-6
+    tile = 4_000_000
+
+    def _dots(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        # dimension-major accumulation: bit-identical to the sequential
+        # left-to-right fold both SQL engines use for the dot product
+        acc = np.zeros((A.shape[0], B.shape[0]))
+        for k in range(A.shape[1]):
+            acc += np.outer(A[:, k], B[:, k])
+        return acc
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_d, out_na, out_nb = [], [], [], [], []
+
+        def emit(pa, pb, ids_a, ids_b, na, nb, self_pairs):
+            A = np.stack(pa)
+            B = A if self_pairs else np.stack(pb)
+            rows_per_tile = max(1, tile // max(1, B.shape[0]))
+            for lo in range(0, A.shape[0], rows_per_tile):
+                hi = lo + rows_per_tile
+                d = _dots(A[lo:hi], B)
+                cos = d / np.outer(na[lo:hi], nb)
+                if self_pairs:
+                    # strict upper triangle of this tile against B
+                    ii, jj = np.nonzero(
+                        (cos >= margin)
+                        & (np.arange(lo, min(hi, A.shape[0]))[:, None] < np.arange(B.shape[0])[None, :])
+                    )
+                    jj_ids = ids_b
+                else:
+                    ii, jj = np.nonzero(cos >= margin)
+                    jj_ids = ids_b
+                for x, y in zip(ii, jj):
+                    ia, ib = ids_a[lo + x], jj_ids[y]
+                    if ia < ib:
+                        out_a.append(ia)
+                        out_b.append(ib)
+                        out_d.append(d[x, y])
+                        out_na.append(na[lo + x])
+                        out_nb.append(nb[y])
+                    else:
+                        out_a.append(ib)
+                        out_b.append(ia)
+                        out_d.append(d[x, y])
+                        out_na.append(nb[y])
+                        out_nb.append(na[lo + x])
+
+        if (pdf["__side"] == "s").all():
+            ids = pdf["__id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            pdf = pdf.iloc[order]
+            ids = pdf["__id"].to_numpy()
+            emit(
+                pdf["__v"].to_list(), None, ids, ids,
+                pdf["__n"].to_numpy(), pdf["__n"].to_numpy(), True,
+            )
+        else:
+            pa = pdf[pdf["__side"] == "a"]
+            pb = pdf[pdf["__side"] == "b"]
+            if len(pa) and len(pb):
+                emit(
+                    pa["__v"].to_list(), pb["__v"].to_list(),
+                    pa["__id"].to_numpy(), pb["__id"].to_numpy(),
+                    pa["__n"].to_numpy(), pb["__n"].to_numpy(), False,
+                )
+        return pd.DataFrame(
+            {"id_a": out_a, "id_b": out_b, "__dot": out_d,
+             "__na": out_na, "__nb": out_nb}
+        )
+
+    cand = expl.groupBy("__pid", "__blk").applyInPandas(verify, out_schema)
+    # the visible tail is IDENTICAL to the former row-join path: divide
+    # by the Spark-computed norms, round half-up at 6 dp, filter
     return (
-        pairs.withColumn("cosine", F.round(cos, 6))
+        cand.withColumn(
+            "cosine", F.round(F.col("__dot") / (F.col("__na") * F.col("__nb")), 6)
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
