@@ -519,9 +519,15 @@ def _integrity_orphans(spark, sf_dir):
 
 
 def _graph_kcore(spark, sf_dir):
-    """6-core of the tripartite lineitem graph (rows-only: the iterative
-    peeling fixpoint isn't recursive-CTE expressible; the quality gate
-    is the sequential Python peeling reference in tests/test_graph_cc)."""
+    """6-core of the tripartite lineitem graph. The peeling fixpoint IS
+    recursive-CTE expressible (r7): the working table carries the
+    doubled (both-direction) edge set, per-row degrees come from two
+    windows (PARTITION BY each endpoint — symmetric under doubling),
+    and the recursive term emits the next state only while a weak
+    vertex exists — so the recursion self-terminates at the fixpoint
+    and the max-step rows are the core (an all-peeled graph emits an
+    empty final state via the fin-guard). The sequential Python peeling
+    gate in tests/test_graph_cc.py stays."""
     from orientdb_spark.graph import Graph
 
     li = _engine(spark, sf_dir).table("lineitem")
@@ -5339,6 +5345,31 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "JOIN k ka ON ka.s = e.rn - 1 AND ka.vid = e.a "
             "JOIN k kb ON kb.s = e.rn - 1 AND kb.vid = e.b "
             "WHERE ka.comp <> kb.comp"
+        ),
+        "graph_kcore": (
+            "WITH RECURSIVE und AS ("
+            "  SELECT DISTINCT least(a0,b0) AS a, greatest(a0,b0) AS b FROM ("
+            "    SELECT 'order:'||l_orderkey::VARCHAR AS a0, 'part:'||l_partkey::VARCHAR AS b0 FROM lineitem"
+            "    UNION ALL SELECT 'order:'||l_orderkey::VARCHAR, 'supp:'||l_suppkey::VARCHAR FROM lineitem"
+            "    UNION ALL SELECT 'part:'||l_partkey::VARCHAR, 'supp:'||l_suppkey::VARCHAR FROM lineitem"
+            "  ) WHERE a0 <> b0), "
+            "k AS ("
+            "  SELECT 0 AS s, v, u FROM (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und)"
+            "  UNION ALL"
+            "  SELECT s + 1, v, u FROM ("
+            "    SELECT s, v, u, dv, du, "
+            "max(CASE WHEN dv < 6 THEN 1 ELSE 0 END) OVER () AS anyweak"
+            "    FROM ("
+            "      SELECT s, v, u, "
+            "count(*) OVER (PARTITION BY v) AS dv, "
+            "count(*) OVER (PARTITION BY u) AS du"
+            "      FROM k)"
+            "  ) WHERE anyweak = 1 AND dv >= 6 AND du >= 6), "
+            "fin AS ("
+            "  SELECT v, count(*) AS dg FROM k "
+            "WHERE s = (SELECT max(s) FROM k) GROUP BY v) "
+            "SELECT v AS vid, dg::BIGINT AS core_degree FROM fin "
+            "WHERE (SELECT max(CASE WHEN dg < 6 THEN 1 ELSE 0 END) FROM fin) = 0"
         ),
         "multimodal_phash_dedup": (
             "WITH base AS ("
