@@ -60,7 +60,7 @@ def generate(sf: float, out_dir: str) -> None:
 
     os.makedirs(out_dir, exist_ok=True)
 
-    n_cust = int(150_000 * sf / 0.1 * 0.1)
+    n_cust = int(150_000 * sf)
     n_supp = int(10_000 * sf)
     n_part = int(200_000 * sf)
     n_orders = int(1_500_000 * sf)
@@ -69,7 +69,6 @@ def generate(sf: float, out_dir: str) -> None:
     n_users = int(15_000 * sf)
     n_docs = int(50_000 * sf)
     n_vecs = int(20_000 * sf)
-    n_cust = int(150_000 * sf)
 
     # region / nation (fixed small dims)
     _write(
