@@ -2228,6 +2228,17 @@ def _text_cooccurrence(spark, sf_dir):
     return text.cooccurrence(_docs(spark, sf_dir), top_terms=30, k=40)
 
 
+def _text_feature_hashing(spark, sf_dir):
+    """Hashing-trick featurizer (pipeline/text.feature_hashing,
+    HashingTF analog): sparse per-doc bucket counts over 256 buckets —
+    h60(token) % 256 with collisions merging counts by design. One
+    explode + one map-side-combinable groupBy; no vocabulary state.
+    The oracle re-derives the identical md5-based bucket ids."""
+    from orientdb_spark.pipeline import text
+
+    return text.feature_hashing(_docs(spark, sf_dir), n_buckets=256)
+
+
 def _text_vocabulary(spark, sf_dir):
     """Tokenizer-style vocabulary construction (pipeline/text.vocabulary):
     top-200 lowercased whitespace tokens at min_count>=2 under the total
@@ -3292,6 +3303,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_token_budget": _text_token_budget,
         "text_tfidf_topterms": _text_tfidf,
         "text_vocabulary": _text_vocabulary,
+        "text_feature_hashing": _text_feature_hashing,
         "text_chunk_documents": _text_chunk_documents,
         "text_cooccurrence": _text_cooccurrence,
         "text_bpe_merges": _text_bpe_merges,
@@ -5066,6 +5078,15 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "ORDER BY n_occurrences DESC, token LIMIT 200) "
             "SELECT row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank, "
             "token, n_occurrences FROM c"
+        ),
+        "text_feature_hashing": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)) AS token "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "((('0x' || substring(md5(token), 1, 15))::UBIGINT::BIGINT) % 256)::INT AS bucket, "
+            "count(*)::BIGINT AS n_tokens "
+            "FROM toks GROUP BY doc_id, bucket"
         ),
         "profile_value_histogram": (
             "WITH s AS (SELECT min(value::DOUBLE) AS lo, max(value::DOUBLE) AS hi "

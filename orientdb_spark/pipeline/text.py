@@ -712,6 +712,42 @@ def winnow_fingerprints(
     )
 
 
+def feature_hashing(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Feature hashing (the HashingTF / hashing-trick featurizer,
+    Weinberger et al. 2009): each lowercased whitespace token maps to
+    bucket ``h60(token) % n_buckets`` and per-document bucket counts
+    form the sparse term-frequency vector — the fixed-width,
+    vocabulary-free text representation classic large-scale ML trains
+    on. Colliding tokens legitimately merge counts; that is the trick,
+    not a defect.
+
+    Emitted sparse (one row per non-zero bucket), never as a map/array
+    column: rows are deterministic, oracle-comparable, and at 100 TB
+    the explode + one map-side-combinable groupBy on (id, bucket) is
+    the whole plan — no vocabulary broadcast, no global state, width
+    fixed regardless of corpus size. Returns
+    ``(id, bucket, n_tokens)``."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("__tok"),
+        )
+        .select(
+            id_col,
+            F.pmod(h60(F.col("__tok")), F.lit(n_buckets)).cast("int").alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+
+
 def vocabulary(
     df: DataFrame,
     text_col: str = "text",

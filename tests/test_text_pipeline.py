@@ -610,3 +610,36 @@ def test_vocab_growth_stats_known_corpus(spark):
     }
     assert got["s1"] == (5, 3, 1, round(3 / 5, 6), round(1 / 3, 6))
     assert got["s2"] == (1, 1, 1, 1.0, 1.0)
+
+
+def test_feature_hashing_sparse_counts(spark):
+    """Hashing-trick featurizer: per-doc bucket counts equal a Python
+    recomputation with the same md5-based hash; collisions merge; total
+    token mass is conserved; validation rejects degenerate widths."""
+    import hashlib
+
+    import pytest
+
+    from orientdb_spark.pipeline.text import feature_hashing
+
+    df = spark.createDataFrame(
+        [(1, "The quick the QUICK fox"), (2, "fox  fox\tjumps"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc_id"], r["bucket"]): r["n_tokens"]
+        for r in feature_hashing(df, n_buckets=8).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 8
+
+    ref = {}
+    for did, txt in [(1, "the quick the quick fox"), (2, "fox fox jumps")]:
+        for t in txt.split():
+            k = (did, bucket(t))
+            ref[k] = ref.get(k, 0) + 1
+    assert out == ref
+    assert sum(v for (d, _), v in out.items() if d == 1) == 5  # mass conserved
+    with pytest.raises(ValueError):
+        feature_hashing(df, n_buckets=1)
