@@ -373,7 +373,16 @@ def lsh_topk(
     at scale: the corpus emits T bucket entries per row (one scan — the
     tables ride in one exploded array, not T passes) and the candidate
     set grows ~T×; the exact rerank still runs once per distinct
-    (query, candidate) thanks to the dropDuplicates below."""
+    (query, candidate) thanks to the dropDuplicates below.
+
+    Parameter guidance (measured, BENCH.md sf1 ANN study): on an
+    UNSTRUCTURED (isotropic) corpus recall tracks the probed fraction of
+    the corpus, so keep buckets populated as N grows — choose
+    ``planes ~ log2(N / desired_bucket_size)`` (8 planes over 20k
+    vectors leaves ~80 per bucket and recall@10 collapsed to 0.05 at
+    defaults; planes=4 recovered 0.54 at 3x brute-force speed). Real
+    embedding corpora are clustered and sit far above these floors at
+    the same settings."""
     # one flat bucket keyspace across tables: key = (table << planes) | bucket
     c_buckets = F.array(
         *[
