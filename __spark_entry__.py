@@ -2239,6 +2239,16 @@ def _text_feature_hashing(spark, sf_dir):
     return text.feature_hashing(_docs(spark, sf_dir), n_buckets=256)
 
 
+def _text_hash_embedding(spark, sf_dir):
+    """Hash embeddings (pipeline/text.hash_embedding): feature hashing
+    x sign random projection, 256 buckets -> 16 dims. Components are
+    integer sums (order-independent -> oracle-exact); only the final
+    norm/round touches floats."""
+    from orientdb_spark.pipeline import text
+
+    return text.hash_embedding(_docs(spark, sf_dir), n_buckets=256, dim=16)
+
+
 def _text_vocabulary(spark, sf_dir):
     """Tokenizer-style vocabulary construction (pipeline/text.vocabulary):
     top-200 lowercased whitespace tokens at min_count>=2 under the total
@@ -3304,6 +3314,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_tfidf_topterms": _text_tfidf,
         "text_vocabulary": _text_vocabulary,
         "text_feature_hashing": _text_feature_hashing,
+        "text_hash_embedding": _text_hash_embedding,
         "text_chunk_documents": _text_chunk_documents,
         "text_cooccurrence": _text_cooccurrence,
         "text_bpe_merges": _text_bpe_merges,
@@ -5087,6 +5098,20 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "((('0x' || substring(md5(token), 1, 15))::UBIGINT::BIGINT) % 256)::INT AS bucket, "
             "count(*)::BIGINT AS n_tokens "
             "FROM toks GROUP BY doc_id, bucket"
+        ),
+        "text_hash_embedding": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)) AS token "
+            "FROM documents), "
+            "fh AS (SELECT doc_id, "
+            "((('0x' || substring(md5(token), 1, 15))::UBIGINT::BIGINT) % 256)::INT AS bucket, "
+            "count(*)::BIGINT AS n FROM toks GROUP BY doc_id, bucket), "
+            "comp AS (SELECT doc_id, d.dim, "
+            "sum(n * (1 - 2 * ((('0x' || substring(md5(d.dim::VARCHAR || ':' || bucket::VARCHAR), 1, 15))::UBIGINT::BIGINT) % 2)))::BIGINT AS c "
+            "FROM fh, (SELECT unnest(range(0, 16)) AS dim) d GROUP BY doc_id, d.dim) "
+            "SELECT doc_id, dim, round(CASE WHEN nrm > 0 THEN c / nrm ELSE 0.0 END, 6) AS value "
+            "FROM (SELECT doc_id, dim, c, "
+            "sqrt(sum(c * c) OVER (PARTITION BY doc_id)) AS nrm FROM comp)"
         ),
         "profile_value_histogram": (
             "WITH s AS (SELECT min(value::DOUBLE) AS lo, max(value::DOUBLE) AS hi "

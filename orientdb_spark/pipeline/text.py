@@ -748,6 +748,60 @@ def feature_hashing(
     )
 
 
+def hash_embedding(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    dim: int = 64,
+) -> DataFrame:
+    """Cheap deterministic text embeddings: feature hashing composed
+    with a ±1 sign random projection (the hashing-trick +
+    random-projection pipeline — vocabulary-free, model-free document
+    vectors good enough for clustering / blocking / near-dup candidate
+    generation at corpus scale). Component d of a document =
+    Σ_buckets count(bucket) · sign(h60(d:bucket)), L2-normalized.
+
+    Exactness by construction: the pre-normalization components are
+    INTEGER sums (counts × ±1) — order-independent, so the distributed
+    aggregation and any sequential oracle agree bit-for-bit; the only
+    FP ops are the final norm division and 6 dp round. Emitted exploded
+    as ``(id, dim, value)`` rows (deterministic, oracle-comparable;
+    pivot to an array column downstream if a dense vector is wanted).
+
+    Scale: one explode to (id, bucket) counts, one ``dim``-way in-row
+    fan-out of the nonzero buckets, one map-side-combinable groupBy on
+    (id, dim), one window for the norm — rows moved =
+    nonzero-buckets × dim, never corpus × vocabulary."""
+    from pyspark.sql import Window
+
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    counts = feature_hashing(df, text_col, id_col, n_buckets)
+    sgn = F.lit(1) - F.lit(2) * F.pmod(
+        h60(
+            F.concat(
+                F.col("dim").cast("string"), F.lit(":"), F.col("bucket").cast("string")
+            )
+        ),
+        F.lit(2),
+    )
+    comp = (
+        counts.withColumn("dim", F.explode(F.sequence(F.lit(0), F.lit(dim - 1))))
+        .withColumn("__t", F.col("n_tokens") * sgn)
+        .groupBy(id_col, "dim")
+        .agg(F.sum("__t").alias("__c"))
+    )
+    norm = F.sqrt(F.sum(F.col("__c") * F.col("__c")).over(Window.partitionBy(id_col)))
+    return comp.select(
+        id_col,
+        "dim",
+        F.round(
+            F.when(norm > 0, F.col("__c").cast("double") / norm).otherwise(0.0), 6
+        ).alias("value"),
+    )
+
+
 def vocabulary(
     df: DataFrame,
     text_col: str = "text",

@@ -643,3 +643,44 @@ def test_feature_hashing_sparse_counts(spark):
     assert sum(v for (d, _), v in out.items() if d == 1) == 5  # mass conserved
     with pytest.raises(ValueError):
         feature_hashing(df, n_buckets=1)
+
+
+def test_hash_embedding_matches_python_and_normalizes(spark):
+    """Hash embeddings: integer components match a sequential Python
+    recomputation exactly; vectors are unit-norm; dim validation."""
+    import hashlib
+    import math
+
+    import pytest
+
+    from orientdb_spark.pipeline.text import hash_embedding
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "gamma")], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id"], r["dim"]): r["value"]
+        for r in hash_embedding(df, n_buckets=16, dim=4).collect()
+    }
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for did, txt in ((1, "alpha beta alpha"), (2, "gamma")):
+        counts = {}
+        for t in txt.split():
+            b = h60(t) % 16
+            counts[b] = counts.get(b, 0) + 1
+        comps = []
+        for d in range(4):
+            c = sum(n * (1 - 2 * (h60(f"{d}:{b}") % 2)) for b, n in counts.items())
+            comps.append(c)
+        nrm = math.sqrt(sum(c * c for c in comps))
+        for d, c in enumerate(comps):
+            want = round(c / nrm, 6) if nrm > 0 else 0.0
+            assert got[(did, d)] == want, (did, d)
+    # unit norm (within rounding)
+    n1 = sum(v * v for (d, _), v in got.items() if d == 1)
+    assert abs(n1 - 1.0) < 1e-4
+    with pytest.raises(ValueError):
+        hash_embedding(df, dim=0)
