@@ -498,12 +498,14 @@ def embedding_duplicate_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    block_col: str = "label",
+    block_col: str | None = "label",
     threshold: float = 0.99,
     n_cells: int = 16,
     index=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates, EXACT, via metric ball pruning.
+    ``block_col=None`` mines the WHOLE corpus (no blocking predicate) —
+    candidate generation is then the ball pruning alone.
 
     On unit-normalized vectors, cosine(a,b) ≥ t ⟺ ‖â−b̂‖ ≤ ε where
     ε = sqrt(2−2t). Vectors are assigned to ``n_cells`` cells
@@ -534,9 +536,14 @@ def embedding_duplicate_pairs(
     from orientdb_spark.pipeline.common import vec_norm
     from orientdb_spark.pipeline.similarity import _assign_udf, seed_centers
 
+    block_expr = (
+        F.col(block_col) if block_col is not None else F.lit(0).alias("__blk0")
+    )
+    if block_col is None:
+        block_col = "__blk0"
     g = (
         df.select(
-            F.col(block_col),
+            block_expr,
             F.col(id_col).alias("__id"),
             F.col(vec_col).cast("array<double>").alias("__v"),
         )

@@ -164,6 +164,13 @@ class IvfIndex:
     cached cell-partitioned corpus directly. At 100 TB this is the
     difference between an index and a per-query table scan — the build is
     one pass, every query after touches ~nprobe/n_cells of the corpus.
+
+    Parameter guidance (measured, BENCH.md sf1 ANN study): on an
+    unstructured (isotropic) corpus recall tracks nprobe/n_cells almost
+    linearly (cells=16/nprobe=8 -> 0.77 recall@10 over 20k vectors;
+    cells=64/nprobe=16 -> 0.62 at 2.3x the speed) — pick the ratio to
+    match the recall floor you need; clustered real-model embeddings
+    sit far above these floors at the same settings.
     """
 
     def __init__(self, centroids: DataFrame, corpus_cells: DataFrame, id_col: str):

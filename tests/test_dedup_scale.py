@@ -190,3 +190,32 @@ def test_embedding_pairs_random_property_vs_bruteforce(spark):
             .collect()
         )
         assert got == ref, (thr, cells, len(got), len(ref))
+
+
+def test_embedding_pairs_unblocked(spark):
+    """block_col=None mines the whole corpus: cross-label pairs appear
+    that label blocking would hide; result equals unblocked brute
+    force."""
+    import math
+
+    def v(angle):
+        return [math.cos(angle), math.sin(angle), 0.0]
+
+    df = spark.createDataFrame(
+        [(0, "x", v(0.0)), (1, "y", v(0.005)), (2, "x", v(1.2))],
+        ["vec_id", "label", "embedding"],
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_duplicate_pairs(
+            df, block_col=None, threshold=0.99, n_cells=2
+        ).collect()
+    }
+    assert got == {(0, 1)}  # cross-label pair found
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_duplicate_pairs(
+            df, threshold=0.99, n_cells=2
+        ).collect()
+    }
+    assert blocked == set()  # same pair hidden by label blocking
