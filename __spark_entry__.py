@@ -1064,8 +1064,10 @@ def _graph_effective_diameter(spark, sf_dir):
 
 def _graph_min_spanning_forest(spark, sf_dir):
     """Distributed Borůvka MSF (graph.minimum_spanning_forest) over a
-    part-supplier subgraph (l_partkey % 20 — bounds the oracle's
-    sequential simulation) weighted by minimum shipped quantity. The
+    part-supplier subgraph (l_partkey % 20 and l_suppkey % 3 — bounds
+    the oracle's sequential simulation to ~900 edges / ~13 s at sf0.01,
+    inside any reasonable driver budget) weighted by minimum shipped
+    quantity. The
     (w, a, b) total order makes the forest unique, so the oracle can
     replay sequential Kruskal as a recursive CTE — one edge per
     iteration, carrying the component labeling as the working table —
@@ -1076,7 +1078,7 @@ def _graph_min_spanning_forest(spark, sf_dir):
     li = (
         _engine(spark, sf_dir)
         .table("lineitem")
-        .filter(F.col("l_partkey") % 20 == 0)
+        .filter((F.col("l_partkey") % 20 == 0) & (F.col("l_suppkey") % 3 == 0))
     )
     ed = li.select(
         F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias("src"),
@@ -5375,7 +5377,7 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "    SELECT least('part:'||l_partkey::VARCHAR, 'supp:'||l_suppkey::VARCHAR) AS a, "
             "greatest('part:'||l_partkey::VARCHAR, 'supp:'||l_suppkey::VARCHAR) AS b, "
             "min(l_quantity::DOUBLE) AS w "
-            "    FROM lineitem WHERE l_partkey % 20 = 0 GROUP BY 1, 2)), "
+            "    FROM lineitem WHERE l_partkey % 20 = 0 AND l_suppkey % 3 = 0 GROUP BY 1, 2)), "
             "v AS (SELECT DISTINCT unnest([a, b]) AS vid FROM e), "
             "k AS ("
             "  SELECT 0 AS s, vid, vid AS comp FROM v "
