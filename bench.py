@@ -99,8 +99,12 @@ def main() -> None:
             # (three recorded phantoms: r4 x2, r5 containstext) — let
             # them sample past max_repeat (up to 15) while the budget
             # lasts: cheap, and min-of-N then actually strips the noise
+            # the noisy-query sample floor must hold even when the user
+            # pins SPARK_GRAFT_BENCH_(MAX_)REPEAT below it — fold it
+            # into the loop bound rather than only the budget clause
+            cap = max(max_repeat, min_n)
             while (
-                n < max_repeat or (best is not None and best < 1.0 and n < 15)
+                n < cap or (best is not None and best < 1.0 and n < 15)
             ) and (n < min_n or spent < budget):
                 t0 = time.perf_counter()
                 _force(fn(spark, sf_dir))

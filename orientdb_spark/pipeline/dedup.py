@@ -502,6 +502,7 @@ def embedding_duplicate_pairs(
     threshold: float = 0.99,
     n_cells: int = 16,
     index=None,
+    max_cell_occupancy: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates, EXACT, via metric ball pruning.
     ``block_col=None`` mines the WHOLE corpus (no blocking predicate) —
@@ -530,7 +531,17 @@ def embedding_duplicate_pairs(
     unit-normalized here and its cached cell assignments reused; pruning
     stays exact because radii are always re-measured from actual members
     against whatever centers are in play — assignment quality only
-    affects pruning efficiency, never correctness."""
+    affects pruning efficiency, never correctness.
+
+    ``max_cell_occupancy``: occupancy guard for the verification stage —
+    cells holding more members than this are hash-split into subcells
+    before the grouped verify, so a degenerate corpus that collapses
+    into ONE cell still fans out across ~(N/cap)² independent
+    applyInPandas groups instead of serializing into a single task
+    (the giant-cell analog of the minhash bucket cap at
+    minhash_bucket_sizes). The split is exact: sub-pair groups
+    partition the within-/cross-cell pair sets, and each pair's dot is
+    computed identically wherever it lands."""
     import math as _math
 
     from orientdb_spark.pipeline.common import vec_norm
@@ -626,17 +637,57 @@ def embedding_duplicate_pairs(
         members.join(F.broadcast(centroids), "cid")
         .select("cid", cdist.alias("__d"))
         .groupBy("cid")
-        .agg(F.max("__d").alias("radius"))
+        .agg(F.max("__d").alias("radius"), F.count(F.lit(1)).alias("cnt"))
     )
-    # n_cells rows to the driver: centers + radii → candidate cell pairs
-    rad_rows = {r["cid"]: r["radius"] for r in radii.collect()}
+    # n_cells rows to the driver: centers + radii + occupancy → candidate
+    # cell pairs and the per-cell split factors for the occupancy guard
+    rr = radii.collect()
+    rad_rows = {r["cid"]: r["radius"] for r in rr}
+    occupancy = {r["cid"]: r["cnt"] for r in rr}
     eps = _math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
     cand_cells = candidate_cell_pairs(cent_rows, rad_rows, eps)
-    return _verify_cell_pairs_grouped(members, cand_cells, block_col, threshold)
+    return _verify_cell_pairs_grouped(
+        members, cand_cells, block_col, threshold,
+        occupancy=occupancy, max_cell_occupancy=max_cell_occupancy,
+    )
+
+
+def _expand_candidate_sides(cand_cells, k_of_cid) -> list[tuple]:
+    """Expand the undirected candidate cell pairs into per-subcell
+    verification groups: rows (cid, sub, pid, side). ``k_of_cid`` maps a
+    cell to its occupancy-split factor (1 = no split). A self-pair
+    (i, i) with k subcells yields k 's' groups (strict-upper-triangle
+    within one subcell) + k·(k−1)/2 'a'/'b' cross groups — together a
+    disjoint exact cover of the within-cell pair set; cross-cell pairs
+    expand to the k_i × k_j subcell cross product."""
+    und = sorted({(min(i, j), max(i, j)) for (i, j) in cand_cells})
+    sides: list[tuple] = []
+    pid = 0
+    for (i, j) in und:
+        if i == j:
+            for a in range(k_of_cid(i)):
+                sides.append((i, a, pid, "s"))
+                pid += 1
+                for b in range(a + 1, k_of_cid(i)):
+                    sides.append((i, a, pid, "a"))
+                    sides.append((i, b, pid, "b"))
+                    pid += 1
+        else:
+            for a in range(k_of_cid(i)):
+                for b in range(k_of_cid(j)):
+                    sides.append((i, a, pid, "a"))
+                    sides.append((j, b, pid, "b"))
+                    pid += 1
+    return sides
 
 
 def _verify_cell_pairs_grouped(
-    members: DataFrame, cand_cells, block_col: str, threshold: float
+    members: DataFrame,
+    cand_cells,
+    block_col: str,
+    threshold: float,
+    occupancy: dict | None = None,
+    max_cell_occupancy: int = 4096,
 ) -> DataFrame:
     """Verification stage of ``embedding_duplicate_pairs``: compute the
     exact cosines for every member pair inside a candidate cell pair
@@ -670,21 +721,33 @@ def _verify_cell_pairs_grouped(
     degenerate all-candidate matrix the groups stay small and numerous
     (cells × blocks), so parallelism survives exactly when pruning
     fails. Pair blocks are tiled to ≤4M entries to bound task memory.
+
+    Occupancy guard: when ``occupancy`` says a cell holds more than
+    ``max_cell_occupancy`` members, that cell is split into
+    ceil(cnt/cap) hash-subcells (xxhash64 of the member id — stable
+    across runs) and every candidate pair touching it expands into the
+    cross product of subcell pairs: a self-pair (i,i) with k subcells
+    becomes k 's' groups (a,a) plus k·(k−1)/2 'a'/'b' groups (a<b),
+    each covering a disjoint slice of the within-cell pair set, so the
+    union is exactly the original pair set with no duplicates. This
+    bounds the largest applyInPandas group by ~cap even when the whole
+    corpus collapses into one cell — the case the (cells × blocks)
+    argument above says nothing about.
     """
     import numpy as np
     import pandas as pd
 
     spark = members.sparkSession
-    # undirected candidate list with a stable pair id; (i, i) self-pairs
-    # get a single 's' side, (i, j) i<j get 'a'/'b' sides
-    und = sorted({(min(i, j), max(i, j)) for (i, j) in cand_cells})
-    sides = []
-    for pid, (i, j) in enumerate(und):
-        if i == j:
-            sides.append((i, pid, "s"))
-        else:
-            sides.append((i, pid, "a"))
-            sides.append((j, pid, "b"))
+    occupancy = occupancy or {}
+    nsub = {
+        cid: max(1, -(-cnt // max_cell_occupancy))
+        for cid, cnt in occupancy.items()
+    }
+
+    def _k(cid) -> int:
+        return nsub.get(cid, 1)
+
+    sides = _expand_candidate_sides(cand_cells, _k)
     id_field = members.schema["__id"].dataType.simpleString()
     out_schema = (
         f"id_a {id_field}, id_b {id_field}, __dot double, "
@@ -697,9 +760,20 @@ def _verify_cell_pairs_grouped(
             F.lit(0.0).alias("cosine"),
         )
         return empty
-    cp_sides = spark.createDataFrame(sides, ["cid", "__pid", "__side"])
-    expl = members.join(F.broadcast(cp_sides), "cid").select(
-        "__pid", "__side", F.col(block_col).alias("__blk"), "__id", "__v", "__n"
+    cp_sides = spark.createDataFrame(sides, ["cid", "__sub", "__pid", "__side"])
+    nsub_df = spark.createDataFrame(
+        [(cid, k) for cid, k in nsub.items()] or [(-1, 1)], ["cid", "__nsub"]
+    )
+    expl = (
+        members.join(F.broadcast(nsub_df), "cid", "left")
+        .withColumn(
+            "__sub",
+            F.pmod(F.xxhash64(F.col("__id")), F.coalesce(F.col("__nsub"), F.lit(1))),
+        )
+        .join(F.broadcast(cp_sides), ["cid", "__sub"])
+        .select(
+            "__pid", "__side", F.col(block_col).alias("__blk"), "__id", "__v", "__n"
+        )
     )
     margin = threshold - 1e-6
     tile = 4_000_000
@@ -735,6 +809,12 @@ def _verify_cell_pairs_grouped(
                     jj_ids = ids_b
                 for x, y in zip(ii, jj):
                     ia, ib = ids_a[lo + x], jj_ids[y]
+                    if ia == ib:
+                        # duplicate-id corpora: the former row-join path
+                        # filtered strictly id_a < id_b, so an equal-id
+                        # pair (two distinct rows sharing one id) was
+                        # never emitted — preserve that contract here
+                        continue
                     if ia < ib:
                         out_a.append(ia)
                         out_b.append(ib)

@@ -20,11 +20,114 @@ rows-only check, and tests measure recall against brute force instead.
 
 from __future__ import annotations
 
+import math
+import warnings
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from orientdb_spark.pipeline.common import cosine_similarity, h60, vec_norm
+
+# Query-side fan-out cap for DERIVED multi-probe widths: beyond this,
+# probing more buckets of one table is worse than adding tables (the
+# candidate set grows the same either way, but tables decay the miss
+# probability exponentially while probes only decay it linearly).
+_MAX_DERIVED_NPROBE = 64
+# 2^planes must stay well inside a signed long and the per-row signature
+# cost is linear in planes — nothing real needs more than 2^24 buckets
+# per table before sharding the corpus first.
+_MAX_DERIVED_PLANES = 24
+
+
+def derive_lsh_params(
+    n_corpus: int,
+    tables: int = 1,
+    target_recall: float = 0.6,
+    target_bucket_size: int = 2048,
+) -> tuple[int, int]:
+    """Scale-aware (planes, nprobe) for random-hyperplane LSH.
+
+    The sf1 isotropic study (BENCH.md) measured that recall on an
+    UNSTRUCTURED corpus tracks the probed fraction of the keyspace
+    almost linearly — so the two derivations are:
+
+    - ``planes = ceil(log2(N / target_bucket_size))``: keep buckets
+      populated (~target_bucket_size members) as N grows. The old fixed
+      planes=8 left ~80 members/bucket at N=20k and recall@10 collapsed
+      to 0.05; planes=4 (the value this formula picks there) measured
+      0.54 at defaults and clears 0.6 once nprobe is coupled below.
+    - ``nprobe = ceil(2^planes * f)`` where ``f = 1-(1-target)^(1/T)``
+      is the per-table probed fraction that reaches ``target_recall``
+      when a neighbor is found if it collides in ANY of the T tables.
+
+    Both are worst-case (isotropic) sizings: clustered real-model
+    embeddings sit far above the target at the same settings. The
+    derived nprobe is capped at ``_MAX_DERIVED_NPROBE`` — when the cap
+    binds, the caller sees the under-recall warning and should raise
+    ``tables`` (exponential lever) rather than probe half the keyspace.
+    """
+    if n_corpus < 1 or tables < 1:
+        raise ValueError(f"need n_corpus >= 1 and tables >= 1, got {n_corpus}, {tables}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
+    planes = max(
+        1,
+        min(_MAX_DERIVED_PLANES, math.ceil(math.log2(max(1.0, n_corpus / target_bucket_size)))),
+    )
+    frac = 1.0 - (1.0 - target_recall) ** (1.0 / tables)
+    nprobe = max(1, min(2 ** planes, _MAX_DERIVED_NPROBE, math.ceil(2 ** planes * frac)))
+    return planes, nprobe
+
+
+def estimated_lsh_recall(planes: int, nprobe: int, tables: int) -> float:
+    """Isotropic worst-case recall estimate: per-table probed fraction
+    nprobe/2^planes, miss decays exponentially in tables. A LOWER BOUND
+    in practice — clustered corpora and the lowest-margin multi-probe
+    schedule both beat random bucket choice."""
+    frac = min(1.0, nprobe / float(2 ** planes))
+    return 1.0 - (1.0 - frac) ** tables
+
+
+def derive_ivf_params(
+    n_corpus: int, target_recall: float = 0.6
+) -> tuple[int, int]:
+    """Scale-aware (n_cells, nprobe) for the IVF index.
+
+    ``n_cells ~ sqrt(N)`` (the classic IVF balance: cell scan cost ~N/C
+    vs centroid probe cost ~C, clamped to [16, 4096] — above 4096 the
+    centroid table stops being driver-trivial and a second quantizer
+    level is the right answer, not more cells). ``nprobe`` then covers
+    target_recall/1.5 of the cells: the sf1 isotropic study measured
+    IVF recall at 1.5-2.5x the probed fraction (nearest-cell probing
+    beats the linear LSH model: cells=16/nprobe=8 -> 0.77, cells=64/
+    nprobe=16 -> 0.62), and 1.5 is the conservative end."""
+    if n_corpus < 1:
+        raise ValueError(f"need n_corpus >= 1, got {n_corpus}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
+    n_cells = max(16, min(4096, math.ceil(math.sqrt(n_corpus))))
+    nprobe = max(1, min(n_cells, math.ceil(n_cells * target_recall / 1.5)))
+    return n_cells, nprobe
+
+
+def estimated_ivf_recall(n_cells: int, nprobe: int) -> float:
+    """Isotropic worst-case recall estimate for IVF: 1.5x the probed
+    cell fraction (the conservative end of the measured 1.5-2.5x
+    nearest-cell advantage — see derive_ivf_params)."""
+    return min(1.0, 1.5 * nprobe / float(max(1, n_cells)))
+
+
+def _warn_under_recall(method: str, est: float, target: float, hint: str) -> None:
+    warnings.warn(
+        f"{method}: estimated worst-case (isotropic-corpus) recall "
+        f"{est:.2f} is below the {target:.2f} target — on unstructured "
+        f"embeddings the results will be near-random. {hint} (Clustered "
+        "real-model corpora typically sit well above the estimate; the "
+        "estimate is the no-structure floor.)",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def brute_force_topk(
@@ -173,24 +276,44 @@ class IvfIndex:
     sit far above these floors at the same settings.
     """
 
-    def __init__(self, centroids: DataFrame, corpus_cells: DataFrame, id_col: str):
+    def __init__(
+        self,
+        centroids: DataFrame,
+        corpus_cells: DataFrame,
+        id_col: str,
+        n_cells: int | None = None,
+    ):
         self.centroids = centroids
         self.corpus_cells = corpus_cells  # (neighbor_id, __cv, cid), persisted
         self.id_col = id_col
+        self._n_cells = n_cells
+
+    @property
+    def n_cells(self) -> int:
+        if self._n_cells is None:
+            self._n_cells = self.centroids.count()
+        return self._n_cells
 
     @classmethod
     def build(
         cls,
         df: DataFrame,
-        n_cells: int = 16,
+        n_cells: int | None = None,
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         refine_iters: int = 1,
         persist: bool = True,
+        target_recall: float = 0.6,
     ) -> "IvfIndex":
         """``persist=True`` (the query-many path) materializes the
         cell-assigned corpus so later ``topk`` calls run zero build jobs;
-        ``persist=False`` keeps it lazy for one-shot use."""
+        ``persist=False`` keeps it lazy for one-shot use.
+
+        ``n_cells=None`` derives ~sqrt(N) cells from one count() of the
+        corpus (derive_ivf_params) — the scale-aware default; explicit
+        values are honored verbatim."""
+        if n_cells is None:
+            n_cells, _ = derive_ivf_params(max(1, df.count()), target_recall)
         centroids, assignments = build_ivf_index(df, n_cells, vec_col, id_col, refine_iters)
         corpus = df.select(
             F.col(id_col).alias("neighbor_id"),
@@ -198,10 +321,25 @@ class IvfIndex:
         ).join(assignments.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
         if persist:
             corpus = corpus.localCheckpoint(eager=True)  # cut lineage; cache cells
-        return cls(centroids, corpus, id_col)
+        return cls(centroids, corpus, id_col, n_cells=n_cells)
 
-    def topk(self, queries: DataFrame, k: int = 5, nprobe: int = 4,
-             vec_col: str = "embedding") -> DataFrame:
+    def topk(self, queries: DataFrame, k: int = 5, nprobe: int | None = None,
+             vec_col: str = "embedding", target_recall: float = 0.6) -> DataFrame:
+        """``nprobe=None`` derives the probe width that clears
+        ``target_recall`` on an isotropic corpus (derive_ivf_params);
+        any setting whose worst-case recall estimate falls below the
+        target raises a loud RuntimeWarning."""
+        if nprobe is None:
+            nprobe = max(
+                1, min(self.n_cells, math.ceil(self.n_cells * target_recall / 1.5))
+            )
+        est = estimated_ivf_recall(self.n_cells, nprobe)
+        if est < target_recall:
+            _warn_under_recall(
+                "ivf_topk", est, target_recall,
+                f"Raise nprobe (now {nprobe} of {self.n_cells} cells) or "
+                "rebuild with fewer cells.",
+            )
         q = queries.select(
             F.col(self.id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("__qv"),
@@ -263,20 +401,29 @@ def ivf_topk(
     df: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
-    nprobe: int = 4,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     index: IvfIndex | None = None,
+    target_recall: float = 0.6,
 ) -> DataFrame:
     """Approximate top-k through the IVF index: each query probes its
     ``nprobe`` closest cells; exact cosine rerank within those cells.
     Same output shape as brute_force_topk. Pass a prebuilt ``index``
     (IvfIndex.build) to skip the per-call build — the build-once/query-many
-    path every repeated-query workload should use."""
+    path every repeated-query workload should use.
+
+    ``n_cells=None``/``nprobe=None`` derive scale-aware values
+    (~sqrt(N) cells, probe width sized to ``target_recall`` on an
+    isotropic corpus — derive_ivf_params); under-recall settings warn
+    loudly instead of silently returning near-random neighbors."""
     if index is None:
-        index = IvfIndex.build(df, n_cells, vec_col, id_col, persist=False)
-    return index.topk(queries, k=k, nprobe=nprobe, vec_col=vec_col)
+        index = IvfIndex.build(
+            df, n_cells, vec_col, id_col, persist=False, target_recall=target_recall
+        )
+    return index.topk(queries, k=k, nprobe=nprobe, vec_col=vec_col,
+                      target_recall=target_recall)
 
 
 def _hyperplane(dim: int, plane: int, table: int = 0) -> list[float]:
@@ -363,9 +510,10 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
-    planes: int = 8,
-    nprobe: int = 1,
+    planes: int | None = None,
+    nprobe: int | None = None,
     tables: int = 1,
+    target_recall: float = 0.6,
 ) -> DataFrame:
     """Approximate top-k: candidates share one of the query's ``nprobe``
     probed LSH buckets (own bucket + lowest-margin bit flips — multi-probe
@@ -389,7 +537,41 @@ def lsh_topk(
     vectors leaves ~80 per bucket and recall@10 collapsed to 0.05 at
     defaults; planes=4 recovered 0.54 at 3x brute-force speed). Real
     embedding corpora are clustered and sit far above these floors at
-    the same settings."""
+    the same settings.
+
+    ``planes``/``nprobe`` default to None = DERIVED from the corpus size
+    (``derive_lsh_params``: planes keeps ~2048 members/bucket, nprobe
+    covers the probed fraction that reaches ``target_recall`` on an
+    isotropic corpus) — the r7 study showed the old fixed defaults
+    (planes=8, nprobe=2) give near-random neighbors at N=20k with no
+    warning; the reference auto-picks index access paths rather than
+    making users tune them (core:sql/OCommandExecutorSQLSelect.java:
+    372-429). The sizing needs one count() of ``df`` — pass planes AND
+    nprobe explicitly to skip it. Explicit settings are honored
+    verbatim, but ANY setting whose worst-case recall estimate falls
+    below ``target_recall`` raises a loud RuntimeWarning instead of
+    silently under-recalling."""
+    if planes is None or nprobe is None:
+        d_planes, _ = derive_lsh_params(
+            max(1, df.count()), tables=tables, target_recall=target_recall
+        )
+        if planes is None:
+            planes = d_planes
+        if nprobe is None:
+            # an explicit planes changes the keyspace the derived nprobe
+            # must cover — size the fraction against the planes in play
+            frac = 1.0 - (1.0 - target_recall) ** (1.0 / tables)
+            nprobe = max(
+                1, min(2 ** planes, _MAX_DERIVED_NPROBE, math.ceil(2 ** planes * frac))
+            )
+    est = estimated_lsh_recall(planes, nprobe, tables)
+    if est < target_recall:
+        _warn_under_recall(
+            "lsh_topk", est, target_recall,
+            f"Raise tables (now {tables}; miss decays exponentially) or "
+            f"nprobe (now {nprobe} of 2^{planes} buckets per table), or "
+            "lower planes.",
+        )
     # one flat bucket keyspace across tables: key = (table << planes) | bucket
     c_buckets = F.array(
         *[

@@ -181,10 +181,12 @@ def generate(sf: float, out_dir: str) -> None:
     for i in range(0, n_docs, 500):
         if i + 1 < n_docs:
             texts[i + 1] = texts[i]
-    for i in range(7, n_docs, 100):
+    # start at 57 so targets (i-7 ≡ 50 mod 100) never hit the 500-stride
+    # exact-dup sources (≡0 mod 500) or copies (≡1 mod 500) planted above
+    for i in range(57, n_docs, 100):
         w = texts[i].split()
         w[rng.integers(0, len(w))] = vocab[rng.integers(0, len(vocab))]
-        texts[i - 7 if i >= 7 else 0] = " ".join(w)
+        texts[i - 7] = " ".join(w)
     _write(
         out_dir,
         "documents",
