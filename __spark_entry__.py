@@ -548,14 +548,18 @@ def _graph_kcore(spark, sf_dir):
 
 
 def _hll_distinct_merge(spark, sf_dir):
-    """Mergeable-sketch distinct counts (scale.mergeable_distinct):
-    per-flag HLL sketches + a sketch-union TOTAL row. Rows-only by
-    design (HLL estimates); the error-bound + merge-equals-direct gate
-    lives in tests/test_scale.py."""
-    from orientdb_spark.scale import mergeable_distinct
+    """Mergeable-sketch distinct counts, ORACLE-GATED (r8 upgrade from
+    rows-only): scale.mergeable_distinct_audit emits per-flag exact
+    distincts plus ``hll_within_bound`` = |HLL − exact| ≤ 3σ·1.04/√2^lgk
+    (the analytic HLL error bound), with the TOTAL row still produced by
+    unioning the per-group sketch bytes — the oracle's TRUE literals
+    make a hash match PROVE the estimates sat inside the envelope.
+    The raw-estimate form (mergeable_distinct) keeps its
+    merge-equals-direct gate in tests/test_scale.py."""
+    from orientdb_spark.scale import mergeable_distinct_audit
 
     li = _engine(spark, sf_dir).table("lineitem")
-    return mergeable_distinct(li, "l_partkey", ["l_returnflag"])
+    return mergeable_distinct_audit(li, "l_partkey", ["l_returnflag"])
 
 
 def _salted_skew_aggregate(spark, sf_dir):
@@ -1051,15 +1055,45 @@ def _graph_walk_skipgrams(spark, sf_dir):
 
 
 def _graph_effective_diameter(spark, sf_dir):
-    """HyperBall neighborhood function (graph.neighborhood_function)
-    over the TPC-H hierarchy graph: N(t) growth per round via HLL ball
-    sketches (one exchange per round, O(2^lgk) state per vertex) —
-    the effective-diameter estimator that never materializes a
-    closure. Rows-only by design (HLL estimates; exactness below the
-    sparse threshold + a 2% closure gate are pytest-pinned)."""
-    from orientdb_spark.graph import tpch_graph
+    """HyperBall neighborhood function (graph.neighborhood_function),
+    ORACLE-GATED (r8 upgrade from rows-only): N(t) per round via HLL
+    ball sketches — one exchange per round, O(2^lgk) state per vertex,
+    never materializing a closure. The fixture restricts to the
+    region→nation→customer(custkey%20) hierarchy so every ball stays
+    below the DataSketches sparse-mode threshold, where HLL estimates
+    are EXACT integers under the fixed hash seed — the oracle replays
+    the exact BFS neighborhood function as a recursive CTE and the
+    hashes must agree bit-for-bit. converge_tol=0 disables the
+    early-stop so both engines enumerate the same t range. Full-graph
+    scale behavior (sketch-bounded state at any ball size) keeps its
+    2%-closure pytest gate."""
+    from orientdb_spark.graph import Graph
 
-    return tpch_graph(_engine(spark, sf_dir)).neighborhood_function(max_t=8)
+    eng = _engine(spark, sf_dir)
+    cu = eng.table("customer").filter(F.col("c_custkey") % 20 == 0)
+    na = eng.table("nation")
+    ed = na.select(
+        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias("src"),
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("dst"),
+    ).unionAll(
+        cu.select(
+            F.concat(F.lit("nation:"), F.col("c_nationkey").cast("string")),
+            F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")),
+        )
+    )
+    verts = (
+        eng.table("region").select(
+            F.concat(F.lit("region:"), F.col("r_regionkey").cast("string")).alias("vid")
+        )
+        .unionAll(na.select(F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string"))))
+        .unionAll(cu.select(F.concat(F.lit("customer:"), F.col("c_custkey").cast("string"))))
+    )
+    nf = Graph(verts, ed).neighborhood_function(max_t=6, converge_tol=0.0)
+    return nf.select(
+        "t",
+        F.col("reachable_pairs").cast("long").alias("reachable_pairs"),
+        F.round("avg_ball_size", 6).alias("avg_ball_size"),
+    )
 
 
 def _graph_min_spanning_forest(spark, sf_dir):
@@ -4275,6 +4309,43 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM nation WHERE n_regionkey IS NOT NULL AND "
             "n_regionkey NOT IN (SELECT r_regionkey FROM region WHERE r_regionkey IS NOT NULL))::BIGINT "
             "FROM nation"
+        ),
+        "hll_distinct_merge": (
+            # agreement-gate shape: the Spark side emits hll_within_bound
+            # = |HLL estimate - exact| <= 3sigma analytic envelope; TRUE
+            # literals here mean a hash match PROVES the sketches held
+            "SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS exact_distinct, "
+            "TRUE AS hll_within_bound FROM lineitem GROUP BY l_returnflag "
+            "UNION ALL SELECT '__total__', count(DISTINCT l_partkey)::BIGINT, TRUE "
+            "FROM lineitem"
+        ),
+        "graph_effective_diameter": (
+            # exact BFS neighborhood function on the bounded hierarchy
+            # subgraph: walks of length <= 6 (UNION-deduped), min step
+            # count per (src, dst) = distance, N(t) = pairs within <= t.
+            # The Spark side's HLL balls are sparse-mode-exact there, so
+            # the two curves must agree bit-for-bit.
+            "WITH RECURSIVE "
+            "verts AS (SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS vid FROM region "
+            "UNION ALL SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) FROM nation "
+            "UNION ALL SELECT 'customer:' || CAST(c_custkey AS VARCHAR) FROM customer "
+            "WHERE c_custkey % 20 = 0), "
+            "ed AS (SELECT 'region:' || CAST(n_regionkey AS VARCHAR) AS a, "
+            "'nation:' || CAST(n_nationkey AS VARCHAR) AS b FROM nation "
+            "UNION ALL SELECT 'nation:' || CAST(c_nationkey AS VARCHAR), "
+            "'customer:' || CAST(c_custkey AS VARCHAR) FROM customer "
+            "WHERE c_custkey % 20 = 0), "
+            "adj AS (SELECT a AS vid, b AS nbr FROM ed UNION ALL SELECT b, a FROM ed), "
+            "walks(src, dst, t) AS (SELECT vid, vid, 0 FROM verts "
+            "UNION SELECT w.src, a.nbr, w.t + 1 FROM walks w "
+            "JOIN adj a ON w.dst = a.vid WHERE w.t < 6), "
+            "dist AS (SELECT src, dst, min(t) AS d FROM walks GROUP BY src, dst), "
+            "n0 AS (SELECT count(*) AS n FROM verts) "
+            "SELECT t.range::INT AS t, "
+            "(SELECT count(*) FROM dist WHERE d <= t.range)::BIGINT AS reachable_pairs, "
+            "round((SELECT count(*) FROM dist WHERE d <= t.range) / "
+            "(SELECT n::DOUBLE FROM n0), 6) AS avg_ball_size "
+            "FROM range(0, 7) t ORDER BY t"
         ),
         "salted_skew_aggregate": (
             "SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, "

@@ -55,19 +55,91 @@ def _pillow():
         return None
 
 
+def _png_to_gray(payload: bytes) -> "np.ndarray":
+    """Minimal stdlib PNG decoder (zlib + struct, per the public PNG
+    spec / RFC 2083): 8-bit grayscale, non-interlaced images only — the
+    codec-less fallback that keeps the real-decode stage runnable in
+    containers without Pillow. All five scanline filters (None/Sub/Up/
+    Average/Paeth) are implemented; anything outside the supported
+    subset raises NotImplementedError with the install hint."""
+    import struct
+    import zlib
+
+    data = bytes(payload)
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError(
+            "stdlib fallback decodes PNG only; install Pillow for other formats"
+        )
+    ihdr, idat = None, b""
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("malformed PNG: missing IHDR")
+    w, h, bit, color, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
+    if (bit, color, comp, filt, inter) != (8, 0, 0, 0, 0):
+        raise NotImplementedError(
+            "stdlib fallback decodes 8-bit grayscale non-interlaced PNG "
+            f"only (got bit={bit} color={color} interlace={inter}); "
+            "install Pillow for full codec support"
+        )
+    raw = zlib.decompress(idat)
+    stride = w + 1
+    if len(raw) != h * stride:
+        raise ValueError("malformed PNG: wrong decompressed length")
+    out = np.zeros((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.int32)
+    for r in range(h):
+        ft = raw[r * stride]
+        line = np.frombuffer(
+            raw[r * stride + 1:(r + 1) * stride], dtype=np.uint8
+        ).astype(np.int32)
+        if ft == 0:  # None
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) % 256
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth: left-recurrence
+            cur = np.zeros(w, dtype=np.int32)
+            a = 0
+            for c in range(w):
+                b = int(prev[c])
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    cc = int(prev[c - 1]) if c else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                a = (int(line[c]) + pred) % 256
+                cur[c] = a
+        else:
+            raise ValueError(f"malformed PNG: unknown filter type {ft}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
 def decode_image(payload: bytes) -> "object":
-    """Real image decode behind the optional Pillow dependency: returns
-    a ``(height, width)`` uint8 grayscale ndarray when Pillow is
-    importable; raises NotImplementedError otherwise (this container
-    ships no codecs — use ``fake_decode_features`` / ``resize_images``
-    for pipeline testing, which exercise the same Spark plumbing on a
-    deterministic fake)."""
+    """Real image decode: Pillow when importable (any format, converted
+    to grayscale); otherwise the stdlib PNG fallback (``_png_to_gray``,
+    8-bit grayscale non-interlaced PNG — enough to keep the real-codec
+    stage testable in codec-less containers). Returns a
+    ``(height, width)`` uint8 grayscale ndarray; unsupported payloads
+    without Pillow raise NotImplementedError."""
     Image = _pillow()
     if Image is None:
-        raise NotImplementedError(
-            "image decode requires codec libraries not present in this "
-            "container; use fake_decode_features for pipeline testing"
-        )
+        return _png_to_gray(payload)
     import io
 
     with Image.open(io.BytesIO(bytes(payload))) as im:
@@ -79,16 +151,12 @@ def decode_image_features(
 ) -> DataFrame:
     """Real-codec decode stage (Arrow-batched mapInPandas, same schema
     as ``fake_decode_features``): per image, the 16-bucket pixel-value
-    histogram of the grayscale decode. Requires Pillow — raises
-    NotImplementedError at plan-build time when absent, so callers fail
-    fast instead of inside executors. The fake path remains the oracle;
-    this stage proves the real-codec plumbing slots into the identical
+    histogram of the grayscale decode. Uses Pillow when present; falls
+    back to the stdlib grayscale-PNG decoder otherwise (payloads the
+    fallback can't parse raise NotImplementedError in the executor with
+    the install hint). The fake path remains the oracle; this stage
+    proves the real-codec plumbing slots into the identical
     (id, n_bytes, histogram) contract."""
-    if _pillow() is None:
-        raise NotImplementedError(
-            "decode_image_features requires Pillow; "
-            "use fake_decode_features in codec-less environments"
-        )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -162,6 +162,46 @@ def mergeable_distinct(
     return per_rows.unionByName(total)
 
 
+def mergeable_distinct_audit(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    lgk: int = 12,
+    sigma: float = 3.0,
+    total_label: str = "__total__",
+) -> DataFrame:
+    """Error-bound audit of ``mergeable_distinct``: per group (plus the
+    sketch-UNION total row) emit the EXACT distinct count alongside a
+    boolean ``hll_within_bound`` = |HLL estimate − exact| ≤ sigma ·
+    (1.04/√2^lgk) · exact — the analytic HLL relative-standard-error
+    bound (Flajolet et al.; ~1.6% at lgk=12, so ~4.9% at 3σ).
+
+    This is the agreement-gate-in-SQL shape: an ANSI oracle computes the
+    same exact counts with ``TRUE`` literals, so a value-hash match
+    PROVES the sketch estimates sat inside the analytic envelope — the
+    engine-specific register values never need to cross engines. The
+    total row still comes from unioning the per-group sketch bytes (not
+    a rescan), so the mergeability contract is what's being audited."""
+    per = df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lgk)).alias("__sk"),
+        F.count_distinct(F.col(col)).alias("exact_distinct"),
+    )
+    bound = sigma * 1.04 / float(2 ** (lgk / 2.0))
+    within = (
+        F.abs(F.hll_sketch_estimate("__sk") - F.col("exact_distinct"))
+        <= F.col("exact_distinct") * F.lit(bound)
+    ).alias("hll_within_bound")
+    per_rows = per.select(*group_cols, "exact_distinct", within)
+    merged = per.agg(F.hll_union_agg("__sk").alias("__sk"))
+    exact_total = df.agg(F.count_distinct(F.col(col)).alias("exact_distinct"))
+    total_row = merged.crossJoin(exact_total).select(
+        *[F.lit(total_label).alias(c) for c in group_cols],
+        "exact_distinct",
+        within,
+    )
+    return per_rows.unionByName(total_row)
+
+
 # all 64 single-bit long masks as signed-64 literals (1<<63 wraps
 # negative): F.shiftleft only takes a static shift amount, so runtime
 # bit selection is an element_at into this array instead

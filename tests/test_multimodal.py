@@ -49,22 +49,93 @@ def _tiny_png(w=4, h=4):
     )
 
 
-_HAS_PILLOW = multimodal._pillow() is not None
+def test_stdlib_png_decoder_supported_subset():
+    """The codec-less fallback must reject what it can't parse with the
+    install hint (unconditional — tests the fallback directly, so it
+    runs whether or not Pillow is importable)."""
+    with pytest.raises(NotImplementedError, match="PNG only"):
+        multimodal._png_to_gray(b"JUNKJUNKJUNK")  # not a PNG
+    with pytest.raises(ValueError, match="IHDR"):
+        multimodal._png_to_gray(b"\x89PNG\r\n\x1a\n")  # truncated
+    # interlaced / non-grayscale headers are out of the supported subset
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    rgb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        multimodal._png_to_gray(rgb)
 
 
-@pytest.mark.skipif(_HAS_PILLOW, reason="Pillow present: stub path not taken")
-def test_decode_image_is_stub_without_pillow():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_features(None)  # fails fast, pre-plan
+def test_stdlib_png_decoder_all_filters():
+    """Each PNG scanline filter (None/Sub/Up/Average/Paeth) round-trips:
+    encode a known pixel grid with one filter per row, decode, compare."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.arange(5 * 4, dtype=np.uint8).reshape(5, 4) * 7 % 256
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = b""
+    prev = [0] * 4
+    for r, ft in enumerate([0, 1, 2, 3, 4]):
+        row = [int(v) for v in px[r]]
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            enc = [(v - (row[c - 1] if c else 0)) % 256 for c, v in enumerate(row)]
+        elif ft == 2:
+            enc = [(v - prev[c]) % 256 for c, v in enumerate(row)]
+        elif ft == 3:
+            enc = [
+                (v - ((row[c - 1] if c else 0) + prev[c]) // 2) % 256
+                for c, v in enumerate(row)
+            ]
+        else:
+            enc = [
+                (v - paeth(row[c - 1] if c else 0, prev[c],
+                           prev[c - 1] if c else 0)) % 256
+                for c, v in enumerate(row)
+            ]
+        raw += bytes([ft]) + bytes(enc)
+        prev = row
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = multimodal._png_to_gray(png)
+    assert (out == px).all()
 
 
-@pytest.mark.skipif(not _HAS_PILLOW, reason="needs Pillow")
 def test_decode_image_real_png_matches_fake_schema(spark):
-    """Real-codec path: decode the 4x4 PNG fixture, run the real
-    feature stage, and pin its schema to the fake path's (identical
-    (id, n_bytes, histogram) contract)."""
+    """Real-codec path (Pillow when present, stdlib PNG fallback when
+    not — identical pixels either way): decode the 4x4 PNG fixture, run
+    the real feature stage, and pin its schema to the fake path's
+    (identical (id, n_bytes, histogram) contract)."""
     import numpy as np
 
     px = multimodal.decode_image(_tiny_png())
