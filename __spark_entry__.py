@@ -2986,77 +2986,79 @@ def _native_fluent_query(spark, sf_dir):
 
 # The driver's CORRECTNESS record caps at the FIRST 50 keys of queries()
 # in insertion order. Rotation history: r1-r3 recorded the core-SQL
-# front; r5 the back half (windows/DML/graph/events/dedup/ANN/text/
-# multimodal); r6 re-recorded the core-SQL surface plus the first batch
-# of never-recorded entries — all 50/50 green. Round 7 policy (per the
-# r6 verdict): keep a 10-row core-SQL canary spanning the scan/filter/
-# link/traverse/aggregate/sort compiler paths, then fill all 40
-# remaining slots with FIRST-EVER driver records — 30 from the
-# never-recorded oracle backlog (sessions 2-3 operators) and the 10
-# entries new this round (three former rows-only entries that gained
-# exact oracles: CUSUM via a recursive-CTE replay of the per-key
-# recurrence, MSF via sequential-Kruskal replay, pHash via SQL
-# re-derivation of the integer byte arithmetic — plus the seven
-# effect-queries that observe the non-SQL §2 surfaces through literal
-# aftermath tables). Every slot is oracle-bearing. Rows rotating out
-# keep their standing r3/r5/r6 records plus per-run mirror-harness
-# coverage (tests/test_entry.py re-compares all oracle entries each
-# run). The remaining ~37 never-recorded entries are the r8 queue
-# (listed in NOTES_r7.md).
+# front; r5 the back half; r6 the core-SQL surface + first
+# never-recorded batch; r7 a 10-row canary + 40 first-evers (all 50/50
+# green each round). Round 8 policy (per the r7 verdict): this is the
+# CLOSING rotation — 5 core-SQL canaries + ALL 45 remaining
+# never-recorded entries (42 oracle-bearing, including the two upgraded
+# this round: hll_distinct_merge via the analytic-envelope audit and
+# graph_effective_diameter via the exact-BFS recursive-CTE oracle; 3
+# rows-only by design: embedding_kmeans / embedding_pca — FP-order-
+# sensitive centroid means, agreement-gated in pytest — and
+# text_bpe_merges — sequential-reference-gated). After this round every
+# one of the 208 registry entries has a driver signature at least once;
+# `tools/check_entries.py --never-recorded` asserts the set difference
+# is empty. Rows rotating out keep their standing records plus per-run
+# mirror-harness coverage (tests/test_entry.py re-compares all oracle
+# entries each run).
 _DRIVER_FRONT = [
-    # core-SQL canary (all previously recorded, refreshed r6)
+    # core-SQL canary (previously recorded r6+r7, refreshed every round)
     "scan_class",
     "filter_projection",
-    "compound_predicates",
-    "contains_condition",
     "link_nav_2hop",
     "traverse_reachability",
     "tpch_q1_pricing",
-    "tpch_q3_shipping",
-    "group_having_order",
-    "order_multikey_topk",
-    # first-ever: new this round (oracle-ified + effect queries)
-    "event_cusum_changepoints",
-    "graph_min_spanning_forest",
-    "multimodal_phash_dedup",
-    "ddl_remove_property_effect",
-    "ddl_remove_index_effect",
-    "security_grant_effect",
-    "dictionary_named_roots",
-    "async_query_abort_effect",
-    "custom_operator_where",
-    "native_fluent_query",
-    # first-ever: never-recorded oracle backlog (sessions 2-3)
-    "graph_cc_incremental",
-    "graph_sssp",
-    "graph_label_propagation",
-    "graph_pagerank_personalized",
-    "graph_clustering_coeff",
-    "graph_topological_levels",
-    "graph_random_walks",
-    "bloom_prefilter_join",
-    "cms_event_type_counts",
-    "scale_quantile_sketch",
-    "scale_skew_report",
-    "event_gap_fill",
-    "event_scd2",
-    "event_rolling_avg",
-    "event_time_weighted_avg",
-    "event_interval_overlap",
-    "event_anomaly_zscore",
-    "event_m4_downsample",
-    "event_silence_audit",
-    "event_seasonal_baseline",
-    "event_hierarchical_rollup",
-    "quality_expectations",
-    "quality_fd_check",
-    "quality_table_digest",
-    "profile_quantile_bins",
-    "dedup_simhash_hamming",
-    "text_duplicate_spans",
-    "pipeline_entity_resolution",
-    "pipeline_incremental_dedup",
-    "pipeline_rag_prep",
+    # first-ever: graph analytics tail
+    "graph_kcore",
+    "graph_neighbor_features",
+    "graph_walk_skipgrams",
+    "graph_link_prediction",
+    "graph_effective_diameter",
+    # first-ever: sketches / scale utilities
+    "hll_distinct_merge",
+    "cms_join_size_estimate",
+    # first-ever: event analytics
+    "event_interarrival_stats",
+    "event_funnel_rates",
+    "event_json_props",
+    "event_transitions",
+    "event_pivot",
+    "event_trend",
+    "event_sequence_mining",
+    "docs_cube_rollup",
+    # first-ever: profiling / quality
+    "profile_correlations",
+    "profile_iqr_outliers",
+    "profile_entropy",
+    "profile_winsorize",
+    "profile_json_keys",
+    "profile_k_anonymity",
+    "profile_stat_drift",
+    "profile_value_histogram",
+    # first-ever: storage / sampling
+    "storage_merge_upsert",
+    "storage_snapshot_diff",
+    "sample_stratified_split",
+    "sample_negatives",
+    "sample_weighted",
+    # first-ever: text / embeddings featurizers
+    "text_vocab_growth",
+    "text_vocabulary",
+    "text_feature_hashing",
+    "text_hash_embedding",
+    "text_chunk_documents",
+    "text_cooccurrence",
+    "text_edit_distance_join",
+    "text_unicode_normalize",
+    "text_bpe_merges",
+    "mining_frequent_pairs",
+    "embedding_random_projection",
+    "embedding_nearest_centroid",
+    "embedding_label_centroids",
+    "embedding_kmeans",
+    "embedding_pca",
+    "fulltext_phrase_search",
+    "pipeline_multimodal_end_to_end",
 ]
 
 

@@ -2,6 +2,12 @@
 at an arbitrary SF dir — the driver-gate sweep, runnable standalone:
 
     python tools/check_entries.py [sf_dir] [name ...]
+    python tools/check_entries.py --never-recorded
+
+``--never-recorded`` prints the registry entries that have NO driver
+signature in any committed CORRECTNESS_r*.json (the cumulative union)
+and exits 1 if any exist — the CI assertion that every entry has been
+driver-recorded at least once (empty output = fully covered).
 """
 
 from __future__ import annotations
@@ -10,6 +16,18 @@ import math
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+
+def never_recorded() -> list[str]:
+    import glob
+    import json
+
+    import __spark_entry__ as entrymod
+
+    recorded: set[str] = set()
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        recorded |= set(json.load(open(path)))
+    return [n for n in entrymod.queries() if n not in recorded]
 
 
 def _norm(v):
@@ -37,6 +55,11 @@ def main():
     from orientdb_spark import get_spark
 
     args = sys.argv[1:]
+    if "--never-recorded" in args:
+        missing = never_recorded()
+        for n in missing:
+            print(n)
+        sys.exit(1 if missing else 0)
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     names = [a for a in args if "/" not in a]
     queries = entrymod.queries()

@@ -1,0 +1,177 @@
+"""Commit-able above-driver-scale evidence (r7 verdict item: make the
+sf1 claims re-runnable from JSON, not prose).
+
+    python tools/gen_sf.py 1.0 /tmp/sf1          # inputs (deterministic)
+    python tools/sf_artifacts.py /tmp/sf1 sf1    # -> CORRECTNESS_sf1.json
+                                                 #    + BENCH_sf1.json
+
+CORRECTNESS_sf1.json mirrors the driver's shape (per-entry rows_match /
+schema_match / hash_match / spark_rows / oracle_rows / err) over a fixed
+representative entry list whose DuckDB oracles stay tractable at sf1
+(sequential-replay oracles like CUSUM/Kruskal and the sparse-exactness
+HyperBall fixture are excluded by design — their regimes are sf<=0.01
+constructions). BENCH_sf1.json is bench.py's own output plus a
+provenance block naming the generator and its scale factor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# Entries spanning every subsystem whose oracle SQL scales to sf1:
+# TPC-H aggregates/joins, windows, temporal/event ops, quality
+# contracts, profiling, text featurizers (pure-Column), sampling,
+# dedup (exact + blocked near-dup), sketch audits, storage.
+SF1_ENTRIES = [
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "group_having_order",
+    "order_multikey_topk",
+    "window_rank_topn",
+    "link_nav_2hop",
+    "quality_fd_check",
+    "quality_expectations",
+    "quality_table_digest",
+    "event_gap_fill",
+    "event_rolling_avg",
+    "event_time_weighted_avg",
+    "event_interval_overlap",
+    "event_funnel_rates",
+    "profile_quantile_bins",
+    "profile_entropy",
+    "text_quality_score",
+    "text_token_budget",
+    "text_feature_hashing",
+    "text_hash_embedding",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "hll_distinct_merge",
+    "sample_weighted",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    return v
+
+
+def compare_entry(spark, con, queries, oracles, name, sf_dir):
+    rec = {
+        "rows_match": False,
+        "schema_match": False,
+        "hash_match": False,
+        "spark_rows": None,
+        "oracle_rows": None,
+        "err": None,
+    }
+    try:
+        df = queries[name](spark, sf_dir)
+        cols = sorted(df.columns)
+        srows = sorted(
+            (tuple(_norm(r[c]) for c in cols) for r in df.collect()), key=repr
+        )
+        res = con.execute(oracles[name])
+        ocols = [d[0] for d in res.description]
+        idx = [ocols.index(c) for c in cols] if sorted(ocols) == cols else None
+        orows = (
+            sorted(
+                (tuple(_norm(row[i]) for i in idx) for row in res.fetchall()),
+                key=repr,
+            )
+            if idx is not None
+            else []
+        )
+        rec["spark_rows"], rec["oracle_rows"] = len(srows), len(orows)
+        rec["schema_match"] = idx is not None
+        rec["rows_match"] = rec["schema_match"] and len(srows) == len(orows)
+
+        def h(rows):
+            m = hashlib.md5()
+            for r in rows:
+                m.update(repr(r).encode())
+            return m.hexdigest()
+
+        def close(a, b):
+            return len(a) == len(b) and all(
+                math.isclose(x, y, rel_tol=1e-6, abs_tol=1e-6)
+                if isinstance(x, float) and isinstance(y, float)
+                else str(x) == str(y)
+                for x, y in zip(a, b)
+            )
+
+        rec["hash_match"] = rec["rows_match"] and (
+            h(srows) == h(orows) or all(close(s, o) for s, o in zip(srows, orows))
+        )
+    except Exception as e:  # noqa: BLE001 — record-and-continue sweep
+        rec["err"] = f"{type(e).__name__}: {e}"[:300]
+    return rec
+
+
+def main():
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from orientdb_spark import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    suffix = sys.argv[2] if len(sys.argv) > 2 else "sf1"
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    missing = [n for n in SF1_ENTRIES if n not in queries or n not in oracles]
+    assert not missing, f"unknown or oracle-less entries: {missing}"
+
+    spark = get_spark(app_name="sf_artifacts")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    out = {}
+    for name in SF1_ENTRIES:
+        out[name] = compare_entry(spark, con, queries, oracles, name, sf_dir)
+        status = "OK" if out[name]["hash_match"] else f"FAIL {out[name]['err']}"
+        print(f"{name}: {status} ({out[name]['spark_rows']} rows)", flush=True)
+    ok = sum(1 for r in out.values() if r["hash_match"])
+    corr = {
+        "__provenance__": {
+            "sf_dir": sf_dir,
+            "generator": "tools/gen_sf.py (deterministic seeds 4201-4209)",
+            "entries": len(SF1_ENTRIES),
+            "hash_green": ok,
+        },
+        **out,
+    }
+    with open(f"/root/repo/CORRECTNESS_{suffix}.json", "w") as f:
+        json.dump(corr, f, indent=2)
+    print(f"correctness: {ok}/{len(SF1_ENTRIES)} -> CORRECTNESS_{suffix}.json")
+    spark.stop()
+
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    bench_out = subprocess.run(
+        [sys.executable, "/root/repo/bench.py"],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd="/root/repo",
+    ).stdout.strip().splitlines()[-1]
+    bench = json.loads(bench_out)
+    bench["provenance"] = corr["__provenance__"] | {"bench_sf_dir": sf_dir}
+    with open(f"/root/repo/BENCH_{suffix}.json", "w") as f:
+        json.dump(bench, f, indent=2)
+    print(f"bench total {bench.get('value')} s -> BENCH_{suffix}.json")
+
+
+if __name__ == "__main__":
+    main()
