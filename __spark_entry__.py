@@ -1886,17 +1886,18 @@ def _sim_lsh(spark, sf_dir):
     from orientdb_spark.pipeline import similarity
 
     embs = _embs(spark, sf_dir)
-    # planes sized for the fixture corpus (~2^planes·30 vectors); nprobe=5
-    # multi-probes the 4 lowest-margin bit flips, and 6 independent salted
+    # planes sized for the fixture corpus (~2^planes·30 vectors); nprobe=6
+    # multi-probes the 5 lowest-margin bit flips, and 6 independent salted
     # tables union their candidates (miss probability decays exponentially
     # in tables). Measured recall vs brute force: 0.32 (1 table, sf0.01)
     # → 0.74 (4 tables) → 0.88 (6 tables, nprobe=4); 0.80 at sf0.001.
-    # nprobe raised 4→5 in r8 so the isotropic worst-case estimate
-    # (1−(1−5/32)^6 = 0.64) clears the 0.6 derivation gate without a
-    # warning. Gate: recall >= 0.65 in tests/test_entry.py — tight
+    # nprobe raised 4→6 in r8 so the isotropic worst-case estimate
+    # (1−(1−6/32)^6 = 0.71) clears the 0.6 derivation gate without a
+    # warning, and probes now include 2-bit perturbations (Lv et al.
+    # ordering). Gate: recall >= 0.65 in tests/test_entry.py — tight
     # enough that a silent recall regression can't hide under it.
     return similarity.lsh_topk(
-        embs, embs.filter(F.col("vec_id") < 10), k=5, planes=5, nprobe=5, tables=6
+        embs, embs.filter(F.col("vec_id") < 10), k=5, planes=5, nprobe=6, tables=6
     )
 
 
@@ -1909,6 +1910,37 @@ def _sim_ivf(spark, sf_dir):
     # exercises the derived path end-to-end, the path a defaults-calling
     # user actually hits
     return similarity.ivf_topk(embs, embs.filter(F.col("vec_id") < 10), k=5)
+
+
+def _embedding_pq_encode(spark, sf_dir):
+    """Product-quantization encode (quantize.pq_fit/pq_encode; Jégou et
+    al. TPAMI'11): 64 doubles collapse to 8 codes of 16 — the 32x
+    storage cut that makes a 100 TB embedding corpus ADC-scannable.
+    refine_iters=0 keeps the quantizer fully derivable from the shared
+    md5-h60 arithmetic, so the oracle re-derives the seed centroids
+    (smallest (h60, id) corpus vectors), slices them per subspace, and
+    replays the argmin assignment — codes match exactly. The Lloyd-
+    refined path is distortion-gated in tests/test_quantize.py."""
+    from orientdb_spark.pipeline.quantize import pq_encode, pq_fit
+
+    embs = _embs(spark, sf_dir)
+    books = pq_fit(embs, m=8, k=16, refine_iters=0)
+    return pq_encode(embs, books).select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    )
+
+
+def _sim_topk_pq(spark, sf_dir):
+    """Asymmetric-distance top-k over PQ codes (quantize.pq_topk): each
+    query precomputes an m x n_codes lookup table; the corpus scan reads
+    CODES only (m ints/row, never the vectors) and scores via a pure
+    Column zip_with/element_at fold. Approximate by construction →
+    rows-only; cluster-precision and planted-twin gates live in
+    tests/test_quantize.py."""
+    from orientdb_spark.pipeline.quantize import pq_topk
+
+    embs = _embs(spark, sf_dir)
+    return pq_topk(embs, embs.filter(F.col("vec_id") < 10), k=5, m=8, n_codes=16)
 
 
 def _text_langid(spark, sf_dir):
@@ -2022,12 +2054,13 @@ def _pipeline_quality_gate(spark, sf_dir):
         & (F.col("dup_ngram_frac") <= 0.3)
         & (F.col("nll") <= F.col("__p90"))
     )
-    # component values pass through at their native 6 dp. Known edge:
-    # a raw score can sit within one ulp of a 6-dp rounding midpoint,
-    # where Spark's exact-decimal HALF_UP and DuckDB's scaled-double
-    # round() disagree in the last digit (observed on 1 of 5000 docs at
-    # sf0.1; zero at the driver-gate SFs — re-rounding coarser makes it
-    # WORSE because 6-dp values often land exactly on 4-dp midpoints).
+    # component values pass through at their native 6 dp. The former
+    # known edge (a composite score within one ulp of a 6-dp rounding
+    # midpoint, where Spark's exact-decimal HALF_UP and DuckDB's
+    # shortest-decimal round() disagree in the last digit — 1 of 5000
+    # docs at sf0.1, 5 of 50k at sf1) is CLOSED in r8: quality_score and
+    # its oracle both add 1e-12 before rounding, pushing both engines to
+    # the same side of the boundary (re-verified green at sf0.01/0.1/1).
     return joined.select(
         "doc_id",
         "predicted_lang",
@@ -3340,6 +3373,8 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_embedding_cosine": _dedup_embedding,
         "embedding_quantize": _embedding_quantize,
         "embedding_random_projection": _embedding_random_projection,
+        "embedding_pq_encode": _embedding_pq_encode,
+        "sim_topk_pq": _sim_topk_pq,
         "embedding_nearest_centroid": _embedding_nearest_centroid,
         "embedding_kmeans": _embedding_kmeans,
         "embedding_pca": _embedding_pca,
@@ -3639,7 +3674,7 @@ SELECT doc_id, n_tokens::INTEGER AS n_tokens, round(mwl, 6) AS mean_word_len,
   round(least(n_tokens::DOUBLE / 100.0, 1.0) * 0.4
       + (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0)) * 0.3
       + least(sr * 5.0, 1.0) * 0.2
-      + (1.0 - least(pr * 10.0, 1.0)) * 0.1, 6) AS quality
+      + (1.0 - least(pr * 10.0, 1.0)) * 0.1 + 1e-12, 6) AS quality
 FROM m
 """
 
@@ -4979,6 +5014,34 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "round(max(err), 9) AS max_abs_err FROM e GROUP BY vec_id"
         ),
         "embedding_random_projection": _rp_oracle_sql(),
+        "embedding_pq_encode": (
+            # re-derives the refine_iters=0 PQ quantizer: seeds = the 16
+            # corpus vectors with smallest (h60, id), sliced into 8
+            # subspaces; code = argmin over the 6-dp-rounded squared L2
+            # (dimension-ascending fold both engines share), ties to the
+            # lower centroid index
+            "WITH seeds AS (SELECT row_number() OVER (ORDER BY "
+            + _dk_h60("CAST(vec_id AS VARCHAR)")
+            + ", vec_id) - 1 AS cid, "
+            "list_transform(embedding, x -> x::DOUBLE) AS v "
+            "FROM embeddings ORDER BY "
+            + _dk_h60("CAST(vec_id AS VARCHAR)")
+            + ", vec_id LIMIT 16), "
+            "subs AS (SELECT range AS s FROM range(0, 8)), "
+            "cent AS (SELECT s, cid, v[(s*8+1)::BIGINT:(s*8+8)::BIGINT] AS c "
+            "FROM seeds, subs), "
+            "vsub AS (SELECT vec_id, s, "
+            "list_transform(embedding, x -> x::DOUBLE)"
+            "[(s*8+1)::BIGINT:(s*8+8)::BIGINT] AS xs FROM embeddings, subs), "
+            "dist AS (SELECT vec_id, s, cid, round(list_sum(list_transform("
+            "range(1, 9), i -> (xs[i::INTEGER] - c[i::INTEGER]) * "
+            "(xs[i::INTEGER] - c[i::INTEGER]))), 6) AS d6 "
+            "FROM vsub JOIN cent USING (s)), "
+            "best AS (SELECT vec_id, s, cid, row_number() OVER ("
+            "PARTITION BY vec_id, s ORDER BY d6, cid) AS rk FROM dist) "
+            "SELECT vec_id, s::INTEGER AS sub, cid::INTEGER AS code "
+            "FROM best WHERE rk = 1"
+        ),
         "embedding_nearest_centroid": (
             "WITH ex AS (SELECT label, u.pos AS pos, u.x AS x FROM ("
             "SELECT label, unnest(list_transform(range(1, len(embedding) + 1), "

@@ -30,6 +30,14 @@ _CHECKPOINT_EVERY = 5
 # job waves; the first probe materializes the whole warmup pipeline in
 # one job.
 _CC_WARMUP = 3
+# cache large-star output per alternation (see _large_star) — module
+# flag so the checkpoint-cadence A/B (BENCH.md r8) stays re-runnable.
+# Default OFF after measurement: one checkpoint per alternation
+# (small-star) keeps lineage flat, and skipping the intermediate cache
+# lets small-star's windows consume large-star's exchange in one
+# pipelined stage — interleaved A/B min-of-4: sf0.1 4.74 s vs 4.99 s,
+# sf1 7.2 s vs 7.96 s (~5-10% off the round time).
+_CHECKPOINT_LARGE_STAR = False
 
 
 class Graph:
@@ -216,16 +224,20 @@ class Graph:
 
         nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         nb = nbrs.withColumn("__mn", F.min("v").over(Window.partitionBy("u")))
-        return (
+        out = (
             nb.filter(F.col("v") > F.col("u"))
             .select(
                 F.col("v").alias("u"), F.least(F.col("__mn"), F.col("u")).alias("v")
             )
             .filter(F.col("u") != F.col("v"))
-            # lazy checkpoint: truncates lineage when small-star's round
-            # materializes — no extra job of its own
-            .localCheckpoint(eager=False)
         )
+        if _CHECKPOINT_LARGE_STAR:
+            # optional lazy cache of the intermediate star — measured
+            # SLOWER than letting small-star pipeline straight over this
+            # exchange (r8 cadence A/B, see the module flag); small-star's
+            # own per-alternation checkpoint already keeps lineage flat
+            out = out.localCheckpoint(eager=False)
+        return out
 
     @staticmethod
     def _small_star(e: DataFrame) -> DataFrame:

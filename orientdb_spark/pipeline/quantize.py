@@ -18,9 +18,18 @@ codes and reconstruction errors exactly.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["scalar_quantize", "pca_fit", "pca_project"]
+__all__ = [
+    "scalar_quantize",
+    "pca_fit",
+    "pca_project",
+    "pq_fit",
+    "pq_encode",
+    "pq_topk",
+]
 
 
 def scalar_quantize(
@@ -121,6 +130,199 @@ def sign_random_projection(
         signs = [float(_rp_sign(seed, i, j)) for i in range(in_dim)]
         cols.append(dot_product(vec, F.lit(signs)) * F.lit(scale))
     return df.select(F.col(id_col), F.array(*cols).alias("proj"))
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    refine_iters: int = 1,
+) -> list:
+    """Product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+    vector into ``m`` subvectors and learn ``k`` centroids per subspace.
+    Returns ``codebooks[m][k][d/m]`` (driver-side — m·k·d/m doubles, the
+    same bounded-collect discipline as the IVF centroid pull).
+
+    Seeds are the ``k`` corpus vectors with the smallest
+    ``(h60(id), id)`` — deterministic, no RNG state, and SQL-replicable
+    (the md5 arithmetic every oracle shares) — sliced per subspace, so
+    ``refine_iters=0`` gives a fully cross-engine-derivable quantizer.
+    Each Lloyd step is ONE pq_encode pass (narrow Arrow batches, zero
+    shuffle) plus ONE (sub, code, pos) mean groupBy whose output is
+    m·k·(d/m)-bounded — nothing corpus-sized ever reaches the driver.
+    Empty cells keep their previous centroid (classic PQ behavior)."""
+    import numpy as np
+
+    from orientdb_spark.pipeline.common import h60
+
+    if m < 1 or k < 1 or refine_iters < 0:
+        raise ValueError(f"need m >= 1, k >= 1, refine_iters >= 0, got {m}, {k}, {refine_iters}")
+    corpus = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    probe = corpus.select(F.size("__v").alias("d")).first()
+    if probe is None:
+        raise ValueError("cannot fit PQ on an empty corpus")
+    d = probe["d"]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    seed_rows = (
+        corpus.withColumn("__h", h60(F.col("__id").cast("string")))
+        .orderBy("__h", "__id")
+        .limit(k)
+        .select("__v")
+        .collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"corpus smaller than k={k}")
+    seeds = np.asarray([r["__v"] for r in seed_rows], dtype=np.float64)
+    books = [seeds[:, s * dsub:(s + 1) * dsub].copy() for s in range(m)]
+    for _ in range(refine_iters):
+        enc = pq_encode(corpus, books, vec_col="__v", id_col="__id")
+        sub = (F.col("pos") / dsub).cast("int")
+        rows = (
+            enc.join(corpus, "__id")
+            .select("codes", F.posexplode("__v").alias("pos", "x"))
+            .select(
+                sub.alias("s"),
+                F.element_at("codes", (sub + F.lit(1)).cast("int")).alias("c"),
+                (F.col("pos") % dsub).alias("p"),
+                "x",
+            )
+            .groupBy("s", "c", "p")
+            .agg(F.avg("x").alias("mavg"))
+            .collect()  # m*k*dsub-bounded
+        )
+        for r in rows:
+            books[r["s"]][r["c"]][r["p"]] = r["mavg"]
+    return [b.tolist() for b in books]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector to its per-subspace nearest-centroid codes.
+    Returns ``(id, codes array<int>)`` — d doubles collapse to m small
+    ints, the 8-32x storage cut that makes a 100 TB embedding corpus
+    scannable. One narrow Arrow stage (per batch: m small matmul-shaped
+    distance folds), zero shuffles.
+
+    FP discipline for the SQL oracle: per-subspace squared L2 distances
+    accumulate DIMENSION-MAJOR in ascending order (the same sequential
+    fold the DuckDB oracle's list arithmetic runs), are rounded to 6 dp
+    (the cosine-oracle convention absorbing last-ulp divergence), and
+    ties resolve to the LOWER code in both engines."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        if X.size == 0:
+            return pd.Series([], dtype=object)
+        out = np.zeros((X.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            Xs = X[:, s * dsub:(s + 1) * dsub]
+            C = books[s]
+            acc = np.zeros((X.shape[0], C.shape[0]))
+            for dd in range(dsub):  # dimension-major: SQL-fold-identical
+                diff = Xs[:, dd][:, None] - C[:, dd][None, :]
+                acc += diff * diff
+            out[:, s] = np.argmin(np.round(acc, 6), axis=1)  # ties → lower code
+        return pd.Series([row.tolist() for row in out])
+
+    return df.select(
+        F.col(id_col), enc(F.col(vec_col).cast("array<double>")).alias("codes")
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list | None = None,
+    refine_iters: int = 1,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over
+    PQ codes: each query precomputes an m×n_codes lookup table of
+    subspace dot products against the codebooks; a corpus CODE scan then
+    scores every item as the sum of m table lookups — never touching the
+    original vectors. Same output shape as brute_force_topk
+    (query_id, neighbor_id, score, rank), score = approximate dot
+    product (== approximate cosine on unit-normalized corpora, which the
+    test corpus is). Approximate by construction → rows-only in the
+    driver; recall/planted-pair gates live in tests/test_quantize.py.
+
+    Scale shape: the LUT column is m·n_codes doubles per QUERY (tiny,
+    broadcast); the corpus side scans codes only (m ints/row instead of
+    d doubles — the point of PQ), scoring is a pure Column
+    zip_with/element_at fold (JVM-side, no Python in the corpus scan),
+    and ranking is the same per-query window as every other topk here."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    if codebooks is None:
+        codebooks = pq_fit(df, m, n_codes, vec_col, id_col, refine_iters)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+    corpus_codes = pq_encode(df, codebooks, vec_col, id_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+
+    @pandas_udf("array<array<double>>")
+    def lut(vs: pd.Series) -> pd.Series:
+        out = []
+        for v in vs:
+            x = np.asarray(v, dtype=np.float64)
+            out.append(
+                [(books[s] @ x[s * dsub:(s + 1) * dsub]).tolist() for s in range(m)]
+            )
+        return pd.Series(out)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        lut(F.col(vec_col).cast("array<double>")).alias("__lut"),
+    )
+    approx = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("__lut"),
+            lambda c, t: F.element_at(t, (c + F.lit(1)).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(corpus_codes)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(approx, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
 
 
 def pca_fit(

@@ -56,7 +56,7 @@ def derive_lsh_params(
       populated (~target_bucket_size members) as N grows. The old fixed
       planes=8 left ~80 members/bucket at N=20k and recall@10 collapsed
       to 0.05; planes=4 (the value this formula picks there) measured
-      0.54 at defaults and clears 0.6 once nprobe is coupled below.
+      0.855 recall@10 with the coupled nprobe below (sf1 r8 study).
     - ``nprobe = ceil(2^planes * f)`` where ``f = 1-(1-target)^(1/T)``
       is the per-table probed fraction that reaches ``target_recall``
       when a neighbor is found if it collides in ANY of the T tables.
@@ -76,16 +76,28 @@ def derive_lsh_params(
         min(_MAX_DERIVED_PLANES, math.ceil(math.log2(max(1.0, n_corpus / target_bucket_size)))),
     )
     frac = 1.0 - (1.0 - target_recall) ** (1.0 / tables)
-    nprobe = max(1, min(2 ** planes, _MAX_DERIVED_NPROBE, math.ceil(2 ** planes * frac)))
+    nprobe = max(
+        1,
+        min(
+            2 ** planes,
+            _MAX_DERIVED_NPROBE,
+            max_probe_buckets(planes),  # 1- and 2-bit flips reach this many
+            math.ceil(2 ** planes * min(1.0, frac)),
+        ),
+    )
     return planes, nprobe
 
 
 def estimated_lsh_recall(planes: int, nprobe: int, tables: int) -> float:
     """Isotropic worst-case recall estimate: per-table probed fraction
-    nprobe/2^planes, miss decays exponentially in tables. A LOWER BOUND
-    in practice — clustered corpora and the lowest-margin multi-probe
-    schedule both beat random bucket choice."""
-    frac = min(1.0, nprobe / float(2 ** planes))
+    effective_probes/2^planes (clamped to what 1- and 2-bit flips can
+    reach), miss decays exponentially in tables. A TRUE LOWER BOUND:
+    cost-ordered probing captures at least the probability mass of the
+    same number of random buckets (measured at sf1, 20k isotropic
+    vectors: estimate 0.625 for planes=4/nprobe=10, measured 0.855 —
+    the probes LSH skips are the most distant buckets)."""
+    probes = min(nprobe, max_probe_buckets(planes), 2 ** planes)
+    frac = min(1.0, probes / float(2 ** planes))
     return 1.0 - (1.0 - frac) ** tables
 
 
@@ -462,17 +474,28 @@ def lsh_bucket_col(vec: Column, dim: int, planes: int, table: int = 0) -> Column
     return bucket
 
 
+def max_probe_buckets(planes: int) -> int:
+    """Buckets reachable by the probe enumeration below: the vector's
+    own bucket + every single- and double-bit perturbation."""
+    return 1 + planes + planes * (planes - 1) // 2
+
+
 def lsh_probe_buckets(
     vec: Column, dim: int, planes: int, nprobe: int, table: int = 0
 ) -> Column:
     """Multi-probe bucket list for a query vector (Lv et al., "Multi-Probe
-    LSH", VLDB'07): the vector's own bucket plus the ``nprobe - 1`` buckets
-    reached by flipping the sign bits with the smallest margin |v·plane|
-    — the planes the vector sits closest to, i.e. where a true neighbor
-    most likely landed on the other side. Pure Column (array_sort over
-    (margin, plane) structs), deterministic, computed per query row with
-    no shuffle; the corpus side still stores exactly one bucket per row,
-    so the index itself doesn't grow — only the query fan-out does."""
+    LSH", VLDB'07): the vector's own bucket plus the ``nprobe - 1``
+    lowest-cost perturbations, where a perturbation flips one or two sign
+    bits and costs the sum of the flipped margins |v·plane| — the planes
+    the vector sits closest to, i.e. where a true neighbor most likely
+    landed on the other side. Single+double flips reach
+    ``max_probe_buckets(planes)`` buckets (the r7 single-flip scheme
+    capped probing at planes+1 buckets, which silently floored recall at
+    small planes — found by the r8 derived-defaults study). Pure Column
+    (array_sort over (cost, mask) structs), deterministic, computed per
+    query row with no shuffle; the corpus side still stores exactly one
+    bucket per row, so the index itself doesn't grow — only the query
+    fan-out does."""
     v = vec.cast("array<double>")
     dots = []
     for p in range(planes):
@@ -489,16 +512,22 @@ def lsh_probe_buckets(
         base = base + F.when(dot > 0, F.lit(2 ** p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
+    # perturbation candidates: (cost, xor-mask) for every 1- and 2-bit
+    # flip — planes + C(planes, 2) structs, sorted per row by cost with
+    # the mask as the deterministic tiebreak
+    cands = [(F.abs(dots[i]), 1 << i) for i in range(planes)]
+    for i in range(planes):
+        for j in range(i + 1, planes):
+            cands.append((F.abs(dots[i]) + F.abs(dots[j]), (1 << i) | (1 << j)))
     ranked = F.array_sort(
         F.array(*[
-            F.struct(F.abs(dot).alias("m"), F.lit(p).alias("p"))
-            for p, dot in enumerate(dots)
+            F.struct(cost.alias("m"), F.lit(mask).cast("long").alias("k"))
+            for cost, mask in cands
         ])
     )
-    pow2 = F.array(*[F.lit(2 ** p).cast("long") for p in range(planes)])
     flips = F.transform(
         F.slice(ranked, 1, max(nprobe - 1, 0)),
-        lambda s: base.bitwiseXOR(F.element_at(pow2, s["p"] + 1)),
+        lambda s: base.bitwiseXOR(s["k"]),
     )
     return F.concat(F.array(base), flips)
 
@@ -562,7 +591,9 @@ def lsh_topk(
             # must cover — size the fraction against the planes in play
             frac = 1.0 - (1.0 - target_recall) ** (1.0 / tables)
             nprobe = max(
-                1, min(2 ** planes, _MAX_DERIVED_NPROBE, math.ceil(2 ** planes * frac))
+                1,
+                min(2 ** planes, _MAX_DERIVED_NPROBE, max_probe_buckets(planes),
+                    math.ceil(2 ** planes * min(1.0, frac))),
             )
     est = estimated_lsh_recall(planes, nprobe, tables)
     if est < target_recall:

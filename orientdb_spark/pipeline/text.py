@@ -288,7 +288,13 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.round(mean_wl, 6).alias("mean_word_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(score, 6).alias("quality"),
+        # +1e-12 before rounding: the weighted composite can land within
+        # an ulp of a .5e-6 boundary (observed at sf1: 0.66256249999...),
+        # where Spark's BigDecimal HALF_UP and DuckDB's shortest-decimal
+        # round disagree by one last digit. The nudge pushes both engines
+        # to the same side of the boundary (the oracle applies the same
+        # +1e-12); the exact-dyadic ratio columns don't need it.
+        F.round(score + F.lit(1e-12), 6).alias("quality"),
     )
 
 

@@ -28,7 +28,8 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def test_derive_lsh_params_pins():
     # the sf1 study corpus: N=20k → planes=4 (the measured-good value),
-    # nprobe covers 0.6 of the 16-bucket keyspace
+    # nprobe covers 0.6 of the 16-bucket keyspace (measured 0.855
+    # recall@10 at these derived values — BENCH.md r8 study)
     assert similarity.derive_lsh_params(20_000) == (4, 10)
     # multi-table: per-table fraction shrinks as 1-(1-t)^(1/T)
     planes, nprobe = similarity.derive_lsh_params(20_000, tables=6)
@@ -41,6 +42,9 @@ def test_derive_lsh_params_pins():
     planes, nprobe = similarity.derive_lsh_params(1_000_000_000)
     assert planes == math.ceil(math.log2(1_000_000_000 / 2048))
     assert nprobe == similarity._MAX_DERIVED_NPROBE
+    # nprobe never exceeds what 1- and 2-bit perturbations can reach
+    p3, np3 = similarity.derive_lsh_params(20_000, target_recall=0.95)
+    assert np3 <= similarity.max_probe_buckets(p3)
 
 
 def test_derive_ivf_params_pins():

@@ -168,3 +168,165 @@ def test_pca_validation(spark):
         pca_fit(df, n_components=65)  # > dim
     with pytest.raises(ValueError):
         pca_fit(df.filter(F.lit(False)))
+
+
+# ------------------------------------------------------ product quantization
+
+
+def _pq_numpy_reference(X, books):
+    """Sequential PQ encode reference: same dimension-major fold,
+    6-dp round, lower-code ties."""
+    import numpy as np
+
+    m = len(books)
+    dsub = len(books[0][0])
+    codes = []
+    for x in X:
+        row = []
+        for s in range(m):
+            xs = x[s * dsub:(s + 1) * dsub]
+            dists = []
+            for c in books[s]:
+                acc = 0.0
+                for d in range(dsub):
+                    acc += (xs[d] - c[d]) * (xs[d] - c[d])
+                dists.append(round(acc, 6))
+            row.append(int(np.argmin(dists)))
+        codes.append(row)
+    return codes
+
+
+def test_pq_encode_matches_sequential_reference(spark):
+    import numpy as np
+
+    from orientdb_spark.pipeline.quantize import pq_encode, pq_fit
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_fit(embs, m=8, k=16, refine_iters=0)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(embs, books).collect()
+    }
+    rows = embs.select("vec_id", "embedding").collect()
+    X = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    ids = sorted(X)[:80]  # sequential reference is slow; spot-check 80
+    want = _pq_numpy_reference([X[i] for i in ids], books)
+    assert [got[i] for i in ids] == want
+
+
+def test_pq_fit_refinement_reduces_distortion(spark):
+    """One Lloyd step must not increase total quantization error
+    (k-means monotonicity), and usually strictly reduces it."""
+    import numpy as np
+
+    from orientdb_spark.pipeline.quantize import pq_encode, pq_fit
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = embs.select("vec_id", "embedding").collect()
+    X = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+
+    def distortion(books):
+        B = [np.asarray(b) for b in books]
+        dsub = B[0].shape[1]
+        codes = {
+            r["vec_id"]: r["codes"] for r in pq_encode(embs, books).collect()
+        }
+        tot = 0.0
+        for i, x in X.items():
+            for s, c in enumerate(codes[i]):
+                diff = x[s * dsub:(s + 1) * dsub] - B[s][c]
+                tot += float(diff @ diff)
+        return tot
+
+    d0 = distortion(pq_fit(embs, m=8, k=16, refine_iters=0))
+    d1 = distortion(pq_fit(embs, m=8, k=16, refine_iters=1))
+    assert d1 <= d0 * (1 + 1e-9)
+    assert d1 < d0  # h60 seeds are raw corpus vectors; one step must improve
+
+
+def _clustered_corpus(spark, n_clusters=10, per=40, dim=64, noise=0.15, seed=11):
+    """Unit-normalized clustered corpus — the regime real embedding
+    models produce and the one PQ is built for (the shipped test corpus
+    is isotropic: max off-diagonal cosine 0.48 at sf0.001, the
+    documented ANN worst case)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    C = rng.normal(0, 1, (n_clusters, dim))
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = C[c] + rng.normal(0, noise, dim)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+
+
+def test_pq_topk_recovers_planted_near_dups(spark):
+    """ADC ranking must put a planted near-duplicate (cos ~0.9999) at
+    the top for its twin — near-identical vectors share codes, so the
+    approximate dot is maximal."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.quantize import pq_topk
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(0, 60, 2):
+        v = rng.normal(0, 1, 64)
+        v /= np.linalg.norm(v)
+        w = v + rng.normal(0, 0.005, 64)
+        w /= np.linalg.norm(w)
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 1, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = df.filter(F.col("vec_id").isin(0, 1, 10, 11))
+    got = pq_topk(df, q, k=3, m=8, n_codes=16)
+    top = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    for a, b in [(0, 1), (1, 0), (10, 11), (11, 10)]:
+        assert (a, b) in top, f"planted twin {b} not in top-3 of {a}"
+
+
+def test_pq_topk_recall_on_clustered_corpus(spark):
+    """PQ-ADC on a clustered corpus (PQ's design regime). Quantization
+    to m·log2(k) = 32 bits cannot fine-rank WITHIN a cluster (members
+    share codes — that is the compression working), so the right gates
+    are (a) cluster precision: top-5 neighbors come from the query's
+    true cluster (measured 0.96; random would be 0.1), and (b) a floor
+    on exact top-5 recall well above random's ~0.0125 (measured 0.32)."""
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.quantize import pq_topk
+    from orientdb_spark.pipeline.similarity import brute_force_topk
+
+    df = _clustered_corpus(spark)
+    q = df.filter(F.col("vec_id") % 40 == 0)  # one query per cluster
+    approx_df = pq_topk(df, q, k=5, m=8, n_codes=16)
+    labeled = approx_df.join(
+        df.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    ).collect()
+    prec = sum(1 for r in labeled if r["label"] == r["query_id"] // 40) / len(labeled)
+    assert prec >= 0.8, f"PQ-ADC cluster precision too low: {prec:.2f}"
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, q, k=5).collect()
+    }
+    approx = {(r["query_id"], r["neighbor_id"]) for r in labeled}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.15, f"PQ-ADC exact recall implausibly low: {recall:.2f}"
+
+
+def test_pq_validation_errors(spark):
+    import pytest as _pytest
+
+    from orientdb_spark.pipeline.quantize import pq_fit
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_fit(embs, m=7, k=4)
+    with _pytest.raises(ValueError, match="need m"):
+        pq_fit(embs, m=0, k=4)
