@@ -3038,9 +3038,13 @@ _DRIVER_FRONT = [
     # core-SQL canary (previously recorded r6+r7, refreshed every round)
     "scan_class",
     "filter_projection",
-    "link_nav_2hop",
     "traverse_reachability",
-    "tpch_q1_pricing",
+    # first-ever: the two PQ entries added this round (slotted in place
+    # of two canaries so the never-recorded set still closes at exactly
+    # 50 — link_nav_2hop / tpch_q1_pricing keep their r6+r7 records and
+    # per-run mirror coverage)
+    "embedding_pq_encode",
+    "sim_topk_pq",
     # first-ever: graph analytics tail
     "graph_kcore",
     "graph_neighbor_features",
