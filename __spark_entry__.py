@@ -1943,6 +1943,19 @@ def _sim_topk_pq(spark, sf_dir):
     return pq_topk(embs, embs.filter(F.col("vec_id") < 10), k=5, m=8, n_codes=16)
 
 
+def _sim_topk_ivfpq(spark, sf_dir):
+    """IVF-PQ top-k (similarity.ivfpq_topk — the IVFADC composition,
+    Jégou et al. TPAMI'11 §IV): coarse cells prune, ADC over PQ codes
+    ranks within the probed cells; a query touches ~nprobe/n_cells of
+    the corpus and reads only code ints. Doubly approximate →
+    rows-only; the full-probe==pq_topk equality pin and cluster-
+    precision gate live in tests/test_quantize.py."""
+    from orientdb_spark.pipeline.similarity import ivfpq_topk
+
+    embs = _embs(spark, sf_dir)
+    return ivfpq_topk(embs, embs.filter(F.col("vec_id") < 10), k=5, m=8, n_codes=16)
+
+
 def _text_langid(spark, sf_dir):
     from orientdb_spark.pipeline import text
 
@@ -3038,13 +3051,14 @@ _DRIVER_FRONT = [
     # core-SQL canary (previously recorded r6+r7, refreshed every round)
     "scan_class",
     "filter_projection",
-    "traverse_reachability",
-    # first-ever: the two PQ entries added this round (slotted in place
-    # of two canaries so the never-recorded set still closes at exactly
-    # 50 — link_nav_2hop / tpch_q1_pricing keep their r6+r7 records and
-    # per-run mirror coverage)
+    # first-ever: the three PQ-family entries added this round (slotted
+    # in place of three canaries so the never-recorded set still closes
+    # at exactly 50 — link_nav_2hop / tpch_q1_pricing /
+    # traverse_reachability keep their r6+r7 records and per-run mirror
+    # coverage)
     "embedding_pq_encode",
     "sim_topk_pq",
+    "sim_topk_ivfpq",
     # first-ever: graph analytics tail
     "graph_kcore",
     "graph_neighbor_features",
@@ -3379,6 +3393,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "embedding_random_projection": _embedding_random_projection,
         "embedding_pq_encode": _embedding_pq_encode,
         "sim_topk_pq": _sim_topk_pq,
+        "sim_topk_ivfpq": _sim_topk_ivfpq,
         "embedding_nearest_centroid": _embedding_nearest_centroid,
         "embedding_kmeans": _embedding_kmeans,
         "embedding_pca": _embedding_pca,

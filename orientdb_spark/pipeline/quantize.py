@@ -29,6 +29,8 @@ __all__ = [
     "pq_fit",
     "pq_encode",
     "pq_topk",
+    "pq_query_lut_udf",
+    "pq_adc_score",
 ]
 
 
@@ -248,6 +250,44 @@ def pq_encode(
     )
 
 
+def pq_query_lut_udf(codebooks: list):
+    """Arrow-batched LUT builder for ADC: per query vector, the
+    m × n_codes table of subspace dot products against the codebooks.
+    Tiny per-row output (m·n_codes doubles); shared by pq_topk and
+    similarity.ivfpq_topk."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+
+    @pandas_udf("array<array<double>>")
+    def lut(vs: pd.Series) -> pd.Series:
+        out = []
+        for v in vs:
+            x = np.asarray(v, dtype=np.float64)
+            out.append(
+                [(books[s] @ x[s * dsub:(s + 1) * dsub]).tolist() for s in range(m)]
+            )
+        return pd.Series(out)
+
+    return lut
+
+
+def pq_adc_score(codes_col, lut_col):
+    """ADC score as a pure Column: sum over subspaces of
+    lut[sub][code] — JVM-side zip_with/element_at fold, no Python in
+    the corpus scan."""
+    return F.aggregate(
+        F.zip_with(
+            codes_col, lut_col,
+            lambda c, t: F.element_at(t, (c + F.lit(1)).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def pq_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -258,6 +298,7 @@ def pq_topk(
     id_col: str = "vec_id",
     codebooks: list | None = None,
     refine_iters: int = 1,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC) over
     PQ codes: each query precomputes an m×n_codes lookup table of
@@ -273,49 +314,29 @@ def pq_topk(
     broadcast); the corpus side scans codes only (m ints/row instead of
     d doubles — the point of PQ), scoring is a pure Column
     zip_with/element_at fold (JVM-side, no Python in the corpus scan),
-    and ranking is the same per-query window as every other topk here."""
-    import numpy as np
-    import pandas as pd
+    and ranking is the same per-query window as every other topk here.
+
+    Build-once/query-many: pass ``codebooks`` (pq_fit) AND ``codes``
+    (pq_encode output, persisted/written once) and no corpus-vector
+    work runs at query time at all — the query-time cost is the code
+    scan alone, which is what a 100 TB serving path wants."""
     from pyspark.sql import Window
-    from pyspark.sql.functions import pandas_udf
 
     if codebooks is None:
         codebooks = pq_fit(df, m, n_codes, vec_col, id_col, refine_iters)
-    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
-    m = len(books)
-    dsub = books[0].shape[1]
-    corpus_codes = pq_encode(df, codebooks, vec_col, id_col).withColumnRenamed(
-        id_col, "neighbor_id"
-    )
-
-    @pandas_udf("array<array<double>>")
-    def lut(vs: pd.Series) -> pd.Series:
-        out = []
-        for v in vs:
-            x = np.asarray(v, dtype=np.float64)
-            out.append(
-                [(books[s] @ x[s * dsub:(s + 1) * dsub]).tolist() for s in range(m)]
-            )
-        return pd.Series(out)
-
+    if codes is None:
+        codes = pq_encode(df, codebooks, vec_col, id_col)
+    corpus_codes = codes.withColumnRenamed(id_col, "neighbor_id")
+    lut = pq_query_lut_udf(codebooks)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         lut(F.col(vec_col).cast("array<double>")).alias("__lut"),
-    )
-    approx = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("__lut"),
-            lambda c, t: F.element_at(t, (c + F.lit(1)).cast("int")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
     )
     scored = (
         F.broadcast(q)
         .crossJoin(corpus_codes)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(approx, 6))
+        .withColumn("score", F.round(pq_adc_score(F.col("codes"), F.col("__lut")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (

@@ -352,18 +352,7 @@ class IvfIndex:
                 f"Raise nprobe (now {nprobe} of {self.n_cells} cells) or "
                 "rebuild with fewer cells.",
             )
-        q = queries.select(
-            F.col(self.id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("__qv"),
-        )
-        wq = Window.partitionBy("query_id").orderBy(F.col("__d").desc(), F.col("cid"))
-        probes = (
-            q.crossJoin(F.broadcast(self.centroids))
-            .withColumn("__d", cosine_similarity(F.col("__qv"), F.col("cvec")))
-            .withColumn("__r", F.row_number().over(wq))
-            .filter(F.col("__r") <= nprobe)
-            .select("query_id", "__qv", "cid")
-        )
+        probes = self.probe_cells(queries, nprobe, vec_col)
         scored = (
             F.broadcast(probes)
             .join(self.corpus_cells, "cid")
@@ -375,6 +364,25 @@ class IvfIndex:
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        )
+
+    def probe_cells(
+        self, queries: DataFrame, nprobe: int, vec_col: str = "embedding"
+    ) -> DataFrame:
+        """The coarse-quantizer probe: each query's ``nprobe`` closest
+        cells by centroid cosine. Returns (query_id, __qv, cid) — the
+        candidate-pruning predicate every IVF-family ranker joins on."""
+        q = queries.select(
+            F.col(self.id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        )
+        wq = Window.partitionBy("query_id").orderBy(F.col("__d").desc(), F.col("cid"))
+        return (
+            q.crossJoin(F.broadcast(self.centroids))
+            .withColumn("__d", cosine_similarity(F.col("__qv"), F.col("cvec")))
+            .withColumn("__r", F.row_number().over(wq))
+            .filter(F.col("__r") <= nprobe)
+            .select("query_id", "__qv", "cid")
         )
 
     def unpersist(self) -> None:
@@ -650,6 +658,88 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    index: IvfIndex | None = None,
+    codebooks: list | None = None,
+    codes: DataFrame | None = None,
+    refine_iters: int = 1,
+    target_recall: float = 0.6,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (the IVFADC composition of Jégou et al.,
+    TPAMI 2011 §IV — the architecture behind billion-vector ANN): the
+    coarse quantizer prunes to each query's ``nprobe`` closest cells,
+    then ADC over PQ codes ranks WITHIN the probed cells — a query
+    touches ~nprobe/n_cells of the corpus and reads only the m small
+    code ints per candidate, never the original vectors.
+
+    At 100 TB this is the serving shape: the inverted file partitions
+    the corpus by cid (partition pruning at scan time), the code table
+    is 8-32x smaller than the vectors, the per-query LUT broadcast is
+    m·n_codes doubles, and the score is a JVM-side Column fold. Pass a
+    prebuilt ``index`` + ``codebooks`` + ``codes`` (IvfIndex.build /
+    pq_fit / pq_encode, persisted once) for the build-once/query-many
+    path with zero corpus-vector work at query time.
+
+    Same output shape as pq_topk (query_id, neighbor_id, score, rank),
+    score = approximate dot. Doubly approximate (cell pruning × code
+    quantization) → rows-only; gates in tests/test_quantize.py."""
+    from orientdb_spark.pipeline.quantize import (
+        pq_adc_score,
+        pq_encode,
+        pq_fit,
+        pq_query_lut_udf,
+    )
+
+    if index is None:
+        index = IvfIndex.build(
+            df, n_cells, vec_col, id_col, refine_iters=refine_iters,
+            persist=False, target_recall=target_recall,
+        )
+    if nprobe is None:
+        nprobe = max(
+            1, min(index.n_cells, math.ceil(index.n_cells * target_recall / 1.5))
+        )
+    est = estimated_ivf_recall(index.n_cells, nprobe)
+    if est < target_recall:
+        _warn_under_recall(
+            "ivfpq_topk", est, target_recall,
+            f"Raise nprobe (now {nprobe} of {index.n_cells} cells) or "
+            "rebuild with fewer cells.",
+        )
+    if codebooks is None:
+        codebooks = pq_fit(df, m, n_codes, vec_col, id_col, refine_iters)
+    if codes is None:
+        codes = pq_encode(df, codebooks, vec_col, id_col)
+    coded_cells = index.corpus_cells.select("neighbor_id", "cid").join(
+        codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
+    )
+    lut = pq_query_lut_udf(codebooks)
+    probes = index.probe_cells(queries, nprobe, vec_col).withColumn(
+        "__lut", lut(F.col("__qv"))
+    ).drop("__qv")
+    scored = (
+        F.broadcast(probes)
+        .join(coded_cells, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(pq_adc_score(F.col("codes"), F.col("__lut")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
     )
 
 

@@ -118,10 +118,24 @@ def test_bench_headline_names_are_valid():
 
 
 def test_driver_front_slots_all_oracle_bearing():
-    """The round-6 rotation contract: all 50 recorded slots carry an
-    oracle, so CORRECTNESS_r06 can be 50/50 hash-checked — a rename or
-    oracle drop must fail CI, not the driver run."""
+    """Rotation contract, r8 form: the closing rotation (per the r7
+    verdict) deliberately slots the never-recorded rows-only-by-design
+    entries so EVERY registry entry gets a driver signature — those
+    exact entries (and only those) may lack oracles; any other
+    oracle-less slot (a rename, an oracle drop) must fail CI, not the
+    driver run."""
+    ROWS_ONLY_BY_DESIGN = {
+        "embedding_kmeans",      # FP-order-sensitive centroid means
+        "embedding_pca",         # same; numpy-agreement-gated
+        "text_bpe_merges",       # sequential-reference-gated
+        "sim_topk_pq",           # approximate ADC ranking
+        "sim_topk_ivfpq",        # doubly approximate (cells x codes)
+    }
     front = list(QUERIES)[:50]
     assert len(front) == 50
-    missing = [n for n in front if n not in ORACLES]
+    missing = [n for n in front if n not in ORACLES and n not in ROWS_ONLY_BY_DESIGN]
     assert not missing, f"front-50 slots without oracles: {missing}"
+    # and the exception list itself stays honest: each is really in the
+    # registry and really lacks an oracle
+    for n in ROWS_ONLY_BY_DESIGN:
+        assert n in QUERIES and n not in ORACLES, n

@@ -330,3 +330,60 @@ def test_pq_validation_errors(spark):
         pq_fit(embs, m=7, k=4)
     with _pytest.raises(ValueError, match="need m"):
         pq_fit(embs, m=0, k=4)
+
+
+def test_pq_topk_precomputed_codes_path(spark):
+    """Build-once/query-many: passing codebooks + codes must produce the
+    identical ranking with no encode at query time."""
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.quantize import pq_encode, pq_fit, pq_topk
+
+    df = _clustered_corpus(spark, n_clusters=4, per=20)
+    books = pq_fit(df, m=8, k=16)
+    codes = pq_encode(df, books)
+    q = df.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, pq_topk(df, q, k=3, codebooks=books).collect()))
+    b = sorted(map(tuple, pq_topk(df, q, k=3, codebooks=books, codes=codes).collect()))
+    assert a == b
+
+
+def test_ivfpq_full_probe_equals_pq(spark):
+    """With nprobe = n_cells (no pruning) IVF-PQ must reproduce plain
+    PQ-ADC exactly — same candidates, same LUT scores, same ranks."""
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.quantize import pq_encode, pq_fit, pq_topk
+    from orientdb_spark.pipeline.similarity import IvfIndex, ivfpq_topk
+
+    df = _clustered_corpus(spark, n_clusters=4, per=20)
+    books = pq_fit(df, m=8, k=16)
+    codes = pq_encode(df, books)
+    idx = IvfIndex.build(df, n_cells=4)
+    q = df.filter(F.col("vec_id") < 3)
+    full = sorted(map(tuple, ivfpq_topk(
+        df, q, k=3, index=idx, nprobe=4, codebooks=books, codes=codes
+    ).collect()))
+    plain = sorted(map(tuple, pq_topk(
+        df, q, k=3, codebooks=books, codes=codes
+    ).collect()))
+    assert full == plain
+
+
+def test_ivfpq_cluster_precision(spark):
+    """Pruned IVF-PQ keeps the cluster-precision contract: probing the
+    closest cells should RAISE precision vs full-corpus ADC (the pruned
+    cells are where the wrong-cluster false positives live)."""
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.similarity import ivfpq_topk
+
+    df = _clustered_corpus(spark)
+    q = df.filter(F.col("vec_id") % 40 == 0)
+    out = ivfpq_topk(df, q, k=5, n_cells=16, nprobe=4, m=8, n_codes=16)
+    labeled = out.join(
+        df.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    ).collect()
+    assert labeled, "IVF-PQ returned nothing"
+    prec = sum(1 for r in labeled if r["label"] == r["query_id"] // 40) / len(labeled)
+    assert prec >= 0.8, f"IVF-PQ cluster precision too low: {prec:.2f}"
