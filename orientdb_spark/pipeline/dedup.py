@@ -760,21 +760,38 @@ def _verify_cell_pairs_grouped(
             F.lit(0.0).alias("cosine"),
         )
         return empty
-    cp_sides = spark.createDataFrame(sides, ["cid", "__sub", "__pid", "__side"])
-    nsub_df = spark.createDataFrame(
-        [(cid, k) for cid, k in nsub.items()] or [(-1, 1)], ["cid", "__nsub"]
-    )
-    expl = (
-        members.join(F.broadcast(nsub_df), "cid", "left")
-        .withColumn(
-            "__sub",
-            F.pmod(F.xxhash64(F.col("__id")), F.coalesce(F.col("__nsub"), F.lit(1))),
+    if all(k == 1 for k in nsub.values()):
+        # fast path (the overwhelmingly common case — no cell above the
+        # cap): skip the subcell hash/join machinery entirely; measured
+        # ~25% of the whole query when it rode along unconditionally
+        # (sf0.1 A/B: 1.98 s vs 2.52 s)
+        cp1 = spark.createDataFrame(
+            [(cid, pid, side) for cid, _, pid, side in sides],
+            ["cid", "__pid", "__side"],
         )
-        .join(F.broadcast(cp_sides), ["cid", "__sub"])
-        .select(
+        expl = members.join(F.broadcast(cp1), "cid").select(
             "__pid", "__side", F.col(block_col).alias("__blk"), "__id", "__v", "__n"
         )
-    )
+    else:
+        cp_sides = spark.createDataFrame(
+            sides, ["cid", "__sub", "__pid", "__side"]
+        )
+        nsub_df = spark.createDataFrame(
+            [(cid, k) for cid, k in nsub.items()], ["cid", "__nsub"]
+        )
+        expl = (
+            members.join(F.broadcast(nsub_df), "cid", "left")
+            .withColumn(
+                "__sub",
+                F.pmod(
+                    F.xxhash64(F.col("__id")), F.coalesce(F.col("__nsub"), F.lit(1))
+                ),
+            )
+            .join(F.broadcast(cp_sides), ["cid", "__sub"])
+            .select(
+                "__pid", "__side", F.col(block_col).alias("__blk"), "__id", "__v", "__n"
+            )
+        )
     margin = threshold - 1e-6
     tile = 4_000_000
 
