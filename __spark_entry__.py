@@ -403,6 +403,19 @@ def _graph_pagerank(spark, sf_dir):
     return g.pagerank(iterations=5).select("vid", F.round("rank", 8).alias("rank"))
 
 
+def _graph_hits(spark, sf_dir):
+    """HITS hubs/authorities (Graph.hits, Kleinberg '99): mutual
+    recursion with per-half-iteration L1 normalization, one edge join +
+    one groupBy per half-iteration, scores kept alive for isolated
+    vertices via the vertex-set left join. Oracle unrolls the identical
+    recursion (4 iterations) with scalar-subquery normalization —
+    _pagerank_oracle's discipline, 8-dp end rounding."""
+    g = _graph(spark, sf_dir)
+    return g.hits(iterations=4).select(
+        "vid", F.round("hub", 8).alias("hub"), F.round("authority", 8).alias("authority")
+    )
+
+
 def _graph_sssp(spark, sf_dir):
     """Weighted single-source shortest paths (Graph.shortest_paths,
     Bellman-Ford with a fixed 6-round horizon — one min-groupBy exchange
@@ -3050,15 +3063,15 @@ def _native_fluent_query(spark, sf_dir):
 _DRIVER_FRONT = [
     # core-SQL canary (previously recorded r6+r7, refreshed every round)
     "scan_class",
-    "filter_projection",
-    # first-ever: the three PQ-family entries added this round (slotted
-    # in place of three canaries so the never-recorded set still closes
-    # at exactly 50 — link_nav_2hop / tpch_q1_pricing /
+    # first-ever: the four entries added this round (slotted in place of
+    # four canaries so the never-recorded set still closes at exactly 50
+    # — filter_projection / link_nav_2hop / tpch_q1_pricing /
     # traverse_reachability keep their r6+r7 records and per-run mirror
     # coverage)
     "embedding_pq_encode",
     "sim_topk_pq",
     "sim_topk_ivfpq",
+    "graph_hits",
     # first-ever: graph analytics tail
     "graph_kcore",
     "graph_neighbor_features",
@@ -3306,6 +3319,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "graph_bfs_levels": _graph_bfs_levels,
         "graph_connected_components": _graph_connected_components,
         "graph_pagerank": _graph_pagerank,
+        "graph_hits": _graph_hits,
         "graph_cc_incremental": _graph_cc_incremental,
         "graph_pagerank_personalized": _graph_pagerank_personalized,
         "graph_sssp": _graph_sssp,
@@ -3767,6 +3781,50 @@ def _lpa_oracle(iterations: int = 3) -> str:
         "l0 AS (SELECT vid, vid AS label FROM v), "
         + ", ".join(steps)
         + f" SELECT vid, label FROM l{iterations}"
+    )
+
+
+def _hits_oracle(iterations: int = 4) -> str:
+    """Unrolled HITS mutual recursion mirroring Graph.hits on the
+    tpch_graph fixture: a_i = normalize(Σ_in h_{i-1}), h_i =
+    normalize(Σ_out a_i) — the same LEFT-JOIN-back/zero-coalesce and
+    end-rounding discipline as _pagerank_oracle. L1 normalization rides
+    as ``sum(raw) OVER ()`` (one pass) and every step CTE is
+    MATERIALIZED: scalar-subquery normalization re-evaluated the CTE
+    per reference and the 4-deep mutual chain went combinatorial
+    (measured: did not finish in 300 s; this form runs in ~1 s)."""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"a{i} AS MATERIALIZED (SELECT vid, CASE WHEN sum(raw) OVER () > 0 "
+            f"THEN raw / sum(raw) OVER () ELSE 0.0 END AS authority FROM ("
+            f"SELECT v.vid, coalesce(s.m, 0) AS raw FROM v LEFT JOIN "
+            f"(SELECT e.dst AS vid, sum(h{i-1}.hub) AS m FROM e "
+            f"JOIN h{i-1} ON e.src = h{i-1}.vid GROUP BY e.dst) s ON v.vid = s.vid)), "
+            f"h{i} AS MATERIALIZED (SELECT vid, CASE WHEN sum(raw) OVER () > 0 "
+            f"THEN raw / sum(raw) OVER () ELSE 0.0 END AS hub FROM ("
+            f"SELECT v.vid, coalesce(s.m, 0) AS raw FROM v LEFT JOIN "
+            f"(SELECT e.src AS vid, sum(a{i}.authority) AS m FROM e "
+            f"JOIN a{i} ON e.dst = a{i}.vid GROUP BY e.src) s ON v.vid = s.vid))"
+        )
+    return (
+        "WITH v AS ("
+        "SELECT 'region:' || r_regionkey AS vid FROM region "
+        "UNION ALL SELECT 'nation:' || n_nationkey FROM nation "
+        "UNION ALL SELECT 'customer:' || c_custkey FROM customer "
+        "UNION ALL SELECT 'orders:' || o_orderkey FROM orders), "
+        "e AS (SELECT DISTINCT src, dst FROM ("
+        "SELECT 'region:' || n_regionkey AS src, 'nation:' || n_nationkey AS dst "
+        "FROM nation "
+        "UNION ALL SELECT 'nation:' || c_nationkey, 'customer:' || c_custkey "
+        "FROM customer "
+        "UNION ALL SELECT 'customer:' || o_custkey, 'orders:' || o_orderkey "
+        "FROM orders)), "
+        "h0 AS (SELECT vid, 1.0 AS hub FROM v), "
+        + ", ".join(steps)
+        + f" SELECT h{iterations}.vid, round(h{iterations}.hub, 8) AS hub, "
+        f"round(a{iterations}.authority, 8) AS authority "
+        f"FROM h{iterations} JOIN a{iterations} ON h{iterations}.vid = a{iterations}.vid"
     )
 
 
@@ -5497,6 +5555,7 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
         # all (round 6): unrolled power-iteration CTE, rounded at 1e-8 on
         # both sides (the pytest power-iteration gate at 1e-6 stays)
         "graph_pagerank": _pagerank_oracle(iterations=5, damping=0.85),
+        "graph_hits": _hits_oracle(iterations=4),
         "graph_pagerank_personalized": _pagerank_oracle(
             iterations=5, damping=0.85, sources=["region:0"]
         ),

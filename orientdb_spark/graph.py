@@ -986,6 +986,78 @@ class Graph:
         vids.unpersist()
         return ranks
 
+    def hits(self, iterations: int = 8) -> DataFrame:
+        """HITS hubs & authorities (Kleinberg, "Authoritative Sources in
+        a Hyperlinked Environment", JACM 1999 — public): mutual
+        recursion ``authority(v) = Σ_{u→v} hub(u)``, ``hub(u) =
+        Σ_{u→v} authority(v)``, each vector L1-normalized per
+        half-iteration (normalization choice is free up to scale; L1
+        keeps the oracle sqrt-free). Returns (vid, hub, authority).
+
+        Scale shape (the PageRank discipline): per half-iteration one
+        edge join + one groupBy — both shuffling on vertex id — plus an
+        L1-sum that rides as a broadcast one-row cross join (no extra
+        job); vertices with no in/out edges stay alive at score 0 via
+        the LEFT join back to the vertex set. State checkpoints every
+        ``_CHECKPOINT_EVERY`` iterations to keep lineage flat. Parallel
+        edges collapse first (classic HITS is defined on the simple
+        digraph)."""
+        if iterations < 1:
+            raise ValueError(f"iterations must be >= 1, got {iterations}")
+        ed = (
+            self.edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates()
+            .persist()
+        )
+        verts = self.vertices.select("vid").dropDuplicates().persist()
+
+        def _norm(raw: DataFrame, out: str) -> DataFrame:
+            # raw is referenced TWICE (the L1-sum agg and the divide) —
+            # without materializing it first, each half-iteration DOUBLES
+            # the logical plan and 4 iterations go combinatorial at
+            # plan-analysis time (measured: >400 s before any job).
+            # One eager checkpoint per half-iteration is the PageRank
+            # job cadence and keeps the plan flat.
+            raw = raw.localCheckpoint(eager=True)
+            tot = raw.agg(F.sum("raw").alias("__t"))
+            return raw.crossJoin(F.broadcast(tot)).select(
+                "vid",
+                F.when(F.col("__t") > 0, F.col("raw") / F.col("__t"))
+                .otherwise(F.lit(0.0))
+                .alias(out),
+            )
+
+        h = verts.withColumn("hub", F.lit(1.0))
+        a = verts.withColumn("authority", F.lit(0.0))
+        for i in range(iterations):
+            a_raw = (
+                ed.join(h.withColumnRenamed("vid", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum("hub").alias("raw"))
+            )
+            a = _norm(
+                verts.join(a_raw.withColumnRenamed("dst", "vid"), "vid", "left")
+                .select("vid", F.coalesce("raw", F.lit(0.0)).alias("raw")),
+                "authority",
+            )
+            h_raw = (
+                ed.join(a.withColumnRenamed("vid", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.sum("authority").alias("raw"))
+            )
+            h = _norm(
+                verts.join(h_raw.withColumnRenamed("src", "vid"), "vid", "left")
+                .select("vid", F.coalesce("raw", F.lit(0.0)).alias("raw")),
+                "hub",
+            )
+            if i % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1 or i == iterations - 1:
+                a = a.localCheckpoint(eager=True)
+                h = h.localCheckpoint(eager=True)
+        ed.unpersist()
+        verts.unpersist()
+        return h.join(a, "vid")
+
     def shortest_paths(
         self,
         source_vids: list,

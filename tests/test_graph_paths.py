@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from orientdb_spark.graph import Graph
@@ -542,3 +543,47 @@ def test_walk_skipgrams_semantics(spark):
 
     with pytest.raises(ValueError):
         Graph.walk_skipgrams(walks, window=0)
+
+
+def test_hits_matches_python_reference(spark):
+    """Graph.hits vs the sequential Kleinberg recursion (L1-normalized)
+    on a digraph with a clear hub (h) and authority (a) structure,
+    including an isolated vertex that must survive at score 0."""
+    from orientdb_spark.graph import Graph
+
+    edges = [("h1", "a1"), ("h1", "a2"), ("h2", "a1"), ("h2", "a3"),
+             ("a1", "h1"), ("x", "a2")]
+    vids = sorted({v for e in edges for v in e} | {"iso"})
+    g = Graph(
+        spark.createDataFrame([(v,) for v in vids], ["vid"]),
+        spark.createDataFrame(edges, ["src", "dst"]),
+    )
+    got = {r["vid"]: (r["hub"], r["authority"]) for r in g.hits(iterations=3).collect()}
+
+    hub = {v: 1.0 for v in vids}
+    auth = {}
+    for _ in range(3):
+        auth = {v: sum(hub[s] for s, d in edges if d == v) for v in vids}
+        t = sum(auth.values())
+        auth = {v: (x / t if t > 0 else 0.0) for v, x in auth.items()}
+        hub = {v: sum(auth[d] for s, d in edges if s == v) for v in vids}
+        t = sum(hub.values())
+        hub = {v: (x / t if t > 0 else 0.0) for v, x in hub.items()}
+    for v in vids:
+        assert got[v][0] == pytest.approx(hub[v], abs=1e-12), v
+        assert got[v][1] == pytest.approx(auth[v], abs=1e-12), v
+    assert got["iso"] == (0.0, 0.0)
+    # structural sanity: h1/h2 are the dominant hubs, a1 the authority
+    assert got["h1"][0] > got["x"][0] and got["h2"][0] > got["x"][0]
+    assert max(got, key=lambda v: got[v][1]) == "a1"
+
+
+def test_hits_validation(spark):
+    from orientdb_spark.graph import Graph
+
+    g = Graph(
+        spark.createDataFrame([("a",)], ["vid"]),
+        spark.createDataFrame([("a", "a")], ["src", "dst"]),
+    )
+    with pytest.raises(ValueError):
+        g.hits(iterations=0)
