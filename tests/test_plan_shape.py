@@ -226,3 +226,37 @@ def test_time_weighted_average_single_exchange(spark):
     out = time_weighted_average(ev, on=["user_id"])
     plan = _formatted(out)
     assert _nodes(plan, "Exchange") == 1, plan
+
+
+def test_pq_topk_precomputed_codes_never_reads_vectors(spark):
+    """The PQ serving claim: with prebuilt codebooks + codes the query
+    path scans CODES only — the corpus embedding column must not appear
+    in any parquet ReadSchema, and the only exchange is the per-query
+    ranking window."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.quantize import pq_encode, pq_fit, pq_topk
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_fit(embs, m=8, k=16, refine_iters=0)
+    with tempfile.TemporaryDirectory() as d:
+        codes_path = f"{d}/codes.parquet"
+        pq_encode(embs, books).write.parquet(codes_path)
+        codes = spark.read.parquet(codes_path)
+        q = embs.filter(F.col("vec_id") < 3)
+        out = pq_topk(embs, q, k=3, codebooks=books, codes=codes)
+        plan = _formatted(out)
+        # corpus side reads the codes file only; 'embedding' appears in
+        # no ReadSchema except the 3-row query side's own scan
+        reads = [
+            seg.splitlines()[0]
+            for seg in plan.split("ReadSchema:")[1:]
+        ]
+        corpus_reads = [r for r in reads if "codes" in r]
+        assert corpus_reads, f"no codes scan found: {reads}"
+        assert all("embedding" not in r for r in corpus_reads)
+        # exactly one Exchange (the rank window on query_id): broadcast
+        # of the tiny query side doesn't count as a shuffle exchange
+        assert _nodes(plan, "Exchange") <= 1, plan
