@@ -215,3 +215,51 @@ def test_duplicate_id_pairs_never_emitted(spark):
     ).collect()
     assert all(r["id_a"] != r["id_b"] for r in got)
     assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+
+
+# --------------------------------------------------------- property tests
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=10 ** 12),
+    tables=st.integers(min_value=1, max_value=16),
+    target=st.floats(min_value=0.05, max_value=0.95),
+)
+def test_derive_lsh_params_properties(n, tables, target):
+    planes, nprobe = similarity.derive_lsh_params(n, tables=tables, target_recall=target)
+    assert 1 <= planes <= similarity._MAX_DERIVED_PLANES
+    assert 1 <= nprobe <= min(
+        2 ** planes, similarity._MAX_DERIVED_NPROBE, similarity.max_probe_buckets(planes)
+    )
+    # the estimate is monotone in nprobe and tables (more probing never
+    # lowers the worst-case bound)
+    if nprobe > 1:
+        assert similarity.estimated_lsh_recall(planes, nprobe, tables) >= \
+            similarity.estimated_lsh_recall(planes, nprobe - 1, tables)
+    assert similarity.estimated_lsh_recall(planes, nprobe, tables + 1) >= \
+        similarity.estimated_lsh_recall(planes, nprobe, tables)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=10 ** 12),
+    target=st.floats(min_value=0.05, max_value=0.95),
+)
+def test_derive_ivf_params_properties(n, target):
+    n_cells, nprobe = similarity.derive_ivf_params(n, target_recall=target)
+    assert 16 <= n_cells <= 4096
+    assert 1 <= nprobe <= n_cells
+    # derived settings always clear their own estimate gate (no warning
+    # on the pure-defaults path, ever)
+    assert similarity.estimated_ivf_recall(n_cells, nprobe) >= min(target, 1.0) - 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(planes=st.integers(min_value=1, max_value=24))
+def test_max_probe_buckets_counts(planes):
+    # 1 + C(p,1) + C(p,2): the enumeration in lsh_probe_buckets
+    assert similarity.max_probe_buckets(planes) == 1 + planes + planes * (planes - 1) // 2
