@@ -94,6 +94,12 @@ def main() -> None:
         best = None
         min_n = max(repeat, noisy_min.get(name, 0))
         try:
+            # one untimed warm-up: the sf5 study showed a cold page
+            # cache right after heavy unrelated IO can inflate a
+            # multi-second query 30x, and the budget clause then stops
+            # after 2 cold samples — min-of-N never sees a warm run.
+            # On a warm host this changes nothing (min is unaffected).
+            _force(fn(spark, sf_dir))
             spent, n = 0.0, 0
             # sub-second queries are the ones host contention can bury
             # (three recorded phantoms: r4 x2, r5 containstext) — let
