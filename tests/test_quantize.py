@@ -387,3 +387,37 @@ def test_ivfpq_cluster_precision(spark):
     assert labeled, "IVF-PQ returned nothing"
     prec = sum(1 for r in labeled if r["label"] == r["query_id"] // 40) / len(labeled)
     assert prec >= 0.8, f"IVF-PQ cluster precision too low: {prec:.2f}"
+
+
+def test_ivfpq_residual_encoding_more_accurate(spark):
+    """Faithful IVFADC: residual encoding (x - c_cell) must estimate
+    dot products more accurately than raw-vector encoding at the same
+    code budget — residual magnitudes are smaller, so the codebook
+    quantizes them more finely. Also pins the q·c + ADC(q, r)
+    decomposition against the exact dot."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.similarity import IvfIndex, ivfpq_topk
+
+    df = _clustered_corpus(spark)
+    idx = IvfIndex.build(df, n_cells=10)
+    q = df.filter(F.col("vec_id") % 40 == 0)
+    X = {r["vec_id"]: np.asarray(r["embedding"]) for r in df.collect()}
+
+    def mean_abs_err(residual):
+        out = ivfpq_topk(
+            df, q, k=5, index=idx, nprobe=10, m=8, n_codes=16, residual=residual
+        ).collect()
+        errs = [
+            abs(r["score"] - float(X[r["query_id"]] @ X[r["neighbor_id"]]))
+            for r in out
+        ]
+        assert errs
+        return sum(errs) / len(errs)
+
+    raw_err = mean_abs_err(False)
+    res_err = mean_abs_err(True)
+    assert res_err < raw_err, f"residual {res_err:.4f} vs raw {raw_err:.4f}"
+    # residual estimates should be genuinely tight on top-ranked pairs
+    assert res_err < 0.1, f"residual ADC error too large: {res_err:.4f}"
