@@ -403,6 +403,42 @@ def _graph_pagerank(spark, sf_dir):
     return g.pagerank(iterations=5).select("vid", F.round("rank", 8).alias("rank"))
 
 
+def _graph_betweenness(spark, sf_dir):
+    """Sampled Brandes betweenness (Graph.betweenness_sampled, Brandes
+    2001 + Brandes-Pich 2007 sampling): all sampled sources BFS forward
+    in one wave carrying (dist, σ), then the backward dependency sweep
+    accumulates δ level by level — 2·diameter exchanges total. Fixture:
+    the bounded region→nation→customer(%20) hierarchy; sources = the 8
+    smallest-(h60, vid) vertices, the same deterministic draw the
+    unrolled-Brandes oracle replays. Rounded at 6 dp with the +1e-12
+    midpoint discipline both sides."""
+    from orientdb_spark.graph import Graph
+
+    eng = _engine(spark, sf_dir)
+    cu = eng.table("customer").filter(F.col("c_custkey") % 20 == 0)
+    na = eng.table("nation")
+    ed = na.select(
+        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias("src"),
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("dst"),
+    ).unionAll(
+        cu.select(
+            F.concat(F.lit("nation:"), F.col("c_nationkey").cast("string")),
+            F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")),
+        )
+    )
+    verts = (
+        eng.table("region").select(
+            F.concat(F.lit("region:"), F.col("r_regionkey").cast("string")).alias("vid")
+        )
+        .unionAll(na.select(F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string"))))
+        .unionAll(cu.select(F.concat(F.lit("customer:"), F.col("c_custkey").cast("string"))))
+    )
+    out = Graph(verts, ed).betweenness_sampled(n_samples=8, max_depth=6)
+    return out.select(
+        "vid", F.round(F.col("betweenness") + F.lit(1e-12), 6).alias("betweenness")
+    )
+
+
 def _graph_hits(spark, sf_dir):
     """HITS hubs/authorities (Graph.hits, Kleinberg '99): mutual
     recursion with per-half-iteration L1 normalization, one edge join +
@@ -3061,17 +3097,15 @@ def _native_fluent_query(spark, sf_dir):
 # mirror-harness coverage (tests/test_entry.py re-compares all oracle
 # entries each run).
 _DRIVER_FRONT = [
-    # core-SQL canary (previously recorded r6+r7, refreshed every round)
-    "scan_class",
-    # first-ever: the four entries added this round (slotted in place of
-    # four canaries so the never-recorded set still closes at exactly 50
-    # — filter_projection / link_nav_2hop / tpch_q1_pricing /
-    # traverse_reachability keep their r6+r7 records and per-run mirror
-    # coverage)
+    # first-ever: the five entries added this round (they took all five
+    # canary slots so the never-recorded set still closes at exactly 50
+    # — the rotated-out canaries keep their r6+r7 records and every
+    # oracle entry gets per-run mirror coverage in tests/test_entry.py)
     "embedding_pq_encode",
     "sim_topk_pq",
     "sim_topk_ivfpq",
     "graph_hits",
+    "graph_betweenness",
     # first-ever: graph analytics tail
     "graph_kcore",
     "graph_neighbor_features",
@@ -3320,6 +3354,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "graph_connected_components": _graph_connected_components,
         "graph_pagerank": _graph_pagerank,
         "graph_hits": _graph_hits,
+        "graph_betweenness": _graph_betweenness,
         "graph_cc_incremental": _graph_cc_incremental,
         "graph_pagerank_personalized": _graph_pagerank_personalized,
         "graph_sssp": _graph_sssp,
@@ -3781,6 +3816,71 @@ def _lpa_oracle(iterations: int = 3) -> str:
         "l0 AS (SELECT vid, vid AS label FROM v), "
         + ", ".join(steps)
         + f" SELECT vid, label FROM l{iterations}"
+    )
+
+
+def _betweenness_oracle(levels: int = 6, n_sources: int = 8) -> str:
+    """Unrolled Brandes (2001) on the bounded region→nation→customer
+    hierarchy (max undirected distance 4 — unrolled to ``levels`` with
+    empty tails contributing nothing): forward BFS levels l{t} carry
+    (source, vid, σ) with σ summed over predecessors and a NOT-EXISTS
+    visited guard; the backward sweep d{t} accumulates
+    δ_v = Σ σ_v/σ_w·(1+δ_w) over level-(t+1) neighbors. Sources are the
+    ``n_sources`` smallest-(h60, vid) vertices — the same deterministic
+    sample Graph.betweenness_sampled draws. MATERIALIZED CTEs
+    throughout (the HITS lesson: re-evaluated CTE chains go
+    combinatorial); +1e-12 before round (the quality_score midpoint
+    discipline)."""
+    fwd = []
+    vis_prev = "vis0"
+    for t in range(1, levels + 1):
+        fwd.append(
+            f"l{t} AS MATERIALIZED (SELECT l.s, a.v AS vid, sum(l.sigma) AS sigma "
+            f"FROM l{t-1} l JOIN adj a ON l.vid = a.u "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {vis_prev} w "
+            f"WHERE w.s = l.s AND w.vid = a.v) "
+            f"GROUP BY l.s, a.v), "
+            f"vis{t} AS MATERIALIZED (SELECT s, vid FROM {vis_prev} "
+            f"UNION ALL SELECT s, vid FROM l{t})"
+        )
+        vis_prev = f"vis{t}"
+    bwd = [
+        f"d{levels} AS MATERIALIZED (SELECT s, vid, sigma, 0.0 AS delta FROM l{levels})"
+    ]
+    for t in range(levels - 1, 0, -1):
+        bwd.append(
+            f"d{t} AS MATERIALIZED (SELECT l.s, l.vid, l.sigma, "
+            f"coalesce(sum(l.sigma / c.wsigma * (1.0 + c.wdelta)), 0.0) AS delta "
+            f"FROM l{t} l LEFT JOIN ("
+            f"SELECT d.s, a.u AS vid, d.sigma AS wsigma, d.delta AS wdelta "
+            f"FROM d{t+1} d JOIN adj a ON d.vid = a.v) c "
+            f"ON c.s = l.s AND c.vid = l.vid "
+            f"GROUP BY l.s, l.vid, l.sigma)"
+        )
+    all_d = " UNION ALL ".join(f"SELECT vid, delta FROM d{t}" for t in range(1, levels + 1))
+    return (
+        "WITH v AS ("
+        "SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS vid FROM region "
+        "UNION ALL SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) FROM nation "
+        "UNION ALL SELECT 'customer:' || CAST(c_custkey AS VARCHAR) FROM customer "
+        "WHERE c_custkey % 20 = 0), "
+        "ed AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM ("
+        "SELECT 'region:' || CAST(n_regionkey AS VARCHAR) AS x, "
+        "'nation:' || CAST(n_nationkey AS VARCHAR) AS y FROM nation "
+        "UNION ALL SELECT 'nation:' || CAST(c_nationkey AS VARCHAR), "
+        "'customer:' || CAST(c_custkey AS VARCHAR) FROM customer "
+        "WHERE c_custkey % 20 = 0) WHERE x <> y), "
+        "adj AS (SELECT a AS u, b AS v FROM ed UNION ALL SELECT b, a FROM ed), "
+        f"src AS MATERIALIZED (SELECT vid AS s FROM v ORDER BY "
+        + _dk_h60("CAST(vid AS VARCHAR)")
+        + f", vid LIMIT {n_sources}), "
+        "l0 AS MATERIALIZED (SELECT s, s AS vid, 1.0 AS sigma FROM src), "
+        "vis0 AS MATERIALIZED (SELECT s, vid FROM l0), "
+        + ", ".join(fwd) + ", "
+        + ", ".join(bwd) + ", "
+        f"b AS (SELECT vid, sum(delta) AS bc FROM ({all_d}) GROUP BY vid) "
+        "SELECT v.vid, round(coalesce(b.bc, 0.0) + 1e-12, 6) AS betweenness "
+        "FROM v LEFT JOIN b ON v.vid = b.vid"
     )
 
 
@@ -5556,6 +5656,7 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
         # both sides (the pytest power-iteration gate at 1e-6 stays)
         "graph_pagerank": _pagerank_oracle(iterations=5, damping=0.85),
         "graph_hits": _hits_oracle(iterations=4),
+        "graph_betweenness": _betweenness_oracle(levels=6, n_sources=8),
         "graph_pagerank_personalized": _pagerank_oracle(
             iterations=5, damping=0.85, sources=["region:0"]
         ),

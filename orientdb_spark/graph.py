@@ -986,6 +986,132 @@ class Graph:
         vids.unpersist()
         return ranks
 
+    def betweenness_sampled(
+        self,
+        sources: list | None = None,
+        n_samples: int = 8,
+        max_depth: int = 20,
+    ) -> DataFrame:
+        """Betweenness centrality by sampled Brandes (Brandes 2001 +
+        the Brandes–Pich 2007 source-sampling estimator, both public):
+        for each source s, a forward level-synchronous BFS computes
+        (dist, σ = #shortest paths), then the backward dependency sweep
+        accumulates δ(v) = Σ_{w: dist_w = dist_v+1, (v,w)∈E}
+        (σ_v/σ_w)(1+δ_w) level by level; betweenness(v) = Σ_s δ_s(v)
+        over the sampled sources (endpoints excluded, undirected simple
+        graph — parallel edges collapse). Passing ``sources=None``
+        samples the ``n_samples`` vertices with the smallest
+        (h60(vid), vid) — deterministic, no RNG; pass every vertex for
+        EXACT Brandes. The unbiased full-graph estimate is
+        (|V|/|S|)·betweenness — left to the caller, who knows |V|.
+
+        Scale shape: ALL sources run in one wave — state is keyed
+        (source, vid), so the per-level cost is one frontier join + one
+        (s, vid) σ-sum groupBy forward, and one join + one groupBy per
+        level backward; 2·diameter exchanges total, frontier frames
+        checkpointed per level (the bfs() discipline). State is
+        O(|S|·V) rows — the sampling parameter is exactly the
+        state/precision dial the estimator literature prescribes.
+        Returns (vid, betweenness) for every vertex (zeros included).
+        """
+        from orientdb_spark.pipeline.common import h60
+
+        if n_samples < 1 or max_depth < 1:
+            raise ValueError(
+                f"need n_samples >= 1 and max_depth >= 1, got {n_samples}, {max_depth}"
+            )
+        und = (
+            self.edges.select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .dropDuplicates()
+        )
+        adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        ).persist()
+        verts = self.vertices.select("vid").dropDuplicates()
+        spark = self.vertices.sparkSession
+        if sources is None:
+            srcs = [
+                r["vid"]
+                for r in verts.withColumn("__h", h60(F.col("vid").cast("string")))
+                .orderBy("__h", "vid")
+                .limit(n_samples)
+                .collect()
+            ]
+        else:
+            srcs = list(dict.fromkeys(sources))
+        if not srcs:
+            raise ValueError("no source vertices to sample")
+        src_df = spark.createDataFrame([(s,) for s in srcs], ["s"])
+        state = src_df.select(
+            "s",
+            F.col("s").alias("vid"),
+            F.lit(0).alias("dist"),
+            F.lit(1.0).alias("sigma"),
+        ).localCheckpoint(eager=True)
+        frontier = state
+        levels = [state]  # per-level (s, vid, dist, sigma)
+        depth = 0
+        while depth < max_depth:
+            depth += 1
+            nxt = (
+                frontier.join(adj, frontier["vid"] == adj["u"])
+                .select("s", F.col("v").alias("vid"), "sigma")
+                .groupBy("s", "vid")
+                .agg(F.sum("sigma").alias("sigma"))
+                .join(state.select("s", "vid"), ["s", "vid"], "left_anti")
+                .withColumn("dist", F.lit(depth))
+                .select("s", "vid", "dist", "sigma")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                depth -= 1
+                break
+            levels.append(nxt)
+            state = state.unionByName(nxt).localCheckpoint(eager=False)
+            frontier = nxt
+        # backward dependency sweep, deepest level first; level frames
+        # are frontier-sized and already materialized
+        deltas: list[DataFrame] = []
+        below = levels[depth].withColumn("delta", F.lit(0.0))
+        if depth >= 1:
+            deltas.append(below)
+        for lev in range(depth - 1, 0, -1):
+            contrib = (
+                below.join(adj, below["vid"] == adj["u"])
+                .select(
+                    "s",
+                    F.col("v").alias("vid"),
+                    (F.lit(1.0) + F.col("delta")).alias("__t"),
+                    F.col("sigma").alias("__sw"),
+                )
+            )
+            cur = (
+                levels[lev]
+                .join(contrib, ["s", "vid"], "left")
+                .groupBy("s", "vid", "dist", "sigma")
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("sigma") / F.col("__sw") * F.col("__t")), F.lit(0.0)
+                    ).alias("delta")
+                )
+                .localCheckpoint(eager=True)
+            )
+            deltas.append(cur)
+            below = cur
+        adj.unpersist()
+        if not deltas:
+            return verts.withColumn("betweenness", F.lit(0.0))
+        acc = deltas[0]
+        for d in deltas[1:]:
+            acc = acc.unionByName(d)
+        bc = acc.groupBy("vid").agg(F.sum("delta").alias("betweenness"))
+        return verts.join(bc, "vid", "left").select(
+            "vid", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
+        )
+
     def hits(self, iterations: int = 8) -> DataFrame:
         """HITS hubs & authorities (Kleinberg, "Authoritative Sources in
         a Hyperlinked Environment", JACM 1999 — public): mutual

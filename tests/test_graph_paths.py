@@ -587,3 +587,95 @@ def test_hits_validation(spark):
     )
     with pytest.raises(ValueError):
         g.hits(iterations=0)
+
+
+def _brandes_reference(vids, edges, sources):
+    """Sequential Brandes (2001): returns raw Σ_s δ_s(v) over the given
+    sources — the same definition betweenness_sampled computes (for the
+    classic undirected betweenness over all sources, halve it)."""
+    from collections import deque
+
+    adj = {v: set() for v in vids}
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    bc = {v: 0.0 for v in vids}
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0.0
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = {v: 0.0 for v in dist}
+        for w in reversed(order):
+            for v in adj[w]:
+                if v in dist and dist[v] == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_exact_vs_reference(spark):
+    """sources = all vertices → exact Brandes; the distributed sweep
+    must match the sequential reference on a graph with branching,
+    a cycle, and a disconnected component."""
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "d"), ("d", "e"),
+             ("x", "y")]
+    vids = sorted({v for e in edges for v in e} | {"iso"})
+    g = _graph(spark, edges, vertices=vids)
+    got = {
+        r["vid"]: r["betweenness"]
+        for r in g.betweenness_sampled(sources=vids).collect()
+    }
+    want = _brandes_reference(vids, edges, vids)
+    assert set(got) == set(want)
+    for v in vids:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+    # structure: the path center d (bridge to e) dominates; isolated = 0
+    assert got["d"] > got["c"] and got["iso"] == 0.0
+
+
+def test_betweenness_star_center(spark):
+    """Star with k leaves: every leaf pair's unique shortest path runs
+    through the center → raw Σ_s δ_s(center) = k(k-1)."""
+    k = 6
+    edges = [("c", f"l{i}") for i in range(k)]
+    vids = ["c"] + [f"l{i}" for i in range(k)]
+    g = _graph(spark, edges, vertices=vids)
+    got = {
+        r["vid"]: r["betweenness"]
+        for r in g.betweenness_sampled(sources=vids).collect()
+    }
+    assert got["c"] == pytest.approx(k * (k - 1))
+    assert all(got[f"l{i}"] == 0.0 for i in range(k))
+
+
+def test_betweenness_sampled_subset_and_validation(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    vids = ["a", "b", "c", "d"]
+    g = _graph(spark, edges, vertices=vids)
+    # deterministic h60 sampling: same call twice → same result
+    r1 = sorted(map(tuple, g.betweenness_sampled(n_samples=2).collect()))
+    r2 = sorted(map(tuple, g.betweenness_sampled(n_samples=2).collect()))
+    assert r1 == r2
+    # sampled subset matches the reference restricted to those sources
+    want = _brandes_reference(vids, edges, ["a", "c"])
+    got = {
+        r["vid"]: r["betweenness"]
+        for r in g.betweenness_sampled(sources=["a", "c"]).collect()
+    }
+    for v in vids:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+    with pytest.raises(ValueError):
+        g.betweenness_sampled(n_samples=0)
