@@ -1983,13 +1983,21 @@ def _sim_topk_pq(spark, sf_dir):
     """Asymmetric-distance top-k over PQ codes (quantize.pq_topk): each
     query precomputes an m x n_codes lookup table; the corpus scan reads
     CODES only (m ints/row, never the vectors) and scores via a pure
-    Column zip_with/element_at fold. Approximate by construction →
-    rows-only; cluster-precision and planted-twin gates live in
-    tests/test_quantize.py."""
+    Column zip_with/element_at fold. ORACLE-EXACT (r8 upgrade from
+    rows-only): with refine_iters=0 the seed quantizer, the codes, the
+    LUT dot products, and the 6-dp-rounded ADC ranking are all
+    deterministic functions of the shared md5-h60 arithmetic, so the
+    oracle replays the IDENTICAL computation (approximate w.r.t. true
+    cosine, but bit-reproducible — the graph_random_walks philosophy).
+    The Lloyd-refined path keeps its cluster-precision / planted-twin
+    gates in tests/test_quantize.py."""
     from orientdb_spark.pipeline.quantize import pq_topk
 
     embs = _embs(spark, sf_dir)
-    return pq_topk(embs, embs.filter(F.col("vec_id") < 10), k=5, m=8, n_codes=16)
+    return pq_topk(
+        embs, embs.filter(F.col("vec_id") < 10), k=5, m=8, n_codes=16,
+        refine_iters=0,
+    )
 
 
 def _sim_topk_ivfpq(spark, sf_dir):
@@ -5191,6 +5199,48 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "round(max(err), 9) AS max_abs_err FROM e GROUP BY vec_id"
         ),
         "embedding_random_projection": _rp_oracle_sql(),
+        "sim_topk_pq": (
+            # replays the refine_iters=0 ADC ranking end-to-end: seed
+            # codebooks + codes as in embedding_pq_encode, per-query
+            # LUT = subspace dot products against the seed centroids,
+            # score = round(sum of m lookups, 6), rank by (score desc,
+            # neighbor) — deterministic, so approximate-vs-cosine but
+            # bit-reproducible across engines
+            "WITH seeds AS (SELECT row_number() OVER (ORDER BY "
+            + _dk_h60("CAST(vec_id AS VARCHAR)")
+            + ", vec_id) - 1 AS cid, "
+            "list_transform(embedding, x -> x::DOUBLE) AS v "
+            "FROM embeddings ORDER BY "
+            + _dk_h60("CAST(vec_id AS VARCHAR)")
+            + ", vec_id LIMIT 16), "
+            "subs AS (SELECT range AS s FROM range(0, 8)), "
+            "cent AS (SELECT s, cid, v[(s*8+1)::BIGINT:(s*8+8)::BIGINT] AS c "
+            "FROM seeds, subs), "
+            "vsub AS (SELECT vec_id, s, "
+            "list_transform(embedding, x -> x::DOUBLE)"
+            "[(s*8+1)::BIGINT:(s*8+8)::BIGINT] AS xs FROM embeddings, subs), "
+            "dist AS (SELECT vec_id, s, cid, round(list_sum(list_transform("
+            "range(1, 9), i -> (xs[i::INTEGER] - c[i::INTEGER]) * "
+            "(xs[i::INTEGER] - c[i::INTEGER]))), 6) AS d6 "
+            "FROM vsub JOIN cent USING (s)), "
+            "codes AS (SELECT vec_id, s, cid AS code FROM ("
+            "SELECT vec_id, s, cid, row_number() OVER ("
+            "PARTITION BY vec_id, s ORDER BY d6, cid) AS rk FROM dist) "
+            "WHERE rk = 1), "
+            "lutv AS (SELECT q.vec_id AS qid, c.s, c.cid, "
+            "list_dot_product(q.xs, c.c) AS l "
+            "FROM vsub q JOIN cent c USING (s) WHERE q.vec_id < 10), "
+            "sc AS (SELECT l.qid AS query_id, b.vec_id AS neighbor_id, "
+            "round(sum(l.l), 6) AS score "
+            "FROM codes b JOIN lutv l ON b.s = l.s AND b.code = l.cid "
+            "WHERE b.vec_id <> l.qid "
+            "GROUP BY l.qid, b.vec_id), "
+            "rk AS (SELECT query_id, neighbor_id, score, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank "
+            "FROM sc) "
+            "SELECT query_id, neighbor_id, score, rank::INTEGER AS rank "
+            "FROM rk WHERE rank <= 5"
+        ),
         "embedding_pq_encode": (
             # re-derives the refine_iters=0 PQ quantizer: seeds = the 16
             # corpus vectors with smallest (h60, id), sliced into 8

@@ -128,8 +128,7 @@ def test_driver_front_slots_all_oracle_bearing():
         "embedding_kmeans",      # FP-order-sensitive centroid means
         "embedding_pca",         # same; numpy-agreement-gated
         "text_bpe_merges",       # sequential-reference-gated
-        "sim_topk_pq",           # approximate ADC ranking
-        "sim_topk_ivfpq",        # doubly approximate (cells x codes)
+        "sim_topk_ivfpq",        # Lloyd-refined cells -> FP-order means
     }
     front = list(QUERIES)[:50]
     assert len(front) == 50
