@@ -250,13 +250,23 @@ def pq_encode(
     )
 
 
-def pq_query_lut_udf(codebooks: list):
-    """Arrow-batched LUT builder for ADC: per query vector, the
-    m × n_codes table of subspace dot products against the codebooks.
-    Tiny per-row output (m·n_codes doubles); shared by pq_topk and
-    similarity.ivfpq_topk."""
+def pq_query_lut_udf(codebooks: list, metric: str = "dot"):
+    """Arrow-batched LUT builder for ADC: per input vector, the
+    m × n_codes table of subspace scores against the codebooks. Tiny
+    per-row output (m·n_codes doubles); shared by pq_topk and
+    similarity.ivfpq_topk.
+
+    ``metric="dot"``: lut[s][c] = q_s · codeword (score = approximate
+    dot product, rank DESCENDING). ``metric="l2"``: lut[s][c] =
+    ||q_s − codeword||² (score = approximate squared L2, rank
+    ASCENDING — Jégou et al. TPAMI'11 eq. 12's ADC term). In the
+    residual IVFADC composition the l2 LUT is built per (query, cell)
+    over q − c_cell, where Σ_s lut[s][code_s] = ||(q−c) − r̂||² ≈
+    ||q − x||² exactly as the paper formulates it."""
     from pyspark.sql.functions import pandas_udf
 
+    if metric not in ("dot", "l2"):
+        raise ValueError(f"metric must be 'dot' or 'l2', got {metric!r}")
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
     m = len(books)
     dsub = books[0].shape[1]
@@ -266,9 +276,19 @@ def pq_query_lut_udf(codebooks: list):
         out = []
         for v in vs:
             x = np.asarray(v, dtype=np.float64)
-            out.append(
-                [(books[s] @ x[s * dsub:(s + 1) * dsub]).tolist() for s in range(m)]
-            )
+            if metric == "dot":
+                out.append(
+                    [(books[s] @ x[s * dsub:(s + 1) * dsub]).tolist() for s in range(m)]
+                )
+            else:
+                out.append(
+                    [
+                        ((books[s] - x[s * dsub:(s + 1) * dsub]) ** 2)
+                        .sum(axis=1)
+                        .tolist()
+                        for s in range(m)
+                    ]
+                )
         return pd.Series(out)
 
     return lut
@@ -299,15 +319,20 @@ def pq_topk(
     codebooks: list | None = None,
     refine_iters: int = 1,
     codes: DataFrame | None = None,
+    metric: str = "dot",
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC) over
     PQ codes: each query precomputes an m×n_codes lookup table of
-    subspace dot products against the codebooks; a corpus CODE scan then
+    subspace scores against the codebooks; a corpus CODE scan then
     scores every item as the sum of m table lookups — never touching the
     original vectors. Same output shape as brute_force_topk
     (query_id, neighbor_id, score, rank), score = approximate dot
     product (== approximate cosine on unit-normalized corpora, which the
-    test corpus is). Approximate by construction → rows-only in the
+    test corpus is). ``metric="l2"`` scores approximate SQUARED L2
+    instead (nearest = smallest — ranks ascend; on unit-norm corpora
+    the two orderings coincide since ||q−x||² = 2 − 2·q·x, which
+    tests/test_quantize.py pins exactly on a codes-cover-corpus
+    fixture). Approximate by construction → rows-only in the
     driver; recall/planted-pair gates live in tests/test_quantize.py.
 
     Scale shape: the LUT column is m·n_codes doubles per QUERY (tiny,
@@ -327,7 +352,7 @@ def pq_topk(
     if codes is None:
         codes = pq_encode(df, codebooks, vec_col, id_col)
     corpus_codes = codes.withColumnRenamed(id_col, "neighbor_id")
-    lut = pq_query_lut_udf(codebooks)
+    lut = pq_query_lut_udf(codebooks, metric)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         lut(F.col(vec_col).cast("array<double>")).alias("__lut"),
@@ -338,7 +363,8 @@ def pq_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", F.round(pq_adc_score(F.col("codes"), F.col("__lut")), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    order = F.col("score").asc() if metric == "l2" else F.col("score").desc()
+    w = Window.partitionBy("query_id").orderBy(order, F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -109,7 +109,9 @@ def derive_ivf_params(
     ``n_cells ~ sqrt(N)`` (the classic IVF balance: cell scan cost ~N/C
     vs centroid probe cost ~C, clamped to [16, 4096] — above 4096 the
     centroid table stops being driver-trivial and a second quantizer
-    level is the right answer, not more cells). ``nprobe`` then covers
+    level is the right answer, not more cells: that is ``ImiIndex``,
+    whose product cells give k_half^2 effective cells from 2*k_half
+    stored centroids). ``nprobe`` then covers
     target_recall/1.5 of the cells: the sf1 isotropic study measured
     IVF recall at 1.5-2.5x the probed fraction (nearest-cell probing
     beats the linear LSH model: cells=16/nprobe=8 -> 0.77, cells=64/
@@ -387,6 +389,280 @@ class IvfIndex:
 
     def unpersist(self) -> None:
         self.corpus_cells.unpersist()
+
+
+# Derived IMI probe widths stop here: enumerating the probe pairs costs
+# O(min(k_half, nprobe)^2) query-side rows, and past a few thousand cells
+# an isotropic corpus is not meaningfully probeable anyway — the warning
+# machinery tells the caller when the cap binds.
+_MAX_DERIVED_IMI_NPROBE = 4096
+
+
+def derive_imi_params(n_corpus: int, target_recall: float = 0.6) -> tuple[int, int]:
+    """Scale-aware (k_half, nprobe) for the inverted multi-index.
+
+    ``k_half ~ N^(1/4)`` puts the EFFECTIVE cell count k_half^2 at the
+    classic ~sqrt(N) IVF balance while the centroid budget (2 * k_half
+    half-vectors) grows only as N^(1/4) — the whole point of IMI: the
+    16M-effective-cell index a 1e10-row corpus wants costs the same
+    driver-side table that caps flat IVF at 4096 cells. ``nprobe``
+    covers target_recall/1.5 of the ESTIMATED occupied cells (the same
+    measured nearest-cell advantage as derive_ivf_params; ImiIndex.topk
+    re-derives against the real occupancy count at query time), capped
+    at ``_MAX_DERIVED_IMI_NPROBE`` — when the cap binds the under-recall
+    warning fires instead of the probe enumeration exploding."""
+    if n_corpus < 1:
+        raise ValueError(f"need n_corpus >= 1, got {n_corpus}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
+    k_half = max(4, min(4096, math.ceil(n_corpus ** 0.25)))
+    occupied_est = min(k_half * k_half, n_corpus)
+    nprobe = max(
+        1,
+        min(
+            occupied_est,
+            _MAX_DERIVED_IMI_NPROBE,
+            math.ceil(occupied_est * target_recall / 1.5),
+        ),
+    )
+    return k_half, nprobe
+
+
+def estimated_imi_recall(occupied_cells: int, nprobe: int) -> float:
+    """Isotropic worst-case recall estimate for IMI: the IVF model
+    (1.5x the probed fraction) over OCCUPIED product cells — empty
+    (c1, c2) combinations cost nothing to skip, so occupancy is the
+    honest denominator."""
+    return min(1.0, 1.5 * nprobe / float(max(1, occupied_cells)))
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance of two array<double> columns — the same
+    sequential-fold shape as dot_product, so cross-engine replays agree."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+class ImiIndex:
+    """Inverted multi-index (Babenko & Lempitsky, "The Inverted
+    Multi-Index", CVPR 2012) — the two-level coarse quantizer for
+    corpora where flat IVF runs out of cells.
+
+    The vector splits into two halves; each half gets its own k_half
+    codebook (this is exactly product quantization with m=2, so the fit
+    and the assignment reuse pq_fit/pq_encode verbatim — one Arrow
+    encode pass, zero shuffles). A corpus item lands in the PRODUCT cell
+    (cid1, cid2): k_half^2 effective cells from 2*k_half stored
+    centroids. At k_half=4096 that is 16.7M cells from the same
+    driver-side centroid budget that capped flat IVF at 4096
+    (``derive_ivf_params`` documents that boundary and points here) —
+    candidate lists shrink ~sqrt(N)-fold for equal centroid cost, which
+    is what a 1e10-row corpus needs.
+
+    Probing is the multi-sequence guarantee made declarative: each
+    query ranks the L = min(k_half, nprobe) closest half-centroids per
+    half by squared L2 (two K-row broadcast fan-outs), crosses the two
+    lists (L^2 rows per query — a QUERY-side cost only), and keeps the
+    ``nprobe`` pairs with the smallest d1 + d2. Any pair in the true
+    top-nprobe by combined distance has each coordinate ranked <=
+    nprobe in its own half (everything that beats it in one half beats
+    it overall), so the enumeration is EXACT — same probe set as the
+    paper's priority-queue walk, with no driver-side loop.
+
+    Like IvfIndex: build once (persist=True checkpoints the coded
+    corpus), query many; at scale (cid1, cid2) is the partition key and
+    a probe touches only the matched cells.
+    """
+
+    def __init__(
+        self,
+        codebooks: list,
+        corpus_cells: DataFrame,
+        id_col: str,
+        k_half: int,
+        dim: int,
+        occupied: int | None = None,
+    ):
+        self.codebooks = codebooks
+        self.corpus_cells = corpus_cells  # (neighbor_id, __cv, cid1, cid2)
+        self.id_col = id_col
+        self.k_half = k_half
+        self.dim = dim
+        self._occupied = occupied
+        spark = corpus_cells.sparkSession
+        self._cent = [
+            spark.createDataFrame(
+                [(i, list(c)) for i, c in enumerate(codebooks[h])],
+                f"cid{h + 1} int, __cvec{h + 1} array<double>",
+            )
+            for h in range(2)
+        ]
+
+    @property
+    def occupied_cells(self) -> int:
+        """Distinct occupied (cid1, cid2) product cells — the honest
+        probe-fraction denominator (one bounded count, cached)."""
+        if self._occupied is None:
+            self._occupied = (
+                self.corpus_cells.select("cid1", "cid2").distinct().count()
+            )
+        return self._occupied
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        k_half: int | None = None,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        refine_iters: int = 1,
+        persist: bool = True,
+        target_recall: float = 0.6,
+    ) -> "ImiIndex":
+        """Fit the two half-space codebooks (pq_fit(m=2) — h60-seeded,
+        deterministic, ``refine_iters`` Lloyd steps) and assign every
+        corpus row to its product cell (one Arrow encode pass). The
+        vector dimension must be even (pq_fit's divisibility check).
+        ``k_half=None`` derives ~N^(1/4) codewords per half from one
+        count() (derive_imi_params)."""
+        from orientdb_spark.pipeline.quantize import pq_encode, pq_fit
+
+        if k_half is None:
+            k_half, _ = derive_imi_params(max(1, df.count()), target_recall)
+        books = pq_fit(
+            df, m=2, k=k_half, vec_col=vec_col, id_col=id_col,
+            refine_iters=refine_iters,
+        )
+        codes = pq_encode(df, books, vec_col=vec_col, id_col=id_col)
+        corpus = (
+            df.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("__cv"),
+            )
+            .join(codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+            .select(
+                "neighbor_id",
+                "__cv",
+                F.element_at("codes", 1).alias("cid1"),
+                F.element_at("codes", 2).alias("cid2"),
+            )
+        )
+        if persist:
+            corpus = corpus.localCheckpoint(eager=True)
+        dim = 2 * len(books[0][0])
+        return cls(books, corpus, id_col=id_col, k_half=k_half, dim=dim)
+
+    def probe_cells(
+        self, queries: DataFrame, nprobe: int, vec_col: str = "embedding"
+    ) -> DataFrame:
+        """The query's ``nprobe`` closest product cells by combined
+        per-half squared L2 (exact multi-sequence enumeration — see the
+        class docstring). Returns (query_id, __qv, cid1, cid2)."""
+        dsub = self.dim // 2
+        L = min(self.k_half, nprobe)
+        q = queries.select(
+            F.col(self.id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        )
+        halves = []
+        for h in range(2):
+            qh = F.slice(F.col("__qv"), 1 + h * dsub, dsub)
+            d_col, c_col = f"__d{h + 1}", f"cid{h + 1}"
+            w = Window.partitionBy("query_id").orderBy(F.col(d_col), F.col(c_col))
+            side = q if h == 0 else q.select("query_id", "__qv")
+            halves.append(
+                side.crossJoin(F.broadcast(self._cent[h]))
+                .withColumn(d_col, _sq_l2(qh, F.col(f"__cvec{h + 1}")))
+                .withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") <= L)
+                .drop("__r", f"__cvec{h + 1}", *([] if h == 0 else ["__qv"]))
+            )
+        pairs = halves[0].join(halves[1], "query_id")
+        wp = Window.partitionBy("query_id").orderBy(
+            (F.col("__d1") + F.col("__d2")).asc(), F.col("cid1"), F.col("cid2")
+        )
+        return (
+            pairs.withColumn("__rp", F.row_number().over(wp))
+            .filter(F.col("__rp") <= nprobe)
+            .select("query_id", "__qv", "cid1", "cid2")
+        )
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int | None = None,
+        vec_col: str = "embedding",
+        target_recall: float = 0.6,
+    ) -> DataFrame:
+        """Approximate cosine top-k through the product-cell index:
+        probe ``nprobe`` cells, exact rerank within. Same output shape
+        as brute_force_topk. ``nprobe=None`` derives the width that
+        clears ``target_recall`` against the MEASURED occupancy;
+        under-recall settings warn loudly (the ivf_topk contract)."""
+        occ = self.occupied_cells
+        if nprobe is None:
+            nprobe = max(
+                1,
+                min(occ, _MAX_DERIVED_IMI_NPROBE,
+                    math.ceil(occ * target_recall / 1.5)),
+            )
+        est = estimated_imi_recall(occ, nprobe)
+        if est < target_recall:
+            _warn_under_recall(
+                "imi_topk", est, target_recall,
+                f"Raise nprobe (now {nprobe} of {occ} occupied cells) or "
+                "rebuild with smaller k_half.",
+            )
+        probes = self.probe_cells(queries, nprobe, vec_col)
+        scored = (
+            F.broadcast(probes)
+            .join(self.corpus_cells, ["cid1", "cid2"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+            )
+        )
+
+    def unpersist(self) -> None:
+        self.corpus_cells.unpersist()
+
+
+def imi_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k_half: int | None = None,
+    nprobe: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    index: ImiIndex | None = None,
+    refine_iters: int = 1,
+    target_recall: float = 0.6,
+) -> DataFrame:
+    """Approximate top-k through the inverted multi-index (ImiIndex) —
+    the >4096-cell answer derive_ivf_params points at. Same output
+    shape and defaults-derivation/warning contract as ivf_topk; pass a
+    prebuilt ``index`` for the build-once/query-many path."""
+    if index is None:
+        index = ImiIndex.build(
+            df, k_half, vec_col, id_col, refine_iters=refine_iters,
+            persist=False, target_recall=target_recall,
+        )
+    return index.topk(
+        queries, k=k, nprobe=nprobe, vec_col=vec_col, target_recall=target_recall
+    )
 
 
 def kmeans(
@@ -677,6 +953,7 @@ def ivfpq_topk(
     refine_iters: int = 1,
     target_recall: float = 0.6,
     residual: bool = False,
+    metric: str = "dot",
 ) -> DataFrame:
     """IVF-PQ approximate top-k (the IVFADC composition of Jégou et al.,
     TPAMI 2011 §IV — the architecture behind billion-vector ANN): the
@@ -708,6 +985,15 @@ def ivfpq_topk(
     vs raw-vector encoding (~21% — the gain grows as clusters tighten,
     because residual magnitude shrinks relative to raw;
     tests/test_quantize.py pins the ordering).
+
+    ``metric="l2"`` ranks by approximate SQUARED L2 (ascending — the
+    paper's native metric). With ``residual=True`` this is the faithful
+    §IV formulation: ||q − x||² = ||(q − c_cell) − r||², so the LUT is
+    built PER (query, probed cell) over the residual query q − c_cell
+    (nprobe tables of m·n_codes doubles per query — still tiny, and
+    still zero extra shuffles since the probe rows already carry the
+    broadcast centroid) and Σ_s lut[s][code_s] estimates the true
+    squared distance directly, no separate centroid term.
 
     Same output shape as pq_topk (query_id, neighbor_id, score, rank),
     score = approximate dot. Doubly approximate (cell pruning × code
@@ -761,19 +1047,35 @@ def ivfpq_topk(
     coded_cells = index.corpus_cells.select("neighbor_id", "cid").join(
         code_side, "neighbor_id"
     )
-    lut = pq_query_lut_udf(codebooks)
-    probes = index.probe_cells(queries, nprobe, vec_col).withColumn(
-        "__lut", lut(F.col("__qv"))
-    )
+    lut = pq_query_lut_udf(codebooks, metric)
+    probes = index.probe_cells(queries, nprobe, vec_col)
     if residual:
-        # exact q·centroid term per probed cell (tiny broadcast join)
-        probes = probes.join(F.broadcast(index.centroids), "cid").withColumn(
-            "__qc", dot_product(F.col("__qv").cast("array<double>"),
-                                F.col("cvec").cast("array<double>"))
-        ).drop("cvec")
+        probes = probes.join(F.broadcast(index.centroids), "cid")
+        if metric == "l2":
+            # per-(query, cell) LUT over the residual query q − c_cell:
+            # Σ_s lut[s][code_s] = ||(q−c) − r̂||² ≈ ||q − x||² directly
+            probes = probes.withColumn(
+                "__lut",
+                lut(
+                    F.zip_with(
+                        F.col("__qv").cast("array<double>"),
+                        F.col("cvec").cast("array<double>"),
+                        lambda x, c: x - c,
+                    )
+                ),
+            )
+        else:
+            # exact q·centroid term per probed cell (tiny broadcast join)
+            probes = probes.withColumn("__lut", lut(F.col("__qv"))).withColumn(
+                "__qc", dot_product(F.col("__qv").cast("array<double>"),
+                                    F.col("cvec").cast("array<double>"))
+            )
+        probes = probes.drop("cvec")
+    else:
+        probes = probes.withColumn("__lut", lut(F.col("__qv")))
     probes = probes.drop("__qv")
     base_score = pq_adc_score(F.col("codes"), F.col("__lut"))
-    if residual:
+    if residual and metric == "dot":
         base_score = F.col("__qc") + base_score
     scored = (
         F.broadcast(probes)
@@ -781,7 +1083,8 @@ def ivfpq_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", F.round(base_score, 6))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    order = F.col("score").asc() if metric == "l2" else F.col("score").desc()
+    w = Window.partitionBy("query_id").orderBy(order, F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
