@@ -1893,12 +1893,17 @@ def _embedding_pca(spark, sf_dir):
     eig, narrow literal-array projection. Rows-only by design: the
     eigenbasis is LAPACK-derived, so a cross-engine value hash is the
     wrong check — the quality gate is the numpy agreement + variance-
-    recovery test in tests/test_quantize.py."""
+    recovery test in tests/test_quantize.py. Output is posexploded to
+    scalar (vec_id, component, value) rows — the r8 driver record
+    errored because its canonicalizer can't hash an array<double>
+    column (the same shape fix embedding_pq_encode uses)."""
     from orientdb_spark.pipeline.quantize import pca_fit, pca_project
 
     embs = _embs(spark, sf_dir)
     model = pca_fit(embs, n_components=8)
-    return pca_project(embs, model)
+    return pca_project(embs, model).select(
+        "vec_id", F.posexplode("proj").alias("component", "value")
+    ).withColumn("value", F.round("value", 6))
 
 
 def _pipeline_multimodal_end_to_end(spark, sf_dir):
