@@ -5233,10 +5233,11 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "PARTITION BY vec_id, s ORDER BY d6, cid) AS rk FROM dist) "
             "WHERE rk = 1), "
             "lutv AS (SELECT q.vec_id AS qid, c.s, c.cid, "
-            "list_dot_product(q.xs, c.c) AS l "
+            "list_sum(list_transform(range(1, 9), "
+            "i -> q.xs[i::INTEGER] * c.c[i::INTEGER])) AS l "
             "FROM vsub q JOIN cent c USING (s) WHERE q.vec_id < 10), "
             "sc AS (SELECT l.qid AS query_id, b.vec_id AS neighbor_id, "
-            "round(sum(l.l), 6) AS score "
+            "round(sum(l.l) + 1e-12, 6) AS score "
             "FROM codes b JOIN lutv l ON b.s = l.s AND b.code = l.cid "
             "WHERE b.vec_id <> l.qid "
             "GROUP BY l.qid, b.vec_id), "

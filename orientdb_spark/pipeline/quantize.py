@@ -262,7 +262,13 @@ def pq_query_lut_udf(codebooks: list, metric: str = "dot"):
     ASCENDING — Jégou et al. TPAMI'11 eq. 12's ADC term). In the
     residual IVFADC composition the l2 LUT is built per (query, cell)
     over q − c_cell, where Σ_s lut[s][code_s] = ||(q−c) − r̂||² ≈
-    ||q − x||² exactly as the paper formulates it."""
+    ||q − x||² exactly as the paper formulates it.
+
+    FP discipline for the SQL oracle: per-codeword scores accumulate
+    DIMENSION-MAJOR in ascending order (the pq_encode convention — the
+    same sequential fold the DuckDB oracle's list arithmetic runs), not
+    via BLAS matvec, whose pairwise summation can diverge from the
+    sequential fold at the last ulp."""
     from pyspark.sql.functions import pandas_udf
 
     if metric not in ("dot", "l2"):
@@ -276,19 +282,19 @@ def pq_query_lut_udf(codebooks: list, metric: str = "dot"):
         out = []
         for v in vs:
             x = np.asarray(v, dtype=np.float64)
-            if metric == "dot":
-                out.append(
-                    [(books[s] @ x[s * dsub:(s + 1) * dsub]).tolist() for s in range(m)]
-                )
-            else:
-                out.append(
-                    [
-                        ((books[s] - x[s * dsub:(s + 1) * dsub]) ** 2)
-                        .sum(axis=1)
-                        .tolist()
-                        for s in range(m)
-                    ]
-                )
+            tabs = []
+            for s in range(m):
+                xs = x[s * dsub:(s + 1) * dsub]
+                C = books[s]
+                acc = np.zeros(C.shape[0])
+                for dd in range(dsub):  # dimension-major: SQL-fold-identical
+                    if metric == "dot":
+                        acc += C[:, dd] * xs[dd]
+                    else:
+                        diff = C[:, dd] - xs[dd]
+                        acc += diff * diff
+                tabs.append(acc.tolist())
+            out.append(tabs)
         return pd.Series(out)
 
     return lut
@@ -329,11 +335,15 @@ def pq_topk(
     (query_id, neighbor_id, score, rank), score = approximate dot
     product (== approximate cosine on unit-normalized corpora, which the
     test corpus is). ``metric="l2"`` scores approximate SQUARED L2
-    instead (nearest = smallest — ranks ascend; on unit-norm corpora
-    the two orderings coincide since ||q−x||² = 2 − 2·q·x, which
-    tests/test_quantize.py pins exactly on a codes-cover-corpus
-    fixture). Approximate by construction → rows-only in the
-    driver; recall/planted-pair gates live in tests/test_quantize.py.
+    instead (nearest = smallest — ranks ascend). On a unit-norm corpus
+    whose PQ reconstruction is EXACT (every subspace slice is a
+    codeword) the l2 and dot orderings coincide, since then
+    ||q−x̂||² = ||q||² + ||x||² − 2·q·x̂ with exact x̂ = x;
+    tests/test_quantize.py pins this on a codes-cover-corpus fixture.
+    With INEXACT reconstruction the l2 score carries a per-code
+    ||x̂_c||² term the dot score lacks, so the two orderings may
+    legitimately diverge. Approximate by construction → recall/
+    planted-pair gates live in tests/test_quantize.py.
 
     Scale shape: the LUT column is m·n_codes doubles per QUERY (tiny,
     broadcast); the corpus side scans codes only (m ints/row instead of
@@ -361,7 +371,14 @@ def pq_topk(
         F.broadcast(q)
         .crossJoin(corpus_codes)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(pq_adc_score(F.col("codes"), F.col("__lut")), 6))
+        # +1e-12 before round: Spark HALF_UP on the exact double vs
+        # DuckDB's shortest-decimal round diverge within one ulp of a
+        # .5e-6 midpoint — the quality_score nudge, applied on BOTH
+        # engines (the oracle adds the same epsilon)
+        .withColumn(
+            "score",
+            F.round(pq_adc_score(F.col("codes"), F.col("__lut")) + F.lit(1e-12), 6),
+        )
     )
     order = F.col("score").asc() if metric == "l2" else F.col("score").desc()
     w = Window.partitionBy("query_id").orderBy(order, F.col("neighbor_id"))

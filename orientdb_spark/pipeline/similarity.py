@@ -864,21 +864,23 @@ def lsh_topk(
     verbatim, but ANY setting whose worst-case recall estimate falls
     below ``target_recall`` raises a loud RuntimeWarning instead of
     silently under-recalling."""
-    if planes is None or nprobe is None:
-        d_planes, _ = derive_lsh_params(
+    if planes is None:
+        # the only sizing that needs the corpus count — an explicit
+        # planes skips the scan entirely (nprobe derives from planes)
+        planes, d_nprobe = derive_lsh_params(
             max(1, df.count()), tables=tables, target_recall=target_recall
         )
-        if planes is None:
-            planes = d_planes
         if nprobe is None:
-            # an explicit planes changes the keyspace the derived nprobe
-            # must cover — size the fraction against the planes in play
-            frac = 1.0 - (1.0 - target_recall) ** (1.0 / tables)
-            nprobe = max(
-                1,
-                min(2 ** planes, _MAX_DERIVED_NPROBE, max_probe_buckets(planes),
-                    math.ceil(2 ** planes * min(1.0, frac))),
-            )
+            nprobe = d_nprobe
+    elif nprobe is None:
+        # an explicit planes changes the keyspace the derived nprobe
+        # must cover — size the fraction against the planes in play
+        frac = 1.0 - (1.0 - target_recall) ** (1.0 / tables)
+        nprobe = max(
+            1,
+            min(2 ** planes, _MAX_DERIVED_NPROBE, max_probe_buckets(planes),
+                math.ceil(2 ** planes * min(1.0, frac))),
+        )
     est = estimated_lsh_recall(planes, nprobe, tables)
     if est < target_recall:
         _warn_under_recall(
@@ -1081,7 +1083,9 @@ def ivfpq_topk(
         F.broadcast(probes)
         .join(coded_cells, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(base_score, 6))
+        # +1e-12 before round(…, 6): the cross-engine midpoint-rounding
+        # nudge every replayable score shares (see pq_topk)
+        .withColumn("score", F.round(base_score + F.lit(1e-12), 6))
     )
     order = F.col("score").asc() if metric == "l2" else F.col("score").desc()
     w = Window.partitionBy("query_id").orderBy(order, F.col("neighbor_id"))

@@ -263,3 +263,35 @@ def test_derive_ivf_params_properties(n, target):
 def test_max_probe_buckets_counts(planes):
     # 1 + C(p,1) + C(p,2): the enumeration in lsh_probe_buckets
     assert similarity.max_probe_buckets(planes) == 1 + planes + planes * (planes - 1) // 2
+
+
+def test_lsh_explicit_planes_skips_corpus_count(spark):
+    """ADVICE r8: with planes given explicitly, lsh_topk must not run
+    the derive-params corpus count — the derived nprobe comes straight
+    from the explicit planes. Pin by poisoning DataFrame.count on the
+    corpus frame."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.similarity import lsh_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = df.filter(F.col("vec_id") < 3)
+
+    class NoCount:
+        """Proxy that forwards everything but makes .count() explode."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def count(self):
+            raise AssertionError("lsh_topk ran df.count() despite explicit planes")
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # derived nprobe may under-recall
+        out = lsh_topk(NoCount(df), q, k=3, planes=4, nprobe=None, tables=2)
+    assert out.count() > 0

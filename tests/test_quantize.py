@@ -421,3 +421,76 @@ def test_ivfpq_residual_encoding_more_accurate(spark):
     assert res_err < raw_err, f"residual {res_err:.4f} vs raw {raw_err:.4f}"
     # residual estimates should be genuinely tight on top-ranked pairs
     assert res_err < 0.1, f"residual ADC error too large: {res_err:.4f}"
+
+
+def _exact_reconstruction_corpus(spark, n=16, dim=64, seed=23):
+    """Unit-norm corpus of exactly n distinct vectors: with
+    pq_fit(k=n, refine_iters=0) the h60 seeds are ALL corpus vectors,
+    so every subspace slice is a codeword and PQ reconstruction is
+    exact — the regime where the l2 and dot ADC orderings provably
+    coincide on unit-norm data (||q − x̂||² = 2 − 2·q·x̂ when x̂ = x)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(0, 1, (n, dim))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    )
+
+
+def test_pq_l2_dot_orderings_coincide_exact_reconstruction(spark):
+    """The docstring claim, scoped correctly: on a unit-norm corpus with
+    EXACT PQ reconstruction (codes cover the corpus), metric='l2' and
+    metric='dot' produce the identical ranking, and both scores equal
+    the exact pairwise values (squared L2 / dot) to the 6-dp round."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.quantize import pq_topk
+
+    df = _exact_reconstruction_corpus(spark)
+    X = {r["vec_id"]: np.asarray(r["embedding"]) for r in df.collect()}
+    q = df.filter(F.col("vec_id") < 4)
+    dot = pq_topk(df, q, k=5, m=8, n_codes=16, refine_iters=0, metric="dot")
+    l2 = pq_topk(df, q, k=5, m=8, n_codes=16, refine_iters=0, metric="l2")
+    dot_rows = {(r["query_id"], r["rank"]): r for r in dot.collect()}
+    l2_rows = {(r["query_id"], r["rank"]): r for r in l2.collect()}
+    assert dot_rows.keys() == l2_rows.keys() and len(dot_rows) == 4 * 5
+    for key, dr in dot_rows.items():
+        lr = l2_rows[key]
+        # identical ordering: same neighbor at every (query, rank)
+        assert lr["neighbor_id"] == dr["neighbor_id"], (key, dr, lr)
+        qv, nv = X[dr["query_id"]], X[dr["neighbor_id"]]
+        # exact reconstruction: ADC scores equal the true pairwise values
+        assert abs(dr["score"] - float(qv @ nv)) < 2e-6, (key, dr)
+        d = qv - nv
+        assert abs(lr["score"] - float(d @ d)) < 2e-6, (key, lr)
+        # and the unit-norm identity ties the two scores together
+        assert abs(lr["score"] - (2.0 - 2.0 * dr["score"])) < 4e-6, (key, dr, lr)
+
+
+def test_pq_l2_scores_ascend_with_true_distance(spark):
+    """l2 metric monotonicity on the exact-reconstruction fixture: the
+    returned ranks must ascend with the TRUE squared distance (rank 1 =
+    nearest), i.e. the ascending-order branch orders correctly."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.quantize import pq_topk
+
+    df = _exact_reconstruction_corpus(spark)
+    X = {r["vec_id"]: np.asarray(r["embedding"]) for r in df.collect()}
+    q = df.filter(F.col("vec_id") < 4)
+    out = pq_topk(df, q, k=15, m=8, n_codes=16, refine_iters=0, metric="l2")
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid, rows in by_q.items():
+        got = [n for _, n in sorted(rows)]
+        d = {n: float((X[qid] - X[n]) @ (X[qid] - X[n])) for n in X if n != qid}
+        want = sorted(d, key=lambda n: (round(d[n], 5), n))
+        # compare true-distance order allowing 6-dp score ties to swap
+        got_d = [round(d[n], 4) for n in got]
+        assert got_d == sorted(got_d), (qid, got, want)
