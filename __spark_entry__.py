@@ -2018,6 +2018,25 @@ def _sim_topk_ivfpq(spark, sf_dir):
     return ivfpq_topk(embs, embs.filter(F.col("vec_id") < 10), k=5, m=8, n_codes=16)
 
 
+def _sim_topk_imi(spark, sf_dir):
+    """Inverted multi-index top-k (similarity.imi_topk; Babenko &
+    Lempitsky, CVPR 2012) — the two-level coarse quantizer that takes
+    over when flat IVF hits its 4096-cell driver boundary: two k_half
+    codebooks over the vector halves give k_half^2 effective product
+    cells from 2*k_half stored centroids, and the probe enumeration is
+    the multi-sequence walk made declarative (exact — pinned against a
+    numpy all-pairs reference in tests/test_imi_index.py, alongside the
+    full-probe==brute-force equality and the clustered-corpus recall/
+    precision gates). Approximate by construction → rows-only in the
+    driver. k_half=4 sizes product cells for the fixture corpus;
+    nprobe=8 of ≤16 occupied cells puts the isotropic recall estimate
+    at 0.75 ≥ the 0.6 default (no warning)."""
+    from orientdb_spark.pipeline.similarity import imi_topk
+
+    embs = _embs(spark, sf_dir)
+    return imi_topk(embs, embs.filter(F.col("vec_id") < 10), k=5, k_half=4, nprobe=8)
+
+
 def _text_langid(spark, sf_dir):
     from orientdb_spark.pipeline import text
 
@@ -3456,6 +3475,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "embedding_pq_encode": _embedding_pq_encode,
         "sim_topk_pq": _sim_topk_pq,
         "sim_topk_ivfpq": _sim_topk_ivfpq,
+        "sim_topk_imi": _sim_topk_imi,
         "embedding_nearest_centroid": _embedding_nearest_centroid,
         "embedding_kmeans": _embedding_kmeans,
         "embedding_pca": _embedding_pca,
