@@ -118,3 +118,41 @@ def cosine_similarity(a: Column, b: Column, norm_a: Column | None = None, norm_b
     na = vec_norm(a) if norm_a is None else norm_a
     nb = vec_norm(b) if norm_b is None else norm_b
     return dot_product(a, b) / (na * nb)
+
+
+# Partial-rank fan-out for two-phase top-k: enough buckets that no
+# single task ranks a whole corpus, few enough that the merge input
+# (queries × buckets × k rows) stays trivially small.
+TOPK_PARTIAL_BUCKETS = 32
+
+
+def two_phase_topk_rank(scored, k: int, order_cols, buckets: int = TOPK_PARTIAL_BUCKETS):
+    """Scale-safe per-query top-k rank over a scored candidate frame
+    (columns must include ``query_id`` and ``neighbor_id``).
+
+    ``Window.partitionBy(query_id)`` alone shuffles EVERY candidate row
+    onto Q keys — with few queries that is a maximally skewed exchange
+    where one task sorts an entire corpus. Phase 1 ranks within
+    (query_id, hash-bucket(neighbor_id)) — Q×``buckets`` well-spread
+    keys — and keeps k rows per bucket; phase 2 merges the surviving
+    ≤ Q×buckets×k rows into the final per-query rank. The global top-k
+    under a total order is always contained in the union of per-bucket
+    top-k's, so the result is IDENTICAL to the single-window form —
+    ``order_cols`` must therefore be a total order (callers tiebreak on
+    neighbor_id). Returns the frame with a ``rank`` column, filtered to
+    rank ≤ k; callers do their own final select.
+    """
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("query_id", "__tkb").orderBy(*order_cols)
+    wf = Window.partitionBy("query_id").orderBy(*order_cols)
+    return (
+        scored.withColumn(
+            "__tkb", F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(buckets))
+        )
+        .withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= k)
+        .drop("__tkb", "__pr")
+        .withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+    )

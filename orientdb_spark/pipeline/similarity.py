@@ -27,7 +27,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from orientdb_spark.pipeline.common import cosine_similarity, h60, vec_norm
+from orientdb_spark.pipeline.common import (
+    cosine_similarity,
+    h60,
+    two_phase_topk_rank,
+    vec_norm,
+)
 
 # Query-side fan-out cap for DERIVED multi-probe widths: beyond this,
 # probing more buckets of one table is worse than adding tables (the
@@ -173,12 +178,9 @@ def brute_force_topk(
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return two_phase_topk_rank(
+        scored, k, [F.col("cosine").desc(), F.col("neighbor_id")]
+    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
 def _assign_udf(centers: list[list[float]]):
@@ -361,12 +363,9 @@ class IvfIndex:
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
         )
-        w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
-        )
+        return two_phase_topk_rank(
+            scored, k, [F.col("cosine").desc(), F.col("neighbor_id")]
+        ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
 
     def probe_cells(
         self, queries: DataFrame, nprobe: int, vec_col: str = "embedding"
@@ -624,15 +623,10 @@ class ImiIndex:
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
         )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("neighbor_id")
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(
-                "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
-            )
+        return two_phase_topk_rank(
+            scored, k, [F.col("cosine").desc(), F.col("neighbor_id")]
+        ).select(
+            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
         )
 
     def unpersist(self) -> None:
@@ -931,12 +925,9 @@ def lsh_topk(
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return two_phase_topk_rank(
+        scored, k, [F.col("cosine").desc(), F.col("neighbor_id")]
+    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
 def ivfpq_topk(
@@ -1088,12 +1079,9 @@ def ivfpq_topk(
         .withColumn("score", F.round(base_score + F.lit(1e-12), 6))
     )
     order = F.col("score").asc() if metric == "l2" else F.col("score").desc()
-    w = Window.partitionBy("query_id").orderBy(order, F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
-    )
+    return two_phase_topk_rank(
+        scored, k, [order, F.col("neighbor_id")]
+    ).select("query_id", "neighbor_id", "score", "rank")
 
 
 def label_centroids(
