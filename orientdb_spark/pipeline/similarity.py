@@ -184,16 +184,28 @@ def brute_force_topk(
 
 
 def _assign_udf(centers: list[list[float]]):
-    """Arrow-vectorized cell assignment: per batch, one (B×d)·(d×K) numpy
-    matmul against the (driver-small, closure-captured) centroid matrix,
-    argmax by cosine with ties to the lower cid — the scale path for
-    assignment: a narrow map stage, NO shuffle, no per-row interpreted
-    higher-order functions. ~n_cells·d doubles ride along with the task
-    like a broadcast variable."""
+    """Arrow-vectorized cell assignment against the (driver-small,
+    closure-captured) centroid matrix, argmax by cosine with ties to the
+    lower cid — the scale path for assignment: a narrow map stage, NO
+    shuffle, no per-row interpreted higher-order functions. ~n_cells·d
+    doubles ride along with the task like a broadcast variable.
+
+    FP discipline for the SQL oracle (the pq_encode convention): dot
+    products and squared norms accumulate DIMENSION-MAJOR in ascending
+    order (the same sequential fold the DuckDB oracle's list arithmetic
+    runs — BLAS matmul/nrm2 pairwise summation can diverge at the last
+    ulp), and the cosine gets the +1e-12 midpoint nudge and a 6-dp round
+    before the argmax — so an oracle can replay the assignment exactly
+    whenever the centers themselves are replayable (refine_iters=0 h60
+    seeds), which is what upgrades sim_topk_ivfpq to oracle-exact."""
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centers, dtype=np.float64)  # K × d
-    Cn = np.linalg.norm(C, axis=1)
+    d = C.shape[1]
+    Cn = np.zeros(C.shape[0])
+    for dd in range(d):  # dimension-major: SQL-fold-identical
+        Cn += C[:, dd] * C[:, dd]
+    Cn = np.sqrt(Cn)
     Cn[Cn == 0.0] = 1.0
 
     @pandas_udf("long")
@@ -201,9 +213,14 @@ def _assign_udf(centers: list[list[float]]):
         M = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
         if M.size == 0:
             return pd.Series([], dtype="int64")
-        Mn = np.linalg.norm(M, axis=1)
+        dots = np.zeros((M.shape[0], C.shape[0]))
+        Mn = np.zeros(M.shape[0])
+        for dd in range(d):  # dimension-major: SQL-fold-identical
+            dots += M[:, dd][:, None] * C[:, dd][None, :]
+            Mn += M[:, dd] * M[:, dd]
+        Mn = np.sqrt(Mn)
         Mn[Mn == 0.0] = 1.0
-        sims = (M @ C.T) / np.outer(Mn, Cn)
+        sims = np.round(dots / np.outer(Mn, Cn) + 1e-12, 6)
         # argmax keeps the FIRST max → ties resolve to the lower cid,
         # matching the former row_number(orderBy sim desc, cid) semantics
         return pd.Series(np.argmax(sims, axis=1).astype("int64"))
@@ -372,7 +389,10 @@ class IvfIndex:
     ) -> DataFrame:
         """The coarse-quantizer probe: each query's ``nprobe`` closest
         cells by centroid cosine. Returns (query_id, __qv, cid) — the
-        candidate-pruning predicate every IVF-family ranker joins on."""
+        candidate-pruning predicate every IVF-family ranker joins on.
+        Ranking uses the rounded-nudged cosine (the _assign_udf FP
+        discipline) with a cid tiebreak, so the probe set is exactly
+        replayable by a SQL oracle when the centroids are h60 seeds."""
         q = queries.select(
             F.col(self.id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("__qv"),
@@ -380,7 +400,12 @@ class IvfIndex:
         wq = Window.partitionBy("query_id").orderBy(F.col("__d").desc(), F.col("cid"))
         return (
             q.crossJoin(F.broadcast(self.centroids))
-            .withColumn("__d", cosine_similarity(F.col("__qv"), F.col("cvec")))
+            .withColumn(
+                "__d",
+                F.round(
+                    cosine_similarity(F.col("__qv"), F.col("cvec")) + F.lit(1e-12), 6
+                ),
+            )
             .withColumn("__r", F.row_number().over(wq))
             .filter(F.col("__r") <= nprobe)
             .select("query_id", "__qv", "cid")

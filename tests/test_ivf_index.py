@@ -141,11 +141,20 @@ def test_kmeans_matches_numpy_lloyd(spark):
     C = np.array([M[ids.index(i)] for i in seed_ids], dtype=np.float64)
 
     def assign_np(C):
-        Cn = np.linalg.norm(C, axis=1)
+        # mirror _assign_udf's oracle FP discipline: dimension-major
+        # accumulation, +1e-12 nudge, 6-dp round before the argmax
+        d = C.shape[1]
+        Cn = np.zeros(C.shape[0])
+        Mn = np.zeros(M.shape[0])
+        dots = np.zeros((M.shape[0], C.shape[0]))
+        for dd in range(d):
+            Cn += C[:, dd] * C[:, dd]
+            Mn += M[:, dd] * M[:, dd]
+            dots += M[:, dd][:, None] * C[:, dd][None, :]
+        Cn, Mn = np.sqrt(Cn), np.sqrt(Mn)
         Cn[Cn == 0] = 1.0
-        Mn = np.linalg.norm(M, axis=1)
         Mn[Mn == 0] = 1.0
-        return np.argmax((M @ C.T) / np.outer(Mn, Cn), axis=1)
+        return np.argmax(np.round(dots / np.outer(Mn, Cn) + 1e-12, 6), axis=1)
 
     for _ in range(iters):
         a = assign_np(C)
