@@ -118,17 +118,18 @@ def test_bench_headline_names_are_valid():
 
 
 def test_driver_front_slots_all_oracle_bearing():
-    """Rotation contract, r8 form: the closing rotation (per the r7
-    verdict) deliberately slots the never-recorded rows-only-by-design
-    entries so EVERY registry entry gets a driver signature — those
-    exact entries (and only those) may lack oracles; any other
+    """Rotation contract, r9 form: the refresh rotation deliberately
+    slots four rows-only-by-design entries (the fixed embedding_pca,
+    the first-ever sim_topk_imi, and the approximate-ANN refreshes) —
+    those exact entries (and only those) may lack oracles; any other
     oracle-less slot (a rename, an oracle drop) must fail CI, not the
-    driver run."""
+    driver run. Note sim_topk_ivfpq is NOT here anymore: r9 upgraded it
+    to oracle-exact via the deterministic-replay coarse quantizer."""
     ROWS_ONLY_BY_DESIGN = {
-        "embedding_kmeans",      # FP-order-sensitive centroid means
-        "embedding_pca",         # same; numpy-agreement-gated
-        "text_bpe_merges",       # sequential-reference-gated
-        "sim_topk_ivfpq",        # Lloyd-refined cells -> FP-order means
+        "embedding_pca",          # LAPACK eigenbasis; numpy-agreement-gated
+        "sim_topk_imi",           # approximate ANN; gated in test_imi_index
+        "sim_topk_ivf",           # approximate ANN; recall-gated
+        "approx_distinct_parts",  # approxCountDistinct dialect surface
     }
     front = list(QUERIES)[:50]
     assert len(front) == 50

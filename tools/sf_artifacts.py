@@ -54,6 +54,12 @@ SF1_ENTRIES = [
     "dedup_minhash_lsh",
     "hll_distinct_merge",
     "sample_weighted",
+    # ANN serving path (r8 verdict item 6): the deterministic-replay
+    # PQ-ADC and IVFADC oracles are pure h60 arithmetic — they scale to
+    # any SF, so the billion-vector serving shape gets above-driver
+    # hash evidence too
+    "sim_topk_pq",
+    "sim_topk_ivfpq",
 ]
 
 
