@@ -1950,6 +1950,12 @@ def _sim_lsh(spark, sf_dir):
     # warning, and probes now include 2-bit perturbations (Lv et al.
     # ordering). Gate: recall >= 0.65 in tests/test_entry.py — tight
     # enough that a silent recall regression can't hide under it.
+    # ORACLE-EXACT since r9: every step — md5 hyperplanes, sequential-
+    # fold dots, sign-bit buckets, cost-ordered probe enumeration,
+    # bucket join, exact cosine rerank — is a deterministic function of
+    # the shared md5 arithmetic, so the DuckDB oracle replays the whole
+    # pipeline bit-for-bit (approximate w.r.t. brute force, reproducible
+    # across engines — the sim_topk_pq philosophy).
     return similarity.lsh_topk(
         embs, embs.filter(F.col("vec_id") < 10), k=5, planes=5, nprobe=6, tables=6
     )
@@ -3198,7 +3204,10 @@ _DRIVER_FRONT = [
     "window_running_frames",
     "custom_udf_bigger",
     "geo_distance_filter",
-    "csv_positional_roundtrip",
+    # upgraded rows-only → oracle-exact this round (full LSH pipeline
+    # replay); takes csv_positional_roundtrip's slot — that §2.1 row
+    # keeps its r5 record and the column_positional refresh above
+    "sim_topk_lsh",
     # r5-era refreshes: graph + ANN baseline canaries
     "graph_out_degree",
     "graph_bfs_levels",
@@ -5282,6 +5291,57 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "FROM sc) "
             "SELECT query_id, neighbor_id, score, rank::INTEGER AS rank "
             "FROM rk WHERE rank <= 5"
+        ),
+        "sim_topk_lsh": (
+            # replays the multi-probe multi-table LSH pipeline end-to-end:
+            # md5-derived hyperplanes (table 0 unsalted — signature
+            # stability), one sequential-fold dot per (vector, table,
+            # plane) feeding BOTH the sign-bit buckets and the probe
+            # costs, Lv-et-al 1+2-bit perturbations ranked by
+            # (flipped-margin cost, mask), bucket join per table, exact
+            # cosine rerank — every step deterministic, so the oracle is
+            # bit-exact despite the path being approximate-vs-brute-force
+            "WITH tp AS (SELECT t.range AS t, p.range AS p "
+            "FROM range(0, 6) t, range(0, 5) p), "
+            "pl AS (SELECT t, p, list_transform(range(0, 64), j -> "
+            "((('0x' || substring(md5(CASE WHEN t = 0 "
+            "THEN 'plane:' || p::VARCHAR || ':' || j::VARCHAR "
+            "ELSE 'plane:t' || t::VARCHAR || ':' || p::VARCHAR || ':' || "
+            "j::VARCHAR END), 1, 15))::UBIGINT::BIGINT "
+            "/ 1152921504606846976.0) * 2.0 - 1.0)) AS w FROM tp), "
+            "vv AS (SELECT vec_id, "
+            "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), "
+            "dt AS (SELECT vec_id, t, p, list_sum(list_transform("
+            "range(1, 65), i -> v[i::INTEGER] * w[i::INTEGER])) AS d "
+            "FROM vv, pl), "
+            "cb AS (SELECT vec_id, t, sum(CASE WHEN d > 0 THEN (1 << p) "
+            "ELSE 0 END)::BIGINT AS b FROM dt GROUP BY vec_id, t), "
+            "qb AS (SELECT vec_id, t, b FROM cb WHERE vec_id < 10), "
+            "cands AS (SELECT vec_id, t, abs(d) AS cost, "
+            "(1 << p)::BIGINT AS mask FROM dt WHERE vec_id < 10 "
+            "UNION ALL SELECT a.vec_id, a.t, abs(a.d) + abs(b.d) AS cost, "
+            "((1 << a.p) | (1 << b.p))::BIGINT AS mask "
+            "FROM dt a JOIN dt b ON a.vec_id = b.vec_id AND a.t = b.t "
+            "AND a.p < b.p WHERE a.vec_id < 10), "
+            "flips AS (SELECT vec_id, t, mask FROM (SELECT vec_id, t, mask, "
+            "row_number() OVER (PARTITION BY vec_id, t "
+            "ORDER BY cost, mask) AS rk FROM cands) WHERE rk <= 5), "
+            "pr AS (SELECT vec_id, t, b AS pb FROM qb "
+            "UNION ALL SELECT q.vec_id, q.t, xor(q.b, f.mask) AS pb "
+            "FROM qb q JOIN flips f USING (vec_id, t)), "
+            "cand AS (SELECT DISTINCT p.vec_id AS query_id, "
+            "c.vec_id AS neighbor_id FROM pr p "
+            "JOIN cb c ON c.t = p.t AND c.b = p.pb "
+            "WHERE c.vec_id <> p.vec_id), "
+            "s AS (SELECT query_id, neighbor_id, "
+            + _COS.format(a="q.v", b="n.v")
+            + " AS c FROM cand JOIN vv q ON q.vec_id = query_id "
+            "JOIN vv n ON n.vec_id = neighbor_id), "
+            "r AS (SELECT query_id, neighbor_id, c, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY c DESC, neighbor_id)::INTEGER "
+            "AS rank FROM s) "
+            "SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank "
+            "FROM r WHERE rank <= 5"
         ),
         "sim_topk_ivfpq": (
             # replays the refine_iters=0 IVFADC composition end-to-end:
