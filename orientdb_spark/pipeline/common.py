@@ -120,39 +120,30 @@ def cosine_similarity(a: Column, b: Column, norm_a: Column | None = None, norm_b
     return dot_product(a, b) / (na * nb)
 
 
-# Partial-rank fan-out for two-phase top-k: enough buckets that no
-# single task ranks a whole corpus, few enough that the merge input
-# (queries × buckets × k rows) stays trivially small.
-TOPK_PARTIAL_BUCKETS = 32
+def per_query_topk_rank(scored, k: int, order_cols):
+    """Per-query top-k rank over a scored candidate frame (columns must
+    include ``query_id``): one window + a row_number ≤ k filter.
 
-
-def two_phase_topk_rank(scored, k: int, order_cols, buckets: int = TOPK_PARTIAL_BUCKETS):
-    """Scale-safe per-query top-k rank over a scored candidate frame
-    (columns must include ``query_id`` and ``neighbor_id``).
-
-    ``Window.partitionBy(query_id)`` alone shuffles EVERY candidate row
-    onto Q keys — with few queries that is a maximally skewed exchange
-    where one task sorts an entire corpus. Phase 1 ranks within
-    (query_id, hash-bucket(neighbor_id)) — Q×``buckets`` well-spread
-    keys — and keeps k rows per bucket; phase 2 merges the surviving
-    ≤ Q×buckets×k rows into the final per-query rank. The global top-k
-    under a total order is always contained in the union of per-bucket
-    top-k's, so the result is IDENTICAL to the single-window form —
-    ``order_cols`` must therefore be a total order (callers tiebreak on
-    neighbor_id). Returns the frame with a ``rank`` column, filtered to
-    rank ≤ k; callers do their own final select.
-    """
+    Scale shape — why a single window is already the scale-safe form:
+    keeping the rank filter DIRECTLY above the window lets Catalyst's
+    InferWindowGroupLimit rule (Spark 3.5+) plant a
+    ``WindowGroupLimit(Partial)`` on the MAP side of the exchange, so
+    every task pre-prunes to ≤ k rows per query before shuffling — the
+    per-query exchange receives ≤ Q·P·k rows and the reduce-side sort
+    handles ≤ P·k rows per query; no task ever sorts a whole corpus.
+    The r9 A/B (BENCH.md) measured an explicit salted two-phase rank
+    (partial window over (query_id, hash-bucket) then a merge window)
+    at +19% wall-clock at sf1/Q=64 — the extra exchange+sort bought
+    nothing Catalyst wasn't already doing. tests/test_plan_shape.py
+    pins the Partial-before-Exchange shape so a refactor that breaks
+    the inference (e.g. a projection between the filter and the
+    window) fails loudly. ``order_cols`` must be a total order
+    (callers tiebreak on neighbor_id) so results are deterministic.
+    Returns the frame with a ``rank`` column filtered to rank ≤ k;
+    callers do their own final select."""
     from pyspark.sql import Window
 
-    wp = Window.partitionBy("query_id", "__tkb").orderBy(*order_cols)
-    wf = Window.partitionBy("query_id").orderBy(*order_cols)
-    return (
-        scored.withColumn(
-            "__tkb", F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(buckets))
-        )
-        .withColumn("__pr", F.row_number().over(wp))
-        .filter(F.col("__pr") <= k)
-        .drop("__tkb", "__pr")
-        .withColumn("rank", F.row_number().over(wf))
-        .filter(F.col("rank") <= k)
+    w = Window.partitionBy("query_id").orderBy(*order_cols)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )

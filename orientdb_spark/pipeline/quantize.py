@@ -349,15 +349,15 @@ def pq_topk(
     broadcast); the corpus side scans codes only (m ints/row instead of
     d doubles — the point of PQ), scoring is a pure Column
     zip_with/element_at fold (JVM-side, no Python in the corpus scan),
-    and ranking is the shared two-phase top-k (common.two_phase_topk_rank:
-    partial rank per (query, hash-bucket), then a merge over
-    ≤ Q·buckets·k rows — no task ever sorts a whole corpus).
+    and ranking is the shared per-query window
+    (common.per_query_topk_rank — Catalyst's WindowGroupLimit prunes to
+    k rows per query map-side, so no task ever sorts a whole corpus).
 
     Build-once/query-many: pass ``codebooks`` (pq_fit) AND ``codes``
     (pq_encode output, persisted/written once) and no corpus-vector
     work runs at query time at all — the query-time cost is the code
     scan alone, which is what a 100 TB serving path wants."""
-    from orientdb_spark.pipeline.common import two_phase_topk_rank
+    from orientdb_spark.pipeline.common import per_query_topk_rank
 
     if codebooks is None:
         codebooks = pq_fit(df, m, n_codes, vec_col, id_col, refine_iters)
@@ -383,7 +383,7 @@ def pq_topk(
         )
     )
     order = F.col("score").asc() if metric == "l2" else F.col("score").desc()
-    return two_phase_topk_rank(
+    return per_query_topk_rank(
         scored, k, [order, F.col("neighbor_id")]
     ).select("query_id", "neighbor_id", "score", "rank")
 

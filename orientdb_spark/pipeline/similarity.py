@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from orientdb_spark.pipeline.common import (
     cosine_similarity,
     h60,
-    two_phase_topk_rank,
+    per_query_topk_rank,
     vec_norm,
 )
 
@@ -178,7 +178,7 @@ def brute_force_topk(
             ),
         )
     )
-    return two_phase_topk_rank(
+    return per_query_topk_rank(
         scored, k, [F.col("cosine").desc(), F.col("neighbor_id")]
     ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
 
@@ -380,7 +380,7 @@ class IvfIndex:
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
         )
-        return two_phase_topk_rank(
+        return per_query_topk_rank(
             scored, k, [F.col("cosine").desc(), F.col("neighbor_id")]
         ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
 
@@ -648,7 +648,7 @@ class ImiIndex:
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
         )
-        return two_phase_topk_rank(
+        return per_query_topk_rank(
             scored, k, [F.col("cosine").desc(), F.col("neighbor_id")]
         ).select(
             "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
@@ -950,7 +950,7 @@ def lsh_topk(
             ),
         )
     )
-    return two_phase_topk_rank(
+    return per_query_topk_rank(
         scored, k, [F.col("cosine").desc(), F.col("neighbor_id")]
     ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
 
@@ -1104,7 +1104,7 @@ def ivfpq_topk(
         .withColumn("score", F.round(base_score + F.lit(1e-12), 6))
     )
     order = F.col("score").asc() if metric == "l2" else F.col("score").desc()
-    return two_phase_topk_rank(
+    return per_query_topk_rank(
         scored, k, [order, F.col("neighbor_id")]
     ).select("query_id", "neighbor_id", "score", "rank")
 

@@ -257,22 +257,25 @@ def test_pq_topk_precomputed_codes_never_reads_vectors(spark):
         corpus_reads = [r for r in reads if "codes" in r]
         assert corpus_reads, f"no codes scan found: {reads}"
         assert all("embedding" not in r for r in corpus_reads)
-        # two Exchanges: the partial rank on (query_id, bucket) over the
-        # code scan + the per-query merge over <= Q*buckets*k survivors
-        # (two_phase_topk_rank); broadcast of the tiny query side doesn't
-        # count as a shuffle exchange
-        assert _nodes(plan, "Exchange") <= 2, plan
+        # exactly one Exchange (the rank window on query_id, map-side
+        # pruned by WindowGroupLimit): broadcast of the tiny query side
+        # doesn't count as a shuffle exchange
+        assert _nodes(plan, "Exchange") <= 1, plan
 
 
-def test_topk_rank_is_two_phase(spark):
-    """The scale-safe top-k contract (common.two_phase_topk_rank): the
-    final per-query rank window must NOT receive the full scored corpus —
-    a partial rank over (query_id, hash-bucket) with a row_number <= k
-    filter sits between the corpus-sized exchange and the per-query
-    merge, so the merge input is bounded by Q*buckets*k rows. Pinned on
-    the plan: two Window nodes, the first exchange partitions on
-    (query_id, bucket-key) [two-column hashpartitioning], and a Filter
-    on the partial rank sits between the windows."""
+def test_topk_rank_window_group_limit_prunes_map_side(spark):
+    """The scale-safe top-k contract (common.per_query_topk_rank): the
+    per-query exchange must NOT receive the full scored corpus.
+    Catalyst's InferWindowGroupLimit (Spark 3.5+) provides exactly this
+    when the rank filter sits directly above the window: a
+    WindowGroupLimit(Partial) on the MAP side prunes every task's
+    output to <= k rows per query BEFORE the shuffle (so the exchange
+    receives <= Q*P*k rows and the reduce-side sort handles <= P*k rows
+    per query), and a Final pass runs after. The r9 A/B (BENCH.md)
+    measured an explicit salted two-phase rank at +19% wall-clock over
+    this native form at sf1/Q=64 — this pin keeps the inference alive:
+    a refactor that breaks it (e.g. a projection between the filter and
+    the window) fails here."""
     import re
 
     from pyspark.sql import functions as F
@@ -282,54 +285,13 @@ def test_topk_rank_is_two_phase(spark):
     embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     out = brute_force_topk(embs, embs.filter(F.col("vec_id") < 3), k=5)
     plan = _formatted(out)
-    # exactly two rank windows (partial + merge) ...
-    assert len(re.findall(r"^\(\d+\) Window$", plan, flags=re.MULTILINE)) == 2, plan
-    # ... and Spark's rank-limit pushdown kicks in around BOTH exchanges
-    # (WindowGroupLimit = map-side partial top-k before the shuffle)
-    assert _nodes(plan, "WindowGroupLimit") >= 2, plan
-    # both exchanges key on query_id; the partial one adds the bucket col
+    # exactly one rank window over exactly one query_id-keyed exchange
+    assert len(re.findall(r"^\(\d+\) Window$", plan, flags=re.MULTILINE)) == 1, plan
     parts = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
-    assert len(parts) == 2, plan
-    assert all(p.startswith("query_id#") for p in parts), parts
-    two_col = [p for p in parts if "__tkb" in p]
-    assert len(two_col) == 1, parts  # exactly one (query_id, __tkb) exchange
-    # the merge window's input is pre-filtered to <= k rows per bucket:
-    # a Filter on the partial row_number appears in the plan
-    assert re.search(r"^\(\d+\) Filter", plan, flags=re.MULTILINE), plan
-    assert "__pr" in plan, plan
-
-
-def test_topk_two_phase_equals_single_window_reference(spark):
-    """Semantic pin: two-phase ranking must return EXACTLY the rows a
-    plain single-window rank returns (the per-bucket top-k union always
-    contains the global top-k under a total order)."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from orientdb_spark.pipeline.similarity import brute_force_topk
-
-    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    q = embs.filter(F.col("vec_id") < 5)
-    got = sorted(map(tuple, brute_force_topk(embs, q, k=7).collect()))
-
-    from orientdb_spark.pipeline.common import cosine_similarity, vec_norm
-
-    qq = q.select(F.col("vec_id").alias("query_id"),
-                  F.col("embedding").cast("array<double>").alias("__qv"))
-    c = embs.select(F.col("vec_id").alias("neighbor_id"),
-                    F.col("embedding").cast("array<double>").alias("__cv"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    ref = (
-        qq.crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_similarity(
-            F.col("__qv"), F.col("__cv"),
-            norm_a=vec_norm(F.col("__qv")), norm_b=vec_norm(F.col("__cv"))))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 7)
-        .select("query_id", "neighbor_id",
-                F.round("cosine", 6).alias("cosine"), "rank")
-    )
-    assert got == sorted(map(tuple, ref.collect()))
+    assert len(parts) == 1 and parts[0].startswith("query_id#"), plan
+    # the group-limit pair: a Partial pass (by definition the map-side,
+    # pre-shuffle variant — it prunes each task to k rows per query)
+    # and a Final pass after the exchange
+    assert _nodes(plan, "WindowGroupLimit") == 2, plan
+    assert "row_number(), 5, Partial" in plan, plan
+    assert "row_number(), 5, Final" in plan, plan
