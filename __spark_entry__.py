@@ -2048,14 +2048,24 @@ def _sim_topk_imi(spark, sf_dir):
     the multi-sequence walk made declarative (exact — pinned against a
     numpy all-pairs reference in tests/test_imi_index.py, alongside the
     full-probe==brute-force equality and the clustered-corpus recall/
-    precision gates). Approximate by construction → rows-only in the
-    driver. k_half=4 sizes product cells for the fixture corpus;
-    nprobe=8 of ≤16 occupied cells puts the isotropic recall estimate
-    at 0.75 ≥ the 0.6 default (no warning)."""
+    precision gates). ORACLE-EXACT from its first record: with
+    refine_iters=0 the half-codebooks are the 4 smallest-(h60, id)
+    corpus vectors sliced in two (pq_fit(m=2) seeds), cell assignment
+    is pq_encode's 6-dp-rounded dimension-major argmin, the probe set
+    is the top-8 product cells by the unrounded sequential-fold
+    d1 + d2 (probe_cells), and the cosine rerank is the shared exact
+    fold — the DuckDB oracle replays all of it (approximate w.r.t.
+    brute force, bit-reproducible across engines; the Lloyd-refined
+    path keeps its pytest gates). k_half=4 sizes product cells for the
+    fixture corpus; nprobe=8 of ≤16 occupied cells puts the isotropic
+    recall estimate at 0.75 ≥ the 0.6 default (no warning)."""
     from orientdb_spark.pipeline.similarity import imi_topk
 
     embs = _embs(spark, sf_dir)
-    return imi_topk(embs, embs.filter(F.col("vec_id") < 10), k=5, k_half=4, nprobe=8)
+    return imi_topk(
+        embs, embs.filter(F.col("vec_id") < 10), k=5, k_half=4, nprobe=8,
+        refine_iters=0,
+    )
 
 
 def _text_langid(spark, sf_dir):
@@ -5291,6 +5301,64 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "FROM sc) "
             "SELECT query_id, neighbor_id, score, rank::INTEGER AS rank "
             "FROM rk WHERE rank <= 5"
+        ),
+        "sim_topk_imi": (
+            # replays the refine_iters=0 inverted multi-index end-to-end:
+            # half-codebooks = the 4 smallest-(h60, id) corpus vectors
+            # sliced in two (pq_fit(m=2) seeds); cell assignment =
+            # pq_encode's 6-dp-rounded dimension-major argmin per half
+            # (ties -> lower cid); probe set = top-8 (cid1, cid2) pairs
+            # by UNROUNDED sequential-fold d1 + d2 with the (sum, cid1,
+            # cid2) tiebreak (probe_cells); exact cosine rerank within
+            # probed cells — deterministic, so approximate-vs-brute but
+            # bit-reproducible across engines
+            "WITH seeds AS (SELECT row_number() OVER (ORDER BY "
+            + _dk_h60("CAST(vec_id AS VARCHAR)")
+            + ", vec_id) - 1 AS cid, "
+            "list_transform(embedding, x -> x::DOUBLE) AS v "
+            "FROM embeddings ORDER BY "
+            + _dk_h60("CAST(vec_id AS VARCHAR)")
+            + ", vec_id LIMIT 4), "
+            "halves AS (SELECT range AS h FROM range(0, 2)), "
+            "cent AS (SELECT h, cid, v[(h*32+1)::BIGINT:(h*32+32)::BIGINT] "
+            "AS c FROM seeds, halves), "
+            "vv AS (SELECT vec_id, "
+            "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), "
+            "vsub AS (SELECT vec_id, h, "
+            "v[(h*32+1)::BIGINT:(h*32+32)::BIGINT] AS xs FROM vv, halves), "
+            "dist AS (SELECT vec_id, h, cid, round(list_sum(list_transform("
+            "range(1, 33), i -> (xs[i::INTEGER] - c[i::INTEGER]) * "
+            "(xs[i::INTEGER] - c[i::INTEGER]))), 6) AS d6 "
+            "FROM vsub JOIN cent USING (h)), "
+            "asg0 AS (SELECT vec_id, h, cid FROM (SELECT vec_id, h, cid, "
+            "row_number() OVER (PARTITION BY vec_id, h ORDER BY d6, cid) "
+            "AS rk FROM dist) WHERE rk = 1), "
+            "asg AS (SELECT a1.vec_id, a1.cid AS cid1, a2.cid AS cid2 "
+            "FROM asg0 a1 JOIN asg0 a2 ON a1.vec_id = a2.vec_id "
+            "AND a1.h = 0 AND a2.h = 1), "
+            "qd AS (SELECT vec_id, h, cid, list_sum(list_transform("
+            "range(1, 33), i -> (xs[i::INTEGER] - c[i::INTEGER]) * "
+            "(xs[i::INTEGER] - c[i::INTEGER]))) AS d "
+            "FROM vsub JOIN cent USING (h) WHERE vec_id < 10), "
+            "pairs AS (SELECT q1.vec_id AS qid, q1.cid AS cid1, "
+            "q2.cid AS cid2, q1.d + q2.d AS ds "
+            "FROM qd q1 JOIN qd q2 ON q1.vec_id = q2.vec_id "
+            "AND q1.h = 0 AND q2.h = 1), "
+            "probes AS (SELECT qid, cid1, cid2 FROM (SELECT qid, cid1, "
+            "cid2, row_number() OVER (PARTITION BY qid "
+            "ORDER BY ds, cid1, cid2) AS rk FROM pairs) WHERE rk <= 8), "
+            "cand AS (SELECT p.qid AS query_id, a.vec_id AS neighbor_id "
+            "FROM probes p JOIN asg a ON a.cid1 = p.cid1 "
+            "AND a.cid2 = p.cid2 WHERE a.vec_id <> p.qid), "
+            "s AS (SELECT query_id, neighbor_id, "
+            + _COS.format(a="q.v", b="n.v")
+            + " AS c FROM cand JOIN vv q ON q.vec_id = query_id "
+            "JOIN vv n ON n.vec_id = neighbor_id), "
+            "r AS (SELECT query_id, neighbor_id, c, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY c DESC, neighbor_id)::INTEGER "
+            "AS rank FROM s) "
+            "SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank "
+            "FROM r WHERE rank <= 5"
         ),
         "sim_topk_lsh": (
             # replays the multi-probe multi-table LSH pipeline end-to-end:

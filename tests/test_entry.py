@@ -123,12 +123,12 @@ def test_driver_front_slots_all_oracle_bearing():
     the first-ever sim_topk_imi, and the approximate-ANN refreshes) —
     those exact entries (and only those) may lack oracles; any other
     oracle-less slot (a rename, an oracle drop) must fail CI, not the
-    driver run. Note sim_topk_ivfpq is NOT here anymore: r9 upgraded it
-    to oracle-exact via the deterministic-replay coarse quantizer."""
+    driver run. Note sim_topk_ivfpq / sim_topk_lsh / sim_topk_imi are
+    NOT here: r9 upgraded all three to oracle-exact deterministic
+    replays."""
     ROWS_ONLY_BY_DESIGN = {
         "embedding_pca",          # LAPACK eigenbasis; numpy-agreement-gated
-        "sim_topk_imi",           # approximate ANN; gated in test_imi_index
-        "sim_topk_ivf",           # approximate ANN; recall-gated
+        "sim_topk_ivf",           # Lloyd/derived path; recall-gated
         "approx_distinct_parts",  # approxCountDistinct dialect surface
     }
     front = list(QUERIES)[:50]
