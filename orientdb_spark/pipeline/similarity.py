@@ -14,8 +14,14 @@ Three paths:
   assignment is the partition key: a probe touches nprobe/ncells of the
   corpus.
 
-Approximate paths (recall < 1) → no SQL oracle; the driver records the
-rows-only check, and tests measure recall against brute force instead.
+Approximate ≠ unverifiable: every index here is built from md5-h60
+arithmetic with disciplined FP (dimension-major sequential folds, the
++1e-12-nudged 6-dp round), so with refine_iters=0 the LSH, IVF-PQ, and
+IMI entries are replayed bit-for-bit by DuckDB oracles — approximate
+w.r.t. brute force, exactly reproducible across engines. Only the
+Lloyd-refined / derived-defaults paths (whose centroid means are
+FP-order-sensitive) stay rows-only in the driver; tests measure their
+recall against brute force instead.
 """
 
 from __future__ import annotations
