@@ -478,20 +478,29 @@ def candidate_cell_pairs(
 ) -> list[tuple[int, int]]:
     """Ball-pruning over quantizer cells: keep (i, j) iff the two cell
     balls could contain a pair within distance ``eps`` — d(c_i, c_j) ≤
-    r_i + r_j + eps (triangle inequality ⇒ lossless). Both directions are
-    emitted for i ≠ j so the downstream id_a < id_b filter sees every
-    member ordering exactly once."""
-    import math as _math
+    r_i + r_j + eps + 1e-9 (triangle inequality ⇒ lossless; the 1e-9
+    slack keeps the test lossless under the vectorized distance's
+    last-ulp wobble — slack can only ADD candidates, never drop one).
+    Both directions are emitted for i ≠ j so the downstream
+    id_a < id_b filter sees every member ordering exactly once.
 
-    out = []
+    Vectorized (one numpy pairwise-distance matrix) because IMI
+    product-cell blocking feeds THOUSANDS of occupied cells here —
+    the old pure-Python double loop was fine for flat IVF's ≤64 cells
+    but is minutes of driver time at 4096²."""
+    import numpy as _np
+
     cids = sorted(centers)
-    for i in cids:
-        for j in cids:
-            ci, cj = centers[i], centers[j]
-            d = _math.sqrt(sum((x - y) ** 2 for x, y in zip(ci, cj)))
-            if d <= radii.get(i, 0.0) + radii.get(j, 0.0) + eps:
-                out.append((i, j))
-    return out
+    if not cids:
+        return []
+    C = _np.asarray([centers[i] for i in cids], dtype=_np.float64)
+    R = _np.asarray([radii.get(i, 0.0) for i in cids], dtype=_np.float64)
+    sq = (C * C).sum(axis=1)
+    D2 = sq[:, None] + sq[None, :] - 2.0 * (C @ C.T)
+    D = _np.sqrt(_np.clip(D2, 0.0, None))
+    mask = D <= R[:, None] + R[None, :] + eps + 1e-9
+    ii, jj = _np.nonzero(mask)
+    return [(cids[a], cids[b]) for a, b in zip(ii.tolist(), jj.tolist())]
 
 
 def embedding_duplicate_pairs(
@@ -503,6 +512,8 @@ def embedding_duplicate_pairs(
     n_cells: int = 16,
     index=None,
     max_cell_occupancy: int = 4096,
+    blocking: str = "ivf",
+    k_half: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates, EXACT, via metric ball pruning.
     ``block_col=None`` mines the WHOLE corpus (no blocking predicate) —
@@ -541,11 +552,39 @@ def embedding_duplicate_pairs(
     (the giant-cell analog of the minhash bucket cap at
     minhash_bucket_sizes). The split is exact: sub-pair groups
     partition the within-/cross-cell pair sets, and each pair's dot is
-    computed identically wherever it lands."""
+    computed identically wherever it lands.
+
+    ``blocking="imi"``: block on the inverted-multi-index PRODUCT cells
+    (Babenko & Lempitsky CVPR'12 — two ``k_half``-codeword half-space
+    codebooks; a vector lands in the (cid1, cid2) product cell) instead
+    of flat IVF cells. Pruning stays EXACT — radii are measured from
+    actual members against the concatenated product centroid, and the
+    triangle-inequality test is assignment-agnostic — so output equals
+    the flat path bit-for-bit (pinned in tests/test_dedup_scale.py).
+    When to use it (measured, BENCH.md r9 blocking study): blocking
+    effectiveness is a function of CLUSTER STRUCTURE, not cell count
+    alone. On clustered corpora more cells prune more (flat n_cells=√N
+    beat the 16-cell default 1.7× at 60k vectors) — but flat cells cap
+    at a driver/broadcast-feasible centroid table (~4096); IMI's
+    2·k_half stored centroids buy k_half² cells, so it is the blocking
+    for corpora big enough that the flat table is infeasible
+    (N ≳ 16M). Below that scale prefer flat cells: half-space
+    codebooks can split clusters across product cells, inflating radii
+    (measured: IMI 1600 cells slower than flat 245 on the 60k
+    clustered corpus). On ISOTROPIC corpora keep cells few regardless
+    — radii ≈ √2 defeat all pruning and every added cell multiplies
+    the verify shuffle (an n_cells=√N run at 200k isotropic vectors
+    spilled out a 77 GB disk).
+    ``k_half=None`` derives ceil(N^(1/3)) (clamped [4, 4096]) from one
+    count of the non-zero-norm corpus. ``index``/``n_cells`` are
+    ignored under IMI blocking."""
     import math as _math
 
     from orientdb_spark.pipeline.common import vec_norm
     from orientdb_spark.pipeline.similarity import _assign_udf, seed_centers
+
+    if blocking not in ("ivf", "imi"):
+        raise ValueError(f"blocking must be 'ivf' or 'imi', got {blocking!r}")
 
     block_expr = (
         F.col(block_col) if block_col is not None else F.lit(0).alias("__blk0")
@@ -572,7 +611,44 @@ def embedding_duplicate_pairs(
     ).persist()
 
     spark = df.sparkSession
-    if index is not None:
+    if blocking == "imi":
+        from orientdb_spark.pipeline.quantize import pq_encode_udf, pq_fit
+
+        if k_half is None:
+            n = max(1, unit.count())  # one bounded count of the persisted frame
+            k_half = max(4, min(4096, _math.ceil(n ** (1.0 / 3.0))))
+        books = pq_fit(
+            unit.select(F.col("__id"), F.col("__u").alias("__v")),
+            m=2, k=k_half, vec_col="__v", id_col="__id", refine_iters=0,
+        )
+        enc = pq_encode_udf(books)
+        # narrow withColumn assignment over the persisted unit frame —
+        # same no-self-join discipline as the flat path below
+        members = (
+            unit.withColumn("__codes", enc(F.col("__u")))
+            .withColumn(
+                "cid",
+                F.element_at("__codes", 1).cast("long") * k_half
+                + F.element_at("__codes", 2).cast("long"),
+            )
+            .drop("__codes")
+            .persist()
+        )
+        # product centroid = concatenated half-centroids — a plain point
+        # in the full space, so the ball-pruning algebra applies as-is.
+        # Only OCCUPIED product cells reach the driver-side candidate
+        # matrix (the radii groupBy below yields exactly those cids);
+        # the centroid broadcast for radii carries all k_half² rows
+        # (k_half ≤ 4096 → ≤ a few MB of doubles).
+        cent_rows = {
+            c1 * k_half + c2: list(books[0][c1]) + list(books[1][c2])
+            for c1 in range(k_half)
+            for c2 in range(k_half)
+        }
+        centroids = spark.createDataFrame(
+            [(cid, c) for cid, c in cent_rows.items()], ["cid", "cvec"]
+        )
+    elif index is not None:
         # reuse the index's cached cell assignments (zero build jobs) and
         # project its raw-space centroids onto the unit sphere, where the
         # ball-pruning algebra lives. cosine assignment is scale-invariant,
@@ -645,7 +721,11 @@ def embedding_duplicate_pairs(
     rad_rows = {r["cid"]: r["radius"] for r in rr}
     occupancy = {r["cid"]: r["cnt"] for r in rr}
     eps = _math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
-    cand_cells = candidate_cell_pairs(cent_rows, rad_rows, eps)
+    # only OCCUPIED cells can contribute members — restricting the
+    # candidate matrix to them is semantics-free and keeps the IMI
+    # product-cell matrix at (occupied)² instead of (k_half²)²
+    occupied_cents = {c: cent_rows[c] for c in rad_rows if c in cent_rows}
+    cand_cells = candidate_cell_pairs(occupied_cents, rad_rows, eps)
     return _verify_cell_pairs_grouped(
         members, cand_cells, block_col, threshold,
         occupancy=occupancy, max_cell_occupancy=max_cell_occupancy,

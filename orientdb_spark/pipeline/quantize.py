@@ -28,6 +28,7 @@ __all__ = [
     "pca_project",
     "pq_fit",
     "pq_encode",
+    "pq_encode_udf",
     "pq_topk",
     "pq_query_lut_udf",
     "pq_adc_score",
@@ -221,6 +222,18 @@ def pq_encode(
     fold the DuckDB oracle's list arithmetic runs), are rounded to 6 dp
     (the cosine-oracle convention absorbing last-ulp divergence), and
     ties resolve to the LOWER code in both engines."""
+    return df.select(
+        F.col(id_col),
+        pq_encode_udf(codebooks)(F.col(vec_col).cast("array<double>")).alias("codes"),
+    )
+
+
+def pq_encode_udf(codebooks: list):
+    """The Arrow encode kernel behind pq_encode, exposed so callers that
+    already hold a projected frame can attach codes with a narrow
+    ``withColumn`` instead of a join back onto pq_encode's (id, codes)
+    output (dedup's IMI product-cell blocking does this). Same FP
+    discipline as pq_encode's docstring."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -245,9 +258,7 @@ def pq_encode(
             out[:, s] = np.argmin(np.round(acc, 6), axis=1)  # ties → lower code
         return pd.Series([row.tolist() for row in out])
 
-    return df.select(
-        F.col(id_col), enc(F.col(vec_col).cast("array<double>")).alias("codes")
-    )
+    return enc
 
 
 def pq_query_lut_udf(codebooks: list, metric: str = "dot"):

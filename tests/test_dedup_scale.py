@@ -219,3 +219,75 @@ def test_embedding_pairs_unblocked(spark):
         ).collect()
     }
     assert blocked == set()  # same pair hidden by label blocking
+
+
+def test_embedding_pairs_imi_blocking_bit_identical(spark):
+    """IMI product-cell blocking must return EXACTLY what flat-IVF
+    blocking returns (both are lossless ball pruning over different
+    cell partitions) on a real corpus, including with the occupancy
+    guard forcing splits and with block_col=None."""
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    flat = sorted(
+        map(tuple, dedup.embedding_duplicate_pairs(embs, threshold=0.3).collect())
+    )
+    imi = sorted(
+        map(
+            tuple,
+            dedup.embedding_duplicate_pairs(
+                embs, threshold=0.3, blocking="imi", k_half=4
+            ).collect(),
+        )
+    )
+    assert imi == flat and len(flat) > 0
+    # derived k_half path + forced occupancy splits, unblocked corpus
+    flat_u = sorted(
+        map(
+            tuple,
+            dedup.embedding_duplicate_pairs(
+                embs, threshold=0.3, block_col=None, max_cell_occupancy=40
+            ).collect(),
+        )
+    )
+    imi_u = sorted(
+        map(
+            tuple,
+            dedup.embedding_duplicate_pairs(
+                embs, threshold=0.3, block_col=None, blocking="imi",
+                max_cell_occupancy=40,
+            ).collect(),
+        )
+    )
+    assert imi_u == flat_u and len(flat_u) > 0
+
+
+def test_embedding_pairs_blocking_validation(spark):
+    import pytest as _pytest
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with _pytest.raises(ValueError, match="blocking"):
+        dedup.embedding_duplicate_pairs(embs, blocking="hnsw")
+
+
+def test_candidate_cell_pairs_vectorized_matches_reference():
+    """The numpy pairwise form must reproduce the scalar double-loop
+    reference (modulo the documented +1e-9 lossless slack, which can
+    only ADD pairs — assert superset + equality away from boundaries)."""
+    import math
+    import random
+
+    rng = random.Random(5)
+    centers = {i: [rng.uniform(-1, 1) for _ in range(6)] for i in range(12)}
+    radii = {i: rng.uniform(0, 0.4) for i in range(12)}
+    eps = 0.3
+    got = set(dedup.candidate_cell_pairs(centers, radii, eps))
+    ref = set()
+    for i in centers:
+        for j in centers:
+            d = math.sqrt(sum((x - y) ** 2 for x, y in zip(centers[i], centers[j])))
+            if d <= radii[i] + radii[j] + eps:
+                ref.add((i, j))
+    assert ref <= got  # slack never drops a candidate
+    # and no pair is admitted that the reference rejects by more than slack
+    for i, j in got - ref:
+        d = math.sqrt(sum((x - y) ** 2 for x, y in zip(centers[i], centers[j])))
+        assert d <= radii[i] + radii[j] + eps + 1e-8, (i, j, d)
