@@ -478,11 +478,19 @@ def candidate_cell_pairs(
 ) -> list[tuple[int, int]]:
     """Ball-pruning over quantizer cells: keep (i, j) iff the two cell
     balls could contain a pair within distance ``eps`` — d(c_i, c_j) ≤
-    r_i + r_j + eps + 1e-9 (triangle inequality ⇒ lossless; the 1e-9
-    slack keeps the test lossless under the vectorized distance's
-    last-ulp wobble — slack can only ADD candidates, never drop one).
-    Both directions are emitted for i ≠ j so the downstream
-    id_a < id_b filter sees every member ordering exactly once.
+    r_i + r_j + eps + slack (triangle inequality ⇒ lossless; slack can
+    only ADD candidates, never drop one). Both directions are emitted
+    for i ≠ j so the downstream id_a < id_b filter sees every member
+    ordering exactly once.
+
+    The slack is norm-relative (1e-7 · max(1, ‖c_i‖, ‖c_j‖)): the
+    vectorized expansion ‖a‖²+‖b‖²−2a·b cancels catastrophically near
+    d = 0, so the computed distance can EXCEED the true one by
+    ~sqrt(2e-16·‖c‖²) ≈ 1.5e-8·‖c‖ — a fixed 1e-9 slack was smaller
+    than that noise and could prune a true candidate (e.g. a self-pair
+    at threshold ≈ 1.0 with r_i ≈ eps ≈ 0). The diagonal is also
+    pinned to exactly 0 (d(c, c) is identically zero) so self-pairs
+    survive regardless of the residual.
 
     Vectorized (one numpy pairwise-distance matrix) because IMI
     product-cell blocking feeds THOUSANDS of occupied cells here —
@@ -497,10 +505,27 @@ def candidate_cell_pairs(
     R = _np.asarray([radii.get(i, 0.0) for i in cids], dtype=_np.float64)
     sq = (C * C).sum(axis=1)
     D2 = sq[:, None] + sq[None, :] - 2.0 * (C @ C.T)
+    _np.fill_diagonal(D2, 0.0)
     D = _np.sqrt(_np.clip(D2, 0.0, None))
-    mask = D <= R[:, None] + R[None, :] + eps + 1e-9
+    nrm = _np.sqrt(_np.clip(sq, 0.0, None))
+    slack = 1e-7 * _np.maximum(1.0, _np.maximum(nrm[:, None], nrm[None, :]))
+    mask = D <= R[:, None] + R[None, :] + eps + slack
     ii, jj = _np.nonzero(mask)
     return [(cids[a], cids[b]) for a, b in zip(ii.tolist(), jj.tolist())]
+
+
+def _imi_occupied_centroids(books, occ_cids, k_half: int) -> dict:
+    """Concatenated product centroids for the OCCUPIED IMI cells only —
+    cid = cid1·k_half + cid2 ↦ books[0][cid1] ++ books[1][cid2]. Driver
+    allocation is O(len(occ_cids)·d), never O(k_half²·d): at IMI's own
+    target scale (N ≳ 16M ⇒ k_half ≈ 2520 ⇒ 6.4M product cells) a dense
+    dict would be multi-GB driver memory. Unoccupied cells have no
+    members, no radius, and can never appear in a candidate pair, so
+    they are never needed."""
+    return {
+        cid: list(books[0][cid // k_half]) + list(books[1][cid % k_half])
+        for cid in occ_cids
+    }
 
 
 def embedding_duplicate_pairs(
@@ -575,9 +600,17 @@ def embedding_duplicate_pairs(
     — radii ≈ √2 defeat all pruning and every added cell multiplies
     the verify shuffle (an n_cells=√N run at 200k isotropic vectors
     spilled out a 77 GB disk).
-    ``k_half=None`` derives ceil(N^(1/3)) (clamped [4, 4096]) from one
+    ``k_half=None`` derives ceil(N^(1/3)) (clamped to [4, 4096] and to
+    the corpus size, so tiny corpora work like the flat path) from one
     count of the non-zero-norm corpus. ``index``/``n_cells`` are
-    ignored under IMI blocking."""
+    ignored under IMI blocking.
+
+    Pruning-effectiveness guard: when the collected radii/occupancy
+    imply the verify fan-out would exceed 2× a 16-cell blocking's cost
+    (pruning ineffective — the isotropic regime above), the operator
+    WARNS (RuntimeWarning) and auto-coarsens to ≤16 cells via cid mod
+    16 before the verify join, keeping output bit-identical while
+    avoiding the measured 77 GB spill."""
     import math as _math
 
     from orientdb_spark.pipeline.common import vec_norm
@@ -616,7 +649,11 @@ def embedding_duplicate_pairs(
 
         if k_half is None:
             n = max(1, unit.count())  # one bounded count of the persisted frame
-            k_half = max(4, min(4096, _math.ceil(n ** (1.0 / 3.0))))
+            # clamp to the corpus size: a corpus with fewer than 4
+            # non-zero-norm vectors must not floor k_half above n, or
+            # pq_fit would raise "corpus smaller than k" where the flat
+            # path handles tiny corpora fine
+            k_half = max(1, min(n, 4096, max(4, _math.ceil(n ** (1.0 / 3.0)))))
         books = pq_fit(
             unit.select(F.col("__id"), F.col("__u").alias("__v")),
             m=2, k=k_half, vec_col="__v", id_col="__id", refine_iters=0,
@@ -636,15 +673,17 @@ def embedding_duplicate_pairs(
         )
         # product centroid = concatenated half-centroids — a plain point
         # in the full space, so the ball-pruning algebra applies as-is.
-        # Only OCCUPIED product cells reach the driver-side candidate
-        # matrix (the radii groupBy below yields exactly those cids);
-        # the centroid broadcast for radii carries all k_half² rows
-        # (k_half ≤ 4096 → ≤ a few MB of doubles).
-        cent_rows = {
-            c1 * k_half + c2: list(books[0][c1]) + list(books[1][c2])
-            for c1 in range(k_half)
-            for c2 in range(k_half)
-        }
+        # Materialize centroids for OCCUPIED product cells ONLY: the
+        # distinct cid set is one bounded collect off the persisted
+        # assignment (occupied ≤ N and typically ≪ k_half² on clustered
+        # corpora), so driver memory is O(occupied·d). A dense
+        # k_half² dict is infeasible at exactly IMI's advertised niche
+        # (N ≳ 16M ⇒ k_half ≈ 2520 ⇒ 6.4M cells × 64 doubles ≈ multi-GB
+        # driver allocation + a multi-GB radii broadcast); unoccupied
+        # cells have no members, no radius, and can never appear in a
+        # candidate pair, so dropping them is semantics-free.
+        occ_cids = [r["cid"] for r in members.select("cid").distinct().collect()]
+        cent_rows = _imi_occupied_centroids(books, occ_cids, k_half)
         centroids = spark.createDataFrame(
             [(cid, c) for cid, c in cent_rows.items()], ["cid", "cvec"]
         )
@@ -726,6 +765,58 @@ def embedding_duplicate_pairs(
     # product-cell matrix at (occupied)² instead of (k_half²)²
     occupied_cents = {c: cent_rows[c] for c in rad_rows if c in cent_rows}
     cand_cells = candidate_cell_pairs(occupied_cents, rad_rows, eps)
+    # ---- pruning-effectiveness guard (r9's one perf-weak) ----
+    # Ball pruning is a function of CLUSTER STRUCTURE, not cell count:
+    # on an isotropic corpus radii approach √2 and NO cell pair is
+    # pruned, so the verify stage replicates each member once per
+    # candidate group its cell touches — at n_cells=√N that measured a
+    # 77 GB shuffle spill (BENCH.md r9 blocking study). The radii and
+    # occupancy needed to detect that are already on the driver;
+    # inspect them BEFORE launching the verify join. The exploded row
+    # volume is Σ_cells occ_c · deg_c (deg = undirected candidate pairs
+    # touching c); when it exceeds 2× what coarsening to T=16 cells
+    # would cost (N·T rows), pruning has failed: warn loudly (the ANN
+    # under-recall convention) and COARSEN — remap cid → cid mod T (a
+    # narrow column op on the persisted frame, no reassignment pass)
+    # and take all occupied coarse-cell pairs as candidates. A
+    # candidate SUPERSET never changes output (the verify stage
+    # computes exact per-pair cosines, identical arithmetic wherever a
+    # pair lands), so the result stays bit-identical; only the group
+    # layout changes — and the occupancy split keeps the coarse groups
+    # bounded by max_cell_occupancy exactly as the n_cells=16 default
+    # does.
+    _fallback_t = max(1, min(16, len(occupancy)))
+    _deg: dict[int, int] = {}
+    for _i, _j in {(min(a, b), max(a, b)) for (a, b) in cand_cells}:
+        _deg[_i] = _deg.get(_i, 0) + 1
+        if _j != _i:
+            _deg[_j] = _deg.get(_j, 0) + 1
+    _fanout = sum(occupancy.get(c, 0) * d for c, d in _deg.items())
+    _n_total = sum(occupancy.values())
+    if len(occupancy) > _fallback_t and _fanout > 2 * _n_total * _fallback_t:
+        import warnings as _warnings
+
+        _warnings.warn(
+            "embedding_duplicate_pairs: ball pruning is ineffective on this "
+            f"corpus ({len(occupancy)} occupied cells would explode "
+            f"{_n_total} members into {_fanout} verify rows — no geometry "
+            "to prune; radii ≈ the threshold ball). Falling back to "
+            f"{_fallback_t} coarse cells (output is unchanged — exact "
+            "verification is blocking-agnostic). For structureless corpora "
+            "prefer few cells, or an approximate method (minhash_duplicate_"
+            "pairs / simhash) when exact mining is not required.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        members = members.withColumn(
+            "cid", F.pmod(F.col("cid").cast("long"), F.lit(_fallback_t))
+        )
+        _coarse_occ: dict[int, int] = {}
+        for c, cnt in occupancy.items():
+            _coarse_occ[c % _fallback_t] = _coarse_occ.get(c % _fallback_t, 0) + cnt
+        occupancy = _coarse_occ
+        _occ_ids = sorted(occupancy)
+        cand_cells = [(a, b) for a in _occ_ids for b in _occ_ids if a <= b]
     return _verify_cell_pairs_grouped(
         members, cand_cells, block_col, threshold,
         occupancy=occupancy, max_cell_occupancy=max_cell_occupancy,

@@ -236,12 +236,16 @@ def _assign_udf(centers: list[list[float]]):
 
 def seed_centers(corpus: DataFrame, n_cells: int) -> list[list[float]]:
     """Deterministic quantizer seeds: the ``n_cells`` corpus vectors with
-    the smallest h60(id) — uniformly spread, no RNG state. ``corpus`` is
-    the normalized (__id, __v) projection. Shared by build_ivf_index and
-    dedup.embedding_duplicate_pairs so both quantize identically."""
+    the smallest (h60(id), id) — uniformly spread, no RNG state. The id
+    tiebreak matches pq_fit and the DuckDB replay oracles' row_number()
+    OVER (ORDER BY h60, vec_id): an h60 collision among seed candidates
+    must not make the seed order nondeterministic or desync the oracle.
+    ``corpus`` is the normalized (__id, __v) projection. Shared by
+    build_ivf_index and dedup.embedding_duplicate_pairs so both quantize
+    identically."""
     seed_rows = (
         corpus.withColumn("__h", h60(F.col("__id").cast("string")))
-        .orderBy("__h")
+        .orderBy("__h", "__id")
         .limit(n_cells)
         .select("__v")
         .collect()

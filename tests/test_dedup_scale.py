@@ -270,8 +270,9 @@ def test_embedding_pairs_blocking_validation(spark):
 
 def test_candidate_cell_pairs_vectorized_matches_reference():
     """The numpy pairwise form must reproduce the scalar double-loop
-    reference (modulo the documented +1e-9 lossless slack, which can
-    only ADD pairs — assert superset + equality away from boundaries)."""
+    reference (modulo the documented norm-relative lossless slack, which
+    can only ADD pairs — assert superset + equality away from
+    boundaries)."""
     import math
     import random
 
@@ -287,7 +288,119 @@ def test_candidate_cell_pairs_vectorized_matches_reference():
             if d <= radii[i] + radii[j] + eps:
                 ref.add((i, j))
     assert ref <= got  # slack never drops a candidate
-    # and no pair is admitted that the reference rejects by more than slack
+    # and no pair is admitted that the reference rejects by more than
+    # the documented slack (1e-7 · max(1, ‖c_i‖, ‖c_j‖))
+    def _nrm(c):
+        return math.sqrt(sum(x * x for x in c))
+
     for i, j in got - ref:
         d = math.sqrt(sum((x - y) ** 2 for x, y in zip(centers[i], centers[j])))
-        assert d <= radii[i] + radii[j] + eps + 1e-8, (i, j, d)
+        slack = 1e-7 * max(1.0, _nrm(centers[i]), _nrm(centers[j]))
+        assert d <= radii[i] + radii[j] + eps + slack * 1.01, (i, j, d)
+
+
+def test_candidate_cell_pairs_self_pair_survives_cancellation():
+    """d(c, c) is identically zero, but the vectorized expansion
+    ‖a‖²+‖b‖²−2a·b leaves a cancellation residual (~1e-16 on unit
+    vectors) whose sqrt (~1e-8) exceeded the old fixed 1e-9 slack —
+    at threshold ≈ 1.0 (r_i ≈ eps ≈ 0, exact-duplicate mining) a
+    self-pair could be silently pruned, violating the EXACT contract.
+    The diagonal must be pinned to 0 and coincident DISTINCT cells
+    must survive via the norm-relative slack."""
+    import math
+    import random
+
+    rng = random.Random(17)
+    # a unit vector with many irrational components — maximizes the
+    # cancellation residual of the expansion
+    raw = [rng.gauss(0, 1) for _ in range(64)]
+    n = math.sqrt(sum(x * x for x in raw))
+    u = [x / n for x in raw]
+    # cells 0 and 1 are bit-identical centroids (two cells whose members
+    # all equal the same seed), radii exactly 0, eps exactly 0
+    centers = {0: list(u), 1: list(u)}
+    radii = {0: 0.0, 1: 0.0}
+    got = set(dedup.candidate_cell_pairs(centers, radii, eps=0.0))
+    assert (0, 0) in got and (1, 1) in got  # diagonal pinned to d=0
+    assert (0, 1) in got and (1, 0) in got  # coincident distinct cells
+
+
+def test_imi_occupied_centroids_sparse_allocation():
+    """Driver allocation for IMI product centroids must be
+    O(occupied · d), never O(k_half² · d): with k_half=4096 and three
+    occupied cells the dict has exactly three entries, each the
+    concatenation books[0][cid1] ++ books[1][cid2]."""
+    import numpy as np
+
+    k_half = 4096
+    rng = np.random.default_rng(3)
+    books = [rng.normal(size=(k_half, 4)), rng.normal(size=(k_half, 4))]
+    occ = [0, 5, 3 * k_half + 7]
+    cents = dedup._imi_occupied_centroids(books, occ, k_half)
+    assert set(cents) == set(occ) and len(cents) == 3
+    assert cents[3 * k_half + 7] == list(books[0][3]) + list(books[1][7])
+    assert cents[5] == list(books[0][0]) + list(books[1][5])
+
+
+def test_embedding_pairs_imi_tiny_corpus(spark):
+    """blocking='imi' with k_half=None on a corpus smaller than the old
+    floor of 4 must work (derived k_half clamps to the corpus size)
+    and match the flat path, like the flat path always did."""
+    import math
+
+    def v(angle):
+        return [math.cos(angle), math.sin(angle)]
+
+    df = spark.createDataFrame(
+        [(0, "x", v(0.0)), (1, "x", v(0.004)), (2, "x", v(1.0))],
+        ["vec_id", "label", "embedding"],
+    )
+    flat = sorted(
+        map(tuple, dedup.embedding_duplicate_pairs(df, threshold=0.99).collect())
+    )
+    imi = sorted(
+        map(
+            tuple,
+            dedup.embedding_duplicate_pairs(
+                df, threshold=0.99, blocking="imi"
+            ).collect(),
+        )
+    )
+    assert imi == flat == [(0, 1, flat[0][2])]
+
+
+def test_embedding_pairs_effectiveness_guard(spark):
+    """The r9 perf-weak closure: an ISOTROPIC corpus (radii ≈ √2, zero
+    pruning) with n_cells=√N must trigger the pruning-effectiveness
+    guard — a loud RuntimeWarning plus auto-coarsening to ≤16 cells —
+    instead of launching the N·√N-row verify explosion (the 77 GB
+    spill BENCH.md measured at sf10). Output must stay bit-identical
+    to the default 16-cell run, which must NOT warn."""
+    import math
+    import random
+    import warnings as W
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(500):
+        raw = [rng.gauss(0, 1) for _ in range(8)]
+        n = math.sqrt(sum(x * x for x in raw))
+        rows.append((i, [x / n for x in raw]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    with W.catch_warnings():
+        W.simplefilter("error", RuntimeWarning)  # default path must not warn
+        base = sorted(
+            map(
+                tuple,
+                dedup.embedding_duplicate_pairs(
+                    df, block_col=None, threshold=0.3, n_cells=16
+                ).collect(),
+            )
+        )
+    with pytest.warns(RuntimeWarning, match="ball pruning is ineffective"):
+        guarded_df = dedup.embedding_duplicate_pairs(
+            df, block_col=None, threshold=0.3, n_cells=64
+        )
+    guarded = sorted(map(tuple, guarded_df.collect()))
+    assert guarded == base and len(base) > 0
