@@ -102,16 +102,24 @@ def main() -> None:
             _force(fn(spark, sf_dir))
             spent, n = 0.0, 0
             # sub-second queries are the ones host contention can bury
-            # (three recorded phantoms: r4 x2, r5 containstext) — let
-            # them sample past max_repeat (up to 15) while the budget
-            # lasts: cheap, and min-of-N then actually strips the noise
-            # the noisy-query sample floor must hold even when the user
+            # (four recorded phantoms: r4 x2, r5 containstext, r9 q1
+            # "+65%" on 9 samples) — let them sample past max_repeat
+            # (up to 15) while the budget lasts, AND give them a HARD
+            # 10-sample floor the budget clause cannot cut (the r9
+            # noise-convention item: a 9-sample minimum masqueraded as
+            # a 65% regression; 10 warm sub-second samples cost <10 s).
+            # The noisy-query sample floor must hold even when the user
             # pins SPARK_GRAFT_BENCH_(MAX_)REPEAT below it — fold it
-            # into the loop bound rather than only the budget clause
+            # into the loop bound rather than only the budget clause.
             cap = max(max_repeat, min_n)
+            sub_floor = 10
             while (
                 n < cap or (best is not None and best < 1.0 and n < 15)
-            ) and (n < min_n or spent < budget):
+            ) and (
+                n < min_n
+                or spent < budget
+                or (best is not None and best < 1.0 and n < sub_floor)
+            ):
                 t0 = time.perf_counter()
                 _force(fn(spark, sf_dir))
                 dt = time.perf_counter() - t0
