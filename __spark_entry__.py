@@ -3146,84 +3146,83 @@ def _native_fluent_query(spark, sf_dir):
 # in insertion order. Rotation history: r1-r3 recorded the core-SQL
 # front; r5 the back half; r6 the core-SQL surface + first
 # never-recorded batch; r7 a 10-row canary + 40 first-evers; r8 the
-# CLOSING rotation (all 45 remaining never-recorded entries — after r8
-# every registry entry has a driver signature; `tools/check_entries.py
-# --never-recorded` asserts the set difference stays empty, verified at
-# r9 open). Round 9 policy (per the r8 verdict): a refresh rotation —
-# (a) the entries this round FIXED or UPGRADED: embedding_pca (r8's one
-# driver-ERROR, output reshaped to scalar rows), sim_topk_ivfpq
-# (upgraded rows-only → oracle-exact via the deterministic-replay
-# coarse quantizer), sim_topk_pq (re-record: the LUT fold + midpoint
-# nudge changed its replayed arithmetic this round), sim_topk_imi
-# (first-ever, rows-only); (b) ALL 22 remaining r3-era records and the
-# r4 sim_topk_ivf — the oldest signatures in the registry, heavy on the
-# §2.3 operator rows (not/is-null/contains/containsall/containsvalue/
-# traverse-field) and the scan/projection canaries; (c) 23 r5-era
-# refreshes prioritizing the §2.7 DML/DDL/dictionary surface so no
-# §2.3/§2.7 row's record is older than r6 after this round. Rows
-# rotating out keep their standing records plus per-run mirror-harness
-# coverage (tests/test_entry.py re-compares all oracle entries each
-# run).
+# CLOSING rotation (after r8 every registry entry has a driver
+# signature; `tools/check_entries.py --never-recorded` asserts the set
+# difference stays empty); r9 the ANN-upgrade + r3/r4-era refresh.
+# Round 10 policy (per the r9 verdict item 3): retire the r5-era tail —
+# ALL 27 entries whose newest record was r5 (the dedup family incl.
+# dedup_embedding_cosine, whose blocking gained the
+# pruning-effectiveness guard this round — its re-record doubles as the
+# guard's driver canary — plus event sessionization, multimodal, text
+# stats, sampling, rollup, and the end-to-end pipeline) — then 23
+# r6-era refreshes prioritizing §2 operator rows (wildcards, scans,
+# fulltext, fetch-plan, FLATTEN, format/coercion, LIKE/MATCHES/
+# CONTAINSKEY, record attributes, link materialization, graph
+# pagerank/triangles, TPC-H q6). After r10 no registry record is older
+# than r6. Rows rotating out keep their standing records plus per-run
+# mirror-harness coverage (tests/test_entry.py re-compares all oracle
+# entries each run).
 _DRIVER_FRONT = [
-    # fixed / upgraded / first-ever this round
-    "embedding_pca",
-    "sim_topk_ivfpq",
-    "sim_topk_pq",
-    "sim_topk_imi",
-    # r3-era refreshes (oldest records in the registry)
-    "all_wildcard_notnull",
-    "approx_distinct_parts",
-    "bytes_record",
-    "column_positional",
-    "contains_value",
-    "containsall_condition",
-    "db_save_open_roundtrip",
-    "dictionary_get",
-    "export_import_diff",
-    "flat_record",
-    "global_aggregates",
-    "is_null_filter",
-    "json_metadata_export",
-    "json_roundtrip",
-    "map_containsvalue",
-    "not_prefix",
-    "polymorphic_scan",
-    "projection_casts",
-    "rid_list",
-    "tpch_q10_returns",
-    "tpch_q5_local_supplier",
-    "traverse_field_restricted",
-    # r4
-    "sim_topk_ivf",
-    # r5-era refreshes: the §2.7 DML/DDL/dictionary surface first
-    "dml_insert_append",
-    "dml_update_rewrite",
-    "dml_delete_filter",
-    "update_add_collection",
-    "update_put_map",
-    "update_remove_ops",
-    "ddl_schema_evolution",
-    "ddl_truncate",
-    "unique_index_violation",
-    "schema_mixed_insert",
-    "dictionary_keyset",
-    # r5-era refreshes: set ops / pagination / windows / functions
-    "set_operations",
-    "range_keyset_pagination",
-    "window_rank_topn",
-    "window_running_frames",
-    "custom_udf_bigger",
-    "geo_distance_filter",
-    # upgraded rows-only → oracle-exact this round (full LSH pipeline
-    # replay); takes csv_positional_roundtrip's slot — that §2.1 row
-    # keeps its r5 record and the column_positional refresh above
-    "sim_topk_lsh",
-    # r5-era refreshes: graph + ANN baseline canaries
-    "graph_out_degree",
-    "graph_bfs_levels",
-    "graph_delete_cascade",
-    "graph_connected_components",
-    "sim_topk_bruteforce",
+    # r5-era tail: dedup family (embedding_cosine re-record = guard canary)
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_bucket_audit",
+    "dedup_canonicalize",
+    "dedup_decontaminate",
+    # r5-era tail: events / sessions
+    "event_sessionize",
+    "event_session_window",
+    "event_window_agg",
+    "event_first_seen",
+    # r5-era tail: multimodal
+    "multimodal_binary_features",
+    "multimodal_fake_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    # r5-era tail: text stats / fingerprints
+    "text_language_id",
+    "text_token_stats",
+    "text_quality_score",
+    "text_repetition_stats",
+    "text_winnow_fingerprint",
+    # r5-era tail: sampling / rollup / end-to-end / positional CSV
+    "sample_quota_per_source",
+    "sample_split_assign",
+    "rollup_pricing",
+    "pipeline_end_to_end",
+    "csv_positional_roundtrip",
+    # r6-era refreshes: §2.2/§2.3 operator rows
+    "any_wildcard",
+    "select_distinct",
+    "like_underscore_literal",
+    "matches_anchored",
+    "map_containskey",
+    "format_and_coercion",
+    "projection_methods",
+    "record_attributes",
+    "embedded_struct_nav",
+    "flatten_unnest",
+    # r6-era refreshes: §2.1 scans / fulltext / fetch-plan / links
+    "cluster_scan",
+    "rid_point",
+    "containstext_fallback",
+    "containstext_indexed",
+    "fulltext_dml_maintenance",
+    "fetchplan_prefetch",
+    "create_link_materialize",
+    # r6-era refreshes: aggregates / TPC-H / graph analytics
+    "count_distinct_suppliers",
+    "tpch_q6_forecast",
+    "graph_pagerank",
+    "graph_triangle_count",
+    # r6-era refreshes: sampling / skew path (text_token_budget keeps
+    # its r6 record — it also carries sf1/sf5/sf10 hash evidence)
+    "sample_mixture",
+    "salted_skew_aggregate",
 ]
 
 

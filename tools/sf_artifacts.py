@@ -60,6 +60,12 @@ SF1_ENTRIES = [
     # hash evidence too
     "sim_topk_pq",
     "sim_topk_ivfpq",
+    # graph layer (r9 verdict item 4): CC and BFS were benched at sf10
+    # but never hash-verified above the driver SF; their unrolled-CTE
+    # oracles are SF-independent, so the graph family gets above-driver
+    # hash evidence too
+    "graph_connected_components",
+    "graph_bfs_levels",
 ]
 
 
