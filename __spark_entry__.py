@@ -1758,6 +1758,26 @@ def _dedup_embedding(spark, sf_dir):
     return dedup.embedding_duplicate_pairs(_embs(spark, sf_dir), threshold=0.3)
 
 
+def _dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): within-cluster keep-lowest-id
+    semantic dedup over the embedding corpus. The oracle replays the
+    whole pipeline — h60 seeds, argmax-cosine assignment (+1e-12/6-dp,
+    lower-cid ties), within-cell >= t neighbor test — in SQL."""
+    from orientdb_spark.pipeline import dedup
+
+    return dedup.semantic_dedup(_embs(spark, sf_dir), threshold=0.3)
+
+
+def _sample_dsir(spark, sf_dir):
+    """DSIR top-k importance resampling (Xie et al. 2023): select the
+    50 most target-like docs (target = lang('en') subset) under hashed
+    unigram+bigram bag-of-words LMs with add-1 smoothing."""
+    from orientdb_spark.pipeline import sampling
+
+    docs = _docs(spark, sf_dir)
+    return sampling.dsir_resample(docs, docs.filter(F.col("lang") == "en"), k=50)
+
+
 def _sample_split_assign(spark, sf_dir):
     from orientdb_spark.pipeline import sampling
 
@@ -3219,10 +3239,12 @@ _DRIVER_FRONT = [
     "tpch_q6_forecast",
     "graph_pagerank",
     "graph_triangle_count",
-    # r6-era refreshes: sampling / skew path (text_token_budget keeps
-    # its r6 record — it also carries sf1/sf5/sf10 hash evidence)
-    "sample_mixture",
-    "salted_skew_aggregate",
+    # NEW this round (never recorded — must sit in the front so
+    # check_entries.py --never-recorded closes at round end):
+    # SemDeDup within-cluster semantic dedup + DSIR importance
+    # resampling, both oracle-exact full-pipeline replays
+    "dedup_semantic",
+    "sample_dsir",
 ]
 
 
@@ -3504,6 +3526,8 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_simhash_hamming": _dedup_simhash_hamming,
         "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_embedding_cosine": _dedup_embedding,
+        "dedup_semantic": _dedup_semantic,
+        "sample_dsir": _sample_dsir,
         "embedding_quantize": _embedding_quantize,
         "embedding_random_projection": _embedding_random_projection,
         "embedding_pq_encode": _embedding_pq_encode,
@@ -3610,6 +3634,9 @@ _DK_TOKS = (
     "t -> len(t) > 0)))"
 )
 _DK_TOKS_RAW = "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)"
+_DK_TOKS_LOWER = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)"
+)
 
 
 def _minhash_oracle_sql(
@@ -5032,6 +5059,68 @@ def oracle_sql() -> dict[str, str]:
             "JOIN (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings) b "
             "ON a.label = b.label AND a.vec_id < b.vec_id) t "
             "WHERE cosine >= 0.3"
+        ),
+        "dedup_semantic": (
+            # full SemDeDup replay: h60 seeds over the non-zero-norm
+            # corpus, argmax-cosine assignment (+1e-12 nudge, 6-dp
+            # round, lower-cid ties — the _assign_udf contract), then
+            # drop = exists a smaller-id same-cell member with
+            # round(cosine, 6) >= 0.3; zero-norm rows keep cid -1
+            "WITH vv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) "
+            "AS v FROM embeddings), "
+            "nz AS (SELECT vec_id, v FROM vv WHERE list_dot_product(v, v) > 0), "
+            "seeds AS (SELECT row_number() OVER (ORDER BY "
+            + _dk_h60("CAST(vec_id AS VARCHAR)")
+            + ", vec_id) - 1 AS cid, v FROM nz ORDER BY "
+            + _dk_h60("CAST(vec_id AS VARCHAR)")
+            + ", vec_id LIMIT 16), "
+            "ac AS (SELECT n.vec_id, s.cid, round((list_dot_product(n.v, s.v) / "
+            "(sqrt(list_dot_product(n.v, n.v)) * sqrt(list_dot_product(s.v, s.v)))) "
+            "+ 1e-12, 6) AS c6 FROM nz n, seeds s), "
+            "asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() "
+            "OVER (PARTITION BY vec_id ORDER BY c6 DESC, cid) AS rk FROM ac) "
+            "WHERE rk = 1), "
+            "drp AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b "
+            "ON a.cid = b.cid AND a.vec_id < b.vec_id "
+            "JOIN nz va ON va.vec_id = a.vec_id JOIN nz vb ON vb.vec_id = b.vec_id "
+            "WHERE round(list_dot_product(va.v, vb.v) / "
+            "(sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v)))"
+            ", 6) >= 0.3) "
+            "SELECT a.vec_id, a.cid::BIGINT AS cid, (d.vec_id IS NULL) AS is_kept "
+            "FROM asg a LEFT JOIN drp d ON a.vec_id = d.vec_id "
+            "UNION ALL SELECT vec_id, (-1)::BIGINT AS cid, TRUE AS is_kept "
+            "FROM vv WHERE list_dot_product(v, v) <= 0"
+        ),
+        "sample_dsir": (
+            # DSIR replay: unigram+bigram gram stream (occurrences, not
+            # distinct), b = h60(gram) % 10000, add-1 Laplace log-ratio
+            # per bucket, per-doc weight = sum of log-ratios rounded at
+            # 6 dp after the +1e-12 nudge, top-50 by (weight desc, id)
+            "WITH toks AS (SELECT doc_id, " + _DK_TOKS_LOWER + " AS t "
+            "FROM documents), "
+            "tt AS (SELECT doc_id, t FROM toks WHERE len(t) > 0), "
+            "grams AS (SELECT doc_id, u.g FROM tt, unnest(t) AS u(g) "
+            "UNION ALL SELECT doc_id, u.g FROM (SELECT doc_id, "
+            "list_transform(range(1, len(t)), i -> t[i::INTEGER] || ' ' || "
+            "t[(i + 1)::INTEGER]) AS bg FROM tt WHERE len(t) >= 2), "
+            "unnest(bg) AS u(g)), "
+            "sb AS (SELECT doc_id, " + _dk_h60("g") + " % 10000 AS b FROM grams), "
+            "tb AS (SELECT sb.b FROM sb JOIN documents USING (doc_id) "
+            "WHERE lang = 'en'), "
+            "tc AS (SELECT b, count(*) AS ct FROM tb GROUP BY b), "
+            "scnt AS (SELECT b, count(*) AS cs FROM sb GROUP BY b), "
+            "tot AS (SELECT (SELECT count(*) FROM tb)::DOUBLE AS nt, "
+            "(SELECT count(*) FROM sb)::DOUBLE AS ns), "
+            "lr AS (SELECT scnt.b AS b, ln((coalesce(ct, 0) + 1.0) / "
+            "(tot.nt + 10000.0)) - ln((cs + 1.0) / (tot.ns + 10000.0)) AS lr "
+            "FROM scnt LEFT JOIN tc ON scnt.b = tc.b, tot), "
+            "w AS (SELECT sb.doc_id, count(*)::BIGINT AS n_grams, "
+            "round(sum(lr.lr) + 1e-12, 6) AS weight FROM sb "
+            "JOIN lr ON sb.b = lr.b GROUP BY sb.doc_id), "
+            "r AS (SELECT doc_id, n_grams, weight, row_number() OVER "
+            "(ORDER BY weight DESC, doc_id) AS rank FROM w) "
+            "SELECT doc_id, n_grams, weight, rank::INTEGER AS rank FROM r "
+            "WHERE rank <= 50"
         ),
         "sim_topk_bruteforce": (
             "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "

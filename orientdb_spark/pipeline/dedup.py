@@ -534,7 +534,7 @@ def embedding_duplicate_pairs(
     id_col: str = "vec_id",
     block_col: str | None = "label",
     threshold: float = 0.99,
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     index=None,
     max_cell_occupancy: int = 4096,
     blocking: str = "ivf",
@@ -559,7 +559,12 @@ def embedding_duplicate_pairs(
     partition the corpus, the n_cells² candidate matrix is pruned
     driver-side from n_cells tiny rows, and the blocking column remains
     an equality predicate on the member join. Raise ``n_cells`` with
-    corpus size (cost: one O(N·n_cells) assignment pass).
+    corpus size (cost: one O(N·n_cells) assignment pass), or pass
+    ``n_cells="auto"`` for √N clamped to [16, 4096] — on clustered
+    corpora more cells prune more (measured 1.7× at 60k vectors,
+    BENCH.md r9/r10 blocking studies), and the pruning-effectiveness
+    guard below coarsens back to ≤16 cells when the corpus is
+    structureless, so auto is safe in both regimes.
 
     ``index``: a prebuilt ``similarity.IvfIndex`` over the SAME corpus
     (build-once, serve both ANN queries and near-dup mining — one
@@ -729,6 +734,17 @@ def embedding_duplicate_pairs(
         # narrow withColumn over the persisted unit frame — NOT a self
         # join back onto an (id, cid) table, which would shuffle the
         # whole corpus once more for data computed from that same frame.
+        if n_cells == "auto":
+            # scale-aware cell count: √N clamped to [16, 4096] (one
+            # bounded count of the persisted frame). The r9 blocking
+            # study measured flat √N cells 1.7× faster than the 16-cell
+            # default on a clustered 60k corpus — real embedding
+            # corpora are clustered, so more cells usually prune more —
+            # while the pruning-effectiveness guard below coarsens back
+            # to ≤16 cells when the corpus turns out isotropic (radii
+            # ≈ √2, zero pruning), so auto can't trigger the verify
+            # explosion the study measured at fixed √N.
+            n_cells = max(16, min(4096, _math.ceil(_math.sqrt(max(1, unit.count())))))
         centers = seed_centers(
             unit.select(F.col("__id"), F.col("__u").alias("__v")), n_cells
         )
@@ -1048,6 +1064,92 @@ def _verify_cell_pairs_grouped(
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    max_cell_occupancy: int = 4096,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication", arXiv:2303.09540):
+    cluster the embedding space, then WITHIN each cluster drop every
+    vector that has a ≥ ``threshold`` cosine neighbor with a smaller id
+    — the survivors are one representative per within-cluster duplicate
+    neighborhood. Unlike ``embedding_duplicate_pairs`` (EXACT — ball
+    pruning finds every qualifying pair corpus-wide), SemDeDup is the
+    published APPROXIMATE contract: only within-cluster pairs are
+    examined, which is the algorithm's scale trick — cluster sizes, not
+    N, bound the quadratic term, so the verify cost is Σ|cluster|²
+    regardless of corpus structure.
+
+    Returns (id_col, cid, is_kept): the cluster id (-1 for zero-norm
+    vectors, which have no cosine and are always kept) and the keep
+    flag. Fully deterministic and DuckDB-replayable: h60-seeded centers
+    (``seed_centers`` — no RNG), argmax-cosine assignment with the
+    lower-cid tie rule and the +1e-12/6-dp round (``_assign_udf``,
+    dimension-major folds), exact within-cell cosines from the grouped
+    Arrow verifier, and the keep-lowest-id survivor rule.
+
+    Scale: one narrow assignment pass (centers ride the task closure,
+    no shuffle), then the grouped verify reused from
+    ``embedding_duplicate_pairs`` restricted to self-cell candidate
+    pairs — each member fans out to its OWN cell group only (O(N) rows
+    through the exchange), oversized cells hash-split by
+    ``max_cell_occupancy`` so one hot cluster cannot serialize into a
+    single task — and one distinct + one left join on the dropped-id
+    set. No corpus self-join at any point."""
+    from orientdb_spark.pipeline.common import vec_norm
+    from orientdb_spark.pipeline.similarity import _assign_udf, seed_centers
+
+    g = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__n", vec_norm(F.col("__v")))
+    zero = g.filter(F.col("__n") <= 0).select(
+        "__id",
+        F.lit(-1).cast("long").alias("cid"),
+        F.lit(True).alias("is_kept"),
+    )
+    nz = g.filter(F.col("__n") > 0)
+    # assignment on the RAW vectors (cosine is scale-invariant, and the
+    # raw-space fold is what the ivfpq replay oracle already derives)
+    centers = seed_centers(nz.select("__id", "__v"), n_cells)
+    members = (
+        nz.withColumn("cid", _assign_udf(centers)(F.col("__v")))
+        .withColumn("__blk0", F.lit(0))
+        .persist()
+    )
+    occupancy = {
+        r["cid"]: r["cnt"]
+        for r in members.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    pairs = _verify_cell_pairs_grouped(
+        members,
+        [(c, c) for c in occupancy],
+        "__blk0",
+        threshold,
+        occupancy=occupancy,
+        max_cell_occupancy=max_cell_occupancy,
+    )
+    dropped = (
+        pairs.select(F.col("id_b").alias("__id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    flags = members.join(dropped, "__id", "left").select(
+        "__id",
+        F.col("cid").cast("long").alias("cid"),
+        F.col("__dropped").isNull().alias("is_kept"),
+    )
+    return flags.unionByName(zero).select(
+        F.col("__id").alias(id_col), "cid", "is_kept"
     )
 
 

@@ -446,3 +446,148 @@ def stratified_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def _dsir_grams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """DSIR featurization: lower-cased word unigrams + bigrams, one row
+    per OCCURRENCE (counts matter for the language-model estimates).
+    Bigram expansion is the lm_score in-row transform — w[i] paired with
+    w[i+1] by element index, no self-join."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    staged = df.select(F.col(id_col).alias("__id"), toks.alias("__t")).filter(
+        F.size("__t") > 0
+    )
+    uni = staged.select("__id", F.explode("__t").alias("__g"))
+    bi = staged.filter(F.size("__t") >= 2).select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                lambda w, i: F.concat_ws(
+                    " ", w, F.element_at(F.col("__t"), (i + F.lit(2)).cast("int"))
+                ),
+            )
+        ).alias("__g"),
+    )
+    return uni.unionAll(bi)
+
+
+def dsir_importance_weights(
+    source: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", NeurIPS'23): score every
+    SOURCE document by how target-like it is under hashed-n-gram
+    bag-of-words language models —
+
+        weight(x) = Σ_{gram occurrences g ∈ x} [ log p̂_target(b(g))
+                                                − log p̂_source(b(g)) ]
+
+    with the paper's featurization (word unigrams + bigrams hashed into
+    ``buckets`` feature buckets; here b = h60(gram) mod buckets, so the
+    DuckDB oracle derives identical features) and add-``smoothing``
+    Laplace estimates p̂(b) = (c(b) + s) / (N + s·buckets). Returns
+    (id_col, n_grams, weight) for source docs with ≥ 1 token; weight is
+    rounded at 6 dp after a +1e-12 midpoint nudge (the cross-engine FP
+    convention — per-doc log sums carry ~1e-15 relative accumulation
+    noise, far under the round).
+
+    Scale: the bucket tables are ``buckets``-bounded (two map-side
+    partial-agg groupBys over the gram streams), the totals are two
+    1-row aggregates, and the per-doc scoring joins the gram stream to
+    the BROADCAST log-ratio table — one shuffle (the per-doc groupBy)
+    regardless of corpus size. The hot path is pure Column arithmetic;
+    no UDFs."""
+    if buckets < 1 or smoothing <= 0:
+        raise ValueError(
+            f"need buckets >= 1 and smoothing > 0, got {buckets}, {smoothing}"
+        )
+    sb = _dsir_grams(source, text_col, id_col).withColumn(
+        "__b", F.pmod(h60(F.col("__g")), F.lit(buckets))
+    )
+    tb = _dsir_grams(target, text_col, id_col).withColumn(
+        "__b", F.pmod(h60(F.col("__g")), F.lit(buckets))
+    )
+    tc = tb.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    sc = sb.groupBy("__b").agg(F.count(F.lit(1)).alias("__cs"))
+    # two bounded scalars (gram totals) — the lm_score broadcast pattern
+    nt = tb.count()
+    ns = sb.count()
+    lr = (
+        tc.join(sc, "__b", "full_outer")
+        .select(
+            "__b",
+            (
+                F.log(
+                    (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(smoothing))
+                    / F.lit(nt + smoothing * buckets)
+                )
+                - F.log(
+                    (F.coalesce(F.col("__cs"), F.lit(0)) + F.lit(smoothing))
+                    / F.lit(ns + smoothing * buckets)
+                )
+            ).alias("__lr"),
+        )
+    )
+    return (
+        sb.join(F.broadcast(lr), "__b")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("__lr") + F.lit(1e-12), 6).alias("weight"),
+        )
+        .select(F.col("__id").alias(id_col), "n_grams", "weight")
+    )
+
+
+def dsir_resample(
+    source: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    smoothing: float = 1.0,
+    mode: str = "topk",
+    seed: int = 42,
+) -> DataFrame:
+    """Select ``k`` source documents by DSIR importance: ``mode="topk"``
+    keeps the k highest-weight docs (the paper's top-k heuristic —
+    deterministic, id tiebreak); ``mode="gumbel"`` adds per-doc Gumbel
+    noise g = −ln(−ln(u)), u = (h60(seed:id)+0.5)/2^60 to the weight
+    before ranking — the Gumbel-top-k trick samples WITHOUT replacement
+    with probability ∝ exp(weight), still a pure function of (seed, id)
+    so re-runs and engines agree. Returns (id_col, n_grams, weight,
+    rank). One window shuffle (global rank — at 100 TB pre-filter with
+    a per-partition top-k if k ≪ N; Catalyst's WindowGroupLimit already
+    map-side-prunes the rank ≤ k filter)."""
+    if mode not in ("topk", "gumbel"):
+        raise ValueError(f"mode must be 'topk' or 'gumbel', got {mode!r}")
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    w = dsir_importance_weights(
+        source, target, text_col=text_col, id_col=id_col,
+        buckets=buckets, smoothing=smoothing,
+    )
+    if mode == "gumbel":
+        u = (
+            h60(F.concat(F.lit(f"dsir:{seed}:"), F.col(id_col).cast("string")))
+            .cast("double")
+            + F.lit(0.5)
+        ) / F.lit(float(1 << 60))
+        key = F.round(F.col("weight") - F.log(-F.log(u)) + F.lit(1e-12), 6)
+    else:
+        key = F.col("weight")
+    win = Window.orderBy(key.desc(), F.col(id_col).asc())
+    return (
+        w.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "n_grams", "weight", "rank")
+    )

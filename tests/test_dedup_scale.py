@@ -369,6 +369,25 @@ def test_embedding_pairs_imi_tiny_corpus(spark):
     assert imi == flat == [(0, 1, flat[0][2])]
 
 
+def test_embedding_pairs_auto_cells_bit_identical(spark):
+    """n_cells='auto' (√N clamped to [16, 4096], guard-backed) must
+    return exactly what the 16-cell default returns — blocking is
+    output-invariant — on a real corpus, blocked and unblocked."""
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = sorted(
+        map(tuple, dedup.embedding_duplicate_pairs(embs, threshold=0.3).collect())
+    )
+    auto = sorted(
+        map(
+            tuple,
+            dedup.embedding_duplicate_pairs(
+                embs, threshold=0.3, n_cells="auto"
+            ).collect(),
+        )
+    )
+    assert auto == base and len(base) > 0
+
+
 def test_embedding_pairs_effectiveness_guard(spark):
     """The r9 perf-weak closure: an ISOTROPIC corpus (radii ≈ √2, zero
     pruning) with n_cells=√N must trigger the pruning-effectiveness
@@ -404,3 +423,90 @@ def test_embedding_pairs_effectiveness_guard(spark):
         )
     guarded = sorted(map(tuple, guarded_df.collect()))
     assert guarded == base and len(base) > 0
+
+
+# ---- SemDeDup (semantic_dedup) ----
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """Exact-duplicate vectors land in one cell (identical assignment)
+    and all but the lowest id are dropped; distinct directions survive;
+    the zero vector is kept with cid -1."""
+    import math
+
+    def v(angle):
+        return [math.cos(angle), math.sin(angle), 0.0]
+
+    df = spark.createDataFrame(
+        [
+            (0, v(0.0)),
+            (1, v(0.0)),          # exact dup of 0
+            (2, v(0.0002)),       # near-dup of 0/1 (cos ~ 1)
+            (3, v(1.2)),          # distinct direction
+            (4, [0.0, 0.0, 0.0]),  # zero-norm: kept, cid -1
+        ],
+        ["vec_id", "embedding"],
+    )
+    got = {r.vec_id: r for r in dedup.semantic_dedup(df, threshold=0.99, n_cells=2).collect()}
+    assert len(got) == 5
+    assert got[0].is_kept and not got[1].is_kept and not got[2].is_kept
+    assert got[3].is_kept
+    assert got[4].is_kept and got[4].cid == -1
+    assert got[0].cid == got[1].cid == got[2].cid
+
+
+def test_semantic_dedup_survivor_rule_behavioral(spark):
+    """End-to-end behavioral check on the real sf0.001 corpus: using the
+    operator's OWN cluster assignment, a vector is dropped iff a
+    smaller-id member of the same cell has round(cosine, 6) >=
+    threshold — recomputed independently in numpy."""
+    import numpy as np
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = dedup.semantic_dedup(embs, threshold=0.3).collect()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in embs.select("vec_id", "embedding").collect()
+    }
+    by_cell: dict[int, list[int]] = {}
+    for r in out:
+        if r.cid >= 0:
+            by_cell.setdefault(r.cid, []).append(r.vec_id)
+    kept = {r.vec_id: r.is_kept for r in out}
+    n_dropped = 0
+    for cid, ids in by_cell.items():
+        ids.sort()
+        for i, b in enumerate(ids):
+            vb = vecs[b]
+            has_smaller = False
+            for a in ids[:i]:
+                va = vecs[a]
+                cos = round(
+                    float(va @ vb)
+                    / (float(np.sqrt(va @ va)) * float(np.sqrt(vb @ vb))),
+                    6,
+                )
+                if cos >= 0.3:
+                    has_smaller = True
+                    break
+            assert kept[b] == (not has_smaller), (b, cid)
+            n_dropped += int(has_smaller)
+    assert n_dropped > 0  # the corpus actually has within-cell dups at 0.3
+
+
+def test_semantic_dedup_occupancy_split_invariant(spark):
+    """Forcing the occupancy split (tiny max_cell_occupancy) must not
+    change the keep decisions — subcell groups partition the
+    within-cell pair set exactly."""
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = sorted(
+        (r.vec_id, r.cid, r.is_kept)
+        for r in dedup.semantic_dedup(embs, threshold=0.3).collect()
+    )
+    split = sorted(
+        (r.vec_id, r.cid, r.is_kept)
+        for r in dedup.semantic_dedup(
+            embs, threshold=0.3, max_cell_occupancy=7
+        ).collect()
+    )
+    assert base == split

@@ -353,3 +353,89 @@ def test_stratified_split_validates_ratios(spark):
         stratified_split(df, ["label"], ratios={"train": 0.5, "test": 0.4})
     with pytest.raises(ValueError):
         stratified_split(df, ["label"], ratios={"train": 1.0, "test": 0.0})
+
+
+# ---- DSIR importance resampling (Xie et al. 2023) ----
+
+
+def test_dsir_weights_exact_tiny_corpus(spark):
+    """Hand-computed replay of the weight formula on a 3-doc corpus:
+    grams are lower-cased unigrams + bigrams, b = h60(gram) % buckets,
+    weight = sum over gram occurrences of ln p_t(b) - ln p_s(b) with
+    add-1 smoothing — computed independently in pure Python (hashlib
+    md5, math.log) and compared at the 6-dp round."""
+    import hashlib
+    import math
+
+    src_rows = [(1, "apple banana"), (2, "car door"), (3, "apple apple")]
+    tgt_rows = [(10, "apple banana apple")]
+    B, s = 97, 1.0
+
+    def grams(text):
+        t = text.lower().split()
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def h(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    tgt_grams = [h(g) for r in tgt_rows for g in grams(r[1])]
+    src_grams = [h(g) for r in src_rows for g in grams(r[1])]
+    nt, ns = len(tgt_grams), len(src_grams)
+
+    def lr(b):
+        pt = (tgt_grams.count(b) + s) / (nt + s * B)
+        ps = (src_grams.count(b) + s) / (ns + s * B)
+        return math.log(pt) - math.log(ps)
+
+    expected = {
+        r[0]: round(sum(lr(h(g)) for g in grams(r[1])) + 1e-12, 6)
+        for r in src_rows
+    }
+    src = spark.createDataFrame(src_rows, ["doc_id", "text"])
+    tgt = spark.createDataFrame(tgt_rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["weight"]
+        for r in sampling.dsir_importance_weights(src, tgt, buckets=B).collect()
+    }
+    assert set(got) == set(expected)
+    for d in expected:
+        assert abs(got[d] - expected[d]) < 2e-6, (d, got[d], expected[d])
+    # the doc sharing the target's vocabulary scores highest
+    assert max(got, key=got.get) in (1, 3)
+
+
+def test_dsir_resample_selects_target_like_docs(spark):
+    """Two disjoint-vocabulary populations; target drawn from one of
+    them — the top-k resample must come (almost) entirely from the
+    target-like population, and ranks are well-formed 1..k."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(100):
+        words = [f"eng{rng.randrange(50)}" for _ in range(30)]
+        rows.append((i, " ".join(words), "A"))
+    for i in range(100, 200):
+        words = [f"ger{rng.randrange(50)}" for _ in range(30)]
+        rows.append((i, " ".join(words), "B"))
+    src = spark.createDataFrame(rows, ["doc_id", "text", "pop"])
+    tgt = src.filter(F.col("pop") == "A").limit(30).select("doc_id", "text")
+    sel = sampling.dsir_resample(src, tgt, k=40).collect()
+    assert sorted(r["rank"] for r in sel) == list(range(1, 41))
+    frac_a = sum(1 for r in sel if r["doc_id"] < 100) / len(sel)
+    assert frac_a >= 0.95, frac_a
+    # gumbel mode: deterministic across calls, still target-skewed
+    g1 = {r["doc_id"] for r in sampling.dsir_resample(src, tgt, k=40, mode="gumbel").collect()}
+    g2 = {r["doc_id"] for r in sampling.dsir_resample(src, tgt, k=40, mode="gumbel").collect()}
+    assert g1 == g2
+    assert sum(1 for d in g1 if d < 100) / len(g1) >= 0.8
+
+
+def test_dsir_validation(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="buckets"):
+        sampling.dsir_importance_weights(df, df, buckets=0)
+    with pytest.raises(ValueError, match="mode"):
+        sampling.dsir_resample(df, df, k=1, mode="uniform")
+    with pytest.raises(ValueError, match="k >= 1"):
+        sampling.dsir_resample(df, df, k=0)
