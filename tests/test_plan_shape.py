@@ -295,3 +295,21 @@ def test_topk_rank_window_group_limit_prunes_map_side(spark):
     assert _nodes(plan, "WindowGroupLimit") == 2, plan
     assert "row_number(), 5, Partial" in plan, plan
     assert "row_number(), 5, Final" in plan, plan
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """SemDeDup's scale contract: the within-cell verify rides the
+    grouped Arrow verifier (ONE FlatMapGroupsInPandas; members fan out
+    to their own cell only), the corpus is never self-joined (no
+    CartesianProduct / BroadcastNestedLoopJoin — the oracle's quadratic
+    within-cell join is the ORACLE'S shape, not the engine's), and the
+    whole query runs in three hash exchanges (verify groupBy, dropped
+    distinct, flags join)."""
+    from orientdb_spark.pipeline.dedup import semantic_dedup
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semantic_dedup(embs, threshold=0.3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("+- Exchange hashpartitioning") <= 3, plan

@@ -66,6 +66,10 @@ SF1_ENTRIES = [
     # hash evidence too
     "graph_connected_components",
     "graph_bfs_levels",
+    # DSIR importance resampling (new r10): linear gram-stream oracle,
+    # 3.2 s at sf1 in DuckDB — scales. (dedup_semantic is excluded by
+    # the tractability rule: its oracle is within-cell quadratic.)
+    "sample_dsir",
 ]
 
 
