@@ -1778,6 +1778,26 @@ def _sample_dsir(spark, sf_dir):
     return sampling.dsir_resample(docs, docs.filter(F.col("lang") == "en"), k=50)
 
 
+def _sample_prototype_prune(spark, sf_dir):
+    """Sorscher et al. NeurIPS'22 prototypicality pruning: keep the 50%
+    hardest (lowest cosine-to-center) examples per h60-seeded cluster.
+    The oracle replays assignment + per-cluster ranking in SQL."""
+    from orientdb_spark.pipeline import similarity
+
+    return similarity.prototype_prune(
+        _embs(spark, sf_dir), keep_fraction=0.5, keep="hard"
+    )
+
+
+def _sample_kcenter_coreset(spark, sf_dir):
+    """k-center greedy / farthest-point sampling (Sener & Savarese
+    ICLR'18): 8 diversity-maximizing representatives; the oracle
+    unrolls the greedy steps as chained CTEs."""
+    from orientdb_spark.pipeline import similarity
+
+    return similarity.kcenter_coreset(_embs(spark, sf_dir), k=8)
+
+
 def _sample_split_assign(spark, sf_dir):
     from orientdb_spark.pipeline import sampling
 
@@ -3234,17 +3254,20 @@ _DRIVER_FRONT = [
     "fulltext_dml_maintenance",
     "fetchplan_prefetch",
     "create_link_materialize",
-    # r6-era refreshes: aggregates / TPC-H / graph analytics
-    "count_distinct_suppliers",
-    "tpch_q6_forecast",
+    # r6-era refreshes: graph analytics (count_distinct_suppliers and
+    # tpch_q6_forecast keep their r6 records — q6 also carries
+    # sf1/sf5/sf10 hash evidence)
     "graph_pagerank",
     "graph_triangle_count",
     # NEW this round (never recorded — must sit in the front so
     # check_entries.py --never-recorded closes at round end):
-    # SemDeDup within-cluster semantic dedup + DSIR importance
-    # resampling, both oracle-exact full-pipeline replays
+    # SemDeDup semantic dedup, DSIR importance resampling,
+    # prototypicality pruning, k-center greedy coreset — all
+    # oracle-exact full-pipeline replays
     "dedup_semantic",
     "sample_dsir",
+    "sample_prototype_prune",
+    "sample_kcenter_coreset",
 ]
 
 
@@ -3528,6 +3551,8 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_embedding_cosine": _dedup_embedding,
         "dedup_semantic": _dedup_semantic,
         "sample_dsir": _sample_dsir,
+        "sample_prototype_prune": _sample_prototype_prune,
+        "sample_kcenter_coreset": _sample_kcenter_coreset,
         "embedding_quantize": _embedding_quantize,
         "embedding_random_projection": _embedding_random_projection,
         "embedding_pq_encode": _embedding_pq_encode,
@@ -3627,6 +3652,49 @@ def _phrase_oracle_sql() -> str:
 
 def _dk_h60(s: str) -> str:
     return f"(('0x' || substring(md5({s}), 1, 15))::UBIGINT::BIGINT)"
+
+
+def _dk_cos(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
+def _kcenter_oracle_sql(k: int) -> str:
+    """Unrolled k-center greedy replay (the graph unrolled-CTE-sweep
+    discipline): s1 = min (h60, id) seed; d_j folds the newest center
+    into the running min rounded cosine distance; s_{j+1} = argmax
+    (d desc, id) over the not-yet-selected rows."""
+    h = _dk_h60("CAST(vec_id AS VARCHAR)")
+    parts = [
+        "WITH vv0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) "
+        "AS v FROM embeddings), "
+        "vv AS (SELECT vec_id, v FROM vv0 WHERE list_dot_product(v, v) > 0), "
+        f"s1 AS (SELECT vec_id, v FROM vv ORDER BY {h}, vec_id LIMIT 1), "
+        "d1 AS (SELECT t.vec_id, t.v, round(1.0 - "
+        + _dk_cos("t.v", "s.v")
+        + " + 1e-12, 6) AS d FROM vv t, s1 s)"
+    ]
+    for j in range(2, k + 1):
+        prev_sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{i}" for i in range(1, j)
+        )
+        parts.append(
+            f", s{j} AS (SELECT vec_id, v, d FROM d{j - 1} WHERE vec_id NOT IN "
+            f"({prev_sel}) ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+        if j < k:
+            parts.append(
+                f", d{j} AS (SELECT t.vec_id, t.v, least(t.d, round(1.0 - "
+                + _dk_cos("t.v", "s.v")
+                + f" + 1e-12, 6)) AS d FROM d{j - 1} t, s{j} s)"
+            )
+    ranks = " UNION ALL ".join(
+        f"SELECT vec_id, {i}::BIGINT AS selection_rank FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + " " + ranks
 
 
 _DK_TOKS = (
@@ -5091,6 +5159,35 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT vec_id, (-1)::BIGINT AS cid, TRUE AS is_kept "
             "FROM vv WHERE list_dot_product(v, v) <= 0"
         ),
+        "sample_prototype_prune": (
+            # assignment replay (the dedup_semantic CTEs) + per-cluster
+            # rank by (score asc, id) keeping ceil(|cluster| * 0.5);
+            # the proto score IS the assignment's own rounded cosine
+            "WITH vv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) "
+            "AS v FROM embeddings), "
+            "nz AS (SELECT vec_id, v FROM vv WHERE list_dot_product(v, v) > 0), "
+            "seeds AS (SELECT row_number() OVER (ORDER BY "
+            + _dk_h60("CAST(vec_id AS VARCHAR)")
+            + ", vec_id) - 1 AS cid, v FROM nz ORDER BY "
+            + _dk_h60("CAST(vec_id AS VARCHAR)")
+            + ", vec_id LIMIT 16), "
+            "ac AS (SELECT n.vec_id, s.cid, round("
+            + _dk_cos("n.v", "s.v")
+            + " + 1e-12, 6) AS c6 FROM nz n, seeds s), "
+            "asg AS (SELECT vec_id, cid, c6 FROM (SELECT vec_id, cid, c6, "
+            "row_number() OVER (PARTITION BY vec_id ORDER BY c6 DESC, cid) AS rk "
+            "FROM ac) WHERE rk = 1), "
+            "r AS (SELECT vec_id, cid::BIGINT AS cid, c6 AS proto_score, "
+            "row_number() OVER (PARTITION BY cid ORDER BY c6 ASC, vec_id)"
+            "::INTEGER AS prune_rank, "
+            "count(*) OVER (PARTITION BY cid) AS csize FROM asg) "
+            "SELECT vec_id, cid, proto_score, prune_rank FROM r "
+            "WHERE prune_rank <= ceil(csize * 0.5) "
+            "UNION ALL SELECT vec_id, (-1)::BIGINT AS cid, NULL::DOUBLE AS "
+            "proto_score, 1::INTEGER AS prune_rank FROM vv "
+            "WHERE list_dot_product(v, v) <= 0"
+        ),
+        "sample_kcenter_coreset": _kcenter_oracle_sql(8),
         "sample_dsir": (
             # DSIR replay: unigram+bigram gram stream (occurrences, not
             # distinct), b = h60(gram) % 10000, add-1 Laplace log-ratio

@@ -1182,3 +1182,189 @@ def nearest_centroid_confusion(
         .select("label", (-F.col("__w.nl")).cast("int").alias("predicted"))
     )
     return best.groupBy("label", "predicted").agg(F.count(F.lit(1)).alias("n"))
+
+
+def prototypicality_scores(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+) -> DataFrame:
+    """Per-example prototypicality for data pruning (Sorscher et al.
+    2022, "Beyond neural scaling laws: beating power law scaling via
+    data pruning", NeurIPS'22): cluster the embedding space and score
+    each example by its cosine to its cluster's center — high = easy/
+    prototypical, low = hard/atypical. The paper's pruning rule keeps
+    the hard examples when data is abundant and the easy ones when it
+    is scarce; ``prototype_prune`` below applies either.
+
+    Deterministic and DuckDB-replayable end-to-end: h60-seeded centers
+    (no Lloyd step — the center IS a corpus vector, so no FP-order-
+    sensitive mean), the ``_assign_udf`` argmax-cosine assignment, and
+    the score re-uses the assignment's own rounded cosine (+1e-12
+    nudge, 6 dp). Returns (id_col, cid, proto_score); zero-norm vectors
+    get cid -1 and score NULL (no cosine is definable).
+
+    Scale: one narrow Arrow assignment pass (centers ride the task
+    closure) and one broadcast join for the score — no shuffle at all
+    until a consumer aggregates."""
+    from orientdb_spark.pipeline.common import cosine_similarity, vec_norm
+
+    g = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__n", vec_norm(F.col("__v")))
+    zero = g.filter(F.col("__n") <= 0).select(
+        "__id",
+        F.lit(-1).cast("long").alias("cid"),
+        F.lit(None).cast("double").alias("proto_score"),
+    )
+    nz = g.filter(F.col("__n") > 0)
+    centers = seed_centers(nz.select("__id", "__v"), n_cells)
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], ["cid", "cvec"]
+    )
+    scored = (
+        nz.withColumn("cid", _assign_udf(centers)(F.col("__v")))
+        .join(F.broadcast(cents), "cid")
+        .select(
+            "__id",
+            F.col("cid").cast("long").alias("cid"),
+            F.round(
+                cosine_similarity(F.col("__v"), F.col("cvec")) + F.lit(1e-12), 6
+            ).alias("proto_score"),
+        )
+    )
+    return scored.unionByName(zero).select(
+        F.col("__id").alias(id_col), "cid", "proto_score"
+    )
+
+
+def prototype_prune(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    keep_fraction: float = 0.5,
+    keep: str = "hard",
+) -> DataFrame:
+    """Apply the Sorscher et al. pruning rule to ``prototypicality_
+    scores``: per cluster, keep ``ceil(keep_fraction · |cluster|)``
+    examples — the LOWEST-score ones for ``keep="hard"`` (abundant-data
+    regime) or the HIGHEST for ``keep="easy"`` (scarce-data regime),
+    ties broken by id. Zero-norm vectors (cid -1, no score) are always
+    kept — they carry no geometric evidence for pruning. Returns
+    (id_col, cid, proto_score, prune_rank) for the kept rows. One
+    window shuffle on the cluster key."""
+    if keep not in ("hard", "easy"):
+        raise ValueError(f"keep must be 'hard' or 'easy', got {keep!r}")
+    if not 0.0 < keep_fraction <= 1.0:
+        raise ValueError(f"keep_fraction must be in (0, 1], got {keep_fraction}")
+    s = prototypicality_scores(df, vec_col=vec_col, id_col=id_col, n_cells=n_cells)
+    order = (
+        [F.col("proto_score").asc(), F.col(id_col).asc()]
+        if keep == "hard"
+        else [F.col("proto_score").desc(), F.col(id_col).asc()]
+    )
+    w = Window.partitionBy("cid").orderBy(*order)
+    n = Window.partitionBy("cid")
+    ranked = s.filter(F.col("cid") >= 0).select(
+        id_col,
+        "cid",
+        "proto_score",
+        F.row_number().over(w).alias("prune_rank"),
+        F.count(F.lit(1)).over(n).alias("__csize"),
+    )
+    kept = ranked.filter(
+        F.col("prune_rank") <= F.ceil(F.col("__csize") * F.lit(keep_fraction))
+    ).drop("__csize")
+    zeros = s.filter(F.col("cid") < 0).withColumn(
+        "prune_rank", F.lit(1).cast("int")
+    )
+    return kept.unionByName(zeros)
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """k-center greedy coreset / farthest-point sampling (Sener &
+    Savarese, "Active Learning for Convolutional Neural Networks: A
+    Core-Set Approach", ICLR'18): start from the vector with the
+    smallest (h60(id), id) and repeatedly add the example FARTHEST (in
+    cosine distance 1 − cos, rounded at 6 dp, ties to the lower id)
+    from its nearest already-selected center — the classic diversity-
+    maximizing subset whose k centers 2-approximate the optimal
+    k-center cover. Returns (id_col, selection_rank) with rank 1..k in
+    selection order.
+
+    Deterministic and SQL-replayable: every step is an argmax over a
+    rounded cosine, so a DuckDB oracle can unroll the k steps as
+    chained CTEs. Scale: k bounded driver iterations, each ONE narrow
+    pass updating the running min-distance column against the single
+    newest center (classic FPS optimization — O(k·N) total cosines,
+    not O(k²·N)) followed by a 1-row argmax collect; the running
+    distance column rides a localCheckpoint so step j's lineage does
+    not replay steps 1..j-1. Zero-norm vectors are excluded (no cosine
+    is definable)."""
+    from orientdb_spark.pipeline.common import cosine_similarity, h60, vec_norm
+
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    nz = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .withColumn("__n", vec_norm(F.col("__v")))
+        .filter(F.col("__n") > 0)
+    )
+    first = (
+        nz.withColumn("__h", h60(F.col("__id").cast("string")))
+        .orderBy("__h", "__id")
+        .limit(1)
+        .select("__id", "__v")
+        .collect()
+    )
+    if not first:
+        raise ValueError("cannot build a coreset over an empty corpus")
+    selected = [(first[0]["__id"], list(first[0]["__v"]))]
+    spark = df.sparkSession
+    # running min cosine-distance to the selected set; each step folds
+    # in ONLY the newest center
+    state = nz.select("__id", "__v", F.lit(None).cast("double").alias("__d"))
+    for _ in range(1, k):
+        cid, cvec = selected[-1]
+        cv = F.array(*[F.lit(float(x)) for x in cvec])
+        nd = F.round(
+            F.lit(1.0) - cosine_similarity(F.col("__v"), cv) + F.lit(1e-12), 6
+        )
+        state = state.select(
+            "__id",
+            "__v",
+            F.when(F.col("__d").isNull(), nd)
+            .otherwise(F.least(F.col("__d"), nd))
+            .alias("__d"),
+        ).localCheckpoint(eager=False)
+        far = (
+            state.join(
+                spark.createDataFrame(
+                    [(i,) for i, _ in selected], ["__id"]
+                ),
+                "__id",
+                "left_anti",
+            )
+            .orderBy(F.col("__d").desc(), F.col("__id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not far:
+            break  # corpus smaller than k
+        selected.append((far[0]["__id"], list(far[0]["__v"])))
+    return spark.createDataFrame(
+        [(i, r + 1) for r, (i, _) in enumerate(selected)],
+        [id_col, "selection_rank"],
+    )

@@ -1,0 +1,160 @@
+"""Data-selection operators: prototypicality pruning (Sorscher et al.
+NeurIPS'22) and k-center greedy coreset (Sener & Savarese ICLR'18).
+Each behavioral test replays the operator independently in numpy from
+the same h60/assignment/rounding contracts."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+
+from orientdb_spark.pipeline import similarity as S
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _np_assign(vecs: dict, n_cells: int):
+    """Independent replay of seed_centers + _assign_udf: h60-seeded
+    centers, argmax of round(cos + 1e-12, 6) with lower-cid ties."""
+    nz = {i: np.asarray(v, dtype=np.float64) for i, v in vecs.items()
+          if math.sqrt(sum(x * x for x in v)) > 0}
+    order = sorted(nz, key=lambda i: (_h60(str(i)), i))
+    centers = [nz[i] for i in order[:n_cells]]
+    out = {}
+    for i, v in nz.items():
+        best_c, best_s = None, None
+        for c, cv in enumerate(centers):
+            cos = round(
+                float(v @ cv)
+                / (math.sqrt(float(v @ v)) * math.sqrt(float(cv @ cv)))
+                + 1e-12,
+                6,
+            )
+            if best_s is None or cos > best_s:
+                best_c, best_s = c, cos
+        out[i] = (best_c, best_s)
+    return out, centers
+
+
+def test_prototypicality_matches_numpy_replay(spark):
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {r.vec_id: (r.cid, r.proto_score)
+           for r in S.prototypicality_scores(embs, n_cells=16).collect()}
+    vecs = {r["vec_id"]: r["embedding"]
+            for r in embs.select("vec_id", "embedding").collect()}
+    exp, _ = _np_assign(vecs, 16)
+    assert set(got) == set(vecs)
+    for i, (cid, score) in exp.items():
+        assert got[i][0] == cid, i
+        assert abs(got[i][1] - score) < 2e-6, (i, got[i][1], score)
+
+
+def test_prototype_prune_counts_and_direction(spark):
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    all_scores = S.prototypicality_scores(embs, n_cells=16).collect()
+    sizes: dict[int, int] = {}
+    for r in all_scores:
+        sizes[r.cid] = sizes.get(r.cid, 0) + 1
+    hard = S.prototype_prune(embs, keep_fraction=0.5, keep="hard").collect()
+    kept_per: dict[int, list] = {}
+    for r in hard:
+        kept_per.setdefault(r.cid, []).append(r)
+    for cid, rows in kept_per.items():
+        assert len(rows) == math.ceil(sizes[cid] * 0.5), cid
+    # "hard" keeps the LOWEST scores: the kept max must not exceed the
+    # dropped min within any cluster
+    by_cid: dict[int, list] = {}
+    for r in all_scores:
+        by_cid.setdefault(r.cid, []).append(r)
+    kept_ids = {r.vec_id for r in hard}
+    for cid, rows in by_cid.items():
+        if cid < 0:
+            continue
+        kept = [r.proto_score for r in rows if r.vec_id in kept_ids]
+        dropped = [r.proto_score for r in rows if r.vec_id not in kept_ids]
+        if kept and dropped:
+            assert max(kept) <= min(dropped) + 1e-9, cid
+    easy = S.prototype_prune(embs, keep_fraction=0.3, keep="easy").collect()
+    easy_ids = {r.vec_id for r in easy}
+    for cid, rows in by_cid.items():
+        if cid < 0:
+            continue
+        kept = [r.proto_score for r in rows if r.vec_id in easy_ids]
+        dropped = [r.proto_score for r in rows if r.vec_id not in easy_ids]
+        if kept and dropped:
+            assert min(kept) >= max(dropped) - 1e-9, cid
+
+
+def test_prototype_zero_norm_kept(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    s = {r.vec_id: r for r in S.prototypicality_scores(df, n_cells=2).collect()}
+    assert s[2].cid == -1 and s[2].proto_score is None
+    kept = {r.vec_id for r in S.prototype_prune(df, n_cells=2, keep_fraction=0.5).collect()}
+    assert 2 in kept
+
+
+def test_prototype_prune_validation(spark):
+    df = spark.createDataFrame([(0, [1.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="keep"):
+        S.prototype_prune(df, keep="median")
+    with pytest.raises(ValueError, match="keep_fraction"):
+        S.prototype_prune(df, keep_fraction=0.0)
+
+
+def test_kcenter_matches_numpy_replay(spark):
+    """Full greedy replay: start at min (h60, id), then repeatedly take
+    the max-of-min rounded cosine distance with id tiebreak."""
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = [r.vec_id for r in S.kcenter_coreset(embs, k=10)
+           .orderBy("selection_rank").collect()]
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in embs.select("vec_id", "embedding").collect()}
+    nz = {i: v for i, v in vecs.items() if float(np.sqrt(v @ v)) > 0}
+    first = min(nz, key=lambda i: (_h60(str(i)), i))
+    sel = [first]
+    dist = {i: None for i in nz}
+    for _ in range(9):
+        cv = nz[sel[-1]]
+        cn = math.sqrt(float(cv @ cv))
+        for i, v in nz.items():
+            nd = round(
+                1.0 - float(v @ cv) / (math.sqrt(float(v @ v)) * cn) + 1e-12, 6
+            )
+            dist[i] = nd if dist[i] is None else min(dist[i], nd)
+        cand = [i for i in nz if i not in sel]
+        far = max(cand, key=lambda i: (dist[i], -i))
+        sel.append(far)
+    assert got == sel
+
+
+def test_kcenter_diversity_and_validation(spark):
+    """On three tight, well-separated clusters, the first three picks
+    land in three DIFFERENT clusters (the diversity property that
+    motivates FPS)."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    dirs = [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)]
+    for i in range(90):
+        d = dirs[i % 3]
+        v = [x + rng.gauss(0, 0.01) for x in d]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    sel = [r.vec_id for r in S.kcenter_coreset(df, k=3)
+           .orderBy("selection_rank").collect()]
+    assert len({i % 3 for i in sel}) == 3, sel
+    with pytest.raises(ValueError, match="k >= 1"):
+        S.kcenter_coreset(df, k=0)
+    # k larger than the corpus: returns every vector once
+    tiny = spark.createDataFrame(rows[:4], ["vec_id", "embedding"])
+    assert S.kcenter_coreset(tiny, k=10).count() == 4
