@@ -387,16 +387,28 @@ def weighted_sample(
     key = F.round(
         F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
     )
-    gcols = [group_col] if group_col else []
-    w = Window.partitionBy(*[F.col(c) for c in gcols] or [F.lit(1)]).orderBy(
-        F.col("__wkey").desc(), F.col(id_col)
-    )
+    staged = df.filter(F.col(weight_col) > 0).withColumn("__wkey", key)
+    if group_col:
+        # per-group window: Catalyst's InferWindowGroupLimit plants a
+        # map-side WindowGroupLimit(Partial), so the exchange carries
+        # <= P*k rows per group
+        w = Window.partitionBy(F.col(group_col)).orderBy(
+            F.col("__wkey").desc(), F.col(id_col)
+        )
+        return (
+            staged.withColumn("__wrank", F.row_number().over(w))
+            .filter(F.col("__wrank") <= k)
+            .drop("__wkey", "__wrank")
+        )
+    # GLOBAL sampling: a partition-less (or constant-partitioned) window
+    # does NOT get the group-limit inference — it funnels every weighted
+    # row through one partition. orderBy().limit(k) compiles to
+    # TakeOrderedAndProject instead: each task keeps its local top-k and
+    # the driver merges P heaps — the native global top-k at any scale.
     return (
-        df.filter(F.col(weight_col) > 0)
-        .withColumn("__wkey", key)
-        .withColumn("__wrank", F.row_number().over(w))
-        .filter(F.col("__wrank") <= k)
-        .drop("__wkey", "__wrank")
+        staged.orderBy(F.col("__wkey").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__wkey")
     )
 
 
@@ -565,9 +577,10 @@ def dsir_resample(
     before ranking — the Gumbel-top-k trick samples WITHOUT replacement
     with probability ∝ exp(weight), still a pure function of (seed, id)
     so re-runs and engines agree. Returns (id_col, n_grams, weight,
-    rank). One window shuffle (global rank — at 100 TB pre-filter with
-    a per-partition top-k if k ≪ N; Catalyst's WindowGroupLimit already
-    map-side-prunes the rank ≤ k filter)."""
+    rank). The global selection is TakeOrderedAndProject (orderBy +
+    limit: per-task k-heaps merged on the driver — no full-corpus
+    single-partition window); the rank column is computed over the k
+    selected rows only."""
     if mode not in ("topk", "gumbel"):
         raise ValueError(f"mode must be 'topk' or 'gumbel', got {mode!r}")
     if k < 1:
@@ -585,9 +598,19 @@ def dsir_resample(
         key = F.round(F.col("weight") - F.log(-F.log(u)) + F.lit(1e-12), 6)
     else:
         key = F.col("weight")
-    win = Window.orderBy(key.desc(), F.col(id_col).asc())
+    # global top-k via orderBy().limit(k) = TakeOrderedAndProject (each
+    # task keeps a local k-heap, the driver merges) — a partition-less
+    # rank window would funnel EVERY weighted row through one partition
+    # (Catalyst's group-limit inference needs a non-constant partition
+    # spec, verified in tests/test_plan_shape.py). The rank column is
+    # then a window over the k selected rows only — trivial.
+    sel = (
+        w.withColumn("__key", key)
+        .orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    win = Window.orderBy(F.col("__key").desc(), F.col(id_col).asc())
     return (
-        w.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= k)
+        sel.withColumn("rank", F.row_number().over(win))
         .select(id_col, "n_grams", "weight", "rank")
     )

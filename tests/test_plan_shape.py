@@ -313,3 +313,45 @@ def test_semantic_dedup_plan_shape(spark):
     assert plan.count("FlatMapGroupsInPandas") == 1, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("+- Exchange hashpartitioning") <= 3, plan
+
+
+def test_global_topk_is_take_ordered(spark):
+    """Global top-k selections (dsir_resample, global weighted_sample)
+    must compile to TakeOrderedAndProject — per-task k-heaps merged on
+    the driver — NOT a partition-less rank window, which funnels every
+    row through one partition (Catalyst's InferWindowGroupLimit needs a
+    non-constant partition spec: verified here both that the inference
+    does NOT fire on Window.orderBy-without-partitionBy and that the
+    operators avoid that shape)."""
+    from pyspark.sql import Window, functions as F
+
+    from orientdb_spark.pipeline import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tgt = docs.filter(F.col("lang") == "en")
+    plan = (
+        sampling.dsir_resample(docs, tgt, k=50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    wplan = (
+        sampling.weighted_sample(docs, weight_col="n_chars", k=20)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in wplan, wplan
+    assert "Window" not in wplan, wplan
+    # the grouped path keeps the map-side group limit
+    gplan = (
+        sampling.weighted_sample(docs, weight_col="n_chars", k=20, group_col="source")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert gplan.count("WindowGroupLimit") == 2, gplan
+    # and document the Catalyst behavior this guards against: the
+    # inference does not fire without a real partition key
+    w = Window.orderBy(F.col("n_chars").desc())
+    bare = (
+        docs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" not in bare
