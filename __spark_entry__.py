@@ -1360,11 +1360,13 @@ def _event_sequence_mining(spark, sf_dir):
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # TakeOrderedAndProject for the global top-20, then rank the 20
+    # selected rows only (a partition-less rank window over ALL paths
+    # would single-partition the count table)
+    top = counts.orderBy(F.col("n").desc(), "path").limit(20)
     w = Window.orderBy(F.col("n").desc(), "path")
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select("rank", "path", "n")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "path", "n"
     )
 
 

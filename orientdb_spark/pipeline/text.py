@@ -958,12 +958,11 @@ def cooccurrence(
             ).alias("pmi"),
         )
     )
-    w = Window.orderBy(F.col("n_ab").desc(), "ta", "tb")
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    # global top-k as TakeOrderedAndProject (per-task k-heaps, driver
+    # merge) — a partition-less rank window would funnel every scored
+    # pair through one partition (no group-limit inference without a
+    # real partition key; pinned in tests/test_plan_shape.py)
+    return scored.orderBy(F.col("n_ab").desc(), "ta", "tb").limit(k)
 
 
 def _merge_pair_col(arr: Column, a: str, b: str, ab: str) -> Column:

@@ -510,9 +510,15 @@ def quantile_sketch_build(
     deterministically reproducible cross-engine, which the JVM's
     internal KLL buffers are not.
 
-    Scale note: the window sorts each group only to drop all but b
-    rows; for hot groups add the quota_sample prefilter-overshoot trick
-    (threshold on the SAME rank value) before the window.
+    Scale note (grouped): the window sorts each group only to drop all
+    but b rows; for hot groups add the quota_sample prefilter-overshoot
+    trick (threshold on the SAME rank value) before the window. The
+    GLOBAL sketch (no group_cols) deliberately avoids a
+    constant-partitioned window — that shape funnels the whole corpus
+    through one partition (Catalyst's group-limit inference needs a
+    real partition key; pinned in tests/test_plan_shape.py). It is
+    instead one orderBy().limit(b) (TakeOrderedAndProject: per-task
+    b-heaps, driver merge) plus one 1-row count aggregate.
 
     Returns ``(*group_cols, n_rows, ranks array<long>,
     samples array<double>)`` with the arrays co-sorted by rank.
@@ -527,22 +533,34 @@ def quantile_sketch_build(
         16,
         10,
     ).cast("long")
-    wp = Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
-    w = wp.orderBy(rank.asc(), F.col(id_col).asc())
-    ranked = df.select(
+    staged = df.select(
         *gcols,
         F.col(value_col).cast("double").alias("__v"),
         rank.alias("__rk"),
-        F.row_number().over(w).alias("__rn"),
-        F.count(F.lit(1)).over(wp).alias("__n"),
+        F.col(id_col).alias("__id"),
     )
-    kept = ranked.filter(F.col("__rn") <= b)
     pairs = F.array_sort(F.collect_list(F.struct("__rk", "__v")))
-    return kept.groupBy(*gcols).agg(
-        F.max("__n").alias("n_rows"),
+    if gcols:
+        wp = Window.partitionBy(*gcols)
+        w = wp.orderBy(F.col("__rk").asc(), F.col("__id").asc())
+        kept = staged.select(
+            *gcols,
+            "__v",
+            "__rk",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(wp).alias("__n"),
+        ).filter(F.col("__rn") <= b)
+        return kept.groupBy(*gcols).agg(
+            F.max("__n").alias("n_rows"),
+            F.transform(pairs, lambda s: s["__rk"]).alias("ranks"),
+            F.transform(pairs, lambda s: s["__v"]).alias("samples"),
+        )
+    kept = staged.orderBy(F.col("__rk").asc(), F.col("__id").asc()).limit(b)
+    total = df.select(F.count(F.lit(1)).alias("n_rows"))
+    return kept.agg(
         F.transform(pairs, lambda s: s["__rk"]).alias("ranks"),
         F.transform(pairs, lambda s: s["__v"]).alias("samples"),
-    )
+    ).crossJoin(F.broadcast(total)).select("n_rows", "ranks", "samples")
 
 
 def quantile_sketch_merge(a: DataFrame, b_df: DataFrame, b: int = 128) -> DataFrame:

@@ -355,3 +355,17 @@ def test_global_topk_is_take_ordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" not in bare
+    # the other global top-k surfaces fixed in the same sweep
+    from orientdb_spark.pipeline.text import cooccurrence
+    from orientdb_spark.scale import quantile_sketch_build
+
+    cplan = (
+        cooccurrence(docs, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in cplan and "Window" not in cplan, cplan
+    qplan = (
+        quantile_sketch_build(docs, value_col="n_chars", id_col="doc_id", b=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in qplan and "Window" not in qplan, qplan
