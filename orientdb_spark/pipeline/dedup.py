@@ -561,10 +561,11 @@ def embedding_duplicate_pairs(
     an equality predicate on the member join. Raise ``n_cells`` with
     corpus size (cost: one O(N·n_cells) assignment pass), or pass
     ``n_cells="auto"`` for √N clamped to [16, 4096] — on clustered
-    corpora more cells prune more (measured 1.7× at 60k vectors,
-    BENCH.md r9/r10 blocking studies), and the pruning-effectiveness
-    guard below coarsens back to ≤16 cells when the corpus is
-    structureless, so auto is safe in both regimes.
+    corpora more cells prune more (measured 2.6× at 60k vectors in the
+    r10 study, 1.7× in the r9 one; BENCH.md), and the pruning-
+    effectiveness guard below coarsens back to ≤16 cells when the
+    corpus is structureless, so auto is safe in both regimes (its
+    isotropic cost is the guard's extra assignment pass, ~5%).
 
     ``index``: a prebuilt ``similarity.IvfIndex`` over the SAME corpus
     (build-once, serve both ANN queries and near-dup mining — one
