@@ -1760,6 +1760,19 @@ def _dedup_embedding(spark, sf_dir):
     return dedup.embedding_duplicate_pairs(_embs(spark, sf_dir), threshold=0.3)
 
 
+def _dedup_embedding_decontaminate(spark, sf_dir):
+    """Semantic decontamination: drop train vectors with cosine >= 0.3
+    to any refset vector (refset = every 25th vector — a stand-in
+    benchmark corpus). Clean rows returned, NOT-EXISTS oracle."""
+    from orientdb_spark.pipeline import dedup
+
+    embs = _embs(spark, sf_dir)
+    ref = embs.filter(F.col("vec_id") % 25 == 0)
+    return dedup.embedding_decontaminate(embs, ref, threshold=0.3).select(
+        "vec_id", "label"
+    )
+
+
 def _dedup_semantic(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): within-cluster keep-lowest-id
     semantic dedup over the embedding corpus. The oracle replays the
@@ -3246,7 +3259,6 @@ _DRIVER_FRONT = [
     "format_and_coercion",
     "projection_methods",
     "record_attributes",
-    "embedded_struct_nav",
     "flatten_unnest",
     # r6-era refreshes: §2.1 scans / fulltext / fetch-plan / links
     "cluster_scan",
@@ -3263,10 +3275,12 @@ _DRIVER_FRONT = [
     "graph_triangle_count",
     # NEW this round (never recorded — must sit in the front so
     # check_entries.py --never-recorded closes at round end):
-    # SemDeDup semantic dedup, DSIR importance resampling,
-    # prototypicality pruning, k-center greedy coreset — all
-    # oracle-exact full-pipeline replays
+    # SemDeDup semantic dedup, embedding decontamination, DSIR
+    # importance resampling, prototypicality pruning, k-center greedy
+    # coreset — all oracle-exact (embedded_struct_nav keeps its r6
+    # record to make room)
     "dedup_semantic",
+    "dedup_embedding_decontaminate",
     "sample_dsir",
     "sample_prototype_prune",
     "sample_kcenter_coreset",
@@ -3552,6 +3566,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_embedding_cosine": _dedup_embedding,
         "dedup_semantic": _dedup_semantic,
+        "dedup_embedding_decontaminate": _dedup_embedding_decontaminate,
         "sample_dsir": _sample_dsir,
         "sample_prototype_prune": _sample_prototype_prune,
         "sample_kcenter_coreset": _sample_kcenter_coreset,
@@ -5129,6 +5144,16 @@ def oracle_sql() -> dict[str, str]:
             "JOIN (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings) b "
             "ON a.label = b.label AND a.vec_id < b.vec_id) t "
             "WHERE cosine >= 0.3"
+        ),
+        "dedup_embedding_decontaminate": (
+            "WITH e AS (SELECT vec_id, label, list_transform(embedding, "
+            "x -> x::DOUBLE) AS v FROM embeddings), "
+            "r AS (SELECT v AS rv FROM e WHERE vec_id % 25 = 0 "
+            "AND list_dot_product(v, v) > 0) "
+            "SELECT t.vec_id, t.label FROM e t WHERE NOT EXISTS ("
+            "SELECT 1 FROM r WHERE round(list_dot_product(t.v, r.rv) / "
+            "(sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(r.rv, r.rv)))"
+            ", 6) >= 0.3)"
         ),
         "dedup_semantic": (
             # full SemDeDup replay: h60 seeds over the non-zero-norm

@@ -1068,6 +1068,43 @@ def _verify_cell_pairs_grouped(
     )
 
 
+def embedding_decontaminate(
+    train: DataFrame,
+    refset: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Semantic decontamination: drop every training vector whose cosine
+    to ANY reference-set vector reaches ``threshold`` — the embedding-
+    space complement of ``decontaminate`` (which catches verbatim/
+    near-verbatim text overlap; this catches paraphrased or re-rendered
+    benchmark content that shares no n-grams). Returns the CLEAN train
+    rows, original columns, the same contract as ``decontaminate``.
+
+    Scale shape: the refset is an eval/benchmark corpus — small by
+    construction — so it broadcasts, and the non-equi semantic match is
+    ONE streaming pass over train (a broadcast nested-loop anti-join is
+    the honest plan here: the predicate is a cosine, not an equality;
+    O(N·R) with R bounded and N never shuffled). For a large refset,
+    pre-block both sides with an ANN index instead. Zero-norm train
+    rows are kept (no cosine is definable: 0/0 → NaN, which fails the
+    ≥ threshold test in both engines); zero-norm refset rows are
+    dropped from the broadcast up front."""
+    from orientdb_spark.pipeline.common import cosine_similarity, vec_norm
+
+    r = (
+        refset.select(F.col(vec_col).cast("array<double>").alias("__rv"))
+        .withColumn("__rn", vec_norm(F.col("__rv")))
+        .filter(F.col("__rn") > 0)
+    )
+    t = train.withColumn("__tv", F.col(vec_col).cast("array<double>"))
+    cos = F.round(
+        cosine_similarity(F.col("__tv"), F.col("__rv"), norm_b=F.col("__rn")), 6
+    )
+    return t.join(F.broadcast(r), cos >= threshold, "left_anti").drop("__tv")
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -510,3 +510,36 @@ def test_semantic_dedup_occupancy_split_invariant(spark):
         ).collect()
     )
     assert base == split
+
+
+def test_embedding_decontaminate_planted(spark):
+    """A train vector that paraphrases (near-copies) a refset vector is
+    dropped; unrelated directions survive; zero-norm train rows are
+    kept; refset members present in train drop themselves (cos = 1)."""
+    import math
+
+    def v(angle):
+        return [math.cos(angle), math.sin(angle)]
+
+    train = spark.createDataFrame(
+        [
+            (0, v(0.0)),        # == ref 100 -> dropped
+            (1, v(0.002)),      # near-copy of ref -> dropped
+            (2, v(1.3)),        # unrelated -> kept
+            (3, [0.0, 0.0]),    # zero-norm -> kept
+        ],
+        ["vec_id", "embedding"],
+    )
+    ref = spark.createDataFrame([(100, v(0.0))], ["vec_id", "embedding"])
+    kept = {
+        r.vec_id
+        for r in dedup.embedding_decontaminate(train, ref, threshold=0.99).collect()
+    }
+    assert kept == {2, 3}
+    # zero-norm refset rows never match anything
+    zref = spark.createDataFrame([(200, [0.0, 0.0])], ["vec_id", "embedding"])
+    kept2 = {
+        r.vec_id
+        for r in dedup.embedding_decontaminate(train, zref, threshold=0.5).collect()
+    }
+    assert kept2 == {0, 1, 2, 3}
