@@ -1074,6 +1074,7 @@ def embedding_decontaminate(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    max_ref_rows: int = 200_000,
 ) -> DataFrame:
     """Semantic decontamination: drop every training vector whose cosine
     to ANY reference-set vector reaches ``threshold`` — the embedding-
@@ -1083,26 +1084,75 @@ def embedding_decontaminate(
     rows, original columns, the same contract as ``decontaminate``.
 
     Scale shape: the refset is an eval/benchmark corpus — small by
-    construction — so it broadcasts, and the non-equi semantic match is
-    ONE streaming pass over train (a broadcast nested-loop anti-join is
-    the honest plan here: the predicate is a cosine, not an equality;
-    O(N·R) with R bounded and N never shuffled). For a large refset,
-    pre-block both sides with an ANN index instead. Zero-norm train
-    rows are kept (no cosine is definable: 0/0 → NaN, which fails the
-    ≥ threshold test in both engines); zero-norm refset rows are
-    dropped from the broadcast up front."""
-    from orientdb_spark.pipeline.common import cosine_similarity, vec_norm
+    construction (``max_ref_rows`` guards the contract) — so its matrix
+    rides the task closure, and the semantic match is ONE narrow
+    Arrow-vectorized pass over train: per batch, a dimension-major
+    numpy fold computes every train×ref cosine and keeps the per-row
+    MAX (a broadcast nested-loop join with the interpreted per-pair
+    cosine HOF measured 24.8 s at 20k×800 — the vectorized pass is the
+    r7 grouped-verifier lesson applied again). Exactness is preserved:
+    round(·, 6) is monotone, so round(max_r cos_r) ≥ t ⟺ ∃r:
+    round(cos_r) ≥ t — exactly the per-ref EXISTS test the DuckDB
+    oracle runs — and the dots/norms accumulate dimension-major, the
+    same sequential fold as the SQL arithmetic. Zero-norm train rows
+    score −2 (no cosine definable → never contaminated → kept);
+    zero-norm refset rows are dropped up front; an empty refset keeps
+    everything."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    r = (
+    from orientdb_spark.pipeline.common import vec_norm
+
+    if max_ref_rows < 1:
+        raise ValueError(f"need max_ref_rows >= 1, got {max_ref_rows}")
+    ref_rows = (
         refset.select(F.col(vec_col).cast("array<double>").alias("__rv"))
         .withColumn("__rn", vec_norm(F.col("__rv")))
         .filter(F.col("__rn") > 0)
+        .limit(max_ref_rows + 1)
+        .collect()
     )
-    t = train.withColumn("__tv", F.col(vec_col).cast("array<double>"))
-    cos = F.round(
-        cosine_similarity(F.col("__tv"), F.col("__rv"), norm_b=F.col("__rn")), 6
+    if len(ref_rows) > max_ref_rows:
+        raise ValueError(
+            f"refset exceeds max_ref_rows={max_ref_rows}; a refset this "
+            "large should be ANN-blocked (build an IvfIndex over it and "
+            "probe) rather than densely matched"
+        )
+    R = np.asarray([r["__rv"] for r in ref_rows], dtype=np.float64)
+    d = R.shape[1] if R.size else 0
+    Rn = np.zeros(R.shape[0])
+    for dd in range(d):  # dimension-major: SQL-fold-identical
+        Rn += R[:, dd] * R[:, dd]
+    Rn = np.sqrt(Rn)
+
+    @pandas_udf("double")
+    def max_ref_cos(vecs: pd.Series) -> pd.Series:
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if M.size == 0:
+            return pd.Series([], dtype="float64")
+        out = np.full(M.shape[0], -2.0)
+        if R.size == 0:
+            return pd.Series(out)
+        dots = np.zeros((M.shape[0], R.shape[0]))
+        Mn = np.zeros(M.shape[0])
+        for dd in range(d):  # dimension-major: SQL-fold-identical
+            dots += M[:, dd][:, None] * R[:, dd][None, :]
+            Mn += M[:, dd] * M[:, dd]
+        Mn = np.sqrt(Mn)
+        ok = Mn > 0
+        if ok.any():
+            out[ok] = (dots[ok] / np.outer(Mn[ok], Rn)).max(axis=1)
+        return pd.Series(out)
+
+    scored = train.withColumn(
+        "__mc", max_ref_cos(F.col(vec_col).cast("array<double>"))
     )
-    return t.join(F.broadcast(r), cos >= threshold, "left_anti").drop("__tv")
+    # the round + compare stays Spark-side (HALF_UP, the engine's own
+    # convention); keep = NOT (rounded max >= threshold)
+    return scored.filter(
+        ~(F.round(F.col("__mc"), 6) >= F.lit(threshold))
+    ).drop("__mc")
 
 
 def semantic_dedup(

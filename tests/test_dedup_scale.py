@@ -543,3 +543,6 @@ def test_embedding_decontaminate_planted(spark):
         for r in dedup.embedding_decontaminate(train, zref, threshold=0.5).collect()
     }
     assert kept2 == {0, 1, 2, 3}
+    # the bounded-refset contract is enforced, with the ANN pointer
+    with pytest.raises(ValueError, match="max_ref_rows"):
+        dedup.embedding_decontaminate(train, train, threshold=0.5, max_ref_rows=2)
