@@ -5209,7 +5209,7 @@ def oracle_sql() -> dict[str, str]:
             "::INTEGER AS prune_rank, "
             "count(*) OVER (PARTITION BY cid) AS csize FROM asg) "
             "SELECT vec_id, cid, proto_score, prune_rank FROM r "
-            "WHERE prune_rank <= ceil(csize * 0.5) "
+            "WHERE prune_rank <= ceil(csize * 0.5 - 1e-9) "
             "UNION ALL SELECT vec_id, (-1)::BIGINT AS cid, NULL::DOUBLE AS "
             "proto_score, 1::INTEGER AS prune_rank FROM vv "
             "WHERE list_dot_product(v, v) <= 0"

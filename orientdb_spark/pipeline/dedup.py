@@ -624,6 +624,8 @@ def embedding_duplicate_pairs(
 
     if blocking not in ("ivf", "imi"):
         raise ValueError(f"blocking must be 'ivf' or 'imi', got {blocking!r}")
+    if isinstance(n_cells, str) and n_cells != "auto":
+        raise ValueError(f"n_cells must be an int or 'auto', got {n_cells!r}")
 
     block_expr = (
         F.col(block_col) if block_col is not None else F.lit(0).alias("__blk0")
@@ -1128,12 +1130,21 @@ def embedding_decontaminate(
 
     @pandas_udf("double")
     def max_ref_cos(vecs: pd.Series) -> pd.Series:
-        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
-        if M.size == 0:
-            return pd.Series([], dtype="float64")
-        out = np.full(M.shape[0], -2.0)
-        if R.size == 0:
+        n = len(vecs)
+        out = np.full(n, -2.0)
+        if n == 0 or R.size == 0:
             return pd.Series(out)
+        # rows must conform to the refset dimensionality to have a
+        # cosine at all — NULL embeddings, empty arrays, and
+        # dimension-mismatched vectors score -2 (kept), the same
+        # "no cosine definable" treatment as zero-norm rows, and they
+        # must not poison np.asarray into a ragged array
+        rows = [np.asarray(v, dtype=np.float64) if v is not None else None
+                for v in vecs]
+        idx = [i for i, v in enumerate(rows) if v is not None and v.shape == (d,)]
+        if not idx:
+            return pd.Series(out)
+        M = np.stack([rows[i] for i in idx])
         dots = np.zeros((M.shape[0], R.shape[0]))
         Mn = np.zeros(M.shape[0])
         for dd in range(d):  # dimension-major: SQL-fold-identical
@@ -1142,7 +1153,8 @@ def embedding_decontaminate(
         Mn = np.sqrt(Mn)
         ok = Mn > 0
         if ok.any():
-            out[ok] = (dots[ok] / np.outer(Mn[ok], Rn)).max(axis=1)
+            mc = (dots[ok] / np.outer(Mn[ok], Rn)).max(axis=1)
+            out[np.asarray(idx)[ok]] = mc
         return pd.Series(out)
 
     scored = train.withColumn(
@@ -1207,6 +1219,10 @@ def semantic_dedup(
     # assignment on the RAW vectors (cosine is scale-invariant, and the
     # raw-space fold is what the ivfpq replay oracle already derives)
     centers = seed_centers(nz.select("__id", "__v"), n_cells)
+    if not centers:
+        # empty or all-zero-norm corpus: nothing to cluster — the
+        # zero-norm branch (cid -1, kept) IS the whole answer
+        return zero.select(F.col("__id").alias(id_col), "cid", "is_kept")
     members = (
         nz.withColumn("cid", _assign_udf(centers)(F.col("__v")))
         .withColumn("__blk0", F.lit(0))

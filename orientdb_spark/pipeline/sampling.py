@@ -512,41 +512,70 @@ def dsir_importance_weights(
     noise, far under the round).
 
     Scale: the bucket tables are ``buckets``-bounded (two map-side
-    partial-agg groupBys over the gram streams), the totals are two
-    1-row aggregates, and the per-doc scoring joins the gram stream to
-    the BROADCAST log-ratio table — one shuffle (the per-doc groupBy)
-    regardless of corpus size. The hot path is pure Column arithmetic;
-    no UDFs."""
+    partial-agg groupBys over the gram streams) and are collected ONCE
+    — the gram totals are their sums, so no extra count() pass ever
+    re-runs the tokenize+explode lineage, and the source gram stream is
+    persisted across its two uses (bucket counts + scoring join). The
+    per-doc scoring joins the gram stream to the BROADCAST log-ratio
+    table — one shuffle (the per-doc groupBy) regardless of corpus
+    size. The hot path is pure Column arithmetic; no UDFs. ``buckets``
+    is driver-bounded (default 10k ≈ nothing; 1M ≈ 16 MB collected)."""
     if buckets < 1 or smoothing <= 0:
         raise ValueError(
             f"need buckets >= 1 and smoothing > 0, got {buckets}, {smoothing}"
         )
-    sb = _dsir_grams(source, text_col, id_col).withColumn(
-        "__b", F.pmod(h60(F.col("__g")), F.lit(buckets))
+    # persist the SOURCE gram stream: it feeds both the bucket counts
+    # and the final scoring join, and tokenize+explode is the most
+    # expensive stage — without this the whole expansion runs twice
+    sb = (
+        _dsir_grams(source, text_col, id_col)
+        .withColumn("__b", F.pmod(h60(F.col("__g")), F.lit(buckets)))
+        .persist()
     )
     tb = _dsir_grams(target, text_col, id_col).withColumn(
         "__b", F.pmod(h60(F.col("__g")), F.lit(buckets))
     )
-    tc = tb.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
-    sc = sb.groupBy("__b").agg(F.count(F.lit(1)).alias("__cs"))
-    # two bounded scalars (gram totals) — the lm_score broadcast pattern
-    nt = tb.count()
-    ns = sb.count()
-    lr = (
-        tc.join(sc, "__b", "full_outer")
-        .select(
-            "__b",
-            (
-                F.log(
-                    (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(smoothing))
-                    / F.lit(nt + smoothing * buckets)
-                )
-                - F.log(
-                    (F.coalesce(F.col("__cs"), F.lit(0)) + F.lit(smoothing))
-                    / F.lit(ns + smoothing * buckets)
-                )
-            ).alias("__lr"),
+    # the bucket tables are ``buckets``-bounded — pull them to the
+    # driver ONCE (every gram occurrence lands in exactly one bucket,
+    # so the totals are their sums: no separate count() passes over the
+    # gram lineage) and re-emit the log-ratio table as a broadcast.
+    # The log arithmetic stays IN SPARK (F.log over the same doubles as
+    # before) so the replay oracles' 6-dp agreement is untouched.
+    tcounts = {
+        r["__b"]: r["__ct"]
+        for r in tb.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct")).collect()
+    }
+    scounts = {
+        r["__b"]: r["__cs"]
+        for r in sb.groupBy("__b").agg(F.count(F.lit(1)).alias("__cs")).collect()
+    }
+    nt = sum(tcounts.values())
+    ns = sum(scounts.values())
+    spark = source.sparkSession
+    if not scounts:
+        # empty / all-empty-text source: no grams, no weights
+        return (
+            source.select(F.col(id_col))
+            .limit(0)
+            .withColumn("n_grams", F.lit(0).cast("long"))
+            .withColumn("weight", F.lit(0.0))
         )
+    # only SOURCE-occupied buckets can ever join a source gram
+    lr = spark.createDataFrame(
+        [(b, tcounts.get(b, 0), cs) for b, cs in scounts.items()],
+        ["__b", "__ct", "__cs"],
+    ).select(
+        "__b",
+        (
+            F.log(
+                (F.col("__ct") + F.lit(smoothing))
+                / F.lit(nt + smoothing * buckets)
+            )
+            - F.log(
+                (F.col("__cs") + F.lit(smoothing))
+                / F.lit(ns + smoothing * buckets)
+            )
+        ).alias("__lr"),
     )
     return (
         sb.join(F.broadcast(lr), "__b")

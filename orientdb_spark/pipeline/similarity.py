@@ -1221,6 +1221,10 @@ def prototypicality_scores(
     )
     nz = g.filter(F.col("__n") > 0)
     centers = seed_centers(nz.select("__id", "__v"), n_cells)
+    if not centers:
+        # empty or all-zero-norm corpus: no clusters exist — the
+        # zero-norm branch (cid -1, NULL score) is the whole answer
+        return zero.select(F.col("__id").alias(id_col), "cid", "proto_score")
     spark = df.sparkSession
     cents = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centers)], ["cid", "cvec"]
@@ -1251,9 +1255,11 @@ def prototype_prune(
 ) -> DataFrame:
     """Apply the Sorscher et al. pruning rule to ``prototypicality_
     scores``: per cluster, keep ``ceil(keep_fraction · |cluster|)``
-    examples — the LOWEST-score ones for ``keep="hard"`` (abundant-data
-    regime) or the HIGHEST for ``keep="easy"`` (scarce-data regime),
-    ties broken by id. Zero-norm vectors (cid -1, no score) are always
+    examples (computed with a 1e-9 backoff so a double product a hair
+    above an integer — 25 × 0.28 — keeps the decimal-intent quota) —
+    the LOWEST-score ones for ``keep="hard"`` (abundant-data regime)
+    or the HIGHEST for ``keep="easy"`` (scarce-data regime), ties
+    broken by id. Zero-norm vectors (cid -1, no score) are always
     kept — they carry no geometric evidence for pruning. Returns
     (id_col, cid, proto_score, prune_rank) for the kept rows. One
     window shuffle on the cluster key."""
@@ -1276,8 +1282,14 @@ def prototype_prune(
         F.row_number().over(w).alias("prune_rank"),
         F.count(F.lit(1)).over(n).alias("__csize"),
     )
+    # the 1e-9 backoff keeps the quota at the DECIMAL intent when the
+    # double product lands a hair above an integer (25 × 0.28 =
+    # 7.000000000000000444 in doubles would otherwise ceil to 8 where
+    # "28% of 25" means 7); real fractional products sit far from the
+    # epsilon
     kept = ranked.filter(
-        F.col("prune_rank") <= F.ceil(F.col("__csize") * F.lit(keep_fraction))
+        F.col("prune_rank")
+        <= F.ceil(F.col("__csize") * F.lit(keep_fraction) - F.lit(1e-9))
     ).drop("__csize")
     zeros = s.filter(F.col("cid") < 0).withColumn(
         "prune_rank", F.lit(1).cast("int")

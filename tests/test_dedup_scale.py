@@ -546,3 +546,42 @@ def test_embedding_decontaminate_planted(spark):
     # the bounded-refset contract is enforced, with the ANN pointer
     with pytest.raises(ValueError, match="max_ref_rows"):
         dedup.embedding_decontaminate(train, train, threshold=0.5, max_ref_rows=2)
+
+
+def test_decontaminate_and_semantic_edge_inputs(spark):
+    """Review-sweep edges: NULL / empty-array / dimension-mismatched
+    train embeddings are 'no cosine definable' rows (kept), an
+    all-zero-norm corpus returns the zero branch, and a typo'd n_cells
+    string fails loudly."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    train = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, []), (3, [1.0, 0.0, 0.0]),
+         (4, [0.0, 0.0])],
+        schema,
+    )
+    ref = spark.createDataFrame([(100, [1.0, 0.0])], ["vec_id", "embedding"])
+    kept = {
+        r.vec_id
+        for r in dedup.embedding_decontaminate(train, ref, threshold=0.9).collect()
+    }
+    assert kept == {1, 2, 3, 4}  # only the true match (0) is dropped
+    # all-zero-norm corpus: semantic_dedup returns the zero branch
+    zeros = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0])], schema
+    )
+    out = {(r.vec_id, r.cid, r.is_kept)
+           for r in dedup.semantic_dedup(zeros).collect()}
+    assert out == {(0, -1, True), (1, -1, True)}
+    # typo'd n_cells string fails with a clear error, not a Py4J dump
+    import pytest as _pytest
+
+    embs = spark.createDataFrame([(0, [1.0, 0.0])], schema)
+    with _pytest.raises(ValueError, match="n_cells"):
+        dedup.embedding_duplicate_pairs(embs, n_cells="Auto", block_col=None)

@@ -158,3 +158,35 @@ def test_kcenter_diversity_and_validation(spark):
     # k larger than the corpus: returns every vector once
     tiny = spark.createDataFrame(rows[:4], ["vec_id", "embedding"])
     assert S.kcenter_coreset(tiny, k=10).count() == 4
+
+
+def test_empty_and_zero_norm_corpora_do_not_crash(spark):
+    """Review-sweep edges: an empty or all-zero-norm corpus must return
+    the documented zero-branch rows, not crash in seed/assignment
+    machinery."""
+    zeros = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    s = S.prototypicality_scores(zeros, n_cells=4).collect()
+    assert {(r.vec_id, r.cid, r.proto_score) for r in s} == {(0, -1, None), (1, -1, None)}
+    p = S.prototype_prune(zeros, n_cells=4).collect()
+    assert {r.vec_id for r in p} == {0, 1}
+    empty = zeros.limit(0)
+    assert S.prototypicality_scores(empty, n_cells=4).count() == 0
+
+
+def test_prototype_prune_quota_decimal_intent(spark):
+    """25 × 0.28 is 7.000000000000000444 in doubles — the quota must be
+    ceil at the DECIMAL intent (7 kept), not 8."""
+    import math
+    import random
+
+    rng = random.Random(2)
+    rows = []
+    for i in range(25):
+        v = [rng.gauss(0, 1) for _ in range(4)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = S.prototype_prune(df, n_cells=1, keep_fraction=0.28).collect()
+    assert len(kept) == 7, len(kept)
