@@ -190,3 +190,71 @@ def test_prototype_prune_quota_decimal_intent(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     kept = S.prototype_prune(df, n_cells=1, keep_fraction=0.28).collect()
     assert len(kept) == 7, len(kept)
+
+
+def test_semantic_dedup_random_corpus_survivor_property(spark):
+    """Random-corpus variant of the survivor-rule check: on three
+    seeded corpora (clustered / isotropic / duplicate-heavy), using the
+    operator's own assignment, kept(v) == no smaller-id same-cell
+    neighbor with round(cos, 6) >= t."""
+    import math
+    import random
+
+    from orientdb_spark.pipeline import dedup
+
+    for seed, dup_every in ((1, 3), (2, 0), (3, 1)):
+        rng = random.Random(seed)
+        rows = []
+        base = None
+        for i in range(80):
+            if dup_every and base is not None and i % (dup_every + 1):
+                v = list(base)
+            else:
+                raw = [rng.gauss(0, 1) for _ in range(6)]
+                n = math.sqrt(sum(x * x for x in raw))
+                v = [x / n for x in raw]
+                base = v
+            rows.append((i, v))
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = dedup.semantic_dedup(df, threshold=0.8, n_cells=4).collect()
+        vecs = {i: v for i, v in rows}
+        by_cell: dict[int, list[int]] = {}
+        kept = {}
+        for r in out:
+            kept[r.vec_id] = r.is_kept
+            by_cell.setdefault(r.cid, []).append(r.vec_id)
+        for cid, ids in by_cell.items():
+            ids.sort()
+            for pos, b in enumerate(ids):
+                vb = vecs[b]
+                nb = math.sqrt(sum(x * x for x in vb))
+                has = any(
+                    round(
+                        sum(x * y for x, y in zip(vecs[a], vb))
+                        / (math.sqrt(sum(x * x for x in vecs[a])) * nb),
+                        6,
+                    )
+                    >= 0.8
+                    for a in ids[:pos]
+                )
+                assert kept[b] == (not has), (seed, cid, b)
+
+
+def test_dsir_weights_order_invariant(spark):
+    """Weights are a pure function of content — shuffling the input
+    row order changes nothing."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline import sampling
+
+    rng = random.Random(9)
+    rows = [(i, " ".join(f"w{rng.randrange(40)}" for _ in range(20)))
+            for i in range(60)]
+    src1 = spark.createDataFrame(rows, ["doc_id", "text"])
+    src2 = spark.createDataFrame(list(reversed(rows)), ["doc_id", "text"]).repartition(7)
+    tgt = src1.filter(F.col("doc_id") < 15)
+    w1 = sorted(map(tuple, sampling.dsir_importance_weights(src1, tgt).collect()))
+    w2 = sorted(map(tuple, sampling.dsir_importance_weights(src2, tgt).collect()))
+    assert w1 == w2 and len(w1) == 60
