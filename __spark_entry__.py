@@ -1813,6 +1813,21 @@ def _sample_kcenter_coreset(spark, sf_dir):
     return similarity.kcenter_coreset(_embs(spark, sf_dir), k=8)
 
 
+def _sample_token_budget(spark, sf_dir):
+    """Token-budget corpus selection: best documents first (quality =
+    n_chars), maximal prefix whose running whitespace-token total fits
+    a 20k budget. Distributed prefix sum, window-cumsum oracle."""
+    from orientdb_spark.pipeline import sampling
+    from orientdb_spark.pipeline.common import ws_tokens
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_chars").alias("quality"),
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return sampling.token_budget_select(docs, budget=20_000)
+
+
 def _sample_split_assign(spark, sf_dir):
     from orientdb_spark.pipeline import sampling
 
@@ -3262,7 +3277,6 @@ _DRIVER_FRONT = [
     "flatten_unnest",
     # r6-era refreshes: §2.1 scans / fulltext / fetch-plan / links
     "cluster_scan",
-    "rid_point",
     "containstext_fallback",
     "containstext_indexed",
     "fulltext_dml_maintenance",
@@ -3281,6 +3295,7 @@ _DRIVER_FRONT = [
     # record to make room)
     "dedup_semantic",
     "dedup_embedding_decontaminate",
+    "sample_token_budget",
     "sample_dsir",
     "sample_prototype_prune",
     "sample_kcenter_coreset",
@@ -3568,6 +3583,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_semantic": _dedup_semantic,
         "dedup_embedding_decontaminate": _dedup_embedding_decontaminate,
         "sample_dsir": _sample_dsir,
+        "sample_token_budget": _sample_token_budget,
         "sample_prototype_prune": _sample_prototype_prune,
         "sample_kcenter_coreset": _sample_kcenter_coreset,
         "embedding_quantize": _embedding_quantize,
@@ -5215,6 +5231,19 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_dot_product(v, v) <= 0"
         ),
         "sample_kcenter_coreset": _kcenter_oracle_sql(8),
+        "sample_token_budget": (
+            # quality-ordered window cumsum: kept iff the inclusive
+            # running token total fits the budget (maximal-prefix rule)
+            "WITH t AS (SELECT doc_id, n_chars AS quality, "
+            "len(" + _DK_TOKS_RAW + ")::BIGINT AS n_tokens FROM documents), "
+            "r AS (SELECT doc_id, quality, n_tokens, "
+            "row_number() OVER (ORDER BY quality DESC, doc_id)::BIGINT AS budget_rank, "
+            "coalesce(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT "
+            "AS tokens_before FROM t) "
+            "SELECT doc_id, quality, n_tokens, budget_rank, tokens_before "
+            "FROM r WHERE tokens_before + n_tokens <= 20000"
+        ),
         "sample_dsir": (
             # DSIR replay: unigram+bigram gram stream (occurrences, not
             # distinct), b = h60(gram) % 10000, add-1 Laplace log-ratio

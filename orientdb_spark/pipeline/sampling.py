@@ -643,3 +643,89 @@ def dsir_resample(
         sel.withColumn("rank", F.row_number().over(win))
         .select(id_col, "n_grams", "weight", "rank")
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    quality_col: str = "quality",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Token-budget corpus selection — "fill the training budget with
+    the best documents", the step after scoring/dedup in a training-
+    data pipeline: rank documents by (quality desc, id asc) and keep
+    the maximal prefix whose cumulative token count fits ``budget``.
+    A document is kept iff its INCLUSIVE running total ≤ budget (the
+    maximal-prefix rule — the first overflowing document and everything
+    ranked after it is cut; a skip-and-fill greedy that backtracks over
+    smaller docs is inherently sequential and not a distributed plan).
+    Returns (id_col, quality, n_tokens, budget_rank, tokens_before),
+    kept rows only.
+
+    Scale shape: the ``pack_sequences`` distributed prefix sum applied
+    to the quality order — NOT a global single-partition window:
+    (1) repartitionByRange on (quality desc, id) gives ordered
+    partitions, eagerly checkpointed so the assignment is frozen
+    between passes; (2) per-partition token totals AND row counts (a
+    counters-only groupBy, n_partitions rows to the driver) become
+    broadcast prefix offsets; (3) a window partitioned by the physical
+    partition id supplies the local running sum and local rank. The
+    shuffled payload is (id, quality, token count) triples — counters,
+    never content. Output is a pure function of (quality, id, tokens,
+    budget): independent of partition count and input order."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    spark = df.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    base = (
+        df.select(
+            F.col(id_col),
+            F.col(quality_col).alias("__q"),
+            F.coalesce(F.col(token_col).cast("long"), F.lit(0)).alias("__tok"),
+        )
+        .repartitionByRange(n_parts, F.col("__q").desc(), F.col(id_col).asc())
+        .localCheckpoint(eager=True)
+    )
+    with_pid = base.withColumn("__pid", F.spark_partition_id())
+    totals = with_pid.groupBy("__pid").agg(
+        F.sum("__tok").alias("__t"), F.count(F.lit(1)).alias("__c")
+    ).collect()
+    tok_prefix: dict[int, int] = {}
+    cnt_prefix: dict[int, int] = {}
+    tacc = cacc = 0
+    for r in sorted(totals, key=lambda row: row["__pid"]):
+        tok_prefix[r["__pid"]] = tacc
+        cnt_prefix[r["__pid"]] = cacc
+        tacc += r["__t"] or 0
+        cacc += r["__c"]
+    tmap = (
+        F.create_map(*[F.lit(v) for kv in tok_prefix.items() for v in kv])
+        if tok_prefix
+        else F.create_map()
+    )
+    cmap = (
+        F.create_map(*[F.lit(v) for kv in cnt_prefix.items() for v in kv])
+        if cnt_prefix
+        else F.create_map()
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col("__q").desc(), F.col(id_col).asc())
+    local_before = F.sum("__tok").over(w) - F.col("__tok")
+    before = (
+        F.coalesce(F.element_at(tmap, F.col("__pid")), F.lit(0)) + local_before
+    )
+    rank = (
+        F.coalesce(F.element_at(cmap, F.col("__pid")), F.lit(0))
+        + F.row_number().over(w)
+    ).cast("long")
+    staged = with_pid.select(
+        F.col(id_col),
+        F.col("__q").alias(quality_col if quality_col != "__q" else "quality"),
+        F.col("__tok").alias("n_tokens"),
+        rank.alias("budget_rank"),
+        before.cast("long").alias("tokens_before"),
+    )
+    return staged.filter(
+        F.col("tokens_before") + F.col("n_tokens") <= F.lit(budget)
+    )

@@ -439,3 +439,69 @@ def test_dsir_validation(spark):
         sampling.dsir_resample(df, df, k=1, mode="uniform")
     with pytest.raises(ValueError, match="k >= 1"):
         sampling.dsir_resample(df, df, k=0)
+
+
+def test_token_budget_select_matches_global_window(spark):
+    """The distributed prefix-sum form must equal the naive global
+    window exactly (values included), stay partition-count invariant,
+    and respect the maximal-prefix rule at the boundary."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(4)
+    rows = [(i, rng.randrange(1, 100), rng.randrange(5, 50)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "quality", "n_tokens"]).repartition(11)
+    got = sorted(map(tuple, sampling.token_budget_select(df, budget=2500).collect()))
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
+    ref = (
+        df.withColumn("budget_rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "tokens_before",
+            F.coalesce(
+                F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .filter(F.col("tokens_before") + F.col("n_tokens") <= 2500)
+        .select(
+            "doc_id", "quality",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "budget_rank", "tokens_before",
+        )
+    )
+    assert got == sorted(map(tuple, ref.collect())) and 0 < len(got) < 400
+    got2 = sorted(
+        map(
+            tuple,
+            sampling.token_budget_select(
+                df.repartition(3), budget=2500, partitions=5
+            ).collect(),
+        )
+    )
+    assert got2 == got
+    # maximal prefix: ranks are contiguous 1..k and the NEXT doc would
+    # not have fit
+    ranks = sorted(r[3] for r in got)
+    assert ranks == list(range(1, len(got) + 1))
+    used = max(r[4] + r[2] for r in got)
+    assert used <= 2500
+    # zero budget keeps nothing; negative rejected
+    assert sampling.token_budget_select(df, budget=0).count() == 0
+    with pytest.raises(ValueError, match="budget"):
+        sampling.token_budget_select(df, budget=-1)
+
+
+def test_token_budget_select_plan_no_global_window(spark):
+    """The scale contract: no partition-less window anywhere — the
+    running sum rides per-partition windows over range-partitioned
+    data."""
+    df = spark.createDataFrame(
+        [(i, i % 7, 10) for i in range(50)], ["doc_id", "quality", "n_tokens"]
+    )
+    out = sampling.token_budget_select(df, budget=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "__pid" in m.group(1), plan
