@@ -5162,12 +5162,19 @@ def oracle_sql() -> dict[str, str]:
             "WHERE cosine >= 0.3"
         ),
         "dedup_embedding_decontaminate": (
+            # the EXISTS is restricted to NON-zero-norm train vectors so
+            # the SQL encodes embedding_decontaminate's zero-norm-kept
+            # contract (score -2, "no cosine definable") instead of
+            # relying on the corpus never containing one: DuckDB's
+            # 0/0 = NaN compares greater than any float, so an unguarded
+            # round(NaN, 6) >= 0.3 would drop the row Spark keeps
             "WITH e AS (SELECT vec_id, label, list_transform(embedding, "
             "x -> x::DOUBLE) AS v FROM embeddings), "
             "r AS (SELECT v AS rv FROM e WHERE vec_id % 25 = 0 "
             "AND list_dot_product(v, v) > 0) "
             "SELECT t.vec_id, t.label FROM e t WHERE NOT EXISTS ("
-            "SELECT 1 FROM r WHERE round(list_dot_product(t.v, r.rv) / "
+            "SELECT 1 FROM r WHERE list_dot_product(t.v, t.v) > 0 "
+            "AND round(list_dot_product(t.v, r.rv) / "
             "(sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(r.rv, r.rv)))"
             ", 6) >= 0.3)"
         ),

@@ -1320,12 +1320,30 @@ def kcenter_coreset(
     newest center (classic FPS optimization — O(k·N) total cosines,
     not O(k²·N)) followed by a 1-row argmax collect; the running
     distance column rides a localCheckpoint so step j's lineage does
-    not replay steps 1..j-1. Zero-norm vectors are excluded (no cosine
-    is definable)."""
+    not replay steps 1..j-1, and each step unpersists the previous
+    checkpoint so executor block storage stays O(N), not O(k·N).
+    Farthest-point sampling is INHERENTLY sequential: the loop runs
+    ~2·k Spark jobs (one fold + one argmax per step), so k beyond the
+    hundreds is a real cluster-scheduler cost — k > 1000 warns loudly
+    (the ANN under-recall convention) instead of silently queueing
+    thousands of jobs. Zero-norm vectors are excluded (no cosine is
+    definable), so when the corpus has fewer than k usable vectors the
+    result carries fewer than k rows (every distinct vector selected,
+    ranks 1..n)."""
     from orientdb_spark.pipeline.common import cosine_similarity, h60, vec_norm
 
     if k < 1:
         raise ValueError(f"need k >= 1, got {k}")
+    if k > 1000:
+        warnings.warn(
+            f"kcenter_coreset: k={k} runs ~{2 * k} sequential Spark jobs "
+            "(farthest-point sampling is inherently iterative — one "
+            "min-distance fold + one argmax per step). Expect scheduler-"
+            "bound wall-clock; for large diverse subsets consider "
+            "prototype_prune (one pass) or clustering first.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     nz = (
         df.select(
             F.col(id_col).alias("__id"),
@@ -1348,6 +1366,7 @@ def kcenter_coreset(
     # running min cosine-distance to the selected set; each step folds
     # in ONLY the newest center
     state = nz.select("__id", "__v", F.lit(None).cast("double").alias("__d"))
+    prev_state = None  # previous checkpointed fold, freed once superseded
     for _ in range(1, k):
         cid, cvec = selected[-1]
         cv = F.array(*[F.lit(float(x)) for x in cvec])
@@ -1373,9 +1392,17 @@ def kcenter_coreset(
             .limit(1)
             .collect()
         )
+        # the collect above materialized this step's checkpoint, so the
+        # previous one is dead lineage — drop its blocks (keeps executor
+        # storage at one state copy instead of k)
+        if prev_state is not None:
+            prev_state.unpersist()
+        prev_state = state
         if not far:
-            break  # corpus smaller than k
+            break  # fewer usable vectors than k: return what exists
         selected.append((far[0]["__id"], list(far[0]["__v"])))
+    if prev_state is not None:
+        prev_state.unpersist()
     return spark.createDataFrame(
         [(i, r + 1) for r, (i, _) in enumerate(selected)],
         [id_col, "selection_rank"],

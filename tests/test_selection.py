@@ -160,6 +160,17 @@ def test_kcenter_diversity_and_validation(spark):
     assert S.kcenter_coreset(tiny, k=10).count() == 4
 
 
+def test_kcenter_large_k_warns_job_count(spark):
+    """k > 1000 means ~2k sequential Spark jobs — the caller must opt in
+    loudly (the ANN under-recall warning convention). The tiny corpus
+    keeps the loop itself short (it exits once every vector is taken)."""
+    rows = [(i, [float(i + 1), 1.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    with pytest.warns(RuntimeWarning, match="sequential Spark jobs"):
+        out = S.kcenter_coreset(df, k=1001)
+    assert out.count() == 3
+
+
 def test_empty_and_zero_norm_corpora_do_not_crash(spark):
     """Review-sweep edges: an empty or all-zero-norm corpus must return
     the documented zero-branch rows, not crash in seed/assignment
