@@ -1783,6 +1783,21 @@ def _dedup_semantic(spark, sf_dir):
     return dedup.semantic_dedup(_embs(spark, sf_dir), threshold=0.3)
 
 
+def _dedup_semantic_scaled(spark, sf_dir):
+    """SemDeDup with the cells-scale-with-N LSH coarse clusterer
+    (dedup.semantic_dedup_lsh) — the variant whose within-bucket
+    quadratic oracle stays tractable at EVERY scale factor because
+    2^planes grows ∝ N (expected occupancy ~32), which is what puts
+    the semantic-dedup family into the sf1/sf5/sf10 artifact set. The
+    oracle re-derives the plane count from COUNT(*) (integer-exact, no
+    FP log), rebuilds the md5 hyperplanes and sign-bit buckets (the
+    sim_topk_lsh replay), and applies the keep-lowest-id ≥ t rule
+    within each bucket."""
+    from orientdb_spark.pipeline import dedup
+
+    return dedup.semantic_dedup_lsh(_embs(spark, sf_dir), threshold=0.3)
+
+
 def _sample_dsir(spark, sf_dir):
     """DSIR top-k importance resampling (Xie et al. 2023): select the
     50 most target-like docs (target = lang('en') subset) under hashed
@@ -1947,10 +1962,17 @@ def _embedding_nearest_centroid(spark, sf_dir):
 
 
 def _embedding_kmeans(spark, sf_dir):
-    """Spherical k-means cluster sizes (rows-only by design: the mean
-    update sums floats in partition order, so centroid last-ulp wiggle
-    makes a cross-engine hash the wrong check — the quality gate is the
-    numpy-Lloyd agreement test in tests/test_ivf_index.py)."""
+    """Spherical k-means cluster sizes. ORACLE-EXACT (r11 upgrade from
+    rows-only, the k-center unrolled-CTE discipline applied to Lloyd):
+    the oracle replays both fixed iterations — h60 seeds, argmax of the
+    rounded-nudged cosine (ties -> lower cid), element-wise-mean
+    re-centering with dense cid renumbering — and the final assignment.
+    The former rows-only excuse (centroid last-ulp wiggle from
+    partition-order float sums) is absorbed by the same +1e-12-nudged
+    6-dp round the assignment itself applies before the argmax — the
+    embedding_nearest_centroid precedent, green since r8. The
+    numpy-Lloyd agreement gate in tests/test_ivf_index.py stays as the
+    independent quality check."""
     from orientdb_spark.pipeline.similarity import kmeans
 
     _, assign = kmeans(_embs(spark, sf_dir), k=8, iters=2)
@@ -2032,14 +2054,27 @@ def _sim_lsh(spark, sf_dir):
 
 
 def _sim_ivf(spark, sf_dir):
+    """IVF probe-and-rerank top-k (similarity.ivf_topk). ORACLE-EXACT
+    (r11 upgrade from rows-only, the sim_topk_ivfpq trick minus the PQ
+    stage): n_cells/nprobe=None exercises the scale-aware derivation
+    end-to-end (~sqrt(N) cells clamped [16, 4096], probe width sized to
+    the 0.6 isotropic recall target — derive_ivf_params), and the SQL
+    oracle re-derives those SAME parameters from a COUNT(*), so the
+    derivation itself is under the hash check. refine_iters=0 keeps the
+    coarse centroids at the h60 seed vectors (deterministic, replayable
+    — the pq_fit convention); cell assignment and the probe set are the
+    rounded-nudged dimension-major cosine argmax/top-nprobe
+    (_assign_udf/probe_cells FP discipline), and the within-cell rerank
+    is the exact sequential-fold cosine the brute-force oracle already
+    replays. The Lloyd-refined (refine_iters>=1) path keeps its
+    recall-vs-brute-force and numpy-agreement gates in
+    tests/test_ivf_index.py."""
     from orientdb_spark.pipeline import similarity
 
     embs = _embs(spark, sf_dir)
-    # n_cells/nprobe=None → scale-aware derivation (~sqrt(N) cells,
-    # probe width sized to the 0.6 isotropic recall target) — this entry
-    # exercises the derived path end-to-end, the path a defaults-calling
-    # user actually hits
-    return similarity.ivf_topk(embs, embs.filter(F.col("vec_id") < 10), k=5)
+    return similarity.ivf_topk(
+        embs, embs.filter(F.col("vec_id") < 10), k=5, refine_iters=0
+    )
 
 
 def _embedding_pq_encode(spark, sf_dir):
@@ -2474,10 +2509,14 @@ def _text_chunk_documents(spark, sf_dir):
 
 def _text_bpe_merges(spark, sf_dir):
     """BPE tokenizer training (pipeline/text.bpe_train) — 10 merge
-    rounds over the corpus word-frequency table. Rows-only by design:
-    the per-round global argmax is inherently iterative (one collected
-    row per round), so the gate is the sequential-reference equality in
-    tests/test_text_pipeline.py, not a SQL oracle."""
+    rounds over the corpus word-frequency table. ORACLE-EXACT (r11
+    upgrade from rows-only, the unrolled-CTE discipline): every round
+    is integer arithmetic — pair counts are exact sums, the argmax
+    order (count desc, a, b) is total, and the merge fold is replayed
+    as a delimiter-exact string replace (see _bpe_oracle_sql) — so the
+    10 collected argmax rows are bit-reproducible across engines. The
+    sequential-reference equality and segmentation-consistency gates in
+    tests/test_text_pipeline.py stay as the independent checks."""
     from orientdb_spark.pipeline.text import bpe_train
 
     merges, _ = bpe_train(_docs(spark, sf_dir), n_merges=10)
@@ -3218,87 +3257,81 @@ def _native_fluent_query(spark, sf_dir):
 # never-recorded batch; r7 a 10-row canary + 40 first-evers; r8 the
 # CLOSING rotation (after r8 every registry entry has a driver
 # signature; `tools/check_entries.py --never-recorded` asserts the set
-# difference stays empty); r9 the ANN-upgrade + r3/r4-era refresh.
-# Round 10 policy (per the r9 verdict item 3): retire the r5-era tail —
-# ALL 27 entries whose newest record was r5 (the dedup family incl.
-# dedup_embedding_cosine, whose blocking gained the
-# pruning-effectiveness guard this round — its re-record doubles as the
-# guard's driver canary — plus event sessionization, multimodal, text
-# stats, sampling, rollup, and the end-to-end pipeline) — then 23
-# r6-era refreshes prioritizing §2 operator rows (wildcards, scans,
-# fulltext, fetch-plan, FLATTEN, format/coercion, LIKE/MATCHES/
-# CONTAINSKEY, record attributes, link materialization, graph
-# pagerank/triangles, TPC-H q6). After r10 no registry record is older
-# than r6. Rows rotating out keep their standing records plus per-run
-# mirror-harness coverage (tests/test_entry.py re-compares all oracle
-# entries each run).
+# difference stays empty); r9 the ANN-upgrade + r3/r4-era refresh;
+# r10 the r5-era tail + 23 r6-era §2 rows + the six new operators.
+# Round 11 policy (per the r10 verdict items 1-2 and 4): retire the
+# r6-era tail — ALL 23 entries whose newest record is r6 — plus the
+# three rows-only entries upgraded to oracle-exact this round
+# (sim_topk_ivf, embedding_kmeans, text_bpe_merges: their first
+# HASH-checked driver records) and the new cells-scaled SemDeDup
+# variant (never recorded), then 23 r7-era refreshes prioritizing the
+# §2 operator surface (scan/filter/projection/link-nav/traverse,
+# DDL-effect and security rows, TPC-H heads) and one representative
+# per r7 family (graph loops, temporal SCD2, quality FD, multimodal
+# pHash, simhash-hamming, async-abort). After r11 no registry record
+# is older than r7. Rows rotating out keep their standing records plus
+# per-run mirror-harness coverage (tests/test_entry.py re-compares all
+# oracle entries each run).
 _DRIVER_FRONT = [
-    # r5-era tail: dedup family (embedding_cosine re-record = guard canary)
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_bucket_audit",
-    "dedup_canonicalize",
-    "dedup_decontaminate",
-    # r5-era tail: events / sessions
-    "event_sessionize",
-    "event_session_window",
-    "event_window_agg",
-    "event_first_seen",
-    # r5-era tail: multimodal
-    "multimodal_binary_features",
-    "multimodal_fake_decode",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    # r5-era tail: text stats / fingerprints
-    "text_language_id",
-    "text_token_stats",
-    "text_quality_score",
-    "text_repetition_stats",
-    "text_winnow_fingerprint",
-    # r5-era tail: sampling / rollup / end-to-end / positional CSV
-    "sample_quota_per_source",
-    "sample_split_assign",
-    "rollup_pricing",
-    "pipeline_end_to_end",
-    "csv_positional_roundtrip",
-    # r6-era refreshes: §2.2/§2.3 operator rows
-    "any_wildcard",
-    "select_distinct",
-    "like_underscore_literal",
-    "matches_anchored",
-    "map_containskey",
-    "format_and_coercion",
-    "projection_methods",
-    "record_attributes",
-    "flatten_unnest",
-    # r6-era refreshes: §2.1 scans / fulltext / fetch-plan / links
-    "cluster_scan",
-    "containstext_fallback",
-    "containstext_indexed",
-    "fulltext_dml_maintenance",
-    "fetchplan_prefetch",
-    "create_link_materialize",
-    # r6-era refreshes: graph analytics (count_distinct_suppliers and
-    # tpch_q6_forecast keep their r6 records — q6 also carries
-    # sf1/sf5/sf10 hash evidence)
-    "graph_pagerank",
-    "graph_triangle_count",
-    # NEW this round (never recorded — must sit in the front so
-    # check_entries.py --never-recorded closes at round end):
-    # SemDeDup semantic dedup, embedding decontamination, DSIR
-    # importance resampling, prototypicality pruning, k-center greedy
-    # coreset — all oracle-exact (embedded_struct_nav keeps its r6
-    # record to make room)
-    "dedup_semantic",
-    "dedup_embedding_decontaminate",
-    "sample_token_budget",
-    "sample_dsir",
-    "sample_prototype_prune",
-    "sample_kcenter_coreset",
+    # r6-era tail: temporal / event ops
+    "event_asof_join",
+    "event_cohort_retention",
+    "event_funnel",
+    "event_range_join",
+    "event_value_quantiles",
+    "profile_events",
+    # r6-era tail: text pipeline
+    "text_boilerplate",
+    "text_line_quality",
+    "text_lm_score",
+    "text_paragraph_dedup",
+    "text_pii_redact",
+    "text_tfidf_topterms",
+    "text_token_budget",
+    # r6-era tail: sampling / integrity / scale / pipeline composition
+    "sample_mixture",
+    "sample_pack_sequences",
+    "integrity_orphans",
+    "pipeline_quality_gate",
+    "salted_skew_aggregate",
+    "embedding_quantize",
+    # r6-era tail: §2 SQL surface
+    "count_distinct_suppliers",
+    "embedded_struct_nav",
+    "rid_point",
+    "tpch_q6_forecast",
+    # UPGRADED rows-only -> oracle-exact this round (first hash-checked
+    # records) + NEW cells-scaled SemDeDup (never recorded — must sit in
+    # the front so check_entries.py --never-recorded closes at round end)
+    "sim_topk_ivf",
+    "embedding_kmeans",
+    "text_bpe_merges",
+    "dedup_semantic_scaled",
+    # r7-era refreshes: §2 operator surface
+    "scan_class",
+    "filter_projection",
+    "compound_predicates",
+    "contains_condition",
+    "link_nav_2hop",
+    "traverse_reachability",
+    "order_multikey_topk",
+    "group_having_order",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "dictionary_named_roots",
+    "custom_operator_where",
+    "native_fluent_query",
+    "security_grant_effect",
+    "ddl_remove_index_effect",
+    "ddl_remove_property_effect",
+    "async_query_abort_effect",
+    # r7-era refreshes: one representative per family
+    "graph_sssp",
+    "graph_cc_incremental",
+    "event_scd2",
+    "quality_fd_check",
+    "multimodal_phash_dedup",
+    "dedup_simhash_hamming",
 ]
 
 
@@ -3581,6 +3614,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_embedding_cosine": _dedup_embedding,
         "dedup_semantic": _dedup_semantic,
+        "dedup_semantic_scaled": _dedup_semantic_scaled,
         "dedup_embedding_decontaminate": _dedup_embedding_decontaminate,
         "sample_dsir": _sample_dsir,
         "sample_token_budget": _sample_token_budget,
@@ -3728,6 +3762,100 @@ def _kcenter_oracle_sql(k: int) -> str:
         for i in range(1, k + 1)
     )
     return "".join(parts) + " " + ranks
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    """Unrolled spherical-Lloyd replay (similarity.kmeans /
+    build_ivf_index): c0 = the k smallest-(h60, id) seed vectors; each
+    iteration assigns every vector to its argmax rounded-nudged cosine
+    cell (ties -> lower cid, the _assign_udf FP discipline) and
+    re-centers surviving cells at the element-wise mean with DENSE cid
+    renumbering (empty cells drop out — sorted(by_cid) in
+    build_ivf_index); the final assignment against the last centers
+    yields the cluster sizes. Cross-engine mean agreement is the
+    embedding_nearest_centroid precedent: avg over the same doubles,
+    divergence absorbed by the +1e-12-nudged 6-dp round before the
+    argmax."""
+    h = _dk_h60("CAST(vec_id AS VARCHAR)")
+
+    def assign_cte(j: int) -> str:
+        # a{j}: argmax rounded-nudged cosine of every vector vs c{j}
+        return (
+            f", a{j} AS (SELECT vec_id, cid FROM ("
+            "SELECT vv.vec_id, c.cid, row_number() OVER (PARTITION BY vv.vec_id "
+            "ORDER BY round(" + _dk_cos("vv.v", "c.v") + " + 1e-12, 6) DESC, c.cid) "
+            f"AS rk FROM vv, c{j} c) WHERE rk = 1)"
+        )
+
+    parts = [
+        "WITH vv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) "
+        "AS v FROM embeddings), "
+        f"c0 AS (SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cid, "
+        f"v FROM vv ORDER BY {h}, vec_id LIMIT {k})"
+    ]
+    for it in range(iters):
+        parts.append(assign_cte(it))
+        parts.append(
+            f", m{it + 1} AS (SELECT a.cid, u.pos AS pos, avg(u.x) AS m "
+            f"FROM a{it} a JOIN (SELECT vec_id, unnest(list_transform("
+            "range(1, len(v) + 1), i -> {'pos': i, 'x': v[i::INTEGER]})) AS u "
+            "FROM vv) t ON t.vec_id = a.vec_id GROUP BY a.cid, u.pos)"
+        )
+        parts.append(
+            f", c{it + 1} AS (SELECT row_number() OVER (ORDER BY cid) - 1 AS cid, "
+            f"v FROM (SELECT cid, list(m ORDER BY pos) AS v FROM m{it + 1} "
+            "GROUP BY cid))"
+        )
+    parts.append(assign_cte(iters))
+    parts.append(
+        f" SELECT cid, count(*)::BIGINT AS n_members FROM a{iters} GROUP BY cid"
+    )
+    return "".join(parts)
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled BPE-training replay (pipeline/text.bpe_train): w0 is the
+    (word, freq, chars+'</w>') table; each round counts adjacent symbol
+    pairs weighted by word frequency, takes the (count desc, a, b)
+    argmax, and applies the merge. The left-to-right non-overlapping
+    merge fold (_merge_pair_col's replace-last trick) is replayed with a
+    plain string replace(): symbols render as
+    chr(31) || join(syms, chr(31)chr(31)) || chr(31) — every symbol
+    flanked by single separators, adjacency marked by the double — so
+    replace(sep+a+sep2+b+sep -> sep+ab+sep) consumes both symbols'
+    delimiters, scans left-to-right without rescanning replacements
+    (exactly the fold's semantics), and the result parses back by
+    stripping the flanks and splitting on the double separator. chr(31)
+    cannot collide: the corpus alphabet is printable ASCII and the only
+    synthesized symbol characters are '<', '/', '>'."""
+    sep, sep2 = "chr(31)", "(chr(31) || chr(31))"
+    toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)"
+    parts = [
+        "WITH w0 AS (SELECT word, count(*)::BIGINT AS freq, "
+        "list_append(str_split(word, ''), '</w>') AS syms FROM ("
+        f"SELECT unnest({toks}) AS word FROM documents) GROUP BY word)"
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f", p{r} AS (SELECT a, b, sum(freq) AS n FROM ("
+            f"SELECT freq, syms[i] AS a, syms[i + 1] AS b "
+            f"FROM w{r}, unnest(range(1, len(syms))) AS t(i) "
+            "WHERE len(syms) >= 2) GROUP BY a, b)"
+            f", t{r} AS (SELECT a, b FROM p{r} ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        if r < n_merges - 1:
+            parts.append(
+                f", w{r + 1} AS (SELECT word, freq, "
+                f"str_split(substr(s2, 2, len(s2) - 2), {sep2}) AS syms FROM ("
+                f"SELECT word, freq, replace({sep} || array_to_string(syms, {sep2}) "
+                f"|| {sep}, {sep} || t.a || {sep2} || t.b || {sep}, "
+                f"{sep} || t.a || t.b || {sep}) AS s2 FROM w{r}, t{r} t))"
+            )
+    sel = " UNION ALL ".join(
+        f'SELECT {r + 1}::BIGINT AS rank, a AS "left", b AS "right" FROM t{r}'
+        for r in range(n_merges)
+    )
+    return "".join(parts) + " " + sel
 
 
 _DK_TOKS = (
@@ -5209,6 +5337,39 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT vec_id, (-1)::BIGINT AS cid, TRUE AS is_kept "
             "FROM vv WHERE list_dot_product(v, v) <= 0"
         ),
+        "dedup_semantic_scaled": (
+            # the cells-scale-with-N SemDeDup replay: plane count =
+            # smallest p in [4, 20] with n <= 32*2^p (integer-exact —
+            # derive_semantic_lsh_planes), md5 hyperplanes + sign-bit
+            # buckets (the sim_topk_lsh replay, table 0), drop = exists
+            # a smaller-id SAME-BUCKET member with round(cos, 6) >= 0.3;
+            # zero-norm rows keep cid -1
+            "WITH vv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) "
+            "AS v FROM embeddings), "
+            "nz AS (SELECT vec_id, v FROM vv WHERE list_dot_product(v, v) > 0), "
+            "nn AS (SELECT count(*) AS n FROM nz), "
+            "pp AS (SELECT COALESCE(MIN(p), 20)::INTEGER AS planes "
+            "FROM range(4, 21) t(p), nn WHERE nn.n <= 32 * (1::BIGINT << p)), "
+            "pl AS (SELECT pr.range AS p, list_transform(range(0, 64), j -> "
+            "((('0x' || substring(md5('plane:' || pr.range::VARCHAR || ':' || "
+            "j::VARCHAR), 1, 15))::UBIGINT::BIGINT "
+            "/ 1152921504606846976.0) * 2.0 - 1.0)) AS w "
+            "FROM range(0, 20) pr, pp WHERE pr.range < pp.planes), "
+            "dt AS (SELECT vec_id, p, list_sum(list_transform(range(1, 65), "
+            "i -> v[i::INTEGER] * w[i::INTEGER])) AS d FROM nz, pl), "
+            "cb AS (SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << p) "
+            "ELSE 0 END)::BIGINT AS cid FROM dt GROUP BY vec_id), "
+            "drp AS (SELECT DISTINCT b.vec_id FROM cb a JOIN cb b "
+            "ON a.cid = b.cid AND a.vec_id < b.vec_id "
+            "JOIN nz va ON va.vec_id = a.vec_id JOIN nz vb ON vb.vec_id = b.vec_id "
+            "WHERE round(list_dot_product(va.v, vb.v) / "
+            "(sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v)))"
+            ", 6) >= 0.3) "
+            "SELECT c.vec_id, c.cid, (d.vec_id IS NULL) AS is_kept "
+            "FROM cb c LEFT JOIN drp d ON c.vec_id = d.vec_id "
+            "UNION ALL SELECT vec_id, (-1)::BIGINT AS cid, TRUE AS is_kept "
+            "FROM vv WHERE list_dot_product(v, v) <= 0"
+        ),
         "sample_prototype_prune": (
             # assignment replay (the dedup_semantic CTEs) + per-cluster
             # rank by (score asc, id) keeping ceil(|cluster| * 0.5);
@@ -5721,6 +5882,52 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "SELECT query_id, neighbor_id, score, rank::INTEGER AS rank "
             "FROM rk WHERE rank <= 5"
         ),
+        "sim_topk_ivf": (
+            # replays the DERIVED refine_iters=0 IVF pipeline end-to-end,
+            # including the parameter derivation itself: n_cells =
+            # clamp(ceil(sqrt(N)), 16, 4096) and nprobe =
+            # ceil(n_cells*0.6/1.5) re-derived from COUNT(*) (same
+            # left-assoc double arithmetic as derive_ivf_params /
+            # IvfIndex.topk), seeds = the n_cells smallest (h60, id)
+            # corpus vectors, assignment/probe set = the rounded-nudged
+            # cosine argmax / top-nprobe (_assign_udf + probe_cells FP
+            # discipline — the sim_topk_ivfpq trick), and the final
+            # within-cell rerank is the exact unrounded sequential-fold
+            # cosine the sim_topk_bruteforce oracle already replays
+            "WITH vv AS (SELECT vec_id, "
+            "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), "
+            "prm AS (SELECT GREATEST(16, LEAST(4096, "
+            "CEIL(SQRT(count(*)))))::BIGINT AS n_cells FROM vv), "
+            "prm2 AS (SELECT n_cells, GREATEST(1, LEAST(n_cells, "
+            "CEIL(n_cells * 0.6 / 1.5)))::BIGINT AS nprobe FROM prm), "
+            "sr AS (SELECT v, row_number() OVER (ORDER BY "
+            + _dk_h60("CAST(vec_id AS VARCHAR)")
+            + ", vec_id) AS rk FROM vv), "
+            "seeds AS (SELECT sr.rk - 1 AS cid, sr.v FROM sr, prm2 "
+            "WHERE sr.rk <= prm2.n_cells), "
+            "ac AS (SELECT vv.vec_id, s.cid, "
+            "round(" + _COS.format(a="vv.v", b="s.v") + " + 1e-12, 6) AS c6 "
+            "FROM vv, seeds s), "
+            "asg AS (SELECT vec_id, cid FROM ("
+            "SELECT vec_id, cid, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY c6 DESC, cid) AS rk FROM ac) "
+            "WHERE rk = 1), "
+            "probes AS (SELECT t.vec_id AS qid, t.cid FROM ("
+            "SELECT vec_id, cid, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY c6 DESC, cid) AS rk FROM ac "
+            "WHERE vec_id < 10) t, prm2 WHERE t.rk <= prm2.nprobe), "
+            "sc AS (SELECT p.qid AS query_id, a.vec_id AS neighbor_id, "
+            + _COS.format(a="q.v", b="n.v")
+            + " AS c FROM probes p "
+            "JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.qid "
+            "JOIN vv q ON q.vec_id = p.qid "
+            "JOIN vv n ON n.vec_id = a.vec_id), "
+            "rk AS (SELECT query_id, neighbor_id, c, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY c DESC, neighbor_id)::INTEGER "
+            "AS rank FROM sc) "
+            "SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank "
+            "FROM rk WHERE rank <= 5"
+        ),
         "embedding_pq_encode": (
             # re-derives the refine_iters=0 PQ quantizer: seeds = the 16
             # corpus vectors with smallest (h60, id), sliced into 8
@@ -5749,6 +5956,7 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "SELECT vec_id, s::INTEGER AS sub, cid::INTEGER AS code "
             "FROM best WHERE rk = 1"
         ),
+        "embedding_kmeans": _kmeans_oracle_sql(k=8, iters=2),
         "embedding_nearest_centroid": (
             "WITH ex AS (SELECT label, u.pos AS pos, u.x AS x FROM ("
             "SELECT label, unnest(list_transform(range(1, len(embedding) + 1), "
@@ -5809,6 +6017,7 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "sum(length(text))::BIGINT AS total_chars "
             "FROM documents GROUP BY source, lang"
         ),
+        "text_bpe_merges": _bpe_oracle_sql(10),
         "text_repetition_stats": _repetition_oracle_sql(),
         "fulltext_phrase_search": _phrase_oracle_sql(),
         "profile_k_anonymity": (

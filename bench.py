@@ -45,6 +45,15 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "text_quality_score",
     "containstext_fallback",
+    # r10 training-data operators (r10 verdict item 5): among the most
+    # expensive operators in the repo — round-over-round regression
+    # tracking must see them; the multi-second ones ride the 3-sample
+    # noisy floor below
+    "dedup_semantic",
+    "dedup_embedding_decontaminate",
+    "sample_dsir",
+    "sample_kcenter_coreset",
+    "sample_token_budget",
 ]
 
 
@@ -85,6 +94,12 @@ def main() -> None:
         "graph_connected_components": 3,
         "graph_pagerank": 3,
         "dedup_embedding_cosine": 3,
+        # multi-second r10 operators (min-of-2 standalone: dsir 2.73 s,
+        # kcenter 3.88 s, semantic 1.41 s): same 3-sample floor so
+        # their deltas measure code, not the scheduler
+        "dedup_semantic": 3,
+        "sample_dsir": 3,
+        "sample_kcenter_coreset": 3,
     }
     timings: dict[str, float] = {}
     samples: dict[str, int] = {}

@@ -566,6 +566,12 @@ def embedding_duplicate_pairs(
     effectiveness guard below coarsens back to ≤16 cells when the
     corpus is structureless, so auto is safe in both regimes (its
     isotropic cost is the guard's extra assignment pass, ~5%).
+    DECISION (final, r11, per the r10 study's "flip only if both
+    regimes win or tie" bar): the DEFAULT STAYS 16 — isotropic corpora
+    pay the guard's ~5% rather than tying — and "auto" remains the
+    documented opt-in for clustered corpora, which real embedding
+    models produce. Study: tools/study_autocells.py; numbers in
+    BENCH.md §r10.
 
     ``index``: a prebuilt ``similarity.IvfIndex`` over the SAME corpus
     (build-once, serve both ANN queries and near-dup mining — one
@@ -1228,6 +1234,112 @@ def semantic_dedup(
         .withColumn("__blk0", F.lit(0))
         .persist()
     )
+    occupancy = {
+        r["cid"]: r["cnt"]
+        for r in members.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    pairs = _verify_cell_pairs_grouped(
+        members,
+        [(c, c) for c in occupancy],
+        "__blk0",
+        threshold,
+        occupancy=occupancy,
+        max_cell_occupancy=max_cell_occupancy,
+    )
+    dropped = (
+        pairs.select(F.col("id_b").alias("__id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    flags = members.join(dropped, "__id", "left").select(
+        "__id",
+        F.col("cid").cast("long").alias("cid"),
+        F.col("__dropped").isNull().alias("is_kept"),
+    )
+    return flags.unionByName(zero).select(
+        F.col("__id").alias(id_col), "cid", "is_kept"
+    )
+
+
+def derive_semantic_lsh_planes(n_corpus: int) -> int:
+    """Hyperplane count for ``semantic_dedup_lsh``: the smallest p in
+    [4, 20] with n ≤ 32·2^p — the integer-exact equivalent of
+    clamp(ceil(log2(n/32)), 4, 20), targeting ~32 members per sign
+    bucket so the within-bucket verify stays O(N·occupancy).
+    Deliberately FP-log-free: an exact power-of-two corpus size must
+    not let a cross-engine log2 ulp pick different plane counts, so the
+    SQL oracle derives the identical value from the same integer
+    comparison."""
+    if n_corpus < 1:
+        raise ValueError(f"need n_corpus >= 1, got {n_corpus}")
+    for p in range(4, 21):
+        if n_corpus <= 32 * (1 << p):
+            return p
+    return 20
+
+
+def semantic_dedup_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    planes: int | None = None,
+    dim: int = 64,
+    max_cell_occupancy: int = 4096,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) with a sign-random-projection
+    coarse clusterer — the CELLS-SCALE-WITH-N variant of
+    ``semantic_dedup``. The seeded-argmax clusterer costs O(N·K·d) to
+    assign and O(N²/K) to verify, so no K keeps both linear as N grows;
+    replacing it with an LSH bucket id (``lsh_bucket_col`` — the
+    sim_topk_lsh machinery, md5 hyperplanes, table 0) makes assignment
+    O(N·planes·d) with ZERO driver state and ``derive_semantic_lsh_
+    planes`` grows 2^planes ∝ N so expected occupancy stays ~32 —
+    verify volume is O(N·occupancy) at every scale. This is the shape
+    a 100 TB corpus needs: both stages one narrow pass + one bounded
+    grouped verify, nothing driver-side but the occupancy counts.
+
+    Same output contract as ``semantic_dedup``: (id_col, cid, is_kept)
+    where cid is the bucket (−1 for zero-norm vectors, always kept —
+    no cosine is definable) and a vector is dropped iff a smaller-id
+    member of ITS OWN bucket has round(cosine, 6) ≥ ``threshold``.
+    Fully deterministic and DuckDB-replayable end to end: md5
+    hyperplanes, sequential-fold dots, sign-bit buckets, exact
+    within-bucket cosines (grouped Arrow verifier, dimension-major
+    fold), keep-lowest-id survivors — and the plane-count derivation
+    itself is integer arithmetic the oracle re-derives from COUNT(*).
+    Trade-off vs ``semantic_dedup``: buckets are sign regions, not
+    Voronoi cells, so near-duplicates split by a hyperplane are missed
+    — the published SemDeDup approximation, traded one step further
+    toward scale; recall on planted twins is gated in
+    tests/test_dedup_scale.py."""
+    from orientdb_spark.pipeline.common import vec_norm
+    from orientdb_spark.pipeline.similarity import lsh_bucket_col
+
+    g = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__n", vec_norm(F.col("__v")))
+    zero = g.filter(F.col("__n") <= 0).select(
+        "__id",
+        F.lit(-1).cast("long").alias("cid"),
+        F.lit(True).alias("is_kept"),
+    )
+    nz = g.filter(F.col("__n") > 0)
+    if planes is None:
+        n = nz.count()
+        if n == 0:
+            return zero.select(F.col("__id").alias(id_col), "cid", "is_kept")
+        planes = derive_semantic_lsh_planes(n)
+    members = (
+        nz.withColumn("cid", lsh_bucket_col(F.col("__v"), dim, planes))
+        .withColumn("__blk0", F.lit(0))
+        .persist()
+    )
+    # bounded driver pull: one row per OCCUPIED bucket (≤ min(2^planes, N),
+    # and 2^planes targets ~N/32 buckets)
     occupancy = {
         r["cid"]: r["cnt"]
         for r in members.groupBy("cid")

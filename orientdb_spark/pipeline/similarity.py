@@ -731,6 +731,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     index: IvfIndex | None = None,
+    refine_iters: int = 1,
     target_recall: float = 0.6,
 ) -> DataFrame:
     """Approximate top-k through the IVF index: each query probes its
@@ -742,10 +743,16 @@ def ivf_topk(
     ``n_cells=None``/``nprobe=None`` derive scale-aware values
     (~sqrt(N) cells, probe width sized to ``target_recall`` on an
     isotropic corpus — derive_ivf_params); under-recall settings warn
-    loudly instead of silently returning near-random neighbors."""
+    loudly instead of silently returning near-random neighbors.
+    ``refine_iters=0`` keeps the coarse quantizer at the h60 seed
+    vectors — fully deterministic and SQL-replayable (the pq_fit
+    convention, what upgrades the driver entry to oracle-exact); the
+    default single Lloyd step tightens cells at the cost of
+    partition-order float sums in the centroid means."""
     if index is None:
         index = IvfIndex.build(
-            df, n_cells, vec_col, id_col, persist=False, target_recall=target_recall
+            df, n_cells, vec_col, id_col, refine_iters=refine_iters,
+            persist=False, target_recall=target_recall,
         )
     return index.topk(queries, k=k, nprobe=nprobe, vec_col=vec_col,
                       target_recall=target_recall)

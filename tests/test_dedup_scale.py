@@ -512,6 +512,82 @@ def test_semantic_dedup_occupancy_split_invariant(spark):
     assert base == split
 
 
+def test_semantic_dedup_lsh_planted_twins_and_contract(spark):
+    """The cells-scale-with-N variant: exact-duplicate vectors share a
+    sign bucket by construction (identical dots -> identical bits), so
+    planted twins always dedup; the zero vector keeps cid -1; and the
+    survivor rule matches a numpy replay of the operator's own bucket
+    assignment on the real sf0.001 corpus."""
+    import math
+
+    import numpy as np
+
+    def v(angle):
+        return [math.cos(angle), math.sin(angle)] + [0.0] * 62
+
+    df = spark.createDataFrame(
+        [
+            (0, v(0.0)),
+            (1, v(0.0)),            # exact twin of 0 -> same bucket, dropped
+            (2, v(1.2)),            # distinct direction
+            (3, [0.0] * 64),        # zero-norm: kept, cid -1
+        ],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        r.vec_id: r
+        for r in dedup.semantic_dedup_lsh(df, threshold=0.99).collect()
+    }
+    assert got[0].is_kept and not got[1].is_kept
+    assert got[0].cid == got[1].cid
+    assert got[2].is_kept
+    assert got[3].is_kept and got[3].cid == -1
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = dedup.semantic_dedup_lsh(embs, threshold=0.3).collect()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in embs.select("vec_id", "embedding").collect()
+    }
+    by_cell: dict[int, list[int]] = {}
+    for r in out:
+        if r.cid >= 0:
+            by_cell.setdefault(r.cid, []).append(r.vec_id)
+    kept = {r.vec_id: r.is_kept for r in out}
+    n_dropped = 0
+    for cid, ids in by_cell.items():
+        ids.sort()
+        for i, b in enumerate(ids):
+            vb = vecs[b]
+            has_smaller = any(
+                round(
+                    float(vecs[a] @ vb)
+                    / (float(np.sqrt(vecs[a] @ vecs[a])) * float(np.sqrt(vb @ vb))),
+                    6,
+                )
+                >= 0.3
+                for a in ids[:i]
+            )
+            assert kept[b] == (not has_smaller), (b, cid)
+            n_dropped += int(has_smaller)
+    assert n_dropped > 0
+
+
+def test_derive_semantic_lsh_planes_exact_bounds():
+    """Integer-exact derivation: smallest p in [4, 20] with n <= 32*2^p
+    — including the exact power-of-two boundaries an FP log2 could
+    mis-round."""
+    from orientdb_spark.pipeline.dedup import derive_semantic_lsh_planes
+
+    assert derive_semantic_lsh_planes(1) == 4
+    assert derive_semantic_lsh_planes(32 * 16) == 4       # boundary stays
+    assert derive_semantic_lsh_planes(32 * 16 + 1) == 5   # first past it
+    assert derive_semantic_lsh_planes(32 * (1 << 20)) == 20
+    assert derive_semantic_lsh_planes(10 ** 12) == 20     # clamp
+    with pytest.raises(ValueError, match="n_corpus"):
+        derive_semantic_lsh_planes(0)
+
+
 def test_embedding_decontaminate_planted(spark):
     """A train vector that paraphrases (near-copies) a refset vector is
     dropped; unrelated directions survive; zero-norm train rows are

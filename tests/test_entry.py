@@ -71,7 +71,10 @@ def test_lsh_recall_vs_bruteforce(spark):
 
 
 def test_ivf_recall_vs_bruteforce(spark):
-    """IVF with nprobe=4/16 cells must recover most true neighbors."""
+    """The derived-parameter IVF entry (refine_iters=0 since its r11
+    oracle upgrade) must still recover most true neighbors — the recall
+    gate stays alongside the exact replay so a parameter-derivation
+    regression can't hide behind a bit-identical oracle."""
     exact = {
         (r["query_id"], r["neighbor_id"])
         for r in QUERIES["sim_topk_bruteforce"](spark, SF_DIR).collect()
@@ -119,16 +122,16 @@ def test_bench_headline_names_are_valid():
 
 def test_driver_front_slots_all_oracle_bearing():
     """Rotation contract, r9 form: the refresh rotation deliberately
-    slots four rows-only-by-design entries (the fixed embedding_pca,
-    the first-ever sim_topk_imi, and the approximate-ANN refreshes) —
-    those exact entries (and only those) may lack oracles; any other
-    oracle-less slot (a rename, an oracle drop) must fail CI, not the
-    driver run. Note sim_topk_ivfpq / sim_topk_lsh / sim_topk_imi are
-    NOT here: r9 upgraded all three to oracle-exact deterministic
-    replays."""
+    slots rows-only-by-design entries — those exact entries (and only
+    those) may lack oracles; any other oracle-less slot (a rename, an
+    oracle drop) must fail CI, not the driver run. Note sim_topk_ivfpq
+    / sim_topk_lsh / sim_topk_imi are NOT here (r9 upgraded all three
+    to oracle-exact deterministic replays), and neither are
+    sim_topk_ivf / embedding_kmeans / text_bpe_merges (r11 did the
+    same for the whole derivable tail — only the two permanent
+    rows-only entries remain)."""
     ROWS_ONLY_BY_DESIGN = {
         "embedding_pca",          # LAPACK eigenbasis; numpy-agreement-gated
-        "sim_topk_ivf",           # Lloyd/derived path; recall-gated
         "approx_distinct_parts",  # approxCountDistinct dialect surface
     }
     front = list(QUERIES)[:50]

@@ -68,8 +68,14 @@ SF1_ENTRIES = [
     "graph_bfs_levels",
     # DSIR importance resampling (new r10): linear gram-stream oracle,
     # 3.2 s at sf1 in DuckDB — scales. (dedup_semantic is excluded by
-    # the tractability rule: its oracle is within-cell quadratic.)
+    # the tractability rule: its oracle is within-cell quadratic over
+    # FIXED 16 cells.)
     "sample_dsir",
+    # SemDeDup, cells-scale-with-N variant (r10 verdict item 4): the
+    # LSH-bucketed clusterer grows 2^planes with N so the within-bucket
+    # quadratic oracle stays O(N·~32) at every SF — the semantic-dedup
+    # family's above-driver hash evidence
+    "dedup_semantic_scaled",
 ]
 
 
@@ -173,20 +179,40 @@ def main():
     print(f"correctness: {ok}/{len(SF1_ENTRIES)} -> CORRECTNESS_{suffix}.json")
     spark.stop()
 
+    # BENCH.md's two-filter noise convention (r10 verdict item 3),
+    # applied where the scale argument is made: TWO standalone bench
+    # subprocesses (fresh JVM each — the in-script session above is
+    # warm in ways a standalone run is not), per-query MIN across runs,
+    # both run totals recorded so a future delta can be adjudicated
+    # against the run-to-run spread instead of a single sample.
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-    bench_out = subprocess.run(
-        [sys.executable, "/root/repo/bench.py"],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-        cwd="/root/repo",
-    ).stdout.strip().splitlines()[-1]
-    bench = json.loads(bench_out)
+    runs = []
+    for _ in range(2):
+        bench_out = subprocess.run(
+            [sys.executable, "/root/repo/bench.py"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd="/root/repo",
+        ).stdout.strip().splitlines()[-1]
+        runs.append(json.loads(bench_out))
+    bench = runs[0]
+    bench["queries"] = {
+        q: min(r["queries"][q] for r in runs if q in r["queries"])
+        for q in bench["queries"]
+    }
+    bench["value"] = round(sum(bench["queries"].values()), 3)
+    bench["samples"] = {
+        q: sum(r["samples"].get(q, 0) for r in runs) for q in bench["samples"]
+    }
+    bench["run_totals"] = [r["value"] for r in runs]
+    bench["convention"] = "per-query min of 2 standalone runs (BENCH.md r10)"
     bench["provenance"] = corr["__provenance__"] | {"bench_sf_dir": sf_dir}
     with open(f"/root/repo/BENCH_{suffix}.json", "w") as f:
         json.dump(bench, f, indent=2)
-    print(f"bench total {bench.get('value')} s -> BENCH_{suffix}.json")
+    print(f"bench total {bench.get('value')} s (runs: {bench['run_totals']}) "
+          f"-> BENCH_{suffix}.json")
 
 
 if __name__ == "__main__":
