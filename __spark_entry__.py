@@ -1727,6 +1727,26 @@ def _dedup_minhash(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.9)
 
 
+def _dedup_minhash_incremental(spark, sf_dir):
+    """Incremental MinHash-LSH dedup (dedup.minhash_lsh_pairs_
+    incremental): the ingest-batch shape — docs with doc_id % 10 == 0
+    are the new batch, the rest the already-deduped corpus. The batch's
+    band postings BROADCAST against the corpus posting list (no corpus
+    shuffle), touched buckets reassemble for exact cap parity, verify
+    re-shingles only collided corpus docs. Oracle = the full-run
+    minhash replay restricted to pairs with >= 1 new side — the
+    operator's equivalence contract, hash-checked. threshold=0.7 so the
+    sf fixtures yield cross-boundary pairs."""
+    from orientdb_spark.pipeline import dedup
+
+    docs = _docs(spark, sf_dir)
+    return dedup.minhash_lsh_pairs_incremental(
+        docs.filter("doc_id % 10 = 0"),
+        docs.filter("doc_id % 10 != 0"),
+        threshold=0.7,
+    )
+
+
 def _dedup_simhash(spark, sf_dir):
     from orientdb_spark.pipeline import dedup
 
@@ -3301,12 +3321,14 @@ _DRIVER_FRONT = [
     "rid_point",
     "tpch_q6_forecast",
     # UPGRADED rows-only -> oracle-exact this round (first hash-checked
-    # records) + NEW cells-scaled SemDeDup (never recorded — must sit in
-    # the front so check_entries.py --never-recorded closes at round end)
+    # records) + NEW cells-scaled SemDeDup and incremental MinHash dedup
+    # (never recorded — must sit in the front so check_entries.py
+    # --never-recorded closes at round end)
     "sim_topk_ivf",
     "embedding_kmeans",
     "text_bpe_merges",
     "dedup_semantic_scaled",
+    "dedup_minhash_incremental",
     # r7-era refreshes: §2 operator surface
     "scan_class",
     "filter_projection",
@@ -3323,7 +3345,9 @@ _DRIVER_FRONT = [
     "native_fluent_query",
     "security_grant_effect",
     "ddl_remove_index_effect",
-    "ddl_remove_property_effect",
+    # (ddl_remove_property_effect keeps its r7 record — its slot went to
+    # the new incremental-dedup entry; the mirror harness re-verifies it
+    # every run)
     "async_query_abort_effect",
     # r7-era refreshes: one representative per family
     "graph_sssp",
@@ -3595,6 +3619,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_exact": _dedup_exact,
         "dedup_fingerprint": _dedup_fingerprint,
         "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_minhash_incremental": _dedup_minhash_incremental,
         "dedup_decontaminate": _dedup_decontaminate,
         "dedup_canonicalize": _dedup_canonicalize,
         "pipeline_end_to_end": _pipeline_end_to_end,
@@ -3876,6 +3901,7 @@ def _minhash_oracle_sql(
     max_bucket_size: int = 2000,
     stop_at_posts: bool = False,
     pairs_cte: bool = False,
+    pair_filter: str | None = None,
 ) -> str:
     from orientdb_spark.pipeline.common import MINHASH_P, MINHASH_PARAMS
 
@@ -3924,7 +3950,8 @@ j AS (SELECT id_a, id_b,
               len(list_distinct(list_concat(ta.t, tb.t))), 6) AS jaccard
       FROM cand JOIN toks ta ON cand.id_a = ta.doc_id
                 JOIN toks tb ON cand.id_b = tb.doc_id)
-SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}{
+        " AND (" + pair_filter + ")" if pair_filter else ""}
 """
     if pairs_cte:
         # everything up to a `pairs(id_a, id_b)` CTE, opened with WITH
@@ -5278,6 +5305,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_bucket_audit": _minhash_oracle_sql(stop_at_posts=True),
+        # incremental contract: the FULL-run replay restricted to pairs
+        # with >= 1 new (doc_id % 10 = 0) side — cap verdicts included
+        "dedup_minhash_incremental": _minhash_oracle_sql(
+            threshold=0.7, pair_filter="id_a % 10 = 0 OR id_b % 10 = 0"
+        ),
         "dedup_simhash": _simhash_oracle_sql(),
         "dedup_simhash_hamming": _simhash_hamming_oracle_sql(48, 3),
         "dedup_ngram_jaccard": _ngram_oracle_sql(),

@@ -234,6 +234,18 @@ class Engine:
 
         open_database(self, db_dir)
 
+    def append(self, class_name: str, df: DataFrame) -> DataFrame:
+        """Bulk document append — one statement appends a whole DataFrame
+        to a class (validation/unique/hooks/RID allocation as distributed
+        passes; see dml.bulk_append). The massive-insert workload shape:
+        pair with ``declare_intent('massiveinsert')`` to skip per-
+        statement validation, the reference's OIntentMassiveInsert."""
+        from orientdb_spark.dml import bulk_append
+
+        result = bulk_append(self, class_name, df)
+        self._plan_cache.clear()  # DML invalidates cached plans
+        return result
+
     def declare_intent(self, name: str | None) -> None:
         """Workload intent (core:intent/OIntent.java, OIntentMassiveInsert
         .java:10-44 — coarse hints flipping cache/validation behavior):

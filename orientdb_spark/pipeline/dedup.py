@@ -134,6 +134,79 @@ def minhash_signatures(
     )
 
 
+def _shingle_stage(df: DataFrame, text_col: str, id_col: str, shingle: int) -> DataFrame:
+    """(__id, __toks, __h): distinct word-``shingle``-grams and their
+    minhash-ready hashes, one Arrow pass (or pure Column ops for bare
+    tokens)."""
+    if shingle <= 1:
+        unit = token_set(F.col(text_col))
+        sh = df.select(F.col(id_col).alias("__id"), unit.alias("__toks")).filter(
+            F.size("__toks") > 0
+        )
+        return sh.withColumn(
+            "__h", F.transform("__toks", lambda t: h60(t) % F.lit(MINHASH_P))
+        )
+    shingler = _shingle_struct_udf(shingle)
+    return (
+        df.select(F.col(id_col).alias("__id"), shingler(F.col(text_col)).alias("__s"))
+        .select("__id", F.col("__s.g").alias("__toks"), F.col("__s.h").alias("__h"))
+        .filter(F.size("__toks") > 0)
+    )
+
+
+def _band_postings(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(__id, band, bhash) LSH posting list from a ``_shingle_stage``
+    frame. Staged projections: tokens → signature → band hashes. Each
+    stage references the previous stage's column more than once, and the
+    producing expressions are non-cheap, so CollapseProject keeps the
+    stages separate — without this, the band hashes each inline the full
+    16-hash signature (higher-order functions run interpreted, no
+    codegen subexpression elimination) and the work multiplies 4×.
+    Token arrays stay out of the candidate-generation shuffle."""
+    rows = num_hashes // bands
+    sig = _sig_columns(sh.select("__id", "__h"), F.col("__h"), num_hashes)
+    banded = sig.select(
+        "__id",
+        *[
+            h60(
+                F.concat_ws(
+                    "-",
+                    *[F.col(f"__s{b * rows + r}").cast("string") for r in range(rows)],
+                )
+            ).alias(f"__band_{b}")
+            for b in range(bands)
+        ],
+    )
+    return banded.select(
+        "__id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"__band_{b}").alias("bhash"))
+                for b in range(bands)
+            ])
+        ).alias("__bk"),
+    ).select("__id", F.col("__bk.band").alias("band"), F.col("__bk.bhash").alias("bhash"))
+
+
+def minhash_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+) -> DataFrame:
+    """The persistable LSH index over a corpus: (id_col, band, bhash)
+    posting list — what ``minhash_lsh_pairs_incremental`` probes per
+    ingest batch. Build once, write to parquet, reuse every batch: the
+    corpus is shingled and signed exactly once in its lifetime instead
+    of once per batch. Parameters must match the incremental call's."""
+    sh = _shingle_stage(df, text_col, id_col, shingle)
+    return _band_postings(sh, num_hashes, bands).select(
+        F.col("__id").alias(id_col), "band", "bhash"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -164,57 +237,10 @@ def minhash_lsh_pairs(
     found through any of its other, smaller band buckets). Audit what a
     cap would drop with ``minhash_bucket_sizes``; pass None to disable.
     """
-    rows = num_hashes // bands
-    # staged projections: tokens → signature → band hashes. Each stage
-    # references the previous stage's column more than once, and the
-    # producing expressions are non-cheap, so CollapseProject keeps the
-    # stages separate — without this, the band hashes each inline the full
-    # 16-hash signature (higher-order functions run interpreted, no
-    # codegen subexpression elimination) and the work multiplies 4×.
-    if shingle <= 1:
-        unit = token_set(F.col(text_col))
-        sh = df.select(F.col(id_col).alias("__id"), unit.alias("__toks")).filter(
-            F.size("__toks") > 0
-        )
-        sh = sh.withColumn(
-            "__h", F.transform("__toks", lambda t: h60(t) % F.lit(MINHASH_P))
-        )
-    else:
-        shingler = _shingle_struct_udf(shingle)
-        sh = (
-            df.select(F.col(id_col).alias("__id"), shingler(F.col(text_col)).alias("__s"))
-            .select("__id", F.col("__s.g").alias("__toks"), F.col("__s.h").alias("__h"))
-            .filter(F.size("__toks") > 0)
-        )
     # one shingle pass feeds both candidate generation and verification
-    sh = sh.persist()
+    sh = _shingle_stage(df, text_col, id_col, shingle).persist()
     toks_df = sh.select("__id", "__toks")
-    hashed = sh.select("__id", "__h")
-    sig = _sig_columns(hashed, F.col("__h"), num_hashes)
-    banded = sig.select(
-        "__id",
-        *[
-            h60(
-                F.concat_ws(
-                    "-",
-                    *[F.col(f"__s{b * rows + r}").cast("string") for r in range(rows)],
-                )
-            ).alias(f"__band_{b}")
-            for b in range(bands)
-        ],
-    )
-    # compact posting list (id, band, bhash) — token arrays stay out of the
-    # candidate-generation shuffle. Single consumer (the bucket groupBy),
-    # so no persist needed; `sh` above is the persisted stage.
-    postings = banded.select(
-        "__id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"__band_{b}").alias("bhash"))
-                for b in range(bands)
-            ])
-        ).alias("__bk"),
-    ).select("__id", F.col("__bk.band").alias("band"), F.col("__bk.bhash").alias("bhash"))
+    postings = _band_postings(sh, num_hashes, bands)
 
     # ONE shuffle does both bucket assembly and the degenerate-bucket
     # guard: group postings into per-bucket id arrays (map-side partial
@@ -253,6 +279,126 @@ def minhash_lsh_pairs(
     # only, never the N² cross product
     ta = toks_df.select(F.col("__id").alias("id_a"), F.col("__toks").alias("__ta"))
     tb = toks_df.select(F.col("__id").alias("id_b"), F.col("__toks").alias("__tb"))
+    verified = cand.join(ta, "id_a").join(tb, "id_b")
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    union = F.size(F.array_union("__ta", "__tb"))
+    jac = inter.cast("double") / union
+    return (
+        verified.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.9,
+    shingle: int = 3,
+    max_bucket_size: int | None = 2000,
+    corpus_postings: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental MinHash-LSH near-dup pairs: dedup an ingest BATCH
+    against an already-deduped corpus without re-running the corpus-wide
+    pipeline — the shape a continuously-fed training corpus needs. A
+    daily batch of M docs against an N-doc corpus costs the full run
+    O(N + M) shingling + an (N+M)-posting shuffle EVERY day; this path
+    is O(M) batch work + one corpus-postings scan, with the corpus side
+    never shuffled and corpus text re-shingled only for the docs that
+    actually collide.
+
+    CONTRACT (oracle-checked): returns exactly the pairs
+    ``minhash_lsh_pairs(corpus ∪ new)`` emits restricted to pairs with
+    at least one NEW side — including identical bucket-cap verdicts,
+    because the combined bucket population is reassembled exactly for
+    every bucket a new doc touches. Old×old pairs are excluded by
+    contract (the corpus is already deduped; re-reporting its internal
+    pairs every batch would be O(corpus) output). ``id_col`` values must
+    be disjoint across the two frames.
+
+    Scale shape, stage by stage:
+    1. batch postings: shingle + sign the M new docs only;
+    2. the batch's distinct bucket keys BROADCAST against the corpus
+       posting list (pass ``corpus_postings`` — build once with
+       ``minhash_postings``, persist to parquet, reuse every batch; the
+       broadcast-hash semi-join streams the corpus index with no
+       corpus-side exchange);
+    3. touched buckets reassemble (new ∪ matching-corpus postings, a
+       groupBy over touched postings only) so the cap sees the TRUE
+       combined bucket size; pairs emit in-row, ≥1-new only;
+    4. exact-Jaccard verify re-shingles only the corpus docs named in
+       surviving candidates (semi-join on candidate ids, then shingle
+       the matched rows — never the whole corpus).
+    """
+    if corpus_postings is None:
+        corpus_postings = minhash_postings(
+            corpus_df, text_col, id_col, num_hashes, bands, shingle
+        )
+    new_sh = _shingle_stage(new_df, text_col, id_col, shingle).persist()
+    new_posts = _band_postings(new_sh, num_hashes, bands).persist()
+    keys = new_posts.select("band", "bhash").distinct()
+    # corpus index streams against the broadcast batch keys — no
+    # corpus-side shuffle, and a parquet-backed posting list gets
+    # (band, bhash) pushdown from the join
+    touched_corpus = corpus_postings.select(
+        F.col(id_col).alias("__id"), "band", "bhash"
+    ).join(F.broadcast(keys), ["band", "bhash"])
+    all_touched = new_posts.select(
+        "__id", "band", "bhash", F.lit(True).alias("__new")
+    ).unionByName(touched_corpus.withColumn("__new", F.lit(False)))
+    # bucket reassembly over touched postings only; combined size ==
+    # the full run's size for every touched bucket, so cap verdicts
+    # (and therefore the pair set) match the full pipeline exactly
+    buckets = (
+        all_touched.groupBy("band", "bhash")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__id").alias("i"), F.col("__new").alias("n")))
+            ).alias("__m")
+        )
+        .filter(F.size("__m") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("__m") <= F.lit(max_bucket_size))
+    m = F.col("__m")
+    pair_structs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + F.lit(2), F.size(m) - i - F.lit(1)),
+                lambda y: F.struct(
+                    x["i"].alias("id_a"),
+                    y["i"].alias("id_b"),
+                    (x["n"] | y["n"]).alias("any_new"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("__p"))
+        .filter(F.col("__p.any_new"))
+        .select(F.col("__p.id_a"), F.col("__p.id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # verify: batch token sets are in hand; corpus token sets are built
+    # for the candidate-named docs only (semi-join then shingle)
+    cand_ids = cand.select(F.col("id_a").alias("__cid")).unionByName(
+        cand.select(F.col("id_b").alias("__cid"))
+    ).distinct()
+    needed_corpus = corpus_df.join(
+        cand_ids, F.col(id_col) == F.col("__cid"), "left_semi"
+    )
+    toks = new_sh.select("__id", "__toks").unionByName(
+        _shingle_stage(needed_corpus, text_col, id_col, shingle).select(
+            "__id", "__toks"
+        )
+    )
+    ta = toks.select(F.col("__id").alias("id_a"), F.col("__toks").alias("__ta"))
+    tb = toks.select(F.col("__id").alias("id_b"), F.col("__toks").alias("__tb"))
     verified = cand.join(ta, "id_a").join(tb, "id_b")
     inter = F.size(F.array_intersect("__ta", "__tb"))
     union = F.size(F.array_union("__ta", "__tb"))

@@ -134,6 +134,81 @@ def test_minhash_bucket_cap_drops_hot_bucket(spark):
     assert all(r.n_docs == 30 for r in sizes.collect())
 
 
+def test_minhash_incremental_matches_full_restricted(spark):
+    """The incremental contract: batch-vs-corpus pairs == the full-run
+    pair set restricted to pairs with >= 1 new side — values included —
+    both with postings derived in-call and with a precomputed
+    ``minhash_postings`` index (the persist-and-reuse path)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter("doc_id % 10 = 0")
+    corpus = docs.filter("doc_id % 10 != 0")
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.7).collect()
+        if r.id_a % 10 == 0 or r.id_b % 10 == 0
+    }
+    assert full, "fixture must produce cross pairs"
+    inc = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs_incremental(
+            new, corpus, threshold=0.7
+        ).collect()
+    }
+    assert inc == full
+    posts = dedup.minhash_postings(corpus)
+    via_index = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs_incremental(
+            new, corpus, threshold=0.7, corpus_postings=posts
+        ).collect()
+    }
+    assert via_index == full
+
+
+def test_minhash_incremental_cap_parity_across_boundary(spark):
+    """Bucket-cap verdicts must see the COMBINED bucket: 25 corpus
+    copies + 5 new copies of one text = a 30-member bucket, so a cap of
+    10 drops it in the incremental run exactly as the full run would —
+    even though the batch alone is under the cap."""
+    text = "same exact text repeated for everyone here okay"
+    corpus = spark.createDataFrame(
+        [(i, text) for i in range(25)], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(100 + i, text) for i in range(5)], ["doc_id", "text"]
+    )
+    capped = dedup.minhash_lsh_pairs_incremental(
+        new, corpus, threshold=0.9, max_bucket_size=10
+    )
+    assert capped.count() == 0
+    uncapped = dedup.minhash_lsh_pairs_incremental(
+        new, corpus, threshold=0.9, max_bucket_size=None
+    )
+    # >=1-new pairs only: 5 new x 25 old + C(5,2) new x new
+    assert uncapped.count() == 5 * 25 + 10
+    assert uncapped.filter("id_a >= 100 and id_b >= 100").count() == 10
+
+
+def test_minhash_incremental_corpus_side_never_shuffled(spark):
+    """Scale pin: the corpus posting list must stream against the
+    BROADCAST batch keys — a corpus-side hash exchange before the probe
+    join would re-shuffle the whole index every batch. The only
+    full-width exchanges allowed are over TOUCHED postings (bucket
+    reassembly) and candidate verification."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter("doc_id % 50 = 0")
+    corpus = docs.filter("doc_id % 50 != 0")
+    posts = dedup.minhash_postings(corpus)
+    out = dedup.minhash_lsh_pairs_incremental(
+        new, corpus, threshold=0.7, corpus_postings=posts
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the probe of the corpus index must be broadcast-shaped: no sort-
+    # merge join anywhere in the incremental pipeline
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_embedding_pairs_grouped_verifier_plan(spark):
     """r7 scale rearchitecture pin: the verification stage must fan
     members out through ONE broadcast join and ONE hash exchange into
