@@ -1869,6 +1869,20 @@ def _sample_split_assign(spark, sf_dir):
     return sampling.assign_split(_docs(spark, sf_dir)).select("doc_id", "split")
 
 
+def _sample_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle + shard assignment (sampling.epoch_
+    shard_order): 2 epochs × 8 reader shards over the documents table —
+    the materialized "global shuffle" a training run reads. Pure
+    h60(epoch-seeded) arithmetic: shard = key % S, within-shard pos =
+    rank by (key, id) — fully SQL-replayable, window partitioned by
+    (epoch, shard), never a global sort."""
+    from orientdb_spark.pipeline import sampling
+
+    return sampling.epoch_shard_order(
+        _docs(spark, sf_dir), n_epochs=2, n_shards=8
+    )
+
+
 def _sample_quota_per_source(spark, sf_dir):
     from orientdb_spark.pipeline import sampling
 
@@ -3329,6 +3343,7 @@ _DRIVER_FRONT = [
     "text_bpe_merges",
     "dedup_semantic_scaled",
     "dedup_minhash_incremental",
+    "sample_epoch_shuffle",
     # r7-era refreshes: §2 operator surface
     "scan_class",
     "filter_projection",
@@ -3344,10 +3359,10 @@ _DRIVER_FRONT = [
     "custom_operator_where",
     "native_fluent_query",
     "security_grant_effect",
-    "ddl_remove_index_effect",
-    # (ddl_remove_property_effect keeps its r7 record — its slot went to
-    # the new incremental-dedup entry; the mirror harness re-verifies it
-    # every run)
+    # (ddl_remove_index_effect / ddl_remove_property_effect keep their r7
+    # records — their slots went to the new incremental-dedup and
+    # epoch-shuffle entries; the mirror harness re-verifies both every
+    # run, and "no record older than r7" still holds)
     "async_query_abort_effect",
     # r7-era refreshes: one representative per family
     "graph_sssp",
@@ -3625,6 +3640,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "pipeline_end_to_end": _pipeline_end_to_end,
         "sample_split_assign": _sample_split_assign,
         "sample_quota_per_source": _sample_quota_per_source,
+        "sample_epoch_shuffle": _sample_epoch_shuffle,
         "sample_stratified_split": _sample_stratified_split,
         "profile_quantile_bins": _profile_quantile_bins,
         "profile_entropy": _profile_entropy,
@@ -5519,6 +5535,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CASE WHEN (('0x' || substring(md5('42:' || doc_id), 1, 15))::UBIGINT::BIGINT) % 10000 < 9800 THEN 'train' "
             "WHEN (('0x' || substring(md5('42:' || doc_id), 1, 15))::UBIGINT::BIGINT) % 10000 < 9900 THEN 'valid' ELSE 'test' END AS split "
             "FROM documents"
+        ),
+        "sample_epoch_shuffle": (
+            # per-(doc, epoch) key = h60('epoch:0:' || epoch || ':' || id);
+            # shard = key % 8, pos = rank by (key, id) within (epoch, shard)
+            "WITH e AS (SELECT doc_id, unnest([0, 1])::INTEGER AS epoch "
+            "FROM documents), "
+            "k AS (SELECT doc_id, epoch, "
+            "(('0x' || substring(md5('epoch:0:' || epoch || ':' || doc_id), "
+            "1, 15))::UBIGINT::BIGINT) AS k FROM e) "
+            "SELECT doc_id, epoch, (k % 8)::INTEGER AS shard, "
+            "(row_number() OVER (PARTITION BY epoch, k % 8 "
+            "ORDER BY k, doc_id) - 1)::BIGINT AS pos FROM k"
         ),
         "text_edit_distance_join": (
             "WITH c AS (SELECT p_partkey AS id, "

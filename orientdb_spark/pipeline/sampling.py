@@ -729,3 +729,62 @@ def token_budget_select(
     return staged.filter(
         F.col("tokens_before") + F.col("n_tokens") <= F.lit(budget)
     )
+
+
+def epoch_shard_order(
+    df: DataFrame,
+    n_epochs: int = 1,
+    n_shards: int = 64,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic epoch shuffle + shard assignment — the "global
+    shuffle" step a large-scale training run materializes before
+    reading: each epoch re-shuffles the corpus into ``n_shards`` reader
+    shards with a fresh permutation, so no data-loader sees the same
+    order twice and every shard is an unbiased sample. Returns one row
+    per (document, epoch): (id_col, epoch, shard, pos) where ``pos`` is
+    the document's 0-based reading position within its shard.
+
+    Everything is a pure function of (seed, epoch, id): the per-epoch
+    key is h60("epoch:<seed>:<epoch>:<id>") — shard = key % n_shards,
+    within-shard order = (key, id) ascending — so re-runs, engines, and
+    partial re-materializations agree row-for-row (the assign_split
+    determinism contract, and what makes resumable training possible:
+    shard files can be regenerated for one epoch without touching the
+    others).
+
+    Scale shape: epochs fan out in-row (explode of a literal range —
+    output is the N×E assignment table, which is the deliverable), and
+    the within-shard position is a window partitioned by (epoch,
+    shard) — E·S independent groups, one hash exchange, NO global sort
+    or single-partition window. At 100 TB choose n_shards ≫ cluster
+    cores (standard practice) and the groups stay small and balanced:
+    h60 is uniform, so expected shard skew is O(sqrt(N/S))."""
+    if n_epochs < 1:
+        raise ValueError(f"need n_epochs >= 1, got {n_epochs}")
+    if n_shards < 1:
+        raise ValueError(f"need n_shards >= 1, got {n_shards}")
+    base = df.select(F.col(id_col)).withColumn(
+        "epoch", F.explode(F.array(*[F.lit(e) for e in range(n_epochs)]))
+    )
+    key = h60(
+        F.concat(
+            F.lit(f"epoch:{seed}:"),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    keyed = base.withColumn("__k", key).withColumn(
+        "shard", (F.col("__k") % F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy(
+        F.col("__k").asc(), F.col(id_col).asc()
+    )
+    return keyed.select(
+        id_col,
+        "epoch",
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )

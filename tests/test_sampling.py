@@ -505,3 +505,43 @@ def test_token_budget_select_plan_no_global_window(spark):
 
     for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert "__pid" in m.group(1), plan
+
+
+def test_epoch_shard_order_is_permutation_per_epoch(spark):
+    """Each epoch's (shard, pos) assignment is a permutation of the
+    corpus: every doc appears exactly once per epoch, positions within a
+    shard are 0..count-1 with no gaps, and different epochs produce
+    different orders while the same call reproduces bit-identically."""
+    from orientdb_spark.pipeline.sampling import epoch_shard_order
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    out = epoch_shard_order(docs, n_epochs=2, n_shards=8).collect()
+    assert len(out) == 2 * n
+    for e in (0, 1):
+        rows = [r for r in out if r.epoch == e]
+        assert len({r.doc_id for r in rows}) == n
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, []).append(r.pos)
+        assert set(by_shard) <= set(range(8))
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(len(poss)))
+    order0 = sorted((r.shard, r.pos, r.doc_id) for r in out if r.epoch == 0)
+    order1 = sorted((r.shard, r.pos, r.doc_id) for r in out if r.epoch == 1)
+    assert order0 != order1  # epochs re-shuffle
+    again = epoch_shard_order(docs, n_epochs=2, n_shards=8).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    # a different seed is a different permutation
+    other = epoch_shard_order(docs, n_epochs=1, n_shards=8, seed=7).collect()
+    assert sorted((r.shard, r.pos, r.doc_id) for r in other) != order0
+
+
+def test_epoch_shard_order_validates(spark):
+    from orientdb_spark.pipeline.sampling import epoch_shard_order
+
+    docs = spark.createDataFrame([(1,)], ["doc_id"])
+    with pytest.raises(ValueError, match="n_epochs"):
+        epoch_shard_order(docs, n_epochs=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        epoch_shard_order(docs, n_shards=0)
