@@ -2256,6 +2256,23 @@ def _dedup_decontaminate(spark, sf_dir):
     return clean.select("doc_id", "lang", "source")
 
 
+def _dedup_decontaminate_report(spark, sf_dir):
+    """Per-eval-doc contamination audit (dedup.decontamination_report):
+    for each refset doc (doc_id % 10 == 0), how many training docs share
+    >= 100 winnowing fingerprints with it, the max overlap, and the
+    worst-offender train id (deterministic tie-break). The disclosure
+    table a corpus release publishes — same fingerprint machinery as
+    dedup_decontaminate, aggregated per REF doc instead of dropped."""
+    from orientdb_spark.pipeline import dedup
+
+    docs = _docs(spark, sf_dir)
+    return dedup.decontamination_report(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        min_shared=100,
+    )
+
+
 def _text_winnow(spark, sf_dir):
     """Per-doc digest over the winnowing fingerprint set (count/min/max/
     modular sum) — compact for the driver compare while still sensitive
@@ -3344,6 +3361,7 @@ _DRIVER_FRONT = [
     "dedup_semantic_scaled",
     "dedup_minhash_incremental",
     "sample_epoch_shuffle",
+    "dedup_decontaminate_report",
     # r7-era refreshes: §2 operator surface
     "scan_class",
     "filter_projection",
@@ -3357,7 +3375,8 @@ _DRIVER_FRONT = [
     "tpch_q3_shipping",
     "dictionary_named_roots",
     "custom_operator_where",
-    "native_fluent_query",
+    # (native_fluent_query keeps its r7 record — slot went to the new
+    # decontamination-report entry)
     "security_grant_effect",
     # (ddl_remove_index_effect / ddl_remove_property_effect keep their r7
     # records — their slots went to the new incremental-dedup and
@@ -3636,6 +3655,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_minhash_incremental": _dedup_minhash_incremental,
         "dedup_decontaminate": _dedup_decontaminate,
+        "dedup_decontaminate_report": _dedup_decontaminate_report,
         "dedup_canonicalize": _dedup_canonicalize,
         "pipeline_end_to_end": _pipeline_end_to_end,
         "sample_split_assign": _sample_split_assign,
@@ -5530,6 +5550,30 @@ def oracle_sql() -> dict[str, str]:
             "WHERE f.doc_id % 10 != 0 GROUP BY f.doc_id HAVING count(*) >= 100) "
             "SELECT d.doc_id, d.lang, d.source FROM documents d "
             "WHERE d.doc_id % 10 != 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)"
+        ),
+        "dedup_decontaminate_report": (
+            # same winnow replay, aggregated per REF doc: pair shared-fp
+            # counts >= 100, then per ref_id (count, max, worst offender =
+            # most shared / smallest train id)
+            f"WITH nrm AS (SELECT doc_id, {_NORM_TEXT} AS t FROM documents), "
+            "g AS (SELECT doc_id, list_transform(range(1, length(t) - 5 + 2), "
+            f"i -> {_dk_h60('substring(t, i::INTEGER, 5)')}) AS hs "
+            "FROM nrm WHERE length(t) >= 5), "
+            "fps AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "range(1, greatest(len(hs) - 4 + 2, 2)), "
+            "j -> list_min(hs[j::INTEGER:j::INTEGER+3])))) AS fp FROM g), "
+            "pairs AS (SELECT r.doc_id AS ref_id, t.doc_id AS train_id, "
+            "count(*)::BIGINT AS ns FROM fps t JOIN fps r ON t.fp = r.fp "
+            "WHERE t.doc_id % 10 != 0 AND r.doc_id % 10 = 0 "
+            "GROUP BY 1, 2 HAVING count(*) >= 100), "
+            "rk AS (SELECT ref_id, train_id, row_number() OVER ("
+            "PARTITION BY ref_id ORDER BY ns DESC, train_id ASC) AS rk "
+            "FROM pairs), "
+            "ag AS (SELECT ref_id, count(*)::BIGINT AS n_contaminated, "
+            "max(ns)::BIGINT AS max_shared FROM pairs GROUP BY ref_id) "
+            "SELECT ag.ref_id, ag.n_contaminated, ag.max_shared, "
+            "rk.train_id AS top_train_id FROM ag "
+            "JOIN rk ON ag.ref_id = rk.ref_id AND rk.rk = 1"
         ),
         "sample_split_assign": (
             "SELECT doc_id, CASE WHEN (('0x' || substring(md5('42:' || doc_id), 1, 15))::UBIGINT::BIGINT) % 10000 < 9800 THEN 'train' "

@@ -1572,6 +1572,68 @@ def decontaminate(
     return train.join(contaminated, id_col, "left_anti")
 
 
+def decontamination_report(
+    train: DataFrame,
+    refset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """The audit companion to ``decontaminate``: instead of silently
+    dropping contaminated training docs, report the leak evidence per
+    EVAL document — which benchmark items the corpus has absorbed, how
+    badly, and the single worst offender to eyeball. A training-data
+    release needs this table (per-benchmark contamination disclosure),
+    and a drop-only operator can't produce it.
+
+    Output, one row per contaminated reference doc (clean ref docs are
+    absent — the caller knows the full refset): ``(ref_id,
+    n_contaminated, max_shared, top_train_id)`` where n_contaminated
+    counts training docs sharing ≥ ``min_shared`` winnowing fingerprints
+    with THAT ref doc, max_shared is the largest shared-fingerprint
+    count, and top_train_id is the worst offender (most shared
+    fingerprints, smallest id on ties — deterministic).
+
+    Scale: the same two-fingerprint-scan shape as ``decontaminate`` —
+    the refset fingerprint table is benchmark-sized and BROADCASTS, the
+    train side is one scan; the (ref, train) pair table the groupBys
+    aggregate holds only pairs that actually share a fingerprint, never
+    |train| × |ref|. Same winnowing guarantee: shared substrings of ≥
+    window + k − 1 normalized chars cannot be missed."""
+    from orientdb_spark.pipeline.text import winnow_fingerprints
+
+    tr_fp = winnow_fingerprints(train, text_col, id_col, k=k, window=window)
+    ref_fp = winnow_fingerprints(refset, text_col, id_col, k=k, window=window).select(
+        F.col(id_col).alias("__ref_id"), "fingerprint"
+    )
+    pair_counts = (
+        tr_fp.join(F.broadcast(ref_fp), "fingerprint")
+        .groupBy("__ref_id", id_col)
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .filter(F.col("__shared") >= min_shared)
+    )
+    # worst offender = max (shared, -train_id): one struct-max aggregate,
+    # no per-ref window
+    return (
+        pair_counts.groupBy("__ref_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminated"),
+            F.max("__shared").alias("max_shared"),
+            (-F.max(F.struct(F.col("__shared"), (-F.col(id_col)).alias("__nid")))[
+                "__nid"
+            ]).alias("top_train_id"),
+        )
+        .select(
+            F.col("__ref_id").alias("ref_id"),
+            F.col("n_contaminated").cast("long"),
+            F.col("max_shared").cast("long"),
+            F.col("top_train_id").cast("long"),
+        )
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",

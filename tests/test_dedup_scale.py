@@ -736,3 +736,46 @@ def test_decontaminate_and_semantic_edge_inputs(spark):
     embs = spark.createDataFrame([(0, [1.0, 0.0])], schema)
     with _pytest.raises(ValueError, match="n_cells"):
         dedup.embedding_duplicate_pairs(embs, n_cells="Auto", block_col=None)
+
+
+def test_decontamination_report_planted_leak(spark):
+    """A benchmark doc pasted into two training docs is reported under
+    that ref id with the right count and the deterministic worst
+    offender; an untouched ref doc produces no row."""
+    eval_text = (
+        "what is the capital of france the capital of france is paris "
+        "and it has been since the tenth century more or less"
+    )
+    other = "completely unrelated prose about gardening and soil quality"
+    refset = spark.createDataFrame(
+        [(900, eval_text), (901, other)], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro text " + eval_text[:45] + " outro text"),  # partial paste
+            (2, eval_text),                                       # verbatim copy
+            (3, "nothing in common with either reference doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.ref_id: r
+        for r in dedup.decontamination_report(
+            train, refset, min_shared=2
+        ).collect()
+    }
+    assert 901 not in rows
+    rep = rows[900]
+    assert rep.n_contaminated == 2
+    # doc 2 IS the ref text -> shares every ref fingerprint; doc 1 pastes
+    # only a prefix, so its overlap is strictly smaller
+    assert rep.top_train_id == 2
+    assert rep.max_shared >= 2
+    # ties break to the smallest train id: two verbatim copies
+    tie_train = spark.createDataFrame(
+        [(7, eval_text), (5, eval_text)], ["doc_id", "text"]
+    )
+    tied = dedup.decontamination_report(
+        tie_train, refset, min_shared=2
+    ).collect()
+    assert {(r.ref_id, r.top_train_id) for r in tied} == {(900, 5)}
