@@ -1240,18 +1240,27 @@ def embedding_decontaminate(
     Scale shape: the refset is an eval/benchmark corpus — small by
     construction (``max_ref_rows`` guards the contract) — so its matrix
     rides the task closure, and the semantic match is ONE narrow
-    Arrow-vectorized pass over train: per batch, a dimension-major
-    numpy fold computes every train×ref cosine and keeps the per-row
-    MAX (a broadcast nested-loop join with the interpreted per-pair
-    cosine HOF measured 24.8 s at 20k×800 — the vectorized pass is the
-    r7 grouped-verifier lesson applied again). Exactness is preserved:
-    round(·, 6) is monotone, so round(max_r cos_r) ≥ t ⟺ ∃r:
-    round(cos_r) ≥ t — exactly the per-ref EXISTS test the DuckDB
-    oracle runs — and the dots/norms accumulate dimension-major, the
-    same sequential fold as the SQL arithmetic. Zero-norm train rows
-    score −2 (no cosine definable → never contaminated → kept);
-    zero-norm refset rows are dropped up front; an empty refset keeps
-    everything."""
+    Arrow-vectorized pass over train: per batch, a BLAS matmul against
+    ref CHUNKS (bounded temporaries at any refset size) computes every
+    train×ref cosine and keeps the per-row MAX (a broadcast nested-loop
+    join with the interpreted per-pair cosine HOF measured 24.8 s at
+    20k×800; the r10 dimension-major outer-product fold was itself
+    memory-bandwidth-bound at refset ≳ 10³ — 64 add passes over a
+    batch×ref temp, 215 s at sf5's 100k×4k — so r11 moved the bulk to
+    dgemm). Exactness is preserved: round(·, 6) is monotone, so
+    round(max_r cos_r) ≥ t ⟺ ∃r: round(cos_r) ≥ t — exactly the
+    per-ref EXISTS test the DuckDB oracle runs. FP parity with the
+    SQL sequential fold is kept by a boundary guard, not by forcing
+    the fold order everywhere: BLAS reductions differ from the
+    sequential fold by < ~1e-13 relative, and the only consumer is
+    the HALF_UP 6-dp round, whose verdict can flip only within that
+    distance of a 0.5e-6 midpoint — any row whose BLAS max lands
+    within 1e-9 of a rounding boundary is recomputed with the exact
+    dimension-major fold (bit-identical to the oracle arithmetic), so
+    decisions match the SQL replay on every row while the hot path
+    stays dgemm. Zero-norm train rows score −2 (no cosine definable →
+    never contaminated → kept); zero-norm refset rows are dropped up
+    front; an empty refset keeps everything."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -1279,6 +1288,21 @@ def embedding_decontaminate(
     for dd in range(d):  # dimension-major: SQL-fold-identical
         Rn += R[:, dd] * R[:, dd]
     Rn = np.sqrt(Rn)
+    REF_CHUNK = 4096  # bounds the dgemm temp to batch×4096 at any refset size
+
+    def _exact_max_cos(v: "np.ndarray") -> float:
+        # the oracle's sequential fold, bit-identical: dimension-major
+        # dot/norm accumulation, per-element divide, exact max
+        vn = 0.0
+        for dd in range(d):
+            vn += v[dd] * v[dd]
+        vn = np.sqrt(vn)
+        if vn <= 0:
+            return -2.0
+        dots = np.zeros(R.shape[0])
+        for dd in range(d):
+            dots += v[dd] * R[:, dd]
+        return float((dots / (vn * Rn)).max())
 
     @pandas_udf("double")
     def max_ref_cos(vecs: pd.Series) -> pd.Series:
@@ -1297,16 +1321,29 @@ def embedding_decontaminate(
         if not idx:
             return pd.Series(out)
         M = np.stack([rows[i] for i in idx])
-        dots = np.zeros((M.shape[0], R.shape[0]))
-        Mn = np.zeros(M.shape[0])
-        for dd in range(d):  # dimension-major: SQL-fold-identical
-            dots += M[:, dd][:, None] * R[:, dd][None, :]
-            Mn += M[:, dd] * M[:, dd]
-        Mn = np.sqrt(Mn)
+        Mn = np.sqrt((M * M).sum(axis=1))
         ok = Mn > 0
         if ok.any():
-            mc = (dots[ok] / np.outer(Mn[ok], Rn)).max(axis=1)
-            out[np.asarray(idx)[ok]] = mc
+            Mo = M[ok]
+            best = np.full(Mo.shape[0], -np.inf)
+            for s in range(0, R.shape[0], REF_CHUNK):
+                c = (Mo @ R[s:s + REF_CHUNK].T) / np.outer(
+                    Mn[ok], Rn[s:s + REF_CHUNK]
+                )
+                np.maximum(best, c.max(axis=1), out=best)
+            # FP-parity boundary guard: BLAS reductions sit within
+            # ~1e-13 of the sequential fold, so the HALF_UP 6-dp
+            # verdict can only flip within that distance of a 0.5e-6
+            # midpoint — recompute those rows with the exact fold
+            y = best * 1e6
+            suspect = np.flatnonzero(
+                np.abs(y - (np.floor(y) + 0.5)) < 1e-3  # 1e-9 in cos units
+            )
+            if suspect.size:
+                m_rows = np.flatnonzero(ok)[suspect]
+                for bi, mi in zip(suspect, m_rows):
+                    best[bi] = _exact_max_cos(M[mi])
+            out[np.asarray(idx)[ok]] = best
         return pd.Series(out)
 
     scored = train.withColumn(

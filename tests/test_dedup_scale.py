@@ -779,3 +779,74 @@ def test_decontamination_report_planted_leak(spark):
         tie_train, refset, min_shared=2
     ).collect()
     assert {(r.ref_id, r.top_train_id) for r in tied} == {(900, 5)}
+
+
+def test_embedding_decontaminate_blas_parity_with_sequential_fold(spark):
+    """r11 dgemm fast path: verdicts must match a pure sequential-fold
+    reference (the oracle arithmetic) on EVERY row — random rows, rows
+    planted within the 1e-9 rounding-boundary guard window (where only
+    the exact-fold recompute is trustworthy), zero-norm and NULL rows —
+    catching both FP drift and any fast-path indexing slip."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    d, t = 16, 0.3
+    refs = rng.normal(size=(50, d))
+    rows, vecs = [], {}
+    for i in range(200):
+        v = rng.normal(size=d)
+        rows.append((i, [float(x) for x in v]))
+    # boundary plants: cosine to ref0 within ~1e-16 of a 0.5e-6 midpoint
+    r0 = refs[0] / math.sqrt(float(refs[0] @ refs[0]))
+    orth = rng.normal(size=d)
+    orth -= (orth @ r0) * r0
+    orth /= math.sqrt(float(orth @ orth))
+    for j, c in enumerate((0.2999995, 0.3000005, 0.2999985)):
+        v = c * r0 + math.sqrt(1 - c * c) * orth
+        rows.append((300 + j, [float(x) for x in v]))
+    rows.append((400, [0.0] * d))          # zero-norm: kept
+    rows.append((401, None))               # NULL: kept
+    rows.append((402, [1.0, 2.0]))         # dim mismatch: kept
+    train = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    refset = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in r]) for i, r in enumerate(refs)],
+        ["vec_id", "embedding"],
+    )
+    kept = {
+        r.vec_id
+        for r in dedup.embedding_decontaminate(
+            train, refset, threshold=t
+        ).collect()
+    }
+    # reference: per-row sequential fold + HALF_UP 6-dp round (the
+    # Spark/DuckDB convention)
+    Rn = np.zeros(len(refs))
+    for dd in range(d):
+        Rn += refs[:, dd] * refs[:, dd]
+    Rn = np.sqrt(Rn)
+    expected = set()
+    for i, emb in rows:
+        if emb is None or len(emb) != d:
+            expected.add(i)
+            continue
+        v = np.asarray(emb)
+        vn = 0.0
+        for dd in range(d):
+            vn += v[dd] * v[dd]
+        vn = math.sqrt(vn)
+        if vn <= 0:
+            expected.add(i)
+            continue
+        dots = np.zeros(len(refs))
+        for dd in range(d):
+            dots += v[dd] * refs[:, dd]
+        mc = float((dots / (vn * Rn)).max())
+        rounded = float(
+            Decimal(mc).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+        if not (rounded >= t):
+            expected.add(i)
+    assert kept == expected

@@ -69,9 +69,31 @@ def main() -> None:
     versions = eng.query("select distinct(@version) as v from Account")
     assert {r["v"] for r in versions} == {1}, versions
 
+    # the indexed-insert shape (LocalCreateIndexedDocumentSpeedTest):
+    # another N rows appended with a UNIQUE index maintained and
+    # validation ON — the unique probe is one distributed aggregation
+    # over the written table, the Spark analog of the per-record index
+    # probe
+    eng.command("create index Account.id unique")
+    src2 = spark.range(n, 2 * n).select(
+        F.col("id").cast("int").alias("id"),
+        F.lit("Luca").alias("name"),
+        F.lit("Garulli").alias("surname"),
+        F.current_date().alias("birthDate"),
+        (F.lit(3000.0) + F.col("id")).cast("float").alias("salary"),
+    ).localCheckpoint(eager=True)
+    t0 = time.time()
+    inserted2 = eng.append("Account", src2).first()["inserted"]
+    eng.catalog.set_dataframe(
+        "Account", eng.catalog.get("Account").df_supplier().localCheckpoint(eager=True)
+    )
+    t_indexed = time.time() - t0
+    assert inserted2 == n, (inserted2, n)
+
     print(json.dumps({
         "insert_1m_sec": round(t_insert, 3),
         "update_bump_sec": round(t_update, 3),
+        "indexed_insert_sec": round(t_indexed, 3),
         "rows": n,
         "docs_per_sec": round(n / t_insert),
     }))
