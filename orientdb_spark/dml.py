@@ -361,17 +361,29 @@ def bulk_append(engine, class_name: str, df: DataFrame) -> DataFrame:
     from orientdb_spark.catalog import EXTRA_COL, RID_POS_COL
 
     def run() -> DataFrame:
+        # all catalog state (class registration, next_rid advance, the
+        # table swap) commits only AFTER validation + unique probes — a
+        # rejected 1M-row append must not burn a million RID positions
+        # or leave a half-registered class behind (per-statement
+        # atomicity, the tx-layer convention)
         catalog = engine.catalog
         cls = catalog.get(class_name) if catalog.has(class_name) else None
-        if cls is None:
-            cls = catalog.register_class(class_name)
+        existing = (
+            cls.df_supplier()
+            if cls is not None and cls.df_supplier is not None
+            else None
+        )
         new_rows = df
-        if cls.properties:
+        if cls is not None and cls.properties:
+            # same overflow rule as per-row _insert: undeclared AND not
+            # already a real column of the table (a schema-less-era
+            # column stays a real column)
             declared = {p.lower() for p in cls.properties}
+            known = set(existing.columns) if existing is not None else set()
             overflow = [
                 c
                 for c in new_rows.columns
-                if c.lower() not in declared and c != EXTRA_COL
+                if c not in known and c.lower() not in declared and c != EXTRA_COL
             ]
             if overflow:
                 new_rows = new_rows.withColumn(
@@ -381,20 +393,19 @@ def bulk_append(engine, class_name: str, df: DataFrame) -> DataFrame:
                         F.array(*[F.col(c).cast("string") for c in overflow]),
                     ),
                 ).drop(*overflow)
-        existing = cls.df_supplier() if cls.df_supplier is not None else None
-        if cls.rid_pos is None:
-            if existing is not None:
-                if RID_POS_COL not in existing.columns:
-                    existing = existing.withColumn(
-                        RID_POS_COL, F.monotonically_increasing_id()
-                    ).localCheckpoint(eager=True)
-                    cls.next_rid = (
-                        existing.agg(F.max(RID_POS_COL)).first()[0] or 0
-                    ) + 1
-                elif cls.next_rid == 0:
-                    cls.next_rid = (
-                        existing.agg(F.max(RID_POS_COL)).first()[0] or 0
-                    ) + 1
+        rid_managed = cls is None or cls.rid_pos is None
+        if rid_managed:
+            if existing is not None and RID_POS_COL not in existing.columns:
+                # freeze positions for pre-existing rows (local frame
+                # only — published with the union at commit)
+                existing = existing.withColumn(
+                    RID_POS_COL, F.monotonically_increasing_id()
+                ).localCheckpoint(eager=True)
+                start = (existing.agg(F.max(RID_POS_COL)).first()[0] or 0) + 1
+            elif existing is not None and cls.next_rid == 0:
+                start = (existing.agg(F.max(RID_POS_COL)).first()[0] or 0) + 1
+            else:
+                start = cls.next_rid if cls is not None else 0
             # freeze partition assignment so the counts pass and the
             # window pass see the same pids
             new_rows = new_rows.withColumn(
@@ -404,12 +415,11 @@ def bulk_append(engine, class_name: str, df: DataFrame) -> DataFrame:
                 F.count(F.lit(1)).alias("__c")
             ).collect()  # bounded: one row per partition
             offsets: dict[int, int] = {}
-            acc = cls.next_rid
+            acc = start
             for r in sorted(counts, key=lambda row: row["__pid"]):
                 offsets[r["__pid"]] = acc
                 acc += r["__c"]
-            n = acc - cls.next_rid
-            cls.next_rid = acc
+            n = acc - start
             off = (
                 F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
                 if offsets
@@ -431,6 +441,11 @@ def bulk_append(engine, class_name: str, df: DataFrame) -> DataFrame:
             else new_rows
         )
         _check_unique(engine, class_name, union, touched=set(new_rows.columns))
+        # checks passed — commit
+        if cls is None:
+            cls = catalog.register_class(class_name)
+        if rid_managed:
+            cls.next_rid = acc
         catalog.set_dataframe(class_name, union)
         return _result(engine, inserted=n)
 

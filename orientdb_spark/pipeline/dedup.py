@@ -333,6 +333,13 @@ def minhash_lsh_pairs_incremental(
     4. exact-Jaccard verify re-shingles only the corpus docs named in
        surviving candidates (semi-join on candidate ids, then shingle
        the matched rows — never the whole corpus).
+
+    Cache note: the batch's shingle/posting frames are persisted for
+    the duration of the returned (lazy) plan, following the
+    minhash_lsh_pairs convention; a long-lived driver running many
+    batches in ONE session should release them between batches
+    (``spark.catalog.clearCache()`` or collect-then-discard), since a
+    lazy return cannot unpersist its own inputs.
     """
     if corpus_postings is None:
         corpus_postings = minhash_postings(
@@ -1469,7 +1476,7 @@ def semantic_dedup_lsh(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     planes: int | None = None,
-    dim: int = 64,
+    dim: int | None = None,
     max_cell_occupancy: int = 4096,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) with a sign-random-projection
@@ -1516,6 +1523,22 @@ def semantic_dedup_lsh(
         if n == 0:
             return zero.select(F.col("__id").alias(id_col), "cid", "is_kept")
         planes = derive_semantic_lsh_planes(n)
+    if dim is None:
+        # derive from the data and REQUIRE uniformity: a dim larger than
+        # the vectors nulls every plane dot (zip_with pads with NULL) and
+        # silently collapses all vectors into one bucket — the exact
+        # quadratic regime this variant exists to avoid — so a wrong or
+        # mixed dimensionality must be loud, not a single O(N²) cell
+        sizes = [
+            r[0] for r in nz.select(F.size("__v")).distinct().limit(2).collect()
+        ]
+        if not sizes:  # explicit planes + empty corpus
+            return zero.select(F.col("__id").alias(id_col), "cid", "is_kept")
+        if len(sizes) > 1:
+            raise ValueError(
+                f"semantic_dedup_lsh: mixed embedding dimensions {sorted(sizes)}"
+            )
+        dim = sizes[0]
     members = (
         nz.withColumn("cid", lsh_bucket_col(F.col("__v"), dim, planes))
         .withColumn("__blk0", F.lit(0))

@@ -1327,7 +1327,11 @@ def kcenter_coreset(
     newest center (classic FPS optimization — O(k·N) total cosines,
     not O(k²·N)) followed by a 1-row argmax collect; the running
     distance column rides a localCheckpoint so step j's lineage does
-    not replay steps 1..j-1, and each step unpersists the previous
+    not replay steps 1..j-1, and each step frees the previous
+    checkpoint's blocks at the RDD layer (DataFrame.unpersist is a
+    no-op for localCheckpoints — they bypass the CacheManager; pinned
+    by test_kcenter_frees_superseded_checkpoint_blocks), i.e. each
+    step drops the previous
     checkpoint so executor block storage stays O(N), not O(k·N).
     Farthest-point sampling is INHERENTLY sequential: the loop runs
     ~2·k Spark jobs (one fold + one argmax per step), so k beyond the
@@ -1371,9 +1375,30 @@ def kcenter_coreset(
     selected = [(first[0]["__id"], list(first[0]["__v"]))]
     spark = df.sparkSession
     # running min cosine-distance to the selected set; each step folds
-    # in ONLY the newest center
+    # in ONLY the newest center.
+    # Block hygiene: DataFrame.unpersist() is a NO-OP for localCheckpoint
+    # blocks (they bypass the CacheManager), so superseded folds are
+    # freed at the RDD layer — each step diffs the JVM persistent-RDD id
+    # set to learn which ids the new checkpoint owns, and unpersists the
+    # previous step's ids once the new state is materialized. Assumes
+    # the single-threaded driver this engine runs (a concurrent persist
+    # landing mid-step would be misattributed); keeps executor storage
+    # at one state copy instead of k.
+    sc = spark.sparkContext
+
+    def _pids() -> set:
+        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _free(ids: set) -> None:
+        jmap = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            jrdd = jmap.get(i)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+
+    base_ids = _pids()
     state = nz.select("__id", "__v", F.lit(None).cast("double").alias("__d"))
-    prev_state = None  # previous checkpointed fold, freed once superseded
+    prev_ids: set = set()
     for _ in range(1, k):
         cid, cvec = selected[-1]
         cv = F.array(*[F.lit(float(x)) for x in cvec])
@@ -1400,16 +1425,16 @@ def kcenter_coreset(
             .collect()
         )
         # the collect above materialized this step's checkpoint, so the
-        # previous one is dead lineage — drop its blocks (keeps executor
-        # storage at one state copy instead of k)
-        if prev_state is not None:
-            prev_state.unpersist()
-        prev_state = state
+        # previous one is dead lineage — drop its blocks at the RDD
+        # layer (see the hygiene note above)
+        cur_ids = _pids()
+        new_ids = cur_ids - base_ids - prev_ids
+        _free(prev_ids)
+        prev_ids = new_ids
         if not far:
             break  # fewer usable vectors than k: return what exists
         selected.append((far[0]["__id"], list(far[0]["__v"])))
-    if prev_state is not None:
-        prev_state.unpersist()
+    _free(prev_ids)
     return spark.createDataFrame(
         [(i, r + 1) for r, (i, _) in enumerate(selected)],
         [id_col, "selection_rank"],

@@ -139,3 +139,55 @@ def test_append_result_matches_per_row_inserts(eng, spark):
         for r in eng.query("select id, name, salary from row1 order by id")
     ]
     assert b == r
+
+
+def test_append_rejection_is_atomic(eng, spark):
+    """A rejected append must leave NO catalog trace: next_rid not
+    advanced (RIDs stay contiguous on the next success), the table
+    unchanged, and a previously-unknown class not registered."""
+    eng.command("create class atq")
+    eng.command("create property atq.code string")
+    eng.command("create index atq.code unique")
+    eng.command("insert into atq (code) values ('A')")
+    with pytest.raises(OIndexException):
+        eng.append("atq", spark.createDataFrame([("B",), ("A",)], ["code"]))
+    assert eng.table("atq").count() == 1
+    eng.append("atq", spark.createDataFrame([("C",), ("D",)], ["code"]))
+    poss = sorted(r["rid"]["pos"] for r in eng.query("select @rid from atq"))
+    assert poss == [0, 1, 2]  # the rejected 2-row batch burned nothing
+
+    from orientdb_spark.catalog import OProperty
+    from orientdb_spark.otypes import OType
+    from orientdb_spark.errors import OValidationException
+
+    # unknown class + failing validation -> class must not appear;
+    # build the failure via a declared class whose validation rejects
+    eng.command("create class atv")
+    eng.catalog.get("atv").properties["name"] = OProperty(
+        name="name", otype=OType.STRING, not_null=True
+    )
+    with pytest.raises(OValidationException):
+        eng.append("atv", spark.createDataFrame([(None,)], "name string"))
+    # no table swap committed: the class still has no backing data
+    assert eng.catalog.get("atv").df_supplier is None
+    # (an UNKNOWN class cannot be rejected at all — it has no declared
+    # constraints — so register-after-checks is purely defensive there)
+
+
+def test_append_keeps_schemaless_era_real_columns(eng, spark):
+    """Per-row INSERT parity: a column that became a REAL table column
+    during the class's schema-less era stays a real column in bulk
+    appends even after a property is declared — only columns that are
+    neither declared nor existing overflow into _extra."""
+    eng.command("create class mix2")
+    eng.command("insert into mix2(a, b) values (1, 'real')")  # schema-less era
+    eng.command("create property mix2.a integer")             # declare only a
+    eng.append(
+        "mix2",
+        spark.createDataFrame([(2, "still-real", "extra")], ["a", "b", "c"]),
+    )
+    cols = [f.name for f in eng.table("mix2").schema.fields]
+    assert "b" in cols and "c" not in cols
+    rows = {r["a"]: r for r in eng.query("select a, b, c from mix2")}
+    assert rows[2]["b"] == "still-real"   # real column, not NULL
+    assert rows[2]["c"] == "extra"        # overflow via _extra

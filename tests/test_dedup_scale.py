@@ -850,3 +850,23 @@ def test_embedding_decontaminate_blas_parity_with_sequential_fold(spark):
         if not (rounded >= t):
             expected.add(i)
     assert kept == expected
+
+
+def test_semantic_dedup_lsh_derives_dim_and_rejects_mixed(spark):
+    """dim=None (the default) derives the embedding width from the data
+    — an 8-dim corpus must NOT silently collapse into one bucket (the
+    64-dim zip_with padding would null every plane dot); mixed widths
+    raise instead of degenerating."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(256)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = dedup.semantic_dedup_lsh(df, threshold=0.99)
+    cids = {r.cid for r in out.collect()}
+    assert len(cids) > 1, "8-dim corpus collapsed into one bucket"
+    mixed = spark.createDataFrame(
+        rows[:4] + [(999, [1.0] * 12)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="mixed embedding dimensions"):
+        dedup.semantic_dedup_lsh(mixed, threshold=0.99)

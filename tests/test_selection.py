@@ -269,3 +269,17 @@ def test_dsir_weights_order_invariant(spark):
     w1 = sorted(map(tuple, sampling.dsir_importance_weights(src1, tgt).collect()))
     w2 = sorted(map(tuple, sampling.dsir_importance_weights(src2, tgt).collect()))
     assert w1 == w2 and len(w1) == 60
+
+
+def test_kcenter_frees_superseded_checkpoint_blocks(spark):
+    """DataFrame.unpersist() is a no-op for localCheckpoint blocks, so
+    the fold hygiene works at the RDD layer: after a k=12 run, executor
+    block storage must hold no more persistent RDDs than before the run
+    (every superseded fold's checkpoint freed, including the last)."""
+    sc = spark.sparkContext
+    before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    S.kcenter_coreset(embs, k=12).collect()
+    after = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    leaked = after - before
+    assert not leaked, f"leaked persistent RDD ids: {sorted(leaked)}"

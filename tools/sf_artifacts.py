@@ -197,6 +197,12 @@ def main():
             cwd="/root/repo",
         ).stdout.strip().splitlines()[-1]
         runs.append(json.loads(bench_out))
+    # snapshot the real per-run totals BEFORE any merging: runs[0] is
+    # mutated below (bench aliases it), and the r11 first-use of this
+    # convention recorded run_totals[0] = the min-merged total because
+    # of exactly that aliasing — the spread the convention exists to
+    # record was lost (BENCH.md erratum)
+    run_totals = [r["value"] for r in runs]
     bench = runs[0]
     bench["queries"] = {
         q: min(r["queries"][q] for r in runs if q in r["queries"])
@@ -206,7 +212,7 @@ def main():
     bench["samples"] = {
         q: sum(r["samples"].get(q, 0) for r in runs) for q in bench["samples"]
     }
-    bench["run_totals"] = [r["value"] for r in runs]
+    bench["run_totals"] = run_totals
     bench["convention"] = "per-query min of 2 standalone runs (BENCH.md r10)"
     bench["provenance"] = corr["__provenance__"] | {"bench_sf_dir": sf_dir}
     with open(f"/root/repo/BENCH_{suffix}.json", "w") as f:
