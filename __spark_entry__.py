@@ -3299,6 +3299,86 @@ def _native_fluent_query(spark, sf_dir):
     )
 
 
+# --- model-based curation entries (pipeline/model.py, r11) -------------------
+
+
+def _classifier_label(df):
+    """Deterministic binary label for the classifier entries: the
+    'target language' proxy (lang = 'en') — the GPT-3 App. A shape is
+    'looks like the curated corpus vs not'; any 0/1 column works."""
+    return df.withColumn("__lbl", (F.col("lang") == "en").cast("int"))
+
+
+def _text_classifier_train(spark, sf_dir):
+    """Distributed logistic-regression training of a linear quality
+    classifier over hashed bag-of-words features (the fasttext /
+    GPT-3-App.A / FineWeb-Edu filter family; pipeline/model.py).
+    ORACLE-EXACT: every GD iteration quantizes the weights to the
+    6-dp nudge-rounded grid (the kmeans/k-center discipline), so the
+    oracle's unrolled-CTE replay — feature hashing, L1 normalization,
+    sigmoid errors, gradient sums, weight updates — reproduces the
+    trained model bit-for-bit. The numpy-GD agreement gate lives in
+    tests/test_model.py."""
+    from orientdb_spark.pipeline import model
+
+    w = model.train_quality_classifier(
+        _classifier_label(_docs(spark, sf_dir)),
+        "__lbl",
+        n_buckets=16,
+        iters=3,
+        lr=1.0,
+    )
+    return spark.createDataFrame(
+        [(int(k), float(v)) for k, v in sorted(w.items())],
+        "bucket BIGINT, weight DOUBLE",
+    )
+
+
+def _text_classifier_score(spark, sf_dir):
+    """Train-then-score composition: the broadcast-weights inference
+    pass over the whole corpus (scan → in-row hash → per-token weight
+    lookup in a d-element literal array → one map-side-combinable
+    groupBy — the plan a 100 TB quality filter actually runs;
+    plan-pinned single-exchange in tests/test_model.py). The oracle
+    replays training AND scoring under one hash check."""
+    from orientdb_spark.pipeline import model
+
+    docs = _classifier_label(_docs(spark, sf_dir))
+    w = model.train_quality_classifier(docs, "__lbl", n_buckets=16, iters=3, lr=1.0)
+    return model.classifier_score(docs, w)
+
+
+def _sample_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity stratification (Wenzek et al.
+    2020; pipeline/model.perplexity_buckets): per-language exact
+    interpolated tercile cuts over the corpus-trained bigram-LM NLL.
+    Composes the text_lm_score oracle with quantile_cont thresholds —
+    the F.percentile == quantile_cont parity precedent."""
+    from orientdb_spark.pipeline import model
+
+    return model.perplexity_buckets(_docs(spark, sf_dir))
+
+
+def _multimodal_pair_filter(spark, sf_dir):
+    """CLIP-score pair filtering (Schuhmann et al. 2021, LAION;
+    pipeline/multimodal.pair_score_filter): image/caption embedding
+    pairs (even/odd vec_id halves of the embeddings table) kept when
+    the nudge-rounded cosine clears the threshold; zero-norm sides
+    dropped explicitly (a NaN cosine would be silently KEPT by both
+    engines' NaN-is-largest ordering — the guard encodes the contract
+    instead). τ=0.0 on the isotropic fixture keeps ~half the pairs."""
+    from orientdb_spark.pipeline import multimodal
+
+    embs = _embs(spark, sf_dir)
+    img = embs.filter(F.col("vec_id") % 2 == 0).select(
+        F.expr("vec_id div 2").alias("pair_id"), "embedding"
+    )
+    txt = embs.filter(F.col("vec_id") % 2 == 1).select(
+        F.expr("vec_id div 2").alias("pair_id"), "embedding"
+    )
+    return multimodal.pair_score_filter(img, txt, threshold=0.0)
+
+
 # --- queries registry --------------------------------------------------------
 
 
@@ -3373,16 +3453,18 @@ _DRIVER_FRONT = [
     "group_having_order",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    "dictionary_named_roots",
-    "custom_operator_where",
-    # (native_fluent_query keeps its r7 record — slot went to the new
-    # decontamination-report entry)
-    "security_grant_effect",
-    # (ddl_remove_index_effect / ddl_remove_property_effect keep their r7
-    # records — their slots went to the new incremental-dedup and
-    # epoch-shuffle entries; the mirror harness re-verifies both every
-    # run, and "no record older than r7" still holds)
-    "async_query_abort_effect",
+    # (native_fluent_query, ddl_remove_index_effect,
+    # ddl_remove_property_effect, dictionary_named_roots,
+    # custom_operator_where, security_grant_effect,
+    # async_query_abort_effect keep their r7 records — their slots went
+    # to the never-recorded r11 entries: the four continuation-session
+    # additions above plus the four model-based-curation entries below;
+    # the mirror harness re-verifies every oracle entry each run, and
+    # "no record older than r7" still holds)
+    "text_classifier_train",
+    "text_classifier_score",
+    "sample_perplexity_buckets",
+    "multimodal_pair_filter",
     # r7-era refreshes: one representative per family
     "graph_sssp",
     "graph_cc_incremental",
@@ -3719,6 +3801,11 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "fulltext_phrase_search": _fulltext_phrase_search,
         "profile_value_histogram": _profile_value_histogram,
         "text_lm_score": _text_lm_score,
+        # model-based curation (pipeline/model.py, r11)
+        "text_classifier_train": _text_classifier_train,
+        "text_classifier_score": _text_classifier_score,
+        "sample_perplexity_buckets": _sample_perplexity_buckets,
+        "multimodal_pair_filter": _multimodal_pair_filter,
         "pipeline_quality_gate": _pipeline_quality_gate,
         "text_unicode_normalize": _text_unicode_normalize,
         "pipeline_multimodal_end_to_end": _pipeline_multimodal_end_to_end,
@@ -4105,6 +4192,76 @@ def _lm_oracle_sql() -> str:
         "FROM pairs JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v) "
         "SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
         "round(avg(nll), 6) AS nll FROM sc GROUP BY doc_id"
+    )
+
+
+def _classifier_oracle_sql(d: int, iters: int, lr: float, output: str) -> str:
+    """Unrolled logistic-GD replay (model.train_quality_classifier /
+    classifier_score): t0 tokenizes and labels (lang = 'en'); x is the
+    L1-normalized hashed bucket frequency; each iteration computes
+    per-doc z against w{t} (missing buckets contribute exact 0.0 on
+    both engines), sigmoid errors, per-bucket gradient sums over the
+    w{t} spine (range(-1, d) — bucket -1 is the intercept), and the
+    6-dp nudge-rounded weight update — the same grid quantization the
+    Spark driver loop applies, so distributed-sum order noise never
+    crosses an iteration boundary. output='train' emits the weight
+    table; 'score' adds the per-token broadcast-lookup inference pass
+    (mean bucket weight + intercept through the sigmoid, rounded)."""
+    h = _dk_h60("tok")
+    parts = [
+        "WITH t0 AS (SELECT doc_id, "
+        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, "
+        f"{_DK_TOKS_LOWER} AS t FROM documents), "
+        "docs AS (SELECT doc_id, y FROM t0 WHERE len(t) >= 1), "
+        f"tk AS (SELECT doc_id, ({h}) % {d} AS bucket FROM "
+        "(SELECT doc_id, unnest(t) AS tok FROM t0 WHERE len(t) >= 1)), "
+        "f AS (SELECT doc_id, bucket, count(*)::DOUBLE AS c FROM tk GROUP BY 1, 2), "
+        "x AS (SELECT f.doc_id, f.bucket, f.c / nt.n AS x FROM f JOIN "
+        "(SELECT doc_id, sum(c) AS n FROM f GROUP BY 1) nt USING (doc_id)), "
+        "nd AS (SELECT count(*)::DOUBLE AS n FROM docs), "
+        f"w0 AS (SELECT unnest(range(-1, {d})) AS bucket, 0.0 AS w)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f", zs{t} AS (SELECT x.doc_id, sum(x.x * w.w) AS zz FROM x "
+            f"JOIN w{t} w USING (bucket) GROUP BY 1)"
+            f", e{t} AS (SELECT d.doc_id, 1.0 / (1.0 + exp(-(coalesce(zz, 0.0) "
+            f"+ (SELECT w FROM w{t} WHERE bucket = -1)))) - d.y AS err "
+            f"FROM docs d LEFT JOIN zs{t} USING (doc_id))"
+            f", g{t} AS (SELECT x.bucket, sum(e.err * x.x) AS g FROM x "
+            f"JOIN e{t} e USING (doc_id) GROUP BY 1)"
+            f", w{t + 1} AS (SELECT bucket, round(w.w - {lr!r} * "
+            f"(CASE WHEN bucket = -1 THEN (SELECT sum(err) FROM e{t}) "
+            f"ELSE coalesce(g.g, 0.0) END) / (SELECT n FROM nd) + 1e-12, 6) AS w "
+            f"FROM w{t} w LEFT JOIN g{t} g USING (bucket))"
+        )
+    if output == "train":
+        parts.append(f" SELECT bucket::BIGINT AS bucket, w AS weight FROM w{iters}")
+    else:
+        parts.append(
+            f", sc AS (SELECT tk.doc_id, sum(w.w) / count(*) AS z FROM tk "
+            f"JOIN w{iters} w USING (bucket) GROUP BY 1) "
+            f"SELECT doc_id, round(1.0 / (1.0 + exp(-(z + (SELECT w FROM w{iters} "
+            "WHERE bucket = -1)))) + 1e-12, 6) AS score FROM sc"
+        )
+    return "".join(parts)
+
+
+def _perplexity_buckets_oracle_sql(lo: float, hi: float) -> str:
+    """CCNet bucket replay: the lm_score oracle as a subquery, joined
+    with lang; per-language exact interpolated percentiles nudge-rounded
+    to the same 6-dp grid as the NLLs they cut (so the ≤ comparisons
+    see identical grid doubles in both engines)."""
+    return (
+        f"WITH m AS ({_lm_oracle_sql()}), "
+        "sl AS (SELECT m.doc_id, d.lang, m.nll FROM m JOIN documents d "
+        "USING (doc_id)), "
+        f"thr AS (SELECT lang, round(quantile_cont(nll, {lo!r}) + 1e-12, 6) "
+        f"AS tlo, round(quantile_cont(nll, {hi!r}) + 1e-12, 6) AS thi "
+        "FROM sl GROUP BY lang) "
+        "SELECT doc_id, lang, nll, CASE WHEN nll <= tlo THEN 'head' "
+        "WHEN nll <= thi THEN 'middle' ELSE 'tail' END AS bucket "
+        "FROM sl JOIN thr USING (lang)"
     )
 
 
@@ -6079,6 +6236,22 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "FROM b WHERE rk = 1 GROUP BY 1, 2"
         ),
         "text_lm_score": _lm_oracle_sql(),
+        "text_classifier_train": _classifier_oracle_sql(16, 3, 1.0, "train"),
+        "text_classifier_score": _classifier_oracle_sql(16, 3, 1.0, "score"),
+        "sample_perplexity_buckets": _perplexity_buckets_oracle_sql(1 / 3, 2 / 3),
+        "multimodal_pair_filter": (
+            "WITH i AS (SELECT vec_id // 2 AS pair_id, "
+            "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings "
+            "WHERE vec_id % 2 = 0), "
+            "tt AS (SELECT vec_id // 2 AS pair_id, "
+            "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings "
+            "WHERE vec_id % 2 = 1), "
+            "s AS (SELECT pair_id, round(" + _dk_cos("i.v", "tt.v") + " + 1e-12, 6) "
+            "AS pair_score FROM i JOIN tt USING (pair_id) "
+            "WHERE list_dot_product(i.v, i.v) > 0 "
+            "AND list_dot_product(tt.v, tt.v) > 0) "
+            "SELECT pair_id, pair_score FROM s WHERE pair_score >= 0.0"
+        ),
         "text_unicode_normalize": (
             "WITH fx AS (SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 "
             "THEN ' cafe' || chr(769) ELSE '' END AS t FROM documents), "

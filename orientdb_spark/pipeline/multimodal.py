@@ -390,3 +390,55 @@ def perceptual_hash(
         sized.withColumn("__mean", mean)
         .select(F.col(id_col), out.alias("phash"))
     )
+
+
+def pair_score_filter(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "pair_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.28,
+    score_col: str = "pair_score",
+) -> DataFrame:
+    """CLIP-score pair filtering (Schuhmann et al. 2021 — the LAION
+    curation step): join the two modality embeddings of each pair
+    (image side / caption side) on the pair id, score the pair by
+    embedding cosine, and keep pairs whose ROUNDED score clears
+    ``threshold`` (LAION-400M used 0.28 with CLIP ViT-B/32).
+
+    The decode/encode stages are upstream (this module's mapInPandas
+    plumbing + a real encoder in deployment); this operator is the
+    curation decision itself, and it is exact: cosine is the
+    sequential-fold dot product (bit-identical to the oracle's
+    list_dot_product), nudge-rounded to the 6-dp grid before the
+    threshold compare. Pairs where either side has zero norm are
+    DROPPED explicitly (no similarity definable) — without the guard
+    a NaN cosine would be silently KEPT, since both Spark and DuckDB
+    order NaN above every float (the embedding_decontaminate zero-norm
+    lesson).
+
+    Scale shape: one equi-join on pair_id (both sides hash-partition
+    on the key — at 100 TB this is the one exchange per side; bucket
+    both tables by pair_id at write time and it goes away), then a
+    narrow in-row score + filter. No crossJoin, no per-pair Python.
+
+    Returns (id, score) for kept pairs."""
+    from .common import cosine_similarity, vec_norm
+
+    a = left.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__a")
+    )
+    b = right.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__b")
+    )
+    scored = (
+        a.join(b, id_col)
+        .filter((vec_norm(F.col("__a")) > 0) & (vec_norm(F.col("__b")) > 0))
+        .select(
+            F.col(id_col),
+            F.round(
+                cosine_similarity(F.col("__a"), F.col("__b")) + F.lit(1e-12), 6
+            ).alias(score_col),
+        )
+    )
+    return scored.filter(F.col(score_col) >= F.lit(float(threshold)))
