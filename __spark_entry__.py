@@ -1939,6 +1939,21 @@ def _pipeline_end_to_end(spark, sf_dir):
     )
 
 
+def _sample_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe split (sampling.leakage_safe_split): minhash-LSH
+    duplicate pairs → star-contraction CC → split assignment keyed on
+    the CLUSTER id, so near-duplicates can never straddle train/test.
+    The oracle replays the full composition: the minhash pipeline, the
+    recursive-CTE closure, and the split hash on the cluster key."""
+    from orientdb_spark.pipeline import dedup, sampling
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.9)
+    return sampling.leakage_safe_split(docs, pairs).select(
+        "doc_id", "cluster_key", "split"
+    )
+
+
 def _embedding_quantize(spark, sf_dir):
     """Scalar quantization digest: per-vec code sum + midpoint
     reconstruction error. floor/sub/mul/div are IEEE-exact so the
@@ -3471,7 +3486,10 @@ _DRIVER_FRONT = [
     "event_scd2",
     "quality_fd_check",
     "multimodal_phash_dedup",
-    "dedup_simhash_hamming",
+    # (dedup_simhash_hamming keeps its r7 record — slot went to the new
+    # cluster-co-assigned split entry; the dedup family is already
+    # represented in this front by the three new r11 dedup entries)
+    "sample_leakage_safe_split",
 ]
 
 
@@ -3806,6 +3824,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_classifier_score": _text_classifier_score,
         "sample_perplexity_buckets": _sample_perplexity_buckets,
         "multimodal_pair_filter": _multimodal_pair_filter,
+        "sample_leakage_safe_split": _sample_leakage_safe_split,
         "pipeline_quality_gate": _pipeline_quality_gate,
         "text_unicode_normalize": _text_unicode_normalize,
         "pipeline_multimodal_end_to_end": _pipeline_multimodal_end_to_end,
@@ -5876,6 +5895,21 @@ SELECT doc_id, cluster_id, lang, source,
             WHEN (('0x' || substring(md5('42:' || doc_id), 1, 15))::UBIGINT::BIGINT) % 10000 < 9900 THEN 'valid'
             ELSE 'test' END AS split
 FROM q WHERE rk = 1
+""",
+        "sample_leakage_safe_split": _minhash_oracle_sql(pairs_cte=True)
+        + """,
+e AS (SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b AS a, id_a AS b FROM pairs),
+reach AS (SELECT a, b FROM e
+          UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+full0 AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_key
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+SELECT doc_id, cluster_key,
+       CASE WHEN (('0x' || substring(md5('42:' || cluster_key), 1, 15))::UBIGINT::BIGINT) % 10000 < 9800 THEN 'train'
+            WHEN (('0x' || substring(md5('42:' || cluster_key), 1, 15))::UBIGINT::BIGINT) % 10000 < 9900 THEN 'valid'
+            ELSE 'test' END AS split
+FROM full0
 """,
         "pipeline_incremental_dedup": _minhash_oracle_sql(pairs_cte=True)
         + """,

@@ -223,6 +223,52 @@ def canonicalize(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    ratios: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    seed: int = 42,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Leakage-safe train/valid/test split: docs connected by duplicate
+    pairs are split as ONE unit — the split hash keys on the duplicate
+    CLUSTER id (min member id; docs in no pair key on themselves), so a
+    near-duplicate of a test doc can never land in train. Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better")
+    measured eval sets leaking into train through near-duplicates;
+    deduplication shrinks the leak, co-assigning whole clusters
+    eliminates it even for the duplicates a pipeline chooses to keep.
+
+    Composition: pairs (any detector — minhash / simhash / jaccard /
+    embedding) → star-contraction CC (duplicate_clusters) →
+    assign_split keyed on the cluster id. Properties inherited from
+    assign_split: pure function of (seed, key), re-run stable,
+    corpus-growth stable — plus one new one: stable under dup-cluster
+    GROWTH (a new member adopts the existing cluster's split as long
+    as the cluster id, its min member id, stands).
+
+    Scale shape: the clusters frame holds only docs that matched a
+    pair (bounded by the detector's bucket caps), so the left join
+    broadcasts in the common regime; the split assignment itself stays
+    shuffle-free in-row hashing.
+
+    Returns df + (cluster_key, split)."""
+    clusters = duplicate_clusters(pairs, id_a, id_b)
+    joined = (
+        df.join(clusters, id_col, "left")
+        .withColumn(
+            "cluster_key", F.coalesce(F.col("cluster_id"), F.col(id_col))
+        )
+        .drop("cluster_id")
+    )
+    return assign_split(
+        joined, ratios, id_col="cluster_key", seed=seed, buckets=buckets
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str = "n_tokens",

@@ -545,3 +545,62 @@ def test_epoch_shard_order_validates(spark):
         epoch_shard_order(docs, n_epochs=0)
     with pytest.raises(ValueError, match="n_shards"):
         epoch_shard_order(docs, n_shards=0)
+
+
+def test_leakage_safe_split_coassigns_clusters(spark):
+    """Every member of a duplicate cluster must land in the SAME split,
+    keyed by the cluster's min member id; unpaired docs match plain
+    assign_split exactly."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id LONG, text STRING"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 150), (150, 199), (7, 8)], "id_a LONG, id_b LONG"
+    )
+    out = sampling.leakage_safe_split(
+        docs, pairs, ratios={"train": 0.5, "valid": 0.25, "test": 0.25}
+    )
+    got = {r["doc_id"]: (r["cluster_key"], r["split"]) for r in out.collect()}
+    # chain 0-150-199 is one component keyed at 0; pair (7,8) keyed at 7
+    assert got[0] == got[150] == got[199]
+    assert got[0][0] == 0
+    assert got[7] == got[8]
+    assert got[7][0] == 7
+    # unpaired docs: own key, and the SAME split plain assign_split gives
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in sampling.assign_split(
+            docs, ratios={"train": 0.5, "valid": 0.25, "test": 0.25}
+        ).collect()
+    }
+    for i in range(200):
+        if i in (0, 150, 199, 7, 8):
+            continue
+        assert got[i] == (i, plain[i])
+
+
+def test_leakage_safe_split_stable_under_cluster_growth(spark):
+    """A new doc joining an existing cluster adopts the cluster's split;
+    prior members keep theirs (the min member id stands)."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], "doc_id LONG, text STRING"
+    )
+    before = {
+        r["doc_id"]: r["split"]
+        for r in sampling.leakage_safe_split(
+            docs, spark.createDataFrame([(3, 9)], "id_a LONG, id_b LONG")
+        ).collect()
+    }
+    grown = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(51)], "doc_id LONG, text STRING"
+    )
+    after = {
+        r["doc_id"]: r["split"]
+        for r in sampling.leakage_safe_split(
+            grown,
+            spark.createDataFrame([(3, 9), (9, 50)], "id_a LONG, id_b LONG"),
+        ).collect()
+    }
+    assert after[50] == after[3] == after[9] == before[3]
+    for i in range(50):
+        assert after[i] == before[i]

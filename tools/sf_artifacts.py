@@ -76,6 +76,22 @@ SF1_ENTRIES = [
     # quadratic oracle stays O(N·~32) at every SF — the semantic-dedup
     # family's above-driver hash evidence
     "dedup_semantic_scaled",
+    # r11 continuation: the sub-second r11 entries whose oracles scale
+    # (NOTES_r11 r12 pointer, pre-empted) — incremental MinHash dedup
+    # (the minhash replay already runs at sf5/sf10 for the full-run
+    # entry), the per-epoch shard permutation (pure h60 arithmetic),
+    # and the winnow-replay decontamination report (linear gram stream)
+    "dedup_minhash_incremental",
+    "sample_epoch_shuffle",
+    "dedup_decontaminate_report",
+    # model-based curation family (r11 continuation): the GD replay is
+    # d+1 weights x iters tiny CTEs over a linear token stream; the
+    # CCNet bucket oracle rides the lm_score replay (value-exact at
+    # sf1/sf5/sf10 since r6); the pair filter is one linear join
+    "text_classifier_train",
+    "text_classifier_score",
+    "sample_perplexity_buckets",
+    "multimodal_pair_filter",
 ]
 
 
