@@ -54,6 +54,13 @@ HEADLINE = [
     "sample_dsir",
     "sample_kcenter_coreset",
     "sample_token_budget",
+    # r11 continuation operators above the ~1.5 s line at sf0.1
+    # (train+score composition 1.8 s, CCNet buckets 1.6 s, cluster-keyed
+    # split 2.9 s min-of-3 on arrival): bench-visible from day one so
+    # regression tracking starts with their first record
+    "text_classifier_score",
+    "sample_perplexity_buckets",
+    "sample_leakage_safe_split",
 ]
 
 
@@ -100,6 +107,11 @@ def main() -> None:
         "dedup_semantic": 3,
         "sample_dsir": 3,
         "sample_kcenter_coreset": 3,
+        # r11 continuation multi-second entries (min-of-3 on arrival:
+        # classifier 1.8 s, perplexity buckets 1.6 s, leakage split 2.9 s)
+        "text_classifier_score": 3,
+        "sample_perplexity_buckets": 3,
+        "sample_leakage_safe_split": 3,
     }
     timings: dict[str, float] = {}
     samples: dict[str, int] = {}
