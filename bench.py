@@ -61,6 +61,13 @@ HEADLINE = [
     "text_classifier_score",
     "sample_perplexity_buckets",
     "sample_leakage_safe_split",
+    # r11 continuation-2: retrieval serving (MMR re-rank, hybrid RRF),
+    # tokenizer application, domain-mixture reweighting — bench-visible
+    # from their first record
+    "sim_topk_mmr",
+    "sim_hybrid_rrf",
+    "text_bpe_encode",
+    "sample_domain_reweight",
 ]
 
 
@@ -112,6 +119,11 @@ def main() -> None:
         "text_classifier_score": 3,
         "sample_perplexity_buckets": 3,
         "sample_leakage_safe_split": 3,
+        # continuation-2 multi-second entries: BPE train+encode runs 10
+        # sequential merge rounds; domain reweight rides the lm_score
+        # corpus pass
+        "text_bpe_encode": 3,
+        "sample_domain_reweight": 3,
     }
     timings: dict[str, float] = {}
     samples: dict[str, int] = {}

@@ -834,3 +834,86 @@ def epoch_shard_order(
         "shard",
         (F.row_number().over(w) - 1).cast("long").alias("pos"),
     )
+
+
+def domain_reweight(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    iters: int = 3,
+    eta: float = 0.5,
+    smoothing: float = 0.2,
+) -> DataFrame:
+    """Domain-mixture reweighting (the DoReMi shape, Xie et al. 2023):
+    upweight domains whose corpus-LM excess loss is high — the
+    under-represented / hard domains a proxy model learns least — and
+    return the smoothed sampling weights a mixture sampler
+    (``sample_mixture``) feeds from. The reference loss here is the
+    repo's corpus-trained bigram LM (``text.lm_score``, the CCNet
+    proxy); excess loss is each domain's mean NLL above the easiest
+    domain's.
+
+    Update rule: multiplicative weights with a LINEAR payoff,
+    ``w ← normalize(w · (1 + eta·excess))`` — Hedge's small-eta linear
+    approximation of DoReMi's exponentiated gradient, chosen
+    deliberately: +,·,/ only, so the whole trajectory is deterministic
+    double arithmetic with NO libm transcendentals inside the loop and
+    a DuckDB replay is bit-identical (exp() is the one op with no
+    cross-engine bit guarantee). Each iteration re-normalizes and
+    snaps to the 6-dp nudge-rounded grid — distributed-sum order noise
+    never crosses an iteration boundary (the classifier-GD precedent,
+    model.py). Final weights get uniform smoothing:
+    ``(1−smoothing)·w + smoothing/S``.
+
+    Shape at scale: ONE corpus pass (the lm_score join) reduced to an
+    S-row frame (S = #domains, bounded by construction); the iteration
+    loop is S-row window arithmetic — partitionBy() over S rows, never
+    the corpus. Returns (source, n_docs, mean_nll, excess_nll, weight).
+    """
+    from orientdb_spark.pipeline.text import lm_score
+
+    if iters < 1:
+        raise ValueError(f"need iters >= 1, got {iters}")
+    if not 0.0 <= smoothing <= 1.0:
+        raise ValueError(f"smoothing must be in [0, 1], got {smoothing}")
+    nll = lm_score(df, text_col=text_col, id_col=id_col)
+    per_src = (
+        df.select(F.col(id_col), F.col(source_col).alias("source"))
+        .join(nll, on=id_col)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("nll") + F.lit(1e-12), 6).alias("mean_nll"),
+        )
+    )
+    everything = Window.partitionBy()  # S rows total — never corpus-sized
+    per_src = per_src.withColumn(
+        "excess_nll",
+        F.round(
+            F.col("mean_nll") - F.min("mean_nll").over(everything) + F.lit(1e-12),
+            6,
+        ),
+    ).withColumn("__s", F.count(F.lit(1)).over(everything).cast("double"))
+    w = F.lit(1.0) / F.col("__s")
+    for _ in range(iters):
+        u = w * (F.lit(1.0) + F.lit(float(eta)) * F.col("excess_nll"))
+        per_src = per_src.withColumn("__u", u).withColumn(
+            "__w",
+            F.round(
+                F.col("__u") / F.sum("__u").over(everything) + F.lit(1e-12), 6
+            ),
+        )
+        w = F.col("__w")
+    return per_src.select(
+        "source",
+        "n_docs",
+        "mean_nll",
+        "excess_nll",
+        F.round(
+            F.lit(1.0 - float(smoothing)) * w
+            + F.lit(float(smoothing)) / F.col("__s")
+            + F.lit(1e-12),
+            6,
+        ).alias("weight"),
+    )

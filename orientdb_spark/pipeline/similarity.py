@@ -1439,3 +1439,314 @@ def kcenter_coreset(
         [(i, r + 1) for r, (i, _) in enumerate(selected)],
         [id_col, "selection_rank"],
     )
+
+
+def _rdd_ids(sc) -> set:
+    """JVM persistent-RDD id snapshot (localCheckpoint blocks bypass the
+    CacheManager, so hygiene works at the RDD layer — the kcenter
+    pattern). Assumes the single-threaded driver this engine runs."""
+    return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _free_rdd_ids(sc, ids: set) -> None:
+    jmap = sc._jsc.getPersistentRDDs()
+    for i in ids:
+        jrdd = jmap.get(i)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 20,
+    lam: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): per query, greedily pick the candidate maximizing
+    ``lam·relevance − (1−lam)·max-similarity-to-already-picked`` — the
+    serving-side re-rank that keeps a RAG context window from filling
+    with k near-copies of the same passage.
+
+    Two stages. (1) Candidate generation: exact cosine top-``m`` per
+    query (swap in ivf/lsh/imi_topk upstream at scale — anything that
+    yields (query_id, neighbor_id, rel) works, the re-rank only needs
+    the m·d candidate vectors). (2) Greedy selection, unrolled as k
+    tiny DataFrame steps: candidate↔candidate similarities are one
+    Q·m² self-join computed ONCE, then each step is an anti-join
+    (remaining), a groupBy-max against the ≤Q·k selected rows, and a
+    per-query row_number pick. Nothing is ever corpus-quadratic: the
+    corpus is touched once by stage 1; every stage-2 frame is bounded
+    by Q·m² rows regardless of N.
+
+    Determinism discipline (cross-engine, same as the ANN oracles):
+    relevance and pair similarities are the sequential-fold cosine
+    rounded to 6 dp, the greedy score is round(lam·rel −
+    (1−lam)·maxsim + 1e-12, 6) — the nudge because lam=0.5 times a
+    6-dp value lands EXACTLY on the .5e-6 midpoint where Spark's
+    shortest-decimal HALF_UP and a binary-double round disagree (the
+    pq_adc_score precedent, quantize.py) — and every argmax tiebreaks
+    on neighbor_id, so a DuckDB replay of the unrolled steps is
+    bit-identical.
+
+    Returns (query_id, neighbor_id, relevance, mmr_score, mmr_rank),
+    mmr_rank 1..k per query (fewer if the corpus has < k candidates).
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k > m:
+        raise ValueError(f"k ({k}) must be <= candidate pool m ({m})")
+    sc = corpus.sparkSession.sparkContext
+    ids0 = _rdd_ids(sc)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).withColumn("__qn", vec_norm(F.col("__qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("__cn", vec_norm(F.col("__cv")))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "__c",
+            cosine_similarity(
+                F.col("__qv"), F.col("__cv"),
+                norm_a=F.col("__qn"), norm_b=F.col("__cn"),
+            ),
+        )
+    )
+    # rank on the UNROUNDED cosine (brute_force_topk convention); carry
+    # the candidate vector through so pair sims don't re-scan the corpus
+    cands = (
+        per_query_topk_rank(scored, m, [F.col("__c").desc(), F.col("neighbor_id")])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("__c", 6).alias("relevance"),
+            F.col("__cv"),
+            F.col("__cn"),
+            "rank",
+        )
+        # Q·m rows; 5 greedy steps re-read this and the pairs frame —
+        # checkpoint once so the corpus scan doesn't run 2k+1 times
+        .localCheckpoint(eager=True)
+    )
+    a = cands.select(
+        "query_id",
+        F.col("neighbor_id").alias("__ia"),
+        F.col("__cv").alias("__va"),
+        F.col("__cn").alias("__na"),
+    )
+    b = cands.select(
+        "query_id",
+        F.col("neighbor_id").alias("__ib"),
+        F.col("__cv").alias("__vb"),
+        F.col("__cn").alias("__nb"),
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("__ia") != F.col("__ib"))
+        .select(
+            "query_id",
+            "__ia",
+            "__ib",
+            F.round(
+                cosine_similarity(
+                    F.col("__va"), F.col("__vb"),
+                    norm_a=F.col("__na"), norm_b=F.col("__nb"),
+                ),
+                6,
+            ).alias("__s"),
+        )
+        .localCheckpoint(eager=True)  # Q·m² rows, read k-1 times
+    )
+    # candidate/pair scaffolding blocks — freed once the final selection
+    # checkpoint no longer depends on them (see the loop tail)
+    infra_ids = _rdd_ids(sc) - ids0
+    lam_c, inv_c = F.lit(float(lam)), F.lit(1.0 - float(lam))
+    slim = cands.select("query_id", "neighbor_id", "relevance", "rank")
+    selected = slim.filter(F.col("rank") == 1).select(
+        "query_id",
+        "neighbor_id",
+        "relevance",
+        F.round(lam_c * F.col("relevance") + F.lit(1e-12), 6).alias("mmr_score"),
+        F.lit(1).alias("mmr_rank"),
+    )
+    sel_ids: set = set()
+    for t in range(2, k + 1):
+        maxsim = (
+            pairs.join(
+                selected.select(
+                    "query_id", F.col("neighbor_id").alias("__ib")
+                ),
+                ["query_id", "__ib"],
+            )
+            .groupBy("query_id", F.col("__ia").alias("neighbor_id"))
+            .agg(F.max("__s").alias("__maxsim"))
+        )
+        pick = (
+            slim.join(
+                selected.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_anti",
+            )
+            .join(maxsim, ["query_id", "neighbor_id"])
+            .select(
+                "query_id",
+                "neighbor_id",
+                "relevance",
+                F.round(
+                    lam_c * F.col("relevance") - inv_c * F.col("__maxsim")
+                    + F.lit(1e-12),
+                    6,
+                ).alias("mmr_score"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("mmr_score").desc(), F.col("neighbor_id")
+        )
+        pick = (
+            pick.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "query_id", "neighbor_id", "relevance", "mmr_score",
+                F.lit(t).alias("mmr_rank"),
+            )
+        )
+        before = _rdd_ids(sc)
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+        new_ids = _rdd_ids(sc) - before
+        # the new eager checkpoint materialized, so the previous
+        # selection state's blocks are dead lineage — executor storage
+        # stays at ONE Q·k state copy, not k of them
+        _free_rdd_ids(sc, sel_ids)
+        sel_ids = new_ids
+    if k == 1:
+        # no loop ran, so the rank-1 selection still reads the candidate
+        # checkpoint — materialize it into its own blocks first
+        selected = selected.localCheckpoint(eager=True)
+    # the returned frame is backed by its own (final) checkpoint; the
+    # Q·m candidate and Q·m² pair blocks are no longer reachable from it
+    _free_rdd_ids(sc, infra_ids)
+    return selected
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embs: DataFrame,
+    query_terms: list,
+    query_vec: DataFrame,
+    k: int = 10,
+    m: int = 50,
+    kappa: int = 60,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused with reciprocal-rank
+    fusion (Cormack et al. 2009) — the standard RAG serving shape:
+    a keyword index and an embedding index each return their top-m,
+    and RRF merges the two rank lists without score calibration:
+    ``rrf = Σ 1/(kappa + rank)`` over the lists the doc appears in.
+
+    Lexical side: per-doc tf·ln(N/df) summed over the query terms
+    (the tfidf_top_terms scoring), with the term IN (...) filter
+    applied DIRECTLY on the exploded token stream — the posting-list
+    shape: everything downstream of the corpus scan is bounded by
+    docs-containing-a-query-term. Vector side: exact cosine top-m
+    (brute_force_topk's scan; swap in ivf/lsh/imi_topk at scale).
+    Fusion: a full-outer join of two ≤m-row frames.
+
+    Determinism: both rank lists order on the engines' bit-identical
+    doubles (rounded tf-idf / raw sequential-fold cosine) with id
+    tiebreaks; rrf is rational arithmetic on INTEGER ranks — exact in
+    both engines — nudge-rounded to 6 dp for display only. Returns
+    (doc_id, lex_rank, vec_rank, rrf_score, fused_rank) with NULL
+    lex/vec rank when only one retriever found the doc.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("term"),
+    ).filter(F.col("term").isin([t.lower() for t in query_terms]))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    lex_scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("__n") / F.col("df"))), 6
+            ).alias("__lex")
+        )
+    )
+    # top-m FIRST via orderBy().limit() => TakeOrderedAndProject
+    # (per-task heaps) — the rank window then runs over <= m rows, never
+    # over every doc matching a query term
+    lex_top = lex_scored.orderBy(F.col("__lex").desc(), F.col("doc_id")).limit(m)
+    w_lex = Window.orderBy(F.col("__lex").desc(), F.col("doc_id"))
+    lex = lex_top.select(
+        "doc_id", F.row_number().over(w_lex).alias("lex_rank")
+    )
+    q = query_vec.select(
+        F.col(vec_id_col).alias("__qid"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).withColumn("__qn", vec_norm(F.col("__qv")))
+    c = embs.select(
+        F.col(vec_id_col).alias("doc_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("__cn", vec_norm(F.col("__cv")))
+    vec_scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("doc_id") != F.col("__qid"))
+        .withColumn(
+            "__c",
+            cosine_similarity(
+                F.col("__qv"), F.col("__cv"),
+                norm_a=F.col("__qn"), norm_b=F.col("__cn"),
+            ),
+        )
+    )
+    vec_top = vec_scored.orderBy(F.col("__c").desc(), F.col("doc_id")).limit(m)
+    w_vec = Window.orderBy(F.col("__c").desc(), F.col("doc_id"))
+    vec = vec_top.select(
+        "doc_id", F.row_number().over(w_vec).alias("vec_rank")
+    )
+    kap = F.lit(float(kappa))
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_score_raw",
+            F.coalesce(F.lit(1.0) / (kap + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (kap + F.col("vec_rank")), F.lit(0.0)),
+        )
+    )
+    return (
+        fused.orderBy(F.col("rrf_score_raw").desc(), F.col("doc_id"))
+        .limit(k)  # global top-k => TakeOrderedAndProject, never one fat partition
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            F.round(F.col("rrf_score_raw") + F.lit(1e-12), 6).alias("rrf_score"),
+            F.row_number()
+            .over(Window.orderBy(F.col("rrf_score_raw").desc(), F.col("doc_id")))
+            .alias("fused_rank"),
+        )
+    )

@@ -604,3 +604,44 @@ def test_leakage_safe_split_stable_under_cluster_growth(spark):
     assert after[50] == after[3] == after[9] == before[3]
     for i in range(50):
         assert after[i] == before[i]
+
+
+# --- domain reweighting (DoReMi shape, Xie et al. 2023) ----------------------
+
+
+def test_domain_reweight_upweights_hard_domain(spark):
+    """The domain whose text is atypical of the corpus LM (higher mean
+    bigram NLL) must end above uniform weight, the easy domain below;
+    weights stay a distribution (sum ~ 1 before smoothing re-mixes)."""
+    from orientdb_spark.pipeline import sampling
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, common, "easy") for i in range(30)]
+    rows += [(100 + i, f"zx{i} qq{i * 7} vv{i * 13} kk{i * 3} jj{i + 5} ww{i}",
+              "hard") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in sampling.domain_reweight(df).collect()}
+    assert out["hard"]["mean_nll"] > out["easy"]["mean_nll"]
+    assert out["hard"]["excess_nll"] > 0 and out["easy"]["excess_nll"] == 0
+    assert out["hard"]["weight"] > 0.5 > out["easy"]["weight"]
+    total = out["hard"]["weight"] + out["easy"]["weight"]
+    assert abs(total - 1.0) < 1e-4
+
+
+def test_domain_reweight_partition_invariance(spark):
+    from orientdb_spark.pipeline import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, sampling.domain_reweight(docs).collect()))
+    b = sorted(map(tuple, sampling.domain_reweight(docs.repartition(17)).collect()))
+    assert a == b and len(a) == 20
+
+
+def test_domain_reweight_validation(spark):
+    from orientdb_spark.pipeline import sampling
+
+    docs = spark.createDataFrame([(1, "a b", "s")], ["doc_id", "text", "source"])
+    with pytest.raises(ValueError, match="iters"):
+        sampling.domain_reweight(docs, iters=0)
+    with pytest.raises(ValueError, match="smoothing"):
+        sampling.domain_reweight(docs, smoothing=1.5)

@@ -283,3 +283,133 @@ def test_kcenter_frees_superseded_checkpoint_blocks(spark):
     after = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
     leaked = after - before
     assert not leaked, f"leaked persistent RDD ids: {sorted(leaked)}"
+
+
+# --- MMR diversified re-rank (Carbonell & Goldstein 1998) -------------------
+
+
+def _mmr_fixture(spark):
+    """8-dim corpus with a deliberate near-duplicate pair (ids 1 and 2)
+    that are both highly relevant to query 0: plain top-k returns both
+    back-to-back; MMR must split them."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),   # query
+        (1, [0.9, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),   # relevant
+        (2, [0.9, 0.11, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.6, 0.0, 0.6, 0.0, 0.0, 0.0, 0.0, 0.0]),   # relevant, diverse
+        (4, [0.5, 0.0, 0.0, 0.7, 0.0, 0.0, 0.0, 0.0]),   # diverse
+        (5, [0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),   # orthogonal
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_mmr_diversifies_past_near_duplicates(spark):
+    from pyspark.sql import functions as F
+
+    df = _mmr_fixture(spark)
+    qs = df.filter(F.col("vec_id") == 0)
+    plain = S.brute_force_topk(df, qs, k=3)
+    mmr = S.mmr_topk(df, qs, k=3, m=5, lam=0.5)
+    plain_ids = [r["neighbor_id"] for r in plain.orderBy("rank").collect()]
+    mmr_ids = [r["neighbor_id"] for r in mmr.orderBy("mmr_rank").collect()]
+    # relevance order puts the near-dup pair adjacent; MMR keeps the
+    # first, defers the copy past a diverse pick
+    assert plain_ids[:2] == [1, 2]
+    assert mmr_ids[0] == 1 and mmr_ids[1] != 2
+    assert 2 not in mmr_ids[:2]
+
+
+def test_mmr_lam1_reduces_to_relevance_order(spark):
+    from pyspark.sql import functions as F
+
+    df = _mmr_fixture(spark)
+    qs = df.filter(F.col("vec_id") == 0)
+    plain = [r["neighbor_id"]
+             for r in S.brute_force_topk(df, qs, k=4).orderBy("rank").collect()]
+    mmr = [r["neighbor_id"]
+           for r in S.mmr_topk(df, qs, k=4, m=5, lam=1.0).orderBy("mmr_rank").collect()]
+    assert mmr == plain
+
+
+def test_mmr_param_validation(spark):
+    df = _mmr_fixture(spark)
+    with pytest.raises(ValueError, match="lam"):
+        S.mmr_topk(df, df, k=2, m=5, lam=1.5)
+    with pytest.raises(ValueError, match="candidate pool"):
+        S.mmr_topk(df, df, k=10, m=5)
+
+
+def test_mmr_frees_superseded_checkpoint_blocks(spark):
+    """Candidate/pair scaffolding and per-step selection states are
+    freed; only the final selection's own checkpoint blocks survive
+    (they back the returned frame)."""
+    from pyspark.sql import functions as F
+
+    sc = spark.sparkContext
+    before = S._rdd_ids(sc)
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = S.mmr_topk(embs, embs.filter(F.col("vec_id") < 4), k=5, m=20)
+    assert out.count() == 20
+    leaked = S._rdd_ids(sc) - before
+    # exactly one surviving checkpoint: the returned state
+    assert len(leaked) <= 1, f"leaked persistent RDD ids: {sorted(leaked)}"
+    S._free_rdd_ids(sc, leaked)
+
+
+def test_mmr_partition_invariance(spark):
+    from pyspark.sql import functions as F
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = embs.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, S.mmr_topk(embs, qs, k=4, m=10).collect()))
+    b = sorted(map(tuple, S.mmr_topk(embs.repartition(13), qs, k=4, m=10).collect()))
+    assert a == b and len(a) == 12
+
+
+# --- hybrid RRF fusion (Cormack et al. 2009) --------------------------------
+
+
+def test_hybrid_rrf_fuses_both_rank_lists(spark):
+    """A doc at lexical rank a and vector rank b scores exactly
+    1/(60+a) + 1/(60+b); single-list docs carry a NULL for the missing
+    rank and only that list's term."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join window spark"),   # strong lexical
+            (2, "spark join"),                # lexical only
+            (3, "nothing relevant here"),     # vector only
+            (4, "filler text row"),
+        ],
+        ["doc_id", "text"],
+    )
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),   # query
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),   # orthogonal: bottom of vector list
+            (3, [0.95, 0.0, 0.1]),  # top vector hit
+            (4, [0.1, 0.9, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    from pyspark.sql import functions as F
+
+    out = S.hybrid_rrf_topk(
+        docs, embs, ["spark", "join", "window"],
+        embs.filter(F.col("vec_id") == 0), k=4, m=3,
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # doc 1: lexical rank 1 (highest tf-idf sum), vector rank 2
+    assert by_id[1]["lex_rank"] == 1 and by_id[1]["vec_rank"] == 2
+    assert by_id[1]["rrf_score"] == round(1 / 61 + 1 / 62 + 1e-12, 6)
+    # doc 3: no query terms -> NULL lexical rank, vector rank 1
+    assert by_id[3]["lex_rank"] is None and by_id[3]["vec_rank"] == 1
+    assert by_id[3]["rrf_score"] == round(1 / 61 + 1e-12, 6)
+    # fused order: doc 1 (two lists) beats every single-list doc
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["fused_rank"])][0] == 1
+
+
+def test_hybrid_rrf_requires_terms(spark):
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="query_terms"):
+        S.hybrid_rrf_topk(docs, docs, [], docs)

@@ -92,6 +92,17 @@ SF1_ENTRIES = [
     "text_classifier_score",
     "sample_perplexity_buckets",
     "multimodal_pair_filter",
+    # retrieval serving + tokenizer apply + domain mixture (r11
+    # continuation-2): the MMR replay is the brute-force cosine scan
+    # (linear in N, Q·m² CTEs are N-independent); hybrid RRF is one
+    # posting join + one cosine scan; the BPE-encode replay adds one
+    # vocab-sized CTE + a linear doc-word join to the merges replay;
+    # domain reweight rides the linear lm_score gram stream with S-row
+    # iteration CTEs
+    "sim_topk_mmr",
+    "sim_hybrid_rrf",
+    "text_bpe_encode",
+    "sample_domain_reweight",
 ]
 
 
