@@ -3465,6 +3465,44 @@ def _text_bpe_encode(spark, sf_dir):
     return bpe_encode(docs, merges)
 
 
+def _sample_curriculum_order(spark, sf_dir):
+    """Curriculum schedule (pipeline/sampling.curriculum_order, Bengio
+    et al. 2009): stage docs easy->hard by corpus-LM NLL with exact
+    quantile cuts, then per-stage deterministic shard order (the
+    epoch_shard_order shape). Oracle-exact: the lm_score replay +
+    nudge-rounded quantile_cont cuts + h60 shard arithmetic."""
+    from orientdb_spark.pipeline import sampling
+
+    return sampling.curriculum_order(
+        _docs(spark, sf_dir), n_stages=3, n_shards=8, seed=0
+    )
+
+
+def _profile_dataset_card(spark, sf_dir):
+    """Dataset-card statistics (pipeline/profile.dataset_card, the
+    Datasheets/data-card disclosure table): corpus totals, language
+    shares, source counts, length percentiles, exact-dup rate in long
+    (section, key, value) format. One corpus pass feeds five bounded
+    aggregate branches. Integer-valued double sums are order-exact
+    below 2^53; percentiles ride the quantile_cont parity precedent."""
+    from orientdb_spark.pipeline import profile
+
+    return profile.dataset_card(_docs(spark, sf_dir))
+
+
+def _profile_dp_counts(spark, sf_dir):
+    """Laplace-mechanism noisy group counts
+    (pipeline/profile.dp_noisy_counts, Dwork et al. 2006) with
+    DETERMINISTIC seeded noise: inverse-CDF Laplace on a (seed, group)
+    h60 uniform, so the DuckDB replay walks the identical arithmetic
+    (ln is the only libm call — the lm_score parity precedent)."""
+    from orientdb_spark.pipeline import profile
+
+    return profile.dp_noisy_counts(
+        _docs(spark, sf_dir), group_col="lang", epsilon=1.0, seed=42
+    )
+
+
 # --- queries registry --------------------------------------------------------
 
 
@@ -3529,16 +3567,14 @@ _DRIVER_FRONT = [
     "sample_epoch_shuffle",
     "dedup_decontaminate_report",
     # r7-era refreshes: §2 operator surface (contains_condition,
-    # order_multikey_topk, group_having_order, tpch_q3_shipping keep
-    # their r7 records — their slots went to the four never-recorded
-    # retrieval/curation entries below; "no record older than r7"
-    # still holds and the mirror harness re-verifies every oracle
+    # order_multikey_topk, group_having_order, tpch_q3_shipping,
+    # compound_predicates, link_nav_2hop, traverse_reachability keep
+    # their r7 records — their slots went to the never-recorded
+    # retrieval/curation/release entries below; "no record older than
+    # r7" still holds and the mirror harness re-verifies every oracle
     # entry each run)
     "scan_class",
     "filter_projection",
-    "compound_predicates",
-    "link_nav_2hop",
-    "traverse_reachability",
     "tpch_q1_pricing",
     # NEW r11 continuation-2: retrieval serving + tokenizer apply +
     # domain mixture (never recorded — must sit in the front so
@@ -3547,6 +3583,9 @@ _DRIVER_FRONT = [
     "sim_hybrid_rrf",
     "text_bpe_encode",
     "sample_domain_reweight",
+    "sample_curriculum_order",
+    "profile_dataset_card",
+    "profile_dp_counts",
     # (native_fluent_query, ddl_remove_index_effect,
     # ddl_remove_property_effect, dictionary_named_roots,
     # custom_operator_where, security_grant_effect,
@@ -3894,6 +3933,9 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_bpe_merges": _text_bpe_merges,
         "text_bpe_encode": _text_bpe_encode,
         "sample_domain_reweight": _sample_domain_reweight,
+        "sample_curriculum_order": _sample_curriculum_order,
+        "profile_dataset_card": _profile_dataset_card,
+        "profile_dp_counts": _profile_dp_counts,
         "pipeline_rag_prep": _pipeline_rag_prep,
         "pipeline_incremental_dedup": _pipeline_incremental_dedup,
         "sample_negatives": _sample_negatives,
@@ -4216,6 +4258,83 @@ def _domain_reweight_oracle_sql(
         f"round((1.0 - {sm}) * w + {sm} / s + 1e-12, 6) AS weight FROM w{iters}"
     )
     return "".join(parts)
+
+
+def _curriculum_oracle_sql(
+    n_stages: int = 3, n_shards: int = 8, seed: int = 0
+) -> str:
+    """Curriculum replay (pipeline/sampling.curriculum_order): the
+    lm_score oracle LEFT-joined so bigram-less docs carry NLL 0.0,
+    nudge-rounded interpolated quantile cuts, h60 shard arithmetic,
+    and a (stage, shard)-partitioned position window."""
+    qs = [s / n_stages for s in range(1, n_stages)]
+    cuts = ", ".join(
+        f"round(quantile_cont(nll, {q!r}) + 1e-12, 6) AS c{i}"
+        for i, q in enumerate(qs)
+    )
+    case = "CASE " + " ".join(
+        f"WHEN nll <= c{i} THEN {i}" for i in range(len(qs))
+    ) + f" ELSE {n_stages - 1} END"
+    key = _dk_h60(f"'curr:{seed}:' || doc_id::VARCHAR")
+    return (
+        f"WITH m AS ({_lm_oracle_sql()}), "
+        "sc AS (SELECT d.doc_id, coalesce(m.nll, 0.0) AS nll "
+        "FROM documents d LEFT JOIN m USING (doc_id)), "
+        f"cuts AS (SELECT {cuts} FROM sc), "
+        f"st AS (SELECT doc_id, nll, ({case})::INTEGER AS stage, "
+        f"{key} AS kk FROM sc, cuts) "
+        "SELECT doc_id, nll, stage, "
+        f"(kk % {n_shards})::INTEGER AS shard, "
+        "(row_number() OVER (PARTITION BY stage, kk % "
+        f"{n_shards} ORDER BY kk, doc_id) - 1)::BIGINT AS pos FROM st"
+    )
+
+
+def _dataset_card_oracle_sql() -> str:
+    """Dataset-card replay (pipeline/profile.dataset_card): one per-doc
+    stats CTE feeding the corpus/length stack, per-language shares, and
+    per-source counts."""
+    return (
+        "WITH pd AS (SELECT lang, source, length(text)::DOUBLE AS chars, "
+        "len(list_filter(regexp_split_to_array(text, '\\s+'), "
+        "t -> len(t) > 0))::DOUBLE AS toks, md5(text) AS dg FROM documents), "
+        "c AS (SELECT count(*)::DOUBLE AS n, sum(toks) AS tt, "
+        "count(DISTINCT lang)::DOUBLE AS dl, "
+        "count(DISTINCT source)::DOUBLE AS ds, "
+        "count(DISTINCT dg)::DOUBLE AS uq, "
+        "round(quantile_cont(chars, 0.5) + 1e-12, 6) AS p50, "
+        "round(quantile_cont(chars, 0.9) + 1e-12, 6) AS p90 FROM pd) "
+        "SELECT 'corpus' AS section, 'n_docs' AS key, n AS value FROM c "
+        "UNION ALL SELECT 'corpus', 'total_ws_tokens', tt FROM c "
+        "UNION ALL SELECT 'corpus', 'distinct_langs', dl FROM c "
+        "UNION ALL SELECT 'corpus', 'distinct_sources', ds FROM c "
+        "UNION ALL SELECT 'corpus', 'exact_dup_rate', "
+        "round((n - uq) / n + 1e-12, 6) FROM c "
+        "UNION ALL SELECT 'length', 'p50_chars', p50 FROM c "
+        "UNION ALL SELECT 'length', 'p90_chars', p90 FROM c "
+        "UNION ALL SELECT 'lang_share', lang, "
+        "round(count(*)::DOUBLE / (SELECT n FROM c) + 1e-12, 6) "
+        "FROM pd GROUP BY lang "
+        "UNION ALL SELECT 'source_docs', source, count(*)::DOUBLE "
+        "FROM pd GROUP BY source"
+    )
+
+
+def _dp_counts_oracle_sql(epsilon: float = 1.0, seed: int = 42) -> str:
+    """Laplace-mechanism replay (pipeline/profile.dp_noisy_counts):
+    h60-seeded uniform -> inverse-CDF Laplace, left-assoc multiply
+    chain matching the Column expression."""
+    key = _dk_h60(f"'dp:{seed}:' || lang")
+    b = repr(-1.0 / float(epsilon))
+    return (
+        "WITH c AS (SELECT lang, count(*)::BIGINT AS n_true "
+        "FROM documents GROUP BY lang), "
+        f"u AS (SELECT lang, n_true, (({key})::DOUBLE + 0.5) / "
+        "1152921504606846976.0 AS uu FROM c) "
+        "SELECT lang, n_true, round(n_true + "
+        f"{b} * sign(uu - 0.5) * ln(1.0 - 2.0 * abs(uu - 0.5)) "
+        "+ 1e-12, 6) AS noisy_count FROM u"
+    )
 
 
 def _hybrid_rrf_oracle_sql(k: int = 10, m: int = 50, kappa: int = 60) -> str:
@@ -6568,6 +6687,11 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
         "sample_domain_reweight": _domain_reweight_oracle_sql(
             iters=3, eta=0.5, smoothing=0.2
         ),
+        "sample_curriculum_order": _curriculum_oracle_sql(
+            n_stages=3, n_shards=8, seed=0
+        ),
+        "profile_dataset_card": _dataset_card_oracle_sql(),
+        "profile_dp_counts": _dp_counts_oracle_sql(epsilon=1.0, seed=42),
         "text_repetition_stats": _repetition_oracle_sql(),
         "fulltext_phrase_search": _phrase_oracle_sql(),
         "profile_k_anonymity": (

@@ -68,6 +68,8 @@ HEADLINE = [
     "sim_hybrid_rrf",
     "text_bpe_encode",
     "sample_domain_reweight",
+    "sample_curriculum_order",
+    "profile_dataset_card",
 ]
 
 
@@ -124,6 +126,8 @@ def main() -> None:
         # corpus pass
         "text_bpe_encode": 3,
         "sample_domain_reweight": 3,
+        # curriculum staging also rides the lm_score corpus pass
+        "sample_curriculum_order": 3,
     }
     timings: dict[str, float] = {}
     samples: dict[str, int] = {}

@@ -21,7 +21,15 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import BooleanType, NumericType, StringType
 
-__all__ = ["profile_columns", "fk_orphans", "quantile_bins", "column_entropy", "winsorize_stats"]
+__all__ = [
+    "profile_columns",
+    "fk_orphans",
+    "quantile_bins",
+    "column_entropy",
+    "winsorize_stats",
+    "dataset_card",
+    "dp_noisy_counts",
+]
 
 
 def fk_orphans(
@@ -410,4 +418,126 @@ def winsorize_stats(
         F.sum((c > F.col("p_hi")).cast("long")).alias("n_clipped_hi"),
         F.avg(c).alias("mean_raw"),
         F.avg(clipped).alias("mean_winsorized"),
+    )
+
+
+def dataset_card(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """Dataset-card statistics (the disclosure table a corpus release
+    publishes — the Datasheets/data-card practice): corpus totals,
+    per-language document shares, per-source document counts, length
+    percentiles, and the exact-duplicate rate. Long format
+    (section, key, value) so new statistics never change the schema.
+
+    Shape at scale: ONE narrow corpus pass computes the per-doc
+    statistics row (token count, length, content digest, lang, source),
+    materialized once (localCheckpoint) because five aggregate branches
+    read it; every branch is then a tiny groupBy/agg whose output is
+    bounded by the number of languages/sources, not N. No branch
+    re-scans the corpus."""
+    per_doc = df.select(
+        F.col(lang_col).alias("__lang"),
+        F.col(source_col).alias("__src"),
+        F.length(F.col(text_col)).cast("double").alias("__chars"),
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0
+            )
+        ).cast("double").alias("__toks"),
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("__digest"),
+    ).localCheckpoint(eager=False)
+    corpus = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("__toks").alias("total_ws_tokens"),
+        F.countDistinct("__lang").cast("double").alias("distinct_langs"),
+        F.countDistinct("__src").cast("double").alias("distinct_sources"),
+        F.countDistinct("__digest").cast("double").alias("__uniq"),
+        F.round(F.percentile(F.col("__chars"), F.lit(0.5)) + F.lit(1e-12), 6).alias(
+            "p50_chars"
+        ),
+        F.round(F.percentile(F.col("__chars"), F.lit(0.9)) + F.lit(1e-12), 6).alias(
+            "p90_chars"
+        ),
+    ).select(
+        F.expr(
+            "stack(7, 'corpus', 'n_docs', n_docs, "
+            "'corpus', 'total_ws_tokens', total_ws_tokens, "
+            "'corpus', 'distinct_langs', distinct_langs, "
+            "'corpus', 'distinct_sources', distinct_sources, "
+            "'corpus', 'exact_dup_rate', "
+            "round((n_docs - __uniq) / n_docs + 1e-12, 6), "
+            "'length', 'p50_chars', p50_chars, "
+            "'length', 'p90_chars', p90_chars) AS (section, key, value)"
+        )
+    )
+    n = per_doc.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    langs = (
+        per_doc.groupBy("__lang")
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.lit("lang_share").alias("section"),
+            F.col("__lang").alias("key"),
+            F.round(F.col("__c") / F.col("__n") + F.lit(1e-12), 6).alias("value"),
+        )
+    )
+    sources = (
+        per_doc.groupBy("__src")
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+        .select(
+            F.lit("source_docs").alias("section"),
+            F.col("__src").alias("key"),
+            F.col("__c").alias("value"),
+        )
+    )
+    return corpus.unionByName(langs).unionByName(sources)
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str = "lang",
+    epsilon: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Differential-privacy-style noisy group counts (the Laplace
+    mechanism, Dwork et al. 2006): per-group document counts released
+    with Laplace(1/epsilon) noise — the marginal-release shape a corpus
+    card uses when exact counts would leak membership. Noise is
+    DETERMINISTIC given (seed, group): u = (h60("dp:<seed>:<group>") +
+    0.5) / 2^60 ∈ (0,1), lap = -(1/eps)·sign(u-½)·ln(1-2|u-½|) — the
+    inverse-CDF transform on a seeded uniform, so re-runs and the
+    DuckDB replay agree bit-for-bit (the only libm call is ln, the
+    lm_score parity precedent). A REAL release would drop n_true and
+    rotate the seed per release; both stay here so the mechanism is
+    verifiable.
+
+    Shape at scale: one map-side-combinable groupBy; the noise is
+    per-GROUP arithmetic on the aggregate row — bounded by group
+    cardinality, not N."""
+    from orientdb_spark.pipeline.common import h60
+
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be positive, got {epsilon}")
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    u = (
+        h60(F.concat(F.lit(f"dp:{seed}:"), F.col("grp").cast("string")))
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**60))
+    centered = u - F.lit(0.5)
+    lap = (
+        F.lit(-1.0 / float(epsilon))
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return counts.select(
+        F.col("grp").alias(group_col),
+        "n_true",
+        F.round(F.col("n_true") + lap + F.lit(1e-12), 6).alias("noisy_count"),
     )

@@ -917,3 +917,76 @@ def domain_reweight(
             6,
         ).alias("weight"),
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    n_stages: int = 3,
+    n_shards: int = 16,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum schedule (Bengio et al. 2009, easy-first training):
+    stage documents easiest→hardest by corpus-LM typicality
+    (``text.lm_score`` NLL — low NLL = typical = easy), cutting stages
+    at exact NLL quantiles, then give every stage a deterministic
+    shuffled reading order in the epoch_shard_order shape:
+    (id, nll, stage, shard, pos). A trainer consumes stages in order
+    and reads (shard, pos) within each — no global sort ever
+    materializes.
+
+    Documents with no bigram (empty/one-word text) carry NLL 0.0 —
+    trivially "easy", and deterministic so both engines stage them
+    identically. Stage cuts are nudge-rounded interpolated quantiles
+    (the perplexity_buckets parity precedent): stage s takes
+    nll <= cut_s, last stage takes the rest.
+
+    Shape at scale: the lm_score corpus pass, ONE exact-percentile
+    aggregate (S-1 cut points ride a broadcast 1-row crossJoin), h60
+    shard arithmetic in-row, and the position window partitions by
+    (stage, shard) — stages·shards independent groups, no
+    single-partition window."""
+    from orientdb_spark.pipeline.text import lm_score
+
+    if n_stages < 2:
+        raise ValueError(f"need n_stages >= 2, got {n_stages}")
+    if n_shards < 1:
+        raise ValueError(f"need n_shards >= 1, got {n_shards}")
+    nll = lm_score(df, text_col=text_col, id_col=id_col).select(
+        id_col, "nll"
+    )
+    scored = df.select(F.col(id_col)).join(nll, on=id_col, how="left").select(
+        id_col, F.coalesce(F.col("nll"), F.lit(0.0)).alias("nll")
+    )
+    qs = [s / n_stages for s in range(1, n_stages)]
+    cuts = scored.agg(
+        *[
+            F.round(F.percentile(F.col("nll"), F.lit(q)) + F.lit(1e-12), 6).alias(
+                f"__cut{i}"
+            )
+            for i, q in enumerate(qs)
+        ]
+    )
+    stage = F.lit(n_stages - 1)
+    for i in reversed(range(len(qs))):
+        stage = F.when(F.col("nll") <= F.col(f"__cut{i}"), F.lit(i)).otherwise(stage)
+    keyed = (
+        scored.crossJoin(F.broadcast(cuts))
+        .withColumn("stage", stage.cast("int"))
+        .withColumn(
+            "__k",
+            h60(F.concat(F.lit(f"curr:{seed}:"), F.col(id_col).cast("string"))),
+        )
+        .withColumn("shard", (F.col("__k") % F.lit(n_shards)).cast("int"))
+    )
+    w = Window.partitionBy("stage", "shard").orderBy(
+        F.col("__k").asc(), F.col(id_col).asc()
+    )
+    return keyed.select(
+        id_col,
+        "nll",
+        "stage",
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )

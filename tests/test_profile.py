@@ -278,3 +278,62 @@ def test_quantile_bins_excludes_nulls(spark):
     got = {r["bin"]: r["n_rows"] for r in quantile_bins(df, "value", q=4).collect()}
     assert got == {1: 2, 2: 2, 3: 2, 4: 2}
     assert sum(got.values()) == 8  # the 3 NULLs are gone, not in bin 1
+
+
+# --- dataset card + DP-noised counts (release statistics) --------------------
+
+
+def test_dataset_card_known_values(spark):
+    from orientdb_spark.pipeline import profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s1"),
+            (2, "a b c", "en", "s1"),   # exact duplicate of 1
+            (3, "d e", "de", "s2"),
+            (4, "f", "de", "s2"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    card = {(r["section"], r["key"]): r["value"]
+            for r in profile.dataset_card(docs).collect()}
+    assert card[("corpus", "n_docs")] == 4.0
+    assert card[("corpus", "total_ws_tokens")] == 9.0
+    assert card[("corpus", "distinct_langs")] == 2.0
+    assert card[("corpus", "exact_dup_rate")] == 0.25
+    assert card[("lang_share", "en")] == 0.5
+    assert card[("source_docs", "s2")] == 2.0
+    assert ("length", "p50_chars") in card and ("length", "p90_chars") in card
+
+
+def test_dp_counts_deterministic_and_scales_with_epsilon(spark):
+    from orientdb_spark.pipeline import profile
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r["lang"]: r for r in profile.dp_noisy_counts(docs, epsilon=1.0).collect()}
+    b = {r["lang"]: r for r in profile.dp_noisy_counts(docs, epsilon=1.0).collect()}
+    assert {k: v["noisy_count"] for k, v in a.items()} == {
+        k: v["noisy_count"] for k, v in b.items()
+    }
+    # Laplace(1/eps): noise at eps=10 is exactly a tenth of eps=1 noise
+    # (same seeded uniform), up to the 6-dp grid
+    c = {r["lang"]: r for r in profile.dp_noisy_counts(docs, epsilon=10.0).collect()}
+    for lang, row in a.items():
+        n1 = row["noisy_count"] - row["n_true"]
+        n10 = c[lang]["noisy_count"] - c[lang]["n_true"]
+        assert n1 != 0.0  # noise actually applied
+        assert abs(n10 - n1 / 10.0) < 5e-6
+    # a different seed moves the noise
+    d = {r["lang"]: r for r in
+         profile.dp_noisy_counts(docs, epsilon=1.0, seed=7).collect()}
+    assert any(d[k]["noisy_count"] != a[k]["noisy_count"] for k in a)
+
+
+def test_dp_counts_validation(spark):
+    import pytest
+
+    from orientdb_spark.pipeline import profile
+
+    docs = spark.createDataFrame([(1, "en")], ["doc_id", "lang"])
+    with pytest.raises(ValueError, match="epsilon"):
+        profile.dp_noisy_counts(docs, epsilon=0.0)

@@ -645,3 +645,40 @@ def test_domain_reweight_validation(spark):
         sampling.domain_reweight(docs, iters=0)
     with pytest.raises(ValueError, match="smoothing"):
         sampling.domain_reweight(docs, smoothing=1.5)
+
+
+def test_curriculum_stages_order_by_difficulty(spark):
+    """Stage cuts are NLL quantiles: every stage-0 doc is no harder
+    than every stage-2 doc, stages partition the corpus, and positions
+    are a 0-based dense sequence within each (stage, shard)."""
+    from orientdb_spark.pipeline import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = sampling.curriculum_order(docs, n_stages=3, n_shards=4).collect()
+    assert len(out) == docs.count()
+    by_stage = {}
+    for r in out:
+        by_stage.setdefault(r["stage"], []).append(r)
+    assert set(by_stage) == {0, 1, 2}
+    assert max(r["nll"] for r in by_stage[0]) <= min(r["nll"] for r in by_stage[2])
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for r in out:
+        groups[(r["stage"], r["shard"])].append(r["pos"])
+    for poss in groups.values():
+        assert sorted(poss) == list(range(len(poss)))
+
+
+def test_curriculum_partition_invariance_and_validation(spark):
+    import pytest
+
+    from orientdb_spark.pipeline import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, sampling.curriculum_order(docs).collect()))
+    b = sorted(map(tuple, sampling.curriculum_order(docs.repartition(11)).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="n_stages"):
+        sampling.curriculum_order(docs, n_stages=1)
+    with pytest.raises(ValueError, match="n_shards"):
+        sampling.curriculum_order(docs, n_shards=0)

@@ -103,6 +103,11 @@ SF1_ENTRIES = [
     "sim_hybrid_rrf",
     "text_bpe_encode",
     "sample_domain_reweight",
+    # release/curriculum layer: curriculum rides the same linear
+    # lm_score replay; the card and DP counts are single-scan aggregates
+    "sample_curriculum_order",
+    "profile_dataset_card",
+    "profile_dp_counts",
 ]
 
 
