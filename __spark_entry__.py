@@ -3465,6 +3465,56 @@ def _text_bpe_encode(spark, sf_dir):
     return bpe_encode(docs, merges)
 
 
+def _sim_index_persist(spark, sf_dir):
+    """Index persistence round-trip (similarity.IvfIndex.save/load):
+    build the refine_iters=0 IVF index, write it as parquet (cells
+    PARTITIONED BY cid — the file-level pruning layout), reload, and
+    serve top-k from the LOADED index. Oracle-exact: the loaded index
+    must reproduce the fixed-parameter h60-seeded IVF pipeline
+    bit-for-bit — persistence is only correct if it is invisible.
+    tests/test_ivf_index.py additionally pins the loaded probe plan's
+    dynamic partition pruning."""
+    import tempfile
+
+    from orientdb_spark.pipeline import similarity
+
+    embs = _embs(spark, sf_dir)
+    idx = similarity.IvfIndex.build(
+        embs, n_cells=16, refine_iters=0, persist=False
+    )
+    path = tempfile.mkdtemp(prefix="ivfidx_")
+    idx.save(path)
+    loaded = similarity.IvfIndex.load(spark, path)
+    # nprobe=4 of 16 cells: the fixture serving point; target_recall
+    # lowered to match (the derivation gate stays tested elsewhere)
+    return loaded.topk(
+        embs.filter(F.col("vec_id") < 10), k=5, nprobe=4, target_recall=0.2
+    )
+
+
+def _sim_index_incremental(spark, sf_dir):
+    """Incremental index ingest (similarity.IvfIndex.extend): build on
+    90% of the corpus (vec_id % 10 != 0), EXTEND with the 10% batch —
+    new vectors assigned to the existing centroids, no requantization,
+    O(batch) work — then serve top-k over the merged index.
+    Oracle-exact: seeds derive from the CORPUS rows only, assignment
+    covers the union — the replay proves extend() is exactly
+    'same quantizer, more postings'."""
+    from orientdb_spark.pipeline import similarity
+
+    embs = _embs(spark, sf_dir)
+    corpus = embs.filter(F.col("vec_id") % 10 != 0)
+    batch = embs.filter(F.col("vec_id") % 10 == 0)
+    idx = similarity.IvfIndex.build(
+        corpus, n_cells=16, refine_iters=0, persist=True
+    )
+    merged = idx.extend(batch)
+    out = merged.topk(
+        embs.filter(F.col("vec_id") < 10), k=5, nprobe=4, target_recall=0.2
+    )
+    return out
+
+
 def _sample_curriculum_order(spark, sf_dir):
     """Curriculum schedule (pipeline/sampling.curriculum_order, Bengio
     et al. 2009): stage docs easy->hard by corpus-LM NLL with exact
@@ -3599,11 +3649,15 @@ _DRIVER_FRONT = [
     "sample_perplexity_buckets",
     "multimodal_pair_filter",
     # r7-era refreshes: one representative per family
+    # (graph_cc_incremental and multimodal_phash_dedup keep their r7
+    # records — graph and multimodal stay represented by graph_sssp and
+    # multimodal_pair_filter; their slots went to the two never-recorded
+    # index-lifecycle entries)
+    "sim_index_persist",
+    "sim_index_incremental",
     "graph_sssp",
-    "graph_cc_incremental",
     "event_scd2",
     "quality_fd_check",
-    "multimodal_phash_dedup",
     # (dedup_simhash_hamming keeps its r7 record — slot went to the new
     # cluster-co-assigned split entry; the dedup family is already
     # represented in this front by the three new r11 dedup entries)
@@ -3917,6 +3971,8 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # hybrid fusion
         "sim_topk_mmr": _sim_topk_mmr,
         "sim_hybrid_rrf": _sim_hybrid_rrf,
+        "sim_index_persist": _sim_index_persist,
+        "sim_index_incremental": _sim_index_incremental,
         # pipeline: text analysis
         "text_language_id": _text_langid,
         "text_quality_score": _text_quality,
@@ -4258,6 +4314,54 @@ def _domain_reweight_oracle_sql(
         f"round((1.0 - {sm}) * w + {sm} / s + 1e-12, 6) AS weight FROM w{iters}"
     )
     return "".join(parts)
+
+
+def _ivf_fixed_oracle_sql(
+    n_cells: int = 16,
+    nprobe: int = 4,
+    nq: int = 10,
+    k: int = 5,
+    seed_filter: str | None = None,
+) -> str:
+    """Fixed-parameter refine_iters=0 IVF replay (the sim_topk_ivf
+    pipeline with explicit n_cells/nprobe instead of the COUNT(*)
+    derivation): seeds = the n_cells smallest (h60, id) vectors of the
+    (optionally ``seed_filter``-restricted) corpus, assignment/probes =
+    the rounded-nudged cosine argmax / top-nprobe, rerank = exact
+    sequential-fold cosine. ``seed_filter`` is how the incremental-index
+    replay proves extend() is 'same quantizer, more postings': seeds
+    from the base corpus only, postings over everything."""
+    sf = f" WHERE {seed_filter}" if seed_filter else ""
+    return (
+        "WITH vv AS (SELECT vec_id, "
+        "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), "
+        "sr AS (SELECT v, row_number() OVER (ORDER BY "
+        + _dk_h60("CAST(vec_id AS VARCHAR)")
+        + f", vec_id) AS rk FROM vv{sf}), "
+        f"seeds AS (SELECT rk - 1 AS cid, v FROM sr WHERE rk <= {n_cells}), "
+        "ac AS (SELECT vv.vec_id, s.cid, "
+        "round(" + _COS.format(a="vv.v", b="s.v") + " + 1e-12, 6) AS c6 "
+        "FROM vv, seeds s), "
+        "asg AS (SELECT vec_id, cid FROM ("
+        "SELECT vec_id, cid, row_number() OVER ("
+        "PARTITION BY vec_id ORDER BY c6 DESC, cid) AS rk FROM ac) "
+        "WHERE rk = 1), "
+        "probes AS (SELECT vec_id AS qid, cid FROM ("
+        "SELECT vec_id, cid, row_number() OVER ("
+        "PARTITION BY vec_id ORDER BY c6 DESC, cid) AS rk FROM ac "
+        f"WHERE vec_id < {nq}) WHERE rk <= {nprobe}), "
+        "sc AS (SELECT p.qid AS query_id, a.vec_id AS neighbor_id, "
+        + _COS.format(a="q.v", b="n.v")
+        + " AS c FROM probes p "
+        "JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.qid "
+        "JOIN vv q ON q.vec_id = p.qid "
+        "JOIN vv n ON n.vec_id = a.vec_id), "
+        "rk AS (SELECT query_id, neighbor_id, c, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY c DESC, neighbor_id)::INTEGER "
+        "AS rank FROM sc) "
+        "SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank "
+        f"FROM rk WHERE rank <= {k}"
+    )
 
 
 def _curriculum_oracle_sql(
@@ -6692,6 +6796,10 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
         ),
         "profile_dataset_card": _dataset_card_oracle_sql(),
         "profile_dp_counts": _dp_counts_oracle_sql(epsilon=1.0, seed=42),
+        "sim_index_persist": _ivf_fixed_oracle_sql(n_cells=16, nprobe=4),
+        "sim_index_incremental": _ivf_fixed_oracle_sql(
+            n_cells=16, nprobe=4, seed_filter="vec_id % 10 <> 0"
+        ),
         "text_repetition_stats": _repetition_oracle_sql(),
         "fulltext_phrase_search": _phrase_oracle_sql(),
         "profile_k_anonymity": (

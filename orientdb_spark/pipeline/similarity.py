@@ -424,6 +424,59 @@ class IvfIndex:
     def unpersist(self) -> None:
         self.corpus_cells.unpersist()
 
+    def save(self, path: str) -> None:
+        """Persist the index as parquet: ``<path>/centroids`` plus the
+        cell-assigned corpus at ``<path>/cells`` PARTITIONED BY cid —
+        one directory per inverted-file cell. That layout is the scale
+        feature: a loaded index's probe join carries a broadcast-able
+        cid set, so Spark's dynamic partition pruning reads ONLY the
+        probed cells' files — a query touches nprobe/n_cells of the
+        corpus at the FILE level, which is what "index" means for a
+        100 TB corpus that outlives any one SparkSession."""
+        self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        (
+            self.corpus_cells.write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(f"{path}/cells")
+        )
+
+    @classmethod
+    def load(cls, spark, path: str, id_col: str = "vec_id") -> "IvfIndex":
+        """Reopen a saved index. The cell table is deliberately left as
+        a parquet scan (NOT cached): cid is its partition column, so
+        every ``topk`` probe prunes to the probed cells' directories —
+        caching would trade file-level pruning for cluster memory."""
+        centroids = spark.read.parquet(f"{path}/centroids")
+        cells = spark.read.parquet(f"{path}/cells")
+        return cls(centroids, cells, id_col)
+
+    def extend(
+        self,
+        batch: DataFrame,
+        vec_col: str = "embedding",
+        persist: bool = True,
+    ) -> "IvfIndex":
+        """Incremental index update — the daily-ingest path: assign the
+        new vectors to the EXISTING centroids (no requantization) and
+        union them into the inverted file. O(batch) work: one narrow
+        Arrow map over the batch, zero corpus reads. The centroid pull
+        is the documented bounded collect (n_cells × d doubles, the
+        build_ivf_index convention). Caveat (Lloyd semantics): centroids
+        drift as the corpus grows — re-run ``build`` when the ingested
+        volume stops matching the quantizer (the standard IVF re-train
+        cadence); until then recall degrades gracefully, it never
+        silently breaks, because assignment stays nearest-centroid."""
+        rows = self.centroids.orderBy("cid").collect()
+        centers = [list(r["cvec"]) for r in rows]
+        assigned = batch.select(
+            F.col(self.id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        ).withColumn("cid", _assign_udf(centers)(F.col("__cv")))
+        merged = self.corpus_cells.unionByName(assigned)
+        if persist:
+            merged = merged.localCheckpoint(eager=True)
+        return IvfIndex(self.centroids, merged, self.id_col, n_cells=len(centers))
+
 
 # Derived IMI probe widths stop here: enumerating the probe pairs costs
 # O(min(k_half, nprobe)^2) query-side rows, and past a few thousand cells

@@ -219,3 +219,70 @@ def test_nearest_centroid_confusion_on_separable_clusters(spark):
     assert got[(0, 0)] == 5
     assert got[(0, 1)] == 1  # the planted cross-class vector
     assert (1, 0) not in got
+
+
+# --- persistence + incremental ingest (index lifecycle) ----------------------
+
+
+def test_save_load_roundtrip_is_invisible(spark, tmp_path):
+    """A loaded index must reproduce the fresh index's results
+    bit-for-bit — persistence is only correct if it is invisible."""
+    import warnings
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") < 5)
+    idx = similarity.IvfIndex.build(embs, n_cells=16, refine_iters=0, persist=False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        fresh = sorted(map(tuple, idx.topk(q, k=4, nprobe=4).collect()))
+        path = str(tmp_path / "ivf")
+        idx.save(path)
+        loaded = similarity.IvfIndex.load(spark, path)
+        assert loaded.n_cells == 16
+        again = sorted(map(tuple, loaded.topk(q, k=4, nprobe=4).collect()))
+    assert fresh == again and len(fresh) == 20
+
+
+def test_loaded_index_probe_prunes_partitions(spark, tmp_path):
+    """The saved cell table is partitioned by cid, so the probe join
+    over a loaded index must plant a dynamic-partition-pruning filter
+    on the cells scan — a query reads only the probed cells' files."""
+    import warnings
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = similarity.IvfIndex.build(embs, n_cells=16, refine_iters=0, persist=False)
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+    loaded = similarity.IvfIndex.load(spark, path)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        out = loaded.topk(embs.filter(F.col("vec_id") < 5), k=3, nprobe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_extend_assigns_batch_to_existing_centroids(spark):
+    """extend() is 'same quantizer, more postings': a planted batch
+    vector identical to a query must surface at rank 1 after extend,
+    and the merged index must hold corpus+batch postings while the
+    centroid table is untouched."""
+    import warnings
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = embs.filter(F.col("vec_id") >= 5)
+    qvec = embs.filter(F.col("vec_id") == 0).first()
+    batch = spark.createDataFrame(
+        [(900, list(qvec["embedding"]))], ["vec_id", "embedding"]
+    )
+    idx = similarity.IvfIndex.build(corpus, n_cells=8, refine_iters=0)
+    merged = idx.extend(batch)
+    assert merged.corpus_cells.count() == corpus.count() + 1
+    assert merged.centroids is idx.centroids
+    q = embs.filter(F.col("vec_id") == 0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        before = idx.topk(q, k=3, nprobe=3).orderBy("rank").collect()
+        after = merged.topk(q, k=3, nprobe=3).orderBy("rank").collect()
+    assert all(r["neighbor_id"] != 900 for r in before)
+    assert after[0]["neighbor_id"] == 900 and after[0]["cosine"] == 1.0
+    merged.unpersist(); idx.unpersist()

@@ -108,6 +108,12 @@ SF1_ENTRIES = [
     "sample_curriculum_order",
     "profile_dataset_card",
     "profile_dp_counts",
+    # index lifecycle: the incremental-ingest replay covers the fixed
+    # h60 quantizer + union postings at every SF (sim_index_persist is
+    # value-identical to the same replay but adds a multi-GB index
+    # write per artifact run — the file-pruning feature it uniquely
+    # adds is plan-pinned in tests/test_ivf_index.py instead)
+    "sim_index_incremental",
 ]
 
 
