@@ -3515,6 +3515,97 @@ def _sim_index_incremental(spark, sf_dir):
     return out
 
 
+def _rollup_incremental_refresh(spark, sf_dir):
+    """Incremental materialized-view refresh
+    (scale.merge_additive_rollup): the per-(event_type, day) cube is
+    maintained from an 80/20 arrival split — aggregate ONLY the delta,
+    full-outer coalesce-add into the standing cube — and the oracle is
+    the FULL recompute over all events, so the hash check IS the
+    maintenance identity merge(agg(base), agg(delta)) == agg(all)."""
+    from orientdb_spark import scale
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.filter(F.col("event_id") % 10 < 8)
+    delta = ev.filter(F.col("event_id") % 10 >= 8)
+
+    def agg(d):
+        return d.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+
+    merged = scale.merge_additive_rollup(
+        agg(base), agg(delta), ["event_type", "day"], ["n_events", "sum_value"]
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(F.col("sum_value") + F.lit(1e-12), 6).alias("sum_value"),
+    )
+
+
+def _pipeline_forget_cascade(spark, sf_dir):
+    """Right-to-be-forgotten cascade (the GDPR erasure shape a training
+    corpus must support): a forget set (doc_id % 17 == 0) is purged
+    from the base table AND every derived artifact — RAG chunks
+    (text.chunk_documents) and the embedding table — each via ONE
+    broadcast anti-join on the forget set. Emits the compliance audit
+    row per artifact: (artifact, n_before, n_after, n_purged,
+    residual_refs) where residual_refs COUNTS forget-set rows
+    surviving the purge — the oracle pins it to zero, so a purge
+    regression hash-fails rather than silently leaking. Scale shape:
+    the forget set broadcasts (erasure requests are tiny vs the
+    corpus); every purge is one scan of its artifact."""
+    from orientdb_spark.pipeline.text import chunk_documents
+
+    docs = _docs(spark, sf_dir)
+    embs = _embs(spark, sf_dir)
+    del_ids = docs.filter(F.col("doc_id") % 17 == 0).select("doc_id")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+    def audit(name, frame, key):
+        keyed_del = F.broadcast(del_ids.select(F.col("doc_id").alias(key)))
+        kept = frame.join(keyed_del, key, "left_anti")
+        residual = kept.join(keyed_del, key, "left_semi")
+        return (
+            frame.agg(F.count(F.lit(1)).alias("n_before"))
+            .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_after")))
+            .crossJoin(residual.agg(F.count(F.lit(1)).alias("residual_refs")))
+            .select(
+                F.lit(name).alias("artifact"),
+                "n_before",
+                "n_after",
+                (F.col("n_before") - F.col("n_after")).alias("n_purged"),
+                "residual_refs",
+            )
+        )
+
+    return (
+        audit("documents", docs, "doc_id")
+        .unionByName(audit("chunks", chunks, "doc_id"))
+        .unionByName(audit("embeddings", embs, "vec_id"))
+    )
+
+
+def _scale_zorder_layout(spark, sf_dir):
+    """Z-order layout key (scale.zorder_key, Morton 1966 / the Delta
+    OPTIMIZE ZORDER practice): events gridded on (user_id, value) to an
+    8-bit-per-dim interleaved key + the 32-way range bucket a writer
+    would repartitionByRange on. Pure floor/shift/or Column arithmetic
+    — the oracle replays the identical min-max normalization and bit
+    interleave."""
+    from orientdb_spark import scale
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = scale.zorder_key(ev, ["user_id", "value"], bits_per_dim=8)
+    return out.select(
+        "event_id", "zkey", F.shiftright(F.col("zkey"), 11).cast("long").alias("bucket")
+    )
+
+
 def _sample_curriculum_order(spark, sf_dir):
     """Curriculum schedule (pipeline/sampling.curriculum_order, Bengio
     et al. 2009): stage docs easy->hard by corpus-LM NLL with exact
@@ -3653,11 +3744,20 @@ _DRIVER_FRONT = [
     # records — graph and multimodal stay represented by graph_sssp and
     # multimodal_pair_filter; their slots went to the two never-recorded
     # index-lifecycle entries)
+    # (event_scd2 keeps its r7 record — the temporal family is already
+    # represented by five event_* rows in this front; its slot went to
+    # the never-recorded z-order layout entry)
+    # (quality_fd_check keeps its r7 record — quality is represented by
+    # the r8-recorded quality rows and the mirror harness; its slot
+    # went to the never-recorded erasure-cascade entry)
+    # (graph_sssp keeps its r7 record — the graph layer carries fresh
+    # r9/r10 records on seven other entries; its slot went to the
+    # never-recorded incremental-rollup entry)
     "sim_index_persist",
     "sim_index_incremental",
-    "graph_sssp",
-    "event_scd2",
-    "quality_fd_check",
+    "scale_zorder_layout",
+    "pipeline_forget_cascade",
+    "rollup_incremental_refresh",
     # (dedup_simhash_hamming keeps its r7 record — slot went to the new
     # cluster-co-assigned split entry; the dedup family is already
     # represented in this front by the three new r11 dedup entries)
@@ -3992,6 +4092,9 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sample_curriculum_order": _sample_curriculum_order,
         "profile_dataset_card": _profile_dataset_card,
         "profile_dp_counts": _profile_dp_counts,
+        "scale_zorder_layout": _scale_zorder_layout,
+        "pipeline_forget_cascade": _pipeline_forget_cascade,
+        "rollup_incremental_refresh": _rollup_incremental_refresh,
         "pipeline_rag_prep": _pipeline_rag_prep,
         "pipeline_incremental_dedup": _pipeline_incremental_dedup,
         "sample_negatives": _sample_negatives,
@@ -4314,6 +4417,60 @@ def _domain_reweight_oracle_sql(
         f"round((1.0 - {sm}) * w + {sm} / s + 1e-12, 6) AS weight FROM w{iters}"
     )
     return "".join(parts)
+
+
+def _forget_cascade_oracle_sql() -> str:
+    """Erasure-cascade replay: the forget set is doc_id % 17 = 0;
+    chunk counts replay chunk_documents(32, 8)'s start enumeration
+    ((greatest(n-32,0)+23)//24 + 1 chunks for token count n > 0);
+    embeddings purge by semi-join against the forget set (no id-range
+    assumption); residual_refs is the contract — zero by construction
+    in a correct purge, so it is pinned as the literal the Spark side
+    must COUNT its way to."""
+    return (
+        "WITH del AS (SELECT doc_id FROM documents WHERE doc_id % 17 = 0), "
+        "dd AS (SELECT count(*)::BIGINT AS nb, "
+        "count(*) FILTER (WHERE doc_id % 17 <> 0)::BIGINT AS na FROM documents), "
+        "tc AS (SELECT doc_id, len(list_filter(regexp_split_to_array(text, "
+        "'\\s+'), t -> len(t) > 0)) AS n FROM documents), "
+        "cc AS (SELECT sum(CASE WHEN n > 0 THEN "
+        "(greatest(n - 32, 0) + 23) // 24 + 1 ELSE 0 END)::BIGINT AS nb, "
+        "sum(CASE WHEN n > 0 THEN (greatest(n - 32, 0) + 23) // 24 + 1 "
+        "ELSE 0 END) FILTER (WHERE doc_id % 17 <> 0)::BIGINT AS na FROM tc), "
+        "ee AS (SELECT count(*)::BIGINT AS nb, "
+        "count(*) FILTER (WHERE vec_id NOT IN (SELECT doc_id FROM del))::BIGINT "
+        "AS na FROM embeddings) "
+        "SELECT 'documents' AS artifact, nb AS n_before, na AS n_after, "
+        "nb - na AS n_purged, 0::BIGINT AS residual_refs FROM dd "
+        "UNION ALL SELECT 'chunks', nb, na, nb - na, 0::BIGINT FROM cc "
+        "UNION ALL SELECT 'embeddings', nb, na, nb - na, 0::BIGINT FROM ee"
+    )
+
+
+def _zorder_oracle_sql(bits: int = 8, shift: int = 11) -> str:
+    """Z-order replay (scale.zorder_key over events(user_id, value)):
+    min-max grid + bit interleave, identical left-assoc double
+    arithmetic and integer shifts."""
+    g = float((1 << bits) - 1)
+    interleave = " | ".join(
+        f"(((c{i} >> {b}) & 1) << {2 * b + i})"
+        for b in range(bits)
+        for i in range(2)
+    )
+    return (
+        "WITH s AS (SELECT min(user_id::DOUBLE) AS mn0, "
+        "max(user_id::DOUBLE) AS mx0, min(value) AS mn1, "
+        "max(value) AS mx1 FROM events), "
+        "g AS (SELECT event_id, "
+        "coalesce(CASE WHEN mx0 - mn0 > 0 THEN "
+        f"floor((user_id::DOUBLE - mn0) / (mx0 - mn0) * {g!r}) "
+        "ELSE 0 END, 0)::BIGINT AS c0, "
+        "coalesce(CASE WHEN mx1 - mn1 > 0 THEN "
+        f"floor((value - mn1) / (mx1 - mn1) * {g!r}) "
+        "ELSE 0 END, 0)::BIGINT AS c1 FROM events, s) "
+        f"SELECT event_id, zkey, (zkey >> {shift})::BIGINT AS bucket FROM ("
+        f"SELECT event_id, ({interleave})::BIGINT AS zkey FROM g)"
+    )
 
 
 def _ivf_fixed_oracle_sql(
@@ -6796,6 +6953,16 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
         ),
         "profile_dataset_card": _dataset_card_oracle_sql(),
         "profile_dp_counts": _dp_counts_oracle_sql(epsilon=1.0, seed=42),
+        "scale_zorder_layout": _zorder_oracle_sql(bits=8, shift=11),
+        "pipeline_forget_cascade": _forget_cascade_oracle_sql(),
+        "rollup_incremental_refresh": (
+            # the FULL recompute — hash equality against the Spark
+            # side's base+delta merge proves the maintenance identity
+            "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+            "count(*)::BIGINT AS n_events, "
+            "round(sum(value) + 1e-12, 6) AS sum_value "
+            "FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')"
+        ),
         "sim_index_persist": _ivf_fixed_oracle_sql(n_cells=16, nprobe=4),
         "sim_index_incremental": _ivf_fixed_oracle_sql(
             n_cells=16, nprobe=4, seed_filter="vec_id % 10 <> 0"

@@ -602,3 +602,106 @@ def quantile_sketch_estimate(
         for p in probs
     ]
     return ex.groupBy(*gcols, "n_rows").agg(*aggs)
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits_per_dim: int = 8,
+) -> DataFrame:
+    """Z-order (Morton) key over numeric columns — the multi-dimensional
+    data-layout key a lakehouse sorts files by so that range predicates
+    on ANY of the dimensions skip files (the Delta/Iceberg OPTIMIZE
+    ZORDER practice; Morton 1966). Each column is min-max normalized to
+    a ``bits_per_dim``-bit integer grid (the min/max ride a broadcast
+    1-row aggregate — never a driver collect), and the per-dimension
+    bits interleave into one ``zkey``: rows close in every dimension
+    land close on the curve, so a range-partition by zkey gives every
+    dimension locality at once — ONE layout serving D predicate
+    columns, where sorting by a column list serves only its prefix.
+
+    Pure Column arithmetic (floor/shift/or) — deterministic,
+    SQL-replayable, no UDF. NULLs in any key column map to grid cell 0
+    (sort to the curve's origin, and a file-skipping min/max on the
+    zkey still prunes them). Appends ``zkey`` (long); partition the
+    output with ``repartitionByRange('zkey')`` + a sortWithinPartitions
+    to materialize the layout.
+    """
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    if not 1 <= bits_per_dim <= 20:
+        raise ValueError(f"bits_per_dim must be in [1, 20], got {bits_per_dim}")
+    if len(cols) * bits_per_dim > 60:
+        raise ValueError(
+            f"{len(cols)} dims x {bits_per_dim} bits exceeds the 60-bit zkey"
+        )
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"__mx_{i}") for i, c in enumerate(cols)],
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    grid_max = (1 << bits_per_dim) - 1
+    cells = []
+    for i, c in enumerate(cols):
+        mn, mx = F.col(f"__mn_{i}"), F.col(f"__mx_{i}")
+        span = mx - mn
+        # degenerate dimension (constant column) pins to cell 0; the
+        # interleave below still spreads the other dimensions
+        norm = F.when(
+            span > 0,
+            F.floor(
+                (F.col(c).cast("double") - mn) / span * F.lit(float(grid_max))
+            ),
+        ).otherwise(F.lit(0))
+        cells.append(
+            F.coalesce(norm, F.lit(0)).cast("long").alias(f"__cell_{i}")
+        )
+    out = out.select(*df.columns, *cells)
+    zkey = F.lit(0).cast("long")
+    for b in range(bits_per_dim):
+        for i in range(len(cols)):
+            bit = F.shiftright(F.col(f"__cell_{i}"), b).bitwiseAND(F.lit(1))
+            zkey = zkey.bitwiseOR(
+                F.shiftleft(bit, b * len(cols) + i).cast("long")
+            )
+    return out.select(*df.columns, zkey.alias("zkey"))
+
+
+def merge_additive_rollup(
+    cube: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    add_cols: list[str],
+) -> DataFrame:
+    """Incremental materialized-view maintenance for ADDITIVE rollups
+    (counts, sums — the self-maintainable aggregate class): merge a
+    delta batch's partial aggregates into an existing cube with one
+    full-outer join and per-column coalesce-adds. The maintenance
+    identity ``merge(agg(base), agg(delta)) == agg(base ∪ delta)``
+    holds exactly for integer adds and to FP-accumulation order for
+    double sums (same class of noise as any distributed sum — round at
+    read time, the repo-wide 6-dp convention).
+
+    This is the daily-refresh shape a 100 TB metrics cube runs: O(delta)
+    aggregation + a join bounded by |cube| + |delta groups| — the base
+    DATA is never re-read (the dedup_minhash_incremental argument, for
+    aggregates). Non-additive aggregates (count-distinct, quantiles)
+    need mergeable sketches instead — see ``mergeable_distinct`` /
+    ``quantile_sketch_merge``.
+    """
+    if not keys or not add_cols:
+        raise ValueError("merge_additive_rollup needs keys and add_cols")
+    renamed = delta.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__d_{c}") for c in add_cols],
+    )
+    merged = cube.join(renamed, keys, "full_outer")
+    return merged.select(
+        *[F.col(k) for k in keys],
+        *[
+            (
+                F.coalesce(F.col(c), F.lit(0)) + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+            ).alias(c)
+            for c in add_cols
+        ],
+    )

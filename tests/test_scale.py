@@ -365,3 +365,101 @@ def test_quantile_sketch_merge_identity_and_error(spark):
         quantile_sketch_build(ev, "value", "event_id", b=1)
     with pytest.raises(ValueError):
         quantile_sketch_estimate(whole, [])
+
+
+# --- z-order layout key -------------------------------------------------------
+
+
+def test_zorder_interleave_roundtrip(spark):
+    """zkey deinterleaves back to the exact per-dimension grid cells
+    (numpy replay of the min-max grid), and close points share key
+    prefixes: the locality property range-partitioning relies on."""
+    from pyspark.sql import functions as F
+
+    from orientdb_spark import scale
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = scale.zorder_key(ev, ["user_id", "value"], bits_per_dim=8)
+    rows = out.select("event_id", "user_id", "value", "zkey").collect()
+    stats = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    mn0, mx0, mn1, mx1 = (float(x) for x in stats)
+    import math
+    for r in rows[:200]:
+        c0 = int(math.floor((float(r["user_id"]) - mn0) / (mx0 - mn0) * 255.0))
+        c1 = int(math.floor((float(r["value"]) - mn1) / (mx1 - mn1) * 255.0))
+        d0 = d1 = 0
+        for b in range(8):
+            d0 |= ((r["zkey"] >> (2 * b)) & 1) << b
+            d1 |= ((r["zkey"] >> (2 * b + 1)) & 1) << b
+        assert (d0, d1) == (c0, c1), (r, c0, c1, d0, d1)
+
+
+def test_zorder_nulls_and_constant_dims(spark):
+    from orientdb_spark import scale
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 1.0), (2, None, 2.0), (3, 9.0, 3.0)],
+        ["id", "a", "b"],
+    )
+    rows = {r["id"]: r["zkey"] for r in scale.zorder_key(df, ["a", "b"]).collect()}
+    assert rows[2] is not None  # null dim -> cell 0, key still defined
+    const = spark.createDataFrame([(1, 7.0, 1.0), (2, 7.0, 2.0)], ["id", "a", "b"])
+    got = {r["id"]: r["zkey"] for r in scale.zorder_key(const, ["a", "b"]).collect()}
+    # constant dim contributes 0 bits; the other dim still orders keys
+    assert got[1] < got[2]
+
+
+def test_zorder_validation(spark):
+    import pytest
+
+    from orientdb_spark import scale
+
+    df = spark.createDataFrame([(1, 1.0)], ["id", "a"])
+    with pytest.raises(ValueError, match="at least one"):
+        scale.zorder_key(df, [])
+    with pytest.raises(ValueError, match="bits_per_dim"):
+        scale.zorder_key(df, ["a"], bits_per_dim=0)
+    with pytest.raises(ValueError, match="60-bit"):
+        scale.zorder_key(df, ["a"] * 4, bits_per_dim=16)
+
+
+# --- incremental additive rollup maintenance ---------------------------------
+
+
+def test_merge_additive_rollup_identity(spark):
+    """merge(agg(base), agg(delta)) == agg(base UNION delta) exactly for
+    integer adds; groups present on only one side survive via coalesce."""
+    from pyspark.sql import functions as F
+
+    from orientdb_spark import scale
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    def agg(d):
+        return d.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("long")).alias("sv"),
+        )
+
+    base = ev.filter(F.col("event_id") % 7 != 0)
+    delta = ev.filter(F.col("event_id") % 7 == 0)
+    merged = scale.merge_additive_rollup(
+        agg(base), agg(delta), ["event_type"], ["n", "sv"]
+    )
+    full = agg(ev)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_merge_additive_rollup_one_sided_groups(spark):
+    from orientdb_spark import scale
+
+    cube = spark.createDataFrame([("a", 10), ("b", 5)], ["k", "n"])
+    delta = spark.createDataFrame([("b", 2), ("c", 7)], ["k", "n"])
+    got = {r["k"]: r["n"]
+           for r in scale.merge_additive_rollup(cube, delta, ["k"], ["n"]).collect()}
+    assert got == {"a": 10, "b": 7, "c": 7}
+    import pytest
+    with pytest.raises(ValueError, match="keys and add_cols"):
+        scale.merge_additive_rollup(cube, delta, [], ["n"])

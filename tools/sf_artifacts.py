@@ -114,6 +114,13 @@ SF1_ENTRIES = [
     # write per artifact run — the file-pruning feature it uniquely
     # adds is plan-pinned in tests/test_ivf_index.py instead)
     "sim_index_incremental",
+    # data-layout + governance (continuation-2): z-order is pure
+    # floor/shift arithmetic; the erasure cascade is count replays over
+    # the chunk-enumeration arithmetic — both linear
+    "scale_zorder_layout",
+    "pipeline_forget_cascade",
+    # incremental-rollup maintenance identity (full-recompute oracle)
+    "rollup_incremental_refresh",
 ]
 
 
