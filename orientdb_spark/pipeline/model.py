@@ -239,7 +239,12 @@ def perplexity_buckets(
     of it one groupBy(lang) over (lang, nll) pairs builds the threshold
     table — language cardinality is tiny, so it broadcasts back, and
     the bucket assignment is a narrow in-row CASE. No corpus-sized
-    exchange beyond lm_score's own.
+    exchange beyond lm_score's own. One honest caveat: EXACT
+    F.percentile buffers each language's NLLs on one reducer — the
+    cross-engine-parity choice, fine to ~10⁸ docs/language; at true
+    100 TB swap the threshold stage for approx_percentile or
+    scale.quantile_sketch_build (bucket cuts are semantically tolerant
+    of approximation; only the oracle discipline forces exact here).
 
     Returns (id, lang, nll, bucket)."""
     if not 0 < lo <= hi < 1:

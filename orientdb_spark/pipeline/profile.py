@@ -438,7 +438,10 @@ def dataset_card(
     materialized once (localCheckpoint) because five aggregate branches
     read it; every branch is then a tiny groupBy/agg whose output is
     bounded by the number of languages/sources, not N. No branch
-    re-scans the corpus."""
+    re-scans the corpus. The exact length percentiles and exact
+    countDistinct are the parity choices — at true 100 TB swap them
+    for approx_percentile / approx_count_distinct (a release card
+    tolerates sketch error; only the oracle forces exact)."""
     per_doc = df.select(
         F.col(lang_col).alias("__lang"),
         F.col(source_col).alias("__src"),

@@ -946,7 +946,11 @@ def curriculum_order(
     aggregate (S-1 cut points ride a broadcast 1-row crossJoin), h60
     shard arithmetic in-row, and the position window partitions by
     (stage, shard) — stages·shards independent groups, no
-    single-partition window."""
+    single-partition window. The EXACT percentile buffers the NLL
+    column on one reducer (the cross-engine-parity choice, fine to
+    ~10⁸ docs); at true 100 TB swap the cut stage for approx_percentile
+    or scale.quantile_sketch_build — stage cuts are semantically
+    tolerant of approximation, only the oracle forces exact."""
     from orientdb_spark.pipeline.text import lm_score
 
     if n_stages < 2:
