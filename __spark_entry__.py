@@ -3474,6 +3474,8 @@ def _sim_index_persist(spark, sf_dir):
     bit-for-bit — persistence is only correct if it is invisible.
     tests/test_ivf_index.py additionally pins the loaded probe plan's
     dynamic partition pruning."""
+    import hashlib
+    import os
     import tempfile
 
     from orientdb_spark.pipeline import similarity
@@ -3482,7 +3484,11 @@ def _sim_index_persist(spark, sf_dir):
     idx = similarity.IvfIndex.build(
         embs, n_cells=16, refine_iters=0, persist=False
     )
-    path = tempfile.mkdtemp(prefix="ivfidx_")
+    # deterministic per-sf path + save()'s overwrite mode: repeat runs
+    # (mirror harness, driver re-records) REUSE the directory instead of
+    # accumulating one corpus-sized index copy per run
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"ivfidx_{tag}")
     idx.save(path)
     loaded = similarity.IvfIndex.load(spark, path)
     # nprobe=4 of 16 cells: the fixture serving point; target_recall
@@ -3569,7 +3575,16 @@ def _pipeline_forget_cascade(spark, sf_dir):
     def audit(name, frame, key):
         keyed_del = F.broadcast(del_ids.select(F.col("doc_id").alias(key)))
         kept = frame.join(keyed_del, key, "left_anti")
-        residual = kept.join(keyed_del, key, "left_semi")
+        # the residual check must NOT reuse the purge's own join/frame
+        # (anti-then-semi on the same key set is empty by construction
+        # and would verify nothing): re-test the forget PREDICATE
+        # directly on the purged rows, so a purge that anti-joined the
+        # wrong key, the wrong frame, or the wrong join type counts > 0
+        # and hash-fails against the oracle's pinned zero. (Predicate
+        # re-test assumes the artifact's id domain matches documents' —
+        # true of the generated tables, where doc_id and vec_id are the
+        # same 0..N-1 range; the sf artifacts re-verify this at scale.)
+        residual = kept.filter(F.col(key) % 17 == 0)
         return (
             frame.agg(F.count(F.lit(1)).alias("n_before"))
             .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_after")))
@@ -3739,20 +3754,14 @@ _DRIVER_FRONT = [
     "text_classifier_score",
     "sample_perplexity_buckets",
     "multimodal_pair_filter",
-    # r7-era refreshes: one representative per family
-    # (graph_cc_incremental and multimodal_phash_dedup keep their r7
-    # records — graph and multimodal stay represented by graph_sssp and
-    # multimodal_pair_filter; their slots went to the two never-recorded
-    # index-lifecycle entries)
-    # (event_scd2 keeps its r7 record — the temporal family is already
-    # represented by five event_* rows in this front; its slot went to
-    # the never-recorded z-order layout entry)
-    # (quality_fd_check keeps its r7 record — quality is represented by
-    # the r8-recorded quality rows and the mirror harness; its slot
-    # went to the never-recorded erasure-cascade entry)
-    # (graph_sssp keeps its r7 record — the graph layer carries fresh
-    # r9/r10 records on seven other entries; its slot went to the
-    # never-recorded incremental-rollup entry)
+    # Family-representative refreshes, all displaced by this session's
+    # never-recorded entries: event_scd2, quality_fd_check, graph_sssp,
+    # graph_cc_incremental, and multimodal_phash_dedup keep their r7
+    # records (temporal is represented by five event_* rows in this
+    # front, multimodal by multimodal_pair_filter, quality by the
+    # r8-recorded quality rows, and the graph layer carries fresh
+    # r9/r10 records on seven entries outside the front; every oracle
+    # entry is ALSO re-verified per-run by the mirror harness).
     "sim_index_persist",
     "sim_index_incremental",
     "scale_zorder_layout",
@@ -4297,12 +4306,21 @@ def _bpe_oracle_sql(n_merges: int, output: str = "merges") -> str:
             f", t{r} AS (SELECT a, b FROM p{r} ORDER BY n DESC, a, b LIMIT 1)"
         )
         if r < n_merges - 1 or output == "encode":
+            # LEFT JOIN ON 1=1, not a cross join: when the corpus runs
+            # out of pairs before n_merges (bpe_train's early break),
+            # t{r} is EMPTY — a cross join would empty every later
+            # w-table (and the encode vocab with it); the left join
+            # passes symbols through unchanged instead, exactly the
+            # fold-with-no-merge semantics
             parts.append(
                 f", w{r + 1} AS (SELECT word, freq, "
-                f"str_split(substr(s2, 2, len(s2) - 2), {sep2}) AS syms FROM ("
-                f"SELECT word, freq, replace({sep} || array_to_string(syms, {sep2}) "
+                f"CASE WHEN s2 IS NULL THEN syms ELSE "
+                f"str_split(substr(s2, 2, len(s2) - 2), {sep2}) END AS syms FROM ("
+                f"SELECT word, freq, syms, CASE WHEN t.a IS NULL THEN NULL ELSE "
+                f"replace({sep} || array_to_string(syms, {sep2}) "
                 f"|| {sep}, {sep} || t.a || {sep2} || t.b || {sep}, "
-                f"{sep} || t.a || t.b || {sep}) AS s2 FROM w{r}, t{r} t))"
+                f"{sep} || t.a || t.b || {sep}) END AS s2 "
+                f"FROM w{r} LEFT JOIN t{r} t ON 1 = 1))"
             )
     if output == "encode":
         # one CTE past the merge loop: the FINAL per-word symbol table

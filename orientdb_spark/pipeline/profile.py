@@ -442,17 +442,19 @@ def dataset_card(
     countDistinct are the parity choices — at true 100 TB swap them
     for approx_percentile / approx_count_distinct (a release card
     tolerates sketch error; only the oracle forces exact)."""
+    from orientdb_spark.pipeline.common import ws_tokens
+
+    # persist(), NOT localCheckpoint: the cache is LRU-evictable (Spark
+    # recomputes from lineage if memory pressure hits) and freeable by
+    # the caller / CacheManager — a checkpoint here would pin
+    # corpus-sized blocks that DataFrame.unpersist() cannot release
     per_doc = df.select(
         F.col(lang_col).alias("__lang"),
         F.col(source_col).alias("__src"),
         F.length(F.col(text_col)).cast("double").alias("__chars"),
-        F.size(
-            F.filter(
-                F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0
-            )
-        ).cast("double").alias("__toks"),
+        F.size(ws_tokens(F.col(text_col))).cast("double").alias("__toks"),
         F.md5(F.encode(F.col(text_col), "UTF-8")).alias("__digest"),
-    ).localCheckpoint(eager=False)
+    ).persist()
     corpus = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.sum("__toks").alias("total_ws_tokens"),

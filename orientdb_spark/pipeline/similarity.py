@@ -325,11 +325,17 @@ class IvfIndex:
         corpus_cells: DataFrame,
         id_col: str,
         n_cells: int | None = None,
+        block_ids: "set | None" = None,
     ):
         self.centroids = centroids
         self.corpus_cells = corpus_cells  # (neighbor_id, __cv, cid), persisted
         self.id_col = id_col
         self._n_cells = n_cells
+        # persistent-RDD ids owned by this index's localCheckpoint (if
+        # any) — DataFrame.unpersist() is a NO-OP for checkpoint blocks
+        # (they bypass the CacheManager), so unpersist() frees these at
+        # the RDD layer instead (the mmr_topk/kcenter hygiene)
+        self._block_ids: set = block_ids or set()
 
     @property
     def n_cells(self) -> int:
@@ -362,9 +368,13 @@ class IvfIndex:
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("__cv"),
         ).join(assignments.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+        block_ids: set = set()
         if persist:
+            sc = df.sparkSession.sparkContext
+            before = _rdd_ids(sc)
             corpus = corpus.localCheckpoint(eager=True)  # cut lineage; cache cells
-        return cls(centroids, corpus, id_col, n_cells=n_cells)
+            block_ids = _rdd_ids(sc) - before
+        return cls(centroids, corpus, id_col, n_cells=n_cells, block_ids=block_ids)
 
     def topk(self, queries: DataFrame, k: int = 5, nprobe: int | None = None,
              vec_col: str = "embedding", target_recall: float = 0.6) -> DataFrame:
@@ -422,6 +432,13 @@ class IvfIndex:
         )
 
     def unpersist(self) -> None:
+        # checkpoint blocks first (RDD layer — the only path that frees
+        # them); the DataFrame call covers any CacheManager-level persist
+        if self._block_ids:
+            _free_rdd_ids(
+                self.corpus_cells.sparkSession.sparkContext, self._block_ids
+            )
+            self._block_ids = set()
         self.corpus_cells.unpersist()
 
     def save(self, path: str) -> None:
@@ -473,9 +490,19 @@ class IvfIndex:
             F.col(vec_col).cast("array<double>").alias("__cv"),
         ).withColumn("cid", _assign_udf(centers)(F.col("__cv")))
         merged = self.corpus_cells.unionByName(assigned)
+        block_ids: set = set()
         if persist:
+            sc = batch.sparkSession.sparkContext
+            before = _rdd_ids(sc)
             merged = merged.localCheckpoint(eager=True)
-        return IvfIndex(self.centroids, merged, self.id_col, n_cells=len(centers))
+            block_ids = _rdd_ids(sc) - before
+        return IvfIndex(
+            self.centroids,
+            merged,
+            self.id_col,
+            n_cells=len(centers),
+            block_ids=block_ids,
+        )
 
 
 # Derived IMI probe widths stop here: enumerating the probe pairs costs
@@ -1724,16 +1751,19 @@ def hybrid_rrf_topk(
     (doc_id, lex_rank, vec_rank, rrf_score, fused_rank) with NULL
     lex/vec rank when only one retriever found the doc.
     """
+    from orientdb_spark.pipeline.common import ws_tokens
+
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    # single-query contract: a multi-row query_vec would interleave
+    # every query's cosines into ONE rank list — garbage fused silently.
+    # The check is one tiny job (limit-2 count), cheap at any scale.
+    n_q = query_vec.limit(2).count()
+    if n_q != 1:
+        raise ValueError(f"query_vec must contain exactly one row, got {n_q}+")
     toks = docs.select(
         F.col(doc_id_col).alias("doc_id"),
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), r"\s+"),
-                lambda t: F.length(t) > 0,
-            )
-        ).alias("term"),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("term"),
     ).filter(F.col("term").isin([t.lower() for t in query_terms]))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

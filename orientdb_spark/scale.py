@@ -692,12 +692,20 @@ def merge_additive_rollup(
     if not keys or not add_cols:
         raise ValueError("merge_additive_rollup needs keys and add_cols")
     renamed = delta.select(
-        *[F.col(k) for k in keys],
+        *[F.col(k).alias(f"__d_{k}") for k in keys],
         *[F.col(c).alias(f"__d_{c}") for c in add_cols],
     )
-    merged = cube.join(renamed, keys, "full_outer")
+    # NULL-SAFE key equality: groupBy legitimately emits NULL-key groups,
+    # and a plain full-outer equi-join would leave the two sides' NULL
+    # groups unmatched (two rows instead of one sum) — breaking the
+    # maintenance identity exactly where dirty data lives
+    cond = None
+    for k in keys:
+        eq = cube[k].eqNullSafe(renamed[f"__d_{k}"])
+        cond = eq if cond is None else cond & eq
+    merged = cube.join(renamed, cond, "full_outer")
     return merged.select(
-        *[F.col(k) for k in keys],
+        *[F.coalesce(cube[k], F.col(f"__d_{k}")).alias(k) for k in keys],
         *[
             (
                 F.coalesce(F.col(c), F.lit(0)) + F.coalesce(F.col(f"__d_{c}"), F.lit(0))

@@ -286,3 +286,24 @@ def test_extend_assigns_batch_to_existing_centroids(spark):
     assert all(r["neighbor_id"] != 900 for r in before)
     assert after[0]["neighbor_id"] == 900 and after[0]["cosine"] == 1.0
     merged.unpersist(); idx.unpersist()
+
+
+def test_unpersist_frees_checkpoint_blocks(spark):
+    """build(persist=True) and extend() own localCheckpoint blocks that
+    DataFrame.unpersist() cannot release — IvfIndex.unpersist() must
+    free them at the RDD layer (zero leaked persistent RDDs)."""
+    from orientdb_spark.pipeline.similarity import _rdd_ids
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    before = _rdd_ids(spark.sparkContext)
+    idx = similarity.IvfIndex.build(embs, n_cells=8, refine_iters=0, persist=True)
+    merged = idx.extend(
+        embs.filter(F.col("vec_id") < 3).withColumn(
+            "vec_id", F.col("vec_id") + 1000
+        )
+    )
+    assert merged.corpus_cells.count() == embs.count() + 3
+    merged.unpersist()
+    idx.unpersist()
+    leaked = _rdd_ids(spark.sparkContext) - before
+    assert not leaked, f"leaked persistent RDD ids: {sorted(leaked)}"

@@ -463,3 +463,15 @@ def test_merge_additive_rollup_one_sided_groups(spark):
     import pytest
     with pytest.raises(ValueError, match="keys and add_cols"):
         scale.merge_additive_rollup(cube, delta, [], ["n"])
+
+
+def test_merge_additive_rollup_null_keys(spark):
+    """NULL group keys (legit groupBy output) must MERGE, not duplicate
+    — the null-safe-equality clause of the maintenance identity."""
+    from orientdb_spark import scale
+
+    cube = spark.createDataFrame([("a", 10), (None, 5)], ["k", "n"])
+    delta = spark.createDataFrame([(None, 2), ("a", 1)], ["k", "n"])
+    rows = scale.merge_additive_rollup(cube, delta, ["k"], ["n"]).collect()
+    got = {r["k"]: r["n"] for r in rows}
+    assert len(rows) == 2 and got == {"a": 11, None: 7}

@@ -413,3 +413,12 @@ def test_hybrid_rrf_requires_terms(spark):
     docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="query_terms"):
         S.hybrid_rrf_topk(docs, docs, [], docs)
+
+
+def test_hybrid_rrf_rejects_multirow_query_vec(spark):
+    docs = spark.createDataFrame([(1, "spark x")], ["doc_id", "text"])
+    embs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="exactly one row"):
+        S.hybrid_rrf_topk(docs, embs, ["spark"], embs)  # 2-row query_vec
