@@ -4293,7 +4293,12 @@ def _bpe_oracle_sql(n_merges: int, output: str = "merges") -> str:
     sep, sep2 = "chr(31)", "(chr(31) || chr(31))"
     toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)"
     parts = [
-        "WITH w0 AS (SELECT word, count(*)::BIGINT AS freq, "
+        # every w{r} is referenced twice (by the next round's pair count
+        # AND the next w-table), so each round must be MATERIALIZED —
+        # DuckDB inlines plain CTEs per reference and the corpus-wide
+        # word collapse would re-execute O(2^n_merges) times (measured
+        # 230 s at sf1 for the encode variant; materialized, seconds)
+        "WITH w0 AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq, "
         "list_append(str_split(word, ''), '</w>') AS syms FROM ("
         f"SELECT unnest({toks}) AS word FROM documents) GROUP BY word)"
     ]
@@ -4303,7 +4308,8 @@ def _bpe_oracle_sql(n_merges: int, output: str = "merges") -> str:
             f"SELECT freq, syms[i] AS a, syms[i + 1] AS b "
             f"FROM w{r}, unnest(range(1, len(syms))) AS t(i) "
             "WHERE len(syms) >= 2) GROUP BY a, b)"
-            f", t{r} AS (SELECT a, b FROM p{r} ORDER BY n DESC, a, b LIMIT 1)"
+            f", t{r} AS MATERIALIZED "
+            f"(SELECT a, b FROM p{r} ORDER BY n DESC, a, b LIMIT 1)"
         )
         if r < n_merges - 1 or output == "encode":
             # LEFT JOIN ON 1=1, not a cross join: when the corpus runs
@@ -4313,7 +4319,7 @@ def _bpe_oracle_sql(n_merges: int, output: str = "merges") -> str:
             # passes symbols through unchanged instead, exactly the
             # fold-with-no-merge semantics
             parts.append(
-                f", w{r + 1} AS (SELECT word, freq, "
+                f", w{r + 1} AS MATERIALIZED (SELECT word, freq, "
                 f"CASE WHEN s2 IS NULL THEN syms ELSE "
                 f"str_split(substr(s2, 2, len(s2) - 2), {sep2}) END AS syms FROM ("
                 f"SELECT word, freq, syms, CASE WHEN t.a IS NULL THEN NULL ELSE "
@@ -4355,7 +4361,13 @@ def _mmr_oracle_sql(nq: int = 8, k: int = 5, m: int = 20, lam: float = 0.5) -> s
     each an EXISTS-excluded max-sim groupBy against the selected set and
     a (score desc, neighbor_id) argmax. Scores live on the 6-dp
     nudge-rounded grid (lam·6dp-value lands EXACTLY on decimal
-    midpoints, where un-nudged rounds diverge across engines)."""
+    midpoints, where un-nudged rounds diverge across engines).
+
+    Shared CTEs are declared AS MATERIALIZED: DuckDB inlines plain
+    CTEs per reference, and each sel{t} references sel{t-1} twice
+    (max-sim join + NOT EXISTS), so un-materialized the full corpus
+    cosine scan re-executes O(2^k) times — measured 242 s at sf1;
+    materialized it is sub-second, values identical."""
     cos_qe = _COS.format(a="q.qv", b="e.ev")
     cos_ab = _COS.format(a="a.v", b="b.v")
     lm, il = repr(float(lam)), repr(1.0 - float(lam))
@@ -4366,15 +4378,16 @@ def _mmr_oracle_sql(nq: int = 8, k: int = 5, m: int = 20, lam: float = 0.5) -> s
         "FROM embeddings), "
         f"s AS (SELECT query_id, neighbor_id, {cos_qe} AS c FROM q, e "
         "WHERE neighbor_id <> query_id), "
-        "cand AS (SELECT query_id, neighbor_id, round(c, 6) AS rel, "
+        "cand AS MATERIALIZED (SELECT query_id, neighbor_id, round(c, 6) AS rel, "
         "row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) "
         f"AS rnk FROM s QUALIFY rnk <= {m}), "
         "cv AS (SELECT cand.query_id, cand.neighbor_id, e.ev AS v "
         "FROM cand JOIN e USING (neighbor_id)), "
-        "ps AS (SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib, "
+        "ps AS MATERIALIZED (SELECT a.query_id, a.neighbor_id AS ia, "
+        "b.neighbor_id AS ib, "
         f"round({cos_ab}, 6) AS s FROM cv a JOIN cv b "
         "ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id), "
-        f"sel1 AS (SELECT query_id, neighbor_id, rel, "
+        f"sel1 AS MATERIALIZED (SELECT query_id, neighbor_id, rel, "
         f"round({lm} * rel + 1e-12, 6) AS mmr_score, 1 AS mmr_rank "
         "FROM cand WHERE rnk = 1)"
     ]
@@ -4394,7 +4407,7 @@ def _mmr_oracle_sql(nq: int = 8, k: int = 5, m: int = 20, lam: float = 0.5) -> s
             f"WHERE NOT EXISTS (SELECT 1 FROM sel{t - 1} s2 "
             "WHERE s2.query_id = c.query_id "
             "AND s2.neighbor_id = c.neighbor_id)) WHERE rn = 1)"
-            f", sel{t} AS (SELECT * FROM sel{t - 1} "
+            f", sel{t} AS MATERIALIZED (SELECT * FROM sel{t - 1} "
             f"UNION ALL SELECT * FROM pick{t})"
         )
     parts.append(
