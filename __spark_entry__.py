@@ -3484,11 +3484,14 @@ def _sim_index_persist(spark, sf_dir):
     idx = similarity.IvfIndex.build(
         embs, n_cells=16, refine_iters=0, persist=False
     )
-    # deterministic per-sf path + save()'s overwrite mode: repeat runs
-    # (mirror harness, driver re-records) REUSE the directory instead of
-    # accumulating one corpus-sized index copy per run
+    # deterministic per-(sf, process) path + save()'s overwrite mode:
+    # repeat runs WITHIN a process (mirror harness, driver re-records)
+    # REUSE the directory instead of accumulating one index copy per
+    # run, while the pid suffix keeps concurrent harness processes (or
+    # other users on a shared host) from overwriting a directory
+    # another run's loaded index is still lazily scanning
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"ivfidx_{tag}")
+    path = os.path.join(tempfile.gettempdir(), f"ivfidx_{tag}_{os.getpid()}")
     idx.save(path)
     loaded = similarity.IvfIndex.load(spark, path)
     # nprobe=4 of 16 cells: the fixture serving point; target_recall

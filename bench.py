@@ -186,7 +186,24 @@ def main() -> None:
     }
     if failed:
         out["failed"] = failed
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # Always ALSO write the record to a file artifact: BENCH_r11.json
+    # lost its headline total when the driver's stdout capture truncated
+    # mid-JSON — a pipe must never be the only copy of a round's number.
+    # Override the path with --out <path> or $SPARK_GRAFT_BENCH_OUT.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    if out_path is None:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_run.json"
+        )
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError as e:
+        print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -220,6 +220,8 @@ def perplexity_buckets(
     lo: float = 1 / 3,
     hi: float = 2 / 3,
     k: float = 0.5,
+    approx: bool = False,
+    approx_accuracy: int = 10000,
 ) -> DataFrame:
     """CCNet-style perplexity stratification (Wenzek et al. 2020):
     score every doc with the corpus-trained bigram LM (text.lm_score),
@@ -240,11 +242,14 @@ def perplexity_buckets(
     table — language cardinality is tiny, so it broadcasts back, and
     the bucket assignment is a narrow in-row CASE. No corpus-sized
     exchange beyond lm_score's own. One honest caveat: EXACT
-    F.percentile buffers each language's NLLs on one reducer — the
-    cross-engine-parity choice, fine to ~10⁸ docs/language; at true
-    100 TB swap the threshold stage for approx_percentile or
-    scale.quantile_sketch_build (bucket cuts are semantically tolerant
-    of approximation; only the oracle discipline forces exact here).
+    F.percentile (the ``approx=False`` default, the cross-engine-parity
+    choice) buffers each language's NLLs on one reducer — fine to
+    ~10⁸ docs/language. ``approx=True`` is the 100 TB path: the
+    threshold stage becomes ``percentile_approx`` (a mergeable
+    QuantileSummaries sketch — partial-aggregable, no per-language
+    value buffering; ``approx_accuracy`` trades sketch size for error).
+    Bucket cuts are semantically tolerant of approximation; only the
+    oracle discipline forces exact as the default.
 
     Returns (id, lang, nll, bucket)."""
     if not 0 < lo <= hi < 1:
@@ -252,9 +257,14 @@ def perplexity_buckets(
     scored = lm_score(df, text_col, id_col, k).join(
         df.select(F.col(id_col), F.col(lang_col)), id_col
     )
+    pctl = (
+        (lambda c, q: F.percentile_approx(c, F.lit(q), F.lit(int(approx_accuracy))))
+        if approx
+        else (lambda c, q: F.percentile(c, F.lit(q)))
+    )
     thr = scored.groupBy(lang_col).agg(
-        F.round(F.percentile(F.col("nll"), F.lit(lo)) + F.lit(1e-12), 6).alias("__lo"),
-        F.round(F.percentile(F.col("nll"), F.lit(hi)) + F.lit(1e-12), 6).alias("__hi"),
+        F.round(pctl(F.col("nll"), lo) + F.lit(1e-12), 6).alias("__lo"),
+        F.round(pctl(F.col("nll"), hi) + F.lit(1e-12), 6).alias("__hi"),
     )
     return scored.join(F.broadcast(thr), lang_col).select(
         F.col(id_col),

@@ -426,6 +426,9 @@ def dataset_card(
     text_col: str = "text",
     lang_col: str = "lang",
     source_col: str = "source",
+    approx: bool = False,
+    approx_accuracy: int = 10000,
+    rsd: float = 0.01,
 ) -> DataFrame:
     """Dataset-card statistics (the disclosure table a corpus release
     publishes — the Datasheets/data-card practice): corpus totals,
@@ -435,19 +438,48 @@ def dataset_card(
 
     Shape at scale: ONE narrow corpus pass computes the per-doc
     statistics row (token count, length, content digest, lang, source),
-    materialized once (localCheckpoint) because five aggregate branches
-    read it; every branch is then a tiny groupBy/agg whose output is
-    bounded by the number of languages/sources, not N. No branch
-    re-scans the corpus. The exact length percentiles and exact
-    countDistinct are the parity choices — at true 100 TB swap them
-    for approx_percentile / approx_count_distinct (a release card
-    tolerates sketch error; only the oracle forces exact)."""
+    cached once because five aggregate branches read it; every branch
+    is then a tiny groupBy/agg whose output is bounded by the number of
+    languages/sources, not N. No branch re-scans the corpus. The exact
+    length percentiles and exact countDistinct are the parity choices
+    and the ``approx=False`` default; ``approx=True`` is the 100 TB
+    path — percentile_approx (mergeable sketch, no single-reducer value
+    buffering; ``approx_accuracy`` trades size for error) and
+    approx_count_distinct (HLL++, relative error ``rsd``). A release
+    card tolerates sketch error; only the oracle forces exact."""
+    card = _dataset_card_plan(
+        df, text_col, lang_col, source_col, approx, approx_accuracy, rsd
+    )
+    # Eagerly materialize the card (bounded: 7 + |langs| + |sources|
+    # rows) and cut its lineage so the corpus-sized per-doc cache can be
+    # freed HERE rather than left pinned until LRU eviction / session
+    # end. The card is a report — eager is its natural contract; the
+    # only blocks that remain checkpointed are card-sized, not N-sized.
+    out = card.localCheckpoint()
+    card._ods_per_doc.unpersist()
+    return out
+
+
+def _dataset_card_plan(
+    df: DataFrame,
+    text_col: str,
+    lang_col: str,
+    source_col: str,
+    approx: bool,
+    approx_accuracy: int,
+    rsd: float,
+) -> DataFrame:
+    """Lazy card plan (plan-pin surface for tests); ``dataset_card``
+    wraps it with the eager materialize-then-free cache discipline. The
+    per-doc cached frame rides back on the ``_ods_per_doc`` attribute
+    so the wrapper can unpersist it."""
     from orientdb_spark.pipeline.common import ws_tokens
 
     # persist(), NOT localCheckpoint: the cache is LRU-evictable (Spark
-    # recomputes from lineage if memory pressure hits) and freeable by
-    # the caller / CacheManager — a checkpoint here would pin
-    # corpus-sized blocks that DataFrame.unpersist() cannot release
+    # recomputes from lineage if memory pressure hits) and is explicitly
+    # unpersisted by dataset_card once the card has been materialized —
+    # a checkpoint here would pin corpus-sized blocks that
+    # DataFrame.unpersist() cannot release
     per_doc = df.select(
         F.col(lang_col).alias("__lang"),
         F.col(source_col).alias("__src"),
@@ -455,16 +487,24 @@ def dataset_card(
         F.size(ws_tokens(F.col(text_col))).cast("double").alias("__toks"),
         F.md5(F.encode(F.col(text_col), "UTF-8")).alias("__digest"),
     ).persist()
+    if approx:
+        nd = lambda c: F.approx_count_distinct(c, rsd)  # noqa: E731
+        pctl = lambda c, q: F.percentile_approx(  # noqa: E731
+            c, F.lit(q), F.lit(int(approx_accuracy))
+        )
+    else:
+        nd = lambda c: F.countDistinct(c)  # noqa: E731
+        pctl = lambda c, q: F.percentile(c, F.lit(q))  # noqa: E731
     corpus = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.sum("__toks").alias("total_ws_tokens"),
-        F.countDistinct("__lang").cast("double").alias("distinct_langs"),
-        F.countDistinct("__src").cast("double").alias("distinct_sources"),
-        F.countDistinct("__digest").cast("double").alias("__uniq"),
-        F.round(F.percentile(F.col("__chars"), F.lit(0.5)) + F.lit(1e-12), 6).alias(
+        nd("__lang").cast("double").alias("distinct_langs"),
+        nd("__src").cast("double").alias("distinct_sources"),
+        nd("__digest").cast("double").alias("__uniq"),
+        F.round(pctl(F.col("__chars"), 0.5) + F.lit(1e-12), 6).alias(
             "p50_chars"
         ),
-        F.round(F.percentile(F.col("__chars"), F.lit(0.9)) + F.lit(1e-12), 6).alias(
+        F.round(pctl(F.col("__chars"), 0.9) + F.lit(1e-12), 6).alias(
             "p90_chars"
         ),
     ).select(
@@ -499,7 +539,9 @@ def dataset_card(
             F.col("__c").alias("value"),
         )
     )
-    return corpus.unionByName(langs).unionByName(sources)
+    card = corpus.unionByName(langs).unionByName(sources)
+    card._ods_per_doc = per_doc
+    return card
 
 
 def dp_noisy_counts(

@@ -926,6 +926,8 @@ def curriculum_order(
     seed: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    approx: bool = False,
+    approx_accuracy: int = 10000,
 ) -> DataFrame:
     """Curriculum schedule (Bengio et al. 2009, easy-first training):
     stage documents easiest→hardest by corpus-LM typicality
@@ -946,11 +948,14 @@ def curriculum_order(
     aggregate (S-1 cut points ride a broadcast 1-row crossJoin), h60
     shard arithmetic in-row, and the position window partitions by
     (stage, shard) — stages·shards independent groups, no
-    single-partition window. The EXACT percentile buffers the NLL
-    column on one reducer (the cross-engine-parity choice, fine to
-    ~10⁸ docs); at true 100 TB swap the cut stage for approx_percentile
-    or scale.quantile_sketch_build — stage cuts are semantically
-    tolerant of approximation, only the oracle forces exact."""
+    single-partition window. The EXACT percentile (the ``approx=False``
+    default) buffers the NLL column on one reducer — the
+    cross-engine-parity choice, fine to ~10⁸ docs. ``approx=True`` is
+    the 100 TB path: the cut stage becomes ``percentile_approx`` (a
+    mergeable sketch, partial-aggregable, no value buffering;
+    ``approx_accuracy`` trades sketch size for error) — stage cuts are
+    semantically tolerant of approximation, only the oracle forces
+    exact as the default."""
     from orientdb_spark.pipeline.text import lm_score
 
     if n_stages < 2:
@@ -964,11 +969,14 @@ def curriculum_order(
         id_col, F.coalesce(F.col("nll"), F.lit(0.0)).alias("nll")
     )
     qs = [s / n_stages for s in range(1, n_stages)]
+    pctl = (
+        (lambda c, q: F.percentile_approx(c, F.lit(q), F.lit(int(approx_accuracy))))
+        if approx
+        else (lambda c, q: F.percentile(c, F.lit(q)))
+    )
     cuts = scored.agg(
         *[
-            F.round(F.percentile(F.col("nll"), F.lit(q)) + F.lit(1e-12), 6).alias(
-                f"__cut{i}"
-            )
+            F.round(pctl(F.col("nll"), q) + F.lit(1e-12), 6).alias(f"__cut{i}")
             for i, q in enumerate(qs)
         ]
     )

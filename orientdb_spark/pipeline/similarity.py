@@ -360,7 +360,14 @@ class IvfIndex:
 
         ``n_cells=None`` derives ~sqrt(N) cells from one count() of the
         corpus (derive_ivf_params) — the scale-aware default; explicit
-        values are honored verbatim."""
+        values are honored verbatim.
+
+        Block hygiene caveat (applies to ``build``/``extend``): freed
+        checkpoint blocks are tracked by snapshot-diffing the JVM
+        persistent-RDD set, which attributes any RDD persisted during
+        the window to this call — run from a single-threaded driver (the
+        engine's model); a concurrent persist from another thread would
+        be swept by ``unpersist()``."""
         if n_cells is None:
             n_cells, _ = derive_ivf_params(max(1, df.count()), target_recall)
         centroids, assignments = build_ivf_index(df, n_cells, vec_col, id_col, refine_iters)
@@ -1574,6 +1581,11 @@ def mmr_topk(
 
     Returns (query_id, neighbor_id, relevance, mmr_score, mmr_rank),
     mmr_rank 1..k per query (fewer if the corpus has < k candidates).
+
+    Block hygiene caveat: superseded checkpoint blocks are freed by
+    snapshot-diffing the JVM persistent-RDD set — run from a
+    single-threaded driver (the engine's model); a concurrent persist
+    from another thread would be attributed to this call and swept.
     """
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")

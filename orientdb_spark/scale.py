@@ -704,12 +704,22 @@ def merge_additive_rollup(
         eq = cube[k].eqNullSafe(renamed[f"__d_{k}"])
         cond = eq if cond is None else cond & eq
     merged = cube.join(renamed, cond, "full_outer")
+    # NULL-preserving add: SUM over an all-NULL group is NULL, and the
+    # identity must reproduce that. Coalesce a side to 0 only when the
+    # OTHER side contributes a value; when both sides are NULL (group
+    # absent on one side AND/OR an all-NULL sum) the merged aggregate
+    # stays NULL — matching the full recompute exactly.
     return merged.select(
         *[F.coalesce(cube[k], F.col(f"__d_{k}")).alias(k) for k in keys],
         *[
-            (
-                F.coalesce(F.col(c), F.lit(0)) + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
-            ).alias(c)
+            F.when(
+                F.col(c).isNull() & F.col(f"__d_{c}").isNull(), F.lit(None)
+            )
+            .otherwise(
+                F.coalesce(F.col(c), F.lit(0))
+                + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+            )
+            .alias(c)
             for c in add_cols
         ],
     )

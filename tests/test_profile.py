@@ -337,3 +337,57 @@ def test_dp_counts_validation(spark):
     docs = spark.createDataFrame([(1, "en")], ["doc_id", "lang"])
     with pytest.raises(ValueError, match="epsilon"):
         profile.dp_noisy_counts(docs, epsilon=0.0)
+
+
+def test_dataset_card_approx_removes_exact_percentile_and_countdistinct(spark):
+    """approx=True must swap the exact percentile for percentile_approx
+    and countDistinct for approx_count_distinct (HLL++) in the corpus
+    aggregate — pinned on the lazy plan builder, since dataset_card
+    itself returns a lineage-cut (checkpointed) card."""
+    from orientdb_spark.pipeline import profile
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    strip = lambda p: p.replace("percentile_approx(", "")  # noqa: E731
+    exact = profile._dataset_card_plan(docs, "text", "lang", "source",
+                                       False, 10000, 0.01)
+    approx = profile._dataset_card_plan(docs, "text", "lang", "source",
+                                        True, 10000, 0.01)
+    p_exact = exact._jdf.queryExecution().optimizedPlan().toString()
+    p_approx = approx._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile(" in strip(p_exact)
+    assert "percentile(" not in strip(p_approx)
+    assert "percentile_approx(" in p_approx
+    assert "approx_count_distinct" in p_approx
+    assert "approx_count_distinct" not in p_exact
+    exact._ods_per_doc.unpersist()
+    approx._ods_per_doc.unpersist()
+    # the approx card still carries every section with sane values
+    # (HLL++ is exact at these cardinalities; the percentile sketch
+    # returns an actual data value instead of an interpolation)
+    card = {(r["section"], r["key"]): r["value"]
+            for r in profile.dataset_card(docs, approx=True).collect()}
+    assert card[("corpus", "n_docs")] == docs.count()
+    assert card[("corpus", "distinct_langs")] >= 1.0
+    assert ("length", "p50_chars") in card
+
+
+def test_dataset_card_frees_per_doc_cache(spark, monkeypatch):
+    """dataset_card must unpersist its corpus-sized per-doc cache after
+    materializing the (bounded) card — the r11 advice item: no N-row
+    cached frame may outlive the call."""
+    from orientdb_spark.pipeline import profile
+
+    captured = {}
+    orig = profile._dataset_card_plan
+
+    def spy(*a, **k):
+        card = orig(*a, **k)
+        captured["per_doc"] = card._ods_per_doc
+        return card
+
+    monkeypatch.setattr(profile, "_dataset_card_plan", spy)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    card = profile.dataset_card(docs)
+    assert card.count() > 0
+    lvl = captured["per_doc"].storageLevel
+    assert not (lvl.useMemory or lvl.useDisk), "per-doc cache leaked"

@@ -682,3 +682,22 @@ def test_curriculum_partition_invariance_and_validation(spark):
         sampling.curriculum_order(docs, n_stages=1)
     with pytest.raises(ValueError, match="n_shards"):
         sampling.curriculum_order(docs, n_shards=0)
+
+
+def test_curriculum_order_approx_removes_exact_percentile(spark):
+    """approx=True must swap the single-reducer exact F.percentile for
+    the mergeable percentile_approx sketch in the stage-cut aggregate
+    (the profile_columns approx precedent, r11 verdict item 4)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    strip = lambda p: p.replace("percentile_approx(", "")  # noqa: E731
+    exact = sampling.curriculum_order(docs, n_stages=3, n_shards=4)
+    approx = sampling.curriculum_order(docs, n_stages=3, n_shards=4, approx=True)
+    p_exact = exact._jdf.queryExecution().optimizedPlan().toString()
+    p_approx = approx._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile(" in strip(p_exact)
+    assert "percentile(" not in strip(p_approx)
+    assert "percentile_approx(" in p_approx
+    # every doc still staged and sharded, stages within range
+    out = approx.collect()
+    assert len(out) == docs.count()
+    assert {r["stage"] for r in out} <= {0, 1, 2}

@@ -475,3 +475,23 @@ def test_merge_additive_rollup_null_keys(spark):
     rows = scale.merge_additive_rollup(cube, delta, ["k"], ["n"]).collect()
     got = {r["k"]: r["n"] for r in rows}
     assert len(rows) == 2 and got == {"a": 11, None: 7}
+
+
+def test_merge_additive_rollup_null_aggregates(spark):
+    """SUM over an all-NULL group is NULL, and the identity must
+    reproduce it: NULL merged with NULL stays NULL (whether the other
+    side's row is absent or its sum is NULL); NULL merged with a value
+    behaves as the full recompute does (SUM ignores NULLs)."""
+    from orientdb_spark import scale
+
+    cube = spark.createDataFrame(
+        [("a", None), ("b", None), ("c", 3)], "k STRING, s LONG"
+    )
+    delta = spark.createDataFrame(
+        [("b", None), ("c", None), ("d", 4), ("a", 2)], "k STRING, s LONG"
+    )
+    got = {r["k"]: r["s"]
+           for r in scale.merge_additive_rollup(cube, delta, ["k"], ["s"]).collect()}
+    # full recompute of SUM(s) per k over the union of contributions:
+    # a: NULL+2=2, b: NULL+NULL=NULL, c: 3+NULL=3, d: 4
+    assert got == {"a": 2, "b": None, "c": 3, "d": 4}
