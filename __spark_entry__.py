@@ -3683,97 +3683,69 @@ def _profile_dp_counts(spark, sf_dir):
 # DDL-effect and security rows, TPC-H heads) and one representative
 # per r7 family (graph loops, temporal SCD2, quality FD, multimodal
 # pHash, simhash-hamming, async-abort). After r11 no registry record
-# is older than r7. Rows rotating out keep their standing records plus
-# per-run mirror-harness coverage (tests/test_entry.py re-compares all
-# oracle entries each run).
+# is older than r7. Round 12 (per the r11 verdict item 3): the whole
+# 47-entry r7-era tail rotates in at once (+3 r8-era fills), so after
+# r12 no registry record is older than r8. Rows rotating out keep
+# their standing records plus per-run mirror-harness coverage
+# (tests/test_entry.py re-compares all oracle entries each run).
 _DRIVER_FRONT = [
-    # r6-era tail: temporal / event ops
-    "event_asof_join",
-    "event_cohort_retention",
-    "event_funnel",
-    "event_range_join",
-    "event_value_quantiles",
-    "profile_events",
-    # r6-era tail: text pipeline
-    "text_boilerplate",
-    "text_line_quality",
-    "text_lm_score",
-    "text_paragraph_dedup",
-    "text_pii_redact",
-    "text_tfidf_topterms",
-    "text_token_budget",
-    # r6-era tail: sampling / integrity / scale / pipeline composition
-    "sample_mixture",
-    "sample_pack_sequences",
-    "integrity_orphans",
-    "pipeline_quality_gate",
-    "salted_skew_aggregate",
-    "embedding_quantize",
-    # r6-era tail: §2 SQL surface
-    "count_distinct_suppliers",
-    "embedded_struct_nav",
-    "rid_point",
-    "tpch_q6_forecast",
-    # UPGRADED rows-only -> oracle-exact this round (first hash-checked
-    # records) + NEW cells-scaled SemDeDup and incremental MinHash dedup
-    # (never recorded — must sit in the front so check_entries.py
-    # --never-recorded closes at round end)
-    "sim_topk_ivf",
-    "embedding_kmeans",
-    "text_bpe_merges",
-    "dedup_semantic_scaled",
-    "dedup_minhash_incremental",
-    "sample_epoch_shuffle",
-    "dedup_decontaminate_report",
-    # r7-era refreshes: §2 operator surface (contains_condition,
-    # order_multikey_topk, group_having_order, tpch_q3_shipping,
-    # compound_predicates, link_nav_2hop, traverse_reachability keep
-    # their r7 records — their slots went to the never-recorded
-    # retrieval/curation/release entries below; "no record older than
-    # r7" still holds and the mirror harness re-verifies every oracle
-    # entry each run)
-    "scan_class",
-    "filter_projection",
-    "tpch_q1_pricing",
-    # NEW r11 continuation-2: retrieval serving + tokenizer apply +
-    # domain mixture (never recorded — must sit in the front so
-    # check_entries.py --never-recorded closes at round end)
-    "sim_topk_mmr",
-    "sim_hybrid_rrf",
-    "text_bpe_encode",
-    "sample_domain_reweight",
-    "sample_curriculum_order",
-    "profile_dataset_card",
-    "profile_dp_counts",
-    # (native_fluent_query, ddl_remove_index_effect,
-    # ddl_remove_property_effect, dictionary_named_roots,
-    # custom_operator_where, security_grant_effect,
-    # async_query_abort_effect keep their r7 records — their slots went
-    # to the never-recorded r11 entries: the four continuation-session
-    # additions above plus the four model-based-curation entries below;
-    # the mirror harness re-verifies every oracle entry each run, and
-    # "no record older than r7" still holds)
-    "text_classifier_train",
-    "text_classifier_score",
-    "sample_perplexity_buckets",
-    "multimodal_pair_filter",
-    # Family-representative refreshes, all displaced by this session's
-    # never-recorded entries: event_scd2, quality_fd_check, graph_sssp,
-    # graph_cc_incremental, and multimodal_phash_dedup keep their r7
-    # records (temporal is represented by five event_* rows in this
-    # front, multimodal by multimodal_pair_filter, quality by the
-    # r8-recorded quality rows, and the graph layer carries fresh
-    # r9/r10 records on seven entries outside the front; every oracle
-    # entry is ALSO re-verified per-run by the mirror harness).
-    "sim_index_persist",
-    "sim_index_incremental",
-    "scale_zorder_layout",
-    "pipeline_forget_cascade",
-    "rollup_incremental_refresh",
-    # (dedup_simhash_hamming keeps its r7 record — slot went to the new
-    # cluster-co-assigned split entry; the dedup family is already
-    # represented in this front by the three new r11 dedup entries)
-    "sample_leakage_safe_split",
+    # r12 rotation: the COMPLETE r7-era tail — all 47 entries whose
+    # newest driver record is r7 (SQL surface heads, DDL/security
+    # effect rows, the graph-loop family, temporal/event ops, quality
+    # contracts, sketches, multimodal pHash, pipeline compositions) —
+    # so after r12 no registry record is older than r8.
+    "compound_predicates",
+    "contains_condition",
+    "traverse_reachability",
+    "link_nav_2hop",
+    "tpch_q3_shipping",
+    "group_having_order",
+    "order_multikey_topk",
+    "ddl_remove_property_effect",
+    "ddl_remove_index_effect",
+    "security_grant_effect",
+    "dictionary_named_roots",
+    "async_query_abort_effect",
+    "custom_operator_where",
+    "native_fluent_query",
+    "graph_cc_incremental",
+    "graph_pagerank_personalized",
+    "graph_sssp",
+    "graph_label_propagation",
+    "graph_clustering_coeff",
+    "graph_random_walks",
+    "graph_min_spanning_forest",
+    "graph_topological_levels",
+    "bloom_prefilter_join",
+    "cms_event_type_counts",
+    "event_silence_audit",
+    "event_seasonal_baseline",
+    "event_cusum_changepoints",
+    "event_m4_downsample",
+    "multimodal_phash_dedup",
+    "pipeline_entity_resolution",
+    "quality_expectations",
+    "quality_fd_check",
+    "quality_table_digest",
+    "scale_quantile_sketch",
+    "scale_skew_report",
+    "event_hierarchical_rollup",
+    "event_gap_fill",
+    "event_scd2",
+    "event_rolling_avg",
+    "event_time_weighted_avg",
+    "event_interval_overlap",
+    "event_anomaly_zscore",
+    "profile_quantile_bins",
+    "dedup_simhash_hamming",
+    "pipeline_rag_prep",
+    "pipeline_incremental_dedup",
+    "text_duplicate_spans",
+    # + 3 r8-era fills to reach the 50-slot cap (family-diverse:
+    # graph link-analysis, mergeable-sketch audit, split sampling)
+    "graph_hits",
+    "hll_distinct_merge",
+    "sample_stratified_split",
 ]
 
 

@@ -188,8 +188,16 @@ def main():
     import __spark_entry__ as entrymod
     from orientdb_spark import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-    suffix = sys.argv[2] if len(sys.argv) > 2 else "sf1"
+    # --sweep-only (r11 verdict item 1): regenerate the correctness
+    # sweep WITHOUT the two standalone bench runs — the per-SF bench
+    # grew multi-hour with the 35-query headline, which is exactly how
+    # sf5/sf10 artifacts fell behind the entry list. The bench can be
+    # (re)recorded separately; the sweep is the scale-correctness
+    # evidence and must stay cheap to regenerate.
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sweep_only = "--sweep-only" in sys.argv
+    sf_dir = args[0] if args else "/tmp/sf1"
+    suffix = args[1] if len(args) > 1 else "sf1"
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     missing = [n for n in SF1_ENTRIES if n not in queries or n not in oracles]
@@ -216,6 +224,7 @@ def main():
             "generator": "tools/gen_sf.py (deterministic seeds 4201-4209)",
             "entries": len(SF1_ENTRIES),
             "hash_green": ok,
+            "mode": "sweep-only" if sweep_only else "sweep+bench",
         },
         **out,
     }
@@ -223,6 +232,11 @@ def main():
         json.dump(corr, f, indent=2)
     print(f"correctness: {ok}/{len(SF1_ENTRIES)} -> CORRECTNESS_{suffix}.json")
     spark.stop()
+
+    if sweep_only:
+        print("--sweep-only: skipping the standalone bench runs "
+              f"(BENCH_{suffix}.json untouched)")
+        return
 
     # BENCH.md's two-filter noise convention (r10 verdict item 3),
     # applied where the scale argument is made: TWO standalone bench
