@@ -3411,6 +3411,26 @@ def _sim_topk_mmr(spark, sf_dir):
     )
 
 
+def _sim_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining (pipeline/similarity.bitext_mine,
+    Artetxe & Schwenk 2019 — the LASER/CCMatrix parallel-corpus mining
+    recipe): the embeddings table split by vec_id parity plays the two
+    monolingual sides; ratio margin over k=4 neighborhoods, mutual
+    top-1 pairs at threshold 1.0. Oracle-exact: cosines and margins
+    live on the 6-dp nudge-rounded grid with id tiebreaks (the
+    sim_topk_bruteforce cosine convention), so k-NN membership, margin
+    argmaxes, and the mutual filter replay identically in DuckDB."""
+    from orientdb_spark.pipeline import similarity
+
+    embs = _embs(spark, sf_dir)
+    return similarity.bitext_mine(
+        embs.filter(F.col("vec_id") % 2 == 0),
+        embs.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        threshold=1.0,
+    )
+
+
 def _sim_hybrid_rrf(spark, sf_dir):
     """Hybrid lexical+vector retrieval with reciprocal-rank fusion
     (pipeline/similarity.hybrid_rrf_topk, Cormack et al. 2009): tf-idf
@@ -3741,11 +3761,12 @@ _DRIVER_FRONT = [
     "pipeline_rag_prep",
     "pipeline_incremental_dedup",
     "text_duplicate_spans",
-    # + 3 r8-era fills to reach the 50-slot cap (family-diverse:
-    # graph link-analysis, mergeable-sketch audit, split sampling)
+    # + 2 r8-era fills (graph link-analysis, mergeable-sketch audit)
+    # and the NEW r12 bitext-mining entry (never recorded — must sit in
+    # the front so check_entries.py --never-recorded closes at round end)
     "graph_hits",
     "hll_distinct_merge",
-    "sample_stratified_split",
+    "sim_bitext_mine",
 ]
 
 
@@ -4052,8 +4073,9 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sim_topk_lsh": _sim_lsh,
         "sim_topk_ivf": _sim_ivf,
         # retrieval serving ops (r11 continuation): diversity re-rank +
-        # hybrid fusion
+        # hybrid fusion; r12: margin-based bitext pair mining
         "sim_topk_mmr": _sim_topk_mmr,
+        "sim_bitext_mine": _sim_bitext_mine,
         "sim_hybrid_rrf": _sim_hybrid_rrf,
         "sim_index_persist": _sim_index_persist,
         "sim_index_incremental": _sim_index_incremental,
@@ -6315,6 +6337,35 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT query_id, neighbor_id, c, row_number() OVER "
             "(PARTITION BY query_id ORDER BY c DESC, neighbor_id)::INTEGER AS rank FROM s) "
             "SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank FROM r WHERE rank <= 5"
+        ),
+        "sim_bitext_mine": (
+            # mirrors similarity.bitext_mine(k=4, threshold=1.0) on the
+            # parity split: 6-dp nudge-rounded cosines (id tiebreaks fix
+            # k-NN membership), per-side top-4 sums, ratio margin
+            # round(2k·c/(ss+ts)+1e-12, 6), mutual top-1 filter. The
+            # pair CTE is referenced 3x -> AS MATERIALIZED (the DuckDB
+            # CTE-inlining lesson, NOTES_r11).
+            "WITH q AS (SELECT vec_id AS src_id, embedding::DOUBLE[] AS qv "
+            "FROM embeddings WHERE vec_id % 2 = 0), "
+            "e AS (SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS ev "
+            "FROM embeddings WHERE vec_id % 2 = 1), "
+            "s AS MATERIALIZED (SELECT src_id, tgt_id, "
+            "round(" + cos_qn + " + 1e-12, 6) AS c FROM q, e), "
+            "ns AS (SELECT src_id, sum(c) AS ss FROM ("
+            "SELECT src_id, c, row_number() OVER (PARTITION BY src_id "
+            "ORDER BY c DESC, tgt_id) AS r FROM s) WHERE r <= 4 GROUP BY src_id), "
+            "nt AS (SELECT tgt_id, sum(c) AS ts FROM ("
+            "SELECT tgt_id, c, row_number() OVER (PARTITION BY tgt_id "
+            "ORDER BY c DESC, src_id) AS r FROM s) WHERE r <= 4 GROUP BY tgt_id), "
+            "m AS (SELECT s.src_id, s.tgt_id, s.c, "
+            "round(8.0 * s.c / (ns.ss + nt.ts) + 1e-12, 6) AS margin "
+            "FROM s JOIN ns USING (src_id) JOIN nt USING (tgt_id)), "
+            "r AS (SELECT src_id, tgt_id, c, margin, "
+            "row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS fwd, "
+            "row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS bwd "
+            "FROM m) "
+            "SELECT src_id, tgt_id, c AS cosine, margin FROM r "
+            "WHERE fwd = 1 AND bwd = 1 AND margin >= 1.0"
         ),
         "text_language_id": _langid_oracle_sql(),
         "text_quality_score": _quality_oracle_sql(),

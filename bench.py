@@ -66,6 +66,9 @@ HEADLINE = [
     # from their first record
     "sim_topk_mmr",
     "sim_hybrid_rrf",
+    # r12: margin-based bitext mining (quadratic-baseline candidate
+    # stage over the parity split — bench-visible from its first record)
+    "sim_bitext_mine",
     "text_bpe_encode",
     "sample_domain_reweight",
     "sample_curriculum_order",
@@ -131,6 +134,11 @@ def main() -> None:
     }
     timings: dict[str, float] = {}
     samples: dict[str, int] = {}
+    # total timed seconds per query INCLUDING warm-up — the wall-clock
+    # ledger that names where a bench pass actually spends its time
+    # (the reported per-query number is min-of-samples, which hides a
+    # query that needed many slow samples)
+    spent_wall: dict[str, float] = {}
     failed: list[str] = []
     for name in HEADLINE:
         fn = qs[name]
@@ -142,7 +150,9 @@ def main() -> None:
             # multi-second query 30x, and the budget clause then stops
             # after 2 cold samples — min-of-N never sees a warm run.
             # On a warm host this changes nothing (min is unaffected).
+            w0 = time.perf_counter()
             _force(fn(spark, sf_dir))
+            warm = time.perf_counter() - w0
             spent, n = 0.0, 0
             # sub-second queries are the ones host contention can bury
             # (four recorded phantoms: r4 x2, r5 containstext, r9 q1
@@ -171,6 +181,7 @@ def main() -> None:
                 best = dt if best is None or dt < best else best
             timings[name] = round(best, 3)
             samples[name] = n
+            spent_wall[name] = round(warm + spent, 3)
         except Exception as e:  # one broken query must not sink the whole run
             failed.append(name)
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
@@ -182,6 +193,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "samples": samples,
+        "spent_wall": spent_wall,
         "sf": sf,
     }
     if failed:

@@ -422,3 +422,69 @@ def test_hybrid_rrf_rejects_multirow_query_vec(spark):
     )
     with pytest.raises(ValueError, match="exactly one row"):
         S.hybrid_rrf_topk(docs, embs, ["spark"], embs)  # 2-row query_vec
+
+
+# --- margin-based bitext mining (Artetxe & Schwenk 2019) --------------------
+
+
+def _bitext_fixture(spark):
+    """Two 4-dim 'languages'. src 0 and tgt 10 are a clean mutual pair;
+    src 1 and tgt 11 likewise; tgt 12 is a HUB (similar to both srcs)
+    whose margin should be normalized away; src 2 has no good match."""
+    src = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.1]),
+            (1, [0.0, 1.0, 0.0, 0.1]),
+            (2, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    tgt = spark.createDataFrame(
+        [
+            (10, [0.98, 0.05, 0.0, 0.1]),
+            (11, [0.05, 0.98, 0.0, 0.1]),
+            (12, [0.6, 0.6, 0.0, 0.2]),   # hub: close to src 0 AND 1
+            (13, [0.0, 0.0, 0.1, 1.0]),
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    return src, tgt
+
+
+def test_bitext_mine_mutual_pairs_and_hub_suppression(spark):
+    src, tgt = _bitext_fixture(spark)
+    out = S.bitext_mine(src, tgt, k=2, threshold=1.0).collect()
+    got = {(r["src_id"], r["tgt_id"]) for r in out}
+    # the two clean translations are mined; the hub never wins a pair
+    assert (0, 10) in got and (1, 11) in got
+    assert all(t != 12 for _, t in got)
+    # mutual top-1 means each src and each tgt appears at most once
+    srcs = [r["src_id"] for r in out]
+    tgts = [r["tgt_id"] for r in out]
+    assert len(srcs) == len(set(srcs)) and len(tgts) == len(set(tgts))
+    for r in out:
+        assert r["margin"] >= 1.0
+
+
+def test_bitext_mine_threshold_monotone(spark):
+    src, tgt = _bitext_fixture(spark)
+    lo = {(r["src_id"], r["tgt_id"])
+          for r in S.bitext_mine(src, tgt, k=2, threshold=0.0).collect()}
+    hi = {(r["src_id"], r["tgt_id"])
+          for r in S.bitext_mine(src, tgt, k=2, threshold=1.2).collect()}
+    assert hi <= lo
+
+
+def test_bitext_mine_drops_zero_norm_and_is_partition_invariant(spark):
+    src, tgt = _bitext_fixture(spark)
+    src_z = src.union(
+        spark.createDataFrame([(9, [0.0, 0.0, 0.0, 0.0])],
+                              "vec_id LONG, embedding ARRAY<DOUBLE>")
+    )
+    a = sorted(map(tuple, S.bitext_mine(src_z, tgt, k=2).collect()))
+    b = sorted(map(tuple, S.bitext_mine(
+        src_z.repartition(7), tgt.repartition(5), k=2).collect()))
+    assert a == b
+    assert all(r[0] != 9 for r in a)
+    with pytest.raises(ValueError, match="k >= 1"):
+        S.bitext_mine(src, tgt, k=0)
