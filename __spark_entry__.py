@@ -1906,6 +1906,22 @@ def _sample_mixture(spark, sf_dir):
     return out.select("doc_id", "source", "sample_rank")
 
 
+def _sample_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled corpus balancing
+    (pipeline/sampling.temperature_mixture, Conneau & Lample 2019 /
+    Xue et al. 2021): per-language quotas ∝ n_lang^0.5 apportioned over
+    total=200 by largest remainder, members drawn by the h60 hash rank.
+    Oracle-exact: sqrt is IEEE-exact, the raw allocation is pinned to
+    the 6-dp nudge grid before floor/remainder, and remainder ranking
+    tiebreaks on the group value."""
+    from orientdb_spark.pipeline.sampling import temperature_mixture
+
+    out = temperature_mixture(
+        _docs(spark, sf_dir), total=200, alpha=0.5, group_col="lang"
+    )
+    return out.select("doc_id", "lang", "quota", "sample_rank")
+
+
 def _dedup_canonicalize(spark, sf_dir):
     from orientdb_spark.pipeline import dedup, sampling
 
@@ -3761,12 +3777,12 @@ _DRIVER_FRONT = [
     "pipeline_rag_prep",
     "pipeline_incremental_dedup",
     "text_duplicate_spans",
-    # + 2 r8-era fills (graph link-analysis, mergeable-sketch audit)
-    # and the NEW r12 bitext-mining entry (never recorded — must sit in
-    # the front so check_entries.py --never-recorded closes at round end)
+    # + 1 r8-era fill (graph link-analysis) and the two NEW r12 entries
+    # (never recorded — must sit in the front so check_entries.py
+    # --never-recorded closes at round end)
     "graph_hits",
-    "hll_distinct_merge",
     "sim_bitext_mine",
+    "sample_temperature_mixture",
 ]
 
 
@@ -4046,6 +4062,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_edit_distance_join": _text_edit_distance_join,
         "mining_frequent_pairs": _mining_frequent_pairs,
         "sample_mixture": _sample_mixture,
+        "sample_temperature_mixture": _sample_temperature_mixture,
         "dedup_bucket_audit": _dedup_bucket_audit,
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_hamming": _dedup_simhash_hamming,
@@ -6525,6 +6542,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= "
             "CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 18 "
             "WHEN 'src2' THEN 9 ELSE 3 END"
+        ),
+        "sample_temperature_mixture": (
+            # mirrors sampling.temperature_mixture(total=200, alpha=0.5,
+            # group_col='lang'): sqrt(n) shares, raw allocation pinned to
+            # the 6-dp nudge grid, largest-remainder apportionment
+            # (remainder DESC, lang ASC), h60 hash-rank selection
+            "WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang), "
+            "wts AS MATERIALIZED (SELECT lang, sqrt(n) AS w FROM c), "
+            "q0 AS MATERIALIZED (SELECT lang, "
+            "round(w / (SELECT sum(w) FROM wts) * 200.0 + 1e-12, 6) AS raw FROM wts), "
+            "q1 AS MATERIALIZED (SELECT lang, floor(raw) AS fl, raw - floor(raw) AS rem "
+            "FROM q0), "
+            "q2 AS MATERIALIZED (SELECT lang, fl, "
+            "row_number() OVER (ORDER BY rem DESC, lang) AS lead FROM q1), "
+            "q AS (SELECT lang, (fl + CASE WHEN lead <= 200 - "
+            "(SELECT sum(fl) FROM q2) THEN 1 ELSE 0 END)::BIGINT AS quota FROM q2), "
+            "r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY "
+            "(('0x' || substring(md5('42:' || doc_id), 1, 15))::UBIGINT::BIGINT) % 1000000, "
+            "doc_id) AS sample_rank FROM documents) "
+            "SELECT r.doc_id, r.lang, q.quota, r.sample_rank FROM r JOIN q USING (lang) "
+            "WHERE sample_rank <= quota"
         ),
         "sample_quota_per_source": (
             "SELECT doc_id, source, row_number() OVER "

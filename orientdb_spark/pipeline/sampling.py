@@ -1002,3 +1002,84 @@ def curriculum_order(
         "shard",
         (F.row_number().over(w) - 1).cast("long").alias("pos"),
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    total: int,
+    alpha: float = 0.5,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-scaled corpus re-balancing (Conneau & Lample 2019
+    XLM / Xue et al. 2021 mT5): sample group ``g`` with probability
+    ``p_g ∝ n_g^alpha`` — ``alpha < 1`` (temperature 1/alpha > 1)
+    upsamples tail languages/domains a raw-proportion draw would
+    starve, the standard multilingual-pretraining mix. Differs from
+    ``sample_mixture`` (explicit caller weights) and ``domain_reweight``
+    (model-signal-iterated DoReMi): here the weights derive from the
+    corpus itself in one aggregate pass.
+
+    Per-group quotas apportion ``total`` by largest remainder
+    (Hamilton): floor(total·p_g) each, then +1 to the largest
+    fractional remainders (ties by group value) until the quotas sum
+    to min(total, corpus). Selection within a group is the
+    quota_sample hash draw — rank by h60(seed:id) % 1e6, id tiebreak.
+
+    Determinism: with the default ``alpha = 0.5`` the weight is
+    IEEE-exact sqrt, and +,·,/ on binary64 are bit-identical across
+    engines; the raw allocation is then pinned to the 6-dp nudge grid
+    (round(·+1e-12, 6) — the repo convention) BEFORE floor/remainder,
+    so the only cross-engine wiggle (sum order of the S weights,
+    ~1e-16) cannot flip a floor or a remainder comparison. Other
+    alphas go through pow (libm — cross-engine last-bit parity not
+    guaranteed; fine for production, not for hash oracles).
+
+    Shape at scale: one map-side-combinable groupBy to S group rows;
+    the apportionment is S-row window arithmetic (unpartitioned windows
+    over the aggregate — bounded by group cardinality, the
+    domain_reweight precedent); quotas broadcast back; ONE window
+    shuffle on the group key ranks members. A group smaller than its
+    quota contributes everything it has (the shortfall is not
+    redistributed — quotas stay a pure function of counts).
+
+    Returns df's rows (the selected subset) + ``quota`` + ``sample_rank``.
+    """
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    n = F.col("__n").cast("double")
+    wcol = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(float(alpha)))
+    everything = Window.partitionBy()
+    raw = F.round(
+        F.col("__w") / F.sum("__w").over(everything) * F.lit(float(total))
+        + F.lit(1e-12),
+        6,
+    )
+    lead = Window.orderBy(F.col("__rem").desc(), F.col(group_col).asc())
+    quotas = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__w", wcol)
+        .withColumn("__floor", F.floor(raw).cast("long"))
+        .withColumn("__rem", raw - F.floor(raw))
+        .withColumn("__lead", F.row_number().over(lead))
+        .withColumn(
+            "quota",
+            F.col("__floor")
+            + (
+                F.col("__lead")
+                <= F.lit(total) - F.sum("__floor").over(everything)
+            ).cast("long"),
+        )
+        .select(group_col, "quota")
+    )
+    bucket = F.pmod(_split_key(id_col, seed), F.lit(1_000_000))
+    w = Window.partitionBy(group_col).orderBy(bucket.asc(), F.col(id_col).asc())
+    return (
+        df.join(F.broadcast(quotas), group_col)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= F.col("quota"))
+    )

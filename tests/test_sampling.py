@@ -701,3 +701,48 @@ def test_curriculum_order_approx_removes_exact_percentile(spark):
     out = approx.collect()
     assert len(out) == docs.count()
     assert {r["stage"] for r in out} <= {0, 1, 2}
+
+
+# --- temperature-scaled mixture (XLM / mT5 n^alpha balancing) ----------------
+
+
+def test_temperature_mixture_quotas_sum_and_upsample_tail(spark):
+    """alpha=0.5 quotas follow sqrt(n) shares via largest-remainder
+    apportionment: they sum to total (when every group is big enough),
+    and the tail group's share EXCEEDS its raw proportion."""
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = sampling.temperature_mixture(df, total=100, alpha=0.5).collect()
+    quotas = {}
+    for r in out:
+        quotas[r["lang"]] = r["quota"]
+    assert sum(quotas.values()) == 100
+    # raw share of 'small' is 10%; sqrt share = sqrt(100)/(sqrt(900)+sqrt(100)) = 25%
+    assert quotas["small"] == 25 and quotas["big"] == 75
+    # selection fills each quota exactly (groups are big enough)
+    from collections import Counter
+    got = Counter(r["lang"] for r in out)
+    assert got == {"big": 75, "small": 25}
+
+
+def test_temperature_mixture_deterministic_and_validates(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted((r["doc_id"], r["sample_rank"]) for r in
+               sampling.temperature_mixture(docs, total=200).collect())
+    b = sorted((r["doc_id"], r["sample_rank"]) for r in
+               sampling.temperature_mixture(docs.repartition(13), total=200).collect())
+    assert a == b and len(a) == 200
+    with pytest.raises(ValueError, match="total"):
+        sampling.temperature_mixture(docs, total=-1)
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_mixture(docs, total=10, alpha=0.0)
+
+
+def test_temperature_mixture_small_group_contributes_all(spark):
+    rows = [(i, "a") for i in range(50)] + [(100 + i, "b") for i in range(2)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = sampling.temperature_mixture(df, total=40, alpha=0.5).collect()
+    from collections import Counter
+    got = Counter(r["lang"] for r in out)
+    # b's quota exceeds its 2 rows -> contributes both, no redistribution
+    assert got["b"] == 2 and got["a"] <= 40
