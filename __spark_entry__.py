@@ -3379,6 +3379,27 @@ def _text_classifier_score(spark, sf_dir):
     return model.classifier_score(docs, w)
 
 
+def _text_classifier_calibration(spark, sf_dir):
+    """Reliability / threshold-tuning table for the trained filter
+    (pipeline/model.score_calibration, the Guo et al. 2017 shape):
+    decile bins over the broadcast-inference scores with per-bin
+    positive rates and cumulative-from-top precision/recall — how a
+    pipeline picks its quality cutoff. The oracle replays training,
+    scoring, binning, and the window arithmetic under one hash check
+    (scores live on the 6-dp grid, so bin membership is engine-exact)."""
+    from orientdb_spark.pipeline import model
+
+    docs = _classifier_label(_docs(spark, sf_dir))
+    w = model.train_quality_classifier(docs, "__lbl", n_buckets=16, iters=3, lr=1.0)
+    scored = model.classifier_score(docs, w).join(
+        docs.select("doc_id", F.col("__lbl").alias("label")), "doc_id"
+    )
+    # range binning: the undertrained fixture model is discriminative
+    # but uncalibrated (scores concentrate near 0.46), so observed
+    # min-max deciles carry the signal unit deciles would collapse
+    return model.score_calibration(scored, n_bins=10, binning="range")
+
+
 def _sample_perplexity_buckets(spark, sf_dir):
     """CCNet head/middle/tail perplexity stratification (Wenzek et al.
     2020; pipeline/model.perplexity_buckets): per-language exact
@@ -3777,12 +3798,11 @@ _DRIVER_FRONT = [
     "pipeline_rag_prep",
     "pipeline_incremental_dedup",
     "text_duplicate_spans",
-    # + 1 r8-era fill (graph link-analysis) and the two NEW r12 entries
-    # (never recorded — must sit in the front so check_entries.py
-    # --never-recorded closes at round end)
-    "graph_hits",
+    # + the three NEW r12 entries (never recorded — must sit in the
+    # front so check_entries.py --never-recorded closes at round end)
     "sim_bitext_mine",
     "sample_temperature_mixture",
+    "text_classifier_calibration",
 ]
 
 
@@ -4131,6 +4151,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # model-based curation (pipeline/model.py, r11)
         "text_classifier_train": _text_classifier_train,
         "text_classifier_score": _text_classifier_score,
+        "text_classifier_calibration": _text_classifier_calibration,
         "sample_perplexity_buckets": _sample_perplexity_buckets,
         "multimodal_pair_filter": _multimodal_pair_filter,
         "sample_leakage_safe_split": _sample_leakage_safe_split,
@@ -4914,12 +4935,33 @@ def _classifier_oracle_sql(d: int, iters: int, lr: float, output: str) -> str:
         )
     if output == "train":
         parts.append(f" SELECT bucket::BIGINT AS bucket, w AS weight FROM w{iters}")
-    else:
+        return "".join(parts)
+    parts.append(
+        f", sc AS (SELECT tk.doc_id, sum(w.w) / count(*) AS z FROM tk "
+        f"JOIN w{iters} w USING (bucket) GROUP BY 1)"
+        f", scores AS (SELECT doc_id, round(1.0 / (1.0 + exp(-(z + "
+        f"(SELECT w FROM w{iters} WHERE bucket = -1)))) + 1e-12, 6) AS score "
+        "FROM sc)"
+    )
+    if output == "score":
+        parts.append(" SELECT doc_id, score FROM scores")
+    else:  # calibration: range-binned deciles + cumulative-from-top metrics
         parts.append(
-            f", sc AS (SELECT tk.doc_id, sum(w.w) / count(*) AS z FROM tk "
-            f"JOIN w{iters} w USING (bucket) GROUP BY 1) "
-            f"SELECT doc_id, round(1.0 / (1.0 + exp(-(z + (SELECT w FROM w{iters} "
-            "WHERE bucket = -1)))) + 1e-12, 6) AS score FROM sc"
+            ", mnmx AS (SELECT min(score) AS mn, max(score) AS mx FROM scores)"
+            ", ag AS MATERIALIZED (SELECT (CASE WHEN mx > mn THEN "
+            "least(floor(((score - mn) / (mx - mn)) * 10), 9) ELSE 0 END)::BIGINT "
+            "AS bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos, "
+            "sum(score) AS ssum "
+            "FROM scores JOIN docs USING (doc_id), mnmx GROUP BY 1) "
+            "SELECT bin, n, n_pos, round(ssum / n + 1e-12, 6) AS mean_score, "
+            "round(n_pos / n::DOUBLE + 1e-12, 6) AS pos_rate, "
+            "round(sum(n_pos) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW)::DOUBLE / sum(n) OVER (ORDER BY bin DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-12, 6) "
+            "AS precision_at, "
+            "round(sum(n_pos) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW)::DOUBLE / (SELECT sum(n_pos) FROM ag) "
+            "+ 1e-12, 6) AS recall_at FROM ag"
         )
     return "".join(parts)
 
@@ -6980,6 +7022,9 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
         "text_lm_score": _lm_oracle_sql(),
         "text_classifier_train": _classifier_oracle_sql(16, 3, 1.0, "train"),
         "text_classifier_score": _classifier_oracle_sql(16, 3, 1.0, "score"),
+        "text_classifier_calibration": _classifier_oracle_sql(
+            16, 3, 1.0, "calibration"
+        ),
         "sample_perplexity_buckets": _perplexity_buckets_oracle_sql(1 / 3, 2 / 3),
         "multimodal_pair_filter": (
             "WITH i AS (SELECT vec_id // 2 AS pair_id, "

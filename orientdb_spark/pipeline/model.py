@@ -275,3 +275,102 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def score_calibration(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+    binning: str = "unit",
+) -> DataFrame:
+    """Reliability / threshold-tuning table for a scored corpus (the
+    calibration check run before choosing a classifier-filter
+    threshold — the Guo et al. 2017 reliability-diagram shape, applied
+    the way GPT-3/FineWeb-style pipelines pick their quality cutoffs):
+    bin docs by score, and per bin report count, positives, mean score,
+    empirical positive rate, plus cumulative-from-top ``precision_at``
+    / ``recall_at`` — the precision/recall the filter would achieve if
+    it kept everything scoring at or above that bin.
+
+    ``binning="unit"`` (default) bins the absolute [0, 1] score —
+    bin = least(floor(score·n_bins), n_bins−1) — the reliability-
+    diagram reading where bin i means "the model said ~i/n_bins".
+    ``binning="range"`` bins equal-width over the OBSERVED min–max
+    (one extra 1-row aggregate, broadcast back) — the lift-table
+    reading for scores that are discriminative but uncalibrated
+    (an undertrained or unscaled filter concentrates its scores in a
+    sliver of [0, 1] where unit deciles collapse to one bin). Empty
+    bins are absent either way. Binning is deterministic cross-engine:
+    both sides run the identical binary64 subtract/divide/multiply/
+    floor on the same 6-dp-grid scores (a grid value near a bin edge
+    may land "surprisingly" — e.g. 0.3·10 floors to 2 — but it lands
+    identically in both engines).
+
+    Shape at scale: ONE map-side-combinable groupBy reduces N rows to
+    ≤ n_bins rows; every cumulative metric is window arithmetic over
+    that bin-count-bounded frame. No second corpus pass, no join.
+
+    Returns (bin, n, n_pos, mean_score, pos_rate, precision_at,
+    recall_at), one row per non-empty bin."""
+    if n_bins < 2:
+        raise ValueError(f"need n_bins >= 2, got {n_bins}")
+    if binning not in ("unit", "range"):
+        raise ValueError(f"binning must be 'unit' or 'range', got {binning!r}")
+    s = F.col(score_col).cast("double")
+    if binning == "unit":
+        b = F.least(F.floor(s * F.lit(n_bins)).cast("long"), F.lit(n_bins - 1))
+        work = df
+    else:
+        span = df.agg(
+            F.min(s).alias("__mn"), F.max(s).alias("__mx")
+        )
+        work = df.crossJoin(F.broadcast(span))
+        b = F.when(
+            F.col("__mx") > F.col("__mn"),
+            F.least(
+                F.floor(
+                    (s - F.col("__mn")) / (F.col("__mx") - F.col("__mn"))
+                    * F.lit(n_bins)
+                ).cast("long"),
+                F.lit(n_bins - 1),
+            ),
+        ).otherwise(F.lit(0))
+    agg = (
+        work.select(
+            b.alias("bin"),
+            s.alias("__s"),
+            F.col(label_col).cast("double").alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").cast("long").alias("n_pos"),
+            F.sum("__s").alias("__ssum"),
+        )
+    )
+    cum = (
+        Window.orderBy(F.col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    everything = Window.partitionBy()
+    return agg.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(F.col("__ssum") / F.col("n") + F.lit(1e-12), 6).alias("mean_score"),
+        F.round(
+            F.col("n_pos").cast("double") / F.col("n") + F.lit(1e-12), 6
+        ).alias("pos_rate"),
+        F.round(
+            F.sum("n_pos").over(cum).cast("double") / F.sum("n").over(cum)
+            + F.lit(1e-12),
+            6,
+        ).alias("precision_at"),
+        F.round(
+            F.sum("n_pos").over(cum).cast("double")
+            / F.sum("n_pos").over(everything)
+            + F.lit(1e-12),
+            6,
+        ).alias("recall_at"),
+    )

@@ -230,3 +230,45 @@ def test_perplexity_buckets_approx_removes_exact_percentile(spark):
     out = approx.collect()
     assert len(out) == exact.count()
     assert {r["bucket"] for r in out} <= {"head", "middle", "tail"}
+
+
+# --- score calibration / threshold-tuning table -----------------------------
+
+
+def test_score_calibration_known_values(spark):
+    rows = [
+        # (score, label): bin 0 = [0, .25), ... bin 3 = [.75, 1] at n_bins=4
+        (0.1, 0), (0.2, 0), (0.3, 0), (0.4, 1),
+        (0.6, 1), (0.7, 0), (0.9, 1), (0.95, 1),
+    ]
+    df = spark.createDataFrame(rows, "score DOUBLE, label INT")
+    out = {r["bin"]: r for r in model.score_calibration(df, n_bins=4).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["n"] == 2 and out[0]["n_pos"] == 0
+    assert out[1]["n"] == 2 and out[1]["n_pos"] == 1
+    assert out[3]["n"] == 2 and out[3]["n_pos"] == 2
+    # cumulative from the top: bin 3 alone -> P=1, R=2/4
+    assert out[3]["precision_at"] == 1.0 and out[3]["recall_at"] == 0.5
+    # whole corpus at bin 0 -> P = 4/8, R = 1
+    assert out[0]["precision_at"] == 0.5 and out[0]["recall_at"] == 1.0
+    assert out[1]["pos_rate"] == 0.5
+
+
+def test_score_calibration_range_binning_spreads_concentrated_scores(spark):
+    rows = [(0.4590 + i * 0.0001, i % 2) for i in range(20)]
+    df = spark.createDataFrame(rows, "score DOUBLE, label INT")
+    unit = model.score_calibration(df, n_bins=10).collect()
+    rng = model.score_calibration(df, n_bins=10, binning="range").collect()
+    assert len(unit) == 1          # all scores in unit bin 4
+    assert len(rng) == 10          # observed-range deciles spread them
+    assert sum(r["n"] for r in rng) == 20
+    with pytest.raises(ValueError, match="binning"):
+        model.score_calibration(df, binning="ntile")
+    with pytest.raises(ValueError, match="n_bins"):
+        model.score_calibration(df, n_bins=1)
+
+
+def test_score_calibration_constant_scores_single_bin(spark):
+    df = spark.createDataFrame([(0.5, 1), (0.5, 0)], "score DOUBLE, label INT")
+    out = model.score_calibration(df, n_bins=10, binning="range").collect()
+    assert len(out) == 1 and out[0]["bin"] == 0 and out[0]["n"] == 2

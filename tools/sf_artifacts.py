@@ -121,6 +121,11 @@ SF1_ENTRIES = [
     "pipeline_forget_cascade",
     # incremental-rollup maintenance identity (full-recompute oracle)
     "rollup_incremental_refresh",
+    # r12: temperature-scaled mixture — the quota-derivation oracle is
+    # one aggregate + S-row windows + a hash-rank window, linear at any
+    # SF. (sim_bitext_mine is excluded by the tractability rule: its
+    # oracle is the full quadratic pair scan.)
+    "sample_temperature_mixture",
 ]
 
 
