@@ -126,6 +126,9 @@ SF1_ENTRIES = [
     # SF. (sim_bitext_mine is excluded by the tractability rule: its
     # oracle is the full quadratic pair scan.)
     "sample_temperature_mixture",
+    # r12: calibration rides the classifier GD replay (already in this
+    # list twice) + a B-row binning CTE — linear
+    "text_classifier_calibration",
 ]
 
 
