@@ -4605,7 +4605,7 @@ def _curriculum_oracle_sql(
     key = _dk_h60(f"'curr:{seed}:' || doc_id::VARCHAR")
     return (
         f"WITH m AS ({_lm_oracle_sql()}), "
-        "sc AS (SELECT d.doc_id, coalesce(m.nll, 0.0) AS nll "
+        "sc AS MATERIALIZED (SELECT d.doc_id, coalesce(m.nll, 0.0) AS nll "
         "FROM documents d LEFT JOIN m USING (doc_id)), "
         f"cuts AS (SELECT {cuts} FROM sc), "
         f"st AS (SELECT doc_id, nll, ({case})::INTEGER AS stage, "
@@ -4622,10 +4622,10 @@ def _dataset_card_oracle_sql() -> str:
     stats CTE feeding the corpus/length stack, per-language shares, and
     per-source counts."""
     return (
-        "WITH pd AS (SELECT lang, source, length(text)::DOUBLE AS chars, "
+        "WITH pd AS MATERIALIZED (SELECT lang, source, length(text)::DOUBLE AS chars, "
         "len(list_filter(regexp_split_to_array(text, '\\s+'), "
         "t -> len(t) > 0))::DOUBLE AS toks, md5(text) AS dg FROM documents), "
-        "c AS (SELECT count(*)::DOUBLE AS n, sum(toks) AS tt, "
+        "c AS MATERIALIZED (SELECT count(*)::DOUBLE AS n, sum(toks) AS tt, "
         "count(DISTINCT lang)::DOUBLE AS dl, "
         "count(DISTINCT source)::DOUBLE AS ds, "
         "count(DISTINCT dg)::DOUBLE AS uq, "
@@ -4879,7 +4879,7 @@ def _lm_oracle_sql() -> str:
         "regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0) AS t "
         "FROM documents), "
         "s2 AS (SELECT doc_id, t FROM staged WHERE len(t) >= 2), "
-        "pairs AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM ("
+        "pairs AS MATERIALIZED (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM ("
         "SELECT doc_id, unnest(list_transform(range(1, len(t)), "
         "i -> {'w1': t[i::INTEGER], 'w2': t[i::INTEGER + 1]})) AS u FROM s2)), "
         "c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM pairs GROUP BY 1, 2), "
@@ -4906,29 +4906,36 @@ def _classifier_oracle_sql(d: int, iters: int, lr: float, output: str) -> str:
     table; 'score' adds the per-token broadcast-lookup inference pass
     (mean bucket weight + intercept through the sigmoid, rounded)."""
     h = _dk_h60("tok")
+    # Every chained CTE here is AS MATERIALIZED: w{t}/e{t}/x are each
+    # referenced 2-4 times per iteration, and DuckDB inlines plain CTEs
+    # once PER REFERENCE — un-materialized, the w-chain re-executes the
+    # whole upstream tokenize+aggregate pipeline exponentially in iters
+    # (the NOTES_r11 inlining lesson; fine at sf0.01, hours at sf5).
     parts = [
-        "WITH t0 AS (SELECT doc_id, "
+        "WITH t0 AS MATERIALIZED (SELECT doc_id, "
         "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, "
         f"{_DK_TOKS_LOWER} AS t FROM documents), "
-        "docs AS (SELECT doc_id, y FROM t0 WHERE len(t) >= 1), "
-        f"tk AS (SELECT doc_id, ({h}) % {d} AS bucket FROM "
+        "docs AS MATERIALIZED (SELECT doc_id, y FROM t0 WHERE len(t) >= 1), "
+        f"tk AS MATERIALIZED (SELECT doc_id, ({h}) % {d} AS bucket FROM "
         "(SELECT doc_id, unnest(t) AS tok FROM t0 WHERE len(t) >= 1)), "
-        "f AS (SELECT doc_id, bucket, count(*)::DOUBLE AS c FROM tk GROUP BY 1, 2), "
-        "x AS (SELECT f.doc_id, f.bucket, f.c / nt.n AS x FROM f JOIN "
+        "f AS MATERIALIZED (SELECT doc_id, bucket, count(*)::DOUBLE AS c "
+        "FROM tk GROUP BY 1, 2), "
+        "x AS MATERIALIZED (SELECT f.doc_id, f.bucket, f.c / nt.n AS x FROM f JOIN "
         "(SELECT doc_id, sum(c) AS n FROM f GROUP BY 1) nt USING (doc_id)), "
-        "nd AS (SELECT count(*)::DOUBLE AS n FROM docs), "
-        f"w0 AS (SELECT unnest(range(-1, {d})) AS bucket, 0.0 AS w)",
+        "nd AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM docs), "
+        f"w0 AS MATERIALIZED (SELECT unnest(range(-1, {d})) AS bucket, 0.0 AS w)",
     ]
     for t in range(iters):
         parts.append(
-            f", zs{t} AS (SELECT x.doc_id, sum(x.x * w.w) AS zz FROM x "
+            f", zs{t} AS MATERIALIZED (SELECT x.doc_id, sum(x.x * w.w) AS zz FROM x "
             f"JOIN w{t} w USING (bucket) GROUP BY 1)"
-            f", e{t} AS (SELECT d.doc_id, 1.0 / (1.0 + exp(-(coalesce(zz, 0.0) "
+            f", e{t} AS MATERIALIZED (SELECT d.doc_id, "
+            f"1.0 / (1.0 + exp(-(coalesce(zz, 0.0) "
             f"+ (SELECT w FROM w{t} WHERE bucket = -1)))) - d.y AS err "
             f"FROM docs d LEFT JOIN zs{t} USING (doc_id))"
-            f", g{t} AS (SELECT x.bucket, sum(e.err * x.x) AS g FROM x "
+            f", g{t} AS MATERIALIZED (SELECT x.bucket, sum(e.err * x.x) AS g FROM x "
             f"JOIN e{t} e USING (doc_id) GROUP BY 1)"
-            f", w{t + 1} AS (SELECT bucket, round(w.w - {lr!r} * "
+            f", w{t + 1} AS MATERIALIZED (SELECT bucket, round(w.w - {lr!r} * "
             f"(CASE WHEN bucket = -1 THEN (SELECT sum(err) FROM e{t}) "
             f"ELSE coalesce(g.g, 0.0) END) / (SELECT n FROM nd) + 1e-12, 6) AS w "
             f"FROM w{t} w LEFT JOIN g{t} g USING (bucket))"
@@ -4939,7 +4946,7 @@ def _classifier_oracle_sql(d: int, iters: int, lr: float, output: str) -> str:
     parts.append(
         f", sc AS (SELECT tk.doc_id, sum(w.w) / count(*) AS z FROM tk "
         f"JOIN w{iters} w USING (bucket) GROUP BY 1)"
-        f", scores AS (SELECT doc_id, round(1.0 / (1.0 + exp(-(z + "
+        f", scores AS MATERIALIZED (SELECT doc_id, round(1.0 / (1.0 + exp(-(z + "
         f"(SELECT w FROM w{iters} WHERE bucket = -1)))) + 1e-12, 6) AS score "
         "FROM sc)"
     )
@@ -4973,7 +4980,7 @@ def _perplexity_buckets_oracle_sql(lo: float, hi: float) -> str:
     see identical grid doubles in both engines)."""
     return (
         f"WITH m AS ({_lm_oracle_sql()}), "
-        "sl AS (SELECT m.doc_id, d.lang, m.nll FROM m JOIN documents d "
+        "sl AS MATERIALIZED (SELECT m.doc_id, d.lang, m.nll FROM m JOIN documents d "
         "USING (doc_id)), "
         f"thr AS (SELECT lang, round(quantile_cont(nll, {lo!r}) + 1e-12, 6) "
         f"AS tlo, round(quantile_cont(nll, {hi!r}) + 1e-12, 6) AS thi "
@@ -6459,15 +6466,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_decontaminate_report": (
             # same winnow replay, aggregated per REF doc: pair shared-fp
             # counts >= 100, then per ref_id (count, max, worst offender =
-            # most shared / smallest train id)
-            f"WITH nrm AS (SELECT doc_id, {_NORM_TEXT} AS t FROM documents), "
-            "g AS (SELECT doc_id, list_transform(range(1, length(t) - 5 + 2), "
+            # most shared / smallest train id). fps is referenced twice
+            # (self-join) and pairs twice (rk, ag) -> AS MATERIALIZED, or
+            # DuckDB re-executes the whole winnow chain per reference
+            # (the NOTES_r11 inlining lesson; measured 40+ min at sf5
+            # un-materialized)
+            f"WITH nrm AS MATERIALIZED (SELECT doc_id, {_NORM_TEXT} AS t "
+            "FROM documents), "
+            "g AS MATERIALIZED (SELECT doc_id, "
+            "list_transform(range(1, length(t) - 5 + 2), "
             f"i -> {_dk_h60('substring(t, i::INTEGER, 5)')}) AS hs "
             "FROM nrm WHERE length(t) >= 5), "
-            "fps AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "fps AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform("
             "range(1, greatest(len(hs) - 4 + 2, 2)), "
             "j -> list_min(hs[j::INTEGER:j::INTEGER+3])))) AS fp FROM g), "
-            "pairs AS (SELECT r.doc_id AS ref_id, t.doc_id AS train_id, "
+            "pairs AS MATERIALIZED (SELECT r.doc_id AS ref_id, t.doc_id AS train_id, "
             "count(*)::BIGINT AS ns FROM fps t JOIN fps r ON t.fp = r.fp "
             "WHERE t.doc_id % 10 != 0 AND r.doc_id % 10 = 0 "
             "GROUP BY 1, 2 HAVING count(*) >= 100), "
@@ -7049,20 +7062,20 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             f"WITH l AS ({_langid_oracle_sql()}), "
             f"q AS ({_quality_oracle_sql()}), "
             f"r AS ({_repetition_oracle_sql()}), "
-            f"m AS ({_lm_oracle_sql()}), "
-            "thr AS (SELECT quantile_cont(nll, 0.9) AS p90 FROM m) "
+            f"lmq AS MATERIALIZED ({_lm_oracle_sql()}), "
+            "thr AS (SELECT quantile_cont(nll, 0.9) AS p90 FROM lmq) "
             "SELECT l.doc_id, l.predicted_lang, q.quality, r.dup_ngram_frac, "
-            "m.nll, (CASE WHEN q.quality >= 0.5 AND r.dup_ngram_frac <= 0.3 "
-            "AND m.nll <= thr.p90 THEN 1 ELSE 0 END) AS keep "
+            "lmq.nll, (CASE WHEN q.quality >= 0.5 AND r.dup_ngram_frac <= 0.3 "
+            "AND lmq.nll <= thr.p90 THEN 1 ELSE 0 END) AS keep "
             "FROM l JOIN q ON l.doc_id = q.doc_id "
             "JOIN r ON l.doc_id = r.doc_id "
-            "JOIN m ON l.doc_id = m.doc_id, thr"
+            "JOIN lmq ON l.doc_id = lmq.doc_id, thr"
         ),
         "text_tfidf_topterms": (
             "WITH toks AS (SELECT doc_id, unnest(list_filter("
             "regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)) AS term "
             "FROM documents), "
-            "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2), "
+            "tf AS MATERIALIZED (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2), "
             "dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1), "
             "n AS (SELECT count(*)::DOUBLE AS nd FROM documents), "
             "s AS (SELECT doc_id, term, round(tf * ln(nd / df), 6) AS tfidf "
