@@ -2290,17 +2290,25 @@ def _dedup_decontaminate(spark, sf_dir):
 def _dedup_decontaminate_report(spark, sf_dir):
     """Per-eval-doc contamination audit (dedup.decontamination_report):
     for each refset doc (doc_id % 10 == 0), how many training docs share
-    >= 100 winnowing fingerprints with it, the max overlap, and the
+    >= 10 winnowing fingerprints with it, the max overlap, and the
     worst-offender train id (deterministic tie-break). The disclosure
     table a corpus release publishes — same fingerprint machinery as
-    dedup_decontaminate, aggregated per REF doc instead of dropped."""
+    dedup_decontaminate, aggregated per REF doc instead of dropped.
+    k=25/window=16 (shared substrings >= 40 normalized chars — the
+    13-gram-scale signature real decontamination uses): on the
+    template-generated fixture text, k=5 fingerprints are degenerate
+    (994 distinct over 2.5M sf5 docs -> a 126-billion-row pair join);
+    k=25 is selective (6.1M distinct, 750k pair rows at sf5), so the
+    entry scales with the corpus instead of with its redundancy."""
     from orientdb_spark.pipeline import dedup
 
     docs = _docs(spark, sf_dir)
     return dedup.decontamination_report(
         docs.filter(F.col("doc_id") % 10 != 0),
         docs.filter(F.col("doc_id") % 10 == 0),
-        min_shared=100,
+        min_shared=10,
+        k=25,
+        window=16,
     )
 
 
@@ -6464,9 +6472,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE d.doc_id % 10 != 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)"
         ),
         "dedup_decontaminate_report": (
-            # same winnow replay, aggregated per REF doc: pair shared-fp
-            # counts >= 100, then per ref_id (count, max, worst offender =
-            # most shared / smallest train id). fps is referenced twice
+            # same winnow replay (k=25, window=16 — the selective entry
+            # params), aggregated per REF doc: pair shared-fp counts
+            # >= 10, then per ref_id (count, max, worst offender = most
+            # shared / smallest train id). fps is referenced twice
             # (self-join) and pairs twice (rk, ag) -> AS MATERIALIZED, or
             # DuckDB re-executes the whole winnow chain per reference
             # (the NOTES_r11 inlining lesson; measured 40+ min at sf5
@@ -6474,16 +6483,16 @@ def oracle_sql() -> dict[str, str]:
             f"WITH nrm AS MATERIALIZED (SELECT doc_id, {_NORM_TEXT} AS t "
             "FROM documents), "
             "g AS MATERIALIZED (SELECT doc_id, "
-            "list_transform(range(1, length(t) - 5 + 2), "
-            f"i -> {_dk_h60('substring(t, i::INTEGER, 5)')}) AS hs "
-            "FROM nrm WHERE length(t) >= 5), "
+            "list_transform(range(1, length(t) - 25 + 2), "
+            f"i -> {_dk_h60('substring(t, i::INTEGER, 25)')}) AS hs "
+            "FROM nrm WHERE length(t) >= 25), "
             "fps AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform("
-            "range(1, greatest(len(hs) - 4 + 2, 2)), "
-            "j -> list_min(hs[j::INTEGER:j::INTEGER+3])))) AS fp FROM g), "
+            "range(1, greatest(len(hs) - 16 + 2, 2)), "
+            "j -> list_min(hs[j::INTEGER:j::INTEGER+15])))) AS fp FROM g), "
             "pairs AS MATERIALIZED (SELECT r.doc_id AS ref_id, t.doc_id AS train_id, "
             "count(*)::BIGINT AS ns FROM fps t JOIN fps r ON t.fp = r.fp "
             "WHERE t.doc_id % 10 != 0 AND r.doc_id % 10 = 0 "
-            "GROUP BY 1, 2 HAVING count(*) >= 100), "
+            "GROUP BY 1, 2 HAVING count(*) >= 10), "
             "rk AS (SELECT ref_id, train_id, row_number() OVER ("
             "PARTITION BY ref_id ORDER BY ns DESC, train_id ASC) AS rk "
             "FROM pairs), "

@@ -1640,6 +1640,7 @@ def decontamination_report(
     min_shared: int = 2,
     k: int = 5,
     window: int = 4,
+    broadcast_refset_max: int = 100_000,
 ) -> DataFrame:
     """The audit companion to ``decontaminate``: instead of silently
     dropping contaminated training docs, report the leak evidence per
@@ -1657,19 +1658,27 @@ def decontamination_report(
     fingerprints, smallest id on ties — deterministic).
 
     Scale: the same two-fingerprint-scan shape as ``decontaminate`` —
-    the refset fingerprint table is benchmark-sized and BROADCASTS, the
-    train side is one scan; the (ref, train) pair table the groupBys
-    aggregate holds only pairs that actually share a fingerprint, never
-    |train| × |ref|. Same winnowing guarantee: shared substrings of ≥
-    window + k − 1 normalized chars cannot be missed."""
+    when the refset is benchmark-sized (≤ ``broadcast_refset_max``
+    docs) its fingerprint table BROADCASTS and the train side is one
+    scan; a corpus-sized refset (an audit of one corpus against
+    another) falls back to a shuffle hash join so AQE's skew handling
+    applies instead of forcing a multi-GB broadcast build (measured:
+    a forced broadcast of a 250k-doc refset's ~40M fingerprints stalls
+    the join for tens of minutes). The (ref, train) pair table the
+    groupBys aggregate holds only pairs that actually share a
+    fingerprint, never |train| × |ref|. Same winnowing guarantee:
+    shared substrings of ≥ window + k − 1 normalized chars cannot be
+    missed."""
     from orientdb_spark.pipeline.text import winnow_fingerprints
 
     tr_fp = winnow_fingerprints(train, text_col, id_col, k=k, window=window)
     ref_fp = winnow_fingerprints(refset, text_col, id_col, k=k, window=window).select(
         F.col(id_col).alias("__ref_id"), "fingerprint"
     )
+    if refset.count() <= broadcast_refset_max:
+        ref_fp = F.broadcast(ref_fp)
     pair_counts = (
-        tr_fp.join(F.broadcast(ref_fp), "fingerprint")
+        tr_fp.join(ref_fp, "fingerprint")
         .groupBy("__ref_id", id_col)
         .agg(F.count(F.lit(1)).alias("__shared"))
         .filter(F.col("__shared") >= min_shared)
