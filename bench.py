@@ -80,7 +80,35 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _resolve_out_path() -> str:
+    """Resolve and validate the output path BEFORE any timed work: an
+    IndexError on a trailing ``--out`` used to surface only AFTER the
+    multi-hour bench loop, losing the whole run — the exact failure the
+    file artifact exists to prevent (r12 advice)."""
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if "--out" in sys.argv:
+        i = sys.argv.index("--out")
+        if i + 1 >= len(sys.argv):
+            print("bench: --out requires a path argument", file=sys.stderr)
+            raise SystemExit(2)
+        out_path = sys.argv[i + 1]
+    if out_path is None:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_run.json"
+        )
+    # fail fast on an unwritable destination too — probe with an append
+    # touch rather than truncating whatever is already there
+    try:
+        with open(out_path, "a"):
+            pass
+    except OSError as e:
+        print(f"bench: cannot write --out path {out_path}: {e}", file=sys.stderr)
+        raise SystemExit(2)
+    return out_path
+
+
 def main() -> None:
+    out_path = _resolve_out_path()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -140,10 +168,16 @@ def main() -> None:
     # query that needed many slow samples)
     spent_wall: dict[str, float] = {}
     failed: list[str] = []
+    # HARD floor for every query, budget-immune: the r12 official record
+    # breached the 2x bar on rows whose sample counts had collapsed to
+    # n=2 (dedup_minhash_lsh) and n=3 (set_operations) under host load —
+    # an official signal must never be 1-2 observations (r12 verdict
+    # item 1). 3 samples is the floor the noisy set already proved out.
+    hard_floor = int(os.environ.get("SPARK_GRAFT_BENCH_MIN_SAMPLES", "3"))
     for name in HEADLINE:
         fn = qs[name]
         best = None
-        min_n = max(repeat, noisy_min.get(name, 0))
+        min_n = max(repeat, hard_floor, noisy_min.get(name, 0))
         try:
             # one untimed warm-up: the sf5 study showed a cold page
             # cache right after heavy unrelated IO can inflate a
@@ -202,14 +236,8 @@ def main() -> None:
     # Always ALSO write the record to a file artifact: BENCH_r11.json
     # lost its headline total when the driver's stdout capture truncated
     # mid-JSON — a pipe must never be the only copy of a round's number.
-    # Override the path with --out <path> or $SPARK_GRAFT_BENCH_OUT.
-    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
-    if "--out" in sys.argv:
-        out_path = sys.argv[sys.argv.index("--out") + 1]
-    if out_path is None:
-        out_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_run.json"
-        )
+    # Override the path with --out <path> or $SPARK_GRAFT_BENCH_OUT
+    # (parsed and validated up-front in _resolve_out_path).
     try:
         with open(out_path, "w") as fh:
             fh.write(line + "\n")
