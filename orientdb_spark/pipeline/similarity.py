@@ -1854,6 +1854,13 @@ def bitext_mine(
     threshold: float = 1.0,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    method: str = "exact",
+    candidates: DataFrame | None = None,
+    k_candidates: int | None = None,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
+    refine_iters: int = 1,
+    target_recall: float = 0.6,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk 2019, the
     LASER/CCMatrix recipe): mine translation pairs from two monolingual
@@ -1876,18 +1883,45 @@ def bitext_mine(
     midpoint — the mmr_topk precedent); (4) mutual filter — forward and
     backward row_number over the SAME margin frame, keep fwd = bwd = 1.
 
-    Scale shape: stage 1 as written is the exact quadratic baseline
-    (the sim_topk_bruteforce contract — broadcast queries, one corpus
-    scan). At true 100 TB swap stage 1 for an ANN candidate generator
-    (ivf/imi_topk with k' > k candidates per side) and feed its pair
-    list through the SAME stages 2-4: the margin arithmetic only needs
-    the per-side k-NN lists, which any blocked retriever yields in
-    O(N·k). Zero-norm vectors are dropped on entry (cosine undefined).
+    Scale shape — stage 1 is pluggable, stages 2-4 are identical on
+    every path (the margin arithmetic only needs per-side candidate
+    lists):
+
+    - ``method="exact"`` (default, the oracle-parity path): one
+      broadcast(src) × tgt pass — the exact quadratic baseline (the
+      sim_topk_bruteforce contract). At 100 TB this is a cartesian
+      product; use it only when one side is query-sized.
+    - ``method="ivf"`` (the scale path, the CCMatrix recipe): two
+      ``ivf_topk`` sweeps (src→tgt and tgt→src corpora, ``k_candidates``
+      ≥ k neighbors each, default 2k) generate the candidate pair list
+      in O(N·k') through the cell-probed index — no corpus×corpus join
+      anywhere in the plan (pinned in tests; the only nested-loop joins
+      are the two n_cells-row centroid probes). Same-id pairs the
+      retriever's self-filter drops are restored by one equi-join, so
+      overlapping id spaces lose nothing. ``n_cells``/``nprobe``/
+      ``refine_iters``/``target_recall`` pass through to ``ivf_topk``;
+      full-probe settings (nprobe = n_cells, k_candidates ≥ |corpus|)
+      reproduce the exact path bit-for-bit (equivalence-gated in
+      tests/test_bitext_mine.py).
+    - ``candidates=`` (injection point): any DataFrame of
+      (src_id, tgt_id) pairs — plug in imi_topk / lsh_topk / a
+      prebuilt-index retriever; cosines are (re)computed here on the
+      same 6-dp grid, so stages 2-4 stay oracle-convention regardless
+      of what generated the pairs.
+
+    On candidate paths the per-side k-NN sums are taken over the
+    candidate lists (exactly the Artetxe & Schwenk approximation), so
+    mined pairs can differ from exact where recall misses a true
+    neighbor — k_candidates > k buys margin-sum headroom, target_recall
+    sets the warn floor. Zero-norm vectors are dropped on entry (cosine
+    undefined).
 
     Returns (src_id, tgt_id, cosine, margin), one row per mined pair.
     """
     if k < 1:
         raise ValueError(f"need k >= 1, got {k}")
+    if method not in ("exact", "ivf"):
+        raise ValueError(f"method must be 'exact' or 'ivf', got {method!r}")
     s = (
         src.select(
             F.col(id_col).alias("src_id"),
@@ -1904,22 +1938,71 @@ def bitext_mine(
         .withColumn("__tn", vec_norm(F.col("__tv")))
         .filter(F.col("__tn") > 0)
     )
-    pairs = (
-        F.broadcast(s)
-        .crossJoin(t)
-        .select(
-            "src_id",
-            "tgt_id",
-            F.round(
-                cosine_similarity(
-                    F.col("__sv"), F.col("__tv"),
-                    norm_a=F.col("__sn"), norm_b=F.col("__tn"),
-                )
-                + F.lit(1e-12),
-                6,
-            ).alias("c"),
+    grid_cos = F.round(
+        cosine_similarity(
+            F.col("__sv"), F.col("__tv"),
+            norm_a=F.col("__sn"), norm_b=F.col("__tn"),
         )
-    )
+        + F.lit(1e-12),
+        6,
+    ).alias("c")
+    if candidates is None and method == "ivf":
+        kc = k_candidates if k_candidates is not None else 2 * k
+        if kc < k:
+            raise ValueError(f"need k_candidates >= k, got {kc} < {k}")
+        s_corp = s.select(F.col("src_id").alias("__id"), F.col("__sv").alias("__vec"))
+        t_corp = t.select(F.col("tgt_id").alias("__id"), F.col("__tv").alias("__vec"))
+        fwd = ivf_topk(
+            t_corp, s_corp, k=kc, n_cells=n_cells, nprobe=nprobe,
+            vec_col="__vec", id_col="__id", refine_iters=refine_iters,
+            target_recall=target_recall,
+        )
+        bwd = ivf_topk(
+            s_corp, t_corp, k=kc, n_cells=n_cells, nprobe=nprobe,
+            vec_col="__vec", id_col="__id", refine_iters=refine_iters,
+            target_recall=target_recall,
+        )
+        candidates = (
+            fwd.select(
+                F.col("query_id").alias("src_id"),
+                F.col("neighbor_id").alias("tgt_id"),
+            )
+            .unionByName(
+                bwd.select(
+                    F.col("neighbor_id").alias("src_id"),
+                    F.col("query_id").alias("tgt_id"),
+                )
+            )
+            # the retriever's query_id != neighbor_id self-filter drops
+            # same-id pairs, which ARE legitimate bitext candidates when
+            # the two sides share an id space — restore them with one
+            # O(N) equi-join
+            .unionByName(
+                s.select("src_id").join(
+                    t.select("tgt_id"),
+                    F.col("src_id") == F.col("tgt_id"),
+                )
+            )
+        )
+    if candidates is not None:
+        # stages 2-4 reference the scored pair list THREE times (both
+        # k-NN sums + the margin base); without a cut the whole
+        # candidate generation (two index builds + probes) replays per
+        # reference — a lazy localCheckpoint materializes the slim
+        # O(N·k') (src, tgt, c) table once instead (the lm_score
+        # multi-branch precedent). The exact path deliberately stays
+        # streaming: ITS pair table is |src|×|tgt| — recomputing the
+        # broadcast scan three times beats materializing a quadratic.
+        pairs = (
+            candidates.select("src_id", "tgt_id")
+            .dropDuplicates(["src_id", "tgt_id"])
+            .join(s, "src_id")
+            .join(t, "tgt_id")
+            .select("src_id", "tgt_id", grid_cos)
+            .localCheckpoint(eager=False)
+        )
+    else:
+        pairs = F.broadcast(s).crossJoin(t).select("src_id", "tgt_id", grid_cos)
     w_s = Window.partitionBy("src_id").orderBy(F.col("c").desc(), F.col("tgt_id"))
     w_t = Window.partitionBy("tgt_id").orderBy(F.col("c").desc(), F.col("src_id"))
     nn_s = (
@@ -1958,3 +2041,89 @@ def bitext_mine(
         )
         .select("src_id", "tgt_id", F.col("c").alias("cosine"), "margin")
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "exact",
+    k_candidates: int | None = None,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
+    refine_iters: int = 1,
+    target_recall: float = 0.6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive retriever training (the
+    DPR recipe — Karpukhin et al. 2020; also E5/GTR dataset builds):
+    for each query, the ``k`` highest-cosine corpus documents that are
+    NOT its labeled positives — the negatives that actually move a
+    dual-encoder, because random negatives are trivially separable.
+
+    ``positives`` is a (query_id, pos_id) pair table (one row per
+    labeled relevant doc; multi-positive queries fine). Output
+    (query_id, neighbor_id, cosine, rank) — the brute_force_topk
+    contract — with positives and self-matches excluded BEFORE the
+    rank, so every query gets k true negatives when the corpus has
+    them (a post-rank filter would silently return < k whenever a
+    positive lands in the top-k, which it does by construction on a
+    trained encoder).
+
+    Scale shape: ``method="exact"`` scores broadcast(queries) × corpus
+    — one corpus scan, right when queries are batch-sized (the
+    sim_topk_bruteforce contract). ``method="ivf"`` generates
+    ``k_candidates`` (default k + 10, > k headroom because positives
+    are removed AFTER candidate generation) through the cell-probed
+    IVF index in O(N·k'/n_cells) — no corpus cross join; the anti-join
+    and re-rank run on candidate lists only. Positives are
+    query-table-sized, so their anti-join side broadcasts.
+    """
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    if method not in ("exact", "ivf"):
+        raise ValueError(f"method must be 'exact' or 'ivf', got {method!r}")
+    pos = F.broadcast(
+        positives.select(
+            F.col("query_id"), F.col("pos_id").alias("neighbor_id")
+        ).dropDuplicates()
+    )
+    if method == "ivf":
+        kc = k_candidates if k_candidates is not None else k + 10
+        if kc < k:
+            raise ValueError(f"need k_candidates >= k, got {kc} < {k}")
+        cand = ivf_topk(
+            df, queries, k=kc, n_cells=n_cells, nprobe=nprobe,
+            vec_col=vec_col, id_col=id_col, refine_iters=refine_iters,
+            target_recall=target_recall,
+        ).drop("rank")
+        scored = cand.join(pos, ["query_id", "neighbor_id"], "left_anti")
+        return per_query_topk_rank(
+            scored, k, [F.col("cosine").desc(), F.col("neighbor_id")]
+        ).select("query_id", "neighbor_id", "cosine", "rank")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).withColumn("__qn", vec_norm(F.col("__qv")))
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("__cn", vec_norm(F.col("__cv")))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(pos, ["query_id", "neighbor_id"], "left_anti")
+        .withColumn(
+            "cosine",
+            cosine_similarity(
+                F.col("__qv"), F.col("__cv"),
+                norm_a=F.col("__qn"), norm_b=F.col("__cn"),
+            ),
+        )
+    )
+    return per_query_topk_rank(
+        scored, k, [F.col("cosine").desc(), F.col("neighbor_id")]
+    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")

@@ -488,3 +488,218 @@ def test_bitext_mine_drops_zero_norm_and_is_partition_invariant(spark):
     assert all(r[0] != 9 for r in a)
     with pytest.raises(ValueError, match="k >= 1"):
         S.bitext_mine(src, tgt, k=0)
+
+
+def _mined_set(df):
+    return {(r["src_id"], r["tgt_id"], r["cosine"], r["margin"])
+            for r in df.collect()}
+
+
+def test_bitext_mine_ivf_full_probe_matches_exact(spark):
+    """The ANN stage-1 equivalence gate (r12 verdict item 2): at full
+    probe (nprobe = n_cells) with k_candidates >= |corpus| and the
+    deterministic h60-seed quantizer, the IVF candidate list IS the
+    full cross product, so stages 2-4 must reproduce the exact path
+    bit-for-bit — same pairs, same 6-dp cosines and margins."""
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    src = embs.filter(F.col("vec_id") % 2 == 0)
+    tgt = embs.filter(F.col("vec_id") % 2 == 1)
+    exact = S.bitext_mine(src, tgt, k=4, threshold=1.0)
+    ann = S.bitext_mine(
+        src, tgt, k=4, threshold=1.0, method="ivf",
+        k_candidates=500, n_cells=4, nprobe=4, refine_iters=0,
+    )
+    ex, an = _mined_set(exact), _mined_set(ann)
+    assert ex == an and len(ex) > 0
+
+
+def test_bitext_mine_ivf_moderate_settings_recall(spark):
+    """Production-shaped settings (partial probe, k' = 2k candidates)
+    must still recover >= 0.9 of the exact path's mined pairs — the
+    verdict's recall gate. Deterministic: h60 seeds, refine_iters=0."""
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    src = embs.filter(F.col("vec_id") % 2 == 0)
+    tgt = embs.filter(F.col("vec_id") % 2 == 1)
+    exact = {(r["src_id"], r["tgt_id"])
+             for r in S.bitext_mine(src, tgt, k=4, threshold=1.0).collect()}
+    ann = {(r["src_id"], r["tgt_id"])
+           for r in S.bitext_mine(
+               src, tgt, k=4, threshold=1.0, method="ivf",
+               n_cells=4, nprobe=3, refine_iters=0,
+           ).collect()}
+    assert len(exact) > 0
+    assert len(ann & exact) / len(exact) >= 0.9
+
+
+def test_bitext_mine_ivf_plan_has_no_corpus_cross_join(spark):
+    """The scale pin: the IVF path's margin/mutual stages contain ZERO
+    nested-loop joins — the scored candidate list is cut behind a lazy
+    localCheckpoint (materialized once, O(N·k'), instead of replaying
+    the candidate generation per downstream reference), and everything
+    above it is hash joins + windows. The ivf_topk generator's own
+    probe shape is pinned in the ANN suite. The exact path, by
+    documented construction, replays its broadcast corpus pass once
+    per margin stage: three BroadcastNestedLoopJoin nodes — the
+    quadratic baseline the IVF path exists to replace."""
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    src = embs.filter(F.col("vec_id") % 2 == 0)
+    tgt = embs.filter(F.col("vec_id") % 2 == 1)
+    ann = S.bitext_mine(src, tgt, k=4, method="ivf",
+                        n_cells=4, nprobe=3, refine_iters=0)
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 0, plan
+    exact_plan = (
+        S.bitext_mine(src, tgt, k=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert exact_plan.count("BroadcastNestedLoopJoin") == 3, exact_plan
+
+
+def test_bitext_mine_candidates_injection_matches_exact(spark):
+    """candidates= is the open injection point: feeding the full pair
+    list through it must reproduce the exact path (cosines are
+    recomputed on the 6-dp grid inside, so any generator works)."""
+    src, tgt = _bitext_fixture(spark)
+    full = src.selectExpr("vec_id AS src_id").crossJoin(
+        tgt.selectExpr("vec_id AS tgt_id"))
+    a = _mined_set(S.bitext_mine(src, tgt, k=2, threshold=1.0))
+    b = _mined_set(S.bitext_mine(src, tgt, k=2, threshold=1.0,
+                                 candidates=full))
+    assert a == b and len(a) > 0
+
+
+def test_bitext_mine_ivf_restores_same_id_pairs(spark):
+    """ivf_topk's query_id != neighbor_id self-filter must not lose
+    same-id pairs when the two sides share an id space: the equi-join
+    union restores them. Fixture: the clean mutual pair shares id 0."""
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.1]), (1, [0.0, 1.0, 0.0, 0.1]),
+         (2, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    tgt = spark.createDataFrame(
+        [(0, [0.98, 0.05, 0.0, 0.1]), (3, [0.05, 0.98, 0.0, 0.1]),
+         (4, [0.0, 0.0, 0.1, 1.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got = {(r["src_id"], r["tgt_id"])
+           for r in S.bitext_mine(
+               src, tgt, k=2, threshold=1.0, method="ivf",
+               k_candidates=10, n_cells=2, nprobe=2, refine_iters=0,
+           ).collect()}
+    assert (0, 0) in got
+
+
+def test_bitext_mine_method_validation(spark):
+    src, tgt = _bitext_fixture(spark)
+    with pytest.raises(ValueError, match="method"):
+        S.bitext_mine(src, tgt, method="hnsw")
+    with pytest.raises(ValueError, match="k_candidates"):
+        S.bitext_mine(src, tgt, k=4, method="ivf", k_candidates=2)
+
+
+# --- hard-negative mining (DPR, Karpukhin et al. 2020) -----------------------
+
+
+def _hardneg_fixture(spark):
+    """5-doc corpus, 2 queries. Query 0's nearest doc (10) is its
+    labeled positive, so negative mining must skip it and return the
+    next-best docs."""
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0]),    # q0's positive (closest to q0)
+            (11, [0.9, 0.1, 0.0]),    # q0's hardest negative
+            (12, [0.5, 0.5, 0.0]),
+            (13, [0.0, 1.0, 0.0]),    # q1's positive
+            (14, [0.0, 0.9, 0.2]),    # q1's hardest negative
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.05, 0.0]), (1, [0.05, 1.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    positives = spark.createDataFrame(
+        [(0, 10), (1, 13)], "query_id LONG, pos_id LONG"
+    )
+    return corpus, queries, positives
+
+
+def test_hard_negatives_excludes_positives_before_rank(spark):
+    corpus, queries, positives = _hardneg_fixture(spark)
+    out = S.hard_negatives(corpus, queries, positives, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # k negatives per query even though the positive IS the top-1 doc
+    assert {q: len(v) for q, v in by_q.items()} == {0: 2, 1: 2}
+    mined = {(r["query_id"], r["neighbor_id"]) for r in out}
+    assert (0, 10) not in mined and (1, 13) not in mined
+    # rank 1 = the hardest non-positive neighbor
+    rank1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    assert rank1 == {0: 11, 1: 14}
+
+
+def test_hard_negatives_ivf_full_probe_matches_exact(spark):
+    """Full probe + candidate headroom >= |corpus| makes the IVF path's
+    candidate set complete, so mined negatives must equal the exact
+    path's."""
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    queries = embs.filter(F.col("vec_id") < 8)
+    # positives: each query's exact top-1 neighbor (the DPR shape)
+    positives = (
+        S.brute_force_topk(embs, queries, k=1)
+        .select("query_id", F.col("neighbor_id").alias("pos_id"))
+    )
+    exact = {(r["query_id"], r["neighbor_id"], r["rank"])
+             for r in S.hard_negatives(embs, queries, positives, k=5).collect()}
+    ann = {(r["query_id"], r["neighbor_id"], r["rank"])
+           for r in S.hard_negatives(
+               embs, queries, positives, k=5, method="ivf",
+               k_candidates=500, n_cells=4, nprobe=4, refine_iters=0,
+           ).collect()}
+    assert exact == ann and len(exact) == 40
+
+
+def test_hard_negatives_ivf_plan_has_no_corpus_cross_join(spark):
+    """Scale pin: the IVF path's only nested-loop join is the single
+    bounded centroid probe; the exact path's corpus scoring join is the
+    one BroadcastNestedLoopJoin it is by construction."""
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    queries = embs.filter(F.col("vec_id") < 4)
+    positives = queries.select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("vec_id") + 10).alias("pos_id"),
+    )
+    ann = S.hard_negatives(embs, queries, positives, k=3, method="ivf",
+                           n_cells=4, nprobe=3, refine_iters=0)
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    exact_plan = (
+        S.hard_negatives(embs, queries, positives, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert exact_plan.count("BroadcastNestedLoopJoin") == 1, exact_plan
+
+
+def test_hard_negatives_validation(spark):
+    corpus, queries, positives = _hardneg_fixture(spark)
+    with pytest.raises(ValueError, match="k >= 1"):
+        S.hard_negatives(corpus, queries, positives, k=0)
+    with pytest.raises(ValueError, match="method"):
+        S.hard_negatives(corpus, queries, positives, method="flat")
+    with pytest.raises(ValueError, match="k_candidates"):
+        S.hard_negatives(corpus, queries, positives, k=5,
+                         method="ivf", k_candidates=3)
