@@ -3476,6 +3476,38 @@ def _sim_bitext_mine(spark, sf_dir):
     )
 
 
+def _sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive retriever training
+    (pipeline/similarity.hard_negatives — the DPR recipe, Karpukhin et
+    al. 2020): queries are vec_id < 8, each query's labeled positive is
+    its exact nearest neighbor (the standard relevance-label proxy),
+    and the mined output is the top-5 highest-cosine NON-positive docs
+    per query, positives anti-joined BEFORE the rank. Oracle-exact: the
+    sim_topk_bruteforce cosine convention (dimension-major double dot
+    products, 6-dp display rounding, neighbor-id tiebreaks) replays
+    both the positive derivation and the negative rank in SQL."""
+    from orientdb_spark.pipeline import similarity
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 8)
+    positives = similarity.brute_force_topk(embs, queries, k=1).select(
+        "query_id", F.col("neighbor_id").alias("pos_id")
+    )
+    return similarity.hard_negatives(embs, queries, positives, k=5)
+
+
+def _text_min_k_prob(spark, sf_dir):
+    """Min-K%-prob memorization audit (pipeline/text.min_k_prob, Shi et
+    al. 2023): per doc, the mean NLL of the 20% least-likely bigram
+    occurrences under the corpus bigram LM — low scores flag absorbed /
+    templated content. Oracle-exact: ordering key and averaged values
+    both live on the 6-dp grid with (w1, w2) tiebreaks, so the weighted
+    top-m pick replays identically in SQL."""
+    from orientdb_spark.pipeline import text
+
+    return text.min_k_prob(_docs(spark, sf_dir), k_frac=0.2)
+
+
 def _sim_hybrid_rrf(spark, sf_dir):
     """Hybrid lexical+vector retrieval with reciprocal-rank fusion
     (pipeline/similarity.hybrid_rrf_topk, Cormack et al. 2009): tf-idf
@@ -3754,63 +3786,66 @@ def _profile_dp_counts(spark, sf_dir):
 # their standing records plus per-run mirror-harness coverage
 # (tests/test_entry.py re-compares all oracle entries each run).
 _DRIVER_FRONT = [
-    # r12 rotation: the COMPLETE r7-era tail — all 47 entries whose
-    # newest driver record is r7 (SQL surface heads, DDL/security
-    # effect rows, the graph-loop family, temporal/event ops, quality
-    # contracts, sketches, multimodal pHash, pipeline compositions) —
-    # so after r12 no registry record is older than r8.
-    "compound_predicates",
-    "contains_condition",
-    "traverse_reachability",
-    "link_nav_2hop",
-    "tpch_q3_shipping",
-    "group_having_order",
-    "order_multikey_topk",
-    "ddl_remove_property_effect",
-    "ddl_remove_index_effect",
-    "security_grant_effect",
-    "dictionary_named_roots",
-    "async_query_abort_effect",
-    "custom_operator_where",
-    "native_fluent_query",
-    "graph_cc_incremental",
-    "graph_pagerank_personalized",
-    "graph_sssp",
-    "graph_label_propagation",
-    "graph_clustering_coeff",
-    "graph_random_walks",
-    "graph_min_spanning_forest",
-    "graph_topological_levels",
-    "bloom_prefilter_join",
-    "cms_event_type_counts",
-    "event_silence_audit",
-    "event_seasonal_baseline",
-    "event_cusum_changepoints",
-    "event_m4_downsample",
-    "multimodal_phash_dedup",
-    "pipeline_entity_resolution",
-    "quality_expectations",
-    "quality_fd_check",
-    "quality_table_digest",
-    "scale_quantile_sketch",
-    "scale_skew_report",
-    "event_hierarchical_rollup",
-    "event_gap_fill",
-    "event_scd2",
-    "event_rolling_avg",
-    "event_time_weighted_avg",
-    "event_interval_overlap",
-    "event_anomaly_zscore",
-    "profile_quantile_bins",
-    "dedup_simhash_hamming",
-    "pipeline_rag_prep",
-    "pipeline_incremental_dedup",
-    "text_duplicate_spans",
-    # + the three NEW r12 entries (never recorded — must sit in the
+    # r13 rotation (r12 verdict item 5): the COMPLETE r8-era tail — all
+    # 45 entries whose newest driver record is r8 (sketch audits, the
+    # graph-analytics long tail, profiling/governance, text
+    # featurizers, storage ops, event shapes) — so after r13 no
+    # registry record is older than r9.
+    "cms_join_size_estimate",
+    "docs_cube_rollup",
+    "embedding_label_centroids",
+    "embedding_nearest_centroid",
+    "embedding_pq_encode",
+    "embedding_random_projection",
+    "event_funnel_rates",
+    "event_interarrival_stats",
+    "event_json_props",
+    "event_pivot",
+    "event_sequence_mining",
+    "event_transitions",
+    "event_trend",
+    "fulltext_phrase_search",
+    "graph_betweenness",
+    "graph_effective_diameter",
+    "graph_hits",
+    "graph_kcore",
+    "graph_link_prediction",
+    "graph_neighbor_features",
+    "graph_walk_skipgrams",
+    "hll_distinct_merge",
+    "mining_frequent_pairs",
+    "pipeline_multimodal_end_to_end",
+    "profile_correlations",
+    "profile_entropy",
+    "profile_iqr_outliers",
+    "profile_json_keys",
+    "profile_k_anonymity",
+    "profile_stat_drift",
+    "profile_value_histogram",
+    "profile_winsorize",
+    "sample_negatives",
+    "sample_stratified_split",
+    "sample_weighted",
+    "storage_merge_upsert",
+    "storage_snapshot_diff",
+    "text_chunk_documents",
+    "text_cooccurrence",
+    "text_edit_distance_join",
+    "text_feature_hashing",
+    "text_hash_embedding",
+    "text_unicode_normalize",
+    "text_vocab_growth",
+    "text_vocabulary",
+    # + the two NEW r13 entries (never recorded — must sit in the
     # front so check_entries.py --never-recorded closes at round end)
-    "sim_bitext_mine",
-    "sample_temperature_mixture",
-    "text_classifier_calibration",
+    "sim_hard_negatives",
+    "text_min_k_prob",
+    # + three r9-era refreshes chosen from this round's quiet-host
+    # re-adjudication set (set_operations cleared its 2x flag; the two
+    # others anchor the graph/ANN headline rows with fresh hashes)
+    "set_operations",
+    "graph_connected_components",
+    "sim_topk_bruteforce",
 ]
 
 
@@ -4122,6 +4157,8 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sim_topk_mmr": _sim_topk_mmr,
         "sim_bitext_mine": _sim_bitext_mine,
         "sim_hybrid_rrf": _sim_hybrid_rrf,
+        # r13: contrastive hard-negative mining (DPR)
+        "sim_hard_negatives": _sim_hard_negatives,
         "sim_index_persist": _sim_index_persist,
         "sim_index_incremental": _sim_index_incremental,
         # pipeline: text analysis
@@ -4156,6 +4193,8 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "fulltext_phrase_search": _fulltext_phrase_search,
         "profile_value_histogram": _profile_value_histogram,
         "text_lm_score": _text_lm_score,
+        # r13: Min-K%-prob memorization audit (Shi et al. 2023)
+        "text_min_k_prob": _text_min_k_prob,
         # model-based curation (pipeline/model.py, r11)
         "text_classifier_train": _text_classifier_train,
         "text_classifier_score": _text_classifier_score,
@@ -4898,6 +4937,45 @@ def _lm_oracle_sql() -> str:
         "FROM pairs JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v) "
         "SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
         "round(avg(nll), 6) AS nll FROM sc GROUP BY doc_id"
+    )
+
+
+def _min_k_prob_oracle_sql(k_frac: float) -> str:
+    """Min-K%-prob replay (text.min_k_prob): the lm_score bigram model
+    down to per-distinct-bigram (doc, w1, w2, nb, nll6), then the
+    occurrence-weighted top-m pick — m = max(1, ceil(round(k_frac·n, 6)))
+    — via one cumulative window ordered (nll6 DESC, w1, w2), boundary
+    bigram taken partially, averaged on the 6-dp grid with the +1e-12
+    midpoint nudge. pairs/sc are MATERIALIZED (multi-referenced — the
+    NOTES_r11 CTE-inlining lesson)."""
+    return (
+        "WITH staged AS (SELECT doc_id, list_filter("
+        "regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0) AS t "
+        "FROM documents), "
+        "s2 AS (SELECT doc_id, t FROM staged WHERE len(t) >= 2), "
+        "pairs AS MATERIALIZED (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM ("
+        "SELECT doc_id, unnest(list_transform(range(1, len(t)), "
+        "i -> {'w1': t[i::INTEGER], 'w2': t[i::INTEGER + 1]})) AS u FROM s2)), "
+        "pc AS MATERIALIZED (SELECT doc_id, w1, w2, count(*)::BIGINT AS nb "
+        "FROM pairs GROUP BY 1, 2, 3), "
+        "c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM pairs GROUP BY 1, 2), "
+        "c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM pairs GROUP BY 1), "
+        "v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM ("
+        "SELECT w1 AS w FROM pairs UNION ALL SELECT w2 FROM pairs)), "
+        "sc AS MATERIALIZED (SELECT pc.doc_id, pc.w1, pc.w2, pc.nb, "
+        "round(-ln((c2 + 0.5) / (c1 + 0.5 * v)), 6) AS nll6 "
+        "FROM pc JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v), "
+        "st AS (SELECT doc_id, nb, nll6, "
+        "sum(nb) OVER (PARTITION BY doc_id) AS n, "
+        "sum(nb) OVER (PARTITION BY doc_id ORDER BY nll6 DESC, w1, w2 "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sc), "
+        "tk AS (SELECT doc_id, n, nll6, "
+        f"greatest(1, ceil(round({k_frac!r} * n, 6))::BIGINT) AS m, "
+        f"least(nb, greatest(1, ceil(round({k_frac!r} * n, 6))::BIGINT) "
+        "- (cum - nb)) AS take FROM st) "
+        "SELECT doc_id, max(n)::BIGINT AS n_bigrams, "
+        "round(sum(take * nll6) / max(m) + 1e-12, 6) AS mink_nll "
+        "FROM tk WHERE take > 0 GROUP BY doc_id"
     )
 
 
@@ -6412,6 +6490,31 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY query_id ORDER BY c DESC, neighbor_id)::INTEGER AS rank FROM s) "
             "SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank FROM r WHERE rank <= 5"
         ),
+        "sim_hard_negatives": (
+            # mirrors similarity.hard_negatives(k=5) with positives =
+            # exact top-1 per query: s is the scored pair table (the
+            # bruteforce cosine convention), pos the rank-1 pick, and
+            # the negative rank re-runs the SAME window over s minus pos
+            "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+            "FROM embeddings WHERE vec_id < 8), "
+            "e AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ev "
+            "FROM embeddings), "
+            "s AS MATERIALIZED (SELECT query_id, neighbor_id, " + cos_qn
+            + " AS c FROM q, e WHERE neighbor_id <> query_id), "
+            "pos AS (SELECT query_id, neighbor_id FROM ("
+            "SELECT query_id, neighbor_id, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS r FROM s) "
+            "WHERE r = 1), "
+            "neg AS (SELECT s.query_id, s.neighbor_id, s.c FROM s "
+            "LEFT JOIN pos ON s.query_id = pos.query_id "
+            "AND s.neighbor_id = pos.neighbor_id "
+            "WHERE pos.query_id IS NULL), "
+            "r AS (SELECT query_id, neighbor_id, c, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY c DESC, neighbor_id)::INTEGER "
+            "AS rank FROM neg) "
+            "SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank "
+            "FROM r WHERE rank <= 5"
+        ),
         "sim_bitext_mine": (
             # mirrors similarity.bitext_mine(k=4, threshold=1.0) on the
             # parity split: 6-dp nudge-rounded cosines (id tiebreaks fix
@@ -7042,6 +7145,7 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "FROM b WHERE rk = 1 GROUP BY 1, 2"
         ),
         "text_lm_score": _lm_oracle_sql(),
+        "text_min_k_prob": _min_k_prob_oracle_sql(0.2),
         "text_classifier_train": _classifier_oracle_sql(16, 3, 1.0, "train"),
         "text_classifier_score": _classifier_oracle_sql(16, 3, 1.0, "score"),
         "text_classifier_calibration": _classifier_oracle_sql(

@@ -188,6 +188,20 @@ def lm_score(
     rounding."""
     if k <= 0:
         raise ValueError(f"smoothing k must be positive, got {k}")
+    scored = _bigram_nll(df, text_col, id_col, k)
+    return scored.groupBy(id_col).agg(
+        F.sum("nb").alias("n_bigrams"),
+        F.round(F.sum(F.col("nb") * F.col("__nll")) / F.sum("nb"), 6).alias("nll"),
+    )
+
+
+def _bigram_nll(
+    df: DataFrame, text_col: str, id_col: str, k: float
+) -> DataFrame:
+    """The shared bigram-LM core of ``lm_score`` and ``min_k_prob``:
+    per distinct in-doc bigram, (id, w1, w2, nb, __nll) where nb is the
+    in-doc occurrence count and __nll the add-k-smoothed corpus NLL.
+    Shape notes live on ``lm_score``."""
     toks = ws_tokens(F.lower(F.col(text_col)))
     staged = df.select(F.col(id_col), toks.alias("__t")).filter(F.size("__t") >= 2)
     pairs = staged.select(
@@ -220,16 +234,84 @@ def lm_score(
     )
     v = vocab.agg(F.count_distinct(F.col("w")).cast("double").alias("__v"))
     model = c2.join(c1, "w1").crossJoin(F.broadcast(v))
-    scored = pc.join(model, ["w1", "w2"]).select(
+    return pc.join(model, ["w1", "w2"]).select(
         F.col(id_col),
+        F.col("w1"),
+        F.col("w2"),
         F.col("nb"),
         (
             -F.log((F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("__v")))
         ).alias("__nll"),
     )
-    return scored.groupBy(id_col).agg(
-        F.sum("nb").alias("n_bigrams"),
-        F.round(F.sum(F.col("nb") * F.col("__nll")) / F.sum("nb"), 6).alias("nll"),
+
+
+def min_k_prob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_frac: float = 0.2,
+    smoothing_k: float = 0.5,
+) -> DataFrame:
+    """Min-K%-prob memorization/membership audit (Shi et al. 2023,
+    "Detecting Pretraining Data from Large Language Models"): per doc,
+    the mean NLL of the ``k_frac`` fraction of its bigram occurrences
+    the corpus LM finds LEAST likely. The intuition: a genuinely novel
+    document has at least a few surprising token transitions, so its
+    worst-k% NLL is high; a document the model (here: the corpus
+    bigram LM — the same model ``lm_score`` trains) has effectively
+    absorbed scores high probability even on its least-likely spans,
+    so a LOW ``mink_nll`` flags memorized/templated/boilerplate
+    content that a whole-doc mean would average away. Use it as the
+    release-audit companion to ``decontamination_report``: rank docs
+    ascending and eyeball the head.
+
+    Selection is occurrence-weighted and grid-deterministic: distinct
+    in-doc bigrams order by (round(NLL, 6) DESC, w1, w2); the top
+    m = max(1, ceil(round(k_frac · n, 6))) occurrences are averaged
+    (the boundary bigram contributes partially), and both the ordering
+    key and the averaged values live on the 6-dp grid so the oracle
+    replays the pick exactly.
+
+    Shape at scale: the bigram model is ``lm_score``'s (one corpus
+    expansion, map-side-combinable count tables, broadcast vocab
+    scalar); the min-k pick adds ONE doc-keyed window exchange (both
+    windows share the partition key) over the distinct-bigram frame —
+    no new corpus scan. Returns (id, n_bigrams, mink_nll) for docs
+    with >= 1 bigram.
+    """
+    if not 0.0 < k_frac <= 1.0:
+        raise ValueError(f"k_frac must be in (0, 1], got {k_frac}")
+    if smoothing_k <= 0:
+        raise ValueError(f"smoothing k must be positive, got {smoothing_k}")
+    scored = _bigram_nll(df, text_col, id_col, smoothing_k).withColumn(
+        "__nll6", F.round("__nll", 6)
+    )
+    part = Window.partitionBy(id_col)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__nll6").desc(), F.col("w1"), F.col("w2")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = (
+        scored.withColumn("__n", F.sum("nb").over(part))
+        .withColumn(
+            "__m",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.round(F.lit(float(k_frac)) * F.col("__n"), 6)).cast("long"),
+            ),
+        )
+        .withColumn("__cum", F.sum("nb").over(w))
+        .withColumn(
+            "__take",
+            F.least(F.col("nb"), F.col("__m") - (F.col("__cum") - F.col("nb"))),
+        )
+        .filter(F.col("__take") > 0)
+    )
+    return staged.groupBy(id_col).agg(
+        F.max("__n").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("__take") * F.col("__nll6")) / F.max("__m") + F.lit(1e-12),
+            6,
+        ).alias("mink_nll"),
     )
 
 

@@ -366,6 +366,60 @@ def test_lm_score_handcrafted(spark):
     assert out[2]["nll"] < out[3]["nll"]
 
 
+def test_min_k_prob_handcrafted(spark):
+    """Min-K% prob (Shi et al. 2023) over the same handcrafted corpus
+    as lm_score: the score is the mean NLL of the ceil(k_frac*n)
+    LEAST-likely bigram occurrences, with the boundary bigram counted
+    partially. Doc 1 has bigrams (a,b)x2 (likely) and (b,a)x1 (rare):
+    at k_frac=0.34 -> m=ceil(1.02)=2, so the pick is the (b,a)
+    occurrence plus ONE of the (a,b) occurrences."""
+    import math
+
+    d = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x y"), (4, "solo")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in text.min_k_prob(d, k_frac=0.34).collect()}
+    assert set(out) == {1, 2, 3}
+    p_ab = (3 + 0.5) / (3 + 0.5 * 4)
+    p_ba = (1 + 0.5) / (1 + 0.5 * 4)
+    nll_ab = round(-math.log(p_ab), 6)
+    nll_ba = round(-math.log(p_ba), 6)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["mink_nll"] == pytest.approx(round((nll_ba + nll_ab) / 2, 6))
+    # single-bigram docs: m=1, the score IS that bigram's NLL — and the
+    # memorization signal orders them: the corpus-common bigram doc
+    # scores LOWER (more absorbed) than the rare one
+    assert out[2]["mink_nll"] == pytest.approx(nll_ab)
+    assert out[3]["mink_nll"] == pytest.approx(nll_ba)
+    assert out[2]["mink_nll"] < out[3]["mink_nll"]
+    # k_frac=1.0 degenerates to the plain mean (lm_score on 6-dp values)
+    full = {r["doc_id"]: r["mink_nll"]
+            for r in text.min_k_prob(d, k_frac=1.0).collect()}
+    assert full[1] == pytest.approx(round((2 * nll_ab + nll_ba) / 3, 6))
+    with pytest.raises(ValueError, match="k_frac"):
+        text.min_k_prob(d, k_frac=0.0)
+    with pytest.raises(ValueError, match="smoothing"):
+        text.min_k_prob(d, smoothing_k=0.0)
+
+
+def test_min_k_prob_flags_template_doc_and_is_partition_invariant(spark):
+    """A doc assembled from corpus-repeated boilerplate scores a LOWER
+    mink_nll than a doc with novel transitions, and the result is
+    partition-invariant (one doc-keyed window, no order dependence)."""
+    boiler = "terms of service apply to all users of this site"
+    rows = [(i, boiler) for i in range(8)]
+    rows.append((100, boiler))                     # pure template doc
+    rows.append((101, "quantum marmalade debugs a violet sonata today"))
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["mink_nll"]
+           for r in text.min_k_prob(d, k_frac=0.2).collect()}
+    assert out[100] < out[101]
+    out2 = {r["doc_id"]: r["mink_nll"]
+            for r in text.min_k_prob(d.repartition(7), k_frac=0.2).collect()}
+    assert out == out2
+
+
 def test_unicode_normalize_forms(spark):
     d = spark.createDataFrame(
         [(1, "cafe\u0301"), (2, "caf\u00e9"), (3, None), (4, "plain")],
