@@ -1640,7 +1640,8 @@ def decontamination_report(
     min_shared: int = 2,
     k: int = 5,
     window: int = 4,
-    broadcast_refset_max: int = 100_000,
+    broadcast_refset_max: int | None = 100_000,
+    refset_count_hint: int | None = None,
 ) -> DataFrame:
     """The audit companion to ``decontaminate``: instead of silently
     dropping contaminated training docs, report the leak evidence per
@@ -1668,15 +1669,27 @@ def decontamination_report(
     groupBys aggregate holds only pairs that actually share a
     fingerprint, never |train| × |ref|. Same winnowing guarantee:
     shared substrings of ≥ window + k − 1 normalized chars cannot be
-    missed."""
+    missed.
+
+    NOTE — the broadcast gate runs ONE ``refset.count()`` Spark job at
+    plan-construction time (this function is not fully lazy by
+    default). Two ways to skip it: pass ``refset_count_hint`` (a count
+    the caller already holds — the gate trusts it verbatim, one fewer
+    corpus job per audit call), or ``broadcast_refset_max=None`` (never
+    count, never broadcast — the shuffle-join path unconditionally;
+    right when the refset is another corpus, or when docs are long
+    enough that even ≤100k docs carry a multi-GB fingerprint table —
+    the doc count is a proxy, fingerprints scale with doc LENGTH)."""
     from orientdb_spark.pipeline.text import winnow_fingerprints
 
     tr_fp = winnow_fingerprints(train, text_col, id_col, k=k, window=window)
     ref_fp = winnow_fingerprints(refset, text_col, id_col, k=k, window=window).select(
         F.col(id_col).alias("__ref_id"), "fingerprint"
     )
-    if refset.count() <= broadcast_refset_max:
-        ref_fp = F.broadcast(ref_fp)
+    if broadcast_refset_max is not None:
+        n_ref = refset_count_hint if refset_count_hint is not None else refset.count()
+        if n_ref <= broadcast_refset_max:
+            ref_fp = F.broadcast(ref_fp)
     pair_counts = (
         tr_fp.join(ref_fp, "fingerprint")
         .groupBy("__ref_id", id_col)

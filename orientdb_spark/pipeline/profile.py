@@ -455,8 +455,13 @@ def dataset_card(
     # freed HERE rather than left pinned until LRU eviction / session
     # end. The card is a report — eager is its natural contract; the
     # only blocks that remain checkpointed are card-sized, not N-sized.
-    out = card.localCheckpoint()
-    card._ods_per_doc.unpersist()
+    # try/finally: if the checkpoint raises (a failed branch aggregate)
+    # the corpus-sized per-doc persist must still be freed — without it
+    # the cache leaked until session end (r12 advice)
+    try:
+        out = card.localCheckpoint()
+    finally:
+        card._ods_per_doc.unpersist()
     return out
 
 

@@ -1024,7 +1024,10 @@ def temperature_mixture(
     Per-group quotas apportion ``total`` by largest remainder
     (Hamilton): floor(total·p_g) each, then +1 to the largest
     fractional remainders (ties by group value) until the quotas sum
-    to min(total, corpus). Selection within a group is the
+    to exactly ``total``; the RETURNED sample is then capped at
+    min(total, corpus) rows because an undersized group contributes
+    fewer rows than its quota column claims (the shortfall is not
+    redistributed — see below). Selection within a group is the
     quota_sample hash draw — rank by h60(seed:id) % 1e6, id tiebreak.
 
     Determinism: with the default ``alpha = 0.5`` the weight is

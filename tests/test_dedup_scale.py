@@ -781,6 +781,38 @@ def test_decontamination_report_planted_leak(spark):
     assert {(r.ref_id, r.top_train_id) for r in tied} == {(900, 5)}
 
 
+def test_decontamination_report_count_hint_skips_job(spark, monkeypatch):
+    """The broadcast gate's refset.count() job (r12 advice) is skipped
+    when the caller passes refset_count_hint, or broadcast_refset_max=
+    None — pinned by making DataFrame.count raise during plan
+    construction. Values must be identical on all three paths."""
+    eval_text = (
+        "what is the capital of france the capital of france is paris "
+        "and it has been since the tenth century more or less"
+    )
+    refset = spark.createDataFrame([(900, eval_text)], ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [(1, eval_text), (2, "nothing shared here at all")],
+        ["doc_id", "text"],
+    )
+    base = sorted(map(tuple, dedup.decontamination_report(
+        train, refset, min_shared=2).collect()))
+
+    from pyspark.sql import DataFrame as _DF
+
+    def _boom(self):
+        raise AssertionError("count() job ran despite hint/None gate")
+
+    monkeypatch.setattr(_DF, "count", _boom)
+    hinted = dedup.decontamination_report(
+        train, refset, min_shared=2, refset_count_hint=1)
+    nogate = dedup.decontamination_report(
+        train, refset, min_shared=2, broadcast_refset_max=None)
+    monkeypatch.undo()
+    assert sorted(map(tuple, hinted.collect())) == base
+    assert sorted(map(tuple, nogate.collect())) == base
+
+
 def test_embedding_decontaminate_blas_parity_with_sequential_fold(spark):
     """r11 dgemm fast path: verdicts must match a pure sequential-fold
     reference (the oracle arithmetic) on EVERY row — random rows, rows

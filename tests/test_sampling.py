@@ -738,6 +738,46 @@ def test_temperature_mixture_deterministic_and_validates(spark):
         sampling.temperature_mixture(docs, total=10, alpha=0.0)
 
 
+def test_temperature_mixture_nonsqrt_alpha_matches_numpy(spark):
+    """The production (non-oracle) alpha path: quotas at alpha in
+    {0.3, 0.7} must match a pure-numpy replay of the same arithmetic
+    (pow -> normalize -> 6-dp nudge grid -> floor + Hamilton
+    largest-remainder, remainder ties by group value). The docstring
+    flags libm pow as not cross-ENGINE parity-safe; this pins that the
+    Spark JVM's pow and numpy's agree on the quota grid for real group
+    sizes, so the production path has evidence too (r12 verdict 8)."""
+    import numpy as np
+
+    sizes = {"en": 91234, "fr": 7341, "de": 1297, "sw": 128, "yo": 13}
+    rows = []
+    i = 0
+    for g, n in sizes.items():
+        rows += [(i + j, g) for j in range(n)]
+        i += n
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    for alpha, total in ((0.3, 1000), (0.7, 777)):
+        out = sampling.temperature_mixture(df, total=total, alpha=alpha)
+        got = {r["lang"]: r["quota"]
+               for r in out.select("lang", "quota").distinct().collect()}
+        # numpy replay of the exact quota arithmetic
+        groups = sorted(sizes)
+        w = np.power(np.array([float(sizes[g]) for g in groups]), alpha)
+        raw = np.round(w / w.sum() * total + 1e-12, 6)
+        floors = np.floor(raw).astype(int)
+        rem = raw - floors
+        leftover = total - floors.sum()
+        order = sorted(range(len(groups)), key=lambda j: (-rem[j], groups[j]))
+        expect = dict(zip(groups, floors))
+        for j in order[:leftover]:
+            expect[groups[j]] += 1
+        # a zero-quota group contributes no rows, so it is absent from
+        # the returned frame — compare the positive-quota support
+        assert got == {g: q for g, q in expect.items() if q > 0}, (
+            alpha, got, expect,
+        )
+        assert sum(expect.values()) == total
+
+
 def test_temperature_mixture_small_group_contributes_all(spark):
     rows = [(i, "a") for i in range(50)] + [(100 + i, "b") for i in range(2)]
     df = spark.createDataFrame(rows, ["doc_id", "lang"])

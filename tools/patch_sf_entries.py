@@ -43,8 +43,18 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    import subprocess
+
+    commit = subprocess.run(
+        ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True,
+    ).stdout.strip() or "unknown"
     for name in names:
         corr[name] = compare_entry(spark, con, queries, oracles, name, sf_dir)
+        # per-entry provenance: a patched artifact mixes record vintages,
+        # so every row it writes names the tree it ran on (r12 advice —
+        # "50/50 green" must be distinguishable from "swept in one pass")
+        corr[name]["patched_at_commit"] = commit
         status = "OK" if corr[name]["hash_match"] else f"FAIL {corr[name]['err']}"
         print(f"{name}: {status} ({corr[name]['spark_rows']} rows)", flush=True)
     prov = corr.get("__provenance__", {})
@@ -53,6 +63,14 @@ def main():
     prov["hash_green"] = sum(
         1 for n in entries if corr[n].get("hash_match")
     )
+    # mark the artifact itself as mixed-vintage: mode="patched" plus the
+    # patch ledger (which entries, at which commit) — rows WITHOUT a
+    # patched_at_commit field date from the original sweep recorded in
+    # the pre-existing provenance fields
+    prov["mode"] = "patched"
+    patches = prov.get("patches", [])
+    patches.append({"commit": commit, "entries": sorted(names)})
+    prov["patches"] = patches
     corr["__provenance__"] = prov
     with open(path, "w") as f:
         json.dump(corr, f, indent=2)

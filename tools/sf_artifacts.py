@@ -226,6 +226,13 @@ def main():
         status = "OK" if out[name]["hash_match"] else f"FAIL {out[name]['err']}"
         print(f"{name}: {status} ({out[name]['spark_rows']} rows)", flush=True)
     ok = sum(1 for r in out.values() if r["hash_match"])
+    # record vintage (r12 advice): name the exact tree the sweep ran on
+    # so a later patch_sf_entries.py touch-up is distinguishable from a
+    # uniform full sweep
+    commit = subprocess.run(
+        ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True,
+    ).stdout.strip() or "unknown"
     corr = {
         "__provenance__": {
             "sf_dir": sf_dir,
@@ -233,6 +240,7 @@ def main():
             "entries": len(SF1_ENTRIES),
             "hash_green": ok,
             "mode": "sweep-only" if sweep_only else "sweep+bench",
+            "commit": commit,
         },
         **out,
     }
