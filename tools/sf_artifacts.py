@@ -129,6 +129,12 @@ SF1_ENTRIES = [
     # r12: calibration rides the classifier GD replay (already in this
     # list twice) + a B-row binning CTE — linear
     "text_classifier_calibration",
+    # r13 additions (both timed at sf1 before joining, per the r11
+    # rule): DPR hard-negative mining and the Min-K%-prob audit (the
+    # latter rides the lm_score bigram model — single-pass oracle, not
+    # an unrolled chain)
+    "sim_hard_negatives",
+    "text_min_k_prob",
 ]
 
 
