@@ -3508,6 +3508,30 @@ def _text_min_k_prob(spark, sf_dir):
     return text.min_k_prob(_docs(spark, sf_dir), k_frac=0.2)
 
 
+def _sim_bitext_mine_ivf(spark, sf_dir):
+    """The scale path of bitext mining (bitext_mine(method='ivf')):
+    candidate pairs come from two IVF sweeps with derived
+    n_cells/nprobe (scale-aware: ~sqrt(N) cells, ~40% probed at the
+    0.6 recall target) at refine_iters=0 (h60-seed quantizer — fully
+    replayable), k_candidates=8 > k=4; the margin stages are identical
+    to the exact entry. Oracle-exact: the replay re-derives BOTH
+    per-side indexes end-to-end (seeds, assignment, probes, top-kc
+    candidates — the sim_topk_ivf oracle machinery) and then walks the
+    same 6-dp-grid margin arithmetic over the candidate set."""
+    from orientdb_spark.pipeline import similarity
+
+    embs = _embs(spark, sf_dir)
+    return similarity.bitext_mine(
+        embs.filter(F.col("vec_id") % 2 == 0),
+        embs.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        threshold=1.0,
+        method="ivf",
+        k_candidates=8,
+        refine_iters=0,
+    )
+
+
 def _sim_hybrid_rrf(spark, sf_dir):
     """Hybrid lexical+vector retrieval with reciprocal-rank fusion
     (pipeline/similarity.hybrid_rrf_topk, Cormack et al. 2009): tf-idf
@@ -3840,12 +3864,12 @@ _DRIVER_FRONT = [
     # front so check_entries.py --never-recorded closes at round end)
     "sim_hard_negatives",
     "text_min_k_prob",
-    # + three r9-era refreshes chosen from this round's quiet-host
-    # re-adjudication set (set_operations cleared its 2x flag; the two
-    # others anchor the graph/ANN headline rows with fresh hashes)
+    "sim_bitext_mine_ivf",
+    # + two r9-era refreshes chosen from this round's quiet-host
+    # re-adjudication set (set_operations cleared its 2x flag;
+    # graph_connected_components anchors the biggest headline row)
     "set_operations",
     "graph_connected_components",
-    "sim_topk_bruteforce",
 ]
 
 
@@ -4156,6 +4180,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # hybrid fusion; r12: margin-based bitext pair mining
         "sim_topk_mmr": _sim_topk_mmr,
         "sim_bitext_mine": _sim_bitext_mine,
+        "sim_bitext_mine_ivf": _sim_bitext_mine_ivf,
         "sim_hybrid_rrf": _sim_hybrid_rrf,
         # r13: contrastive hard-negative mining (DPR)
         "sim_hard_negatives": _sim_hard_negatives,
@@ -4937,6 +4962,103 @@ def _lm_oracle_sql() -> str:
         "FROM pairs JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v) "
         "SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
         "round(avg(nll), 6) AS nll FROM sc GROUP BY doc_id"
+    )
+
+
+def _bitext_ivf_side_sql(
+    tag: str, corpus: str, cid_col: str, queries: str, qid_col: str, kc: int
+) -> str:
+    """One side of the bitext IVF candidate replay: re-derives the
+    corpus index (n_cells = clamp(ceil(sqrt(N)), 16, 4096), seeds = the
+    n_cells smallest (h60, id) corpus vectors, rounded-nudged cosine
+    argmax assignment — the sim_topk_ivf oracle machinery), probes the
+    derived top-nprobe cells per query, and emits each query's top-kc
+    raw-cosine candidates (neighbor-id tiebreaks; the self-filter
+    mirrors ivf_topk's query_id != neighbor_id). ``corpus``/``queries``
+    are CTE names exposing (id, v) as ({cid_col}, cv) / ({qid_col}, qv)."""
+    h = _dk_h60(f"CAST({cid_col} AS VARCHAR)")
+    cos_assign = _COS.format(a=f"c.cv", b="s.v")
+    cos_probe = _COS.format(a="q.qv", b="s.v")
+    cos_rank = _COS.format(a="q.qv", b="c.cv")
+    return (
+        f"{tag}prm AS (SELECT GREATEST(16, LEAST(4096, "
+        f"CEIL(SQRT(count(*)))))::BIGINT AS n_cells FROM {corpus}), "
+        f"{tag}prm2 AS (SELECT n_cells, GREATEST(1, LEAST(n_cells, "
+        f"CEIL(n_cells * 0.6 / 1.5)))::BIGINT AS nprobe FROM {tag}prm), "
+        f"{tag}sr AS (SELECT cv AS v, row_number() OVER (ORDER BY {h}, "
+        f"{cid_col}) AS rk FROM {corpus} c), "
+        f"{tag}seeds AS (SELECT rk - 1 AS cid, v FROM {tag}sr, {tag}prm2 "
+        f"WHERE rk <= {tag}prm2.n_cells), "
+        f"{tag}asg AS MATERIALIZED (SELECT {cid_col}, cid FROM ("
+        f"SELECT c.{cid_col}, s.cid, row_number() OVER (PARTITION BY "
+        f"c.{cid_col} ORDER BY round({cos_assign} + 1e-12, 6) DESC, s.cid) "
+        f"AS rk FROM {corpus} c, {tag}seeds s) WHERE rk = 1), "
+        f"{tag}probes AS (SELECT {qid_col}, cid FROM ("
+        f"SELECT q.{qid_col}, s.cid, row_number() OVER (PARTITION BY "
+        f"q.{qid_col} ORDER BY round({cos_probe} + 1e-12, 6) DESC, s.cid) "
+        f"AS rk FROM {queries} q, {tag}seeds s) t, {tag}prm2 "
+        f"WHERE t.rk <= {tag}prm2.nprobe), "
+        f"{tag}cand AS (SELECT {qid_col}, {cid_col} FROM ("
+        f"SELECT p.{qid_col}, c.{cid_col}, row_number() OVER (PARTITION BY "
+        f"p.{qid_col} ORDER BY {cos_rank} DESC, c.{cid_col}) AS rk "
+        f"FROM {tag}probes p JOIN {tag}asg a USING (cid) "
+        f"JOIN {corpus} c ON c.{cid_col} = a.{cid_col} "
+        f"JOIN {queries} q ON q.{qid_col} = p.{qid_col} "
+        f"WHERE c.{cid_col} <> p.{qid_col}) WHERE rk <= {kc})"
+    )
+
+
+def _bitext_ivf_oracle_sql(k: int, threshold: float, kc: int) -> str:
+    """bitext_mine(method='ivf', refine_iters=0, derived cells/probes)
+    replay: both per-side IVF candidate sweeps re-derived end-to-end
+    (_bitext_ivf_side_sql), candidate pairs unioned with the restored
+    same-id pairs, 6-dp grid cosines recomputed on the pair list, then
+    the UNCHANGED margin stages of the exact bitext oracle over the
+    candidate set. The pair CTE is referenced 3x -> AS MATERIALIZED."""
+    cos_sq = _COS.format(a="q.qv", b="e.cv")
+    return (
+        "WITH q AS (SELECT vec_id AS src_id, embedding::DOUBLE[] AS qv "
+        "FROM embeddings WHERE vec_id % 2 = 0), "
+        "e AS (SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS cv "
+        "FROM embeddings WHERE vec_id % 2 = 1), "
+        + _bitext_ivf_side_sql("f", "e", "tgt_id", "q", "src_id", kc)
+        + ", "
+        # backward sweep: roles flip — tgt rows query the src-side index
+        + _bitext_ivf_side_sql(
+            "b",
+            "(SELECT src_id, qv AS cv FROM q)",
+            "src_id",
+            "(SELECT tgt_id, cv AS qv FROM e)",
+            "tgt_id",
+            kc,
+        )
+        + ", "
+        "cand AS (SELECT DISTINCT src_id, tgt_id FROM ("
+        "SELECT src_id, tgt_id FROM fcand "
+        "UNION ALL SELECT src_id, tgt_id FROM bcand "
+        "UNION ALL SELECT q.src_id, e.tgt_id FROM q JOIN e "
+        "ON q.src_id = e.tgt_id)), "
+        "s AS MATERIALIZED (SELECT c.src_id, c.tgt_id, "
+        f"round({cos_sq} + 1e-12, 6) AS c FROM cand c "
+        "JOIN q USING (src_id) JOIN e USING (tgt_id)), "
+        "ns AS (SELECT src_id, sum(c) AS ss FROM ("
+        "SELECT src_id, c, row_number() OVER (PARTITION BY src_id "
+        f"ORDER BY c DESC, tgt_id) AS r FROM s) WHERE r <= {k} "
+        "GROUP BY src_id), "
+        "nt AS (SELECT tgt_id, sum(c) AS ts FROM ("
+        "SELECT tgt_id, c, row_number() OVER (PARTITION BY tgt_id "
+        f"ORDER BY c DESC, src_id) AS r FROM s) WHERE r <= {k} "
+        "GROUP BY tgt_id), "
+        "m AS (SELECT s.src_id, s.tgt_id, s.c, "
+        f"round({2.0 * k!r} * s.c / (ns.ss + nt.ts) + 1e-12, 6) AS margin "
+        "FROM s JOIN ns USING (src_id) JOIN nt USING (tgt_id)), "
+        "r AS (SELECT src_id, tgt_id, c, margin, "
+        "row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, "
+        "tgt_id) AS fwd, "
+        "row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, "
+        "src_id) AS bwd FROM m) "
+        "SELECT src_id, tgt_id, c AS cosine, margin FROM r "
+        f"WHERE fwd = 1 AND bwd = 1 AND margin >= {threshold!r}"
     )
 
 
@@ -7146,6 +7268,7 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
         ),
         "text_lm_score": _lm_oracle_sql(),
         "text_min_k_prob": _min_k_prob_oracle_sql(0.2),
+        "sim_bitext_mine_ivf": _bitext_ivf_oracle_sql(4, 1.0, 8),
         "text_classifier_train": _classifier_oracle_sql(16, 3, 1.0, "train"),
         "text_classifier_score": _classifier_oracle_sql(16, 3, 1.0, "score"),
         "text_classifier_calibration": _classifier_oracle_sql(

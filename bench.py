@@ -69,6 +69,11 @@ HEADLINE = [
     # r12: margin-based bitext mining (quadratic-baseline candidate
     # stage over the parity split — bench-visible from its first record)
     "sim_bitext_mine",
+    # r13: the ANN candidate path (derived IVF cells/probes feeding the
+    # same margin stages) — benched NEXT TO the exact row so the
+    # quadratic-vs-indexed gap is tracked per round (it widens with SF;
+    # at sf0.1 the probed fraction is ~40% so the win is modest)
+    "sim_bitext_mine_ivf",
     "text_bpe_encode",
     "sample_domain_reweight",
     "sample_curriculum_order",
