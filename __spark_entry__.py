@@ -1922,6 +1922,32 @@ def _sample_temperature_mixture(spark, sf_dir):
     return out.select("doc_id", "lang", "quota", "sample_rank")
 
 
+def _sample_unimax(spark, sf_dir):
+    """UniMax budget-capped uniform mixing
+    (pipeline/sampling.unimax_sample, Chung et al. 2023): waterfill a
+    row budget of 40% of the corpus uniformly across languages with a
+    0.5-epoch per-language cap — small languages cap out (capped=1),
+    the freed budget redistributes EQUALLY (not proportionally) to the
+    rest. total ∝ corpus keeps the cap/waterfill split binding at
+    every SF (a fixed total degenerates to all-capped or all-uniform
+    as the corpus grows). Oracle-exact: caps, prefix sums, and the
+    uniform share live on the 6-dp nudge grid; prefix sums accumulate
+    in one deterministic order; Hamilton integerization replays the
+    temperature_mixture machinery."""
+    from orientdb_spark.pipeline.sampling import unimax_sample
+
+    docs = _docs(spark, sf_dir)
+    total = docs.count() * 2 // 5
+    out = unimax_sample(docs, total=total, epoch_cap=0.5, group_col="lang")
+    return out.select(
+        "doc_id",
+        "lang",
+        "quota",
+        F.col("capped").cast("int").alias("capped"),
+        "sample_rank",
+    )
+
+
 def _dedup_canonicalize(spark, sf_dir):
     from orientdb_spark.pipeline import dedup, sampling
 
@@ -2675,6 +2701,31 @@ def _text_tfidf(spark, sf_dir):
     from orientdb_spark.pipeline import text
 
     return text.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+# Fixed query batch for the BM25 entry — terms drawn from the synthetic
+# corpus vocabulary so every query matches; literal so the DuckDB
+# replay is a VALUES list.
+_BM25_QUERIES = [
+    (1, "filter merge join"),
+    (2, "customer order line"),
+    (3, "window sort hash scan"),
+    (4, "slow query batch"),
+    (5, "data stream value table"),
+]
+
+
+def _text_bm25_topk(spark, sf_dir):
+    """Batch BM25 ranked retrieval (pipeline/text.bm25_topk, Robertson
+    & Zaragoza 2009, Lucene's always-positive idf): five fixed
+    queries, top-10 docs each. Oracle-exact: tf/dl/df/N are integers,
+    avgdl and each term contribution fixed double expressions of
+    them, the per-(query, doc) sum nudge-rounded to 6 dp before the
+    rank with doc-id tiebreaks (the tfidf/lm_score convention)."""
+    from orientdb_spark.pipeline.text import bm25_topk
+
+    queries = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
+    return bm25_topk(_docs(spark, sf_dir), queries, k=10)
 
 
 def _text_duplicate_spans(spark, sf_dir):
@@ -3865,11 +3916,14 @@ _DRIVER_FRONT = [
     "sim_hard_negatives",
     "text_min_k_prob",
     "sim_bitext_mine_ivf",
-    # + two r9-era refreshes chosen from this round's quiet-host
-    # re-adjudication set (set_operations cleared its 2x flag;
-    # graph_connected_components anchors the biggest headline row)
-    "set_operations",
-    "graph_connected_components",
+    # + the round's other two NEW operators (BM25 ranked retrieval and
+    # UniMax budget-capped mixing) — new entries take the remaining
+    # slots over hash refreshes: the quiet-host re-adjudication rows
+    # (set_operations, graph_connected_components) keep their r9
+    # records plus the per-run mirror-harness coverage and rotate in
+    # r14 with the rest of the r9 cohort
+    "text_bm25_topk",
+    "sample_unimax",
 ]
 
 
@@ -4150,6 +4204,8 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "mining_frequent_pairs": _mining_frequent_pairs,
         "sample_mixture": _sample_mixture,
         "sample_temperature_mixture": _sample_temperature_mixture,
+        # r13: UniMax budget-capped uniform mixing (Chung et al. 2023)
+        "sample_unimax": _sample_unimax,
         "dedup_bucket_audit": _dedup_bucket_audit,
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_hamming": _dedup_simhash_hamming,
@@ -4194,6 +4250,8 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_repetition_stats": _text_repetition,
         "text_token_budget": _text_token_budget,
         "text_tfidf_topterms": _text_tfidf,
+        # r13: BM25 ranked retrieval (Robertson & Zaragoza 2009)
+        "text_bm25_topk": _text_bm25_topk,
         "text_vocabulary": _text_vocabulary,
         "text_feature_hashing": _text_feature_hashing,
         "text_hash_embedding": _text_hash_embedding,
@@ -6853,6 +6911,46 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r.doc_id, r.lang, q.quota, r.sample_rank FROM r JOIN q USING (lang) "
             "WHERE sample_rank <= quota"
         ),
+        "sample_unimax": (
+            # mirrors sampling.unimax_sample(total=2N//5, epoch_cap=0.5,
+            # group_col='lang'): caps/prefix-sums/uniform-share on the
+            # 6-dp nudge grid, cap-ascending waterfill prefix test,
+            # Hamilton integerization to min(B, floor(sum alloc)),
+            # h60 hash-rank member selection
+            "WITH b AS (SELECT ((count(*) * 2) // 5)::BIGINT AS bi, "
+            "((count(*) * 2) // 5)::DOUBLE AS bb FROM documents), "
+            "c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang), "
+            "w0 AS MATERIALIZED (SELECT lang, round(n * 0.5 + 1e-12, 6) AS cap FROM c), "
+            "w1 AS MATERIALIZED (SELECT lang, cap, "
+            "row_number() OVER (ORDER BY cap, lang) AS j, "
+            "count(*) OVER () AS s, "
+            "round(coalesce(sum(cap) OVER (ORDER BY cap, lang "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) + 1e-12, 6) AS pre "
+            "FROM w0), "
+            "w2 AS MATERIALIZED (SELECT lang, cap, s, "
+            "(cap * (s - j + 1) + pre < bb) AS capped FROM w1, b), "
+            "w3 AS MATERIALIZED (SELECT lang, cap, s, capped, "
+            "sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS ncap, "
+            "round(coalesce(sum(CASE WHEN capped THEN cap END) OVER (), 0.0) "
+            "+ 1e-12, 6) AS csum FROM w2), "
+            "w4 AS MATERIALIZED (SELECT lang, capped, "
+            "CASE WHEN capped THEN cap "
+            "ELSE round((bb - csum) / (s - ncap) + 1e-12, 6) END AS a FROM w3, b), "
+            "w5 AS MATERIALIZED (SELECT lang, capped, a, "
+            "floor(a)::BIGINT AS fl, "
+            "row_number() OVER (ORDER BY (a - floor(a)) DESC, lang) AS lead FROM w4), "
+            "w6 AS MATERIALIZED (SELECT lang, capped, fl, lead, "
+            "sum(fl) OVER () AS flsum, "
+            "floor(round(sum(a) OVER () + 1e-12, 6))::BIGINT AS asumfl FROM w5), "
+            "q AS (SELECT lang, capped::INT AS capped, "
+            "(fl + CASE WHEN lead <= least(bi, asumfl) - flsum THEN 1 ELSE 0 END)"
+            "::BIGINT AS quota FROM w6, b), "
+            "r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY "
+            "(('0x' || substring(md5('42:' || doc_id), 1, 15))::UBIGINT::BIGINT) % 1000000, "
+            "doc_id) AS sample_rank FROM documents) "
+            "SELECT r.doc_id, r.lang, q.quota, q.capped, r.sample_rank "
+            "FROM r JOIN q USING (lang) WHERE sample_rank <= quota"
+        ),
         "sample_quota_per_source": (
             "SELECT doc_id, source, row_number() OVER "
             "(PARTITION BY source ORDER BY (('0x' || substring(md5('42:' || doc_id), 1, 15))::UBIGINT::BIGINT) % 1000000, doc_id) AS sample_rank "
@@ -7319,6 +7417,43 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "r AS (SELECT doc_id, term, tfidf, row_number() OVER "
             "(PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM s) "
             "SELECT doc_id, term, tfidf, rank::INTEGER AS rank FROM r WHERE rank <= 3"
+        ),
+        "text_bm25_topk": (
+            # mirrors text.bm25_topk(k=10, k1=1.2, b=0.75) over the five
+            # fixed _BM25_QUERIES: Lucene idf ln(1+(N-df+.5)/(df+.5)),
+            # dl = sum(tf) per doc (so token-less docs count in N and
+            # avgdl only), per-(query, doc) sum nudge-rounded to 6 dp
+            # BEFORE the rank, doc-id tiebreaks
+            "WITH q(query_id, query_text) AS (VALUES "
+            "(1, 'filter merge join'), (2, 'customer order line'), "
+            "(3, 'window sort hash scan'), (4, 'slow query batch'), "
+            "(5, 'data stream value table')), "
+            "qt AS (SELECT DISTINCT query_id::BIGINT AS query_id, term FROM ("
+            "SELECT query_id, unnest(list_filter("
+            "regexp_split_to_array(lower(query_text), '\\s+'), t -> len(t) > 0)"
+            ") AS term FROM q)), "
+            "toks AS (SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)) AS term "
+            "FROM documents), "
+            "tf AS MATERIALIZED (SELECT doc_id, term, count(*)::BIGINT AS tf "
+            "FROM toks GROUP BY 1, 2), "
+            "dl AS MATERIALIZED (SELECT doc_id, sum(tf)::BIGINT AS dl "
+            "FROM tf GROUP BY 1), "
+            "st AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS nd, "
+            "(SELECT coalesce(sum(tf), 0)::DOUBLE FROM tf) AS tok), "
+            "tfq AS MATERIALIZED (SELECT tf.* FROM tf "
+            "JOIN (SELECT DISTINCT term FROM qt) v USING (term)), "
+            "dfq AS (SELECT term, count(*)::BIGINT AS df FROM tfq GROUP BY 1), "
+            "s AS (SELECT qt.query_id, t.doc_id, "
+            "round(sum(ln(1.0 + (nd - df + 0.5) / (df + 0.5)) * "
+            "(t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / (tok / nd))))) "
+            "+ 1e-12, 6) AS bm25 "
+            "FROM qt JOIN tfq t USING (term) JOIN dfq USING (term) "
+            "JOIN dl ON dl.doc_id = t.doc_id, st GROUP BY 1, 2), "
+            "r AS (SELECT query_id, doc_id, bm25, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank FROM s) "
+            "SELECT query_id, doc_id, bm25, rank::INTEGER AS rank "
+            "FROM r WHERE rank <= 10"
         ),
         "text_token_budget": (
             # mirrors pipeline/text.token_budget(group_cols=[source, lang])

@@ -1086,3 +1086,115 @@ def temperature_mixture(
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= F.col("quota"))
     )
+
+
+def unimax_sample(
+    df: DataFrame,
+    total: int,
+    epoch_cap: float = 2.0,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """UniMax corpus mixing (Chung et al. 2023): apportion a row budget
+    as UNIFORMLY as possible across groups, subject to a per-group
+    repetition cap of ``epoch_cap`` epochs — the successor to
+    temperature sampling (``temperature_mixture``) that removes the
+    alpha knob: tail languages are never starved (they get the uniform
+    share until their cap binds) and head languages never dominate
+    (excess budget from capped tails redistributes to them, not
+    proportionally but equally).
+
+    The allocation is the classic waterfill: sort groups by cap
+    ``c_g = n_g * epoch_cap`` ascending; walking that order, group j is
+    capped iff ``c_j * (S - j + 1) + presum(c_1..c_{j-1}) < B`` (the
+    test is monotone in j because caps ascend, so the capped set is a
+    prefix); every uncapped group gets the equal share
+    ``u = (B - sum of capped c) / #uncapped``. Real-valued allocations
+    are then integerized by largest-remainder (Hamilton) apportionment
+    to ``T = min(B, floor(sum of allocations))`` — the
+    temperature_mixture machinery — and members are drawn by the h60
+    hash rank with id tiebreaks. ``epoch_cap > 1`` expresses the
+    paper's repetition budget: the quota column reports the budgeted
+    rows (up to cap), while the RETURNED sample is naturally capped at
+    the group's actual size by the rank filter (rows are not
+    repeated; epoch expansion is the trainer's job).
+
+    Determinism: caps, the prefix sums, and the uniform share are
+    pinned to the 6-dp nudge grid (round(x + 1e-12, 6)); prefix sums
+    accumulate in ONE deterministic order (cap asc, group asc) via an
+    ordered window frame, so both engines add the same doubles in the
+    same sequence — bit-identical, no libm involved (products and
+    divisions of grid values only).
+
+    Shape at scale: one map-side-combinable groupBy to S group rows;
+    the waterfill + Hamilton apportionment is S-row unpartitioned
+    window arithmetic (bounded by group cardinality — the
+    domain_reweight / temperature_mixture precedent); quotas broadcast
+    back; ONE window shuffle on the group key ranks members.
+
+    Returns df's rows (the selected subset) + ``quota`` (budgeted
+    rows), ``capped`` (did the epoch cap bind), ``sample_rank``.
+    """
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    if epoch_cap <= 0:
+        raise ValueError(f"epoch_cap must be positive, got {epoch_cap}")
+    everything = Window.partitionBy()
+    order = Window.orderBy(F.col("__cap").asc(), F.col(group_col).asc())
+    presum = Window.orderBy(F.col("__cap").asc(), F.col(group_col).asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    b_lit = F.lit(float(total))
+    grid = lambda c: F.round(c + F.lit(1e-12), 6)  # noqa: E731
+    caps = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__cap", grid(F.col("__n") * F.lit(float(epoch_cap))))
+        .withColumn("__j", F.row_number().over(order))
+        .withColumn("__s", F.count(F.lit(1)).over(everything))
+        .withColumn("__pre", grid(F.coalesce(F.sum("__cap").over(presum), F.lit(0.0))))
+        .withColumn(
+            "capped",
+            F.col("__cap") * (F.col("__s") - F.col("__j") + 1) + F.col("__pre")
+            < b_lit,
+        )
+    )
+    n_capped = F.sum(F.col("capped").cast("long")).over(everything)
+    capped_sum = grid(
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("__cap"))).over(everything),
+            F.lit(0.0),
+        )
+    )
+    share = grid((b_lit - capped_sum) / (F.col("__s") - n_capped))
+    alloc = caps.withColumn(
+        "__a", F.when(F.col("capped"), F.col("__cap")).otherwise(share)
+    )
+    # Hamilton integerization to T = min(B, floor(sum of allocations)):
+    # with an uncapped group present the allocation sum is B up to grid
+    # rounding; all-capped (corpus exhausted) it is the cap sum.
+    t_target = F.least(
+        F.lit(int(total)),
+        F.floor(grid(F.sum("__a").over(everything))).cast("long"),
+    )
+    lead = Window.orderBy((F.col("__a") - F.floor(F.col("__a"))).desc(), F.col(group_col).asc())
+    quotas = (
+        alloc.withColumn("__floor", F.floor("__a").cast("long"))
+        .withColumn("__lead", F.row_number().over(lead))
+        .withColumn(
+            "quota",
+            F.col("__floor")
+            + (
+                F.col("__lead") <= t_target - F.sum("__floor").over(everything)
+            ).cast("long"),
+        )
+        .select(group_col, "quota", "capped")
+    )
+    bucket = F.pmod(_split_key(id_col, seed), F.lit(1_000_000))
+    w = Window.partitionBy(group_col).orderBy(bucket.asc(), F.col(id_col).asc())
+    return (
+        df.join(F.broadcast(quotas), group_col)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= F.col("quota"))
+    )

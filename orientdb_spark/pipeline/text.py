@@ -162,6 +162,127 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Batch BM25 ranked retrieval (Robertson & Zaragoza 2009; the
+    Okapi scoring every lexical search engine runs) — per query, the
+    top-k docs by
+
+        sum over query terms of
+            idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    with Lucene's always-positive idf ``ln(1 + (N - df + 0.5) /
+    (df + 0.5))``. This is the ranked companion to the boolean/phrase
+    fulltext surface and the drop-in lexical arm for hybrid retrieval
+    (hybrid_rrf_topk's tf-idf side predates it). Query terms are the
+    DISTINCT lowercased whitespace tokens of the query string (set
+    semantics — repeating a term in the query does not double its
+    weight).
+
+    Shape at scale: one corpus scan tokenizes and explodes (linear in
+    corpus tokens); per-doc tf partial-aggregates map-side and is
+    checkpointed once — it feeds BOTH the doc-length branch (dl =
+    sum(tf), so no second tokenize pass) and the postings join.
+    Restricting postings to the query vocabulary is a broadcast
+    semi-shaped join on term (the query table is the small side by
+    assumption — a thousand queries is a few thousand distinct terms),
+    AFTER which everything is bounded by docs-containing-a-query-term
+    (the posting-list shape). df counts still see every doc holding
+    the term because the restriction filters terms, not docs. N and
+    total token count ride ONE broadcast 1-row crossJoin; the only
+    corpus-keyed shuffles are the tf groupBy and the (query, doc)
+    score sum; the final per-query rank is a row_number window with
+    the filter directly above it, so WindowGroupLimit prunes to k
+    rows map-side. The term join key Zipf-skews toward stopwords —
+    AQE's skew split handles it without salting since each tf row
+    matches at most the query-vocabulary rows for that term.
+
+    Determinism: tf, dl, df, N are integers; avgdl and each term
+    contribution are fixed double expressions of them; the per-(query,
+    doc) sum spans few O(1-10)-magnitude terms, so cross-engine
+    accumulation noise sits ~1e-15 relative — far under the 6-dp
+    nudge-round applied AFTER the sum (the lm_score convention).
+    Ranking compares the rounded score with doc-id tiebreaks.
+
+    Returns (query_id, doc_id, bm25, rank) with rank 1..k per query.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if k1 < 0 or not 0.0 <= b <= 1.0:
+        raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1}, b={b}")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    # tf feeds three branches (doc lengths, df counts, scoring);
+    # checkpoint once or each re-runs the corpus scan + explode — the
+    # tfidf_top_terms / triangle-count lesson.
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # N counts ALL docs (token-less ones included — they left tf but
+    # belong in N and avgdl); total tokens folds off the tf table.
+    stats = (
+        docs.agg(F.count(F.lit(1)).alias("__n"))
+        .crossJoin(tf.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("__tok")))
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(ws_tokens(F.lower(F.col(query_text_col))))
+        ).alias("term"),
+    )
+    # postings restricted to the query vocabulary; df per term is
+    # counted AFTER the restriction but still over every doc holding
+    # the term (the filter is term-keyed, never doc-keyed)
+    tfq = tf.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    ).localCheckpoint(eager=False)
+    dfreq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = F.col("__n").cast("double")
+    avgdl = F.col("__tok").cast("double") / n
+    idf = F.log(
+        F.lit(1.0)
+        + (n - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("tf") * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+        )
+    )
+    scored = (
+        F.broadcast(qterms)
+        .join(tfq, "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib) + F.lit(1e-12), 6).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lm_score(
     df: DataFrame,
     text_col: str = "text",

@@ -786,3 +786,110 @@ def test_temperature_mixture_small_group_contributes_all(spark):
     got = Counter(r["lang"] for r in out)
     # b's quota exceeds its 2 rows -> contributes both, no redistribution
     assert got["b"] == 2 and got["a"] <= 40
+
+
+# --- unimax_sample ---------------------------------------------------------
+
+
+def _unimax_ref(counts, total, epoch_cap):
+    """Pure-python waterfill replay of unimax_sample's quota math."""
+    import math
+
+    caps = {g: round(n * epoch_cap + 1e-12, 6) for g, n in counts.items()}
+    order = sorted(caps, key=lambda g: (caps[g], g))
+    s = len(order)
+    capped, pre = [], 0.0
+    for j, g in enumerate(order, 1):
+        if caps[g] * (s - j + 1) + round(pre + 1e-12, 6) < total:
+            capped.append(g)
+        pre += caps[g]
+    csum = round(sum(caps[g] for g in capped) + 1e-12, 6)
+    nun = s - len(capped)
+    share = round((total - csum) / nun + 1e-12, 6) if nun else 0.0
+    alloc = {g: caps[g] if g in capped else share for g in order}
+    t = min(total, math.floor(round(sum(alloc.values()) + 1e-12, 6)))
+    floors = {g: math.floor(alloc[g]) for g in order}
+    leftover = t - sum(floors.values())
+    quota = dict(floors)
+    for g in sorted(order, key=lambda g: (-(alloc[g] - floors[g]), g))[:leftover]:
+        quota[g] += 1
+    return quota, set(capped)
+
+
+def _unimax_run(spark, counts, total, epoch_cap):
+    rows = [(f"{g}:{i}", g) for g, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    out = sampling.unimax_sample(df, total=total, epoch_cap=epoch_cap).collect()
+    quota, capped, picked = {}, set(), {}
+    for r in out:
+        quota[r["lang"]] = r["quota"]
+        if r["capped"]:
+            capped.add(r["lang"])
+        picked[r["lang"]] = picked.get(r["lang"], 0) + 1
+    return quota, capped, picked
+
+
+def test_unimax_middle_split_caps_tail_waterfills_head(spark):
+    counts = {"de": 71, "zh": 74, "es": 80, "fr": 82, "en": 193}
+    quota, capped, picked = _unimax_run(spark, counts, 200, 0.5)
+    # tails cap at n*0.5; en takes the entire freed remainder
+    assert capped == {"de", "zh", "es", "fr"}
+    rq, rc = _unimax_ref(counts, 200, 0.5)
+    assert {g: q for g, q in rq.items() if q} == quota
+    assert sum(quota.values()) == 200
+    # every quota is satisfiable here, so the sample fills it exactly
+    assert picked == {g: q for g, q in quota.items() if q}
+
+
+def test_unimax_no_caps_is_uniform(spark):
+    counts = {"de": 71, "zh": 74, "es": 80, "fr": 82, "en": 193}
+    quota, capped, _ = _unimax_run(spark, counts, 300, 2.0)
+    assert capped == set()
+    assert quota == {g: 60 for g in counts}
+
+
+def test_unimax_budget_exceeds_corpus_all_capped(spark):
+    counts = {"a": 10, "b": 30}
+    quota, capped, picked = _unimax_run(spark, counts, 1000, 1.0)
+    assert capped == {"a", "b"}
+    assert quota == {"a": 10, "b": 30}  # epoch_cap=1 -> cap = group size
+    assert picked == quota
+
+
+def test_unimax_matches_reference_on_fuzzed_mixes(spark):
+    import random
+
+    rng = random.Random(1306)
+    for _ in range(4):
+        counts = {
+            f"g{i}": rng.randint(1, 120) for i in range(rng.randint(2, 9))
+        }
+        total = rng.randint(1, 2 * sum(counts.values()))
+        cap = rng.choice([0.25, 0.5, 1.0, 1.5, 3.0])
+        quota, capped, picked = _unimax_run(spark, counts, total, cap)
+        rq, rc = _unimax_ref(counts, total, cap)
+        exp_quota = {g: q for g, q in rq.items() if min(q, counts[g]) > 0}
+        assert quota == exp_quota, (counts, total, cap)
+        assert capped == {g for g in rc if g in exp_quota}, (counts, total, cap)
+        assert picked == {
+            g: min(q, counts[g]) for g, q in rq.items() if min(q, counts[g]) > 0
+        }, (counts, total, cap)
+
+
+def test_unimax_deterministic_and_validates(spark):
+    docs = _docs(spark)
+    a = sorted(
+        (r["doc_id"], r["sample_rank"])
+        for r in sampling.unimax_sample(docs, total=200, epoch_cap=0.5).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["sample_rank"])
+        for r in sampling.unimax_sample(
+            docs.repartition(13), total=200, epoch_cap=0.5
+        ).collect()
+    )
+    assert a == b and len(a) == 200
+    with pytest.raises(ValueError, match="total"):
+        sampling.unimax_sample(docs, total=-1)
+    with pytest.raises(ValueError, match="epoch_cap"):
+        sampling.unimax_sample(docs, total=10, epoch_cap=0.0)

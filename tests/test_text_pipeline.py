@@ -738,3 +738,107 @@ def test_hash_embedding_matches_python_and_normalizes(spark):
     assert abs(n1 - 1.0) < 1e-4
     with pytest.raises(ValueError):
         hash_embedding(df, dim=0)
+
+
+# --- bm25_topk -------------------------------------------------------------
+
+
+def _bm25_ref(doc_rows, query_rows, k=10, k1=1.2, b=0.75):
+    """Pure-python BM25 replay (Lucene idf; distinct query terms)."""
+    import math
+    from collections import Counter
+
+    tok = lambda s: [t for t in s.lower().split() if t]  # noqa: E731
+    tf = {d: Counter(tok(t)) for d, t in doc_rows}
+    n = len(doc_rows)
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    avgdl = sum(dl.values()) / n
+
+    def df_t(t):
+        return sum(1 for c in tf.values() if t in c)
+
+    ref = {}
+    for qid, q in query_rows:
+        scores = []
+        for d, _ in doc_rows:
+            s = 0.0
+            for t in set(tok(q)):
+                f = tf[d].get(t, 0)
+                if f == 0:
+                    continue
+                idf = math.log(1 + (n - df_t(t) + 0.5) / (df_t(t) + 0.5))
+                s += idf * f * (k1 + 1) / (f + k1 * (1 - b + b * dl[d] / avgdl))
+            if s > 0:
+                scores.append((round(s + 1e-12, 6), d))
+        scores.sort(key=lambda x: (-x[0], x[1]))
+        ref[qid] = [(d, s) for s, d in scores[:k]]
+    return ref
+
+
+_BM25_DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog chased the cat"),
+    (3, "dogs and cats living together"),
+    (4, "a completely unrelated document about spark sql"),
+    (5, ""),  # token-less doc still counts in N and avgdl
+]
+_BM25_QS = [(10, "the cat"), (11, "dog"), (12, "zzz absent"), (13, "spark CAT spark")]
+
+
+def test_bm25_matches_python_reference(spark):
+    ddf = spark.createDataFrame(_BM25_DOCS, "doc_id bigint, text string")
+    qdf = spark.createDataFrame(_BM25_QS, "query_id bigint, query_text string")
+    got = {}
+    for r in text.bm25_topk(ddf, qdf, k=3).collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["bm25"]))
+        assert r["rank"] == len(got[r["query_id"]])
+    ref = {q: v[:3] for q, v in _bm25_ref(_BM25_DOCS, _BM25_QS).items() if v}
+    for v in got.values():
+        v.sort(key=lambda x: -x[1])
+    assert got == ref
+    # query 12 matches nothing -> absent entirely, never zero-score rows
+    assert 12 not in got
+
+
+def test_bm25_repeated_query_term_is_set_semantics(spark):
+    ddf = spark.createDataFrame(_BM25_DOCS, "doc_id bigint, text string")
+    single = spark.createDataFrame([(1, "cat")], "query_id bigint, query_text string")
+    triple = spark.createDataFrame(
+        [(1, "cat cat cat")], "query_id bigint, query_text string"
+    )
+    a = [(r["doc_id"], r["bm25"]) for r in text.bm25_topk(ddf, single, k=5).collect()]
+    b = [(r["doc_id"], r["bm25"]) for r in text.bm25_topk(ddf, triple, k=5).collect()]
+    assert a == b
+
+
+def test_bm25_b_zero_removes_length_normalization(spark):
+    # same tf of the query term, very different doc lengths
+    ddf = spark.createDataFrame(
+        [(1, "needle"), (2, "needle " + "filler " * 40)],
+        "doc_id bigint, text string",
+    )
+    qdf = spark.createDataFrame([(1, "needle")], "query_id bigint, query_text string")
+    with_b = {r["doc_id"]: r["bm25"] for r in text.bm25_topk(ddf, qdf).collect()}
+    no_b = {r["doc_id"]: r["bm25"] for r in text.bm25_topk(ddf, qdf, b=0.0).collect()}
+    assert with_b[1] > with_b[2]  # shorter doc wins under length norm
+    assert no_b[1] == no_b[2]  # b=0: dl drops out entirely
+
+
+def test_bm25_partition_invariance_and_validation(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qdf = spark.createDataFrame(
+        [(1, "filter merge join")], "query_id bigint, query_text string"
+    )
+    a = sorted(
+        (r["doc_id"], r["rank"], r["bm25"])
+        for r in text.bm25_topk(docs, qdf, k=7).collect()
+    )
+    c = sorted(
+        (r["doc_id"], r["rank"], r["bm25"])
+        for r in text.bm25_topk(docs.repartition(13), qdf, k=7).collect()
+    )
+    assert a == c and len(a) == 7
+    with pytest.raises(ValueError, match="k must be"):
+        text.bm25_topk(docs, qdf, k=0)
+    with pytest.raises(ValueError, match="k1"):
+        text.bm25_topk(docs, qdf, b=1.5)
