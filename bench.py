@@ -78,6 +78,11 @@ HEADLINE = [
     "sample_domain_reweight",
     "sample_curriculum_order",
     "profile_dataset_card",
+    # r13: BM25 ranked retrieval — the first pure-lexical ranked row
+    # (hybrid RRF benches fusion; this isolates the posting-join +
+    # WindowGroupLimit top-k shape). sample_unimax stays out like
+    # temperature_mixture: S-row window arithmetic has no bench signal.
+    "text_bm25_topk",
 ]
 
 

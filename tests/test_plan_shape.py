@@ -369,3 +369,47 @@ def test_global_topk_is_take_ordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in qplan and "Window" not in qplan, qplan
+
+
+def test_bm25_topk_plan_shape(spark):
+    """BM25's scale contract (text.bm25_topk): the per-query rank must
+    ride WindowGroupLimit (filter directly above the window), the
+    query-vocabulary restriction and corpus stats must broadcast (never
+    shuffle the postings against a tiny term list), and nothing may
+    cartesian beyond the two 1-row stats crossJoins (the
+    tfidf_top_terms N pattern)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from orientdb_spark.pipeline.text import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qdf = spark.createDataFrame(
+        [(1, "filter merge join"), (2, "slow query batch")],
+        "query_id bigint, query_text string",
+    )
+    plan = _formatted(bm25_topk(docs, qdf, k=10))
+    assert _nodes(plan, "WindowGroupLimit") == 2, plan
+    assert "row_number(), 10, Partial" in plan and "row_number(), 10, Final" in plan
+    assert _nodes(plan, "CartesianProduct") == 0, plan
+    # the only nested-loop nodes are the two single-row stats joins
+    assert _nodes(plan, "BroadcastNestedLoopJoin") <= 2, plan
+    assert _nodes(plan, "SortMergeJoin") == 0, plan
+
+
+def test_unimax_plan_single_member_window(spark):
+    """unimax_sample's scale contract: the corpus-sized side sees ONE
+    window (the member hash-rank over the group key) and ONE broadcast
+    join (the S-row quota table); the waterfill windows all run over
+    the S-row aggregate, never the corpus."""
+    import re  # noqa: F811
+
+    from orientdb_spark.pipeline.sampling import unimax_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _formatted(unimax_sample(docs, total=200, epoch_cap=0.5))
+    # member-rank window partitioned by the group key
+    parts = re.findall(r"hashpartitioning\(lang#", plan)
+    assert parts, plan
+    assert _nodes(plan, "BroadcastHashJoin") == 1, plan
+    assert _nodes(plan, "SortMergeJoin") == 0, plan
+    assert _nodes(plan, "CartesianProduct") == 0, plan

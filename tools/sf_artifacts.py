@@ -135,6 +135,13 @@ SF1_ENTRIES = [
     # an unrolled chain)
     "sim_hard_negatives",
     "text_min_k_prob",
+    # r13 continuation (timed at sf1 on arrival: both replays complete
+    # in ~1 min incl. session startup): BM25 is one posting join +
+    # single-scan corpus stats — linear; UniMax is one aggregate +
+    # S-row waterfill windows + the hash-rank window, the
+    # temperature_mixture shape
+    "text_bm25_topk",
+    "sample_unimax",
 ]
 
 
