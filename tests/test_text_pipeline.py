@@ -842,3 +842,30 @@ def test_bm25_partition_invariance_and_validation(spark):
         text.bm25_topk(docs, qdf, k=0)
     with pytest.raises(ValueError, match="k1"):
         text.bm25_topk(docs, qdf, b=1.5)
+
+
+def test_bm25_matches_reference_on_fuzzed_corpora(spark):
+    """Randomized corpora (seeded): full-k output must equal the pure
+    python replay exactly — scores on the 6-dp grid, doc-id tiebreaks."""
+    import random
+
+    rng = random.Random(1307)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(3):
+        docs = [
+            (d, " ".join(rng.choices(vocab, k=rng.randint(0, 25))))
+            for d in range(rng.randint(3, 12))
+        ]
+        queries = [
+            (q, " ".join(rng.choices(vocab, k=rng.randint(1, 4))))
+            for q in range(3)
+        ]
+        ddf = spark.createDataFrame(docs, "doc_id bigint, text string")
+        qdf = spark.createDataFrame(queries, "query_id bigint, query_text string")
+        got = {}
+        for r in text.bm25_topk(ddf, qdf, k=50).collect():
+            got.setdefault(r["query_id"], []).append((r["doc_id"], r["bm25"]))
+        for v in got.values():
+            v.sort(key=lambda x: (-x[1], x[0]))
+        ref = {q: v for q, v in _bm25_ref(docs, queries, k=50).items() if v}
+        assert got == ref, (trial, docs, queries)
