@@ -2728,6 +2728,52 @@ def _text_bm25_topk(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), queries, k=10)
 
 
+_GOPHER_STOPS = ["a", "data", "key", "window", "scan"]
+
+
+def _gopher_fixture(docs):
+    """Deterministic rule-signal decoration for the Gopher filter entry.
+
+    The synthetic corpus is single-line all-alphabetic text, so rules
+    3-7 would be constant on the raw table. Stamps (composable — a
+    doc_id divisible by several moduli gets several): %5 -> bullet
+    prefix plus a second bulleted line (bullet ratio 1.0, fails rule 4);
+    %6 -> fourteen digit words (alpha ratio drops; short docs also dip
+    below mean-word-len 3); %4 -> ``# # #`` (symbol ratio); %7 ->
+    trailing ``...`` (ellipsis line + symbol ratio). The word-count and
+    stop-word rules draw signal from the raw corpus (word counts 10-99
+    vs min 50; stop set chosen from the fixture vocabulary)."""
+    i = F.col("doc_id")
+    t = F.col("text")
+    stamped = F.concat(
+        F.when(i % 5 == 0, F.lit("- ")).otherwise(F.lit("")),
+        t,
+        F.when(i % 6 == 0, F.lit(" 0 1 2 3 4 5 6 7 8 9 10 11 12 13")).otherwise(
+            F.lit("")
+        ),
+        F.when(i % 4 == 0, F.lit(" # # #")).otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit(" ...")).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.concat(F.lit("\n- "), t)).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", stamped.alias("text"))
+
+
+def _text_gopher_rules(spark, sf_dir):
+    """The Gopher/MassiveText rule-table filter (pipeline/text.
+    gopher_rules, Rae et al. 2021 appendix A1.1): per-doc measured
+    stats, one boolean per rule, keep = AND. Paper thresholds except
+    the stop-word set, which comes from the fixture vocabulary so rule
+    7 has signal. Pure per-row projection — the plan pin asserts zero
+    exchanges. Oracle-exact: every flag derives from the already
+    6-dp-rounded ratio columns."""
+    from orientdb_spark.pipeline.text import gopher_rules
+
+    fixture = _gopher_fixture(_docs(spark, sf_dir))
+    return gopher_rules(
+        fixture, stop_words=_GOPHER_STOPS, min_stop_words=2
+    )
+
+
 def _text_duplicate_spans(spark, sf_dir):
     """Exact duplicated-substring spans (the distributed analog of
     Lee et al. 2022 suffix-array substring dedup;
@@ -4290,6 +4336,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "pipeline_multimodal_end_to_end": _pipeline_multimodal_end_to_end,
         "text_boilerplate": _text_boilerplate,
         "text_duplicate_spans": _text_duplicate_spans,
+        "text_gopher_rules": _text_gopher_rules,
         "text_line_quality": _text_line_quality,
         "text_pii_redact": _text_pii_redact,
         "text_paragraph_dedup": _text_paragraph_dedup,
@@ -7681,6 +7728,54 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "(max(pos) + 4)::INTEGER AS span_end, "
             "(max(pos) + 4 - min(pos) + 1)::INTEGER AS n_dup_tokens "
             "FROM sp GROUP BY doc_id, span_id"
+        ),
+        "text_gopher_rules": (
+            # re-derives the stamped fixture and the full Gopher rule
+            # table (Rae et al. 2021 A1.1): ws tokens, newline lines,
+            # non-overlapping replace arithmetic for #/... counts,
+            # 6-dp-rounded ratios, flags derived FROM the rounded
+            # columns, keep = AND of the seven rules
+            "WITH d AS (SELECT doc_id, "
+            "concat(CASE WHEN doc_id % 5 = 0 THEN '- ' ELSE '' END, text, "
+            "CASE WHEN doc_id % 6 = 0 THEN ' 0 1 2 3 4 5 6 7 8 9 10 11 12 13' "
+            "ELSE '' END, "
+            "CASE WHEN doc_id % 4 = 0 THEN ' # # #' ELSE '' END, "
+            "CASE WHEN doc_id % 7 = 0 THEN ' ...' ELSE '' END, "
+            "CASE WHEN doc_id % 5 = 0 THEN chr(10) || '- ' || text ELSE '' END"
+            ") AS t FROM documents), "
+            "s AS (SELECT doc_id, t, "
+            "list_filter(regexp_split_to_array(t, '\\s+'), w -> len(w) > 0) AS toks, "
+            "string_split(t, chr(10)) AS lines FROM d), "
+            "m AS (SELECT doc_id, len(toks) AS n_words, "
+            "greatest(len(toks), 1)::DOUBLE AS nwd, "
+            "greatest(len(lines), 1)::DOUBLE AS nld, "
+            "length(regexp_replace(t, '\\s+', '', 'g')) AS charlen, "
+            "length(t) - length(replace(t, '#', '')) AS nhash, "
+            "(length(t) - length(replace(t, '...', ''))) / 3 AS nell, "
+            "len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %' "
+            "OR l LIKE '• %')) AS nbul, "
+            "len(list_filter(lines, l -> l LIKE '%...')) AS nelll, "
+            "len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS nalpha, "
+            "len(list_intersect(list_distinct(list_transform(toks, w -> lower(w))), "
+            "['a', 'data', 'key', 'window', 'scan'])) AS nstop FROM s), "
+            "r AS (SELECT doc_id, n_words::BIGINT AS n_words, "
+            "round(charlen / nwd + 1e-12, 6) AS mean_word_len, "
+            "round((nhash + nell) / nwd + 1e-12, 6) AS symbol_word_ratio, "
+            "round(nbul / nld + 1e-12, 6) AS bullet_line_ratio, "
+            "round(nelll / nld + 1e-12, 6) AS ellipsis_line_ratio, "
+            "round(nalpha / nwd + 1e-12, 6) AS alpha_word_ratio, "
+            "nstop::BIGINT AS n_stop_words FROM m), "
+            "f AS (SELECT *, "
+            "(n_words BETWEEN 50 AND 100000) AS pass_word_count, "
+            "(mean_word_len BETWEEN 3.0 AND 10.0) AS pass_mean_word_len, "
+            "(symbol_word_ratio <= 0.1) AS pass_symbol_ratio, "
+            "(bullet_line_ratio <= 0.9) AS pass_bullet_lines, "
+            "(ellipsis_line_ratio <= 0.3) AS pass_ellipsis_lines, "
+            "(alpha_word_ratio >= 0.8) AS pass_alpha_words, "
+            "(n_stop_words >= 2) AS pass_stop_words FROM r) "
+            "SELECT *, (pass_word_count AND pass_mean_word_len AND "
+            "pass_symbol_ratio AND pass_bullet_lines AND pass_ellipsis_lines "
+            "AND pass_alpha_words AND pass_stop_words) AS keep FROM f"
         ),
         "text_boilerplate": (
             # independently re-derives the fixture and re-implements

@@ -413,3 +413,16 @@ def test_unimax_plan_single_member_window(spark):
     assert _nodes(plan, "BroadcastHashJoin") == 1, plan
     assert _nodes(plan, "SortMergeJoin") == 0, plan
     assert _nodes(plan, "CartesianProduct") == 0, plan
+
+
+def test_gopher_rules_plan_zero_exchanges(spark):
+    """gopher_rules' scale contract: the whole rule table is one
+    per-row projection — zero exchanges, zero joins, zero windows;
+    a single scan feeds one codegen span."""
+    from orientdb_spark.pipeline.text import gopher_rules
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _formatted(gopher_rules(docs))
+    assert _nodes(plan, "Exchange") == 0, plan
+    assert _nodes(plan, "Window") == 0, plan
+    assert "Join" not in plan, plan

@@ -869,3 +869,51 @@ def test_bm25_matches_reference_on_fuzzed_corpora(spark):
             v.sort(key=lambda x: (-x[1], x[0]))
         ref = {q: v for q, v in _bm25_ref(docs, queries, k=50).items() if v}
         assert got == ref, (trial, docs, queries)
+
+
+def test_gopher_rules_rule_table(spark):
+    """Each rule fires on its crafted doc and nowhere else; keep is the
+    AND; empty docs don't divide by zero."""
+    rows = [
+        (1, "the cat and the dog have fun with food " * 8),   # clean
+        (2, "short doc"),                                      # word count
+        (3, "- b one\n- b two\n- b three\nthe be to of and"),  # bullets OK at 0.75
+        (4, ("word " * 60).strip() + " # # # # # # # #"),      # symbols
+        (5, ("the be to of word " * 12).strip() + " ..."),     # ellipsis line
+        (6, " ".join(str(i) for i in range(60)) + " the of and to be"),  # alpha
+        (7, ""),                                                # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in text.gopher_rules(df, min_words=10, max_words=100).collect()
+    }
+    assert got[1]["keep"] is True
+    assert got[2]["pass_word_count"] is False and got[2]["keep"] is False
+    # 3 of 4 lines bulleted = 0.75 <= 0.9 passes the bullet rule
+    assert got[3]["pass_bullet_lines"] is True
+    assert got[3]["bullet_line_ratio"] == 0.75
+    assert got[4]["pass_symbol_ratio"] is False
+    assert got[4]["symbol_word_ratio"] > 0.1
+    assert got[5]["pass_ellipsis_lines"] is False
+    assert got[6]["pass_alpha_words"] is False
+    assert got[6]["pass_stop_words"] is True  # the/of/and/to/be = 5 distinct
+    assert got[7]["n_words"] == 0 and got[7]["keep"] is False
+
+
+def test_gopher_rules_paper_defaults_and_validation(spark):
+    """Published defaults: 50-word floor, 2-of-8 stop words; parameter
+    validation raises on inverted bounds."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, ("the be to of and that have with word " * 7).strip())],
+        "doc_id bigint, text string",
+    )
+    row = text.gopher_rules(df).collect()[0]
+    assert row["n_words"] == 63 and row["keep"] is True
+    assert row["n_stop_words"] == 8
+    with pytest.raises(ValueError, match="min_words"):
+        text.gopher_rules(df, min_words=100, max_words=10)
+    with pytest.raises(ValueError, match="min_stop_words"):
+        text.gopher_rules(df, min_stop_words=-1)
