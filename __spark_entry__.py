@@ -3593,6 +3593,24 @@ def _sim_hard_negatives(spark, sf_dir):
     return similarity.hard_negatives(embs, queries, positives, k=5)
 
 
+def _sim_ann_recall(spark, sf_dir):
+    """Recall@k of the IVF index against exact ground truth
+    (pipeline/similarity.ann_recall_report) — the tuning harness an
+    ANN deployment runs before trusting its index: per query,
+    ground-truth size, hits, and recall over a 10-query panel at
+    n_cells=16 / nprobe=4. refine_iters=0 keeps h60 seed centroids,
+    so ground truth, probe routing, and the hit counts all replay
+    exactly in SQL (the sim_topk_ivf convention composed with the
+    bruteforce oracle)."""
+    from orientdb_spark.pipeline import similarity
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return similarity.ann_recall_report(
+        embs, queries, k=5, n_cells=16, nprobe=4, refine_iters=0
+    )
+
+
 def _text_min_k_prob(spark, sf_dir):
     """Min-K%-prob memorization audit (pipeline/text.min_k_prob, Shi et
     al. 2023): per doc, the mean NLL of the 20% least-likely bigram
@@ -4286,6 +4304,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sim_hybrid_rrf": _sim_hybrid_rrf,
         # r13: contrastive hard-negative mining (DPR)
         "sim_hard_negatives": _sim_hard_negatives,
+        "sim_ann_recall": _sim_ann_recall,
         "sim_index_persist": _sim_index_persist,
         "sim_index_incremental": _sim_index_incremental,
         # pipeline: text analysis
@@ -4761,6 +4780,37 @@ def _ivf_fixed_oracle_sql(
         "AS rank FROM sc) "
         "SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank "
         f"FROM rk WHERE rank <= {k}"
+    )
+
+
+def _ann_recall_oracle_sql(
+    n_cells: int = 16, nprobe: int = 4, nq: int = 10, k: int = 5
+) -> str:
+    """Recall@k replay (pipeline/similarity.ann_recall_report): the
+    fixed-parameter IVF replay as the approximate side, the bruteforce
+    cosine convention as ground truth, hits via an equi-join on
+    (query_id, neighbor_id), recall nudge-rounded to 6 dp."""
+    return (
+        "WITH ap AS MATERIALIZED (SELECT query_id, neighbor_id FROM ("
+        + _ivf_fixed_oracle_sql(n_cells, nprobe, nq, k)
+        + ") ivf), "
+        "qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+        f"FROM embeddings WHERE vec_id < {nq}), "
+        "ev AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ev "
+        "FROM embeddings), "
+        "s AS (SELECT query_id, neighbor_id, "
+        + _COS.format(a="qv", b="ev")
+        + " AS c FROM qv, ev WHERE neighbor_id <> query_id), "
+        "ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM ("
+        "SELECT query_id, neighbor_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk FROM s) "
+        f"WHERE rk <= {k}), "
+        "h AS (SELECT query_id, count(*)::BIGINT AS n_hits "
+        "FROM ex JOIN ap USING (query_id, neighbor_id) GROUP BY 1), "
+        "b AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM ex GROUP BY 1) "
+        "SELECT b.query_id, n_exact, coalesce(n_hits, 0)::BIGINT AS n_hits, "
+        "round(coalesce(n_hits, 0) / n_exact::DOUBLE + 1e-12, 6) AS recall "
+        "FROM b LEFT JOIN h USING (query_id)"
     )
 
 
@@ -7318,6 +7368,9 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "FROM sc) "
             "SELECT query_id, neighbor_id, score, rank::INTEGER AS rank "
             "FROM rk WHERE rank <= 5"
+        ),
+        "sim_ann_recall": _ann_recall_oracle_sql(
+            n_cells=16, nprobe=4, nq=10, k=5
         ),
         "sim_topk_ivf": (
             # replays the DERIVED refine_iters=0 IVF pipeline end-to-end,

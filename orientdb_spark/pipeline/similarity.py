@@ -2127,3 +2127,77 @@ def hard_negatives(
     return per_query_topk_rank(
         scored, k, [F.col("cosine").desc(), F.col("neighbor_id")]
     ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def ann_recall_report(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    approx: DataFrame | None = None,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
+    refine_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    target_recall: float = 0.6,
+) -> DataFrame:
+    """Recall@k evaluation of an approximate neighbor result against
+    exact brute-force ground truth — the tuning harness every ANN
+    deployment runs before trusting an index (the recall/latency
+    trade-off curves in the FAISS and ScaNN papers are sweeps of
+    exactly this measurement).
+
+    ``approx`` is any (query_id, neighbor_id, ...) result — ivf_topk,
+    lsh_topk, imi_topk, ivfpq_topk, or an external index's output.
+    When None, an IVF result is built with the given
+    ``n_cells``/``nprobe``/``refine_iters`` (the engine's default scale
+    path). Returns one row per query: ``n_exact`` (ground-truth size,
+    min(k, N-1) on small corpora), ``n_hits`` (ground-truth neighbors
+    the approximate result found), and ``recall`` = n_hits / n_exact
+    nudge-rounded to 6 dp. Macro-average recall is the mean of the
+    recall column; per-query rows are returned because the TAIL is
+    what an operator tunes against (a 0.95 mean with a zero-recall
+    query cluster means a misrouted cell, not a good index).
+
+    Scale shape: ground truth is the price of measurement — ONE
+    broadcast pass of the query panel over the corpus (O(nq x N) dot
+    products through per_query_topk_rank's WindowGroupLimit prune), so
+    recall is evaluated on a SAMPLED query panel (nq in the hundreds),
+    never the full query log; the approximate side is whatever the
+    index costs. The hit join and per-query counts run on nq x k rows
+    — driver-trivial. At 100 TB the exact pass is the only corpus-wide
+    stage and is embarrassingly parallel with no shuffle (broadcast
+    queries, map-side top-k heaps).
+
+    With ``refine_iters=0`` the IVF side keeps h60 seed centroids and
+    the whole report — ground truth, probe routing, hits — replays
+    exactly in the SQL oracle (the sim_topk_ivf convention)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    exact = brute_force_topk(df, queries, k=k, vec_col=vec_col, id_col=id_col)
+    if approx is None:
+        approx = ivf_topk(
+            df, queries, k=k, n_cells=n_cells, nprobe=nprobe,
+            vec_col=vec_col, id_col=id_col, refine_iters=refine_iters,
+            target_recall=target_recall,
+        )
+    ex = exact.select("query_id", "neighbor_id")
+    ap = approx.select("query_id", "neighbor_id")
+    hits = ex.join(ap, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    base = ex.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.col("n_exact").cast("double")
+                + F.lit(1e-12),
+                6,
+            ).alias("recall"),
+        )
+    )

@@ -307,3 +307,44 @@ def test_unpersist_frees_checkpoint_blocks(spark):
     idx.unpersist()
     leaked = _rdd_ids(spark.sparkContext) - before
     assert not leaked, f"leaked persistent RDD ids: {sorted(leaked)}"
+
+
+def test_ann_recall_report_full_probe_is_perfect(spark):
+    """Probing every cell makes IVF exact, so every query's recall
+    must be 1.0 and n_hits == n_exact == min(k, N-1)."""
+    from orientdb_spark.pipeline.similarity import ann_recall_report
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") < 6)
+    rows = ann_recall_report(
+        embs, q, k=5, n_cells=8, nprobe=8, refine_iters=0
+    ).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r["n_exact"] == 5 and r["n_hits"] == 5 and r["recall"] == 1.0
+
+
+def test_ann_recall_report_injected_approx(spark):
+    """An injected approximate result is scored as-is: feeding the
+    ground truth back gives recall 1.0; feeding a disjoint result
+    gives 0.0 (the left join keeps zero-hit queries)."""
+    import pytest
+
+    from orientdb_spark.pipeline.similarity import (
+        ann_recall_report,
+        brute_force_topk,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") < 4)
+    exact = brute_force_topk(embs, q, k=3)
+    perfect = ann_recall_report(embs, q, k=3, approx=exact).collect()
+    assert all(r["recall"] == 1.0 for r in perfect)
+    wrong = exact.select(
+        "query_id", (F.col("neighbor_id") + 1000000).alias("neighbor_id")
+    )
+    zero = ann_recall_report(embs, q, k=3, approx=wrong).collect()
+    assert len(zero) == 4
+    assert all(r["recall"] == 0.0 and r["n_hits"] == 0 for r in zero)
+    with pytest.raises(ValueError, match="k must be positive"):
+        ann_recall_report(embs, q, k=0)
