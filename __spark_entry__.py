@@ -3860,6 +3860,42 @@ def _scale_zorder_layout(spark, sf_dir):
     )
 
 
+def _scale_compaction_plan(spark, sf_dir):
+    """Small-file compaction planner (scale.compaction_plan — the
+    Delta/Iceberg OPTIMIZE bin-packing pass) over a deterministic file
+    manifest: one "file" per (event_type, day) with an h60-derived
+    size in [1000, 201000), target 150 KB, partitioned by event_type.
+    Oversized files keep, next-fit-decreasing prefix-sum bins for the
+    rest, single-file bins degrade to keep. All-integer arithmetic —
+    the oracle replays manifest, sizes, and both windows exactly."""
+    from orientdb_spark import scale
+    from orientdb_spark.pipeline.common import h60
+
+    ev = _engine(spark, sf_dir).table("events")
+    manifest = (
+        ev.select(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("file_id")
+        )
+        .distinct()
+        .select(
+            "event_type",
+            "file_id",
+            (
+                F.pmod(
+                    h60(F.concat(F.col("event_type"), F.lit(":"), F.col("file_id"))),
+                    F.lit(200000),
+                )
+                + 1000
+            )
+            .cast("long")
+            .alias("size_bytes"),
+        )
+    )
+    return scale.compaction_plan(
+        manifest, target_bytes=150000, partition_cols=["event_type"]
+    )
+
+
 def _sample_curriculum_order(spark, sf_dir):
     """Curriculum schedule (pipeline/sampling.curriculum_order, Bengio
     et al. 2009): stage docs easy->hard by corpus-LM NLL with exact
@@ -4329,6 +4365,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "profile_dataset_card": _profile_dataset_card,
         "profile_dp_counts": _profile_dp_counts,
         "scale_zorder_layout": _scale_zorder_layout,
+        "scale_compaction_plan": _scale_compaction_plan,
         "pipeline_forget_cascade": _pipeline_forget_cascade,
         "rollup_incremental_refresh": _rollup_incremental_refresh,
         "pipeline_rag_prep": _pipeline_rag_prep,
@@ -7578,6 +7615,32 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
         "profile_dataset_card": _dataset_card_oracle_sql(),
         "profile_dp_counts": _dp_counts_oracle_sql(epsilon=1.0, seed=42),
         "scale_zorder_layout": _zorder_oracle_sql(bits=8, shift=11),
+        "scale_compaction_plan": (
+            # replays the (event_type, day) manifest, the h60 sizes,
+            # the next-fit-decreasing prefix-sum pack window (order
+            # unique on (size desc, file_id) so RANGE==ROWS on both
+            # engines), the per-bin totals, and the keep degradations
+            "WITH mf AS (SELECT DISTINCT event_type, "
+            "strftime(ts, '%Y-%m-%d') AS file_id FROM events), "
+            "sz AS (SELECT event_type, file_id, (("
+            + _dk_h60("event_type || ':' || file_id")
+            + " % 200000) + 1000)::BIGINT AS size_bytes FROM mf), "
+            "sm AS (SELECT event_type, file_id, size_bytes, "
+            "floor((sum(size_bytes) OVER (PARTITION BY event_type "
+            "ORDER BY size_bytes DESC, file_id) - size_bytes) "
+            "/ 150000.0)::BIGINT AS bin_id "
+            "FROM sz WHERE size_bytes < 150000), "
+            "b AS (SELECT *, count(*) OVER ("
+            "PARTITION BY event_type, bin_id)::BIGINT AS n_bin_files, "
+            "sum(size_bytes) OVER ("
+            "PARTITION BY event_type, bin_id)::BIGINT AS bin_bytes FROM sm) "
+            "SELECT event_type, file_id, size_bytes, bin_id, n_bin_files, "
+            "bin_bytes, CASE WHEN n_bin_files > 1 THEN 'compact' "
+            "ELSE 'keep' END AS action FROM b "
+            "UNION ALL SELECT event_type, file_id, size_bytes, "
+            "(-1)::BIGINT, 1::BIGINT, size_bytes, 'keep' "
+            "FROM sz WHERE size_bytes >= 150000"
+        ),
         "pipeline_forget_cascade": _forget_cascade_oracle_sql(),
         "rollup_incremental_refresh": (
             # the FULL recompute — hash equality against the Spark

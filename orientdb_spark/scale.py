@@ -723,3 +723,87 @@ def merge_additive_rollup(
             for c in add_cols
         ],
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    size_col: str = "size_bytes",
+    file_col: str = "file_id",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Small-file compaction planner — the bin-packing pass behind
+    Delta/Iceberg ``OPTIMIZE``: group a table-partition's small files
+    into rewrite bins of ~``target_bytes`` so a 100 TB table stops
+    paying per-file open/footer costs on every scan.
+
+    Packing is next-fit-decreasing expressed as pure prefix-sum
+    arithmetic (no sequential driver loop): within each partition,
+    files UNDER the target sort by (size desc, file_id), and
+    ``bin_id = floor(bytes_before / target_bytes)`` over that order —
+    each bin holds at least target_bytes of input once the next bin
+    opens, and big-first ordering keeps bins balanced (the classic
+    NFD guarantee: no bin except the last is under half-full, and
+    overshoot is bounded by one file < target). Files already >=
+    ``target_bytes`` get ``bin_id = -1`` / ``action = 'keep'`` —
+    rewriting them buys nothing. Single-file bins also degrade to
+    ``'keep'`` (a one-file rewrite is a copy).
+
+    Returns one row per file: the partition columns, ``file_col``,
+    ``size_col``, ``bin_id``, ``n_bin_files``, ``bin_bytes``, and
+    ``action`` ('compact' | 'keep'). All-integer arithmetic —
+    bit-reproducible in the SQL oracle.
+
+    Scale shape: the input is a file MANIFEST (one row per file — a
+    100 TB table is ~1e5-1e7 rows here, metadata-scale), so cost is
+    negligible next to the rewrites it plans. Both windows key on the
+    partition columns, so planning parallelizes per table-partition
+    and there is NO global single-partition funnel; Catalyst reuses
+    one hash exchange for both (the bin window's clustering keys are
+    a superset of the pack window's). Plan-pinned in
+    tests/test_plan_shape.py.
+    """
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    parts = list(partition_cols or [])
+    pcols = [F.col(c) for c in parts]
+    size = F.col(size_col).cast("long")
+    w_pack = Window.partitionBy(*pcols).orderBy(
+        size.desc(), F.col(file_col).asc()
+    )
+    small = files.filter(size < target_bytes).select(
+        *parts,
+        F.col(file_col),
+        size.alias(size_col),
+        F.floor(
+            (F.sum(size).over(w_pack) - size).cast("double") / F.lit(target_bytes)
+        )
+        .cast("long")
+        .alias("bin_id"),
+    )
+    w_bin = Window.partitionBy(*(pcols + [F.col("bin_id")]))
+    binned = small.select(
+        "*",
+        F.count(F.lit(1)).over(w_bin).cast("long").alias("n_bin_files"),
+        F.sum(size).over(w_bin).cast("long").alias("bin_bytes"),
+    ).select(
+        *parts,
+        file_col,
+        size_col,
+        "bin_id",
+        "n_bin_files",
+        "bin_bytes",
+        F.when(F.col("n_bin_files") > 1, F.lit("compact"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )
+    large = files.filter(size >= target_bytes).select(
+        *parts,
+        F.col(file_col),
+        size.alias(size_col),
+        F.lit(-1).cast("long").alias("bin_id"),
+        F.lit(1).cast("long").alias("n_bin_files"),
+        size.alias("bin_bytes"),
+        F.lit("keep").alias("action"),
+    )
+    return binned.unionByName(large)

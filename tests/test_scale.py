@@ -495,3 +495,62 @@ def test_merge_additive_rollup_null_aggregates(spark):
     # full recompute of SUM(s) per k over the union of contributions:
     # a: NULL+2=2, b: NULL+NULL=NULL, c: 3+NULL=3, d: 4
     assert got == {"a": 2, "b": None, "c": 3, "d": 4}
+
+
+def test_compaction_plan_nfd_semantics(spark):
+    """Next-fit-decreasing invariants: oversized files keep with
+    bin -1, bins accumulate >= target before the next opens,
+    single-file bins degrade to keep, partitions pack independently."""
+    import pytest
+
+    from orientdb_spark.scale import compaction_plan
+
+    rows = [("p1", f"f{i:02d}", s) for i, s in enumerate(
+        [900, 500, 400, 300, 200, 100, 50, 1500]
+    )] + [("p2", "g1", 600), ("p2", "g2", 30), ("p3", "h1", 10)]
+    df = spark.createDataFrame(rows, "part string, file_id string, size_bytes long")
+    got = {
+        r["file_id"]: r.asDict()
+        for r in compaction_plan(df, 1000, partition_cols=["part"]).collect()
+    }
+    assert got["f07"]["action"] == "keep" and got["f07"]["bin_id"] == -1
+    # 900+500 cross the target -> bin 0 closes; 400+300 -> bin 1
+    assert got["f00"]["bin_id"] == 0 and got["f01"]["bin_id"] == 0
+    assert got["f02"]["bin_id"] == 1 and got["f03"]["bin_id"] == 1
+    assert got["f04"]["bin_id"] == 2 and got["f06"]["bin_id"] == 2
+    assert got["f00"]["bin_bytes"] == 1400 and got["f00"]["action"] == "compact"
+    # p2 packs separately from p1
+    assert got["g1"]["bin_id"] == 0 and got["g1"]["n_bin_files"] == 2
+    # a lone small file is a single-file bin -> nothing to merge
+    assert got["h1"]["action"] == "keep" and got["h1"]["bin_id"] == 0
+    # every non-final bin within a partition holds >= target input
+    p1_bins = {}
+    for r in got.values():
+        if r["part"] == "p1" and r["bin_id"] >= 0:
+            p1_bins[r["bin_id"]] = r["bin_bytes"]
+    for b, total in p1_bins.items():
+        if b < max(p1_bins):
+            assert total >= 1000 * 0.7  # NFD: bounded undershoot only on close
+    with pytest.raises(ValueError, match="target_bytes"):
+        compaction_plan(df, 0)
+
+
+def test_compaction_plan_single_exchange(spark):
+    """Scale contract: both windows key on the partition columns, so
+    the whole plan carries ONE hash exchange (the bin window reuses
+    the pack window's partitioning) and no global funnel."""
+    from orientdb_spark.scale import compaction_plan
+
+    df = spark.range(200).selectExpr(
+        "cast(id % 7 as string) as part",
+        "cast(id as string) as file_id",
+        "(id * 37) % 900 + 10 as size_bytes",
+    )
+    plan = (
+        compaction_plan(df, 1000, partition_cols=["part"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "SinglePartition" not in plan, plan
