@@ -142,6 +142,13 @@ SF1_ENTRIES = [
     # temperature_mixture shape
     "text_bm25_topk",
     "sample_unimax",
+    # r13 continuation-2 (timed at sf1 on arrival: 3/3 in one minute
+    # incl. session startup): Gopher rule table is one scan, ANN
+    # recall composes the fixed IVF replay with the bruteforce oracle
+    # over a 10-query panel, compaction plans a 150-row manifest
+    "text_gopher_rules",
+    "sim_ann_recall",
+    "scale_compaction_plan",
 ]
 
 
