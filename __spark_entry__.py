@@ -3611,6 +3611,24 @@ def _sim_ann_recall(spark, sf_dir):
     )
 
 
+def _sim_matryoshka_recall(spark, sf_dir):
+    """Truncated-dimension retrieval evaluation (pipeline/similarity.
+    matryoshka_recall, Kusupati et al. 2022): recall@5 of cosine
+    retrieval over the first 8/16/32/64 embedding components vs
+    full-64-dim ground truth, per (dim, query) over an 8-query panel.
+    The synthetic embeddings are unstructured, so recall decays hard at
+    small prefixes and the full-dim row sanity-checks at 1.0 — the
+    table a serving-dim decision reads. Fully deterministic prefix
+    slicing; the oracle replays every dim's sliced ranking."""
+    from orientdb_spark.pipeline import similarity
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 8)
+    return similarity.matryoshka_recall(
+        embs, queries, dims=[8, 16, 32, 64], k=5
+    )
+
+
 def _text_min_k_prob(spark, sf_dir):
     """Min-K%-prob memorization audit (pipeline/text.min_k_prob, Shi et
     al. 2023): per doc, the mean NLL of the 20% least-likely bigram
@@ -3893,6 +3911,25 @@ def _scale_compaction_plan(spark, sf_dir):
     )
     return scale.compaction_plan(
         manifest, target_bytes=150000, partition_cols=["event_type"]
+    )
+
+
+_EPOCHS_WEIGHTS = {"en": 0.1, "de": 0.05, "es": 0.05, "fr": 0.05, "zh": 0.75}
+
+
+def _sample_epochs_report(spark, sf_dir):
+    """Data-constrained mixing accountant (pipeline/sampling.
+    epochs_report, Muennighoff et al. 2023): per language, the epochs a
+    3-corpus-pass budget implies under a deliberately zh-heavy mix —
+    zh (~15% of tokens at weight 0.75) blows past the 4-epoch cap
+    (over_cap, excess_tokens), en (~37% of tokens at weight 0.1) stays
+    under one epoch, so both audit branches carry signal at every SF.
+    One groupBy + a 1-row broadcast total + S-row arithmetic;
+    oracle-exact (identical IEEE expression trees, 6-dp ratios)."""
+    from orientdb_spark.pipeline import sampling
+
+    return sampling.epochs_report(
+        _docs(spark, sf_dir), weights=_EPOCHS_WEIGHTS, budget_epochs=3.0
     )
 
 
@@ -4341,6 +4378,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # r13: contrastive hard-negative mining (DPR)
         "sim_hard_negatives": _sim_hard_negatives,
         "sim_ann_recall": _sim_ann_recall,
+        "sim_matryoshka_recall": _sim_matryoshka_recall,
         "sim_index_persist": _sim_index_persist,
         "sim_index_incremental": _sim_index_incremental,
         # pipeline: text analysis
@@ -4366,6 +4404,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "profile_dp_counts": _profile_dp_counts,
         "scale_zorder_layout": _scale_zorder_layout,
         "scale_compaction_plan": _scale_compaction_plan,
+        "sample_epochs_report": _sample_epochs_report,
         "pipeline_forget_cascade": _pipeline_forget_cascade,
         "rollup_incremental_refresh": _rollup_incremental_refresh,
         "pipeline_rag_prep": _pipeline_rag_prep,
@@ -4849,6 +4888,54 @@ def _ann_recall_oracle_sql(
         "round(coalesce(n_hits, 0) / n_exact::DOUBLE + 1e-12, 6) AS recall "
         "FROM b LEFT JOIN h USING (query_id)"
     )
+
+
+def _matryoshka_oracle_sql(
+    dims: tuple[int, ...] = (8, 16, 32, 64), nq: int = 8, k: int = 5
+) -> str:
+    """Matryoshka recall replay (pipeline/similarity.matryoshka_recall):
+    full-dim bruteforce ground truth, one sliced-prefix ranking CTE per
+    dim, hits joined per (dim, query), recall nudge-rounded."""
+    head = (
+        "WITH qf AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+        f"FROM embeddings WHERE vec_id < {nq}), "
+        "ef AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ev "
+        "FROM embeddings), "
+        "sf AS (SELECT query_id, neighbor_id, "
+        + _COS.format(a="qv", b="ev")
+        + " AS c FROM qf, ef WHERE neighbor_id <> query_id), "
+        "ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM ("
+        "SELECT query_id, neighbor_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk FROM sf) "
+        f"WHERE rk <= {k}), "
+        "b AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM ex GROUP BY 1)"
+    )
+    parts, selects = [head], []
+    for d in dims:
+        parts.append(
+            f"q{d} AS (SELECT vec_id AS query_id, "
+            f"list_transform(embedding[1:{d}], x -> x::DOUBLE) AS qv "
+            f"FROM embeddings WHERE vec_id < {nq}), "
+            f"e{d} AS (SELECT vec_id AS neighbor_id, "
+            f"list_transform(embedding[1:{d}], x -> x::DOUBLE) AS ev "
+            "FROM embeddings), "
+            f"s{d} AS (SELECT query_id, neighbor_id, "
+            + _COS.format(a="qv", b="ev")
+            + f" AS c FROM q{d}, e{d} WHERE neighbor_id <> query_id), "
+            f"a{d} AS (SELECT query_id, neighbor_id FROM ("
+            "SELECT query_id, neighbor_id, row_number() OVER ("
+            f"PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk FROM s{d}) "
+            f"WHERE rk <= {k}), "
+            f"h{d} AS (SELECT query_id, count(*)::BIGINT AS n_hits "
+            f"FROM ex JOIN a{d} USING (query_id, neighbor_id) GROUP BY 1)"
+        )
+        selects.append(
+            f"SELECT {d}::INTEGER AS dim, b.query_id, n_exact, "
+            "coalesce(n_hits, 0)::BIGINT AS n_hits, "
+            "round(coalesce(n_hits, 0) / n_exact::DOUBLE + 1e-12, 6) AS recall "
+            f"FROM b LEFT JOIN h{d} USING (query_id)"
+        )
+    return ", ".join(parts) + " " + " UNION ALL ".join(selects)
 
 
 def _curriculum_oracle_sql(
@@ -7409,6 +7496,9 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
         "sim_ann_recall": _ann_recall_oracle_sql(
             n_cells=16, nprobe=4, nq=10, k=5
         ),
+        "sim_matryoshka_recall": _matryoshka_oracle_sql(
+            dims=(8, 16, 32, 64), nq=8, k=5
+        ),
         "sim_topk_ivf": (
             # replays the DERIVED refine_iters=0 IVF pipeline end-to-end,
             # including the parameter derivation itself: n_cells =
@@ -7615,6 +7705,33 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
         "profile_dataset_card": _dataset_card_oracle_sql(),
         "profile_dp_counts": _dp_counts_oracle_sql(epsilon=1.0, seed=42),
         "scale_zorder_layout": _zorder_oracle_sql(bits=8, shift=11),
+        "sample_epochs_report": (
+            # mirrors sampling.epochs_report(weights=_EPOCHS_WEIGHTS,
+            # budget_epochs=3.0, max_epochs=4.0): same IEEE expression
+            # trees — alloc = floor(w * (3.0 * T)), cap = floor(4.0 *
+            # group_tokens), ratios nudge-rounded to 6 dp
+            "WITH tk AS (SELECT lang, count(*)::BIGINT AS n_docs, "
+            "sum(len(list_filter(regexp_split_to_array(text, '\\s+'), "
+            "t -> len(t) > 0)))::BIGINT AS group_tokens "
+            "FROM documents GROUP BY lang), "
+            "tt AS (SELECT sum(group_tokens)::BIGINT AS t FROM tk), "
+            "w(lang, w) AS (VALUES ('en', 0.1), ('de', 0.05), "
+            "('es', 0.05), ('fr', 0.05), ('zh', 0.75)), "
+            "a AS (SELECT tk.lang, n_docs, group_tokens, "
+            "coalesce(w.w, 0.0) AS weight, "
+            "floor(coalesce(w.w, 0.0) * (3.0 * t))::BIGINT AS alloc_tokens, "
+            "floor(4.0 * group_tokens)::BIGINT AS cap "
+            "FROM tk LEFT JOIN w USING (lang), tt) "
+            "SELECT lang, n_docs, group_tokens, "
+            "round(weight + 1e-12, 6) AS weight, alloc_tokens, "
+            "round(alloc_tokens / greatest(group_tokens, 1)::DOUBLE "
+            "+ 1e-12, 6) AS epochs, "
+            "round(least(alloc_tokens / greatest(group_tokens, 1)::DOUBLE, "
+            "4.0) + 1e-12, 6) AS capped_epochs, "
+            "least(alloc_tokens, cap) AS effective_tokens, "
+            "alloc_tokens - least(alloc_tokens, cap) AS excess_tokens, "
+            "alloc_tokens > cap AS over_cap FROM a"
+        ),
         "scale_compaction_plan": (
             # replays the (event_type, day) manifest, the h60 sizes,
             # the next-fit-decreasing prefix-sum pack window (order

@@ -1198,3 +1198,102 @@ def unimax_sample(
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= F.col("quota"))
     )
+
+
+def epochs_report(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    budget_tokens: int | None = None,
+    budget_epochs: float | None = None,
+    max_epochs: float = 4.0,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-constrained mixing accountant (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): given a target token
+    budget and per-group mixture weights, how many EPOCHS of each
+    group the training run implies — the table every mix design doc
+    carries, because repeating a group beyond ~4 epochs buys rapidly
+    diminishing returns (the paper's R* decay fit), and a weight that
+    implies 12 epochs of a small group is a bug in the mix, not a plan.
+
+    Per group: ``n_docs``, ``group_tokens`` (whitespace tokens),
+    ``weight``, ``alloc_tokens`` = floor(weight x budget),
+    ``epochs`` = alloc / group_tokens, ``capped_epochs`` =
+    min(epochs, max_epochs), ``effective_tokens`` =
+    min(alloc, floor(max_epochs x group_tokens)) — the tokens the run
+    can actually spend before the cap, ``excess_tokens`` = alloc -
+    effective (budget wasted past the cap), and ``over_cap`` (the
+    audit flag). ``weights=None`` splits the budget uniformly across
+    groups. The budget is either explicit (``budget_tokens``) or
+    corpus-relative (``budget_epochs`` x total corpus tokens — the
+    "train for ~3 corpus passes" framing).
+
+    Scale shape: ONE map-side-combinable groupBy to S group rows, a
+    1-row total aggregate riding a broadcast crossJoin, and S-row
+    arithmetic — nothing after the first aggregate touches corpus
+    cardinality. Ratios nudge-round to 6 dp; allocations are floors
+    of identical IEEE expression trees on both engines, so the whole
+    table replays exactly in SQL."""
+    if (budget_tokens is None) == (budget_epochs is None):
+        raise ValueError("pass exactly one of budget_tokens / budget_epochs")
+    if budget_tokens is not None and budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be positive, got {max_epochs}")
+    from orientdb_spark.pipeline.common import ws_tokens
+
+    grp = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(ws_tokens(F.col(text_col)))).cast("long").alias("group_tokens"),
+    )
+    tot = grp.agg(
+        F.sum("group_tokens").cast("long").alias("__total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("__n_groups"),
+    )
+    g = grp.crossJoin(F.broadcast(tot))
+    if weights is None:
+        w = (F.lit(1.0) / F.col("__n_groups")).alias("weight")
+    else:
+        wmap = F.create_map(
+            *[F.lit(x) for kv in weights.items() for x in kv]
+        )
+        w = F.coalesce(wmap[F.col(group_col)], F.lit(0.0)).alias("weight")
+    budget = (
+        F.lit(budget_tokens).cast("double")
+        if budget_tokens is not None
+        else F.lit(float(budget_epochs)) * F.col("__total_tokens")
+    )
+    staged = g.select(
+        F.col(group_col),
+        "n_docs",
+        "group_tokens",
+        w,
+        "__total_tokens",
+    ).select(
+        F.col(group_col),
+        "n_docs",
+        "group_tokens",
+        "weight",
+        F.floor(F.col("weight") * budget).cast("long").alias("alloc_tokens"),
+        F.floor(F.lit(max_epochs) * F.col("group_tokens"))
+        .cast("long")
+        .alias("__cap_tokens"),
+    )
+    gt = F.greatest(F.col("group_tokens"), F.lit(1)).cast("double")
+    epochs = F.col("alloc_tokens") / gt
+    effective = F.least(F.col("alloc_tokens"), F.col("__cap_tokens"))
+    return staged.select(
+        group_col,
+        "n_docs",
+        "group_tokens",
+        F.round(F.col("weight") + F.lit(1e-12), 6).alias("weight"),
+        "alloc_tokens",
+        F.round(epochs + F.lit(1e-12), 6).alias("epochs"),
+        F.round(F.least(epochs, F.lit(max_epochs)) + F.lit(1e-12), 6).alias(
+            "capped_epochs"
+        ),
+        effective.alias("effective_tokens"),
+        (F.col("alloc_tokens") - effective).alias("excess_tokens"),
+        (F.col("alloc_tokens") > F.col("__cap_tokens")).alias("over_cap"),
+    )

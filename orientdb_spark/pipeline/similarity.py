@@ -2201,3 +2201,72 @@ def ann_recall_report(
             ).alias("recall"),
         )
     )
+
+
+def matryoshka_recall(
+    df: DataFrame,
+    queries: DataFrame,
+    dims: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Truncated-dimension retrieval evaluation for Matryoshka-style
+    embeddings (Kusupati et al. 2022, "Matryoshka Representation
+    Learning"): recall@k of cosine retrieval over each PREFIX of the
+    embedding against full-dimension ground truth — the measurement
+    behind "serve at 256 of 1536 dims": an MRL-trained model holds
+    recall at small prefixes, an ordinary model decays fast, and this
+    table is how you find the knee before cutting index cost 4-8x.
+
+    For each ``d`` in ``dims``, vectors are truncated to their first
+    ``d`` components (cosine re-normalizes implicitly — brute_force_topk
+    computes norms on the truncated vectors) and the truncated top-k is
+    scored against the full-dimension exact top-k. Returns one row per
+    (dim, query) — ``n_exact``, ``n_hits``, ``recall`` (6-dp) — because
+    the per-query TAIL at each dim, not the mean, is what picks the
+    serving dimension.
+
+    Scale shape: ground truth is computed ONCE; each dim adds one
+    broadcast query-panel pass over the corpus with d-length vectors
+    (cheaper than full-dim in proportion), all through the map-side
+    WindowGroupLimit top-k — evaluation runs on a SAMPLED query panel,
+    so total cost is len(dims)+1 corpus passes of panel size, no
+    shuffle of the corpus itself. Fully deterministic: prefix-slicing
+    is exact, so the whole table replays in SQL."""
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    if any(d <= 0 for d in dims):
+        raise ValueError(f"dims must be positive, got {dims}")
+    exact = brute_force_topk(df, queries, k=k, vec_col=vec_col, id_col=id_col)
+    ex = exact.select("query_id", "neighbor_id").localCheckpoint(eager=False)
+    base = ex.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    out = None
+    for d in dims:
+        trunc = df.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        tq = queries.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        ap = brute_force_topk(trunc, tq, k=k, vec_col=vec_col, id_col=id_col)
+        hits = (
+            ex.join(ap.select("query_id", "neighbor_id"),
+                    ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        scored = base.join(hits, "query_id", "left").select(
+            F.lit(d).cast("int").alias("dim"),
+            "query_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.col("n_exact").cast("double")
+                + F.lit(1e-12),
+                6,
+            ).alias("recall"),
+        )
+        out = scored if out is None else out.unionByName(scored)
+    return out

@@ -348,3 +348,27 @@ def test_ann_recall_report_injected_approx(spark):
     assert all(r["recall"] == 0.0 and r["n_hits"] == 0 for r in zero)
     with pytest.raises(ValueError, match="k must be positive"):
         ann_recall_report(embs, q, k=0)
+
+
+def test_matryoshka_recall_full_dim_is_exact(spark):
+    """The full-dimension row must sanity-check at recall 1.0; a
+    truncated prefix can only lose recall; validation raises on empty
+    or non-positive dims."""
+    import pytest
+
+    from orientdb_spark.pipeline.similarity import matryoshka_recall
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") < 5)
+    rows = matryoshka_recall(embs, q, dims=[4, 64], k=5).collect()
+    assert len(rows) == 10
+    by_dim = {}
+    for r in rows:
+        by_dim.setdefault(r["dim"], []).append(r["recall"])
+    assert all(r == 1.0 for r in by_dim[64])
+    # random (non-MRL) embeddings decay under truncation
+    assert sum(by_dim[4]) / len(by_dim[4]) < 0.9
+    with pytest.raises(ValueError, match="non-empty"):
+        matryoshka_recall(embs, q, dims=[])
+    with pytest.raises(ValueError, match="positive"):
+        matryoshka_recall(embs, q, dims=[8, 0])

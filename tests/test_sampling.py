@@ -893,3 +893,70 @@ def test_unimax_deterministic_and_validates(spark):
         sampling.unimax_sample(docs, total=-1)
     with pytest.raises(ValueError, match="epoch_cap"):
         sampling.unimax_sample(docs, total=10, epoch_cap=0.0)
+
+
+def test_epochs_report_cap_accounting(spark):
+    """Hand-checked waterline: a group whose allocation exceeds
+    max_epochs x its tokens flags over_cap and reports the excess;
+    uniform weights split the budget evenly; validation raises."""
+    import pytest
+
+    from orientdb_spark.pipeline import sampling
+
+    rows = [("big", "w " * 100), ("big", "w " * 100), ("small", "w " * 10)]
+    df = spark.createDataFrame(
+        [(i, t.strip(), g) for i, (g, t) in enumerate(rows)],
+        "doc_id bigint, text string, lang string",
+    )
+    # big: 200 tokens, small: 10. budget 420, weights 0.5/0.5 ->
+    # alloc 210 each; small cap = 4*10 = 40 -> over_cap, excess 170.
+    got = {
+        r["lang"]: r.asDict()
+        for r in sampling.epochs_report(
+            df, weights={"big": 0.5, "small": 0.5}, budget_tokens=420
+        ).collect()
+    }
+    assert got["big"]["alloc_tokens"] == 210 and got["big"]["over_cap"] is False
+    assert got["big"]["epochs"] == 1.05
+    assert got["small"]["alloc_tokens"] == 210
+    assert got["small"]["over_cap"] is True
+    assert got["small"]["effective_tokens"] == 40
+    assert got["small"]["excess_tokens"] == 170
+    assert got["small"]["capped_epochs"] == 4.0
+    # uniform default: each group gets budget / n_groups
+    uni = {
+        r["lang"]: r.asDict()
+        for r in sampling.epochs_report(df, budget_tokens=420).collect()
+    }
+    assert uni["big"]["alloc_tokens"] == 210 and uni["big"]["weight"] == 0.5
+    # corpus-relative budget: 2 passes of 210 tokens, weight all on big
+    rel = {
+        r["lang"]: r.asDict()
+        for r in sampling.epochs_report(
+            df, weights={"big": 1.0}, budget_epochs=2.0
+        ).collect()
+    }
+    assert rel["big"]["alloc_tokens"] == 420 and rel["big"]["epochs"] == 2.1
+    assert rel["small"]["weight"] == 0.0 and rel["small"]["alloc_tokens"] == 0
+    with pytest.raises(ValueError, match="exactly one"):
+        sampling.epochs_report(df)
+    with pytest.raises(ValueError, match="exactly one"):
+        sampling.epochs_report(df, budget_tokens=10, budget_epochs=1.0)
+    with pytest.raises(ValueError, match="max_epochs"):
+        sampling.epochs_report(df, budget_tokens=10, max_epochs=0)
+
+
+def test_epochs_report_plan_bounded(spark):
+    """Scale contract: one corpus-keyed groupBy; everything after is
+    S-row arithmetic over a broadcast 1-row total — no window over the
+    corpus, no sort, no merge join."""
+    from orientdb_spark.pipeline import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        sampling.epochs_report(docs, budget_epochs=3.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total
