@@ -1727,6 +1727,32 @@ def _dedup_minhash(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.9)
 
 
+def _dedup_near_dup_stream(spark, sf_dir):
+    """Ingest-time streaming near-dup detection, batch path
+    (streaming.near_dup_pairs_stream — the stream analog of
+    minhash_lsh_pairs_incremental): docs plus a recrawl of every 5th
+    doc arrive in (ts, id) order; each probes its LSH band buckets
+    against PRIOR signatures (bucket state capped at 32, first
+    arrivals win) and emits (doc_id, dup_of, band, est_jaccard) match
+    rows. The static-frame path runs the identical per-bucket loop via
+    applyInPandas (pytest pins stream==batch); the oracle replays
+    signatures, band routing, the (ts, id) rank, the cap rule, and the
+    agreeing-position estimator in SQL. est values are exact dyadic
+    (m/16), so the hash check is rounding-free."""
+    from orientdb_spark.streaming import near_dup_pairs_stream
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    recrawl = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(recrawl).withColumn(
+        "ts", F.timestamp_seconds(F.col("doc_id") % 1000000)
+    )
+    return near_dup_pairs_stream(corpus, threshold=0.7).select(
+        "doc_id", "dup_of", "band", "est_jaccard"
+    )
+
+
 def _dedup_minhash_incremental(spark, sf_dir):
     """Incremental MinHash-LSH dedup (dedup.minhash_lsh_pairs_
     incremental): the ingest-batch shape — docs with doc_id % 10 == 0
@@ -4324,6 +4350,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_exact": _dedup_exact,
         "dedup_fingerprint": _dedup_fingerprint,
         "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_near_dup_stream": _dedup_near_dup_stream,
         "dedup_minhash_incremental": _dedup_minhash_incremental,
         "dedup_decontaminate": _dedup_decontaminate,
         "dedup_decontaminate_report": _dedup_decontaminate_report,
@@ -5063,6 +5090,68 @@ _DK_TOKS_RAW = "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0
 _DK_TOKS_LOWER = (
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)"
 )
+
+
+def _near_dup_stream_oracle_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    threshold: float = 0.7,
+    bucket_cap: int = 32,
+) -> str:
+    """Batch-path replay of streaming.near_dup_pairs_stream over the
+    recrawl corpus: the _minhash_oracle_sql signature/band machinery,
+    then per-bucket (ts, id)-ranked pairs — b must PRECEDE a and sit
+    within the first ``bucket_cap`` ranks (the state-add rule), and
+    est_jaccard is the agreeing-position fraction (exact dyadic m/16,
+    no rounding ambiguity)."""
+    from orientdb_spark.pipeline.common import MINHASH_P, MINHASH_PARAMS
+
+    rows = num_hashes // bands
+    sigs = ", ".join(
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {MINHASH_P})) AS s_{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:num_hashes])
+    )
+    band_exprs = ", ".join(
+        _dk_h60(
+            "concat_ws('-', "
+            + ", ".join(f"s_{b * rows + r}::VARCHAR" for r in range(rows))
+            + ")"
+        )
+        + f" AS b_{b}"
+        for b in range(bands)
+    )
+    posts = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, b_{b} AS bhash FROM band"
+        for b in range(bands)
+    )
+    sl = "[" + ", ".join(f"s_{i}" for i in range(num_hashes)) + "]"
+    tok_hash = _dk_h60("x") + f" % {MINHASH_P}"
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+t0 AS (SELECT doc_id, {_DK_TOKS_RAW} AS t FROM corpus),
+toks AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+           range(1, greatest(len(t) - {shingle} + 2, 1)),
+           i -> array_to_string(t[i:i+{shingle - 1}], ' ')))) AS t
+         FROM t0 WHERE len(t) >= {shingle}),
+h AS (SELECT doc_id, list_transform(t, x -> {tok_hash}) AS hs FROM toks),
+sig AS MATERIALIZED (SELECT doc_id, {sigs} FROM h),
+band AS (SELECT doc_id, {band_exprs} FROM sig),
+sigl AS (SELECT doc_id, {sl} AS sl FROM sig),
+posts0 AS ({posts}),
+bkt AS MATERIALIZED (SELECT band, bhash, doc_id, row_number() OVER (
+  PARTITION BY band, bhash ORDER BY doc_id % 1000000, doc_id) AS rk FROM posts0),
+p AS (SELECT a.doc_id AS doc_id, b.doc_id AS dup_of, a.band,
+        len(list_filter(range(1, {num_hashes + 1}),
+            i -> sa.sl[i] = sb.sl[i]))::DOUBLE / {num_hashes} AS est
+      FROM bkt a JOIN bkt b ON a.band = b.band AND a.bhash = b.bhash
+        AND b.rk < a.rk AND b.rk <= {bucket_cap}
+      JOIN sigl sa ON sa.doc_id = a.doc_id
+      JOIN sigl sb ON sb.doc_id = b.doc_id)
+SELECT doc_id, dup_of, band, round(est, 6) AS est_jaccard
+FROM p WHERE est >= {threshold}
+"""
 
 
 def _minhash_oracle_sql(
@@ -6710,6 +6799,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents"
         ),
         "dedup_minhash_lsh": _minhash_oracle_sql(),
+        "dedup_near_dup_stream": _near_dup_stream_oracle_sql(),
         "dedup_bucket_audit": _minhash_oracle_sql(stop_at_posts=True),
         # incremental contract: the FULL-run replay restricted to pairs
         # with >= 1 new (doc_id % 10 = 0) side — cap verdicts included

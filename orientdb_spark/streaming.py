@@ -1117,3 +1117,203 @@ def silence_alerts_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def near_dup_pairs_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    threshold: float = 0.7,
+    bucket_cap: int = 32,
+    state_ttl: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming near-duplicate detection at ingest — the stream analog
+    of ``dedup.minhash_lsh_pairs_incremental``: every arriving document
+    is MinHash-signed in-row, routed to its LSH band buckets, and
+    compared against the signatures of PRIOR documents in each bucket;
+    matches stream out as ``(doc_id, dup_of, band, est_jaccard,
+    ts_col)`` pairs. A 100 TB ingest pipeline runs exactly this shape
+    so recrawls and mirror copies are flagged before they reach
+    storage, instead of re-shuffling the accumulated corpus per batch.
+
+    Semantics: ``est_jaccard`` is the standard MinHash estimator (the
+    fraction of agreeing signature positions — granularity
+    1/num_hashes); a pair is emitted per band bucket where it
+    collides, so the same pair can surface in several bands
+    (at-least-once pair emission — downstream dedupes, exactly as the
+    batch operator's DISTINCT does). Within a bucket, documents
+    process in (``ts_col``, id) order, so same-batch duplicates are
+    found too. State per bucket is CAPPED at ``bucket_cap`` stored
+    signatures (first arrivals win — the batch family's bucket-cap
+    parity); later documents still probe but are not added, so state
+    is bounded by buckets x cap regardless of stream length. With
+    ``state_ttl`` bucket state expires by event time after its last
+    activity + ttl (the first_seen_stream TTL discipline), bounding
+    state by the ACTIVE-bucket window instead.
+
+    Scale shape: signatures and band keys are computed per-row (no
+    pre-aggregation — a stateful operator cannot follow a streaming
+    aggregate), the only shuffle is the groupBy on (band, bhash), and
+    Arrow batches carry (id, ts, 16 longs) per bucket row, never token
+    lists. On a STATIC frame the same per-bucket loop runs via
+    ``applyInPandas`` — identical output to a single-batch stream (the
+    package's stream==batch testing layer), and that batch path is
+    what the driver entry checks against the SQL oracle.
+    """
+    import pandas as pd
+
+    from orientdb_spark.pipeline.common import MINHASH_P, MINHASH_PARAMS, h60
+    from orientdb_spark.pipeline.dedup import _shingle_struct_udf
+
+    if num_hashes <= 0 or num_hashes > len(MINHASH_PARAMS):
+        raise ValueError(
+            f"num_hashes must be in 1..{len(MINHASH_PARAMS)}, got {num_hashes}"
+        )
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands must divide num_hashes, got {num_hashes}/{bands}")
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if bucket_cap <= 0:
+        raise ValueError(f"bucket_cap must be positive, got {bucket_cap}")
+    rows_per_band = num_hashes // bands
+
+    # ---- stateless prep: in-row shingle -> signature -> band keys ----
+    if shingle <= 1:
+        from orientdb_spark.pipeline.common import token_set
+
+        toks = token_set(F.col(text_col))
+        hashed = F.transform(toks, lambda t: h60(t) % F.lit(MINHASH_P))
+        staged = docs.select(
+            F.col(id_col).alias("__doc"), F.col(ts_col), hashed.alias("__h")
+        ).filter(F.size("__h") > 0)
+    else:
+        shingler = _shingle_struct_udf(shingle)
+        staged = (
+            docs.select(
+                F.col(id_col).alias("__doc"),
+                F.col(ts_col),
+                shingler(F.col(text_col)).alias("__s"),
+            )
+            .select("__doc", ts_col, F.col("__s.h").alias("__h"))
+            .filter(F.size("__h") > 0)
+        )
+    def _uhash(a, b):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform("__h", _uhash(a, b)))
+            for a, b in MINHASH_PARAMS[:num_hashes]
+        ]
+    )
+    signed = staged.select("__doc", ts_col, sig.alias("__sig"))
+    banded = signed.select(
+        "__doc",
+        ts_col,
+        "__sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        h60(
+                            F.concat_ws(
+                                "-",
+                                *[
+                                    F.col("__sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bk"),
+    ).select(
+        F.col("__bk.band").alias("band"),
+        F.col("__bk.bhash").alias("bhash"),
+        "__doc",
+        ts_col,
+        "__sig",
+    )
+
+    out_schema = (
+        f"doc_id bigint, dup_of bigint, band int, est_jaccard double, "
+        f"{ts_col} timestamp"
+    )
+    out_cols = ["doc_id", "dup_of", "band", "est_jaccard", ts_col]
+
+    def _probe_rows(band_val, pdf, ids, sigs):
+        """ts-ordered probe-then-maybe-add loop shared by both paths;
+        mutates ids/sigs, returns emitted tuples."""
+        pdf = pdf.sort_values([ts_col, "__doc"])
+        out = []
+        for _, row in pdf.iterrows():
+            s = tuple(int(v) for v in row["__sig"])
+            doc = int(row["__doc"])
+            for j, prior in enumerate(sigs):
+                m = sum(1 for x, y in zip(s, prior) if x == y)
+                est = m / num_hashes
+                if est >= threshold:
+                    out.append((doc, ids[j], band_val, round(est, 6), row[ts_col]))
+            if len(ids) < bucket_cap:
+                ids.append(doc)
+                sigs.append(s)
+        return out
+
+    if not docs.isStreaming:
+        def batch_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            out = _probe_rows(int(key[0]), pdf, [], [])
+            return pd.DataFrame(out, columns=out_cols)
+
+        return banded.groupBy("band", "bhash").applyInPandas(
+            batch_bucket, out_schema
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if state_ttl is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    ttl_ms = _duration_ms(state_ttl) if state_ttl is not None else None
+
+    def probe(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs))
+        if state.exists:
+            ids_st, sigs_st = state.get
+            ids = list(ids_st)
+            sigs = [tuple(int(v) for v in s.split(",")) for s in sigs_st]
+        else:
+            ids, sigs = [], []
+        out = _probe_rows(int(key[0]), pdf, ids, sigs)
+        state.update((ids, [",".join(str(v) for v in s) for s in sigs]))
+        if ttl_ms is not None:
+            last_ms = int(pd.Timestamp(pdf[ts_col].max()).value // 1_000_000)
+            state.setTimeoutTimestamp(
+                max(last_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return (
+        banded.withWatermark(ts_col, watermark)
+        .groupBy("band", "bhash")
+        .applyInPandasWithState(
+            probe,
+            outputStructType=out_schema,
+            stateStructType="ids array<bigint>, sigs array<string>",
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )

@@ -952,3 +952,120 @@ def test_silence_alerts_batch_fallback(spark):
     out = silence_alerts_stream(df, on=("k",), silence="1 hour")
     got = {r["k"]: r["deadline"] for r in out.collect()}
     assert got == {"A": t0 + dt.timedelta(hours=1)}
+
+
+def test_near_dup_stream_matches_batch(spark):
+    """Streaming MinHash near-dup detection must agree with the batch
+    applyInPandas formulation when the whole corpus arrives as one
+    availableNow batch, and must find every planted recrawl copy."""
+    from orientdb_spark.streaming import near_dup_pairs_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    recrawl = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = (
+        docs.select("doc_id", "text")
+        .unionByName(recrawl)
+        .withColumn("ts", F.timestamp_seconds(F.col("doc_id") % 1000000))
+    )
+    batch = near_dup_pairs_stream(corpus, threshold=0.7)
+    brows = {
+        (r["doc_id"], r["dup_of"], r["band"], r["est_jaccard"])
+        for r in batch.collect()
+    }
+    exact = {(d, o) for d, o, _, e in brows if e == 1.0 and d == o + 1000000}
+    assert len(exact) == 100  # every planted recrawl found
+    src_dir = tempfile.mkdtemp(prefix="ospark_nd_src_")
+    ckpt = tempfile.mkdtemp(prefix="ospark_nd_ckpt_")
+    try:
+        corpus.coalesce(1).write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(corpus.schema).parquet(src_dir)
+        out = near_dup_pairs_stream(stream, threshold=0.7)
+        assert out.isStreaming
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("nd_rows")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(180)
+        srows = {
+            (r["doc_id"], r["dup_of"], r["band"], r["est_jaccard"])
+            for r in spark.sql("select * from nd_rows").collect()
+        }
+        assert srows == brows
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_near_dup_stream_probes_state_across_batches(spark):
+    """The ingest-dedup claim: a copy arriving in a LATER micro-batch
+    must match the signature stored by the first batch; bucket_cap=1
+    still lets later docs probe (they are just not added)."""
+    import datetime as dt
+
+    from orientdb_spark.streaming import near_dup_pairs_stream
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different words about spark windows and shuffle planning"
+    schema = "doc_id long, text string, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    src_dir = tempfile.mkdtemp(prefix="ospark_nd2_src_")
+    ckpt = tempfile.mkdtemp(prefix="ospark_nd2_ckpt_")
+    try:
+        b1 = spark.createDataFrame([(1, base, t0), (2, other, t0)], schema)
+        b2 = spark.createDataFrame(
+            [(3, base, t0 + dt.timedelta(minutes=5)),
+             (4, base, t0 + dt.timedelta(minutes=6))],
+            schema,
+        )
+        b1.coalesce(1).write.parquet(src_dir + "/f0")
+        b2.coalesce(1).write.parquet(src_dir + "/f1")
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir + "/f*")
+        )
+        out = near_dup_pairs_stream(stream, threshold=0.9, bucket_cap=1)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("nd2_rows")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["doc_id"], r["dup_of"])
+            for r in spark.sql("select * from nd2_rows").collect()
+        }
+        # doc 3 matches the state from batch 1; doc 4 matches doc 1 too
+        # (cap=1 keeps only doc 1 per bucket) but NOT doc 3 (never added)
+        assert got == {(3, 1), (4, 1)}
+        assert len(q.recentProgress) >= 2
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_near_dup_stream_validation(spark):
+    import pytest
+
+    from orientdb_spark.streaming import near_dup_pairs_stream
+
+    df = spark.createDataFrame(
+        [(1, "a b c", None)], "doc_id long, text string, ts timestamp"
+    )
+    with pytest.raises(ValueError, match="bands"):
+        near_dup_pairs_stream(df, num_hashes=16, bands=5)
+    with pytest.raises(ValueError, match="threshold"):
+        near_dup_pairs_stream(df, threshold=0.0)
+    with pytest.raises(ValueError, match="bucket_cap"):
+        near_dup_pairs_stream(df, bucket_cap=0)
+    with pytest.raises(ValueError, match="num_hashes"):
+        near_dup_pairs_stream(df, num_hashes=0)

@@ -149,6 +149,10 @@ SF1_ENTRIES = [
     "text_gopher_rules",
     "sim_ann_recall",
     "scale_compaction_plan",
+    # r13 continuation-3: epochs accounting is one groupBy + S-row
+    # arithmetic; matryoshka is len(dims)+1 panel passes (8 queries)
+    "sample_epochs_report",
+    "sim_matryoshka_recall",
 ]
 
 
