@@ -3655,6 +3655,32 @@ def _sim_matryoshka_recall(spark, sf_dir):
     )
 
 
+def _sim_rank_eval(spark, sf_dir):
+    """Ranked-retrieval metrics (pipeline/similarity.rank_eval — MRR +
+    nDCG@10, the TREC/BEIR pair): the fixed 16-cell/4-probe IVF top-10
+    scored against graded labels = each query's exact neighbors at
+    ranks 2-4 (rel 3/2/1; the top-1 is excluded so first_rel_rank and
+    mrr vary with the index's actual hit pattern). Discount factors
+    1/log2(r+1) are literal doubles embedded identically in the plan
+    and the oracle — no runtime transcendentals, so the metric replays
+    bit-exactly."""
+    from orientdb_spark.pipeline import similarity
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    labels = (
+        similarity.brute_force_topk(embs, queries, k=4)
+        .filter(F.col("rank") >= 2)
+        .select(
+            "query_id", "neighbor_id", (F.lit(5) - F.col("rank")).alias("rel")
+        )
+    )
+    ranked = similarity.ivf_topk(
+        embs, queries, k=10, n_cells=16, nprobe=4, refine_iters=0
+    )
+    return similarity.rank_eval(ranked, labels, k=10)
+
+
 def _text_min_k_prob(spark, sf_dir):
     """Min-K%-prob memorization audit (pipeline/text.min_k_prob, Shi et
     al. 2023): per doc, the mean NLL of the 20% least-likely bigram
@@ -4406,6 +4432,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sim_hard_negatives": _sim_hard_negatives,
         "sim_ann_recall": _sim_ann_recall,
         "sim_matryoshka_recall": _sim_matryoshka_recall,
+        "sim_rank_eval": _sim_rank_eval,
         "sim_index_persist": _sim_index_persist,
         "sim_index_incremental": _sim_index_incremental,
         # pipeline: text analysis
@@ -4914,6 +4941,63 @@ def _ann_recall_oracle_sql(
         "SELECT b.query_id, n_exact, coalesce(n_hits, 0)::BIGINT AS n_hits, "
         "round(coalesce(n_hits, 0) / n_exact::DOUBLE + 1e-12, 6) AS recall "
         "FROM b LEFT JOIN h USING (query_id)"
+    )
+
+
+def _rank_eval_oracle_sql(
+    n_cells: int = 16, nprobe: int = 4, nq: int = 10, k: int = 10
+) -> str:
+    """MRR/nDCG replay (pipeline/similarity.rank_eval): the fixed IVF
+    replay as the ranked side, exact ranks 2-4 as graded labels, and
+    the SAME literal 1/log2(r+1) discount table the Spark plan embeds
+    (repr round-trips the exact double, so no libm is involved on
+    either engine)."""
+    import math
+
+    disc = {r: repr(1.0 / math.log2(r + 1)) for r in range(1, k + 1)}
+    disc_case = (
+        "CASE rank " + " ".join(f"WHEN {r} THEN {d}" for r, d in disc.items())
+        + " END"
+    )
+    idisc_case = (
+        "CASE irank " + " ".join(f"WHEN {r} THEN {d}" for r, d in disc.items())
+        + " END"
+    )
+    return (
+        "WITH rk AS MATERIALIZED (SELECT query_id, neighbor_id, rank FROM ("
+        + _ivf_fixed_oracle_sql(n_cells, nprobe, nq, k)
+        + ") ivf), "
+        "qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+        f"FROM embeddings WHERE vec_id < {nq}), "
+        "ev AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ev "
+        "FROM embeddings), "
+        "s AS (SELECT query_id, neighbor_id, "
+        + _COS.format(a="qv", b="ev")
+        + " AS c FROM qv, ev WHERE neighbor_id <> query_id), "
+        "lab AS MATERIALIZED (SELECT query_id, neighbor_id, "
+        "(5 - xrk)::DOUBLE AS rel FROM ("
+        "SELECT query_id, neighbor_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS xrk FROM s) "
+        "WHERE xrk BETWEEN 2 AND 4), "
+        "hits AS (SELECT rk.query_id, rank, rel, "
+        f"rel * ({disc_case}) AS gain "
+        "FROM rk JOIN lab USING (query_id, neighbor_id)), "
+        "pq AS (SELECT query_id, min(CASE WHEN rel > 0 THEN rank END) "
+        "AS first_rel_rank, sum(gain) AS dcg0 FROM hits GROUP BY 1), "
+        "ideal AS (SELECT query_id, rel, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS irank "
+        "FROM lab), "
+        f"pi AS (SELECT query_id, sum(rel * ({idisc_case})) AS idcg0 "
+        f"FROM ideal WHERE irank <= {k} GROUP BY 1), "
+        "nr AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM lab GROUP BY 1) "
+        "SELECT nr.query_id, n_rel, first_rel_rank::INTEGER AS first_rel_rank, "
+        "round(coalesce(1.0 / first_rel_rank, 0.0) + 1e-12, 6) AS mrr, "
+        "round(coalesce(dcg0, 0.0) + 1e-12, 6) AS dcg, "
+        "round(coalesce(idcg0, 0.0) + 1e-12, 6) AS idcg, "
+        "round(CASE WHEN coalesce(idcg0, 0.0) > 0 "
+        "THEN coalesce(dcg0, 0.0) / coalesce(idcg0, 0.0) ELSE 0.0 END "
+        "+ 1e-12, 6) AS ndcg "
+        "FROM nr JOIN pi USING (query_id) LEFT JOIN pq USING (query_id)"
     )
 
 
@@ -7588,6 +7672,9 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
         ),
         "sim_matryoshka_recall": _matryoshka_oracle_sql(
             dims=(8, 16, 32, 64), nq=8, k=5
+        ),
+        "sim_rank_eval": _rank_eval_oracle_sql(
+            n_cells=16, nprobe=4, nq=10, k=10
         ),
         "sim_topk_ivf": (
             # replays the DERIVED refine_iters=0 IVF pipeline end-to-end,

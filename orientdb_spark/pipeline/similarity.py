@@ -2270,3 +2270,106 @@ def matryoshka_recall(
         )
         out = scored if out is None else out.unionByName(scored)
     return out
+
+
+def rank_eval(
+    ranked: DataFrame,
+    labels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Ranked-retrieval metrics — MRR and nDCG@k per query (the TREC /
+    BEIR evaluation pair every retrieval system reports; Järvelin &
+    Kekäläinen 2002 for nDCG): given a ranked result (``query_col``,
+    ``doc_col``, ``rank_col`` 1..n — any of bm25_topk / ivf_topk /
+    hybrid_rrf_topk / an external ranker) and a graded relevance table
+    (``query_col``, ``doc_col``, ``rel_col`` >= 0), returns one row per
+    labeled query: ``n_rel`` (labeled docs), ``first_rel_rank`` (rank
+    of the first relevant hit in the top-k, NULL when none), ``mrr``
+    (1/first_rel_rank, 0 when no hit), ``dcg``, ``idcg`` (the ideal
+    ordering's DCG over the query's labels, truncated at k), and
+    ``ndcg`` = dcg/idcg — all nudge-rounded to 6 dp.
+
+    Determinism across engines: the rank discounts 1/log2(r+1) are
+    PRECOMPUTED as literal doubles and embedded identically in the
+    Spark plan and the SQL oracle — no runtime transcendental calls,
+    so libm differences between the JVM and the oracle engine cannot
+    flip a digit. Gains are linear (rel itself, the original Järvelin
+    formulation) to stay on exact integer x literal arithmetic.
+
+    Scale shape: the ranked frame is already per-query-bounded (<= k
+    rows after the rank filter); the labels join is an equi-join on
+    (query, doc) — broadcast when labels are panel-sized, which an
+    evaluation set always is; idcg is a per-query window over the
+    labels' rel ordering (labels-sized, not corpus-sized). Nothing
+    touches the corpus."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    import math
+
+    discounts = [1.0 / math.log2(r + 1) for r in range(1, k + 1)]
+    # rank -> discount as a literal CASE chain (k entries, no libm)
+    disc_map = F.create_map(
+        *[F.lit(x) for r, d in zip(range(1, k + 1), discounts) for x in (r, d)]
+    )
+    r = ranked.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("doc_id"),
+        F.col(rank_col).cast("int").alias("rank"),
+    )
+    lab = labels.select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("doc_id"),
+        F.col(rel_col).cast("double").alias("rel"),
+    )
+    hits = r.join(F.broadcast(lab), ["query_id", "doc_id"]).select(
+        "query_id",
+        "rank",
+        "rel",
+        (F.col("rel") * disc_map[F.col("rank")]).alias("__gain"),
+    )
+    per_q_hits = hits.groupBy("query_id").agg(
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("first_rel_rank"),
+        F.sum("__gain").alias("__dcg"),
+    )
+    w_ideal = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    ideal = (
+        lab.withColumn("__irank", F.row_number().over(w_ideal))
+        .filter(F.col("__irank") <= k)
+        .select(
+            "query_id",
+            "rel",
+            (F.col("rel") * disc_map[F.col("__irank")]).alias("__igain"),
+        )
+    )
+    per_q_ideal = lab.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_rel")
+    ).join(
+        ideal.groupBy("query_id").agg(F.sum("__igain").alias("__idcg")),
+        "query_id",
+    )
+    out = per_q_ideal.join(per_q_hits, "query_id", "left")
+    idcg = F.coalesce(F.col("__idcg"), F.lit(0.0))
+    dcg = F.coalesce(F.col("__dcg"), F.lit(0.0))
+    return out.select(
+        "query_id",
+        F.col("n_rel").cast("long").alias("n_rel"),
+        F.col("first_rel_rank").cast("int").alias("first_rel_rank"),
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / F.col("first_rel_rank").cast("double"), F.lit(0.0)
+            )
+            + F.lit(1e-12),
+            6,
+        ).alias("mrr"),
+        F.round(dcg + F.lit(1e-12), 6).alias("dcg"),
+        F.round(idcg + F.lit(1e-12), 6).alias("idcg"),
+        F.round(
+            F.when(idcg > 0, dcg / idcg).otherwise(F.lit(0.0)) + F.lit(1e-12), 6
+        ).alias("ndcg"),
+    )

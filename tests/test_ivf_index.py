@@ -372,3 +372,52 @@ def test_matryoshka_recall_full_dim_is_exact(spark):
         matryoshka_recall(embs, q, dims=[])
     with pytest.raises(ValueError, match="positive"):
         matryoshka_recall(embs, q, dims=[8, 0])
+
+
+def test_rank_eval_hand_checked(spark):
+    """Hand-computed MRR/nDCG: graded hit at rank 2, a no-hit query,
+    and unlabeled queries excluded; discounts are the literal
+    1/log2(r+1) table."""
+    import math
+
+    import pytest
+
+    from orientdb_spark.pipeline.similarity import rank_eval
+
+    ranked = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3), (2, "y", 1), (9, "q", 1)],
+        "query_id bigint, neighbor_id string, rank int",
+    )
+    labels = spark.createDataFrame(
+        [(1, "b", 3), (1, "z", 1), (2, "x", 2)],
+        "query_id bigint, neighbor_id string, rel int",
+    )
+    got = {r["query_id"]: r.asDict() for r in rank_eval(ranked, labels, k=3).collect()}
+    assert set(got) == {1, 2}  # query 9 has no labels -> excluded
+    d2, d1 = 1.0 / math.log2(3), 1.0
+    q1 = got[1]
+    assert q1["n_rel"] == 2 and q1["first_rel_rank"] == 2 and q1["mrr"] == 0.5
+    assert q1["dcg"] == round(3 * d2 + 1e-12, 6)
+    assert q1["idcg"] == round(3 * d1 + 1 * d2 + 1e-12, 6)
+    assert q1["ndcg"] == round((3 * d2) / (3 * d1 + 1 * d2) + 1e-12, 6)
+    q2 = got[2]
+    assert q2["first_rel_rank"] is None and q2["mrr"] == 0.0
+    assert q2["dcg"] == 0.0 and q2["ndcg"] == 0.0 and q2["idcg"] == 2.0
+    with pytest.raises(ValueError, match="k must be positive"):
+        rank_eval(ranked, labels, k=0)
+
+
+def test_rank_eval_perfect_ranking_is_one(spark):
+    """Ranking the labels in ideal order gives ndcg == 1 and mrr == 1
+    for every query."""
+    from orientdb_spark.pipeline.similarity import brute_force_topk, rank_eval
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") < 6)
+    exact = brute_force_topk(embs, q, k=4)
+    labels = exact.select(
+        "query_id", "neighbor_id", (F.lit(5) - F.col("rank")).alias("rel")
+    )
+    out = rank_eval(exact, labels, k=4).collect()
+    assert len(out) == 6
+    assert all(r["ndcg"] == 1.0 and r["mrr"] == 1.0 for r in out)
