@@ -153,6 +153,13 @@ SF1_ENTRIES = [
     # arithmetic; matryoshka is len(dims)+1 panel passes (8 queries)
     "sample_epochs_report",
     "sim_matryoshka_recall",
+    # r13 continuation-4: the streaming near-dup batch path — the
+    # minhash replay plus bucket-ranked pair joins (bounded by bucket
+    # caps, never all-pairs)
+    "dedup_near_dup_stream",
+    # r13 continuation-5: MRR/nDCG over the fixed IVF replay — panel
+    # work only (the ranked side is the already-listed IVF machinery)
+    "sim_rank_eval",
 ]
 
 
