@@ -4113,6 +4113,13 @@ _DRIVER_FRONT = [
     # r14 with the rest of the r9 cohort
     "text_bm25_topk",
     "sample_unimax",
+    # r14 NOTE: the front was full when seven more r13 operators landed
+    # (text_gopher_rules, sim_ann_recall, scale_compaction_plan,
+    # sample_epochs_report, sim_matryoshka_recall,
+    # dedup_near_dup_stream, sim_rank_eval). They carry builder-sweep
+    # records (CORRECTNESS_r13_sweep.json, provenance in-file) and all
+    # three sf artifacts — but NO driver record yet. The r14 front MUST
+    # lead with these seven, then the r9-era record tail.
 ]
 
 
