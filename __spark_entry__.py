@@ -497,6 +497,18 @@ def _graph_label_propagation(spark, sf_dir):
     return _graph(spark, sf_dir).label_propagation(iterations=3)
 
 
+def _graph_modularity(spark, sf_dir):
+    """Newman modularity of the LPA-3 partition over the FK graph
+    (Graph.modularity ∘ Graph.label_propagation): per-community
+    n_nodes / internal_edges / degree_sum / q_contrib. Per-community
+    rows keep the float work order-free (two exact integer ratios per
+    row — no global float sum), so the table replays bit-exactly: the
+    oracle composes the unrolled LPA replay with the degree/internal
+    aggregations."""
+    g = _graph(spark, sf_dir)
+    return g.modularity(g.label_propagation(iterations=3))
+
+
 def _event_hierarchical_rollup(spark, sf_dir):
     """Hypertable-style continuous aggregate: minute/hour/day levels
     where only the minute level scans raw events — each coarser level
@@ -3998,6 +4010,22 @@ def _sample_curriculum_order(spark, sf_dir):
     )
 
 
+def _profile_benford_audit(spark, sf_dir):
+    """Benford first-digit audit (pipeline/profile.benford_audit) of
+    l_extendedprice per return flag — the forensic data-quality
+    tripwire; the synthetic uniform-ish prices deviate visibly from
+    log10(1+1/d), which is exactly what the audit exists to surface.
+    Digits come from the value's string rendering (first [1-9] —
+    representation-invariant); expectations are literal doubles
+    (no runtime libm). Oracle-exact."""
+    from orientdb_spark.pipeline import profile
+
+    li = _engine(spark, sf_dir).table("lineitem")
+    return profile.benford_audit(
+        li, "l_extendedprice", group_cols=["l_returnflag"]
+    )
+
+
 def _profile_dataset_card(spark, sf_dir):
     """Dataset-card statistics (pipeline/profile.dataset_card, the
     Datasheets/data-card disclosure table): corpus totals, language
@@ -4322,6 +4350,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "graph_pagerank_personalized": _graph_pagerank_personalized,
         "graph_sssp": _graph_sssp,
         "graph_label_propagation": _graph_label_propagation,
+        "graph_modularity": _graph_modularity,
         "graph_triangle_count": _graph_triangle_count,
         "graph_clustering_coeff": _graph_clustering_coeff,
         "graph_neighbor_features": _graph_neighbor_features,
@@ -4462,6 +4491,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sample_domain_reweight": _sample_domain_reweight,
         "sample_curriculum_order": _sample_curriculum_order,
         "profile_dataset_card": _profile_dataset_card,
+        "profile_benford_audit": _profile_benford_audit,
         "profile_dp_counts": _profile_dp_counts,
         "scale_zorder_layout": _scale_zorder_layout,
         "scale_compaction_plan": _scale_compaction_plan,
@@ -5113,6 +5143,32 @@ def _dataset_card_oracle_sql() -> str:
         "FROM pd GROUP BY lang "
         "UNION ALL SELECT 'source_docs', source, count(*)::DOUBLE "
         "FROM pd GROUP BY source"
+    )
+
+
+def _benford_oracle_sql() -> str:
+    """Benford replay (pipeline/profile.benford_audit on
+    l_extendedprice by l_returnflag): first-[1-9]-char digit from the
+    string rendering (representation-invariant), counts vs the SAME
+    literal log10(1+1/d) table the Spark plan embeds."""
+    import math
+
+    exp_rows = ", ".join(
+        f"('{d}', {math.log10(1.0 + 1.0 / d)!r})" for d in range(1, 10)
+    )
+    return (
+        "WITH b AS (SELECT l_returnflag, regexp_extract("
+        "abs(l_extendedprice)::VARCHAR, '[1-9]') AS digit FROM lineitem), "
+        "f AS (SELECT l_returnflag, digit FROM b WHERE digit <> ''), "
+        "c AS (SELECT l_returnflag, digit, count(*)::BIGINT AS n "
+        "FROM f GROUP BY 1, 2), "
+        "t AS (SELECT l_returnflag, sum(n)::BIGINT AS total FROM c GROUP BY 1), "
+        f"e(digit, ex) AS (VALUES {exp_rows}) "
+        "SELECT c.l_returnflag, digit::INTEGER AS digit, n, "
+        "round(n::DOUBLE / total::DOUBLE + 1e-12, 6) AS observed_frac, "
+        "round(ex + 1e-12, 6) AS expected_frac, "
+        "round(abs(n::DOUBLE / total::DOUBLE - ex) + 1e-12, 6) AS deviation "
+        "FROM c JOIN t USING (l_returnflag) JOIN e USING (digit)"
     )
 
 
@@ -7887,6 +7943,7 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             n_stages=3, n_shards=8, seed=0
         ),
         "profile_dataset_card": _dataset_card_oracle_sql(),
+        "profile_benford_audit": _benford_oracle_sql(),
         "profile_dp_counts": _dp_counts_oracle_sql(epsilon=1.0, seed=42),
         "scale_zorder_layout": _zorder_oracle_sql(bits=8, shift=11),
         "sample_epochs_report": (
@@ -8386,6 +8443,43 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
         ),
         "graph_sssp": _sssp_oracle(iterations=6),
         "graph_label_propagation": _lpa_oracle(iterations=3),
+        "graph_modularity": (
+            # LPA-3 replay as the assignment, FK edges redeclared, then
+            # the per-community degree/internal aggregations; q_contrib
+            # = e_c/m - (deg_c/(2m))^2 on identical IEEE trees
+            "WITH asg AS MATERIALIZED (SELECT vid, label FROM ("
+            + _lpa_oracle(iterations=3)
+            + ") lpa), "
+            "e0 AS ("
+            "SELECT 'region:' || n_regionkey AS src, "
+            "'nation:' || n_nationkey AS dst FROM nation "
+            "UNION ALL SELECT 'nation:' || c_nationkey, "
+            "'customer:' || c_custkey FROM customer "
+            "UNION ALL SELECT 'customer:' || o_custkey, "
+            "'orders:' || o_orderkey FROM orders), "
+            "ed AS (SELECT src, dst FROM e0 WHERE src <> dst), "
+            "st AS (SELECT count(*)::DOUBLE AS mm FROM ed), "
+            "deg AS (SELECT vid, count(*)::BIGINT AS dg FROM ("
+            "SELECT src AS vid FROM ed UNION ALL SELECT dst FROM ed) "
+            "GROUP BY 1), "
+            "nodes AS (SELECT label AS community, count(*)::BIGINT AS n_nodes "
+            "FROM asg GROUP BY 1), "
+            "degc AS (SELECT a.label AS community, sum(d.dg)::BIGINT AS ds "
+            "FROM asg a JOIN deg d USING (vid) GROUP BY 1), "
+            "intra AS (SELECT sa.label AS community, count(*)::BIGINT AS ie "
+            "FROM ed JOIN asg sa ON ed.src = sa.vid "
+            "JOIN asg sb ON ed.dst = sb.vid "
+            "WHERE sa.label = sb.label GROUP BY 1) "
+            "SELECT n.community, n_nodes, "
+            "coalesce(ie, 0)::BIGINT AS internal_edges, "
+            "coalesce(ds, 0)::BIGINT AS degree_sum, "
+            "round(coalesce(ie, 0)::DOUBLE / greatest(mm, 1.0) - "
+            "(coalesce(ds, 0)::DOUBLE / (2.0 * greatest(mm, 1.0))) * "
+            "(coalesce(ds, 0)::DOUBLE / (2.0 * greatest(mm, 1.0))) "
+            "+ 1e-12, 6) AS q_contrib "
+            "FROM nodes n LEFT JOIN degc USING (community) "
+            "LEFT JOIN intra USING (community), st"
+        ),
         # r7: three former rows-only entries gain exact oracles — the
         # sequential recurrences replay as recursive CTEs (one
         # row_number / one Kruskal edge per iteration), and the fake

@@ -1289,6 +1289,83 @@ class Graph:
         both.unpersist()
         return labels
 
+    def modularity(
+        self, assignment: DataFrame, label_col: str = "label"
+    ) -> DataFrame:
+        """Newman modularity of a community assignment (Newman & Girvan
+        2004) — the quality score a pipeline uses to compare
+        label_propagation / connected-component partitions or pick an
+        iteration count: per community ``c``,
+
+            q_contrib(c) = e_c / m  -  (deg_c / (2m))^2
+
+        where ``m`` is the undirected edge count (self-loops dropped),
+        ``e_c`` the edges internal to ``c``, and ``deg_c`` the degree
+        sum of its members; Q = sum of q_contrib. Returns one row per
+        community — ``(community, n_nodes, internal_edges, degree_sum,
+        q_contrib)`` — rather than the single global Q, because (a)
+        which communities are weak is the actionable signal, and (b) a
+        per-community table keeps the float work ORDER-FREE: each row
+        is two exact integer ratios of identical IEEE expression trees,
+        so the whole result replays bit-exactly in SQL, while a global
+        float sum would pick up partition-order ulps. Consumers sum
+        q_contrib for Q.
+
+        Scale shape: one edge-list pass for degrees, one
+        assignment-join pass for internal edges (both map-side
+        combinable groupBys), a 1-row broadcast total — no window, no
+        corpus-order dependence."""
+        asg = assignment.select(
+            F.col("vid"), F.col(label_col).alias("__community")
+        )
+        ed = self.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+        st = ed.agg(F.count(F.lit(1)).cast("double").alias("__m"))
+        deg = (
+            ed.select(F.col("src").alias("vid"))
+            .unionByName(ed.select(F.col("dst").alias("vid")))
+            .groupBy("vid")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+        )
+        nodes = asg.groupBy("__community").agg(
+            F.count(F.lit(1)).alias("n_nodes")
+        )
+        degc = (
+            asg.join(deg, "vid")
+            .groupBy("__community")
+            .agg(F.sum("__deg").alias("__degsum"))
+        )
+        sa = asg.select(F.col("vid").alias("src"), F.col("__community").alias("__ca"))
+        sb = asg.select(F.col("vid").alias("dst"), F.col("__community").alias("__cb"))
+        intra = (
+            ed.join(sa, "src")
+            .join(sb, "dst")
+            .filter(F.col("__ca") == F.col("__cb"))
+            .groupBy(F.col("__ca").alias("__community"))
+            .agg(F.count(F.lit(1)).alias("__internal"))
+        )
+        m = F.greatest(F.col("__m"), F.lit(1.0))
+        e_c = F.coalesce(F.col("__internal"), F.lit(0)).cast("double")
+        d_c = F.coalesce(F.col("__degsum"), F.lit(0)).cast("double")
+        frac = d_c / (F.lit(2.0) * m)
+        return (
+            nodes.join(degc, "__community", "left")
+            .join(intra, "__community", "left")
+            .crossJoin(F.broadcast(st))
+            .select(
+                F.col("__community").alias("community"),
+                F.col("n_nodes").cast("long").alias("n_nodes"),
+                F.coalesce(F.col("__internal"), F.lit(0))
+                .cast("long")
+                .alias("internal_edges"),
+                F.coalesce(F.col("__degsum"), F.lit(0))
+                .cast("long")
+                .alias("degree_sum"),
+                F.round(e_c / m - frac * frac + F.lit(1e-12), 6).alias(
+                    "q_contrib"
+                ),
+            )
+        )
+
 
 def tpch_graph(engine) -> Graph:
     """The driver tables as a property graph: region→nation→customer→

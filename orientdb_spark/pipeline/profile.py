@@ -593,3 +593,69 @@ def dp_noisy_counts(
         "n_true",
         F.round(F.col("n_true") + lap + F.lit(1e-12), 6).alias("noisy_count"),
     )
+
+
+# Benford's-law expected first-digit frequencies log10(1 + 1/d),
+# precomputed as literal doubles so neither engine calls libm at
+# runtime (the rank_eval discount-table discipline)
+BENFORD_EXPECTED = {
+    d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)
+}
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str = "value",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic forensic data-quality audit (Benford 1938; standard
+    practice in fraud/anomaly screening): naturally-generated
+    multiplicative quantities (prices, populations, file sizes) follow
+    P(d) = log10(1 + 1/d), while fabricated, truncated, or
+    unit-clamped columns deviate hard. A per-source deviation table is
+    a cheap tripwire for synthetic or corrupted feeds in a 100 TB
+    ingest.
+
+    Returns one row per (group, digit 1-9): ``n``, ``observed_frac``,
+    ``expected_frac``, ``deviation`` (|obs − expected|), all
+    nudge-rounded to 6 dp. Zero and NULL values carry no significant
+    digit and are excluded from the denominator. No chi-square scalar
+    is emitted: a 9-term float sum would pick up partition-order ulps,
+    while the per-digit rows are exact integer ratios against literal
+    expectations — consumers square/sum if they want a statistic.
+
+    The digit is extracted from the value's string rendering (first
+    ``[1-9]`` match), which is representation-invariant: any faithful
+    (round-trip) rendering — scientific or positional, Spark's or the
+    oracle engine's — starts its mantissa with the same significant
+    digit, and exponent digits can never precede it.
+
+    Scale shape: one scan, one map-side-combinable groupBy to (groups
+    x 9) rows, a groups-sized broadcast totals join. Nothing after the
+    first aggregate touches corpus cardinality."""
+    groups = list(group_cols or [])
+    digit = F.regexp_extract(
+        F.abs(F.col(value_col)).cast("string"), "[1-9]", 0
+    )
+    base = df.select(*groups, digit.alias("digit")).filter(F.col("digit") != "")
+    counts = base.groupBy(*groups, "digit").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy(*groups).agg(F.sum("n").alias("__total"))
+    joined = (
+        counts.join(F.broadcast(totals), groups)
+        if groups
+        else counts.crossJoin(F.broadcast(totals))
+    )
+    exp_map = F.create_map(
+        *[F.lit(x) for d, e in BENFORD_EXPECTED.items() for x in (str(d), e)]
+    )
+    obs = F.col("n").cast("double") / F.col("__total").cast("double")
+    exp = exp_map[F.col("digit")]
+    return joined.select(
+        *groups,
+        F.col("digit").cast("int").alias("digit"),
+        F.col("n").cast("long").alias("n"),
+        F.round(obs + F.lit(1e-12), 6).alias("observed_frac"),
+        F.round(exp + F.lit(1e-12), 6).alias("expected_frac"),
+        F.round(F.abs(obs - exp) + F.lit(1e-12), 6).alias("deviation"),
+    )

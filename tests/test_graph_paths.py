@@ -679,3 +679,38 @@ def test_betweenness_sampled_subset_and_validation(spark):
         assert got[v] == pytest.approx(want[v], abs=1e-9), v
     with pytest.raises(ValueError):
         g.betweenness_sampled(n_samples=0)
+
+
+def test_modularity_hand_checked(spark):
+    """Two triangles joined by one bridge edge, plus an isolated
+    vertex: per-community contributions match the hand calculation,
+    the single-community partition scores exactly 0, and the isolated
+    community contributes 0."""
+    from orientdb_spark.graph import Graph
+
+    v = spark.createDataFrame([(x,) for x in "abcdefg"], ["vid"])
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")],
+        ["src", "dst"],
+    )
+    g = Graph(v, e)
+    asg = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("d", 2), ("e", 2), ("f", 2), ("g", 3)],
+        ["vid", "label"],
+    )
+    got = {r["community"]: r.asDict() for r in g.modularity(asg).collect()}
+    # m=7; each triangle: e_c=3, deg_c=7 -> 3/7 - (7/14)^2 = 0.178571
+    assert got[1]["internal_edges"] == 3 and got[1]["degree_sum"] == 7
+    assert got[1]["q_contrib"] == 0.178571 and got[2]["q_contrib"] == 0.178571
+    assert got[3]["n_nodes"] == 1 and got[3]["q_contrib"] == 0.0
+    # the trivial one-community partition has modularity exactly 0
+    one = spark.createDataFrame([(x, 0) for x in "abcdefg"], ["vid", "label"])
+    q = g.modularity(one).collect()
+    assert len(q) == 1 and q[0]["q_contrib"] == 0.0
+    # self-loops are dropped from m and internal counts
+    g_loop = Graph(v, e.unionByName(
+        spark.createDataFrame([("a", "a")], ["src", "dst"])
+    ))
+    got2 = {r["community"]: r.asDict() for r in g_loop.modularity(asg).collect()}
+    assert got2[1]["internal_edges"] == 3 and got2[1]["degree_sum"] == 7

@@ -391,3 +391,36 @@ def test_dataset_card_frees_per_doc_cache(spark, monkeypatch):
     assert card.count() > 0
     lvl = captured["per_doc"].storageLevel
     assert not (lvl.useMemory or lvl.useDisk), "per-doc cache leaked"
+
+
+def test_benford_audit_known_distribution(spark):
+    """An exactly-Benford column (first digits planted by count) shows
+    zero-ish deviation; a constant-leading-digit column deviates at
+    the 1-digit row by 1 - log10(2); zeros/nulls are excluded."""
+    import math
+
+    from orientdb_spark.pipeline.profile import benford_audit
+
+    rows = []
+    # plant first digits with frequencies proportional to log10(1+1/d)
+    for d in range(1, 10):
+        n = round(math.log10(1 + 1 / d) * 1000)
+        rows += [(float(f"{d}23.45"),)] * n
+    df = spark.createDataFrame(rows, "value double")
+    got = {r["digit"]: r.asDict() for r in benford_audit(df).collect()}
+    assert set(got) == set(range(1, 10))
+    assert all(r["deviation"] < 0.001 for r in got.values())
+    # scale-invariance of the digit extraction: x1000 changes nothing
+    scaled = benford_audit(df.select((F.col("value") * 1000.0).alias("value")))
+    got2 = {r["digit"]: r.asDict() for r in scaled.collect()}
+    assert {d: r["n"] for d, r in got.items()} == {
+        d: r["n"] for d, r in got2.items()
+    }
+    # constant-digit data: observed 1.0 at digit 7, deviation 1 - exp(7)
+    bad = spark.createDataFrame(
+        [(7.77,), (700.0,), (0.0071,), (0.0,), (None,)], "value double"
+    )
+    gb = {r["digit"]: r.asDict() for r in benford_audit(bad).collect()}
+    assert set(gb) == {7} and gb[7]["n"] == 3  # 0.0 and NULL excluded
+    assert gb[7]["observed_frac"] == 1.0
+    assert gb[7]["deviation"] == round(1.0 - math.log10(1 + 1 / 7) + 1e-12, 6)
