@@ -3667,6 +3667,18 @@ def _sim_matryoshka_recall(spark, sf_dir):
     )
 
 
+def _sim_index_health(spark, sf_dir):
+    """IVF index-health audit (pipeline/similarity.ivf_cell_stats):
+    per-cell occupancy and load factor of the fixed 16-cell h60-seed
+    quantizer — the imbalance table checked before trusting an index.
+    Oracle-exact: the sim_topk_ivf assignment replay + one GROUP BY."""
+    from orientdb_spark.pipeline import similarity
+
+    return similarity.ivf_cell_stats(
+        _embs(spark, sf_dir), n_cells=16, refine_iters=0
+    )
+
+
 def _sim_rank_eval(spark, sf_dir):
     """Ranked-retrieval metrics (pipeline/similarity.rank_eval — MRR +
     nDCG@10, the TREC/BEIR pair): the fixed 16-cell/4-probe IVF top-10
@@ -4469,6 +4481,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sim_ann_recall": _sim_ann_recall,
         "sim_matryoshka_recall": _sim_matryoshka_recall,
         "sim_rank_eval": _sim_rank_eval,
+        "sim_index_health": _sim_index_health,
         "sim_index_persist": _sim_index_persist,
         "sim_index_incremental": _sim_index_incremental,
         # pipeline: text analysis
@@ -7738,6 +7751,33 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
         ),
         "sim_rank_eval": _rank_eval_oracle_sql(
             n_cells=16, nprobe=4, nq=10, k=10
+        ),
+        "sim_index_health": (
+            # replays the refine_iters=0 16-cell assignment (h60 seeds +
+            # rounded-nudged cosine argmax — the _ivf_fixed_oracle_sql
+            # CTEs minus probes/rerank), then counts per occupied cell;
+            # occupancy/load_factor use the same left-assoc double
+            # arithmetic as ivf_cell_stats (n_vectors/N, n_vectors*16/N)
+            "WITH vv AS (SELECT vec_id, "
+            "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), "
+            "sr AS (SELECT v, row_number() OVER (ORDER BY "
+            + _dk_h60("CAST(vec_id AS VARCHAR)")
+            + ", vec_id) AS rk FROM vv), "
+            "seeds AS (SELECT rk - 1 AS cid, v FROM sr WHERE rk <= 16), "
+            "ac AS (SELECT vv.vec_id, s.cid, "
+            "round(" + _COS.format(a="vv.v", b="s.v") + " + 1e-12, 6) AS c6 "
+            "FROM vv, seeds s), "
+            "asg AS (SELECT vec_id, cid FROM ("
+            "SELECT vec_id, cid, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY c6 DESC, cid) AS rk FROM ac) "
+            "WHERE rk = 1), "
+            "counts AS (SELECT cid, count(*)::BIGINT AS n_vectors "
+            "FROM asg GROUP BY cid), "
+            "tot AS (SELECT sum(n_vectors)::DOUBLE AS n FROM counts) "
+            "SELECT cid::INTEGER AS cid, n_vectors, "
+            "round(n_vectors / greatest(n, 1.0) + 1e-12, 6) AS occupancy, "
+            "round(n_vectors * 16.0 / greatest(n, 1.0) + 1e-12, 6) "
+            "AS load_factor FROM counts, tot"
         ),
         "sim_topk_ivf": (
             # replays the DERIVED refine_iters=0 IVF pipeline end-to-end,

@@ -2373,3 +2373,52 @@ def rank_eval(
             F.when(idcg > 0, dcg / idcg).otherwise(F.lit(0.0)) + F.lit(1e-12), 6
         ).alias("ndcg"),
     )
+
+
+def ivf_cell_stats(
+    df: DataFrame,
+    n_cells: int | None = None,
+    refine_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF index-health audit — per-cell occupancy of the coarse
+    quantizer (the `imbalance factor` table FAISS users inspect before
+    trusting an index): a cell holding 30% of the corpus makes every
+    probe that touches it a scan, and empty cells waste probe budget;
+    both are invisible in recall numbers until latency blows up, so
+    the audit runs at build time, not after.
+
+    Returns one row per OCCUPIED cell: ``cid``, ``n_vectors``,
+    ``occupancy`` (fraction of the corpus, 6 dp), and ``load_factor``
+    (n_vectors x n_cells / N — 1.0 is perfectly balanced; FAISS's
+    imbalance factor is the load_factor of the heaviest cell). The
+    number of EMPTY cells is ``n_cells`` minus the row count —
+    derivable without emitting rows that carry no signal.
+
+    Scale shape: one assignment pass (vectorized argmax against
+    driver-side centroids — zero shuffle) + one map-side groupBy to
+    <= n_cells rows + a 1-row broadcast total. ``refine_iters=0``
+    keeps h60 seed centroids, so the whole table replays in SQL (the
+    sim_topk_ivf assignment replay + a GROUP BY)."""
+    from orientdb_spark.pipeline.similarity import derive_ivf_params
+
+    n = n_cells
+    if n is None:
+        n, _ = derive_ivf_params(df.count())
+    _, assignments = build_ivf_index(
+        df, n, vec_col=vec_col, id_col=id_col, refine_iters=refine_iters
+    )
+    counts = assignments.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    tot = counts.agg(F.sum("n_vectors").cast("double").alias("__n"))
+    nn = F.greatest(F.col("__n"), F.lit(1.0))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("cid").cast("int").alias("cid"),
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.round(F.col("n_vectors") / nn + F.lit(1e-12), 6).alias("occupancy"),
+        F.round(
+            F.col("n_vectors") * F.lit(float(n)) / nn + F.lit(1e-12), 6
+        ).alias("load_factor"),
+    )

@@ -421,3 +421,35 @@ def test_rank_eval_perfect_ranking_is_one(spark):
     out = rank_eval(exact, labels, k=4).collect()
     assert len(out) == 6
     assert all(r["ndcg"] == 1.0 and r["mrr"] == 1.0 for r in out)
+
+
+def test_ivf_cell_stats_invariants(spark):
+    """The index-health audit must account for every corpus vector
+    exactly once: occupancies sum to 1, load_factor is occupancy
+    scaled by n_cells, and only occupied cells emit rows."""
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = embs.count()
+    rows = similarity.ivf_cell_stats(embs, n_cells=16, refine_iters=0).collect()
+
+    assert 1 <= len(rows) <= 16
+    assert sum(r["n_vectors"] for r in rows) == n
+    assert all(0 <= r["cid"] < 16 for r in rows)
+    assert all(r["n_vectors"] >= 1 for r in rows)  # occupied cells only
+    assert abs(sum(r["occupancy"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["load_factor"] == round(r["n_vectors"] * 16.0 / n + 1e-12, 6)
+
+
+def test_ivf_cell_stats_matches_assignments(spark):
+    """The audit's per-cell counts are exactly the build_ivf_index
+    assignment histogram — same quantizer, same seeds."""
+    from collections import Counter
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    _, asg = similarity.build_ivf_index(embs, 8, refine_iters=1)
+    want = Counter(r["cid"] for r in asg.collect())
+    got = {
+        r["cid"]: r["n_vectors"]
+        for r in similarity.ivf_cell_stats(embs, n_cells=8, refine_iters=1).collect()
+    }
+    assert got == dict(want)

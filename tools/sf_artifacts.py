@@ -160,6 +160,14 @@ SF1_ENTRIES = [
     # r13 continuation-5: MRR/nDCG over the fixed IVF replay — panel
     # work only (the ranked side is the already-listed IVF machinery)
     "sim_rank_eval",
+    # r13 continuation-6: modularity composes the LPA replay (already
+    # listed via graph entries) + two aggregations; benford is one
+    # scan + groups x 9 rows
+    "graph_modularity",
+    "profile_benford_audit",
+    # r13 continuation-7: the IVF occupancy audit is the already-listed
+    # 16-cell assignment replay + one GROUP BY to <= 16 rows
+    "sim_index_health",
 ]
 
 
