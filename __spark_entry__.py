@@ -2515,6 +2515,26 @@ def _profile_stat_drift(spark, sf_dir):
     return stat_drift(ev.select("value", "props"), new, ["value", "props"])
 
 
+def _profile_distribution_drift(spark, sf_dir):
+    """Histogram drift audit (pipeline/profile.distribution_drift):
+    even-event_id events are the reference feed, odd the current, and
+    the current side scales every 3rd value by 1.4 —
+    the per-bin ref/cur fractions, TV contributions and chi-square
+    contributions must localize the mass that moved. Bins derived from
+    the reference min-max (lazy 1-row broadcast); chi2 undefined
+    (NULL) where the reference has no mass. Oracle-exact."""
+    from orientdb_spark.pipeline.profile import distribution_drift
+
+    ev = _engine(spark, sf_dir).table("events")
+    ref = ev.filter(F.col("event_id") % 2 == 0).select("value")
+    cur = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.when(
+            F.col("event_id") % 3 == 0, F.col("value") * F.lit(1.4)
+        ).otherwise(F.col("value")).alias("value")
+    )
+    return distribution_drift(ref, cur, "value", n_bins=10)
+
+
 def _profile_json_keys(spark, sf_dir):
     """Semi-structured schema discovery (pipeline/profile.json_profile):
     the corpus props carry a single key, so the entry derives a richer
@@ -4505,6 +4525,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sample_curriculum_order": _sample_curriculum_order,
         "profile_dataset_card": _profile_dataset_card,
         "profile_benford_audit": _profile_benford_audit,
+        "profile_distribution_drift": _profile_distribution_drift,
         "profile_dp_counts": _profile_dp_counts,
         "scale_zorder_layout": _scale_zorder_layout,
         "scale_compaction_plan": _scale_compaction_plan,
@@ -7984,6 +8005,42 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
         ),
         "profile_dataset_card": _dataset_card_oracle_sql(),
         "profile_benford_audit": _benford_oracle_sql(),
+        "profile_distribution_drift": (
+            # replays distribution_drift end-to-end: reference span from
+            # the even-id side, equal-width clamp binning on the shared
+            # IEEE subtract/divide/multiply/floor, 6-dp-grid fractions,
+            # chi2 via the grid-pinned expected mass (NULL where ref_n=0)
+            "WITH ref AS (SELECT value::DOUBLE AS x FROM events "
+            "WHERE event_id % 2 = 0 AND value IS NOT NULL), "
+            "cur AS (SELECT (CASE WHEN event_id % 3 = 0 "
+            "THEN value * 1.4::DOUBLE ELSE value END)::DOUBLE AS x FROM events "
+            "WHERE event_id % 2 = 1 AND value IS NOT NULL), "
+            "span AS (SELECT min(x)::DOUBLE AS lo, max(x)::DOUBLE AS hi "
+            "FROM ref), "
+            "u AS (SELECT 0 AS side, x FROM ref "
+            "UNION ALL SELECT 1, x FROM cur), "
+            "b AS (SELECT side, CASE WHEN hi > lo THEN GREATEST(0, "
+            "LEAST(floor((x - lo) / (hi - lo) * 10)::BIGINT, 9)) "
+            "ELSE 0 END AS bin FROM u, span), "
+            "g AS (SELECT bin, "
+            "sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS ref_n, "
+            "sum(side)::BIGINT AS cur_n FROM b GROUP BY bin), "
+            "t AS (SELECT GREATEST(sum(ref_n)::DOUBLE, 1.0) AS rt, "
+            "GREATEST(sum(cur_n)::DOUBLE, 1.0) AS ct FROM g), "
+            "fr AS (SELECT bin, ref_n, cur_n, "
+            "round(ref_n / rt + 1e-12, 6) AS ref_frac, "
+            "round(cur_n / ct + 1e-12, 6) AS cur_frac, ct "
+            "FROM g, t) "
+            "SELECT bin::INTEGER AS bin, "
+            "round(lo + bin * ((hi - lo) / 10) + 1e-12, 6) AS lo_edge, "
+            "round(lo + (bin + 1) * ((hi - lo) / 10) + 1e-12, 6) AS hi_edge, "
+            "ref_n, cur_n, ref_frac, cur_frac, "
+            "round(abs(ref_frac - cur_frac) + 1e-12, 6) AS abs_diff, "
+            "CASE WHEN ref_n > 0 THEN round("
+            "(cur_n - ref_frac * ct) * (cur_n - ref_frac * ct) "
+            "/ (ref_frac * ct) + 1e-12, 6) END AS chi2_contrib "
+            "FROM fr, span"
+        ),
         "profile_dp_counts": _dp_counts_oracle_sql(epsilon=1.0, seed=42),
         "scale_zorder_layout": _zorder_oracle_sql(bits=8, shift=11),
         "sample_epochs_report": (

@@ -303,6 +303,110 @@ def stat_drift(
     )
 
 
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Histogram drift audit between a reference and a current slice of
+    a numeric feed — the per-bin table behind PSI / chi-square drift
+    monitors. ``stat_drift`` catches a shifted mean; this catches a
+    reshaped distribution whose mean barely moved (a bimodal split, a
+    clamp at a new bound, a silently-changed unit on a subpopulation).
+
+    Bins are equal-width over [lo, hi) — explicit bounds, or derived
+    from the REFERENCE side's min/max (one 1-row broadcast aggregate,
+    the score_calibration ``binning="range"`` shape; the plan stays
+    lazy). Out-of-range current values clamp into the edge bins so a
+    drifted tail is visible rather than dropped; NULLs are excluded
+    from both sides.
+
+    Per non-empty bin: ``ref_n``/``cur_n``, ``ref_frac``/``cur_frac``
+    (6-dp grid), ``abs_diff`` (the total-variation contribution —
+    TV distance = sum/2), and ``chi2_contrib`` ((cur_n − e)²/e with
+    e = ref_frac·cur_total; NULL where the bin has no reference mass —
+    chi-square is undefined there and a blind 0 would hide exactly the
+    novel-mode drift the audit exists to catch). No PSI scalar is
+    emitted: PSI's (p−q)·ln(p/q) rides libm and a partition-order
+    float sum — consumers sum the exact per-bin rows instead (the
+    benford_audit discipline).
+
+    Shape at scale: ONE map-side-combinable groupBy reduces both scans
+    to ≤ n_bins rows; totals are windows over that bin-bounded frame.
+    """
+    from pyspark.sql import Window
+
+    if n_bins < 2:
+        raise ValueError(f"need n_bins >= 2, got {n_bins}")
+    if (lo is None) != (hi is None):
+        raise ValueError("pass both lo and hi, or neither")
+    x = F.col(col).cast("double")
+    u = ref.select(F.lit(0).alias("__side"), x.alias("__x")).unionAll(
+        cur.select(F.lit(1).alias("__side"), x.alias("__x"))
+    ).filter(F.col("__x").isNotNull())
+    if lo is None:
+        span = ref.agg(
+            F.min(x).cast("double").alias("__lo"),
+            F.max(x).cast("double").alias("__hi"),
+        )
+        u = u.crossJoin(F.broadcast(span))
+    else:
+        u = u.withColumn("__lo", F.lit(float(lo))).withColumn(
+            "__hi", F.lit(float(hi))
+        )
+    b = F.when(
+        F.col("__hi") > F.col("__lo"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(
+                F.floor(
+                    (F.col("__x") - F.col("__lo"))
+                    / (F.col("__hi") - F.col("__lo"))
+                    * F.lit(n_bins)
+                ).cast("long"),
+                F.lit(n_bins - 1).cast("long"),
+            ),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    g = (
+        u.select(b.alias("bin"), F.col("__side"), F.col("__lo"), F.col("__hi"))
+        .groupBy("bin", "__lo", "__hi")
+        .agg(
+            F.sum(F.lit(1) - F.col("__side")).cast("long").alias("ref_n"),
+            F.sum("__side").cast("long").alias("cur_n"),
+        )
+    )
+    everything = Window.partitionBy()
+    rt = F.greatest(F.sum("ref_n").over(everything).cast("double"), F.lit(1.0))
+    ct = F.greatest(F.sum("cur_n").over(everything).cast("double"), F.lit(1.0))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(n_bins)
+    ref_frac = F.round(F.col("ref_n") / rt + F.lit(1e-12), 6)
+    cur_frac = F.round(F.col("cur_n") / ct + F.lit(1e-12), 6)
+    e = ref_frac * ct
+    dev = F.col("cur_n") - e
+    return g.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.round(F.col("__lo") + F.col("bin") * width + F.lit(1e-12), 6).alias(
+            "lo_edge"
+        ),
+        F.round(
+            F.col("__lo") + (F.col("bin") + 1) * width + F.lit(1e-12), 6
+        ).alias("hi_edge"),
+        "ref_n",
+        "cur_n",
+        ref_frac.alias("ref_frac"),
+        cur_frac.alias("cur_frac"),
+        F.round(F.abs(ref_frac - cur_frac) + F.lit(1e-12), 6).alias("abs_diff"),
+        F.when(
+            F.col("ref_n") > 0,
+            F.round(dev * dev / e + F.lit(1e-12), 6),
+        ).alias("chi2_contrib"),
+    )
+
+
 def quantile_bins(
     df: DataFrame, col: str, group_cols: "Sequence[str]" = (), q: int = 4
 ) -> DataFrame:

@@ -424,3 +424,48 @@ def test_benford_audit_known_distribution(spark):
     assert set(gb) == {7} and gb[7]["n"] == 3  # 0.0 and NULL excluded
     assert gb[7]["observed_frac"] == 1.0
     assert gb[7]["deviation"] == round(1.0 - math.log10(1 + 1 / 7) + 1e-12, 6)
+
+
+def test_distribution_drift_identical_sides_zero_drift(spark):
+    """Identical ref/cur distributions: fracs agree bin-by-bin,
+    abs_diff and chi2_contrib are 0 everywhere."""
+    from orientdb_spark.pipeline.profile import distribution_drift
+
+    df = spark.range(100).select((F.col("id") % 10).cast("double").alias("v"))
+    rows = distribution_drift(df, df, "v", n_bins=5).collect()
+    assert len(rows) == 5
+    assert sum(r["ref_n"] for r in rows) == 100
+    for r in rows:
+        assert r["ref_frac"] == r["cur_frac"]
+        assert r["abs_diff"] == 0.0
+        assert r["chi2_contrib"] == 0.0
+
+
+def test_distribution_drift_hand_checked(spark):
+    """Explicit bounds, a clamped out-of-range current value, a
+    ref-empty bin (chi2 NULL), and hand-computed chi2 on a moved bin."""
+    from orientdb_spark.pipeline.profile import distribution_drift
+
+    ref = spark.createDataFrame([(0.5,), (0.5,), (1.5,), (None,)], "v double")
+    cur = spark.createDataFrame([(0.5,), (2.5,), (9.9,)], "v double")
+    rows = {
+        r["bin"]: r.asDict()
+        for r in distribution_drift(
+            ref, cur, "v", n_bins=4, lo=0.0, hi=4.0
+        ).collect()
+    }
+    # ref: bins {0: 2, 1: 1}; cur: {0: 1, 2: 1, 3: 1 (9.9 clamped)}
+    assert rows[0]["ref_n"] == 2 and rows[0]["cur_n"] == 1
+    assert rows[3]["cur_n"] == 1  # out-of-range clamps, not drops
+    assert rows[2]["chi2_contrib"] is None  # no reference mass
+    assert rows[1]["cur_n"] == 0 and rows[1]["cur_frac"] == 0.0
+    # bin 0: e = round(2/3) * 3 = 2.000001; chi2 = (1-e)^2/e
+    e = round(2 / 3 + 1e-12, 6) * 3
+    assert rows[0]["chi2_contrib"] == round((1 - e) ** 2 / e + 1e-12, 6)
+    assert rows[0]["lo_edge"] == 0.0 and rows[0]["hi_edge"] == 1.0
+    import pytest
+
+    with pytest.raises(ValueError, match="need n_bins"):
+        distribution_drift(ref, cur, "v", n_bins=1)
+    with pytest.raises(ValueError, match="both lo and hi"):
+        distribution_drift(ref, cur, "v", lo=0.0)

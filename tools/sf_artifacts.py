@@ -168,6 +168,9 @@ SF1_ENTRIES = [
     # r13 continuation-7: the IVF occupancy audit is the already-listed
     # 16-cell assignment replay + one GROUP BY to <= 16 rows
     "sim_index_health",
+    # r13 continuation-8: histogram drift is two scans folded into ONE
+    # groupBy to <= n_bins rows + bin-bounded windows
+    "profile_distribution_drift",
 ]
 
 
