@@ -2832,6 +2832,22 @@ def _text_gopher_rules(spark, sf_dir):
     )
 
 
+def _text_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle example construction (pipeline/text.
+    fim_transform, Bavarian et al. 2022): a deterministic 60% of
+    >=20-char docs split at two h60-drawn character cuts into
+    prefix/middle/suffix and re-serialized with sentinels (PSM, or SPM
+    for half of them); the rest pass through as mode='none'. Every
+    decision is an integer hash residue, so the whole corpus transform
+    replays in SQL. One scan, in-row string arithmetic, zero
+    exchanges."""
+    from orientdb_spark.pipeline.text import fim_transform
+
+    return fim_transform(
+        _docs(spark, sf_dir), fim_rate=0.6, spm_rate=0.5, min_chars=20
+    )
+
+
 def _text_duplicate_spans(spark, sf_dir):
     """Exact duplicated-substring spans (the distributed analog of
     Lee et al. 2022 suffix-array substring dedup;
@@ -4557,6 +4573,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_boilerplate": _text_boilerplate,
         "text_duplicate_spans": _text_duplicate_spans,
         "text_gopher_rules": _text_gopher_rules,
+        "text_fim_transform": _text_fim_transform,
         "text_line_quality": _text_line_quality,
         "text_pii_redact": _text_pii_redact,
         "text_paragraph_dedup": _text_paragraph_dedup,
@@ -8299,6 +8316,41 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "(max(pos) + 4)::INTEGER AS span_end, "
             "(max(pos) + 4 - min(pos) + 1)::INTEGER AS n_dup_tokens "
             "FROM sp GROUP BY doc_id, span_id"
+        ),
+        "text_fim_transform": (
+            # replays fim_transform: select/mode via integer h60
+            # residues vs rate*1e6, cuts = sorted pair of h60 % (len+1),
+            # parts via 1-indexed substring arithmetic, PSM/SPM sentinel
+            # serialization; 'none' docs pass through unchanged
+            "WITH base AS (SELECT doc_id, text, length(text) AS ln, "
+            + _dk_h60("CAST(doc_id AS VARCHAR) || ':fim'")
+            + " % 1000000 AS uf, "
+            + _dk_h60("CAST(doc_id AS VARCHAR) || ':spm'")
+            + " % 1000000 AS um, "
+            + _dk_h60("CAST(doc_id AS VARCHAR) || ':c1'")
+            + " AS h1, "
+            + _dk_h60("CAST(doc_id AS VARCHAR) || ':c2'")
+            + " AS h2 FROM documents), "
+            "cut AS (SELECT doc_id, text, ln, "
+            "(ln >= 20 AND uf < 600000) AS sel, um < 500000 AS spm, "
+            "LEAST(h1 % (ln + 1), h2 % (ln + 1))::INTEGER AS lo, "
+            "GREATEST(h1 % (ln + 1), h2 % (ln + 1))::INTEGER AS hi "
+            "FROM base), "
+            "p AS (SELECT *, substring(text, 1, lo) AS pre, "
+            "substring(text, lo + 1, hi - lo) AS mid, "
+            "substring(text, hi + 1, ln - hi) AS suf FROM cut) "
+            "SELECT doc_id, "
+            "CASE WHEN NOT sel THEN 'none' WHEN spm THEN 'spm' "
+            "ELSE 'psm' END AS mode, "
+            "CASE WHEN sel THEN lo END AS fim_lo, "
+            "CASE WHEN sel THEN hi END AS fim_hi, "
+            "CASE WHEN sel THEN pre END AS prefix, "
+            "CASE WHEN sel THEN mid END AS middle, "
+            "CASE WHEN sel THEN suf END AS suffix, "
+            "CASE WHEN NOT sel THEN text "
+            "WHEN spm THEN '<PRE><SUF>' || suf || '<MID>' || pre || mid "
+            "ELSE '<PRE>' || pre || '<SUF>' || suf || '<MID>' || mid "
+            "END AS formatted FROM p"
         ),
         "text_gopher_rules": (
             # re-derives the stamped fixture and the full Gopher rule

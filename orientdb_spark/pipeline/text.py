@@ -1475,3 +1475,86 @@ def vocab_growth_stats(
             F.sum((F.col("__n") == 1).cast("long")) / F.count(F.lit(1))
         ).alias("hapax_ratio"),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fim_rate: float = 0.5,
+    spm_rate: float = 0.5,
+    min_chars: int = 10,
+) -> DataFrame:
+    """Fill-in-the-middle training-example construction (Bavarian et
+    al. 2022, the FIM transform applied to code/LLM pretraining data):
+    a deterministic ``fim_rate`` fraction of documents is split at two
+    uniform character positions into (prefix, middle, suffix) and
+    re-serialized with sentinel markers — PSM order
+    ``<PRE>p<SUF>s<MID>m`` or, for a ``spm_rate`` sub-fraction, SPM
+    order ``<PRE><SUF>s<MID>pm`` (the joint variant that lets one
+    model serve both orders). Untouched docs pass through with
+    ``mode='none'`` and the original text, so the output is the full
+    training corpus, not just the transformed slice.
+
+    Every decision is h60-keyed on the document id (select / mode /
+    both cut points), making the transform a pure deterministic
+    function of the input — re-running a failed 100 TB job reproduces
+    byte-identical examples, and the DuckDB oracle replays all of it.
+    Rates compare integer hash residues (``h % 10^6 < rate*10^6``) —
+    no float thresholds. Cuts are character-level: lo/hi = the sorted
+    pair of ``h60 % (len+1)`` draws; empty parts (lo=0, lo=hi, hi=len)
+    are legitimate and serialize as empty strings, matching the
+    paper's uniform split.
+
+    Returns (id, mode['psm'|'spm'|'none'], fim_lo, fim_hi, prefix,
+    middle, suffix, formatted). Scale shape: one scan, pure Column
+    string/hash arithmetic in-row — zero shuffles, zero UDFs.
+    """
+    if not 0.0 <= fim_rate <= 1.0 or not 0.0 <= spm_rate <= 1.0:
+        raise ValueError(
+            f"rates must be in [0, 1], got fim_rate={fim_rate}, "
+            f"spm_rate={spm_rate}"
+        )
+    if min_chars < 1:
+        raise ValueError(f"need min_chars >= 1, got {min_chars}")
+    sid = F.col(id_col).cast("string")
+    text = F.col(text_col)
+    ln = F.length(text)
+
+    def draw(tag: str) -> Column:
+        return h60(F.concat(sid, F.lit(":" + tag)))
+
+    selected = (ln >= min_chars) & (
+        draw("fim") % 1_000_000 < int(fim_rate * 1_000_000)
+    )
+    spm = draw("spm") % 1_000_000 < int(spm_rate * 1_000_000)
+    c1, c2 = draw("c1") % (ln + 1), draw("c2") % (ln + 1)
+    lo = F.least(c1, c2).cast("int")
+    hi = F.greatest(c1, c2).cast("int")
+    prefix = F.substring(text, F.lit(1), lo)
+    middle = F.substring(text, lo + 1, hi - lo)
+    suffix = F.substring(text, hi + 1, ln - hi)
+    psm_fmt = F.concat(
+        F.lit("<PRE>"), prefix, F.lit("<SUF>"), suffix, F.lit("<MID>"), middle
+    )
+    spm_fmt = F.concat(
+        F.lit("<PRE><SUF>"), suffix, F.lit("<MID>"), prefix, middle
+    )
+    null_s = F.lit(None).cast("string")
+    null_i = F.lit(None).cast("int")
+    return df.select(
+        F.col(id_col),
+        F.when(~selected, F.lit("none"))
+        .when(spm, F.lit("spm"))
+        .otherwise(F.lit("psm"))
+        .alias("mode"),
+        F.when(selected, lo).otherwise(null_i).alias("fim_lo"),
+        F.when(selected, hi).otherwise(null_i).alias("fim_hi"),
+        F.when(selected, prefix).otherwise(null_s).alias("prefix"),
+        F.when(selected, middle).otherwise(null_s).alias("middle"),
+        F.when(selected, suffix).otherwise(null_s).alias("suffix"),
+        F.when(~selected, text)
+        .when(spm, spm_fmt)
+        .otherwise(psm_fmt)
+        .alias("formatted"),
+    )

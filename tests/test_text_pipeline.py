@@ -917,3 +917,66 @@ def test_gopher_rules_paper_defaults_and_validation(spark):
         text.gopher_rules(df, min_words=100, max_words=10)
     with pytest.raises(ValueError, match="min_stop_words"):
         text.gopher_rules(df, min_stop_words=-1)
+
+
+def test_fim_transform_reassembly_and_modes(spark, docs):
+    """Selected docs must reassemble to the original text from their
+    parts; 'none' docs pass through; sentinels follow PSM/SPM order."""
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in text.fim_transform(
+            docs, fim_rate=1.0, spm_rate=0.5, min_chars=1
+        ).collect()
+    }
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(r["mode"] for r in out.values()) <= {"psm", "spm"}
+    for i, r in out.items():
+        assert r["prefix"] + r["middle"] + r["suffix"] == orig[i]
+        assert 0 <= r["fim_lo"] <= r["fim_hi"] <= len(orig[i])
+        if r["mode"] == "psm":
+            want = (
+                "<PRE>" + r["prefix"] + "<SUF>" + r["suffix"]
+                + "<MID>" + r["middle"]
+            )
+        else:
+            want = (
+                "<PRE><SUF>" + r["suffix"] + "<MID>"
+                + r["prefix"] + r["middle"]
+            )
+        assert r["formatted"] == want
+
+
+def test_fim_transform_rate_zero_and_min_chars(spark, docs):
+    """fim_rate=0 leaves every doc untouched; min_chars excludes short
+    docs even at rate 1; invalid params raise."""
+    none = text.fim_transform(docs, fim_rate=0.0).collect()
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert all(r["mode"] == "none" and r["prefix"] is None for r in none)
+    assert all(r["formatted"] == orig[r["doc_id"]] for r in none)
+
+    gated = {
+        r["doc_id"]: r["mode"]
+        for r in text.fim_transform(docs, fim_rate=1.0, min_chars=20).collect()
+    }
+    assert gated[4] == "none"  # "tiny" is under min_chars
+    assert all(m != "none" for i, m in gated.items() if i != 4)
+
+    with pytest.raises(ValueError, match="rates must be"):
+        text.fim_transform(docs, fim_rate=1.5)
+    with pytest.raises(ValueError, match="min_chars"):
+        text.fim_transform(docs, min_chars=0)
+
+
+def test_fim_transform_deterministic_and_shuffle_free(spark, docs):
+    """Same input → byte-identical output (the 100 TB re-run
+    guarantee), and the plan is a single in-row projection."""
+    a = sorted(map(tuple, text.fim_transform(docs).collect()))
+    b = sorted(map(tuple, text.fim_transform(docs).collect()))
+    assert a == b
+    plan = (
+        text.fim_transform(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -171,6 +171,9 @@ SF1_ENTRIES = [
     # r13 continuation-8: histogram drift is two scans folded into ONE
     # groupBy to <= n_bins rows + bin-bounded windows
     "profile_distribution_drift",
+    # r13 continuation-9: FIM is one exchange-free in-row projection —
+    # the scale question is string-volume, which sf10 exercises
+    "text_fim_transform",
 ]
 
 
