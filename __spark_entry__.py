@@ -2848,6 +2848,20 @@ def _text_fim_transform(spark, sf_dir):
     )
 
 
+def _text_span_corruption(spark, sf_dir):
+    """T5-style span corruption (pipeline/text.span_corruption, Raffel
+    et al. 2020 / UL2 R-denoiser): deterministic per-segment spans
+    (S = floor(n*0.15/3), one per equal-width token segment, h60-drawn
+    length/start), sentinel-marked encoder inputs + decoder targets.
+    Docs under 20 tokens pass through with n_spans=0. Pure in-row
+    array arithmetic; the oracle replays the whole construction."""
+    from orientdb_spark.pipeline.text import span_corruption
+
+    return span_corruption(
+        _docs(spark, sf_dir), corruption_rate=0.15, mean_span=3, min_tokens=20
+    )
+
+
 def _text_duplicate_spans(spark, sf_dir):
     """Exact duplicated-substring spans (the distributed analog of
     Lee et al. 2022 suffix-array substring dedup;
@@ -4574,6 +4588,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_duplicate_spans": _text_duplicate_spans,
         "text_gopher_rules": _text_gopher_rules,
         "text_fim_transform": _text_fim_transform,
+        "text_span_corruption": _text_span_corruption,
         "text_line_quality": _text_line_quality,
         "text_pii_redact": _text_pii_redact,
         "text_paragraph_dedup": _text_paragraph_dedup,
@@ -8351,6 +8366,48 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "WHEN spm THEN '<PRE><SUF>' || suf || '<MID>' || pre || mid "
             "ELSE '<PRE>' || pre || '<SUF>' || suf || '<MID>' || mid "
             "END AS formatted FROM p"
+        ),
+        "text_span_corruption": (
+            # replays span_corruption: S = floor(n*0.15/3) equal-width
+            # segments, per-segment h60-drawn span length (1 + h%5,
+            # clamped) and start, sentinel-marked inputs via an index
+            # classification list, targets via per-span slices + the
+            # closing <extra_id_S>; under-20-token docs pass through
+            "WITH d AS (SELECT doc_id, text, "
+            "list_filter(regexp_split_to_array(text, '\\s+'), "
+            "w -> len(w) > 0) AS t FROM documents), "
+            "m AS (SELECT doc_id, text, t, len(t)::BIGINT AS n FROM d), "
+            "el AS (SELECT doc_id, text, t, n, GREATEST(1, "
+            "floor(n * 0.15::DOUBLE / 3.0::DOUBLE)::BIGINT) AS s "
+            "FROM m WHERE n >= 20), "
+            "sg AS (SELECT *, floor(n::DOUBLE / s)::BIGINT AS seg FROM el), "
+            "ls AS (SELECT *, list_transform(range(0, s), k -> LEAST(1 + "
+            + _dk_h60("CAST(doc_id AS VARCHAR) || ':sc-len:' || CAST(k AS VARCHAR)")
+            + " % 5, seg)) AS ll FROM sg), "
+            "ss AS (SELECT *, list_transform(range(0, s), k -> k * seg + "
+            + _dk_h60("CAST(doc_id AS VARCHAR) || ':sc-pos:' || CAST(k AS VARCHAR)")
+            + " % (seg - list_extract(ll, (k + 1)::INTEGER) + 1)) AS sl "
+            "FROM ls), "
+            "inp AS (SELECT *, array_to_string(list_filter("
+            "list_transform(range(0, n), i -> CASE WHEN (i // seg) < s "
+            "AND i >= list_extract(sl, ((i // seg) + 1)::INTEGER) "
+            "AND i < list_extract(sl, ((i // seg) + 1)::INTEGER) "
+            "+ list_extract(ll, ((i // seg) + 1)::INTEGER) "
+            "THEN CASE WHEN i = list_extract(sl, ((i // seg) + 1)::INTEGER) "
+            "THEN '<extra_id_' || (i // seg) || '>' ELSE '' END "
+            "ELSE list_extract(t, (i + 1)::INTEGER) END), "
+            "x -> len(x) > 0), ' ') AS inputs FROM ss), "
+            "tg AS (SELECT *, array_to_string(list_transform(range(0, s), "
+            "k -> '<extra_id_' || k || '> ' || array_to_string("
+            "list_slice(t, (list_extract(sl, (k + 1)::INTEGER) + 1)::INTEGER, "
+            "(list_extract(sl, (k + 1)::INTEGER) "
+            "+ list_extract(ll, (k + 1)::INTEGER))::INTEGER), ' ')), ' ') "
+            "|| ' <extra_id_' || s || '>' AS targets, "
+            "list_sum(ll)::BIGINT AS n_masked FROM inp) "
+            "SELECT doc_id, n AS n_tokens, s AS n_spans, n_masked, "
+            "inputs, targets FROM tg "
+            "UNION ALL SELECT doc_id, n, 0::BIGINT, 0::BIGINT, text, '' "
+            "FROM m WHERE n < 20"
         ),
         "text_gopher_rules": (
             # re-derives the stamped fixture and the full Gopher rule

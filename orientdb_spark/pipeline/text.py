@@ -1558,3 +1558,129 @@ def fim_transform(
         .otherwise(psm_fmt)
         .alias("formatted"),
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corruption_rate: float = 0.15,
+    mean_span: int = 3,
+    min_tokens: int = 20,
+) -> DataFrame:
+    """T5-style span-corruption example construction (Raffel et al.
+    2020 §3.1.4; the UL2 R-denoiser): mask ~``corruption_rate`` of each
+    document's tokens in spans of mean length ``mean_span``, emitting
+    the sentinel-marked encoder ``inputs`` and the decoder ``targets``
+    (``<extra_id_k>`` + the masked tokens, closed by a final
+    ``<extra_id_S>``).
+
+    The span layout is deterministic and non-overlapping by
+    construction: S = max(1, floor(n·rate/mean)) spans, one per
+    equal-width token segment (seg = n div S; the short tail past
+    S·seg stays unmasked); within segment k the span length is
+    1 + h60(id:len:k) % (2·mean−1) (mean = ``mean_span``, clamped to
+    the segment) and the start is segment-uniform via
+    h60(id:pos:k). Docs under ``min_tokens`` pass through with
+    n_spans = 0, inputs = the original text, empty targets — the
+    output is the full corpus.
+
+    Like fim_transform, every decision is an integer hash residue of
+    the document id, so a 100 TB re-run is byte-identical and the
+    DuckDB oracle replays the whole construction. Scale shape: one
+    scan, in-row array arithmetic (transform/filter/slice over the
+    token array) — zero shuffles, zero UDFs.
+
+    Returns (id, n_tokens, n_spans, n_masked, inputs, targets)."""
+    if not 0.0 < corruption_rate < 1.0:
+        raise ValueError(f"corruption_rate must be in (0, 1), got {corruption_rate}")
+    if mean_span < 1:
+        raise ValueError(f"need mean_span >= 1, got {mean_span}")
+    if min_tokens < 1:
+        raise ValueError(f"need min_tokens >= 1, got {min_tokens}")
+    sid = F.col(id_col).cast("string")
+
+    def draw(tag: str, k: Column) -> Column:
+        return h60(F.concat(sid, F.lit(f":sc-{tag}:"), k.cast("string")))
+
+    toks = ws_tokens(F.col(text_col))
+    base = df.select(F.col(id_col), F.col(text_col).alias("__text"), toks.alias("__t"))
+    n = F.size("__t")
+    s_cnt = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(n * F.lit(float(corruption_rate)) / F.lit(float(mean_span))),
+    )
+    eligible = n >= min_tokens
+    base = base.select(
+        id_col,
+        "__text",
+        "__t",
+        n.alias("__n"),
+        F.when(eligible, s_cnt).otherwise(F.lit(0)).alias("__s"),
+    )
+    seg = (F.col("__n") / F.col("__s")).cast("long")  # floor for positives
+    # per-span (start0, len) on the 0-based token axis, one per segment
+    ldraw = lambda k: F.lit(1) + draw("len", k) % F.lit(2 * mean_span - 1)
+    spanlen = lambda k: F.least(ldraw(k), seg)
+    start0 = lambda k: k * seg + draw("pos", k) % (seg - spanlen(k) + F.lit(1))
+    spans = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.col("__s") - 1),
+        lambda k: F.struct(
+            start0(k).alias("s"), spanlen(k).alias("l"), k.alias("k")
+        ),
+    )
+    work = base.withColumn(
+        "__spans", F.when(F.col("__s") > 0, spans).otherwise(F.array())
+    )
+    # classify each token index: outside any span -> the token; at a
+    # span start -> the sentinel; inside a span -> drop (empty marker)
+    idxs = F.sequence(F.lit(0).cast("long"), F.col("__n") - 1)
+
+    def classify(i: Column) -> Column:
+        k = (i / seg).cast("long")
+        hit = F.when(
+            (F.col("__s") > 0) & (k < F.col("__s")),
+            F.element_at(F.col("__spans"), (k + 1).cast("int")),
+        )
+        inside = hit.isNotNull() & (i >= hit["s"]) & (i < hit["s"] + hit["l"])
+        return (
+            F.when(~inside, F.element_at(F.col("__t"), (i + 1).cast("int")))
+            .when(i == hit["s"], F.concat(F.lit("<extra_id_"), k, F.lit(">")))
+            .otherwise(F.lit(""))
+        )
+
+    inputs = F.array_join(
+        F.filter(F.transform(idxs, classify), lambda t: F.length(t) > 0), " "
+    )
+    tgt_parts = F.transform(
+        F.col("__spans"),
+        lambda sp: F.concat(
+            F.lit("<extra_id_"),
+            sp["k"],
+            F.lit("> "),
+            F.array_join(F.slice(F.col("__t"), (sp["s"] + 1).cast("int"), sp["l"]), " "),
+        ),
+    )
+    targets = F.when(
+        F.col("__s") > 0,
+        F.concat(
+            F.array_join(tgt_parts, " "),
+            F.lit(" <extra_id_"),
+            F.col("__s"),
+            F.lit(">"),
+        ),
+    ).otherwise(F.lit(""))
+    n_masked = F.when(
+        F.col("__s") > 0,
+        F.aggregate(
+            F.col("__spans"), F.lit(0).cast("long"), lambda acc, sp: acc + sp["l"]
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return work.select(
+        id_col,
+        F.col("__n").cast("long").alias("n_tokens"),
+        F.col("__s").cast("long").alias("n_spans"),
+        n_masked.alias("n_masked"),
+        F.when(F.col("__s") > 0, inputs).otherwise(F.col("__text")).alias("inputs"),
+        targets.alias("targets"),
+    )

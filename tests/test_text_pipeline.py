@@ -980,3 +980,54 @@ def test_fim_transform_deterministic_and_shuffle_free(spark, docs):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_span_corruption_roundtrip(spark):
+    """Splicing each target span back over its sentinel in the inputs
+    must reconstruct the (whitespace-normalized) document — the
+    denoising objective's defining invariant."""
+    import re
+
+    rows = [(i, " ".join(f"w{i}t{j}" for j in range(30 + 7 * i))) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = text.span_corruption(df, min_tokens=10).collect()
+    for r in out:
+        assert r["n_spans"] >= 1
+        spans = dict(
+            re.findall(r"<extra_id_(\d+)> ([^<]*?)(?= <extra_id_|$)", r["targets"])
+        )
+        rebuilt = re.sub(
+            r"<extra_id_(\d+)>", lambda m: spans.get(m.group(1), "").strip(), r["inputs"]
+        )
+        orig = " ".join(rows[r["doc_id"]][1].split())
+        assert " ".join(rebuilt.split()) == orig
+        assert r["n_masked"] == sum(len(v.split()) for v in spans.values())
+        # closing sentinel is <extra_id_S>
+        assert r["targets"].endswith(f"<extra_id_{r['n_spans']}>")
+
+
+def test_span_corruption_short_docs_pass_through(spark):
+    df = spark.createDataFrame(
+        [(1, "too short to mask"), (2, " ".join(["tok"] * 40))],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in text.span_corruption(df, min_tokens=20).collect()}
+    assert got[1]["n_spans"] == 0 and got[1]["n_masked"] == 0
+    assert got[1]["inputs"] == "too short to mask" and got[1]["targets"] == ""
+    assert got[2]["n_spans"] == 2  # floor(40*0.15/3) = 2
+    with pytest.raises(ValueError, match="corruption_rate"):
+        text.span_corruption(df, corruption_rate=0.0)
+    with pytest.raises(ValueError, match="mean_span"):
+        text.span_corruption(df, mean_span=0)
+
+
+def test_span_corruption_deterministic_zero_exchange(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(f"x{j}" for j in range(50))) for i in range(4)],
+        "doc_id bigint, text string",
+    )
+    a = sorted(map(tuple, text.span_corruption(df).collect()))
+    b = sorted(map(tuple, text.span_corruption(df).collect()))
+    assert a == b
+    plan = text.span_corruption(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -174,6 +174,9 @@ SF1_ENTRIES = [
     # r13 continuation-9: FIM is one exchange-free in-row projection —
     # the scale question is string-volume, which sf10 exercises
     "text_fim_transform",
+    # r13 continuation-10: span corruption is the same exchange-free
+    # in-row shape with per-token list arithmetic
+    "text_span_corruption",
 ]
 
 
