@@ -3755,6 +3755,30 @@ def _sim_rank_eval(spark, sf_dir):
     return similarity.rank_eval(ranked, labels, k=10)
 
 
+def _sim_pr_eval(spark, sf_dir):
+    """Set-based ranked-retrieval metrics (pipeline/similarity.pr_eval
+    -- precision@k / recall@k / average precision, the trec_eval MAP
+    components): the same fixed 16-cell/4-probe IVF top-10 vs graded
+    labels fixture as sim_rank_eval, binarized (rel > 0). Every term is
+    a ratio of small integers (hit index over rank), so the metric
+    replays bit-exactly with no transcendentals on either engine."""
+    from orientdb_spark.pipeline import similarity
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    labels = (
+        similarity.brute_force_topk(embs, queries, k=4)
+        .filter(F.col("rank") >= 2)
+        .select(
+            "query_id", "neighbor_id", (F.lit(5) - F.col("rank")).alias("rel")
+        )
+    )
+    ranked = similarity.ivf_topk(
+        embs, queries, k=10, n_cells=16, nprobe=4, refine_iters=0
+    )
+    return similarity.pr_eval(ranked, labels, k=10)
+
+
 def _text_min_k_prob(spark, sf_dir):
     """Min-K%-prob memorization audit (pipeline/text.min_k_prob, Shi et
     al. 2023): per doc, the mean NLL of the 20% least-likely bigram
@@ -4531,6 +4555,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sim_ann_recall": _sim_ann_recall,
         "sim_matryoshka_recall": _sim_matryoshka_recall,
         "sim_rank_eval": _sim_rank_eval,
+        "sim_pr_eval": _sim_pr_eval,
         "sim_index_health": _sim_index_health,
         "sim_index_persist": _sim_index_persist,
         "sim_index_incremental": _sim_index_incremental,
@@ -5101,6 +5126,44 @@ def _rank_eval_oracle_sql(
         "THEN coalesce(dcg0, 0.0) / coalesce(idcg0, 0.0) ELSE 0.0 END "
         "+ 1e-12, 6) AS ndcg "
         "FROM nr JOIN pi USING (query_id) LEFT JOIN pq USING (query_id)"
+    )
+
+
+def _pr_eval_oracle_sql(
+    n_cells: int = 16, nprobe: int = 4, nq: int = 10, k: int = 10
+) -> str:
+    """Precision/recall/AP replay (pipeline/similarity.pr_eval): the
+    fixed IVF replay as the ranked side, exact ranks 2-4 as (binary)
+    relevant labels; every metric term is a small-integer ratio, so the
+    replay involves no transcendental on either engine."""
+    return (
+        "WITH rk AS MATERIALIZED (SELECT query_id, neighbor_id, rank FROM ("
+        + _ivf_fixed_oracle_sql(n_cells, nprobe, nq, k)
+        + ") ivf), "
+        "qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+        f"FROM embeddings WHERE vec_id < {nq}), "
+        "ev AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ev "
+        "FROM embeddings), "
+        "s AS (SELECT query_id, neighbor_id, "
+        + _COS.format(a="qv", b="ev")
+        + " AS c FROM qv, ev WHERE neighbor_id <> query_id), "
+        "lab AS MATERIALIZED (SELECT query_id, neighbor_id FROM ("
+        "SELECT query_id, neighbor_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS xrk FROM s) "
+        "WHERE xrk BETWEEN 2 AND 4), "
+        "hits AS (SELECT rk.query_id, rank, row_number() OVER ("
+        "PARTITION BY rk.query_id ORDER BY rank) AS i "
+        "FROM rk JOIN lab USING (query_id, neighbor_id)), "
+        "pq AS (SELECT query_id, count(*)::BIGINT AS n_hits, "
+        "sum(i::DOUBLE / rank::DOUBLE) AS ap_num FROM hits GROUP BY 1), "
+        "nr AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM lab GROUP BY 1) "
+        "SELECT nr.query_id, n_rel, "
+        "coalesce(n_hits, 0)::BIGINT AS n_hits, "
+        f"round(coalesce(n_hits, 0) / {float(k)!r} + 1e-12, 6) AS precision_k, "
+        "round(coalesce(n_hits, 0)::DOUBLE / n_rel + 1e-12, 6) AS recall_k, "
+        f"round(coalesce(ap_num, 0.0) / least(n_rel, {k})::DOUBLE + 1e-12, 6) "
+        "AS ap "
+        "FROM nr LEFT JOIN pq USING (query_id)"
     )
 
 
@@ -7803,6 +7866,9 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             dims=(8, 16, 32, 64), nq=8, k=5
         ),
         "sim_rank_eval": _rank_eval_oracle_sql(
+            n_cells=16, nprobe=4, nq=10, k=10
+        ),
+        "sim_pr_eval": _pr_eval_oracle_sql(
             n_cells=16, nprobe=4, nq=10, k=10
         ),
         "sim_index_health": (

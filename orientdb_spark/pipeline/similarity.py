@@ -2375,6 +2375,86 @@ def rank_eval(
     )
 
 
+def pr_eval(
+    ranked: DataFrame,
+    labels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Set-based ranked-retrieval metrics — precision@k, recall@k and
+    average precision (the MAP components; Buckley & Voorhees's trec_eval
+    definitions) — completing the evaluation family next to
+    :func:`rank_eval`'s MRR/nDCG: given a ranked result (``query_col``,
+    ``doc_col``, ``rank_col`` 1..n) and a relevance table (rows with
+    ``rel_col`` > 0 are relevant; graded labels degrade to binary here
+    by design), returns one row per labeled query: ``n_rel`` (relevant
+    docs labeled), ``n_hits`` (relevant docs retrieved in the top-k),
+    ``precision_k`` = n_hits/k, ``recall_k`` = n_hits/n_rel, and ``ap``
+    = sum over hit positions r_i of (i / r_i) / min(n_rel, k) — the
+    trec_eval AP@k normalization, so a perfect head ranking scores 1.0.
+    All 6-dp nudge-rounded.
+
+    Determinism across engines: every term is a ratio of two small
+    integers (hit index i over rank r_i) — no transcendentals anywhere;
+    the per-query sum runs over <= k doubles so the 6-dp nudge absorbs
+    association-order noise, the same discipline as rank_eval's dcg.
+
+    Scale shape: the ranked frame is per-query-bounded (<= k rows after
+    the rank filter); the labels join is a broadcast equi-join (an
+    evaluation set is panel-sized); the hit-index window partitions by
+    query over <= k hit rows. Nothing touches the corpus."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    r = ranked.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("doc_id"),
+        F.col(rank_col).cast("int").alias("rank"),
+    )
+    lab = labels.filter(F.col(rel_col) > 0).select(
+        F.col(query_col).alias("query_id"), F.col(doc_col).alias("doc_id")
+    )
+    w_hit = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
+    hits = (
+        r.join(F.broadcast(lab), ["query_id", "doc_id"])
+        .withColumn("__i", F.row_number().over(w_hit))
+        .select(
+            "query_id",
+            "rank",
+            (F.col("__i").cast("double") / F.col("rank").cast("double")).alias(
+                "__p_at_hit"
+            ),
+        )
+    )
+    per_q_hits = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("__n_hits"),
+        F.sum("__p_at_hit").alias("__ap_num"),
+    )
+    out = (
+        lab.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+        .join(per_q_hits, "query_id", "left")
+    )
+    n_hits = F.coalesce(F.col("__n_hits"), F.lit(0)).cast("long")
+    ap_num = F.coalesce(F.col("__ap_num"), F.lit(0.0))
+    denom = F.least(F.col("n_rel"), F.lit(k)).cast("double")
+    return out.select(
+        "query_id",
+        F.col("n_rel").cast("long").alias("n_rel"),
+        n_hits.alias("n_hits"),
+        F.round(
+            n_hits.cast("double") / F.lit(float(k)) + F.lit(1e-12), 6
+        ).alias("precision_k"),
+        F.round(
+            n_hits.cast("double") / F.col("n_rel").cast("double") + F.lit(1e-12),
+            6,
+        ).alias("recall_k"),
+        F.round(ap_num / denom + F.lit(1e-12), 6).alias("ap"),
+    )
+
+
 def ivf_cell_stats(
     df: DataFrame,
     n_cells: int | None = None,

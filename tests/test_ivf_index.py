@@ -423,6 +423,53 @@ def test_rank_eval_perfect_ranking_is_one(spark):
     assert all(r["ndcg"] == 1.0 and r["mrr"] == 1.0 for r in out)
 
 
+def test_pr_eval_hand_checked(spark):
+    """Hand-computed precision/recall/AP: two hits at ranks 1 and 3
+    (AP = (1/1 + 2/3) / 2), a miss-only query, unlabeled queries
+    excluded, graded labels binarized (rel > 0)."""
+    import pytest
+
+    from orientdb_spark.pipeline.similarity import pr_eval
+
+    ranked = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3), (2, "y", 1), (9, "q", 1)],
+        "query_id bigint, neighbor_id string, rank int",
+    )
+    labels = spark.createDataFrame(
+        [(1, "a", 3), (1, "c", 1), (1, "z", 0), (2, "x", 2)],
+        "query_id bigint, neighbor_id string, rel int",
+    )
+    got = {r["query_id"]: r.asDict() for r in pr_eval(ranked, labels, k=3).collect()}
+    assert set(got) == {1, 2}  # query 9 unlabeled, rel=0 rows ignored
+    q1 = got[1]
+    assert q1["n_rel"] == 2 and q1["n_hits"] == 2
+    assert q1["precision_k"] == round(2 / 3 + 1e-12, 6)
+    assert q1["recall_k"] == 1.0
+    assert q1["ap"] == round((1.0 / 1 + 2.0 / 3) / 2 + 1e-12, 6)
+    q2 = got[2]
+    assert q2["n_hits"] == 0 and q2["precision_k"] == 0.0
+    assert q2["recall_k"] == 0.0 and q2["ap"] == 0.0
+    with pytest.raises(ValueError, match="k must be positive"):
+        pr_eval(ranked, labels, k=0)
+
+
+def test_pr_eval_perfect_ranking_is_one(spark):
+    """Retrieving exactly the labeled set in any order gives
+    precision-driven AP == 1 when k covers every relevant doc."""
+    from orientdb_spark.pipeline.similarity import brute_force_topk, pr_eval
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") < 6)
+    exact = brute_force_topk(embs, q, k=4)
+    labels = exact.select("query_id", "neighbor_id", F.lit(1).alias("rel"))
+    out = pr_eval(exact, labels, k=4).collect()
+    assert len(out) == 6
+    assert all(
+        r["n_hits"] == 4 and r["recall_k"] == 1.0 and r["ap"] == 1.0
+        for r in out
+    )
+
+
 def test_ivf_cell_stats_invariants(spark):
     """The index-health audit must account for every corpus vector
     exactly once: occupancies sum to 1, load_factor is occupancy

@@ -177,6 +177,10 @@ SF1_ENTRIES = [
     # r13 continuation-10: span corruption is the same exchange-free
     # in-row shape with per-token list arithmetic
     "text_span_corruption",
+    # r13 continuation-11: precision/recall/AP over the fixed IVF
+    # replay — small-integer-ratio panel arithmetic on the already
+    # listed ranked side
+    "sim_pr_eval",
 ]
 
 
