@@ -2495,6 +2495,24 @@ def _profile_k_anonymity(spark, sf_dir):
     return k_anonymity(fixture, ["event_type", "value_band"], k=5)
 
 
+def _profile_l_diversity(spark, sf_dir):
+    """l-diversity audit (pipeline/profile.l_diversity, Machanavajjhala
+    et al. 2006) over the same (event_type, value band) quasi-identifier
+    pair as the k-anonymity entry, with the user cohort (user_id % 97)
+    as the sensitive attribute at l=3 — class sizes, distinct-sensitive
+    counts, and the modal sensitive count a recursive (c,l) check
+    reads. Two stacked integer aggregations; oracle-exact trivially."""
+    from orientdb_spark.pipeline.profile import l_diversity
+
+    ev = _engine(spark, sf_dir).table("events")
+    fixture = ev.select(
+        "event_type",
+        F.floor(F.col("value") / 20).cast("long").alias("value_band"),
+        (F.col("user_id") % 97).alias("cohort"),
+    )
+    return l_diversity(fixture, ["event_type", "value_band"], "cohort", l=3)
+
+
 def _profile_stat_drift(spark, sf_dir):
     """Snapshot drift audit (pipeline/profile.stat_drift): the new
     snapshot injects a +5 mean shift on click values and nulls every
@@ -4593,6 +4611,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sample_weighted": _sample_weighted,
         "profile_json_keys": _profile_json_keys,
         "profile_k_anonymity": _profile_k_anonymity,
+        "profile_l_diversity": _profile_l_diversity,
         "profile_stat_drift": _profile_stat_drift,
         "fulltext_phrase_search": _fulltext_phrase_search,
         "profile_value_histogram": _profile_value_histogram,
@@ -8213,6 +8232,15 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "SELECT event_type, floor(value / 20)::BIGINT AS value_band, "
             "count(*)::BIGINT AS class_size, (count(*) < 5) AS violates_k "
             "FROM events GROUP BY 1, 2"
+        ),
+        "profile_l_diversity": (
+            "WITH vc AS (SELECT event_type, "
+            "floor(value / 20)::BIGINT AS value_band, "
+            "user_id % 97 AS sv, count(*)::BIGINT AS n "
+            "FROM events GROUP BY 1, 2, 3) "
+            "SELECT event_type, value_band, sum(n)::BIGINT AS class_size, "
+            "count(*)::BIGINT AS l_distinct, max(n)::BIGINT AS top_sensitive_n, "
+            "(count(*) < 3) AS violates_l FROM vc GROUP BY 1, 2"
         ),
         "profile_stat_drift": (
             "WITH o AS (SELECT count(*)::BIGINT AS n, "

@@ -259,6 +259,46 @@ def k_anonymity(
     ).withColumn("violates_k", F.col("class_size") < k)
 
 
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: "Sequence[str]",
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2006 — the privacy
+    property k-anonymity misses: a k-anonymous class whose members all
+    share one sensitive value still discloses it): per equivalence
+    class over the quasi-identifier columns, ``class_size``,
+    ``l_distinct`` (distinct sensitive values, NULL counted as its own
+    value — an absent diagnosis is itself sensitive), ``top_sensitive_n``
+    (the modal sensitive value's count — the numerator a recursive
+    (c,l)-diversity check reads), and ``violates_l`` (l_distinct < l).
+
+    Scale shape: two stacked map-side-combinable aggregations — groupBy
+    (quasi + sensitive) to value-level counts, then groupBy(quasi) for
+    size/distinct/max — never a count_distinct shuffle of raw rows and
+    never a per-class collect. At 100 TB the first groupBy bounds the
+    second's input by the number of DISTINCT (class, value) pairs; skew
+    on a hot class is a keyed-count salting trade, same as k_anonymity."""
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    qc = list(quasi_cols)
+    if not qc:
+        raise ValueError("l_diversity needs at least one quasi-identifier column")
+    value_counts = df.groupBy(
+        *qc, F.col(sensitive_col).alias("__sv")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        value_counts.groupBy(*qc)
+        .agg(
+            F.sum("__n").cast("long").alias("class_size"),
+            F.count(F.lit(1)).cast("long").alias("l_distinct"),
+            F.max("__n").cast("long").alias("top_sensitive_n"),
+        )
+        .withColumn("violates_l", F.col("l_distinct") < l)
+    )
+
+
 def stat_drift(
     old: DataFrame, new: DataFrame, cols: "Sequence[str]"
 ) -> DataFrame:

@@ -149,6 +149,38 @@ def test_k_anonymity_flags_small_classes(spark):
     assert got == {("a", 1): (5, False), ("a", 2): (2, True), ("b", 1): (1, True)}
 
 
+def test_l_diversity_flags_homogeneous_classes(spark):
+    """A k-anonymous class with one sensitive value must violate l=2;
+    NULL counts as its own sensitive value; top_sensitive_n is the
+    modal count."""
+    import pytest
+
+    from orientdb_spark.pipeline.profile import l_diversity
+
+    rows = (
+        [("a", "flu")] * 4                       # homogeneous -> violates
+        + [("b", "flu"), ("b", "cold"), ("b", "cold")]  # diverse
+        + [("c", None), ("c", "flu")]            # NULL is a value
+    )
+    df = spark.createDataFrame(rows, ["q", "s"])
+    got = {
+        r["q"]: (
+            r["class_size"], r["l_distinct"],
+            r["top_sensitive_n"], r["violates_l"],
+        )
+        for r in l_diversity(df, ["q"], "s", l=2).collect()
+    }
+    assert got == {
+        "a": (4, 1, 4, True),
+        "b": (3, 2, 2, False),
+        "c": (2, 2, 1, False),
+    }
+    with pytest.raises(ValueError, match="l must be >= 1"):
+        l_diversity(df, ["q"], "s", l=0)
+    with pytest.raises(ValueError, match="quasi-identifier"):
+        l_diversity(df, [], "s")
+
+
 def test_stat_drift_surfaces_injected_shift(spark):
     from pyspark.sql import functions as F
 

@@ -181,6 +181,9 @@ SF1_ENTRIES = [
     # replay — small-integer-ratio panel arithmetic on the already
     # listed ranked side
     "sim_pr_eval",
+    # r13 continuation-12: l-diversity is two stacked integer
+    # aggregations over the k-anonymity fixture — pure keyed counts
+    "profile_l_diversity",
 ]
 
 
