@@ -509,6 +509,16 @@ def _graph_modularity(spark, sf_dir):
     return g.modularity(g.label_propagation(iterations=3))
 
 
+def _graph_assortativity(spark, sf_dir):
+    """Degree assortativity (Graph.assortativity, Newman 2002) of the
+    FK graph — one row of exact integer stub sums plus the 6-dp
+    Pearson coefficient on one fixed IEEE tree. The FK tree is
+    hub-and-spoke, so r comes out strongly negative — the shape where
+    hub-key salting pays. Order-free float work, replays bit-exactly."""
+    g = _graph(spark, sf_dir)
+    return g.assortativity()
+
+
 def _event_hierarchical_rollup(spark, sf_dir):
     """Hypertable-style continuous aggregate: minute/hour/day levels
     where only the minute level scans raw events — each coarser level
@@ -4455,6 +4465,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "graph_sssp": _graph_sssp,
         "graph_label_propagation": _graph_label_propagation,
         "graph_modularity": _graph_modularity,
+        "graph_assortativity": _graph_assortativity,
         "graph_triangle_count": _graph_triangle_count,
         "graph_clustering_coeff": _graph_clustering_coeff,
         "graph_neighbor_features": _graph_neighbor_features,
@@ -8743,6 +8754,39 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
         ),
         "graph_sssp": _sssp_oracle(iterations=6),
         "graph_label_propagation": _lpa_oracle(iterations=3),
+        "graph_assortativity": (
+            # FK edges redeclared, both directed stubs per edge, exact
+            # integer sums, then the identical one-tree Pearson ratio
+            "WITH e0 AS ("
+            "SELECT 'region:' || n_regionkey AS src, "
+            "'nation:' || n_nationkey AS dst FROM nation "
+            "UNION ALL SELECT 'nation:' || c_nationkey, "
+            "'customer:' || c_custkey FROM customer "
+            "UNION ALL SELECT 'customer:' || o_custkey, "
+            "'orders:' || o_orderkey FROM orders), "
+            "ed AS (SELECT src, dst FROM e0 WHERE src <> dst), "
+            "stubs AS (SELECT src, dst FROM ed "
+            "UNION ALL SELECT dst, src FROM ed), "
+            "deg AS (SELECT src AS vid, count(*)::BIGINT AS dg "
+            "FROM stubs GROUP BY 1), "
+            "pr AS (SELECT dx.dg AS x, dy.dg AS y FROM stubs s "
+            "JOIN deg dx ON s.src = dx.vid "
+            "JOIN deg dy ON s.dst = dy.vid), "
+            "ag AS (SELECT count(*)::BIGINT AS m_directed, "
+            "sum(x)::BIGINT AS s_deg, sum(x * y)::BIGINT AS s_deg_prod, "
+            "sum(x * x)::BIGINT AS s_deg_sq FROM pr) "
+            "SELECT m_directed, s_deg, s_deg_prod, s_deg_sq, "
+            "round(CASE WHEN (s_deg_sq::DOUBLE / m_directed::DOUBLE - "
+            "(s_deg::DOUBLE / m_directed::DOUBLE) * "
+            "(s_deg::DOUBLE / m_directed::DOUBLE)) > 0 "
+            "THEN (s_deg_prod::DOUBLE / m_directed::DOUBLE - "
+            "(s_deg::DOUBLE / m_directed::DOUBLE) * "
+            "(s_deg::DOUBLE / m_directed::DOUBLE)) / "
+            "(s_deg_sq::DOUBLE / m_directed::DOUBLE - "
+            "(s_deg::DOUBLE / m_directed::DOUBLE) * "
+            "(s_deg::DOUBLE / m_directed::DOUBLE)) END + 1e-12, 6) "
+            "AS assortativity FROM ag"
+        ),
         "graph_modularity": (
             # LPA-3 replay as the assignment, FK edges redeclared, then
             # the per-community degree/internal aggregations; q_contrib

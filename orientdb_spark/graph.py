@@ -1366,6 +1366,75 @@ class Graph:
             )
         )
 
+    def assortativity(self) -> DataFrame:
+        """Degree assortativity coefficient (Newman 2002) — do
+        high-degree vertices attach to other hubs (r > 0, social-graph
+        shape) or to leaves (r < 0, hub-and-spoke / FK-tree shape)?
+        The one-number structural signature read before choosing a
+        partitioning strategy: disassortative hub graphs are exactly
+        the ones where per-vertex salting of the hub keys pays.
+
+        Over the undirected edge list (self-loops dropped), each edge
+        contributes both directed stubs (u,v) and (v,u) with x=deg(u),
+        y=deg(v); r is the Pearson correlation of (x, y) over stub
+        pairs. Returns ONE row of exact integer sums plus the 6-dp
+        coefficient: ``(m_directed, s_deg, s_deg_prod, s_deg_sq,
+        assortativity)`` where s_deg = Σx, s_deg_prod = Σxy, s_deg_sq
+        = Σx² (symmetric in x/y by construction), and
+
+            r = (Σxy/M − (Σx/M)²) / (Σx²/M − (Σx/M)²)
+
+        evaluated on one fixed IEEE expression tree from the exact
+        integer sums — so the float work is ORDER-FREE (the modularity
+        discipline) and replays bit-exactly in SQL. NULL when the
+        graph is degree-regular (zero variance). The integer sums are
+        exact in int64 up to ~1e6-degree hubs at ~1e6 edges; beyond
+        that re-derive r from the emitted sums in higher precision.
+
+        Scale shape: one stub-list groupBy for degrees, two equi-joins
+        of the edge list against the degree table on vid (broadcast
+        when the vertex table is dimension-sized, shuffle otherwise),
+        ONE final aggregate to a single row — no window, no
+        corpus-order dependence."""
+        ed = self.edges.select("src", "dst").filter(
+            F.col("src") != F.col("dst")
+        )
+        stubs = ed.unionByName(
+            ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        deg = stubs.groupBy(F.col("src").alias("vid")).agg(
+            F.count(F.lit(1)).alias("__deg")
+        )
+        pairs = (
+            stubs.join(deg.withColumnRenamed("vid", "src"), "src")
+            .withColumnRenamed("__deg", "__x")
+            .join(
+                deg.select(
+                    F.col("vid").alias("dst"), F.col("__deg").alias("__y")
+                ),
+                "dst",
+            )
+        )
+        agg = pairs.agg(
+            F.count(F.lit(1)).cast("long").alias("m_directed"),
+            F.sum("__x").cast("long").alias("s_deg"),
+            F.sum(F.col("__x") * F.col("__y")).cast("long").alias("s_deg_prod"),
+            F.sum(F.col("__x") * F.col("__x")).cast("long").alias("s_deg_sq"),
+        )
+        mm = F.col("m_directed").cast("double")
+        mean = F.col("s_deg").cast("double") / mm
+        num = F.col("s_deg_prod").cast("double") / mm - mean * mean
+        den = F.col("s_deg_sq").cast("double") / mm - mean * mean
+        return agg.select(
+            "m_directed",
+            "s_deg",
+            "s_deg_prod",
+            "s_deg_sq",
+            F.round(
+                F.when(den > 0, num / den) + F.lit(1e-12), 6
+            ).alias("assortativity"),
+        )
+
 
 def tpch_graph(engine) -> Graph:
     """The driver tables as a property graph: region→nation→customer→

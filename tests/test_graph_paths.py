@@ -714,3 +714,34 @@ def test_modularity_hand_checked(spark):
     ))
     got2 = {r["community"]: r.asDict() for r in g_loop.modularity(asg).collect()}
     assert got2[1]["internal_edges"] == 3 and got2[1]["degree_sum"] == 7
+
+
+def test_assortativity_hand_checked(spark):
+    """A star is perfectly disassortative (r = -1); a cycle is
+    degree-regular (zero variance -> NULL); self-loops are dropped
+    from the stub list."""
+    from orientdb_spark.graph import Graph
+
+    v = spark.createDataFrame([(x,) for x in "abcd"], ["vid"])
+    star = Graph(v, spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d")], ["src", "dst"]
+    ))
+    r = star.assortativity().collect()
+    assert len(r) == 1
+    row = r[0].asDict()
+    # stubs: (3,1) x3 and (1,3) x3 -> M=6, sums 12/18/30, r = -1
+    assert row["m_directed"] == 6 and row["s_deg"] == 12
+    assert row["s_deg_prod"] == 18 and row["s_deg_sq"] == 30
+    assert row["assortativity"] == -1.0
+
+    cycle = Graph(v, spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], ["src", "dst"]
+    ))
+    row = cycle.assortativity().collect()[0].asDict()
+    assert row["assortativity"] is None  # regular graph: zero variance
+
+    loop = Graph(v, spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "b")], ["src", "dst"]
+    ))
+    row = loop.assortativity().collect()[0].asDict()
+    assert row["m_directed"] == 6 and row["assortativity"] == -1.0

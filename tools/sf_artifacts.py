@@ -184,6 +184,9 @@ SF1_ENTRIES = [
     # r13 continuation-12: l-diversity is two stacked integer
     # aggregations over the k-anonymity fixture — pure keyed counts
     "profile_l_diversity",
+    # r13 continuation-13: assortativity is the stub groupBy + two
+    # vid equi-joins + ONE 1-row aggregate — linear at any SF
+    "graph_assortativity",
 ]
 
 
