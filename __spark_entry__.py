@@ -3807,6 +3807,26 @@ def _sim_pr_eval(spark, sf_dir):
     return similarity.pr_eval(ranked, labels, k=10)
 
 
+def _text_readability(spark, sf_dir):
+    """Flesch reading ease + FK grade (pipeline/text.readability,
+    Flesch 1948 / Kincaid 1975) over the corpus with deterministic
+    sentence punctuation stamped on ('merge' -> 'merge.', 'scan' ->
+    'scan!' — the raw fixture has none): exact word/sentence/syllable
+    counts (whitespace tokens, [.!?] runs, vowel-group runs with the
+    min-1-per-word floor) plus both scores on one fixed IEEE tree.
+    Zero-exchange scan; oracle-exact."""
+    from orientdb_spark.pipeline.text import readability
+
+    docs = _docs(spark, sf_dir)
+    fixture = docs.select(
+        "doc_id",
+        F.expr(
+            "replace(replace(text, 'merge', 'merge.'), 'scan', 'scan!')"
+        ).alias("text"),
+    )
+    return readability(fixture)
+
+
 def _text_min_k_prob(spark, sf_dir):
     """Min-K%-prob memorization audit (pipeline/text.min_k_prob, Shi et
     al. 2023): per doc, the mean NLL of the 20% least-likely bigram
@@ -4642,6 +4662,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_boilerplate": _text_boilerplate,
         "text_duplicate_spans": _text_duplicate_spans,
         "text_gopher_rules": _text_gopher_rules,
+        "text_readability": _text_readability,
         "text_fim_transform": _text_fim_transform,
         "text_span_corruption": _text_span_corruption,
         "text_line_quality": _text_line_quality,
@@ -8513,6 +8534,32 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "inputs, targets FROM tg "
             "UNION ALL SELECT doc_id, n, 0::BIGINT, 0::BIGINT, text, '' "
             "FROM m WHERE n < 20"
+        ),
+        "text_readability": (
+            # re-derives the punctuation-stamped fixture, then the exact
+            # word / sentence-run / vowel-run counts and both scores on
+            # the identical left-associated IEEE tree
+            "WITH d AS (SELECT doc_id, "
+            "replace(replace(text, 'merge', 'merge.'), 'scan', 'scan!') "
+            "AS t FROM documents), "
+            "s AS (SELECT doc_id, "
+            "list_filter(regexp_split_to_array(lower(t), '\\s+'), "
+            "w -> len(w) > 0) AS toks, "
+            "len(regexp_extract_all(lower(t), '[.!?]+')) AS sruns, "
+            "len(regexp_extract_all(lower(t), '[aeiouy]+')) AS vruns "
+            "FROM d), "
+            "m AS (SELECT doc_id, len(toks) AS nw, "
+            "greatest(sruns, 1) AS ns, "
+            "vruns + len(list_filter(toks, "
+            "w -> NOT regexp_matches(w, '[aeiouy]'))) AS sy FROM s) "
+            "SELECT doc_id, nw::BIGINT AS n_words, ns::BIGINT AS n_sentences, "
+            "sy::BIGINT AS n_syllables, "
+            "round(CASE WHEN nw > 0 THEN 206.835 - 1.015 * "
+            "(nw::DOUBLE / ns::DOUBLE) - 84.6 * (sy::DOUBLE / nw::DOUBLE) END "
+            "+ 1e-12, 6) AS flesch, "
+            "round(CASE WHEN nw > 0 THEN 0.39 * (nw::DOUBLE / ns::DOUBLE) + "
+            "11.8 * (sy::DOUBLE / nw::DOUBLE) - 15.59 END + 1e-12, 6) "
+            "AS fk_grade FROM m"
         ),
         "text_gopher_rules": (
             # re-derives the stamped fixture and the full Gopher rule

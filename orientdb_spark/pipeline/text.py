@@ -503,6 +503,66 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def readability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade level (Flesch 1948;
+    Kincaid et al. 1975) — the readability pair quality pipelines bin
+    on (e.g. selecting grade-school vs technical prose for curriculum
+    mixes), from fully deterministic counting rules so the score is a
+    pure function of the bytes:
+
+    - words: whitespace tokens of the lowercased text (``ws_tokens``,
+      the corpus-wide convention)
+    - sentences: runs of ``[.!?]`` characters, clamped to >= 1 (a
+      trailing unterminated sentence rides the last run — a documented
+      heuristic, not a parser)
+    - syllables: runs of ``[aeiouy]`` per word, minimum 1 per word
+      (vowel-group counting — the standard cheap estimator; computed
+      as whole-text vowel runs + the count of vowelless words, which
+      is identical because runs cannot span whitespace)
+
+    Returns (id, n_words, n_sentences, n_syllables, flesch, fk_grade)
+    with ``flesch`` = 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words) and ``fk_grade`` = 0.39·(words/sentences) +
+    11.8·(syllables/words) − 15.59, both 6-dp nudge-rounded on the
+    identical left-associated IEEE tree in Spark and the SQL oracle;
+    NULL for wordless docs. Counts are exact integers.
+
+    Scale shape: a pure per-row Column projection — ZERO exchanges,
+    zero UDFs, one corpus scan inside a single WholeStageCodegen span;
+    scan-bound and embarrassingly parallel at 100 TB."""
+    t = F.lower(F.col(text_col))
+    toks = ws_tokens(t)
+    n_words = F.size(toks)
+    n_sents = F.greatest(
+        F.size(F.expr(f"regexp_extract_all(lower({text_col}), '[.!?]+', 0)")),
+        F.lit(1),
+    )
+    vowel_runs = F.size(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)")
+    )
+    no_vowel_words = F.size(
+        F.filter(toks, lambda w: ~w.rlike("[aeiouy]"))
+    )
+    n_syll = vowel_runs + no_vowel_words
+    wps = n_words.cast("double") / n_sents.cast("double")
+    spw = n_syll.cast("double") / n_words.cast("double")
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    fk = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    empty = n_words == 0
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        F.round(
+            F.when(~empty, flesch) + F.lit(1e-12), 6
+        ).alias("flesch"),
+        F.round(F.when(~empty, fk) + F.lit(1e-12), 6).alias("fk_grade"),
+    )
+
+
 # Gopher's rule 8 stop-word list (Rae et al. 2021, appendix A1.1):
 # a doc must contain at least two of these to pass the filter.
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]

@@ -1031,3 +1031,30 @@ def test_span_corruption_deterministic_zero_exchange(spark):
     assert a == b
     plan = text.span_corruption(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_readability_hand_checked(spark):
+    """Hand-computed Flesch/FK on a two-sentence doc, the vowelless-word
+    syllable floor, the no-punctuation sentence clamp, and NULL scores
+    for a wordless doc."""
+    from orientdb_spark.pipeline.text import readability
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),   # 6 words, 2 sents, 6 syll
+            (2, "xyz tv"),                       # vowelless -> 1 syll each
+            (3, "hello world no punctuation"),   # sentence clamp to 1
+            (4, "   "),                          # wordless
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in readability(docs).collect()}
+    q1 = got[1]
+    assert (q1["n_words"], q1["n_sentences"], q1["n_syllables"]) == (6, 2, 6)
+    wps, spw = 6 / 2, 6 / 6
+    assert q1["flesch"] == round(206.835 - 1.015 * wps - 84.6 * spw + 1e-12, 6)
+    assert q1["fk_grade"] == round(0.39 * wps + 11.8 * spw - 15.59 + 1e-12, 6)
+    assert got[2]["n_syllables"] == 2  # xyz: one y-run; tv: floor of 1
+    assert got[3]["n_sentences"] == 1
+    q4 = got[4]
+    assert q4["n_words"] == 0 and q4["flesch"] is None and q4["fk_grade"] is None

@@ -187,6 +187,9 @@ SF1_ENTRIES = [
     # r13 continuation-13: assortativity is the stub groupBy + two
     # vid equi-joins + ONE 1-row aggregate — linear at any SF
     "graph_assortativity",
+    # r13 continuation-14: readability is a zero-exchange in-row scan
+    # (the gopher_rules shape)
+    "text_readability",
 ]
 
 
