@@ -714,6 +714,24 @@ def _event_silence_audit(spark, sf_dir):
     )
 
 
+def _event_attribution(spark, sf_dir):
+    """Last-touch attribution (temporal.last_touch_attribution): every
+    purchase attributed to the user's most recent click/view within a
+    4-hour lookback — touch id/type/ts, exact-micros age (decided on
+    integer micros, displayed 6-dp), attributed flag. ONE window
+    exchange on user_id (the asof carry-forward pattern as three
+    last-ignorenulls calls on one frame); the fixture's ~10.6 h mean
+    per-user gap makes the 4 h window split conversions into a healthy
+    attributed/unattributed mix. Oracle: the same IGNORE NULLS window
+    replay."""
+    from orientdb_spark.temporal import last_touch_attribution
+
+    ev = _engine(spark, sf_dir).table("events")
+    return last_touch_attribution(
+        ev, ["click", "view"], "purchase", lookback_sec=14400
+    )
+
+
 def _event_interarrival_stats(spark, sf_dir):
     """Per-user inter-arrival gaps + burstiness index
     (temporal.interarrival_stats): mean/std/CV of consecutive gaps and
@@ -4503,6 +4521,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "cms_join_size_estimate": _cms_join_size_estimate,
         "event_silence_audit": _event_silence_audit,
         "event_interarrival_stats": _event_interarrival_stats,
+        "event_attribution": _event_attribution,
         "event_seasonal_baseline": _event_seasonal_baseline,
         "text_vocab_growth": _text_vocab_growth,
         "event_cusum_changepoints": _event_cusum_changepoints,
@@ -6978,6 +6997,34 @@ def oracle_sql() -> dict[str, str]:
             "date_trunc('second', make_timestamp(lu)) AS last_seen, "
             "date_trunc('second', make_timestamp(lu + 43200000000)) AS deadline "
             "FROM pk, mx WHERE mx.m - pk.lu > 43200000000"
+        ),
+        "event_attribution": (
+            # union-tag + carry-forward replay: same (us, isc, id) total
+            # order, IGNORE NULLS last_value on one frame, the age
+            # decision on integer micros before the 6-dp display round
+            "WITH t AS (SELECT user_id, epoch_us(ts) AS us, ts, event_id, "
+            "event_type, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END "
+            "AS isc FROM events "
+            "WHERE event_type IN ('click', 'view', 'purchase')), "
+            "c AS (SELECT *, "
+            "last_value(CASE WHEN isc = 0 THEN event_id END IGNORE NULLS) "
+            "OVER w AS tid, "
+            "last_value(CASE WHEN isc = 0 THEN event_type END IGNORE NULLS) "
+            "OVER w AS ttype, "
+            "last_value(CASE WHEN isc = 0 THEN us END IGNORE NULLS) "
+            "OVER w AS tus, "
+            "last_value(CASE WHEN isc = 0 THEN ts END IGNORE NULLS) "
+            "OVER w AS tts FROM t "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY us, isc, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+            "f AS (SELECT *, (tus IS NOT NULL AND us - tus <= 14400000000) "
+            "AS ok FROM c WHERE isc = 1) "
+            "SELECT user_id, event_id AS conversion_id, ts AS conversion_ts, "
+            "CASE WHEN ok THEN tid END AS touch_event_id, "
+            "CASE WHEN ok THEN ttype END AS touch_type, "
+            "CASE WHEN ok THEN tts END AS touch_ts, "
+            "round(CASE WHEN ok THEN (us - tus)::DOUBLE / 1e6 END + 1e-12, 6) "
+            "AS seconds_since_touch, ok AS attributed FROM f"
         ),
         "event_interarrival_stats": (
             "WITH g AS (SELECT user_id, (epoch_us(ts) - "

@@ -801,3 +801,100 @@ def interarrival_stats(
             (F.count("__gap") >= 2) & ((sd + mu) > 0), (sd - mu) / (sd + mu)
         ).alias("burstiness"),
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    touch_types: Sequence[str],
+    conversion_type: str,
+    lookback_sec: int,
+    on: Sequence[str] = ("user_id",),
+    ts: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Last-touch marketing attribution — for every conversion event,
+    the most recent touch event of the same key within the lookback
+    window (the single-touch model every attribution system ships
+    first; multi-touch models start from this same carried-touch
+    scan). Returns one row per conversion: ``(*on, conversion_id,
+    conversion_ts, touch_event_id, touch_type, touch_ts,
+    seconds_since_touch, attributed)`` — touch columns NULL (and
+    ``attributed`` false) when no touch precedes the conversion inside
+    the window.
+
+    Semantics: a touch at the SAME timestamp as the conversion is
+    attributable (ties order touches before conversions); among
+    same-timestamp touches the highest ``id_col`` wins — the total
+    (ts, kind, id) order makes the result deterministic. The age test
+    is on exact microsecond arithmetic (``seconds_since_touch`` is
+    micros/1e6, 6-dp nudge-rounded for display AFTER the decision is
+    made on integer micros).
+
+    Scale shape: ONE window exchange keyed on ``on`` — the union-tag +
+    carry-forward pattern asof_join uses, expressed as three
+    last(ignorenulls) calls sharing a single window frame; then a
+    conversion filter. No join, no per-key collect; skewed power-users
+    concentrate one key per reducer, the same trade as any
+    user-keyed sessionization (AQE skew handling applies)."""
+    if lookback_sec <= 0:
+        raise ValueError(f"lookback_sec must be positive, got {lookback_sec}")
+    tt = list(touch_types)
+    if not tt:
+        raise ValueError("last_touch_attribution needs at least one touch type")
+    on = list(on)
+    base = df.filter(
+        F.col(type_col).isin(*tt) | (F.col(type_col) == conversion_type)
+    ).select(
+        *on,
+        _micros(F.col(ts)).alias("__us"),
+        F.col(ts).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(type_col).alias("__type"),
+        (F.col(type_col) == conversion_type).cast("int").alias("__isc"),
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__us").asc(), F.col("__isc").asc(), F.col("__id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_touch = F.col("__isc") == 0
+    carried = base.select(
+        *on,
+        "__us",
+        "__ts",
+        "__id",
+        "__isc",
+        F.last(F.when(is_touch, F.col("__id")), ignorenulls=True)
+        .over(w)
+        .alias("__tid"),
+        F.last(F.when(is_touch, F.col("__type")), ignorenulls=True)
+        .over(w)
+        .alias("__ttype"),
+        F.last(F.when(is_touch, F.col("__us")), ignorenulls=True)
+        .over(w)
+        .alias("__tus"),
+        F.last(F.when(is_touch, F.col("__ts")), ignorenulls=True)
+        .over(w)
+        .alias("__tts"),
+    )
+    in_window = F.col("__tus").isNotNull() & (
+        F.col("__us") - F.col("__tus") <= F.lit(int(lookback_sec) * 1_000_000)
+    )
+    return carried.filter(F.col("__isc") == 1).select(
+        *on,
+        F.col("__id").alias("conversion_id"),
+        F.col("__ts").alias("conversion_ts"),
+        F.when(in_window, F.col("__tid")).alias("touch_event_id"),
+        F.when(in_window, F.col("__ttype")).alias("touch_type"),
+        F.when(in_window, F.col("__tts")).alias("touch_ts"),
+        F.round(
+            F.when(
+                in_window,
+                (F.col("__us") - F.col("__tus")).cast("double") / F.lit(1e6),
+            )
+            + F.lit(1e-12),
+            6,
+        ).alias("seconds_since_touch"),
+        F.coalesce(in_window, F.lit(False)).alias("attributed"),
+    )

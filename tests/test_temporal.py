@@ -1325,3 +1325,50 @@ def test_interval_overlap_rejects_malformed_input(spark, interval_sides):
             left, right.withColumnRenamed("rid", "lid"),
             on=["k"], left_id="lid", right_id="lid",
         )
+
+
+def test_last_touch_attribution_hand_checked(spark):
+    """Attribution picks the latest in-window touch (same-ts touches
+    attributable, highest id wins ties), expires touches past the
+    lookback, and leaves pre-touch conversions unattributed."""
+    import datetime as dt
+
+    import pytest
+
+    from orientdb_spark.temporal import last_touch_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def r(eid, uid, sec, typ):
+        return (eid, uid, t0 + dt.timedelta(seconds=sec), typ)
+
+    ev = spark.createDataFrame(
+        [
+            r(1, 1, 0, "click"),
+            r(2, 1, 50, "view"),          # latest touch before conv 3
+            r(3, 1, 100, "purchase"),     # attributed to 2 (50s ago)
+            r(4, 1, 5000, "purchase"),    # touch 2 is 4950s old > 3600 -> no
+            r(5, 2, 0, "purchase"),       # no touch at all
+            r(6, 2, 10, "click"),
+            r(7, 2, 10, "view"),          # same ts: higher id wins
+            r(8, 2, 10, "purchase"),      # same-ts touch attributable -> 7
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        row["conversion_id"]: row.asDict()
+        for row in last_touch_attribution(
+            ev, ["click", "view"], "purchase", lookback_sec=3600
+        ).collect()
+    }
+    assert set(got) == {3, 4, 5, 8}
+    assert got[3]["touch_event_id"] == 2 and got[3]["attributed"]
+    assert got[3]["seconds_since_touch"] == 50.0
+    assert got[3]["touch_type"] == "view"
+    assert got[4]["touch_event_id"] is None and not got[4]["attributed"]
+    assert got[5]["touch_event_id"] is None and not got[5]["attributed"]
+    assert got[8]["touch_event_id"] == 7 and got[8]["seconds_since_touch"] == 0.0
+    with pytest.raises(ValueError, match="lookback_sec"):
+        last_touch_attribution(ev, ["click"], "purchase", lookback_sec=0)
+    with pytest.raises(ValueError, match="touch type"):
+        last_touch_attribution(ev, [], "purchase", lookback_sec=10)

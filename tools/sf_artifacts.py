@@ -190,6 +190,9 @@ SF1_ENTRIES = [
     # r13 continuation-14: readability is a zero-exchange in-row scan
     # (the gopher_rules shape)
     "text_readability",
+    # r13 continuation-15: attribution is ONE user-keyed window pass
+    # (the asof carry-forward shape) — linear at any SF
+    "event_attribution",
 ]
 
 
