@@ -4094,6 +4094,28 @@ def _scale_zorder_layout(spark, sf_dir):
     )
 
 
+def _scale_zone_map_audit(spark, sf_dir):
+    """Zone-map data-skipping audit (scale.zone_map_audit) of the
+    PROSPECTIVE z-order layout: events gridded by zorder_key(user_id,
+    value), 32-way bucket as the file id, then per-file min/max of
+    user_id and the skip decision for ``user_id BETWEEN 2 AND 5`` —
+    the measurement that says whether the layout prunes before you pay
+    to write it. One map-side groupBy over the zero-shuffle zkey
+    projection; all-integer decisions. Oracle: the zorder replay
+    joined back to events + one GROUP BY."""
+    from orientdb_spark import scale
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    z = scale.zorder_key(ev, ["user_id", "value"], bits_per_dim=8)
+    buckets = z.select(
+        "user_id",
+        F.shiftright(F.col("zkey"), 11).cast("long").alias("bucket"),
+    )
+    return scale.zone_map_audit(
+        buckets, "bucket", "user_id", pred_lo=2, pred_hi=5
+    )
+
+
 def _scale_compaction_plan(spark, sf_dir):
     """Small-file compaction planner (scale.compaction_plan — the
     Delta/Iceberg OPTIMIZE bin-packing pass) over a deterministic file
@@ -4651,6 +4673,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "profile_distribution_drift": _profile_distribution_drift,
         "profile_dp_counts": _profile_dp_counts,
         "scale_zorder_layout": _scale_zorder_layout,
+        "scale_zone_map_audit": _scale_zone_map_audit,
         "scale_compaction_plan": _scale_compaction_plan,
         "sample_epochs_report": _sample_epochs_report,
         "pipeline_forget_cascade": _pipeline_forget_cascade,
@@ -8239,6 +8262,21 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
         ),
         "profile_dp_counts": _dp_counts_oracle_sql(epsilon=1.0, seed=42),
         "scale_zorder_layout": _zorder_oracle_sql(bits=8, shift=11),
+        "scale_zone_map_audit": (
+            # zorder replay joined back for user_id, one GROUP BY to
+            # per-bucket zone maps, the identical native-integer skip
+            # decision for BETWEEN 2 AND 5
+            "WITH z AS MATERIALIZED ("
+            + _zorder_oracle_sql(bits=8, shift=11)
+            + "), j AS (SELECT z.bucket, e.user_id FROM z "
+            "JOIN events e USING (event_id)), "
+            "m AS (SELECT bucket AS file_id, count(*)::BIGINT AS n_rows, "
+            "count(user_id)::BIGINT AS n_nonnull, min(user_id) AS min_value, "
+            "max(user_id) AS max_value FROM j GROUP BY 1) "
+            "SELECT file_id, n_rows, n_nonnull, min_value, max_value, "
+            "(n_nonnull = 0 OR min_value > 5 OR max_value < 2) AS can_skip "
+            "FROM m"
+        ),
         "sample_epochs_report": (
             # mirrors sampling.epochs_report(weights=_EPOCHS_WEIGHTS,
             # budget_epochs=3.0, max_epochs=4.0): same IEEE expression

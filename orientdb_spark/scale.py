@@ -725,6 +725,54 @@ def merge_additive_rollup(
     )
 
 
+def zone_map_audit(
+    df: DataFrame,
+    file_col: str,
+    value_col: str,
+    pred_lo=None,
+    pred_hi=None,
+) -> DataFrame:
+    """Zone-map (per-file min/max) audit with a data-skipping decision
+    — the statistics Delta/Iceberg/parquet footers store per file, and
+    the measurement that tells you whether a layout (zorder_key,
+    repartitionByRange, natural ingest order) actually PRUNES for a
+    given range predicate before you pay to rewrite 100 TB into it:
+    per ``file_col`` group (a file id, a range bucket, a partition
+    value), ``n_rows``, ``n_nonnull``, ``min_value``/``max_value``,
+    and ``can_skip`` — whether a reader evaluating
+    ``value_col BETWEEN pred_lo AND pred_hi`` (either bound optional)
+    can drop the file on its zone map alone: min > hi, max < lo, or
+    the file holds no non-null values (a range predicate is
+    null-rejecting). The skipped-row fraction is sum(n_rows where
+    can_skip)/sum(n_rows) — left to the consumer so the per-file rows
+    stay the auditable artifact.
+
+    The decision uses the column's native type (no float round-trip) —
+    exact for integers/strings/timestamps, and for doubles identical
+    to what a footer-stats reader computes.
+
+    Scale shape: ONE map-side-combinable groupBy to one row per file —
+    min/max/count are all partial-aggregatable, so at 100 TB this is a
+    scan plus a tiny shuffle of per-file partials; no window, no
+    sort. Compose upstream with zorder_key + a bucket projection to
+    audit a PROSPECTIVE layout without writing it."""
+    agg = df.groupBy(F.col(file_col).alias("file_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count(value_col).cast("long").alias("n_nonnull"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )
+    if pred_lo is None and pred_hi is None:
+        skip = F.lit(False)
+    else:
+        skip = F.col("n_nonnull") == 0
+        if pred_hi is not None:
+            skip = skip | (F.col("min_value") > F.lit(pred_hi))
+        if pred_lo is not None:
+            skip = skip | (F.col("max_value") < F.lit(pred_lo))
+    return agg.withColumn("can_skip", skip)
+
+
 def compaction_plan(
     files: DataFrame,
     target_bytes: int,

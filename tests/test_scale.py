@@ -554,3 +554,38 @@ def test_compaction_plan_single_exchange(spark):
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_zone_map_audit_skip_decisions(spark):
+    """min/max zone maps per file; skip fires on disjoint-above,
+    disjoint-below, and all-null files; overlapping files scan; no
+    predicate means no skipping."""
+    from orientdb_spark import scale
+
+    rows = [
+        (1, 10), (1, 20),          # file 1: [10,20] — above hi=5 -> skip
+        (2, 1), (2, 4),            # file 2: [1,4] overlaps [2,5] -> scan
+        (3, None), (3, None),      # file 3: all null -> skip
+        (4, 0), (4, 1),            # file 4: [0,1] — below lo=2 -> skip
+    ]
+    df = spark.createDataFrame(rows, "f long, v long")
+    got = {
+        r["file_id"]: r.asDict()
+        for r in scale.zone_map_audit(df, "f", "v", pred_lo=2, pred_hi=5).collect()
+    }
+    assert got[1]["can_skip"] and got[4]["can_skip"]
+    assert got[3]["can_skip"] and got[3]["n_nonnull"] == 0
+    assert not got[2]["can_skip"]
+    assert got[1]["min_value"] == 10 and got[1]["max_value"] == 20
+    # one-sided bound: only lo -> file 1 scans, file 4 skips
+    got_lo = {
+        r["file_id"]: r["can_skip"]
+        for r in scale.zone_map_audit(df, "f", "v", pred_lo=2).collect()
+    }
+    assert got_lo == {1: False, 2: False, 3: True, 4: True}
+    # no predicate: nothing skips
+    got_none = {
+        r["file_id"]: r["can_skip"]
+        for r in scale.zone_map_audit(df, "f", "v").collect()
+    }
+    assert got_none == {1: False, 2: False, 3: False, 4: False}

@@ -193,6 +193,9 @@ SF1_ENTRIES = [
     # r13 continuation-15: attribution is ONE user-keyed window pass
     # (the asof carry-forward shape) — linear at any SF
     "event_attribution",
+    # r13 continuation-16: the zone-map audit is the zorder replay
+    # (already listed) + ONE map-side groupBy to per-bucket rows
+    "scale_zone_map_audit",
 ]
 
 
