@@ -3639,6 +3639,25 @@ def _text_classifier_calibration(spark, sf_dir):
     return model.score_calibration(scored, n_bins=10, binning="range")
 
 
+def _text_classifier_pr_curve(spark, sf_dir):
+    """Operating-point sweep for the trained filter (pipeline/model.
+    threshold_sweep): per candidate threshold over the broadcast-
+    inference scores, the full confusion-matrix counts plus
+    precision/recall/F1/accuracy — the table a pipeline reads to PICK
+    the cutoff score_calibration only characterizes. Thresholds span
+    the undertrained fixture's observed score band (~0.46). Every
+    metric is one division of exact integer counts on the 6-dp score
+    grid; the oracle replays train → score → sweep under one hash."""
+    from orientdb_spark.pipeline import model
+
+    docs = _classifier_label(_docs(spark, sf_dir))
+    w = model.train_quality_classifier(docs, "__lbl", n_buckets=16, iters=3, lr=1.0)
+    scored = model.classifier_score(docs, w).join(
+        docs.select("doc_id", F.col("__lbl").alias("label")), "doc_id"
+    )
+    return model.threshold_sweep(scored)
+
+
 def _sample_perplexity_buckets(spark, sf_dir):
     """CCNet head/middle/tail perplexity stratification (Wenzek et al.
     2020; pipeline/model.perplexity_buckets): per-language exact
@@ -4695,6 +4714,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_classifier_train": _text_classifier_train,
         "text_classifier_score": _text_classifier_score,
         "text_classifier_calibration": _text_classifier_calibration,
+        "text_classifier_pr_curve": _text_classifier_pr_curve,
         "sample_perplexity_buckets": _sample_perplexity_buckets,
         "multimodal_pair_filter": _multimodal_pair_filter,
         "sample_leakage_safe_split": _sample_leakage_safe_split,
@@ -5897,6 +5917,39 @@ def _classifier_oracle_sql(d: int, iters: int, lr: float, output: str) -> str:
     )
     if output == "score":
         parts.append(" SELECT doc_id, score FROM scores")
+    elif output == "pr_curve":
+        # threshold_sweep replay: literal threshold fan-out over the
+        # scored corpus, exact integer confusion counts, each metric
+        # ONE division (f1 in the integer form 2tp/(2tp+fp+fn)), NULL
+        # at undefined operating points
+        # ::DOUBLE on every literal — bare decimals in a DuckDB list are
+        # DECIMAL(3,2), which would flip the threshold column's type
+        ths = ", ".join(
+            f"{t!r}::DOUBLE" for t in (0.40, 0.42, 0.44, 0.46, 0.48, 0.50, 0.52)
+        )
+        parts.append(
+            f", th AS (SELECT unnest([{ths}]) AS threshold)"
+            ", jo AS MATERIALIZED (SELECT s.score, d.y FROM scores s "
+            "JOIN docs d USING (doc_id))"
+            ", ag AS (SELECT threshold, count(*)::BIGINT AS n, "
+            "sum(CASE WHEN score >= threshold AND y >= 0.5 THEN 1 ELSE 0 END)"
+            "::BIGINT AS tp, "
+            "sum(CASE WHEN score >= threshold AND y < 0.5 THEN 1 ELSE 0 END)"
+            "::BIGINT AS fp, "
+            "sum(CASE WHEN score < threshold AND y >= 0.5 THEN 1 ELSE 0 END)"
+            "::BIGINT AS fn, "
+            "sum(CASE WHEN score < threshold AND y < 0.5 THEN 1 ELSE 0 END)"
+            "::BIGINT AS tn FROM jo, th GROUP BY 1) "
+            "SELECT threshold, n, tp, fp, fn, tn, "
+            "round(CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) END "
+            "+ 1e-12, 6) AS precision, "
+            "round(CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END "
+            "+ 1e-12, 6) AS recall, "
+            "round(CASE WHEN 2 * tp + fp + fn > 0 THEN "
+            "2.0 * tp::DOUBLE / (2 * tp + fp + fn) END + 1e-12, 6) AS f1, "
+            "round((tp + tn)::DOUBLE / n::DOUBLE + 1e-12, 6) AS accuracy "
+            "FROM ag"
+        )
     else:  # calibration: range-binned deciles + cumulative-from-top metrics
         parts.append(
             ", mnmx AS (SELECT min(score) AS mn, max(score) AS mx FROM scores)"
@@ -8118,6 +8171,9 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
         "text_classifier_score": _classifier_oracle_sql(16, 3, 1.0, "score"),
         "text_classifier_calibration": _classifier_oracle_sql(
             16, 3, 1.0, "calibration"
+        ),
+        "text_classifier_pr_curve": _classifier_oracle_sql(
+            16, 3, 1.0, "pr_curve"
         ),
         "sample_perplexity_buckets": _perplexity_buckets_oracle_sql(1 / 3, 2 / 3),
         "multimodal_pair_filter": (

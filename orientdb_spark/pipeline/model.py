@@ -374,3 +374,83 @@ def score_calibration(
             6,
         ).alias("recall_at"),
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    thresholds: "Sequence[float]" = (0.40, 0.42, 0.44, 0.46, 0.48, 0.50, 0.52),
+) -> DataFrame:
+    """Operating-point sweep for a scored corpus — the PR-curve table a
+    pipeline reads to PICK the classifier-filter threshold that
+    score_calibration's reliability diagram only characterizes: one row
+    per candidate threshold with the full confusion-matrix counts and
+    the derived metrics,
+
+        (threshold, n, tp, fp, fn, tn, precision, recall, f1, accuracy)
+
+    where predicted-positive is ``score >= threshold`` and a row is
+    positive when ``label >= 0.5``. precision is NULL at thresholds
+    with no predicted positives (not a fake 0 or 1 — the undefined
+    operating point stays visibly undefined); recall is NULL only for
+    an all-negative corpus; f1 uses the integer form 2·tp/(2·tp+fp+fn)
+    so every metric is ONE division of exact integer counts, 6-dp
+    nudge-rounded — bit-reproducible cross-engine because the scores
+    live on the 6-dp grid and the thresholds are shared literals.
+
+    Scale shape: the threshold list fans out in-map (one explode of a
+    T-literal array — no join, no second scan), then ONE map-side-
+    combinable groupBy to T rows. At 100 TB this is a single corpus
+    scan with T-way partial counters; T is single-digit."""
+    ts = [float(t) for t in thresholds]
+    if not ts:
+        raise ValueError("threshold_sweep needs at least one threshold")
+    pos = F.col(label_col).cast("double") >= 0.5
+    pred = F.col(score_col) >= F.col("threshold")
+    fan = df.select(
+        score_col,
+        label_col,
+        F.explode(F.array(*[F.lit(t) for t in ts])).alias("threshold"),
+    )
+    agg = fan.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((pred & pos).cast("long")).alias("tp"),
+        F.sum((pred & ~pos).cast("long")).alias("fp"),
+        F.sum((~pred & pos).cast("long")).alias("fn"),
+        F.sum((~pred & ~pos).cast("long")).alias("tn"),
+    )
+    tp = F.col("tp").cast("double")
+    return agg.select(
+        "threshold",
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            F.when(F.col("tp") + F.col("fp") > 0, tp / (F.col("tp") + F.col("fp")))
+            + F.lit(1e-12),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("tp") + F.col("fn") > 0, tp / (F.col("tp") + F.col("fn")))
+            + F.lit(1e-12),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.when(
+                F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                F.lit(2.0)
+                * tp
+                / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")),
+            )
+            + F.lit(1e-12),
+            6,
+        ).alias("f1"),
+        F.round(
+            (F.col("tp") + F.col("tn")).cast("double") / F.col("n").cast("double")
+            + F.lit(1e-12),
+            6,
+        ).alias("accuracy"),
+    )

@@ -272,3 +272,36 @@ def test_score_calibration_constant_scores_single_bin(spark):
     df = spark.createDataFrame([(0.5, 1), (0.5, 0)], "score DOUBLE, label INT")
     out = model.score_calibration(df, n_bins=10, binning="range").collect()
     assert len(out) == 1 and out[0]["bin"] == 0 and out[0]["n"] == 2
+
+
+def test_threshold_sweep_hand_checked(spark):
+    """Confusion counts and one-division metrics at hand-computable
+    thresholds; NULL precision when nothing is predicted positive;
+    f1 via the integer form."""
+    import pytest
+
+    from orientdb_spark.pipeline.model import threshold_sweep
+
+    scored = spark.createDataFrame(
+        [(0.9, 1), (0.8, 0), (0.6, 1), (0.4, 1), (0.2, 0)],
+        "score double, label int",
+    )
+    got = {
+        r["threshold"]: r.asDict()
+        for r in threshold_sweep(
+            scored, thresholds=(0.5, 0.7, 0.95)
+        ).collect()
+    }
+    t5 = got[0.5]
+    assert (t5["tp"], t5["fp"], t5["fn"], t5["tn"]) == (2, 1, 1, 1)
+    assert t5["precision"] == round(2 / 3 + 1e-12, 6)
+    assert t5["recall"] == round(2 / 3 + 1e-12, 6)
+    assert t5["f1"] == round(4 / 6 + 1e-12, 6)
+    assert t5["accuracy"] == 0.6
+    t7 = got[0.7]
+    assert (t7["tp"], t7["fp"]) == (1, 1) and t7["precision"] == 0.5
+    t95 = got[0.95]
+    assert t95["tp"] == 0 and t95["fp"] == 0
+    assert t95["precision"] is None and t95["recall"] == 0.0
+    with pytest.raises(ValueError, match="at least one threshold"):
+        threshold_sweep(scored, thresholds=())

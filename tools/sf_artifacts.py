@@ -196,6 +196,9 @@ SF1_ENTRIES = [
     # r13 continuation-16: the zone-map audit is the zorder replay
     # (already listed) + ONE map-side groupBy to per-bucket rows
     "scale_zone_map_audit",
+    # r13 continuation-17: the PR-curve sweep rides the classifier GD
+    # replay (already listed three times) + one literal fan-out groupBy
+    "text_classifier_pr_curve",
 ]
 
 
