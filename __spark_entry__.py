@@ -3658,6 +3658,19 @@ def _text_classifier_pr_curve(spark, sf_dir):
     return model.threshold_sweep(scored)
 
 
+def _sample_moore_lewis(spark, sf_dir):
+    """Moore-Lewis cross-entropy-difference selection (pipeline/
+    sampling.moore_lewis_score, Moore & Lewis 2010): every doc scored
+    under the en-subset bigram LM and the whole-corpus LM, ce_diff =
+    nll_in − nll_gen ranks domain-typicality (negative = select).
+    OOV bigrams back off to the add-k floor via LEFT joins + exact-0
+    coalesce. The oracle replays both models and the difference."""
+    from orientdb_spark.pipeline.sampling import moore_lewis_score
+
+    docs = _docs(spark, sf_dir)
+    return moore_lewis_score(docs, F.col("lang") == "en")
+
+
 def _sample_perplexity_buckets(spark, sf_dir):
     """CCNet head/middle/tail perplexity stratification (Wenzek et al.
     2020; pipeline/model.perplexity_buckets): per-language exact
@@ -4716,6 +4729,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_classifier_calibration": _text_classifier_calibration,
         "text_classifier_pr_curve": _text_classifier_pr_curve,
         "sample_perplexity_buckets": _sample_perplexity_buckets,
+        "sample_moore_lewis": _sample_moore_lewis,
         "multimodal_pair_filter": _multimodal_pair_filter,
         "sample_leakage_safe_split": _sample_leakage_safe_split,
         "pipeline_quality_gate": _pipeline_quality_gate,
@@ -8176,6 +8190,49 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             16, 3, 1.0, "pr_curve"
         ),
         "sample_perplexity_buckets": _perplexity_buckets_oracle_sql(1 / 3, 2 / 3),
+        "sample_moore_lewis": (
+            # two add-k bigram LMs over ONE shared per-doc bigram-count
+            # frame (general = everything, in-domain = lang='en'), LEFT
+            # joins + exact-0 coalesce for OOV backoff, per-doc weighted
+            # means on lm_score's plain 6-dp round, ce_diff from the
+            # ROUNDED pair with the nudge
+            "WITH staged AS (SELECT doc_id, lang = 'en' AS ind, "
+            "list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+            "t -> len(t) > 0) AS t FROM documents), "
+            "s2 AS (SELECT doc_id, ind, t FROM staged WHERE len(t) >= 2), "
+            "pairs AS MATERIALIZED (SELECT doc_id, ind, u.w1 AS w1, "
+            "u.w2 AS w2 FROM (SELECT doc_id, ind, "
+            "unnest(list_transform(range(1, len(t)), "
+            "i -> {'w1': t[i::INTEGER], 'w2': t[i::INTEGER + 1]})) AS u "
+            "FROM s2)), "
+            "pc AS MATERIALIZED (SELECT doc_id, ind, w1, w2, "
+            "count(*)::BIGINT AS nb FROM pairs GROUP BY 1, 2, 3, 4), "
+            "c2g AS (SELECT w1, w2, sum(nb)::BIGINT AS c FROM pc "
+            "GROUP BY 1, 2), "
+            "c1g AS (SELECT w1, sum(nb)::BIGINT AS c FROM pc GROUP BY 1), "
+            "vg AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM ("
+            "SELECT w1 AS w FROM pc UNION ALL SELECT w2 FROM pc)), "
+            "pci AS MATERIALIZED (SELECT * FROM pc WHERE ind), "
+            "c2i AS (SELECT w1, w2, sum(nb)::BIGINT AS c FROM pci "
+            "GROUP BY 1, 2), "
+            "c1i AS (SELECT w1, sum(nb)::BIGINT AS c FROM pci GROUP BY 1), "
+            "vi AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM ("
+            "SELECT w1 AS w FROM pci UNION ALL SELECT w2 FROM pci)), "
+            "sc AS (SELECT pc.doc_id, pc.nb, "
+            "-ln((coalesce(g2.c, 0) + 0.5) / (coalesce(g1.c, 0) + 0.5 * vg.v)) "
+            "AS ng, "
+            "-ln((coalesce(i2.c, 0) + 0.5) / (coalesce(i1.c, 0) + 0.5 * vi.v)) "
+            "AS ni FROM pc "
+            "LEFT JOIN c2g g2 USING (w1, w2) LEFT JOIN c1g g1 USING (w1) "
+            "LEFT JOIN c2i i2 USING (w1, w2) LEFT JOIN c1i i1 USING (w1), "
+            "vg, vi) "
+            "SELECT doc_id, sum(nb)::BIGINT AS n_bigrams, "
+            "round(sum(nb * ni) / sum(nb), 6) AS nll_in, "
+            "round(sum(nb * ng) / sum(nb), 6) AS nll_gen, "
+            "round(round(sum(nb * ni) / sum(nb), 6) - "
+            "round(sum(nb * ng) / sum(nb), 6) + 1e-12, 6) AS ce_diff "
+            "FROM sc GROUP BY doc_id"
+        ),
         "multimodal_pair_filter": (
             "WITH i AS (SELECT vec_id // 2 AS pair_id, "
             "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings "

@@ -1297,3 +1297,115 @@ def epochs_report(
         (F.col("alloc_tokens") - effective).alias("excess_tokens"),
         (F.col("alloc_tokens") > F.col("__cap_tokens")).alias("over_cap"),
     )
+
+
+def moore_lewis_score(
+    df: DataFrame,
+    in_domain,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference data selection (Moore &
+    Lewis 2010 — the in-domain selection method CCNet/GPT-3-era
+    pipelines descend from): score every document under TWO add-k
+    bigram LMs — one trained on the in-domain subset (``in_domain`` is
+    a boolean Column over ``df``'s rows), one on the whole corpus —
+    and rank by ``ce_diff`` = nll_in − nll_gen. Documents that look
+    more like the target domain than like the general corpus score
+    negative; select ascending until the token budget is met. Returns
+    (id, n_bigrams, nll_in, nll_gen, ce_diff) for docs with >= 1
+    bigram; ce_diff is computed from the two 6-dp-rounded NLLs and
+    nudge-rounded (grid differences can land on round-half
+    boundaries; the raw NLLs follow lm_score's plain 6-dp round).
+
+    Out-of-model mass: a bigram unseen by the in-domain LM backs off
+    to the add-k floor — p = k/(c1 + k·V_in), or 1/V_in when w1 itself
+    is unseen — via LEFT joins + exact-0 coalesce, so general-corpus
+    gibberish is EXPENSIVE under the in-domain model rather than
+    silently dropped (the inner-join shortcut would score exactly the
+    novel content as free).
+
+    Shape at scale: ONE corpus expansion to per-doc bigram counts
+    (checkpointed — the lm_score discipline); both models are
+    map-side-combinable count tables over that frame (the in-domain
+    counts filter it by an id join, no second scan); scoring is two
+    LEFT equi-joins on the bigram key + broadcast 1-row vocab scalars;
+    one final per-doc groupBy."""
+    if k <= 0:
+        raise ValueError(f"smoothing k must be positive, got {k}")
+    from orientdb_spark.pipeline.common import ws_tokens
+
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    staged = df.select(
+        F.col(id_col), in_domain.alias("__in"), toks.alias("__t")
+    ).filter(F.size("__t") >= 2)
+    pairs = staged.select(
+        F.col(id_col),
+        F.col("__in"),
+        F.explode(
+            F.transform(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                lambda w, i: F.struct(
+                    w.alias("w1"),
+                    F.element_at(
+                        F.col("__t"), (i + F.lit(2)).cast("int")
+                    ).alias("w2"),
+                ),
+            )
+        ).alias("__bg"),
+    ).select(
+        F.col(id_col),
+        F.col("__in"),
+        F.col("__bg.w1").alias("w1"),
+        F.col("__bg.w2").alias("w2"),
+    )
+    pc = (
+        pairs.groupBy(id_col, "__in", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .localCheckpoint(eager=False)
+    )
+
+    def lm(src):
+        c2 = src.groupBy("w1", "w2").agg(F.sum("nb").alias("c2"))
+        c1 = src.groupBy("w1").agg(F.sum("nb").alias("c1"))
+        v = (
+            src.select(F.col("w1").alias("w"))
+            .unionAll(src.select(F.col("w2").alias("w")))
+            .agg(F.count_distinct("w").cast("double").alias("v"))
+        )
+        return c2, c1, v
+
+    c2g, c1g, vg = lm(pc)
+    c2i, c1i, vi = lm(pc.filter(F.col("__in")))
+
+    def nll(c2c, c1c, vc):
+        return -F.log(
+            (F.coalesce(c2c, F.lit(0)) + F.lit(k))
+            / (F.coalesce(c1c, F.lit(0)) + F.lit(k) * vc)
+        )
+
+    scored = (
+        pc.join(c2g.withColumnRenamed("c2", "__c2g"), ["w1", "w2"], "left")
+        .join(c1g.withColumnRenamed("c1", "__c1g"), ["w1"], "left")
+        .join(
+            c2i.withColumnRenamed("c2", "__c2i"), ["w1", "w2"], "left"
+        )
+        .join(c1i.withColumnRenamed("c1", "__c1i"), ["w1"], "left")
+        .crossJoin(F.broadcast(vg.withColumnRenamed("v", "__vg")))
+        .crossJoin(F.broadcast(vi.withColumnRenamed("v", "__vi")))
+        .select(
+            F.col(id_col),
+            F.col("nb"),
+            nll(F.col("__c2g"), F.col("__c1g"), F.col("__vg")).alias("__ng"),
+            nll(F.col("__c2i"), F.col("__c1i"), F.col("__vi")).alias("__ni"),
+        )
+    )
+    nll_in = F.round(F.sum(F.col("nb") * F.col("__ni")) / F.sum("nb"), 6)
+    nll_gen = F.round(F.sum(F.col("nb") * F.col("__ng")) / F.sum("nb"), 6)
+    return scored.groupBy(id_col).agg(
+        F.sum("nb").cast("long").alias("n_bigrams"),
+        nll_in.alias("nll_in"),
+        nll_gen.alias("nll_gen"),
+        F.round(nll_in - nll_gen + F.lit(1e-12), 6).alias("ce_diff"),
+    )

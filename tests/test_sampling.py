@@ -960,3 +960,41 @@ def test_epochs_report_plan_bounded(spark):
     assert "Window" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row total
+
+
+def test_moore_lewis_hand_checked(spark):
+    """In-domain-typical docs score negative ce_diff, out-of-domain
+    docs positive; OOV bigrams back off to the add-k floor instead of
+    dropping; nll_gen matches lm_score on the same corpus."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.sampling import moore_lewis_score
+    from orientdb_spark.pipeline.text import lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta alpha beta", "en"),
+            (2, "alpha beta alpha beta", "en"),
+            (3, "gamma delta gamma delta gamma", "fr"),
+            (4, "alpha beta gamma", "fr"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in moore_lewis_score(docs, F.col("lang") == "en").collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    # docs 1/2 are made of in-domain bigrams -> look MORE like the en
+    # model than the mixed corpus; doc 3's bigrams are OOV for the en
+    # model -> expensive there, cheap generally
+    assert got[1]["ce_diff"] < 0 and got[2]["ce_diff"] < 0
+    assert got[3]["ce_diff"] > 0
+    # nll_gen must equal lm_score's corpus NLL (same model, same round)
+    base = {r["doc_id"]: r["nll"] for r in lm_score(docs).collect()}
+    for d in (1, 2, 3, 4):
+        assert got[d]["nll_gen"] == base[d]
+    with pytest.raises(ValueError, match="smoothing k"):
+        moore_lewis_score(docs, F.col("lang") == "en", k=0.0)

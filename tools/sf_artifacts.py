@@ -199,6 +199,9 @@ SF1_ENTRIES = [
     # r13 continuation-17: the PR-curve sweep rides the classifier GD
     # replay (already listed three times) + one literal fan-out groupBy
     "text_classifier_pr_curve",
+    # r13 continuation-18: Moore-Lewis rides the linear lm_score gram
+    # stream twice over ONE shared pc frame — linear at any SF
+    "sample_moore_lewis",
 ]
 
 
