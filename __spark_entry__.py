@@ -2832,6 +2832,22 @@ def _text_bm25_topk(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), queries, k=10)
 
 
+def _text_rocchio_prf(spark, sf_dir):
+    """Pseudo-relevance-feedback retrieval (pipeline/text.
+    rocchio_prf_topk — Rocchio 1971 / Robertson offer weights): BM25
+    pass 1 over the five fixed queries, top-3 feedback docs, 2
+    strongest new terms by summed tf·idf (6-dp, term tiebreaks)
+    appended per query, re-ranked top-10 over the SAME corpus tables
+    (one tokenize). The oracle replays both passes and the expansion
+    pick end-to-end."""
+    from orientdb_spark.pipeline.text import rocchio_prf_topk
+
+    queries = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
+    return rocchio_prf_topk(
+        _docs(spark, sf_dir), queries, k=10, fb_docs=3, fb_terms=2
+    )
+
+
 _GOPHER_STOPS = ["a", "data", "key", "window", "scan"]
 
 
@@ -4691,6 +4707,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_tfidf_topterms": _text_tfidf,
         # r13: BM25 ranked retrieval (Robertson & Zaragoza 2009)
         "text_bm25_topk": _text_bm25_topk,
+        "text_rocchio_prf": _text_rocchio_prf,
         "text_vocabulary": _text_vocabulary,
         "text_feature_hashing": _text_feature_hashing,
         "text_hash_embedding": _text_hash_embedding,
@@ -5733,6 +5750,75 @@ def _lm_oracle_sql() -> str:
         "FROM pairs JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v) "
         "SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
         "round(avg(nll), 6) AS nll FROM sc GROUP BY doc_id"
+    )
+
+
+def _rocchio_oracle_sql(fb_docs: int = 3, fb_terms: int = 2, k: int = 10) -> str:
+    """Two-pass Rocchio PRF replay (text.rocchio_prf_topk): the bm25
+    oracle's corpus tables built once, pass-1 rank over the original
+    term sets, offer-weight expansion (summed tf·idf over the feedback
+    docs, 6-dp nudge, term tiebreaks, original terms anti-joined out),
+    pass-2 rank over the union term sets. Both passes share the exact
+    scoring expression of the text_bm25_topk oracle."""
+    score = (
+        "round(sum(ln(1.0 + (nd - df + 0.5) / (df + 0.5)) * "
+        "(t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / (tok / nd))))) "
+        "+ 1e-12, 6)"
+    )
+    return (
+        "WITH q(query_id, query_text) AS (VALUES "
+        "(1, 'filter merge join'), (2, 'customer order line'), "
+        "(3, 'window sort hash scan'), (4, 'slow query batch'), "
+        "(5, 'data stream value table')), "
+        "qt0 AS (SELECT DISTINCT query_id::BIGINT AS query_id, term FROM ("
+        "SELECT query_id, unnest(list_filter("
+        "regexp_split_to_array(lower(query_text), '\\s+'), t -> len(t) > 0)"
+        ") AS term FROM q)), "
+        "toks AS (SELECT doc_id, unnest(list_filter("
+        "regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)) AS term "
+        "FROM documents), "
+        "tf AS MATERIALIZED (SELECT doc_id, term, count(*)::BIGINT AS tf "
+        "FROM toks GROUP BY 1, 2), "
+        "dl AS MATERIALIZED (SELECT doc_id, sum(tf)::BIGINT AS dl "
+        "FROM tf GROUP BY 1), "
+        "st AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS nd, "
+        "(SELECT coalesce(sum(tf), 0)::DOUBLE FROM tf) AS tok), "
+        "tfq0 AS MATERIALIZED (SELECT tf.* FROM tf "
+        "JOIN (SELECT DISTINCT term FROM qt0) v USING (term)), "
+        "dfq0 AS (SELECT term, count(*)::BIGINT AS df FROM tfq0 GROUP BY 1), "
+        f"s0 AS (SELECT qt0.query_id, t.doc_id, {score} AS bm25 "
+        "FROM qt0 JOIN tfq0 t USING (term) JOIN dfq0 USING (term) "
+        "JOIN dl ON dl.doc_id = t.doc_id, st GROUP BY 1, 2), "
+        "fb AS MATERIALIZED (SELECT query_id, doc_id FROM ("
+        "SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY bm25 DESC, doc_id) AS rank FROM s0) "
+        f"WHERE rank <= {fb_docs}), "
+        "cand AS MATERIALIZED (SELECT f.query_id, t.term, t.tf "
+        "FROM fb f JOIN tf t USING (doc_id)), "
+        "dfc AS (SELECT term, count(*)::BIGINT AS df FROM tf "
+        "JOIN (SELECT DISTINCT term FROM cand) c USING (term) GROUP BY 1), "
+        "wt AS (SELECT query_id, term, "
+        "round(sum(tf * ln(1.0 + (nd - df + 0.5) / (df + 0.5))) + 1e-12, 6) "
+        "AS w FROM cand JOIN dfc USING (term), st GROUP BY 1, 2), "
+        "ex AS (SELECT wt.query_id, wt.term, w FROM wt "
+        "LEFT JOIN qt0 q0 ON wt.query_id = q0.query_id "
+        "AND wt.term = q0.term WHERE q0.term IS NULL), "
+        "texp AS (SELECT query_id, term FROM ("
+        "SELECT query_id, term, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY w DESC, term) AS r FROM ex) "
+        f"WHERE r <= {fb_terms}), "
+        "qt1 AS MATERIALIZED (SELECT query_id, term FROM qt0 "
+        "UNION SELECT query_id, term FROM texp), "
+        "tfq1 AS MATERIALIZED (SELECT tf.* FROM tf "
+        "JOIN (SELECT DISTINCT term FROM qt1) v USING (term)), "
+        "dfq1 AS (SELECT term, count(*)::BIGINT AS df FROM tfq1 GROUP BY 1), "
+        f"s1 AS (SELECT qt1.query_id, t.doc_id, {score} AS bm25 "
+        "FROM qt1 JOIN tfq1 t USING (term) JOIN dfq1 USING (term) "
+        "JOIN dl ON dl.doc_id = t.doc_id, st GROUP BY 1, 2) "
+        "SELECT query_id, doc_id, bm25, rank::INTEGER AS rank FROM ("
+        "SELECT query_id, doc_id, bm25, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank FROM s1) "
+        f"WHERE rank <= {k}"
     )
 
 
@@ -8315,6 +8401,7 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "SELECT query_id, doc_id, bm25, rank::INTEGER AS rank "
             "FROM r WHERE rank <= 10"
         ),
+        "text_rocchio_prf": _rocchio_oracle_sql(fb_docs=3, fb_terms=2, k=10),
         "text_token_budget": (
             # mirrors pipeline/text.token_budget(group_cols=[source, lang])
             "SELECT source, lang, count(*)::BIGINT AS n_docs, "

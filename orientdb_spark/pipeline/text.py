@@ -246,6 +246,14 @@ def bm25_topk(
             F.array_distinct(ws_tokens(F.lower(F.col(query_text_col))))
         ).alias("term"),
     )
+    return _bm25_rank(tf, dl, stats, qterms, k, k1, b)
+
+
+def _bm25_rank(tf, dl, stats, qterms, k: int, k1: float, b: float) -> DataFrame:
+    """The BM25 scoring/ranking stage over prebuilt corpus tables —
+    shared by ``bm25_topk`` and both passes of ``rocchio_prf_topk`` so
+    a PRF pipeline tokenizes the corpus ONCE. ``qterms`` is a
+    (query_id, term) table; shape notes live on ``bm25_topk``."""
     # postings restricted to the query vocabulary; df per term is
     # counted AFTER the restriction but still over every doc holding
     # the term (the filter is term-keyed, never doc-keyed)
@@ -283,6 +291,100 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def rocchio_prf_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fb_docs: int = 3,
+    fb_terms: int = 2,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (Rocchio 1971 as practiced
+    in the BM25 era — Robertson's offer-weight term selection): run
+    BM25, assume the top ``fb_docs`` hits are relevant, pick the
+    ``fb_terms`` strongest NEW terms from them (by summed tf·idf over
+    the feedback docs, the offer-weight shape), append those to the
+    query's term set, and re-rank with the SAME scoring tables — the
+    two-pass query expansion every Lucene/Terrier deployment ships as
+    `rm3`-lite. Returns pass-2's (query_id, doc_id, bm25, rank).
+
+    Determinism: expansion weights are 6-dp nudge-rounded sums of
+    integer-tf × idf terms and selected with (weight DESC, term ASC)
+    tiebreaks; both passes are the deterministic ``bm25_topk`` stage,
+    so the whole pipeline replays exactly in SQL.
+
+    Shape at scale: the corpus is tokenized ONCE — tf (checkpointed),
+    dl, and the stats scalar feed both passes (the refactor the shared
+    ``_bm25_rank`` stage exists for). Pass-1 extras: the feedback list
+    is panel-sized (Q × fb_docs) and broadcast against tf on doc_id;
+    candidate df restricts tf by the feedback vocabulary (term-keyed,
+    same trick as query vocab); the expansion pick is a window over
+    panel-sized (query, term) rows. Pass 2 re-enters ``_bm25_rank``
+    with at most (original + fb_terms) terms per query."""
+    if fb_docs <= 0 or fb_terms <= 0:
+        raise ValueError(
+            f"need fb_docs >= 1 and fb_terms >= 1, got {fb_docs}, {fb_terms}"
+        )
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = (
+        docs.agg(F.count(F.lit(1)).alias("__n"))
+        .crossJoin(tf.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("__tok")))
+    )
+    qt0 = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(ws_tokens(F.lower(F.col(query_text_col))))
+        ).alias("term"),
+    )
+    fb = _bm25_rank(tf, dl, stats, qt0, fb_docs, k1, b).select(
+        "query_id", "doc_id"
+    )
+    cand = F.broadcast(fb).join(tf, "doc_id")
+    dfc = tf.join(
+        F.broadcast(cand.select("term").distinct()), "term"
+    ).groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = F.col("__n").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (n - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    weighted = (
+        cand.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "term")
+        .agg(
+            F.round(F.sum(F.col("tf") * idf) + F.lit(1e-12), 6).alias("__w")
+        )
+    )
+    w_pick = Window.partitionBy("query_id").orderBy(
+        F.col("__w").desc(), F.col("term").asc()
+    )
+    expansion = (
+        weighted.join(qt0, ["query_id", "term"], "left_anti")
+        .withColumn("__r", F.row_number().over(w_pick))
+        .filter(F.col("__r") <= fb_terms)
+        .select("query_id", "term")
+    )
+    qt1 = qt0.unionByName(expansion).distinct()
+    return _bm25_rank(tf, dl, stats, qt1, k, k1, b)
 
 
 def lm_score(

@@ -1058,3 +1058,49 @@ def test_readability_hand_checked(spark):
     assert got[3]["n_sentences"] == 1
     q4 = got[4]
     assert q4["n_words"] == 0 and q4["flesch"] is None and q4["fk_grade"] is None
+
+
+def test_rocchio_prf_expansion_changes_ranking(spark):
+    """PRF must (a) return valid per-query rankings, (b) score docs the
+    un-expanded query misses (a doc containing ONLY expansion terms can
+    enter pass 2), and (c) reduce to plain BM25 when the feedback docs
+    offer no new terms."""
+    import pytest
+
+    from orientdb_spark.pipeline.text import bm25_topk, rocchio_prf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple banana date"),
+            (3, "cherry date cherry"),      # only expansion-reachable terms
+            (4, "elephant fig grape"),
+        ],
+        ["doc_id", "text"],
+    )
+    q = spark.createDataFrame([(1, "apple banana")], ["query_id", "query_text"])
+    plain = {r["doc_id"] for r in bm25_topk(docs, q, k=10).collect()}
+    prf = {r["doc_id"] for r in rocchio_prf_topk(
+        docs, q, k=10, fb_docs=2, fb_terms=2
+    ).collect()}
+    assert 3 not in plain          # no query term in doc 3
+    assert 3 in prf                # cherry/date arrive via feedback docs 1/2
+    assert 4 not in prf            # never reachable
+    # ranks are 1..n with unique docs per query
+    rows = rocchio_prf_topk(docs, q, k=10, fb_docs=2, fb_terms=2).collect()
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    # a corpus where feedback adds nothing -> identical to plain BM25
+    docs2 = spark.createDataFrame(
+        [(1, "apple banana"), (2, "apple banana")], ["doc_id", "text"]
+    )
+    p1 = sorted(
+        (r["doc_id"], r["bm25"]) for r in bm25_topk(docs2, q, k=5).collect()
+    )
+    p2 = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in rocchio_prf_topk(docs2, q, k=5, fb_docs=2, fb_terms=2).collect()
+    )
+    assert p1 == p2
+    with pytest.raises(ValueError, match="fb_docs"):
+        rocchio_prf_topk(docs, q, fb_docs=0)

@@ -202,6 +202,10 @@ SF1_ENTRIES = [
     # r13 continuation-18: Moore-Lewis rides the linear lm_score gram
     # stream twice over ONE shared pc frame — linear at any SF
     "sample_moore_lewis",
+    # r13 continuation-19: Rocchio PRF is the (already listed) BM25
+    # posting replay run twice over ONE tf table + panel-sized
+    # expansion windows — linear at any SF
+    "text_rocchio_prf",
 ]
 
 
