@@ -698,6 +698,23 @@ def _cms_event_type_counts(spark, sf_dir):
     return cms_estimate(sk, keys, "event_type", width=2048, depth=5)
 
 
+def _event_heavy_hitters_stream(spark, sf_dir):
+    """Space-saving heavy hitters (streaming.heavy_hitters_stream,
+    Metwally et al. 2005) — batch path of the bounded-state stateful
+    operator: top-10 users per event_type. Run in the exactness regime
+    (capacity >> distinct users, vectorized value_counts fast path) so
+    the SQL oracle replays it as exact counts + rank; the capped
+    eviction arithmetic is pytest-pinned, stream==batch pinned in the
+    streaming suite."""
+    from orientdb_spark.streaming import heavy_hitters_stream
+
+    ev = _engine(spark, sf_dir).table("events")
+    return heavy_hitters_stream(
+        ev, group_cols=("event_type",), item_col="user_id",
+        capacity=10_000_000, top_k=10,
+    )
+
+
 def _event_silence_audit(spark, sf_dir):
     """Currently-silent keys (streaming.silence_alerts_stream's batch
     fallback): users whose last event trails the corpus's newest event
@@ -4590,6 +4607,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "cms_event_type_counts": _cms_event_type_counts,
         "cms_join_size_estimate": _cms_join_size_estimate,
         "event_silence_audit": _event_silence_audit,
+        "event_heavy_hitters_stream": _event_heavy_hitters_stream,
         "event_interarrival_stats": _event_interarrival_stats,
         "event_attribution": _event_attribution,
         "event_seasonal_baseline": _event_seasonal_baseline,
@@ -7164,6 +7182,17 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
             "ON e.user_id = c.user_id AND c.ts > e.ts - INTERVAL 30 MINUTE "
             "AND c.ts <= e.ts GROUP BY 1, 2"
+        ),
+        "event_heavy_hitters_stream": (
+            # exactness-regime replay: space-saving with capacity >>
+            # distinct IS the exact count table (err 0), so the summary
+            # reduces to GROUP BY + per-group rank with item tiebreaks
+            "WITH c AS (SELECT event_type, user_id, count(*)::BIGINT AS n "
+            "FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2) "
+            "SELECT event_type, user_id AS item, n AS est_count, "
+            "0::BIGINT AS max_err, rank::INTEGER AS rank FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY event_type "
+            "ORDER BY n DESC, user_id) AS rank FROM c) WHERE rank <= 10"
         ),
         "event_silence_audit": (
             "WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events), "

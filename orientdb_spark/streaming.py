@@ -1317,3 +1317,136 @@ def near_dup_pairs_stream(
             timeoutConf=timeout,
         )
     )
+
+
+def heavy_hitters_stream(
+    events: DataFrame,
+    group_cols: tuple[str, ...] = ("event_type",),
+    item_col: str = "user_id",
+    capacity: int = 64,
+    top_k: int = 10,
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming top-k heavy hitters with BOUNDED state — the
+    space-saving summary (Metwally et al. 2005) as a custom stateful
+    operator: per group, at most ``capacity`` (item, count, err)
+    counters survive; a new item arriving at a full table evicts the
+    minimum-count counter and inherits its count as overestimation
+    error (``est_count - max_err`` is the guaranteed lower bound —
+    the standard space-saving accounting). Every trigger emits the
+    group's current top-``top_k`` snapshot ordered by (est_count DESC,
+    max_err ASC, item ASC) with 1-based ranks; later triggers re-emit
+    updated snapshots (append-mode monitoring-feed semantics — readers
+    keep the latest batch per group).
+
+    Exactness regime: while a group's distinct-item count stays within
+    ``capacity`` the summary IS the exact count table (err 0,
+    order-independent) — the regime the entry's SQL oracle replays;
+    the capped regime's eviction arithmetic is pytest-pinned. Eviction
+    order is deterministic: rows process in (``ts_col``,
+    ``tiebreak_col``) order and the evicted counter is the smallest
+    (count, item) pair.
+
+    This is the 100 TB monitoring shape: exact per-key counting of a
+    hot-key audit would shuffle the full key universe every window;
+    space-saving state is O(groups x capacity) regardless of key
+    cardinality, and NULL items are dropped (they are not a key).
+
+    Batch/stream agnostic: on a static frame the same per-group
+    summary runs as ``applyInPandas`` (identical output to a
+    single-batch stream); within-capacity groups take a vectorized
+    value_counts fast path (legal because the summary is
+    order-independent until the first eviction)."""
+    import pandas as pd
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("heavy_hitters_stream needs at least one group column")
+    schema_fields = {f.name: f.dataType for f in events.schema.fields}
+    item_type = schema_fields[item_col].simpleString()
+    out_schema = (
+        ", ".join(f"{c} {schema_fields[c].simpleString()}" for c in gcols)
+        + f", item {item_type}, est_count bigint, max_err bigint, rank int"
+    )
+    out_cols = gcols + ["item", "est_count", "max_err", "rank"]
+
+    def summarize(counters: dict, pdf: pd.DataFrame) -> dict:
+        """Fold one sorted batch into the (item -> [count, err]) table."""
+        sub = pdf[pdf[item_col].notna()]
+        if not counters and sub[item_col].nunique() <= capacity:
+            for item, n in sub[item_col].value_counts().items():
+                counters[item] = [int(n), 0]
+            return counters
+        for item in sub.sort_values([ts_col, tiebreak_col])[item_col]:
+            if item in counters:
+                counters[item][0] += 1
+            elif len(counters) < capacity:
+                counters[item] = [1, 0]
+            else:
+                evict = min(counters, key=lambda i: (counters[i][0], i))
+                floor = counters.pop(evict)[0]
+                counters[item] = [floor + 1, floor]
+        return counters
+
+    def snapshot(key, counters: dict) -> pd.DataFrame:
+        rows = sorted(
+            ((c, e, i) for i, (c, e) in counters.items()),
+            key=lambda t: (-t[0], t[1], t[2]),
+        )[:top_k]
+        return pd.DataFrame(
+            [
+                key + (item, count, err, rank)
+                for rank, (count, err, item) in enumerate(rows, start=1)
+            ],
+            columns=out_cols,
+        )
+
+    if not events.isStreaming:
+
+        def batch_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            return snapshot(key, summarize({}, pdf))
+
+        return events.groupBy(*[F.col(c) for c in gcols]).applyInPandas(
+            batch_fn, out_schema
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def hh(key, pdfs, state: GroupState):
+        if state.exists:
+            items, counts, errs = state.get
+            counters = {
+                i: [c, e] for i, c, e in zip(items, counts, errs)
+            }
+        else:
+            counters = {}
+        counters = summarize(counters, pd.concat(list(pdfs)))
+        state.update(
+            (
+                list(counters.keys()),
+                [v[0] for v in counters.values()],
+                [v[1] for v in counters.values()],
+            )
+        )
+        yield snapshot(key, counters)
+
+    state_schema = (
+        f"items array<{item_type}>, counts array<bigint>, errs array<bigint>"
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*[F.col(c) for c in gcols])
+        .applyInPandasWithState(
+            hh,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

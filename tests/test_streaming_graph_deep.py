@@ -1069,3 +1069,81 @@ def test_near_dup_stream_validation(spark):
         near_dup_pairs_stream(df, bucket_cap=0)
     with pytest.raises(ValueError, match="num_hashes"):
         near_dup_pairs_stream(df, num_hashes=0)
+
+
+def test_heavy_hitters_eviction_hand_checked(spark):
+    """Space-saving at capacity 2: the third distinct item evicts the
+    (count, item)-minimum counter and inherits its count as max_err;
+    within-capacity groups are exact with err 0."""
+    import datetime as dt
+
+    from orientdb_spark.streaming import heavy_hitters_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # group 'g': a a a b c  -> capacity 2: c evicts b (count 1),
+        # c gets est 2 / err 1; a stays exact at 3
+        (1, t0, "g", "a"), (2, t0, "g", "a"), (3, t0, "g", "a"),
+        (4, t0, "g", "b"), (5, t0, "g", "c"),
+        # group 'h': two distinct -> exact
+        (6, t0, "h", "x"), (7, t0, "h", "x"), (8, t0, "h", "y"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, item string"
+    )
+    got = {
+        (r["event_type"], r["item"]): r.asDict()
+        for r in heavy_hitters_stream(
+            ev, group_cols=("event_type",), item_col="item",
+            capacity=2, top_k=10,
+        ).collect()
+    }
+    assert got[("g", "a")]["est_count"] == 3 and got[("g", "a")]["max_err"] == 0
+    assert got[("g", "c")]["est_count"] == 2 and got[("g", "c")]["max_err"] == 1
+    assert ("g", "b") not in got  # evicted
+    assert got[("g", "a")]["rank"] == 1 and got[("g", "c")]["rank"] == 2
+    assert got[("h", "x")]["est_count"] == 2 and got[("h", "y")]["max_err"] == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters_stream(ev, item_col="item", capacity=0)
+
+
+def test_heavy_hitters_stream_matches_batch(spark):
+    """The stateful streaming operator must agree with the batch
+    applyInPandas formulation when everything arrives as one
+    availableNow batch (exactness regime)."""
+    from orientdb_spark.streaming import heavy_hitters_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = fix_event_nanos(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    batch = heavy_hitters_stream(events, capacity=100000, top_k=5)
+    brows = {
+        (r["event_type"], r["item"], r["est_count"], r["max_err"], r["rank"])
+        for r in batch.collect()
+    }
+    assert len(brows) > 0
+    src_dir = tempfile.mkdtemp(prefix="ospark_hh_src_")
+    ckpt = tempfile.mkdtemp(prefix="ospark_hh_ckpt_")
+    try:
+        events.coalesce(1).write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(events.schema).parquet(src_dir)
+        out = heavy_hitters_stream(stream, capacity=100000, top_k=5)
+        assert out.isStreaming
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("hh_rows")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        srows = {
+            (r["event_type"], r["item"], r["est_count"], r["max_err"], r["rank"])
+            for r in spark.sql("select * from hh_rows").collect()
+        }
+        assert srows == brows
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

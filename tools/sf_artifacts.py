@@ -206,6 +206,9 @@ SF1_ENTRIES = [
     # posting replay run twice over ONE tf table + panel-sized
     # expansion windows — linear at any SF
     "text_rocchio_prf",
+    # r13 continuation-20: heavy hitters in the exactness regime is a
+    # value_counts fast path per group + a GROUP BY/rank oracle
+    "event_heavy_hitters_stream",
 ]
 
 
