@@ -3691,6 +3691,20 @@ def _text_classifier_pr_curve(spark, sf_dir):
     return model.threshold_sweep(scored)
 
 
+def _sample_length_buckets(spark, sf_dir):
+    """Padding-waste audit for length-bucketed batching (pipeline/
+    sampling.length_buckets — the group_by_length practice): per
+    bucket (ascending caps 16/24/32/40/48/64 + overflow), doc counts,
+    observed max, total vs padded tokens, waste fraction. Literal
+    integer CASE assignment, exact integer aggregates, one division.
+    Oracle-exact trivially."""
+    from orientdb_spark.pipeline.sampling import length_buckets
+
+    return length_buckets(
+        _docs(spark, sf_dir), bounds=(16, 24, 32, 40, 48, 64)
+    )
+
+
 def _sample_moore_lewis(spark, sf_dir):
     """Moore-Lewis cross-entropy-difference selection (pipeline/
     sampling.moore_lewis_score, Moore & Lewis 2010): every doc scored
@@ -4765,6 +4779,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_classifier_pr_curve": _text_classifier_pr_curve,
         "sample_perplexity_buckets": _sample_perplexity_buckets,
         "sample_moore_lewis": _sample_moore_lewis,
+        "sample_length_buckets": _sample_length_buckets,
         "multimodal_pair_filter": _multimodal_pair_filter,
         "sample_leakage_safe_split": _sample_leakage_safe_split,
         "pipeline_quality_gate": _pipeline_quality_gate,
@@ -8305,6 +8320,28 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             16, 3, 1.0, "pr_curve"
         ),
         "sample_perplexity_buckets": _perplexity_buckets_oracle_sql(1 / 3, 2 / 3),
+        "sample_length_buckets": (
+            # ws-token lengths, the identical literal CASE chain, exact
+            # integer aggregates, waste_frac as the single division
+            "WITH s AS (SELECT doc_id, len(list_filter("
+            "regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0))"
+            "::BIGINT AS n FROM documents), "
+            "b AS (SELECT doc_id, n, "
+            "CASE WHEN n <= 16 THEN 0 WHEN n <= 24 THEN 1 "
+            "WHEN n <= 32 THEN 2 WHEN n <= 40 THEN 3 WHEN n <= 48 THEN 4 "
+            "WHEN n <= 64 THEN 5 ELSE 6 END AS bucket_id, "
+            "(CASE WHEN n <= 16 THEN 16 WHEN n <= 24 THEN 24 "
+            "WHEN n <= 32 THEN 32 WHEN n <= 40 THEN 40 WHEN n <= 48 THEN 48 "
+            "WHEN n <= 64 THEN 64 END)::BIGINT AS bucket_cap FROM s) "
+            "SELECT bucket_id::INTEGER AS bucket_id, bucket_cap, "
+            "count(*)::BIGINT AS n_docs, max(n)::BIGINT AS max_len, "
+            "sum(n)::BIGINT AS total_tokens, "
+            "(count(*) * max(n))::BIGINT AS padded_tokens, "
+            "round(CASE WHEN count(*) * max(n) > 0 THEN "
+            "(count(*) * max(n) - sum(n))::DOUBLE / "
+            "(count(*) * max(n))::DOUBLE ELSE 0.0 END + 1e-12, 6) "
+            "AS waste_frac FROM b GROUP BY 1, 2"
+        ),
         "sample_moore_lewis": (
             # two add-k bigram LMs over ONE shared per-doc bigram-count
             # frame (general = everything, in-domain = lang='en'), LEFT

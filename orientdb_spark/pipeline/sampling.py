@@ -1409,3 +1409,78 @@ def moore_lewis_score(
         nll_gen.alias("nll_gen"),
         F.round(nll_in - nll_gen + F.lit(1e-12), 6).alias("ce_diff"),
     )
+
+
+LENGTH_BUCKET_BOUNDS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
+
+
+def length_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bounds: "Sequence[int]" = tuple(LENGTH_BUCKET_BOUNDS),
+) -> DataFrame:
+    """Padding-waste audit for length-bucketed batching — the
+    measurement behind dynamic batching (bucket sequences by length so
+    a batch pads to its bucket's max, not the corpus max; the
+    fairseq/HF `group_by_length` practice, and the decision input for
+    choosing bucket boundaries vs switching to pack_sequences): per
+    length bucket,
+
+        (bucket_id, bucket_cap, n_docs, max_len, total_tokens,
+         padded_tokens, waste_frac)
+
+    where length is the whitespace token count, bucket boundaries are
+    the given ascending caps (a doc lands in the first bucket with
+    cap >= len; longer docs land in the overflow bucket with NULL cap),
+    ``padded_tokens`` = n_docs × max_len — the tokens a batch padded to
+    the bucket's OBSERVED max actually computes — and ``waste_frac`` =
+    (padded − total) / padded, 6-dp nudge-rounded (the only division;
+    everything else is exact integers). Global waste under the
+    bucketing is sum(padded−total)/sum(padded) — left to the consumer;
+    compare against the one-bucket row of a `bounds=[]` call for the
+    unbucketed baseline.
+
+    Bucket assignment is a literal CASE chain over integer compares —
+    no log2/float anywhere, so the table replays exactly in SQL.
+
+    Scale shape: a pure per-row projection (token count + CASE) then
+    ONE map-side-combinable groupBy to len(bounds)+1 rows."""
+    from orientdb_spark.pipeline.common import ws_tokens
+
+    bs = [int(b) for b in bounds]
+    if bs != sorted(bs) or len(set(bs)) != len(bs) or (bs and bs[0] <= 0):
+        raise ValueError(f"bounds must be positive strictly ascending, got {bounds}")
+    n = F.size(ws_tokens(F.lower(F.col(text_col)))).cast("long")
+    bucket = F.lit(len(bs))
+    cap = F.lit(None).cast("long")
+    for i in range(len(bs) - 1, -1, -1):
+        bucket = F.when(n <= bs[i], F.lit(i)).otherwise(bucket)
+        cap = F.when(n <= bs[i], F.lit(bs[i]).cast("long")).otherwise(cap)
+    staged = df.select(
+        F.col(id_col), bucket.alias("bucket_id"), cap.alias("bucket_cap"),
+        n.alias("__len"),
+    )
+    agg = staged.groupBy("bucket_id", "bucket_cap").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("__len").cast("long").alias("max_len"),
+        F.sum("__len").cast("long").alias("total_tokens"),
+    )
+    padded = F.col("n_docs") * F.col("max_len")
+    return agg.select(
+        F.col("bucket_id").cast("int").alias("bucket_id"),
+        "bucket_cap",
+        "n_docs",
+        "max_len",
+        "total_tokens",
+        padded.alias("padded_tokens"),
+        F.round(
+            F.when(
+                padded > 0,
+                (padded - F.col("total_tokens")).cast("double")
+                / padded.cast("double"),
+            ).otherwise(F.lit(0.0))
+            + F.lit(1e-12),
+            6,
+        ).alias("waste_frac"),
+    )

@@ -998,3 +998,35 @@ def test_moore_lewis_hand_checked(spark):
         assert got[d]["nll_gen"] == base[d]
     with pytest.raises(ValueError, match="smoothing k"):
         moore_lewis_score(docs, F.col("lang") == "en", k=0.0)
+
+
+def test_length_buckets_hand_checked(spark):
+    """Bucket assignment, overflow handling, and the padded/waste
+    arithmetic on hand-sized docs."""
+    import pytest
+
+    from orientdb_spark.pipeline.sampling import length_buckets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),                # 3 tokens -> bucket cap 4
+            (2, "a b c d"),              # 4 -> cap 4
+            (3, "a b c d e"),            # 5 -> cap 8
+            (4, " ".join(["w"] * 20)),   # 20 -> overflow (NULL cap)
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["bucket_id"]: r.asDict()
+        for r in length_buckets(docs, bounds=(4, 8)).collect()
+    }
+    b0 = got[0]
+    assert b0["bucket_cap"] == 4 and b0["n_docs"] == 2
+    assert b0["max_len"] == 4 and b0["total_tokens"] == 7
+    assert b0["padded_tokens"] == 8
+    assert b0["waste_frac"] == round(1 / 8 + 1e-12, 6)
+    assert got[1]["bucket_cap"] == 8 and got[1]["waste_frac"] == 0.0
+    ov = got[2]
+    assert ov["bucket_cap"] is None and ov["n_docs"] == 1
+    with pytest.raises(ValueError, match="ascending"):
+        length_buckets(docs, bounds=(8, 4))

@@ -209,6 +209,9 @@ SF1_ENTRIES = [
     # r13 continuation-20: heavy hitters in the exactness regime is a
     # value_counts fast path per group + a GROUP BY/rank oracle
     "event_heavy_hitters_stream",
+    # r13 continuation-21: length buckets is one scan + a literal CASE
+    # + ONE groupBy to len(bounds)+1 rows
+    "sample_length_buckets",
 ]
 
 
