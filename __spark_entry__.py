@@ -4394,13 +4394,20 @@ _DRIVER_FRONT = [
     # r14 with the rest of the r9 cohort
     "text_bm25_topk",
     "sample_unimax",
-    # r14 NOTE: the front was full when seven more r13 operators landed
-    # (text_gopher_rules, sim_ann_recall, scale_compaction_plan,
-    # sample_epochs_report, sim_matryoshka_recall,
-    # dedup_near_dup_stream, sim_rank_eval). They carry builder-sweep
-    # records (CORRECTNESS_r13_sweep.json, provenance in-file) and all
-    # three sf artifacts — but NO driver record yet. The r14 front MUST
-    # lead with these seven, then the r9-era record tail.
+    # r14 NOTE: the front was full when TWENTY-FOUR more r13 operators
+    # landed across the continuation sessions (text_gopher_rules,
+    # sim_ann_recall, scale_compaction_plan, sample_epochs_report,
+    # sim_matryoshka_recall, dedup_near_dup_stream, sim_rank_eval,
+    # graph_modularity, profile_benford_audit, sim_index_health,
+    # profile_distribution_drift, text_fim_transform,
+    # text_span_corruption, sim_pr_eval, profile_l_diversity,
+    # graph_assortativity, text_readability, event_attribution,
+    # scale_zone_map_audit, text_classifier_pr_curve,
+    # sample_moore_lewis, text_rocchio_prf, event_heavy_hitters_stream,
+    # sample_length_buckets). They carry builder-sweep records
+    # (CORRECTNESS_r13_sweep.json, provenance in-file) and all three sf
+    # artifacts — but NO driver record yet. The r14 front MUST lead
+    # with these twenty-four, then fill from the r9-era record tail.
 ]
 
 
