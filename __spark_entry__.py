@@ -749,6 +749,19 @@ def _event_attribution(spark, sf_dir):
     )
 
 
+def _event_anomaly_mad(spark, sf_dir):
+    """Robust MAD outlier flags (temporal.anomaly_mad — the
+    Iglewicz-Hoaglin modified z-score): per event_type, the exact
+    interpolated median and MAD (both nudge-rounded to the 6-dp grid
+    BEFORE re-entering arithmetic), per-event mod_z and the |mod_z| >
+    3.5 flag derived from the rounded column. The robust companion to
+    event_anomaly_zscore; oracle: quantile_cont replays both medians."""
+    from orientdb_spark.temporal import anomaly_mad
+
+    ev = _engine(spark, sf_dir).table("events")
+    return anomaly_mad(ev, on=["event_type"], threshold=3.5)
+
+
 def _event_interarrival_stats(spark, sf_dir):
     """Per-user inter-arrival gaps + burstiness index
     (temporal.interarrival_stats): mean/std/CV of consecutive gaps and
@@ -4631,6 +4644,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "event_heavy_hitters_stream": _event_heavy_hitters_stream,
         "event_interarrival_stats": _event_interarrival_stats,
         "event_attribution": _event_attribution,
+        "event_anomaly_mad": _event_anomaly_mad,
         "event_seasonal_baseline": _event_seasonal_baseline,
         "text_vocab_growth": _text_vocab_growth,
         "event_cusum_changepoints": _event_cusum_changepoints,
@@ -7224,6 +7238,25 @@ def oracle_sql() -> dict[str, str]:
             "date_trunc('second', make_timestamp(lu)) AS last_seen, "
             "date_trunc('second', make_timestamp(lu + 43200000000)) AS deadline "
             "FROM pk, mx WHERE mx.m - pk.lu > 43200000000"
+        ),
+        "event_anomaly_mad": (
+            # quantile_cont replays both medians on the 6-dp grid; mod_z
+            # and the flag derive from the rounded columns
+            "WITH m AS (SELECT event_type, "
+            "round(quantile_cont(value, 0.5) + 1e-12, 6) AS med "
+            "FROM events GROUP BY 1), "
+            "d AS (SELECT e.event_id, e.event_type, e.value, m.med, "
+            "round(abs(e.value - m.med) + 1e-12, 6) AS dev "
+            "FROM events e JOIN m USING (event_type)), "
+            "md AS (SELECT event_type, "
+            "round(quantile_cont(dev, 0.5) + 1e-12, 6) AS mad "
+            "FROM d GROUP BY 1), "
+            "z AS (SELECT d.event_id, d.event_type, d.value, d.med, md.mad, "
+            "round(CASE WHEN md.mad > 0 THEN "
+            "0.6745 * (d.value - d.med) / md.mad END + 1e-12, 6) AS mod_z "
+            "FROM d JOIN md USING (event_type)) "
+            "SELECT event_id, event_type, value, med, mad, mod_z, "
+            "coalesce(abs(mod_z) > 3.5, FALSE) AS is_outlier FROM z"
         ),
         "event_attribution": (
             # union-tag + carry-forward replay: same (us, isc, id) total

@@ -51,6 +51,8 @@ __all__ = [
     "cusum_changepoints",
     "seasonal_baseline",
     "interarrival_stats",
+    "last_touch_attribution",
+    "anomaly_mad",
 ]
 
 _SIDE = "__asof_side"
@@ -897,4 +899,71 @@ def last_touch_attribution(
             6,
         ).alias("seconds_since_touch"),
         F.coalesce(in_window, F.lit(False)).alias("attributed"),
+    )
+
+
+def anomaly_mad(
+    df: DataFrame,
+    on: Sequence[str],
+    value: str = "value",
+    threshold: float = 3.5,
+    id_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Robust outlier flags via the median absolute deviation — the
+    Iglewicz-Hoaglin modified z-score M = 0.6745·(x − med)/MAD, the
+    companion ``anomaly_zscore`` needs when the signal itself contains
+    the outliers being hunted (mean/stddev are dragged by the very
+    points they should flag; median/MAD have a 50% breakdown point).
+    Per key group: the exact interpolated median of ``value``, the MAD
+    (median of |x − med|), then per row ``mod_z`` (6-dp nudge-rounded)
+    and ``is_outlier`` = |mod_z| > threshold — the flag derives from
+    the ROUNDED column, and both medians are nudge-rounded to the 6-dp
+    grid before re-entering arithmetic, so every decision replays
+    bit-exactly in SQL. mod_z is NULL (flag false) for zero-MAD groups
+    (a constant signal offers no evidence).
+
+    Returns (*id_cols, *on, value, med, mad, mod_z, is_outlier).
+
+    Scale shape: two keyed aggregations (median, then MAD over the
+    deviations) + two equi-joins back on the key — the stats tables
+    are group-sized and broadcast when the key is low-cardinality.
+    ``F.percentile`` is the exact interpolated form (per-group memory
+    is the usual exact-percentile trade — swap percentile_approx at
+    true scale; exact is what the oracle replays, the
+    profile_quantile_bins convention)."""
+    on = list(on)
+    if not on:
+        raise ValueError("anomaly_mad needs at least one key column")
+    ids = list(id_cols)
+    med_t = df.groupBy(*on).agg(
+        F.round(F.percentile(F.col(value), F.lit(0.5)) + F.lit(1e-12), 6).alias(
+            "med"
+        )
+    )
+    dev = df.select(*ids, *on, F.col(value)).join(med_t, on).withColumn(
+        "__dev", F.round(F.abs(F.col(value) - F.col("med")) + F.lit(1e-12), 6)
+    )
+    mad_t = dev.groupBy(*on).agg(
+        F.round(F.percentile(F.col("__dev"), F.lit(0.5)) + F.lit(1e-12), 6).alias(
+            "mad"
+        )
+    )
+    mz = F.round(
+        F.when(
+            F.col("mad") > 0,
+            F.lit(0.6745) * (F.col(value) - F.col("med")) / F.col("mad"),
+        )
+        + F.lit(1e-12),
+        6,
+    )
+    return (
+        dev.join(mad_t, on)
+        .withColumn("mod_z", mz)
+        .withColumn(
+            "is_outlier",
+            F.coalesce(
+                F.abs(F.col("mod_z")) > F.lit(float(threshold)), F.lit(False)
+            ),
+        )
+        .drop("__dev")
     )

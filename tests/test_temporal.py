@@ -1372,3 +1372,32 @@ def test_last_touch_attribution_hand_checked(spark):
         last_touch_attribution(ev, ["click"], "purchase", lookback_sec=0)
     with pytest.raises(ValueError, match="touch type"):
         last_touch_attribution(ev, [], "purchase", lookback_sec=10)
+
+
+def test_anomaly_mad_hand_checked(spark):
+    """Modified z-score on a hand-sized group: the planted spike flags,
+    the bulk does not; a constant group has MAD 0 -> NULL mod_z and no
+    flags; the mean-dragging outlier that breaks zscore stays flagged
+    under MAD."""
+    import pytest
+
+    from orientdb_spark.temporal import anomaly_mad
+
+    rows = [(i, "a", float(v)) for i, v in enumerate([10, 11, 12, 13, 14, 100])]
+    rows += [(10 + i, "b", 7.0) for i in range(4)]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {r["event_id"]: r.asDict() for r in anomaly_mad(
+        ev, on=["event_type"], threshold=3.5
+    ).collect()}
+    # group a: med 12.5, deviations [2.5,1.5,.5,.5,1.5,87.5] -> MAD 1.5
+    assert got[0]["med"] == 12.5 and got[0]["mad"] == 1.5
+    spike = got[5]
+    assert spike["is_outlier"] and spike["mod_z"] == round(
+        0.6745 * 87.5 / 1.5 + 1e-12, 6
+    )
+    assert not any(got[i]["is_outlier"] for i in range(5))
+    # constant group: MAD 0 -> null mod_z, no flags
+    assert got[10]["mad"] == 0.0 and got[10]["mod_z"] is None
+    assert got[10]["is_outlier"] is False
+    with pytest.raises(ValueError, match="key column"):
+        anomaly_mad(ev, on=[])

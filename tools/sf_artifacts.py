@@ -212,6 +212,9 @@ SF1_ENTRIES = [
     # r13 continuation-21: length buckets is one scan + a literal CASE
     # + ONE groupBy to len(bounds)+1 rows
     "sample_length_buckets",
+    # r13 continuation-22: MAD flags are two keyed quantile_cont
+    # aggregations + two equi-joins — linear at any SF
+    "event_anomaly_mad",
 ]
 
 
