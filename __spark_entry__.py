@@ -509,6 +509,16 @@ def _graph_modularity(spark, sf_dir):
     return g.modularity(g.label_propagation(iterations=3))
 
 
+def _graph_degree_distribution(spark, sf_dir):
+    """Log-binned degree histogram (Graph.degree_distribution): per
+    power-of-two bucket over the undirected FK-graph degree,
+    vertex counts with min/max — the first profiling pass on any large
+    graph and the partitioning-decision input assortativity refines.
+    All-integer comparison-chain binning; oracle-exact trivially."""
+    g = _graph(spark, sf_dir)
+    return g.degree_distribution()
+
+
 def _graph_assortativity(spark, sf_dir):
     """Degree assortativity (Graph.assortativity, Newman 2002) of the
     FK graph — one row of exact integer stub sums plus the 6-dp
@@ -4625,6 +4635,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "graph_label_propagation": _graph_label_propagation,
         "graph_modularity": _graph_modularity,
         "graph_assortativity": _graph_assortativity,
+        "graph_degree_distribution": _graph_degree_distribution,
         "graph_triangle_count": _graph_triangle_count,
         "graph_clustering_coeff": _graph_clustering_coeff,
         "graph_neighbor_features": _graph_neighbor_features,
@@ -9192,6 +9203,35 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
         ),
         "graph_sssp": _sssp_oracle(iterations=6),
         "graph_label_propagation": _lpa_oracle(iterations=3),
+        "graph_degree_distribution": (
+            # FK edges redeclared, stub degrees + isolate pickup, the
+            # identical power-of-two comparison chain, one GROUP BY
+            "WITH e0 AS ("
+            "SELECT 'region:' || n_regionkey AS src, "
+            "'nation:' || n_nationkey AS dst FROM nation "
+            "UNION ALL SELECT 'nation:' || c_nationkey, "
+            "'customer:' || c_custkey FROM customer "
+            "UNION ALL SELECT 'customer:' || o_custkey, "
+            "'orders:' || o_orderkey FROM orders), "
+            "ed AS (SELECT src, dst FROM e0 WHERE src <> dst), "
+            "vx AS (SELECT 'region:' || r_regionkey AS vid FROM region "
+            "UNION ALL SELECT 'nation:' || n_nationkey FROM nation "
+            "UNION ALL SELECT 'customer:' || c_custkey FROM customer "
+            "UNION ALL SELECT 'orders:' || o_orderkey FROM orders), "
+            "deg AS (SELECT vid, count(*)::BIGINT AS dg FROM ("
+            "SELECT src AS vid FROM ed UNION ALL SELECT dst FROM ed) "
+            "GROUP BY 1), "
+            "alld AS (SELECT coalesce(d.dg, 0) AS dg FROM vx "
+            "LEFT JOIN deg d USING (vid)), "
+            "b AS (SELECT dg, (CASE WHEN dg >= 549755813888 THEN 39 WHEN dg >= 274877906944 THEN 38 WHEN dg >= 137438953472 THEN 37 WHEN dg >= 68719476736 THEN 36 WHEN dg >= 34359738368 THEN 35 WHEN dg >= 17179869184 THEN 34 WHEN dg >= 8589934592 THEN 33 WHEN dg >= 4294967296 THEN 32 WHEN dg >= 2147483648 THEN 31 WHEN dg >= 1073741824 THEN 30 WHEN dg >= 536870912 THEN 29 WHEN dg >= 268435456 THEN 28 WHEN dg >= 134217728 THEN 27 WHEN dg >= 67108864 THEN 26 WHEN dg >= 33554432 THEN 25 WHEN dg >= 16777216 THEN 24 WHEN dg >= 8388608 THEN 23 WHEN dg >= 4194304 THEN 22 WHEN dg >= 2097152 THEN 21 WHEN dg >= 1048576 THEN 20 WHEN dg >= 524288 THEN 19 WHEN dg >= 262144 THEN 18 WHEN dg >= 131072 THEN 17 WHEN dg >= 65536 THEN 16 WHEN dg >= 32768 THEN 15 WHEN dg >= 16384 THEN 14 WHEN dg >= 8192 THEN 13 WHEN dg >= 4096 THEN 12 WHEN dg >= 2048 THEN 11 WHEN dg >= 1024 THEN 10 WHEN dg >= 512 THEN 9 WHEN dg >= 256 THEN 8 WHEN dg >= 128 THEN 7 WHEN dg >= 64 THEN 6 WHEN dg >= 32 THEN 5 WHEN dg >= 16 THEN 4 WHEN dg >= 8 THEN 3 WHEN dg >= 4 THEN 2 WHEN dg >= 2 THEN 1 WHEN dg >= 1 THEN 0 ELSE -1 END) AS bucket_id FROM alld) "
+            "SELECT bucket_id::INTEGER AS bucket_id, "
+            "(CASE WHEN bucket_id >= 0 THEN (1::BIGINT << bucket_id) "
+            "ELSE 0 END)::BIGINT AS lo, "
+            "(CASE WHEN bucket_id >= 0 THEN (1::BIGINT << (bucket_id + 1)) - 1 "
+            "ELSE 0 END)::BIGINT AS hi, "
+            "count(*)::BIGINT AS n_vertices, min(dg)::BIGINT AS min_degree, "
+            "max(dg)::BIGINT AS max_degree FROM b GROUP BY bucket_id"
+        ),
         "graph_assortativity": (
             # FK edges redeclared, both directed stubs per edge, exact
             # integer sums, then the identical one-tree Pearson ratio

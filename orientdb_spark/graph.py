@@ -1366,6 +1366,67 @@ class Graph:
             )
         )
 
+    def degree_distribution(self) -> DataFrame:
+        """Log-binned degree histogram — the first profiling pass run on
+        any large graph (is this a power-law web graph or a bounded-
+        degree FK mesh?), and the input to the partitioning decision
+        ``assortativity`` refines: per power-of-two bucket over the
+        undirected degree (self-loops dropped), ``(bucket_id, lo, hi,
+        n_vertices, min_degree, max_degree)`` with bucket b covering
+        degrees [2^b, 2^(b+1)) and hi = 2^(b+1)-1. Buckets are integer
+        comparisons (bucket = floor(log2 d) via a comparison chain on
+        the aggregated DEGREE TABLE, not per edge) — no floats, so
+        the table replays exactly in SQL. Zero-degree vertices (present
+        in the vertex table, touching no edge) land in bucket -1 with
+        lo/hi 0.
+
+        Scale shape: one stub groupBy for degrees (map-side
+        combinable), a left anti-free join of vertices to pick up
+        isolates (left join + coalesce 0), the literal bucket CASE,
+        and ONE groupBy to <= ~60 rows."""
+        ed = self.edges.select("src", "dst").filter(
+            F.col("src") != F.col("dst")
+        )
+        stubs = ed.select(F.col("src").alias("vid")).unionByName(
+            ed.select(F.col("dst").alias("vid"))
+        )
+        deg = stubs.groupBy("vid").agg(F.count(F.lit(1)).alias("__deg"))
+        alld = (
+            self.vertices.select("vid")
+            .join(deg, "vid", "left")
+            .select(F.coalesce(F.col("__deg"), F.lit(0)).alias("__deg"))
+        )
+        # power-of-two bucket via comparison chain over the degree table
+        # (40 buckets bound any realizable degree; int64-safe shifts)
+        bucket = F.lit(-1)
+        for b in range(40):
+            bucket = F.when(F.col("__deg") >= (1 << b), F.lit(b)).otherwise(
+                bucket
+            )
+        binned = alld.withColumn("bucket_id", bucket)
+        return (
+            binned.groupBy("bucket_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_vertices"),
+                F.min("__deg").cast("long").alias("min_degree"),
+                F.max("__deg").cast("long").alias("max_degree"),
+            )
+            .select(
+                F.col("bucket_id").cast("int").alias("bucket_id"),
+                F.expr(
+                    "CASE WHEN bucket_id >= 0 THEN shiftleft(1L, bucket_id) "
+                    "ELSE 0L END"
+                ).alias("lo"),
+                F.expr(
+                    "CASE WHEN bucket_id >= 0 THEN "
+                    "shiftleft(1L, bucket_id + 1) - 1L ELSE 0L END"
+                ).alias("hi"),
+                "n_vertices",
+                "min_degree",
+                "max_degree",
+            )
+        )
+
     def assortativity(self) -> DataFrame:
         """Degree assortativity coefficient (Newman 2002) — do
         high-degree vertices attach to other hubs (r > 0, social-graph

@@ -745,3 +745,24 @@ def test_assortativity_hand_checked(spark):
     ))
     row = loop.assortativity().collect()[0].asDict()
     assert row["m_directed"] == 6 and row["assortativity"] == -1.0
+
+
+def test_degree_distribution_hand_checked(spark):
+    """Power-of-two binning: a 3-leaf star has the hub in bucket 1
+    (lo 2, hi 3), leaves in bucket 0, and an isolate in bucket -1."""
+    from orientdb_spark.graph import Graph
+
+    v = spark.createDataFrame([(x,) for x in "abcde"], ["vid"])
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "b")], ["src", "dst"]
+    )
+    got = {
+        r["bucket_id"]: r.asDict()
+        for r in Graph(v, e).degree_distribution().collect()
+    }
+    assert got[1]["n_vertices"] == 1          # hub, degree 3
+    assert (got[1]["lo"], got[1]["hi"]) == (2, 3)
+    assert got[1]["min_degree"] == got[1]["max_degree"] == 3
+    assert got[0]["n_vertices"] == 3          # leaves, degree 1
+    assert got[-1]["n_vertices"] == 1         # isolate 'e' (self-loop b drops)
+    assert got[-1]["min_degree"] == 0 and got[-1]["lo"] == 0

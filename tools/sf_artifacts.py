@@ -215,6 +215,9 @@ SF1_ENTRIES = [
     # r13 continuation-22: MAD flags are two keyed quantile_cont
     # aggregations + two equi-joins — linear at any SF
     "event_anomaly_mad",
+    # r13 continuation-23: degree histogram is the stub groupBy + a
+    # literal comparison chain + ONE groupBy to <= 41 rows
+    "graph_degree_distribution",
 ]
 
 
