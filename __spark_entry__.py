@@ -3241,6 +3241,19 @@ def _multimodal_resize(spark, sf_dir):
     )
 
 
+def _multimodal_scene_cuts(spark, sf_dir):
+    """Scene-cut detection (pipeline/multimodal.scene_cuts): per-frame
+    byte-energy over the 64-byte fake-decode frame stream, cuts where
+    the consecutive delta exceeds 200 — exact integer arithmetic end
+    to end, so the oracle replays chunking + energies + the lag window
+    from the payload's character codes (the corpus is ASCII: byte ==
+    ascii(char))."""
+    from orientdb_spark.pipeline import multimodal
+
+    docs = multimodal.with_binary_payload(_docs(spark, sf_dir))
+    return multimodal.scene_cuts(docs, frame_bytes=64, threshold=200)
+
+
 def _multimodal_frame_sample(spark, sf_dir):
     """Frame rows with the binary frame digested to (byte length, md5) —
     binary columns come back to pandas as unhashable bytearrays, and the
@@ -4832,6 +4845,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "multimodal_fake_decode": _multimodal_fake_decode,
         "multimodal_resize": _multimodal_resize,
         "multimodal_frame_sample": _multimodal_frame_sample,
+        "multimodal_scene_cuts": _multimodal_scene_cuts,
     }
 
 
@@ -9141,6 +9155,24 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "END AS pixel FROM seg) "
             "SELECT doc_id, fi::INTEGER AS frame_index, cell::INTEGER AS cell, "
             "pixel::INTEGER AS pixel FROM px"
+        ),
+        "multimodal_scene_cuts": (
+            # replays 64-byte chunking, per-frame ascii-code energy, the
+            # lag delta, and the integer cut decision (ASCII corpus:
+            # byte == ascii(char))
+            "WITH d AS (SELECT doc_id, text, length(text) AS n "
+            "FROM documents), "
+            "f AS (SELECT doc_id, unnest(range(0, (n + 63) // 64)) AS fi, "
+            "text FROM d), "
+            "e AS (SELECT doc_id, fi::BIGINT AS frame_index, "
+            "list_sum(list_transform(string_split("
+            "substring(text, (fi * 64 + 1)::BIGINT, 64), ''), "
+            "c -> ascii(c)))::BIGINT AS energy FROM f), "
+            "l AS (SELECT doc_id, frame_index, energy, "
+            "abs(energy - lag(energy) OVER (PARTITION BY doc_id "
+            "ORDER BY frame_index))::BIGINT AS delta FROM e) "
+            "SELECT doc_id, frame_index, energy, delta, "
+            "coalesce(delta > 200, FALSE) AS is_cut FROM l"
         ),
         "multimodal_frame_sample": (
             # mirrors pipeline/multimodal.sample_frames(frame_bytes=64,

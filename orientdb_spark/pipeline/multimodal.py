@@ -18,7 +18,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -442,3 +442,76 @@ def pair_score_filter(
         )
     )
     return scored.filter(F.col(score_col) >= F.lit(float(threshold)))
+
+
+SCENE_CUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),  # slot 0: replaced by _with_id
+        T.StructField("frame_index", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def scene_cuts(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_bytes: int = 64,
+    threshold: int = 200,
+) -> DataFrame:
+    """Scene-cut detection over the fake-decode frame stream — the
+    shot-boundary pass a video curation pipeline runs before
+    frame-sampling per scene (dedup one keyframe per shot instead of N
+    near-identical frames): every frame's byte-energy (exact integer
+    sum of its byte values — the codec-free stand-in for a frame
+    feature; a real implementation swaps in a per-frame embedding or
+    color histogram), then a cut fires wherever the absolute energy
+    delta between CONSECUTIVE frames exceeds ``threshold`` — an
+    integer comparison, so the whole decision table replays exactly in
+    SQL against the payload's character codes. Returns one row per
+    frame: (id, frame_index, energy, delta, is_cut) with frame 0's
+    delta NULL (no predecessor — never a cut).
+
+    Scale shape: the 1→N frame fan-out is ``sample_frames``'s
+    mapInPandas iterator (no shuffle, frames never materialize in one
+    row); the energy is a vectorized numpy sum per frame inside the
+    same Arrow pipeline; the only exchange is ONE doc-keyed window for
+    the lag — frames of a doc are bounded (a real 2-hour video at 30
+    fps is ~216k frames per key: one reducer's worth, same trade as
+    any per-video stateful pass)."""
+    if frame_bytes <= 0:
+        raise ValueError(f"frame_bytes must be positive, got {frame_bytes}")
+    if threshold < 0:
+        raise ValueError(f"threshold must be >= 0, got {threshold}")
+    frames = sample_frames(
+        df, binary_col=binary_col, id_col=id_col,
+        frame_bytes=frame_bytes, every=1,
+    )
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "frame_index": pdf["frame_index"].astype("int64"),
+                    "energy": pdf["frame"]
+                    .map(
+                        lambda b: int(
+                            np.frombuffer(bytes(b), dtype=np.uint8).sum()
+                        )
+                    )
+                    .astype("int64"),
+                }
+            )
+
+    feat = frames.mapInPandas(energy, _with_id(SCENE_CUT_SCHEMA, id_col))
+    w = Window.partitionBy(id_col).orderBy("frame_index")
+    delta = F.abs(F.col("energy") - F.lag("energy").over(w))
+    return feat.select(
+        id_col,
+        "frame_index",
+        "energy",
+        delta.alias("delta"),
+        F.coalesce(delta > F.lit(int(threshold)), F.lit(False)).alias("is_cut"),
+    )

@@ -272,3 +272,37 @@ def test_perceptual_hash_validation(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(3)
     with pytest.raises(ValueError):
         perceptual_hash(with_binary_payload(docs), grid=9)
+
+
+def test_scene_cuts_hand_checked(spark):
+    """Byte-energy deltas on hand-built payloads: a flat payload has no
+    cuts, a payload with a hot second frame cuts exactly there, frame 0
+    never cuts (NULL delta)."""
+    import pytest
+
+    from orientdb_spark.pipeline import multimodal
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa" + "aaaa"),          # frames 'aaaa','aaaa': delta 0
+            (2, "aaaa" + "zzzz" + "aa"),   # 388 - 488... energies 388,488,194
+        ],
+        ["doc_id", "text"],
+    )
+    payload = multimodal.with_binary_payload(docs)
+    got = {
+        (r["doc_id"], r["frame_index"]): r.asDict()
+        for r in multimodal.scene_cuts(
+            payload, frame_bytes=4, threshold=50
+        ).collect()
+    }
+    a = ord("a")
+    assert got[(1, 0)]["energy"] == 4 * a and got[(1, 0)]["delta"] is None
+    assert got[(1, 0)]["is_cut"] is False and got[(1, 1)]["is_cut"] is False
+    z = ord("z")
+    assert got[(2, 1)]["energy"] == 4 * z
+    assert got[(2, 1)]["delta"] == 4 * z - 4 * a and got[(2, 1)]["is_cut"]
+    assert got[(2, 2)]["energy"] == 2 * a  # short tail frame
+    assert got[(2, 2)]["is_cut"]
+    with pytest.raises(ValueError, match="frame_bytes"):
+        multimodal.scene_cuts(payload, frame_bytes=0)

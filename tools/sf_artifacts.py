@@ -218,6 +218,9 @@ SF1_ENTRIES = [
     # r13 continuation-23: degree histogram is the stub groupBy + a
     # literal comparison chain + ONE groupBy to <= 41 rows
     "graph_degree_distribution",
+    # r13 continuation-24: scene cuts are the frame fan-out + ONE
+    # doc-keyed lag window; the oracle chunks text and sums ascii codes
+    "multimodal_scene_cuts",
 ]
 
 
