@@ -703,3 +703,90 @@ def test_hard_negatives_validation(spark):
     with pytest.raises(ValueError, match="k_candidates"):
         S.hard_negatives(corpus, queries, positives, k=5,
                          method="ivf", k_candidates=3)
+
+
+def test_pr_eval_properties_vs_python(spark):
+    """Property check vs a pure-python replay on pseudo-random ranked
+    lists: all metrics in [0,1], n_hits consistency, and exact value
+    agreement for precision/recall/AP."""
+    import hashlib
+
+    from orientdb_spark.pipeline.similarity import pr_eval
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest(), 16)
+
+    ranked, labels = [], []
+    for q in range(12):
+        docs = [f"d{q}_{i}" for i in range(15)]
+        docs.sort(key=lambda d: h("r" + d))
+        for rank, d in enumerate(docs[:10], start=1):
+            ranked.append((q, d, rank))
+        rel_docs = [d for d in docs if h("l" + d) % 3 == 0]
+        for d in rel_docs:
+            labels.append((q, d, 1))
+    rdf = spark.createDataFrame(ranked, "query_id long, neighbor_id string, rank int")
+    ldf = spark.createDataFrame(labels, "query_id long, neighbor_id string, rel int")
+    got = {r["query_id"]: r.asDict() for r in pr_eval(rdf, ldf, k=10).collect()}
+
+    lab_by_q = {}
+    for q, d, _ in labels:
+        lab_by_q.setdefault(q, set()).add(d)
+    top_by_q = {}
+    for q, d, rank in ranked:
+        top_by_q.setdefault(q, []).append((rank, d))
+    for q, rel in lab_by_q.items():
+        hits = sorted(
+            (rank, d) for rank, d in top_by_q.get(q, []) if d in rel
+        )
+        n_hits = len(hits)
+        ap = (
+            sum((i + 1) / rank for i, (rank, _) in enumerate(hits))
+            / min(len(rel), 10)
+        )
+        row = got[q]
+        assert row["n_rel"] == len(rel) and row["n_hits"] == n_hits
+        assert row["precision_k"] == round(n_hits / 10 + 1e-12, 6)
+        assert row["recall_k"] == round(n_hits / len(rel) + 1e-12, 6)
+        assert abs(row["ap"] - ap) < 2e-6
+        assert 0.0 <= row["ap"] <= 1.0 and 0.0 <= row["recall_k"] <= 1.0
+
+
+def test_heavy_hitters_spacesaving_guarantees(spark):
+    """Space-saving invariants on a pseudo-random capped stream: the
+    summary never undercounts (est >= true), the error bound holds
+    (est - err <= true), and every item with true count > N/capacity
+    survives (the heavy-hitter guarantee)."""
+    import datetime as dt
+    import hashlib
+
+    from orientdb_spark.streaming import heavy_hitters_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, true = [], {}
+    for i in range(600):
+        # zipf-ish: item id = md5 driven, squashed to favor small ids
+        item = int(hashlib.md5(f"i{i}".encode()).hexdigest(), 16) % 40
+        item = item % (1 + item % 7)  # heavier head
+        true[item] = true.get(item, 0) + 1
+        rows.append((i, t0 + dt.timedelta(seconds=i), "g", item))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, item long"
+    )
+    cap = 5
+    got = {
+        r["item"]: r.asDict()
+        for r in heavy_hitters_stream(
+            ev, group_cols=("event_type",), item_col="item",
+            capacity=cap, top_k=cap,
+        ).collect()
+    }
+    n = len(rows)
+    assert len(got) <= cap
+    for item, row in got.items():
+        t = true.get(item, 0)
+        assert row["est_count"] >= t                      # never undercount
+        assert row["est_count"] - row["max_err"] <= t     # bound holds
+    for item, t in true.items():
+        if t > n / cap:                                   # guaranteed survivor
+            assert item in got
