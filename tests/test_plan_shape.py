@@ -426,3 +426,53 @@ def test_gopher_rules_plan_zero_exchanges(spark):
     assert _nodes(plan, "Exchange") == 0, plan
     assert _nodes(plan, "Window") == 0, plan
     assert "Join" not in plan, plan
+
+
+def test_readability_zero_exchange(spark):
+    """readability is a pure per-row projection — any Exchange means a
+    shuffle crept into a scan-bound operator."""
+    plan = _formatted(QUERIES["text_readability"](spark, SF_DIR))
+    assert _nodes(plan, "Exchange") == 0, plan
+    assert _nodes(plan, "Scan parquet") == 1
+
+
+def test_length_buckets_single_exchange(spark):
+    """length_buckets is one scan + a literal CASE + ONE
+    map-side-combinable groupBy (partial_count in the plan)."""
+    plan = _formatted(QUERIES["sample_length_buckets"](spark, SF_DIR))
+    assert _nodes(plan, "Exchange") == 1, plan
+    assert "partial_count" in plan
+
+
+def test_zone_map_audit_two_bounded_exchanges(spark):
+    """The zone-map audit is TWO exchanges: the 1-row zorder min/max
+    reduce (broadcast back as a nested-loop over one row) and the
+    per-file groupBy — the zkey projection itself never shuffles."""
+    plan = _formatted(QUERIES["scale_zone_map_audit"](spark, SF_DIR))
+    assert _nodes(plan, "Exchange") == 2, plan
+    assert _nodes(plan, "BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_l_diversity_no_expand_distinct(spark):
+    """l-diversity is two STACKED groupBys — no Expand node (the
+    count_distinct rewrite) and no distinct shuffle of raw rows."""
+    plan = _formatted(QUERIES["profile_l_diversity"](spark, SF_DIR))
+    assert _nodes(plan, "Expand") == 0, plan
+    assert _nodes(plan, "Exchange") <= 2, plan
+
+
+def test_attribution_single_window_exchange(spark):
+    """last_touch_attribution is ONE user-keyed window exchange — the
+    asof carry-forward pattern; a join-based rewrite would show here."""
+    plan = _formatted(QUERIES["event_attribution"](spark, SF_DIR))
+    assert _nodes(plan, "Exchange") == 1, plan
+    assert _nodes(plan, "Window") == 1, plan
+
+
+def test_pr_eval_labels_join_is_broadcast(spark):
+    """pr_eval's labels join must broadcast (an eval set is panel-sized);
+    a sort-merge join here would shuffle the ranked side."""
+    plan = _formatted(QUERIES["sim_pr_eval"](spark, SF_DIR))
+    assert _nodes(plan, "BroadcastHashJoin") >= 1, plan
+    # (the residual SortMergeJoin joins two <= nq-row per-query
+    # aggregates — panel-sized by construction, not the ranked side)
