@@ -2147,6 +2147,18 @@ def _embedding_random_projection(spark, sf_dir):
     )
 
 
+def _embedding_ood_audit(spark, sf_dir):
+    """Per-class embedding outlier audit (pipeline/similarity.
+    ood_audit): cosine to the OWN label centroid, 5%-quantile cutoff
+    per label, is_ood flag — the per-example drill-down behind the
+    nearest-centroid confusion view. Cosines on the 6-dp grid, the
+    threshold an exact interpolated quantile OF the grid scores, the
+    flag a grid-double compare — replays exactly."""
+    from orientdb_spark.pipeline import similarity
+
+    return similarity.ood_audit(_embs(spark, sf_dir), q=0.05)
+
+
 def _embedding_nearest_centroid(spark, sf_dir):
     """Nearest-centroid classification confusion matrix
     (pipeline/similarity.nearest_centroid_confusion): every vector
@@ -4752,6 +4764,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sim_topk_ivfpq": _sim_topk_ivfpq,
         "sim_topk_imi": _sim_topk_imi,
         "embedding_nearest_centroid": _embedding_nearest_centroid,
+        "embedding_ood_audit": _embedding_ood_audit,
         "embedding_kmeans": _embedding_kmeans,
         "embedding_pca": _embedding_pca,
         "embedding_label_centroids": _embedding_label_centroids,
@@ -8001,6 +8014,29 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "SELECT doc_id, len(fps)::BIGINT AS n_fp, list_min(fps) AS min_fp, "
             "list_max(fps) AS max_fp, "
             "list_sum(list_transform(fps, x -> x % 1000000007))::BIGINT AS sum_fp FROM w"
+        ),
+        "embedding_ood_audit": (
+            # centroid replay (per-(label,pos) avg, assembled in pos
+            # order), grid cosines, exact per-label quantile OF the grid
+            # scores, grid-double flag compare
+            "WITH ex AS (SELECT label, u.pos AS pos, u.x AS x FROM ("
+            "SELECT label, unnest(list_transform(range(1, len(embedding) + 1), "
+            "i -> {'pos': i, 'x': embedding[i::INTEGER]::DOUBLE})) AS u "
+            "FROM embeddings)), "
+            "dims AS (SELECT label, pos, avg(x) AS m FROM ex GROUP BY 1, 2), "
+            "cent AS (SELECT label, list(m ORDER BY pos) AS c "
+            "FROM dims GROUP BY label), "
+            "vv AS (SELECT vec_id, label, "
+            "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), "
+            "sc AS (SELECT vv.vec_id, vv.label, "
+            "round(" + _COS.format(a="vv.v", b="cent.c") + " + 1e-12, 6) "
+            "AS cos_to_centroid FROM vv JOIN cent USING (label)), "
+            "thr AS (SELECT label, "
+            "round(quantile_cont(cos_to_centroid, 0.05) + 1e-12, 6) "
+            "AS threshold FROM sc GROUP BY label) "
+            "SELECT vec_id, label, cos_to_centroid, threshold, "
+            "(cos_to_centroid < threshold) AS is_ood "
+            "FROM sc JOIN thr USING (label)"
         ),
         "embedding_label_centroids": (
             "WITH ex AS (SELECT label, u.pos AS pos, u.x AS x FROM ("

@@ -1278,6 +1278,68 @@ def nearest_centroid_confusion(
     return best.groupBy("label", "predicted").agg(F.count(F.lit(1)).alias("n"))
 
 
+def ood_audit(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q: float = 0.05,
+) -> DataFrame:
+    """Per-class embedding outlier audit — cosine distance to the OWN
+    label's centroid with a per-label quantile cutoff: every vector
+    whose centroid-cosine falls below its class's ``q``-quantile flags
+    as out-of-distribution (the cheap centroid-based OOD screen run on
+    labeled embedding corpora before trusting the labels — mislabeled
+    or off-manifold examples sit in exactly this tail, and it is the
+    per-example drill-down behind nearest_centroid_confusion's
+    aggregate view). Returns (id, label, cos_to_centroid, threshold,
+    is_ood).
+
+    FP discipline: the cosine rounds to the 6-dp grid (nudged), the
+    threshold is the exact interpolated per-label quantile OF THE
+    ROUNDED scores (nudge-rounded again), and the flag compares the
+    two grid doubles — so the decision replays exactly in SQL.
+
+    Scale shape: the centroid table is label-count rows and
+    broadcasts; scoring is a narrow broadcast join + one cosine per
+    row; the threshold is a label-keyed exact-percentile aggregate
+    over the panel of rounded scores (percentile_approx is the
+    documented 100 TB swap) broadcast back. One corpus scan, zero
+    corpus-keyed shuffles."""
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    from orientdb_spark.pipeline.common import cosine_similarity
+
+    cents = label_centroids(df, label_col=label_col, vec_col=vec_col).select(
+        F.col("label"), F.col("centroid")
+    )
+    vec = df.select(
+        F.col(id_col),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    cos6 = F.round(
+        cosine_similarity(F.col("__v"), F.col("centroid")) + F.lit(1e-12), 6
+    )
+    sc = vec.join(F.broadcast(cents), "label").select(
+        id_col, "label", cos6.alias("cos_to_centroid")
+    )
+    thr = sc.groupBy("label").agg(
+        F.round(
+            F.percentile(F.col("cos_to_centroid"), F.lit(float(q)))
+            + F.lit(1e-12),
+            6,
+        ).alias("threshold")
+    )
+    return sc.join(F.broadcast(thr), "label").select(
+        id_col,
+        "label",
+        "cos_to_centroid",
+        "threshold",
+        (F.col("cos_to_centroid") < F.col("threshold")).alias("is_ood"),
+    )
+
+
 def prototypicality_scores(
     df: DataFrame,
     vec_col: str = "embedding",

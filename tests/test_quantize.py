@@ -494,3 +494,32 @@ def test_pq_l2_scores_ascend_with_true_distance(spark):
         # compare true-distance order allowing 6-dp score ties to swap
         got_d = [round(d[n], 4) for n in got]
         assert got_d == sorted(got_d), (qid, got, want)
+
+
+def test_ood_audit_flags_planted_outlier(spark):
+    """A vector pointing away from its class's tight cluster must flag
+    as OOD; the in-cluster mass must not; per-label quantile cutoffs
+    are independent."""
+    import pytest
+
+    from orientdb_spark.pipeline.similarity import ood_audit
+
+    rows = []
+    # label 0: 19 vectors near +e0, one planted outlier near -e0
+    for i in range(19):
+        rows.append((i, 0, [1.0, 0.01 * i, 0.0, 0.0]))
+    rows.append((19, 0, [-1.0, 0.0, 0.0, 0.0]))
+    # label 1: a tight cluster on e1
+    for i in range(10):
+        rows.append((100 + i, 1, [0.0, 1.0, 0.01 * i, 0.0]))
+    embs = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    got = {r["vec_id"]: r.asDict() for r in ood_audit(embs, q=0.05).collect()}
+    assert got[19]["is_ood"]                     # the planted outlier
+    flagged0 = [v for v in got.values() if v["label"] == 0 and v["is_ood"]]
+    assert [f["vec_id"] for f in flagged0] == [19]
+    assert all(0 <= v["cos_to_centroid"] <= 1 or v["vec_id"] == 19
+               for v in got.values())
+    with pytest.raises(ValueError, match="q must be"):
+        ood_audit(embs, q=0.0)

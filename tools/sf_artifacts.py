@@ -221,6 +221,9 @@ SF1_ENTRIES = [
     # r13 continuation-24: scene cuts are the frame fan-out + ONE
     # doc-keyed lag window; the oracle chunks text and sums ascii codes
     "multimodal_scene_cuts",
+    # r13 continuation-25: the OOD audit is the centroid replay + one
+    # broadcast cosine pass + a label-keyed quantile — linear
+    "embedding_ood_audit",
 ]
 
 
