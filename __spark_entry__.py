@@ -1795,6 +1795,27 @@ def _dedup_exact(spark, sf_dir):
     return dedup.exact_duplicate_groups(docs.unionByName(recrawl))
 
 
+def _dedup_cluster_size_report(spark, sf_dir):
+    """Duplicate-cluster size distribution (pipeline/dedup.
+    cluster_size_report): the recrawl-union fixture log-binned by
+    exact-dup cluster size — n_clusters / n_docs / n_removable /
+    frac_of_corpus per bucket, uniques included so the buckets
+    partition the corpus. All-integer binning + one division;
+    oracle-exact trivially."""
+    from orientdb_spark.pipeline import dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    recrawl = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    recrawl2 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return dedup.cluster_size_report(
+        docs.unionByName(recrawl).unionByName(recrawl2)
+    )
+
+
 def _dedup_fingerprint(spark, sf_dir):
     from orientdb_spark.pipeline import dedup
 
@@ -4725,6 +4746,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "event_value_quantiles": _event_value_quantiles,
         # pipeline: dedup
         "dedup_exact": _dedup_exact,
+        "dedup_cluster_size_report": _dedup_cluster_size_report,
         "dedup_fingerprint": _dedup_fingerprint,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_near_dup_stream": _dedup_near_dup_stream,
@@ -7468,6 +7490,37 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, text FROM documents "
             "UNION ALL SELECT doc_id + 1000000, text FROM documents) "
             "GROUP BY md5(text) HAVING count(*) > 1"
+        ),
+        "dedup_cluster_size_report": (
+            # cluster sizes over the same recrawl fixture, the identical
+            # half-open literal bins, exact integer aggregates, the
+            # corpus fraction as the single division
+            "WITH u AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 1000000, text FROM documents "
+            "WHERE doc_id % 2 = 0 "
+            "UNION ALL SELECT doc_id + 2000000, text FROM documents "
+            "WHERE doc_id % 10 = 0), "
+            "s AS (SELECT count(*)::BIGINT AS n FROM u GROUP BY md5(text)), "
+            "t AS (SELECT count(*)::DOUBLE AS corpus FROM u), "
+            "b AS (SELECT n, "
+            "CASE WHEN n < 2 THEN 0 WHEN n < 3 THEN 1 WHEN n < 5 THEN 2 "
+            "WHEN n < 9 THEN 3 WHEN n < 17 THEN 4 WHEN n < 33 THEN 5 "
+            "WHEN n < 65 THEN 6 WHEN n < 129 THEN 7 WHEN n < 1025 THEN 8 "
+            "ELSE 9 END AS bucket_id, "
+            "(CASE WHEN n < 2 THEN 1 WHEN n < 3 THEN 2 WHEN n < 5 THEN 3 "
+            "WHEN n < 9 THEN 5 WHEN n < 17 THEN 9 WHEN n < 33 THEN 17 "
+            "WHEN n < 65 THEN 33 WHEN n < 129 THEN 65 WHEN n < 1025 THEN 129 "
+            "ELSE 1025 END)::BIGINT AS bucket_lo, "
+            "(CASE WHEN n < 2 THEN 1 WHEN n < 3 THEN 2 WHEN n < 5 THEN 4 "
+            "WHEN n < 9 THEN 8 WHEN n < 17 THEN 16 WHEN n < 33 THEN 32 "
+            "WHEN n < 65 THEN 64 WHEN n < 129 THEN 128 WHEN n < 1025 THEN 1024 "
+            "END)::BIGINT AS bucket_hi FROM s) "
+            "SELECT bucket_id::INTEGER AS bucket_id, bucket_lo, bucket_hi, "
+            "count(*)::BIGINT AS n_clusters, sum(n)::BIGINT AS n_docs, "
+            "(sum(n) - count(*))::BIGINT AS n_removable, "
+            "round(sum(n)::DOUBLE / greatest(corpus, 1.0) + 1e-12, 6) "
+            "AS frac_of_corpus "
+            "FROM b, t GROUP BY bucket_id, bucket_lo, bucket_hi, corpus"
         ),
         "dedup_fingerprint": (
             f"SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents"

@@ -1992,3 +1992,76 @@ def hamming_pairs(
         .filter(F.col("hamming") <= k)
         .select("id_a", "id_b", "hamming")
     )
+
+
+CLUSTER_SIZE_BOUNDS = [1, 2, 3, 5, 9, 17, 33, 65, 129, 1025]
+
+
+def cluster_size_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalized: bool = False,
+) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup-impact table
+    every corpus paper reports ("N% of documents sit in exact-dup
+    clusters of size >= k"; Lee et al. 2021's dedup ablations start
+    here): group byte-identical (or, with ``normalized=True``,
+    case/punct/whitespace-folded) documents, then log-bin the CLUSTER
+    sizes — per bucket, ``(bucket_lo, bucket_hi, n_clusters, n_docs,
+    n_removable, frac_of_corpus)`` where n_removable = n_docs −
+    n_clusters (what a keep-one-per-cluster pass deletes) and
+    frac_of_corpus = n_docs / corpus (6-dp nudge, the only division).
+    Size-1 "clusters" (unique docs) land in the first bucket, so the
+    buckets partition the corpus and frac_of_corpus sums to 1 — the
+    report shows what dedup TOUCHES, not just what it finds.
+
+    Bucket bounds are the literal ascending list ``[1, 2, 3, 5, 9,
+    17, 33, 65, 129, 1025)``-style half-open ranges (size lands in
+    the first bucket whose upper bound exceeds it; >= the last bound
+    lands in the overflow bucket) — integer compares only, replays
+    exactly in SQL.
+
+    Scale shape: one hash-groupBy to cluster sizes (map-side
+    combinable — the dedup_exact shape), then ONE groupBy of the
+    CLUSTER-sized frame to <= len(bounds) rows + a 1-row broadcast
+    corpus total. Never materializes pairs or cluster membership."""
+    key = (
+        F.md5(normalize_text(F.col(text_col)))
+        if normalized
+        else F.md5(F.col(text_col))
+    )
+    sizes = df.groupBy(key.alias("__h")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    bounds = CLUSTER_SIZE_BOUNDS
+    bucket = F.lit(len(bounds) - 1)
+    lo = F.lit(bounds[-1]).cast("long")
+    hi = F.lit(None).cast("long")
+    for i in range(len(bounds) - 2, -1, -1):
+        in_b = F.col("__n") < bounds[i + 1]
+        bucket = F.when(in_b, F.lit(i)).otherwise(bucket)
+        lo = F.when(in_b, F.lit(bounds[i]).cast("long")).otherwise(lo)
+        hi = F.when(in_b, F.lit(bounds[i + 1] - 1).cast("long")).otherwise(hi)
+    binned = sizes.select(
+        bucket.alias("bucket_id"), lo.alias("bucket_lo"), hi.alias("bucket_hi"),
+        F.col("__n"),
+    )
+    tot = df.agg(F.count(F.lit(1)).cast("double").alias("__corpus"))
+    agg = binned.groupBy("bucket_id", "bucket_lo", "bucket_hi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("__n").cast("long").alias("n_docs"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("bucket_id").cast("int").alias("bucket_id"),
+        "bucket_lo",
+        "bucket_hi",
+        "n_clusters",
+        "n_docs",
+        (F.col("n_docs") - F.col("n_clusters")).alias("n_removable"),
+        F.round(
+            F.col("n_docs").cast("double") / F.greatest(F.col("__corpus"), F.lit(1.0))
+            + F.lit(1e-12),
+            6,
+        ).alias("frac_of_corpus"),
+    )

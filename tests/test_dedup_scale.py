@@ -902,3 +902,25 @@ def test_semantic_dedup_lsh_derives_dim_and_rejects_mixed(spark):
     )
     with pytest.raises(ValueError, match="mixed embedding dimensions"):
         dedup.semantic_dedup_lsh(mixed, threshold=0.99)
+
+
+def test_cluster_size_report_partitions_corpus(spark):
+    """Buckets partition the corpus (frac sums to 1, docs sum to N),
+    n_removable counts keep-one deletions, and sizes bin into the
+    right half-open ranges."""
+    from orientdb_spark.pipeline.dedup import cluster_size_report
+
+    rows = (
+        [(i, f"unique {i}") for i in range(5)]       # five size-1
+        + [(10 + i, "pair") for i in range(2)]       # one size-2
+        + [(20 + i, "quad") for i in range(4)]       # one size-4
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["bucket_id"]: r.asDict() for r in cluster_size_report(df).collect()}
+    assert got[0]["n_clusters"] == 5 and got[0]["n_docs"] == 5
+    assert got[0]["n_removable"] == 0
+    assert got[1]["n_docs"] == 2 and got[1]["n_removable"] == 1
+    assert got[2]["n_docs"] == 4 and got[2]["n_removable"] == 3
+    assert (got[2]["bucket_lo"], got[2]["bucket_hi"]) == (3, 4)
+    assert sum(r["n_docs"] for r in got.values()) == 11
+    assert abs(sum(r["frac_of_corpus"] for r in got.values()) - 1.0) < 1e-5

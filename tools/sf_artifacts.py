@@ -224,6 +224,9 @@ SF1_ENTRIES = [
     # r13 continuation-25: the OOD audit is the centroid replay + one
     # broadcast cosine pass + a label-keyed quantile — linear
     "embedding_ood_audit",
+    # r13 continuation-26: the cluster-size report is two stacked
+    # hash-groupBys (corpus -> clusters -> <= 10 buckets)
+    "dedup_cluster_size_report",
 ]
 
 
