@@ -8079,7 +8079,8 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs FROM full0 GROUP BY cluster_id
             "i -> {'pos': i, 'x': embedding[i::INTEGER]::DOUBLE})) AS u "
             "FROM embeddings)), "
             "dims AS (SELECT label, pos, avg(x) AS m FROM ex GROUP BY 1, 2), "
-            "cent AS (SELECT label, list(m ORDER BY pos) AS c "
+            "cent AS (SELECT label, "
+            "list(round(m + 1e-12, 6) ORDER BY pos) AS c "
             "FROM dims GROUP BY label), "
             "vv AS (SELECT vec_id, label, "
             "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), "

@@ -1295,10 +1295,13 @@ def ood_audit(
     aggregate view). Returns (id, label, cos_to_centroid, threshold,
     is_ood).
 
-    FP discipline: the cosine rounds to the 6-dp grid (nudged), the
+    FP discipline: the CENTROID components are pinned to the 6-dp grid
+    first (a per-dim mean over 10k+ members accumulates enough
+    distributed-sum-order noise to flip a downstream cosine digit —
+    measured at sf5), then the cosine rounds to the grid (nudged), the
     threshold is the exact interpolated per-label quantile OF THE
-    ROUNDED scores (nudge-rounded again), and the flag compares the
-    two grid doubles — so the decision replays exactly in SQL.
+    ROUNDED scores (nudge-rounded again), and the flag compares two
+    grid doubles — so the decision replays exactly in SQL.
 
     Scale shape: the centroid table is label-count rows and
     broadcasts; scoring is a narrow broadcast join + one cosine per
@@ -1311,7 +1314,10 @@ def ood_audit(
     from orientdb_spark.pipeline.common import cosine_similarity
 
     cents = label_centroids(df, label_col=label_col, vec_col=vec_col).select(
-        F.col("label"), F.col("centroid")
+        F.col("label"),
+        F.transform(
+            F.col("centroid"), lambda x: F.round(x + F.lit(1e-12), 6)
+        ).alias("centroid"),
     )
     vec = df.select(
         F.col(id_col),
