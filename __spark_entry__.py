@@ -4463,7 +4463,7 @@ _DRIVER_FRONT = [
     # r14 with the rest of the r9 cohort
     "text_bm25_topk",
     "sample_unimax",
-    # r14 NOTE: the front was full when TWENTY-EIGHT more r13 operators
+    # r14 NOTE: the front was full when TWENTY-NINE more r13 operators
     # landed across the continuation sessions (text_gopher_rules,
     # sim_ann_recall, scale_compaction_plan, sample_epochs_report,
     # sim_matryoshka_recall, dedup_near_dup_stream, sim_rank_eval,
@@ -4475,10 +4475,11 @@ _DRIVER_FRONT = [
     # sample_moore_lewis, text_rocchio_prf, event_heavy_hitters_stream,
     # sample_length_buckets, event_anomaly_mad,
     # graph_degree_distribution, multimodal_scene_cuts,
-    # embedding_ood_audit). They carry builder-sweep records
-    # (CORRECTNESS_r13_sweep.json, provenance in-file) and all three sf
-    # artifacts — but NO driver record yet. The r14 front MUST lead
-    # with these twenty-eight, then fill from the r9-era record tail.
+    # embedding_ood_audit, dedup_cluster_size_report). They carry
+    # builder-sweep records (CORRECTNESS_r13_sweep.json, provenance
+    # in-file) and all three sf artifacts — but NO driver record yet.
+    # The r14 front MUST lead with these twenty-nine, then fill from
+    # the r9-era record tail.
 ]
 
 
