@@ -1409,7 +1409,9 @@ def heavy_hitters_stream(
 
     if not events.isStreaming:
 
-        def batch_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def batch_fn(key, pdf):
+            # (unannotated on purpose: partial hints trip pyspark's
+            # eval-type inference into a UserWarning per batch)
             return snapshot(key, summarize({}, pdf))
 
         return events.groupBy(*[F.col(c) for c in gcols]).applyInPandas(
