@@ -3973,6 +3973,21 @@ def _sim_pr_eval(spark, sf_dir):
     return similarity.pr_eval(ranked, labels, k=10)
 
 
+def _text_source_quality_rollup(spark, sf_dir):
+    """Domain-level quality rollup (pipeline/text.source_quality_rollup
+    — the C4/RefinedWeb per-source blocklist pass above doc scoring):
+    per source, doc counts, the 6-dp-rounded quality sum (the
+    centroid_sum accumulation discipline), mean/low-fraction from the
+    ROUNDED sum and exact integers, and the blocklist-candidate flag
+    (low_frac > 0.4 at quality < 0.6). One scan + one groupBy;
+    oracle composes the quality replay."""
+    from orientdb_spark.pipeline.text import source_quality_rollup
+
+    return source_quality_rollup(
+        _docs(spark, sf_dir), low_threshold=0.6, max_low_frac=0.4
+    )
+
+
 def _text_readability(spark, sf_dir):
     """Flesch reading ease + FK grade (pipeline/text.readability,
     Flesch 1948 / Kincaid 1975) over the corpus with deterministic
@@ -4463,7 +4478,7 @@ _DRIVER_FRONT = [
     # r14 with the rest of the r9 cohort
     "text_bm25_topk",
     "sample_unimax",
-    # r14 NOTE: the front was full when TWENTY-NINE more r13 operators
+    # r14 NOTE: the front was full when THIRTY more r13 operators
     # landed across the continuation sessions (text_gopher_rules,
     # sim_ann_recall, scale_compaction_plan, sample_epochs_report,
     # sim_matryoshka_recall, dedup_near_dup_stream, sim_rank_eval,
@@ -4475,11 +4490,12 @@ _DRIVER_FRONT = [
     # sample_moore_lewis, text_rocchio_prf, event_heavy_hitters_stream,
     # sample_length_buckets, event_anomaly_mad,
     # graph_degree_distribution, multimodal_scene_cuts,
-    # embedding_ood_audit, dedup_cluster_size_report). They carry
+    # embedding_ood_audit, dedup_cluster_size_report,
+    # text_source_quality_rollup). They carry
     # builder-sweep records (CORRECTNESS_r13_sweep.json, provenance
     # in-file) and all three sf artifacts — but NO driver record yet.
-    # The r14 front MUST lead with these twenty-nine, then fill from
-    # the r9-era record tail.
+    # The r14 front MUST lead with these thirty, then fill from the
+    # r9-era record tail.
 ]
 
 
@@ -4872,6 +4888,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_duplicate_spans": _text_duplicate_spans,
         "text_gopher_rules": _text_gopher_rules,
         "text_readability": _text_readability,
+        "text_source_quality_rollup": _text_source_quality_rollup,
         "text_fim_transform": _text_fim_transform,
         "text_span_corruption": _text_span_corruption,
         "text_line_quality": _text_line_quality,
@@ -7765,6 +7782,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_language_id": _langid_oracle_sql(),
         "text_quality_score": _quality_oracle_sql(),
+        "text_source_quality_rollup": (
+            # composes the quality replay, joins source, then the
+            # rounded-sum rollup: mean/low_frac from the ROUNDED sum and
+            # exact integers, flags from the rounded fraction
+            "WITH q AS ("
+            + _quality_oracle_sql()
+            + "), j AS (SELECT d.source AS \"group\", q.quality FROM q "
+            "JOIN documents d USING (doc_id)), "
+            "a AS (SELECT \"group\", count(*)::BIGINT AS n_docs, "
+            "round(sum(quality) + 1e-12, 6) AS quality_sum, "
+            "sum((quality < 0.6)::INT)::BIGINT AS n_low FROM j GROUP BY 1) "
+            "SELECT \"group\", n_docs, quality_sum, "
+            "round(quality_sum / n_docs::DOUBLE + 1e-12, 6) AS mean_quality, "
+            "n_low, round(n_low::DOUBLE / n_docs::DOUBLE + 1e-12, 6) "
+            "AS low_frac, "
+            "(round(n_low::DOUBLE / n_docs::DOUBLE + 1e-12, 6) > 0.4) "
+            "AS flag_source FROM a"
+        ),
         "text_token_stats": (
             "SELECT doc_id, "
             "len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0))::INTEGER "

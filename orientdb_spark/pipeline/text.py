@@ -1846,3 +1846,67 @@ def span_corruption(
         F.when(F.col("__s") > 0, inputs).otherwise(F.col("__text")).alias("inputs"),
         targets.alias("targets"),
     )
+
+
+def source_quality_rollup(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    low_threshold: float = 0.5,
+    max_low_frac: float = 0.5,
+) -> DataFrame:
+    """Domain-level quality rollup — the per-SOURCE filtering pass that
+    runs above doc-level scoring (the C4/RefinedWeb practice: a domain
+    whose documents are mostly junk gets blocklisted wholesale, which
+    doc-level filters alone never express): per ``group_col``,
+
+        (group, n_docs, quality_sum, mean_quality, n_low,
+         low_frac, flag_source)
+
+    where quality is :func:`quality_score`'s 6-dp composite, ``n_low``
+    counts docs with quality < ``low_threshold`` (an exact integer
+    compare on the grid score), and ``flag_source`` fires when
+    ``low_frac`` exceeds ``max_low_frac`` — the blocklist candidate
+    list. FP discipline: ``quality_sum`` rounds the per-group sum of
+    grid scores to 6 dp (absolute accumulation noise ~1e-10 vs the
+    5e-7 boundary — the label_centroids centroid_sum pattern), and
+    ``mean_quality``/``low_frac`` divide the ROUNDED sum / exact
+    integers, so the flags replay exactly.
+
+    Scale shape: quality_score's zero-exchange scan + ONE map-side-
+    combinable groupBy to one row per source."""
+    if not 0.0 < low_threshold < 1.0:
+        raise ValueError(f"low_threshold must be in (0, 1), got {low_threshold}")
+    if not 0.0 <= max_low_frac <= 1.0:
+        raise ValueError(f"max_low_frac must be in [0, 1], got {max_low_frac}")
+    q = quality_score(df, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), F.col("quality")
+    )
+    staged = df.select(F.col(id_col), F.col(group_col).alias("group")).join(
+        q, id_col
+    )
+    agg = staged.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.sum("quality") + F.lit(1e-12), 6).alias("quality_sum"),
+        F.sum(
+            (F.col("quality") < F.lit(float(low_threshold))).cast("long")
+        ).alias("n_low"),
+    )
+    low_frac = F.round(
+        F.col("n_low").cast("double") / F.col("n_docs").cast("double")
+        + F.lit(1e-12),
+        6,
+    )
+    return agg.select(
+        "group",
+        "n_docs",
+        "quality_sum",
+        F.round(
+            F.col("quality_sum") / F.col("n_docs").cast("double") + F.lit(1e-12),
+            6,
+        ).alias("mean_quality"),
+        "n_low",
+        low_frac.alias("low_frac"),
+        (low_frac > F.lit(float(max_low_frac))).alias("flag_source"),
+    )

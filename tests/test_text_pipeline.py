@@ -1104,3 +1104,33 @@ def test_rocchio_prf_expansion_changes_ranking(spark):
     assert p1 == p2
     with pytest.raises(ValueError, match="fb_docs"):
         rocchio_prf_topk(docs, q, fb_docs=0)
+
+
+def test_source_quality_rollup_flags_junk_source(spark):
+    """A source whose docs are mostly symbol soup must flag; a healthy
+    source must not; counts and fractions are exact."""
+    import pytest
+
+    from orientdb_spark.pipeline.text import source_quality_rollup
+
+    good = "the data table holds many fine rows of the usual kind"
+    junk = "@@@ ### !!! $$$ %%% ^^^ &&& *** ((( )))"
+    docs = spark.createDataFrame(
+        [(i, good, "clean") for i in range(4)]
+        + [(10 + i, junk, "spam") for i in range(3)]
+        + [(20, good, "spam")],
+        ["doc_id", "text", "source"],
+    )
+    got = {
+        r["group"]: r.asDict()
+        for r in source_quality_rollup(
+            docs, low_threshold=0.5, max_low_frac=0.5
+        ).collect()
+    }
+    assert got["clean"]["n_docs"] == 4 and got["clean"]["n_low"] == 0
+    assert not got["clean"]["flag_source"]
+    assert got["spam"]["n_docs"] == 4 and got["spam"]["n_low"] == 3
+    assert got["spam"]["low_frac"] == 0.75 and got["spam"]["flag_source"]
+    assert 0.0 < got["clean"]["mean_quality"] <= 1.0
+    with pytest.raises(ValueError, match="low_threshold"):
+        source_quality_rollup(docs, low_threshold=0.0)

@@ -227,6 +227,9 @@ SF1_ENTRIES = [
     # r13 continuation-26: the cluster-size report is two stacked
     # hash-groupBys (corpus -> clusters -> <= 10 buckets)
     "dedup_cluster_size_report",
+    # r13 continuation-27: the source rollup rides the (already
+    # listed) quality replay + ONE groupBy to source-count rows
+    "text_source_quality_rollup",
 ]
 
 
