@@ -759,6 +759,22 @@ def _event_attribution(spark, sf_dir):
     )
 
 
+def _event_slo_burn(spark, sf_dir):
+    """SLO error-budget burn-rate table (temporal.slo_burn_rate — the
+    SRE-workbook multi-window alert shape): 6 h tumbling windows over
+    events with event_type = 'error' as the error signal, slo = 0.98;
+    the ~20% base error rate puts typical windows between the 6x
+    ticket and 14.4x page thresholds, so both flags carry signal.
+    Exact integer counts, two rounded divisions, literal-threshold
+    flags — replays exactly."""
+    from orientdb_spark.temporal import slo_burn_rate
+
+    ev = _engine(spark, sf_dir).table("events")
+    return slo_burn_rate(
+        ev, F.col("event_type") == "error", slo=0.98, window_sec=21600
+    )
+
+
 def _event_anomaly_mad(spark, sf_dir):
     """Robust MAD outlier flags (temporal.anomaly_mad — the
     Iglewicz-Hoaglin modified z-score): per event_type, the exact
@@ -4478,7 +4494,7 @@ _DRIVER_FRONT = [
     # r14 with the rest of the r9 cohort
     "text_bm25_topk",
     "sample_unimax",
-    # r14 NOTE: the front was full when THIRTY more r13 operators
+    # r14 NOTE: the front was full when THIRTY-ONE more r13 operators
     # landed across the continuation sessions (text_gopher_rules,
     # sim_ann_recall, scale_compaction_plan, sample_epochs_report,
     # sim_matryoshka_recall, dedup_near_dup_stream, sim_rank_eval,
@@ -4491,11 +4507,11 @@ _DRIVER_FRONT = [
     # sample_length_buckets, event_anomaly_mad,
     # graph_degree_distribution, multimodal_scene_cuts,
     # embedding_ood_audit, dedup_cluster_size_report,
-    # text_source_quality_rollup). They carry
+    # text_source_quality_rollup, event_slo_burn). They carry
     # builder-sweep records (CORRECTNESS_r13_sweep.json, provenance
     # in-file) and all three sf artifacts — but NO driver record yet.
-    # The r14 front MUST lead with these thirty, then fill from the
-    # r9-era record tail.
+    # The r14 front MUST lead with these thirty-one, then fill from
+    # the r9-era record tail.
 ]
 
 
@@ -4721,6 +4737,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "event_interarrival_stats": _event_interarrival_stats,
         "event_attribution": _event_attribution,
         "event_anomaly_mad": _event_anomaly_mad,
+        "event_slo_burn": _event_slo_burn,
         "event_seasonal_baseline": _event_seasonal_baseline,
         "text_vocab_growth": _text_vocab_growth,
         "event_cusum_changepoints": _event_cusum_changepoints,
@@ -7318,6 +7335,23 @@ def oracle_sql() -> dict[str, str]:
             "date_trunc('second', make_timestamp(lu)) AS last_seen, "
             "date_trunc('second', make_timestamp(lu + 43200000000)) AS deadline "
             "FROM pk, mx WHERE mx.m - pk.lu > 43200000000"
+        ),
+        "event_slo_burn": (
+            # integer window buckets on epoch micros, exact counts, the
+            # identical python-float budget literal, flags from the
+            # rounded burn rate vs literal thresholds
+            "WITH s AS (SELECT make_timestamp("
+            "(epoch_us(ts) // 21600000000) * 21600000000) AS window_start, "
+            "(event_type = 'error')::INT AS err FROM events), "
+            "a AS (SELECT window_start, count(*)::BIGINT AS n_events, "
+            "sum(err)::BIGINT AS n_errors FROM s GROUP BY 1), "
+            "r AS (SELECT *, round(n_errors::DOUBLE / n_events::DOUBLE "
+            "+ 1e-12, 6) AS error_rate FROM a), "
+            "b AS (SELECT *, round(error_rate / 0.020000000000000018 + 1e-12, 6) "
+            "AS burn_rate FROM r) "
+            "SELECT window_start, n_events, n_errors, error_rate, "
+            "burn_rate, (burn_rate >= 14.4) AS page_alert, "
+            "(burn_rate >= 6.0) AS ticket_alert FROM b"
         ),
         "event_anomaly_mad": (
             # quantile_cont replays both medians on the 6-dp grid; mod_z

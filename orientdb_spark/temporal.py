@@ -53,6 +53,7 @@ __all__ = [
     "interarrival_stats",
     "last_touch_attribution",
     "anomaly_mad",
+    "slo_burn_rate",
 ]
 
 _SIDE = "__asof_side"
@@ -966,4 +967,76 @@ def anomaly_mad(
             ),
         )
         .drop("__dev")
+    )
+
+
+def slo_burn_rate(
+    df: DataFrame,
+    error_filter: Column,
+    slo: float = 0.999,
+    window_sec: int = 3600,
+    fast_burn: float = 14.4,
+    slow_burn: float = 6.0,
+    ts: str = "ts",
+    on: Sequence[str] = (),
+) -> DataFrame:
+    """SLO error-budget burn rate per tumbling window — the
+    multi-window burn-rate alert table from the Google SRE workbook
+    (ch. 5): with an SLO of ``slo`` (e.g. 0.999), the error budget is
+    ``1 − slo``; a window whose error rate is R burns budget at
+    ``R / (1 − slo)`` times the sustainable rate. The workbook's
+    canonical thresholds: page at 14.4× (2% of a 30-day budget in
+    1 h), ticket at 6× — both exposed as flag columns so the alert
+    policy reads off the table. Returns per (``*on``, window):
+    ``(window_start, n_events, n_errors, error_rate, burn_rate,
+    page_alert, ticket_alert)``.
+
+    Determinism: counts are exact integers; error_rate is ONE
+    division (6-dp nudge); burn_rate divides the ROUNDED error rate
+    by the exact literal budget; flags compare the rounded burn rate
+    to literal thresholds — everything replays in SQL.
+
+    Scale shape: one integer window-bucket projection (epoch micros
+    floor-div — no session-tz ambiguity) + ONE map-side-combinable
+    groupBy to (keys × windows) rows. At 100 TB this is the classic
+    pre-aggregated metrics rollup; feed ``merge_additive_rollup`` for
+    the incremental variant."""
+    if not 0.0 < slo < 1.0:
+        raise ValueError(f"slo must be in (0, 1), got {slo}")
+    if window_sec <= 0:
+        raise ValueError(f"window_sec must be positive, got {window_sec}")
+    on = list(on)
+    budget = 1.0 - slo
+    width_us = int(window_sec) * 1_000_000
+    staged = df.select(
+        *on,
+        F.timestamp_micros(
+            (F.floor(_micros(F.col(ts)) / F.lit(width_us)) * width_us).cast(
+                "long"
+            )
+        ).alias("window_start"),
+        error_filter.cast("int").alias("__err"),
+    )
+    agg = staged.groupBy(*on, "window_start").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("__err").cast("long").alias("n_errors"),
+    )
+    err_rate = F.round(
+        F.col("n_errors").cast("double") / F.col("n_events").cast("double")
+        + F.lit(1e-12),
+        6,
+    )
+    agg = agg.withColumn("error_rate", err_rate).withColumn(
+        "burn_rate",
+        F.round(F.col("error_rate") / F.lit(budget) + F.lit(1e-12), 6),
+    )
+    return agg.select(
+        *on,
+        "window_start",
+        "n_events",
+        "n_errors",
+        "error_rate",
+        "burn_rate",
+        (F.col("burn_rate") >= F.lit(float(fast_burn))).alias("page_alert"),
+        (F.col("burn_rate") >= F.lit(float(slow_burn))).alias("ticket_alert"),
     )

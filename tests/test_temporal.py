@@ -1401,3 +1401,46 @@ def test_anomaly_mad_hand_checked(spark):
     assert got[10]["is_outlier"] is False
     with pytest.raises(ValueError, match="key column"):
         anomaly_mad(ev, on=[])
+
+
+def test_slo_burn_rate_hand_checked(spark):
+    """Hand-computed burn rates on 1h windows at slo 0.99 (budget 0.01):
+    a 20%-error window burns 20x (pages), a 10% window burns 10x
+    (tickets only), a clean window burns 0."""
+    import datetime as dt
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.temporal import slo_burn_rate
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # window 0: 10 events, 2 errors; window 1: 10 events, 1 error;
+    # window 2: 10 events, 0 errors
+    for w, n_err in [(0, 2), (1, 1), (2, 0)]:
+        for i in range(10):
+            rows.append(
+                (
+                    w * 100 + i,
+                    t0 + dt.timedelta(hours=w, minutes=i),
+                    "error" if i < n_err else "ok",
+                )
+            )
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    got = {
+        r["window_start"].hour: r.asDict()
+        for r in slo_burn_rate(
+            ev, F.col("event_type") == "error", slo=0.99, window_sec=3600
+        ).collect()
+    }
+    assert got[0]["n_errors"] == 2 and got[0]["error_rate"] == 0.2
+    assert got[0]["burn_rate"] == round(0.2 / (1.0 - 0.99) + 1e-12, 6)
+    assert got[0]["page_alert"] and got[0]["ticket_alert"]
+    assert got[1]["burn_rate"] == round(0.1 / (1.0 - 0.99) + 1e-12, 6)
+    assert not got[1]["page_alert"] and got[1]["ticket_alert"]
+    assert got[2]["burn_rate"] == 0.0
+    assert not got[2]["page_alert"] and not got[2]["ticket_alert"]
+    with pytest.raises(ValueError, match="slo must be"):
+        slo_burn_rate(ev, F.col("event_type") == "error", slo=1.0)

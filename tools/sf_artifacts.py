@@ -230,6 +230,9 @@ SF1_ENTRIES = [
     # r13 continuation-27: the source rollup rides the (already
     # listed) quality replay + ONE groupBy to source-count rows
     "text_source_quality_rollup",
+    # r13 continuation-28: SLO burn is one integer bucket projection +
+    # ONE groupBy to window-count rows
+    "event_slo_burn",
 ]
 
 
