@@ -3989,6 +3989,16 @@ def _sim_pr_eval(spark, sf_dir):
     return similarity.pr_eval(ranked, labels, k=10)
 
 
+def _text_rake_keyphrases(spark, sf_dir):
+    """RAKE keyphrase extraction (pipeline/text.rake_keyphrases, Rose
+    et al. 2010): per doc, the top-3 non-stopword runs ranked by the
+    deg/freq word-score sum. Exact integer deg/freq, grid word scores,
+    phrase-ascending tiebreaks — the ranking replays exactly."""
+    from orientdb_spark.pipeline.text import rake_keyphrases
+
+    return rake_keyphrases(_docs(spark, sf_dir), top_k=3)
+
+
 def _text_source_quality_rollup(spark, sf_dir):
     """Domain-level quality rollup (pipeline/text.source_quality_rollup
     — the C4/RefinedWeb per-source blocklist pass above doc scoring):
@@ -4494,7 +4504,7 @@ _DRIVER_FRONT = [
     # r14 with the rest of the r9 cohort
     "text_bm25_topk",
     "sample_unimax",
-    # r14 NOTE: the front was full when THIRTY-ONE more r13 operators
+    # r14 NOTE: the front was full when THIRTY-TWO more r13 operators
     # landed across the continuation sessions (text_gopher_rules,
     # sim_ann_recall, scale_compaction_plan, sample_epochs_report,
     # sim_matryoshka_recall, dedup_near_dup_stream, sim_rank_eval,
@@ -4507,10 +4517,11 @@ _DRIVER_FRONT = [
     # sample_length_buckets, event_anomaly_mad,
     # graph_degree_distribution, multimodal_scene_cuts,
     # embedding_ood_audit, dedup_cluster_size_report,
-    # text_source_quality_rollup, event_slo_burn). They carry
+    # text_source_quality_rollup, event_slo_burn,
+    # text_rake_keyphrases). They carry
     # builder-sweep records (CORRECTNESS_r13_sweep.json, provenance
     # in-file) and all three sf artifacts — but NO driver record yet.
-    # The r14 front MUST lead with these thirty-one, then fill from
+    # The r14 front MUST lead with these thirty-two, then fill from
     # the r9-era record tail.
 ]
 
@@ -4906,6 +4917,7 @@ def _queries_by_section() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "text_gopher_rules": _text_gopher_rules,
         "text_readability": _text_readability,
         "text_source_quality_rollup": _text_source_quality_rollup,
+        "text_rake_keyphrases": _text_rake_keyphrases,
         "text_fim_transform": _text_fim_transform,
         "text_span_corruption": _text_span_corruption,
         "text_line_quality": _text_line_quality,
@@ -7816,6 +7828,42 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_language_id": _langid_oracle_sql(),
         "text_quality_score": _quality_oracle_sql(),
+        "text_rake_keyphrases": (
+            # stopword-run segmentation via the cumulative-flag window,
+            # phrase assembly in pos order, integer deg/freq word scores
+            # on the grid, phrase-score sums, top-3 with phrase tiebreaks
+            "WITH tk AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) "
+            "AS t FROM documents), "
+            "ex AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(t) + 1), "
+            "i -> {'pos': i, 'w': t[i::INTEGER]})) AS u FROM tk)), "
+            "st AS (SELECT doc_id, pos, w, (w IN ('the', 'a', 'and', 'of', "
+            "'to', 'is', 'in', 'that', 'it', 'for'))::INT AS stop FROM ex), "
+            "rn AS (SELECT *, sum(stop) OVER (PARTITION BY doc_id "
+            "ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS run FROM st), "
+            "runs AS MATERIALIZED (SELECT doc_id, run, pos, w FROM rn "
+            "WHERE stop = 0), "
+            "ph AS MATERIALIZED (SELECT doc_id, run, "
+            "string_agg(w, ' ' ORDER BY pos) AS phrase, "
+            "count(*)::BIGINT AS len FROM runs GROUP BY 1, 2), "
+            "mem AS MATERIALIZED (SELECT r.doc_id, r.run, r.w, p.len "
+            "FROM runs r JOIN ph p USING (doc_id, run)), "
+            "ws AS (SELECT doc_id, w, "
+            "round(sum(len)::DOUBLE / count(*)::DOUBLE + 1e-12, 6) AS wscore "
+            "FROM mem GROUP BY 1, 2), "
+            "ps AS (SELECT m.doc_id, m.run, "
+            "round(sum(ws.wscore) + 1e-12, 6) AS score FROM mem m "
+            "JOIN ws ON m.doc_id = ws.doc_id AND m.w = ws.w GROUP BY 1, 2), "
+            "pp AS (SELECT ph.doc_id, ph.phrase, ph.len AS n_words, "
+            "max(ps.score) AS score FROM ph JOIN ps USING (doc_id, run) "
+            "GROUP BY 1, 2, 3), "
+            "rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, phrase) AS rank FROM pp) "
+            "SELECT doc_id, phrase, n_words, score, rank::INTEGER AS rank "
+            "FROM rk WHERE rank <= 3"
+        ),
         "text_source_quality_rollup": (
             # composes the quality replay, joins source, then the
             # rounded-sum rollup: mean/low_frac from the ROUNDED sum and

@@ -1910,3 +1910,94 @@ def source_quality_rollup(
         low_frac.alias("low_frac"),
         (low_frac > F.lit(float(max_low_frac))).alias("flag_source"),
     )
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: "list[str] | None" = None,
+    top_k: int = 3,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010 — Rapid Automatic
+    Keyword Extraction, the unsupervised per-document keyphrase
+    baseline TextRank is benchmarked against): candidate phrases are
+    the maximal runs of non-stopword tokens; each word scores
+    ``deg/freq`` over the DOCUMENT's phrases (freq = occurrences,
+    deg = sum of the lengths of the phrases it appears in — long
+    phrases boost their members, the RAKE signature), and a phrase
+    scores the sum of its member word scores. Returns the top
+    ``top_k`` distinct phrases per doc: ``(id, phrase, n_words,
+    score, rank)``, ranked by (score DESC, phrase ASC).
+
+    Determinism: deg and freq are exact integers; word scores round
+    to the 6-dp grid (nudged); the phrase score sums <= phrase-length
+    grid doubles and rounds again, so the ranking replays exactly in
+    SQL. Repeated identical phrases in one doc collapse (distinct
+    candidates — standard RAKE).
+
+    Scale shape: one posexplode (linear), run segmentation as ONE
+    doc-keyed window (cumulative stopword count — the paragraph_dedup
+    exchange discipline), phrase assembly + word scores + phrase
+    scores as doc-keyed groupBys sharing that partitioning, and the
+    top-k pick as a row_number window with the filter directly above
+    it (WindowGroupLimit prunes map-side). No corpus-wide state —
+    RAKE is per-document by construction, so every stage keys on the
+    doc."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    stops = list(stopwords) if stopwords is not None else list(STOPWORDS_EN)
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    ex = df.select(
+        F.col(id_col), F.posexplode(toks).alias("__pos", "__w")
+    ).withColumn("__stop", F.col("__w").isin(*stops).cast("int"))
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = (
+        ex.withColumn("__run", F.sum("__stop").over(w_run))
+        .filter(F.col("__stop") == 0)
+    )
+    phrases = runs.groupBy(id_col, "__run").agg(
+        F.concat_ws(
+            " ",
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col("__w")))
+            ).getField("__w"),
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("__len"),
+    )
+    # per-doc word stats over phrase membership: freq = occurrences,
+    # deg = sum of containing-phrase lengths
+    members = runs.join(
+        phrases.select(id_col, "__run", "__len"), [id_col, "__run"]
+    )
+    wstats = members.groupBy(id_col, "__w").agg(
+        F.count(F.lit(1)).alias("__freq"),
+        F.sum("__len").alias("__deg"),
+    ).withColumn(
+        "__wscore",
+        F.round(
+            F.col("__deg").cast("double") / F.col("__freq").cast("double")
+            + F.lit(1e-12),
+            6,
+        ),
+    )
+    pscore = (
+        members.join(wstats.select(id_col, "__w", "__wscore"), [id_col, "__w"])
+        .groupBy(id_col, "__run")
+        .agg(F.round(F.sum("__wscore") + F.lit(1e-12), 6).alias("score"))
+        .join(phrases, [id_col, "__run"])
+        .select(id_col, "phrase", F.col("__len").alias("n_words"), "score")
+        .groupBy(id_col, "phrase", "n_words")
+        .agg(F.max("score").alias("score"))  # identical phrases collapse
+    )
+    w_pick = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("phrase").asc()
+    )
+    return (
+        pscore.withColumn("rank", F.row_number().over(w_pick))
+        .filter(F.col("rank") <= top_k)
+    )

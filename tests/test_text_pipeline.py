@@ -1134,3 +1134,35 @@ def test_source_quality_rollup_flags_junk_source(spark):
     assert 0.0 < got["clean"]["mean_quality"] <= 1.0
     with pytest.raises(ValueError, match="low_threshold"):
         source_quality_rollup(docs, low_threshold=0.0)
+
+
+def test_rake_keyphrases_hand_checked(spark):
+    """Hand-computed RAKE scores: runs split on stopwords, deg/freq
+    word scores, phrase-score sums, alphabetical tiebreaks, duplicate
+    phrases collapse."""
+    import pytest
+
+    from orientdb_spark.pipeline.text import rake_keyphrases
+
+    docs = spark.createDataFrame(
+        [
+            (1, "deep learning of deep models"),
+            (2, "red apple the red apple"),   # duplicate phrase collapses
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["rank"]): r.asDict()
+        for r in rake_keyphrases(docs, top_k=3).collect()
+    }
+    # doc 1: runs [deep learning], [deep models]; deg/freq: deep 4/2,
+    # learning 2/1, models 2/1 -> all word scores 2; both phrases 4.0
+    assert got[(1, 1)]["phrase"] == "deep learning"
+    assert got[(1, 2)]["phrase"] == "deep models"
+    assert got[(1, 1)]["score"] == 4.0 and got[(1, 2)]["score"] == 4.0
+    # doc 2: "red apple" twice -> ONE candidate; red: freq2 deg4 -> 2,
+    # apple: 2 -> phrase score 4
+    assert got[(2, 1)]["phrase"] == "red apple" and got[(2, 1)]["score"] == 4.0
+    assert (2, 2) not in got
+    with pytest.raises(ValueError, match="top_k"):
+        rake_keyphrases(docs, top_k=0)

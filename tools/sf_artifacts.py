@@ -233,6 +233,9 @@ SF1_ENTRIES = [
     # r13 continuation-28: SLO burn is one integer bucket projection +
     # ONE groupBy to window-count rows
     "event_slo_burn",
+    # r13 continuation-29: RAKE is doc-keyed windows/groupBys sharing
+    # one partitioning — linear; the oracle mirrors stage by stage
+    "text_rake_keyphrases",
 ]
 
 
