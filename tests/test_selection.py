@@ -541,10 +541,12 @@ def test_bitext_mine_ivf_plan_has_no_corpus_cross_join(spark):
     localCheckpoint (materialized once, O(N·k'), instead of replaying
     the candidate generation per downstream reference), and everything
     above it is hash joins + windows. The ivf_topk generator's own
-    probe shape is pinned in the ANN suite. The exact path, by
-    documented construction, replays its broadcast corpus pass once
-    per margin stage: three BroadcastNestedLoopJoin nodes — the
-    quadratic baseline the IVF path exists to replace."""
+    probe shape is pinned in the ANN suite. Since the r13 optimization
+    round the exact path is nested-loop-free too: stage 1 is ONE
+    chunked-dgemm Arrow pass (a MapInArrow/PythonMapInArrow node) over
+    the corpus side, materialized once behind the same lazy
+    localCheckpoint instead of replaying a broadcast corpus scan per
+    margin stage."""
     embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     from pyspark.sql import functions as F
 
@@ -559,7 +561,73 @@ def test_bitext_mine_ivf_plan_has_no_corpus_cross_join(spark):
         S.bitext_mine(src, tgt, k=4)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert exact_plan.count("BroadcastNestedLoopJoin") == 3, exact_plan
+    assert exact_plan.count("BroadcastNestedLoopJoin") == 0, exact_plan
+    assert exact_plan.count("CartesianProduct") == 0, exact_plan
+    # the dgemm scorer itself sits behind the lazy localCheckpoint cut
+    # (the margin stages read the materialized slim pair table), so the
+    # Arrow node is pinned on the scorer's own plan, not the final one
+    scorer_plan = (
+        S._exact_pair_scores_dgemm(
+            src.selectExpr("vec_id AS src_id",
+                           "CAST(embedding AS ARRAY<DOUBLE>) AS __sv")
+               .selectExpr("src_id", "__sv",
+                           "SQRT(AGGREGATE(ZIP_WITH(__sv, __sv, (x, y) -> x * y), "
+                           "CAST(0.0 AS DOUBLE), (a, v) -> a + v)) AS __sn"),
+            tgt.selectExpr("vec_id AS tgt_id",
+                           "CAST(embedding AS ARRAY<DOUBLE>) AS __tv")
+               .selectExpr("tgt_id", "__tv",
+                           "SQRT(AGGREGATE(ZIP_WITH(__tv, __tv, (x, y) -> x * y), "
+                           "CAST(0.0 AS DOUBLE), (a, v) -> a + v)) AS __tn"),
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInArrow" in scorer_plan or "PythonMapInArrow" in scorer_plan, scorer_plan
+
+
+def test_bitext_exact_dgemm_matches_fold_scorer(spark):
+    """FP-parity gate for the r13 dgemm stage 1: the full pair grid it
+    emits must be BIT-IDENTICAL (ids and 6-dp grid cosines) to the
+    Column-fold crossJoin scorer it replaced — the midpoint guard's
+    contract (the r11 decontaminate dgemm convention)."""
+    from pyspark.sql import functions as F
+    from orientdb_spark.pipeline.common import cosine_similarity, vec_norm
+    from orientdb_spark.pipeline.similarity import _exact_pair_scores_dgemm
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    s = (
+        embs.filter(F.col("vec_id") % 2 == 0)
+        .select(
+            F.col("vec_id").alias("src_id"),
+            F.col("embedding").cast("array<double>").alias("__sv"),
+        )
+        .withColumn("__sn", vec_norm(F.col("__sv")))
+        .filter(F.col("__sn") > 0)
+    )
+    t = (
+        embs.filter(F.col("vec_id") % 2 == 1)
+        .select(
+            F.col("vec_id").alias("tgt_id"),
+            F.col("embedding").cast("array<double>").alias("__tv"),
+        )
+        .withColumn("__tn", vec_norm(F.col("__tv")))
+        .filter(F.col("__tn") > 0)
+    )
+    fold = F.broadcast(s).crossJoin(t).select(
+        "src_id",
+        "tgt_id",
+        F.round(
+            cosine_similarity(
+                F.col("__sv"), F.col("__tv"),
+                norm_a=F.col("__sn"), norm_b=F.col("__tn"),
+            )
+            + F.lit(1e-12),
+            6,
+        ).alias("c"),
+    )
+    a = sorted(tuple(r) for r in fold.collect())
+    b = sorted(tuple(r) for r in _exact_pair_scores_dgemm(s, t).collect())
+    assert len(a) == len(b) and len(a) > 0
+    assert a == b
 
 
 def test_bitext_mine_candidates_injection_matches_exact(spark):
