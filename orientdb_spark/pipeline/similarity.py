@@ -34,7 +34,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from orientdb_spark.pipeline.common import (
-    cosine_pairs_arrow,
     cosine_similarity,
     h60,
     per_query_topk_rank,
@@ -178,12 +177,9 @@ def brute_force_topk(
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        # r13 optimization: batch-vectorized Arrow pair cosine —
-        # bit-identical dimension-major fold, ~10-20x the interpreted
-        # JVM lambda chain on the quadratic scored frame (guide §4.2)
         .withColumn(
             "cosine",
-            cosine_pairs_arrow(
+            cosine_similarity(
                 F.col("__qv"), F.col("__cv"), norm_a=F.col("__qn"), norm_b=F.col("__cn")
             ),
         )
@@ -405,16 +401,26 @@ class IvfIndex:
                 "rebuild with fewer cells.",
             )
         probes = self.probe_cells(queries, nprobe, vec_col)
+        # r13 optimization: precompute both norms BELOW the join — once
+        # per probe row and once per corpus row — so the per-pair work
+        # is ONE dot fold instead of three (the former bare
+        # cosine_similarity re-derived both norms per candidate pair;
+        # guide §1.2 "don't compute things you throw away"). Values are
+        # bit-identical: vec_norm is the same fold either way.
         scored = (
-            F.broadcast(probes)
-            .join(self.corpus_cells, "cid")
+            F.broadcast(probes.withColumn("__qn", vec_norm(F.col("__qv"))))
+            .join(
+                self.corpus_cells.withColumn("__cn", vec_norm(F.col("__cv"))),
+                "cid",
+            )
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            # r13 optimization: vectorized Arrow pair cosine (bit-exact
-            # dimension-major fold) over the probed-candidate frame —
-            # the per-pair scoring is the IVF query path's dominant
-            # cost and the fold here also re-derived BOTH norms per
-            # pair row (3 interpreted folds each)
-            .withColumn("cosine", cosine_pairs_arrow(F.col("__qv"), F.col("__cv")))
+            .withColumn(
+                "cosine",
+                cosine_similarity(
+                    F.col("__qv"), F.col("__cv"),
+                    norm_a=F.col("__qn"), norm_b=F.col("__cn"),
+                ),
+            )
         )
         return per_query_topk_rank(
             scored, k, [F.col("cosine").desc(), F.col("neighbor_id")]
@@ -434,12 +440,25 @@ class IvfIndex:
             F.col(vec_col).cast("array<double>").alias("__qv"),
         )
         wq = Window.partitionBy("query_id").orderBy(F.col("__d").desc(), F.col("cid"))
+        # r13 optimization: both norms folded once per query row /
+        # centroid row below the fan-out instead of three folds per
+        # (query, centroid) pair — bit-identical values
         return (
-            q.crossJoin(F.broadcast(self.centroids))
+            q.withColumn("__qn", vec_norm(F.col("__qv")))
+            .crossJoin(
+                F.broadcast(
+                    self.centroids.withColumn("__cn", vec_norm(F.col("cvec")))
+                )
+            )
             .withColumn(
                 "__d",
                 F.round(
-                    cosine_pairs_arrow(F.col("__qv"), F.col("cvec")) + F.lit(1e-12), 6
+                    cosine_similarity(
+                        F.col("__qv"), F.col("cvec"),
+                        norm_a=F.col("__qn"), norm_b=F.col("__cn"),
+                    )
+                    + F.lit(1e-12),
+                    6,
                 ),
             )
             .withColumn("__r", F.row_number().over(wq))
@@ -748,11 +767,22 @@ class ImiIndex:
                 "rebuild with smaller k_half.",
             )
         probes = self.probe_cells(queries, nprobe, vec_col)
+        # r13 optimization: norms precomputed below the join (one fold
+        # per probe/corpus row, not per pair) — see IvfIndex.topk
         scored = (
-            F.broadcast(probes)
-            .join(self.corpus_cells, ["cid1", "cid2"])
+            F.broadcast(probes.withColumn("__qn", vec_norm(F.col("__qv"))))
+            .join(
+                self.corpus_cells.withColumn("__cn", vec_norm(F.col("__cv"))),
+                ["cid1", "cid2"],
+            )
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("cosine", cosine_pairs_arrow(F.col("__qv"), F.col("__cv")))
+            .withColumn(
+                "cosine",
+                cosine_similarity(
+                    F.col("__qv"), F.col("__cv"),
+                    norm_a=F.col("__qn"), norm_b=F.col("__cn"),
+                ),
+            )
         )
         return per_query_topk_rank(
             scored, k, [F.col("cosine").desc(), F.col("neighbor_id")]
@@ -1058,7 +1088,7 @@ def lsh_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn(
             "cosine",
-            cosine_pairs_arrow(
+            cosine_similarity(
                 F.col("__qv"), F.col("__cv"), norm_a=F.col("__qn"), norm_b=F.col("__cn")
             ),
         )
@@ -1685,7 +1715,7 @@ def mmr_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "__c",
-            cosine_pairs_arrow(
+            cosine_similarity(
                 F.col("__qv"), F.col("__cv"),
                 norm_a=F.col("__qn"), norm_b=F.col("__cn"),
             ),
@@ -1890,7 +1920,7 @@ def hybrid_rrf_topk(
         .filter(F.col("doc_id") != F.col("__qid"))
         .withColumn(
             "__c",
-            cosine_pairs_arrow(
+            cosine_similarity(
                 F.col("__qv"), F.col("__cv"),
                 norm_a=F.col("__qn"), norm_b=F.col("__cn"),
             ),
@@ -2329,7 +2359,7 @@ def hard_negatives(
         .join(pos, ["query_id", "neighbor_id"], "left_anti")
         .withColumn(
             "cosine",
-            cosine_pairs_arrow(
+            cosine_similarity(
                 F.col("__qv"), F.col("__cv"),
                 norm_a=F.col("__qn"), norm_b=F.col("__cn"),
             ),
