@@ -2180,13 +2180,38 @@ def bitext_mine(
             raise ValueError(f"need k_candidates >= k, got {kc} < {k}")
         s_corp = s.select(F.col("src_id").alias("__id"), F.col("__sv").alias("__vec"))
         t_corp = t.select(F.col("tgt_id").alias("__id"), F.col("__tv").alias("__vec"))
+        # r13 optimization: when n_cells is scale-derived, both sides'
+        # corpus counts ride ONE job (a tagged union-count) instead of
+        # one count job per IvfIndex.build — the derived values are
+        # identical (derive_ivf_params over the same counts; topk's
+        # nprobe derivation reads only n_cells), so the candidate set
+        # and output cannot change. One scheduling wave instead of two
+        # at any scale (guide §1.2).
+        n_cells_fwd = n_cells_bwd = n_cells
+        if n_cells is None:
+            sizes = {
+                r["__side"]: r["n"]
+                for r in (
+                    s_corp.select(F.lit("s").alias("__side"))
+                    .unionByName(t_corp.select(F.lit("t").alias("__side")))
+                    .groupBy("__side")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                )
+            }
+            n_cells_fwd, _ = derive_ivf_params(
+                max(1, sizes.get("t", 0)), target_recall
+            )
+            n_cells_bwd, _ = derive_ivf_params(
+                max(1, sizes.get("s", 0)), target_recall
+            )
         fwd = ivf_topk(
-            t_corp, s_corp, k=kc, n_cells=n_cells, nprobe=nprobe,
+            t_corp, s_corp, k=kc, n_cells=n_cells_fwd, nprobe=nprobe,
             vec_col="__vec", id_col="__id", refine_iters=refine_iters,
             target_recall=target_recall,
         )
         bwd = ivf_topk(
-            s_corp, t_corp, k=kc, n_cells=n_cells, nprobe=nprobe,
+            s_corp, t_corp, k=kc, n_cells=n_cells_bwd, nprobe=nprobe,
             vec_col="__vec", id_col="__id", refine_iters=refine_iters,
             target_recall=target_recall,
         )
