@@ -1669,38 +1669,46 @@ def mmr_topk(
     Two stages. (1) Candidate generation: exact cosine top-``m`` per
     query (swap in ivf/lsh/imi_topk upstream at scale — anything that
     yields (query_id, neighbor_id, rel) works, the re-rank only needs
-    the m·d candidate vectors). (2) Greedy selection, unrolled as k
-    tiny DataFrame steps: candidate↔candidate similarities are one
-    Q·m² self-join computed ONCE, then each step is an anti-join
-    (remaining), a groupBy-max against the ≤Q·k selected rows, and a
-    per-query row_number pick. Nothing is ever corpus-quadratic: the
-    corpus is touched once by stage 1; every stage-2 frame is bounded
-    by Q·m² rows regardless of N.
+    the m·d candidate vectors). (2) Greedy selection: candidate↔
+    candidate similarities are one Q·m² self-join, and the k greedy
+    picks run per query inside ONE cogrouped Arrow pass (each group is
+    ≤ m candidate rows + m² pair rows — panel-sized by construction),
+    replacing the former k unrolled DataFrame steps (k eager
+    checkpoints, a pairs⋈selected aggregation per step) with a single
+    job. Nothing is ever corpus-quadratic: the corpus is touched once
+    by stage 1; every stage-2 frame is bounded by Q·m² rows
+    regardless of N.
 
     Determinism discipline (cross-engine, same as the ANN oracles):
     relevance and pair similarities are the sequential-fold cosine
-    rounded to 6 dp, the greedy score is round(lam·rel −
-    (1−lam)·maxsim + 1e-12, 6) — the nudge because lam=0.5 times a
-    6-dp value lands EXACTLY on the .5e-6 midpoint where Spark's
-    shortest-decimal HALF_UP and a binary-double round disagree (the
-    pq_adc_score precedent, quantize.py) — and every argmax tiebreaks
-    on neighbor_id, so a DuckDB replay of the unrolled steps is
-    bit-identical.
+    rounded to 6 dp — both computed and rounded in the JVM exactly as
+    before. The greedy score is round(lam·rel − (1−lam)·maxsim +
+    1e-12, 6) — the nudge because lam=0.5 times a 6-dp value lands
+    EXACTLY on the .5e-6 midpoint where Spark's shortest-decimal
+    HALF_UP and a binary-double round disagree (the pq_adc_score
+    precedent, quantize.py) — and every argmax tiebreaks on
+    neighbor_id, so a DuckDB replay of the unrolled steps is
+    bit-identical. The score is the ONLY rounding replayed Python-side
+    (Decimal(repr(x)) HALF_UP): the nudge keeps every rounded value
+    ≥ ~1e-12 from any midpoint, far outside the sub-ulp window where
+    shortest-decimal renderers (JDK Double.toString vs Python repr)
+    could disagree. Running max == per-step aggregate max: the fold of
+    F.max semantics (NULL ignored, NaN greatest) over identical 6-dp
+    doubles is associative, and the Arrow cogroup path preserves the
+    SQL NULL vs NaN distinction in both directions.
 
     Returns (query_id, neighbor_id, relevance, mmr_score, mmr_rank),
     mmr_rank 1..k per query (fewer if the corpus has < k candidates).
 
-    Block hygiene caveat: superseded checkpoint blocks are freed by
-    snapshot-diffing the JVM persistent-RDD set — run from a
-    single-threaded driver (the engine's model); a concurrent persist
-    from another thread would be attributed to this call and swept.
+    The returned frame reads the stage-1 candidate table through one
+    lazy localCheckpoint (the bitext precedent): the corpus scan runs
+    once inside the first consuming job, and re-evaluations replay
+    only the panel-sized tail.
     """
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
     if k > m:
         raise ValueError(f"k ({k}) must be <= candidate pool m ({m})")
-    sc = corpus.sparkSession.sparkContext
-    ids0 = _rdd_ids(sc)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
@@ -1733,9 +1741,10 @@ def mmr_topk(
             F.col("__cn"),
             "rank",
         )
-        # Q·m rows; 5 greedy steps re-read this and the pairs frame —
-        # checkpoint once so the corpus scan doesn't run 2k+1 times
-        .localCheckpoint(eager=True)
+        # Q·m rows; the pair self-join reads this twice and the greedy
+        # cogroup once — one LAZY checkpoint so the corpus scan runs a
+        # single time inside the consuming job (the bitext precedent)
+        .localCheckpoint(eager=False)
     )
     a = cands.select(
         "query_id",
@@ -1753,7 +1762,11 @@ def mmr_topk(
         a.join(b, "query_id")
         .filter(F.col("__ia") != F.col("__ib"))
         .select(
-            "query_id",
+            # fresh exprId: the greedy cogroup sees this frame NEXT TO
+            # `slim` (both descend from `cands`), and two sides exposing
+            # the same query_id attribute trip the ambiguous-self-join
+            # analyzer check
+            F.col("query_id").alias("__qid"),
             "__ia",
             "__ib",
             F.round(
@@ -1764,77 +1777,148 @@ def mmr_topk(
                 6,
             ).alias("__s"),
         )
-        .localCheckpoint(eager=True)  # Q·m² rows, read k-1 times
     )
-    # candidate/pair scaffolding blocks — freed once the final selection
-    # checkpoint no longer depends on them (see the loop tail)
-    infra_ids = _rdd_ids(sc) - ids0
-    lam_c, inv_c = F.lit(float(lam)), F.lit(1.0 - float(lam))
-    slim = cands.select("query_id", "neighbor_id", "relevance", "rank")
-    selected = slim.filter(F.col("rank") == 1).select(
-        "query_id",
-        "neighbor_id",
-        "relevance",
-        F.round(lam_c * F.col("relevance") + F.lit(1e-12), 6).alias("mmr_score"),
-        F.lit(1).alias("mmr_rank"),
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
     )
-    sel_ids: set = set()
-    for t in range(2, k + 1):
-        maxsim = (
-            pairs.join(
-                selected.select(
-                    "query_id", F.col("neighbor_id").alias("__ib")
+
+    fields = {f.name: f.dataType for f in cands.schema.fields}
+    out_schema = StructType(
+        [
+            StructField("query_id", fields["query_id"]),
+            StructField("neighbor_id", fields["neighbor_id"]),
+            StructField("relevance", DoubleType()),
+            StructField("mmr_score", DoubleType()),
+            StructField("mmr_rank", IntegerType()),
+        ]
+    )
+    lam_f, inv_f, k_f = float(lam), 1.0 - float(lam), int(k)
+
+    def _greedy(left, right):
+        # one query's panel: left = its ≤ m candidates, right = its
+        # pair sims. pyarrow keeps SQL NULL (-> None) and NaN distinct
+        # in BOTH directions — the reason this is applyInArrow, not
+        # applyInPandas (pandas collapses them into NaN).
+        import math as _math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pyarrow as _pa
+
+        id_t = left.schema.field("neighbor_id").type
+        qid_t = left.schema.field("query_id").type
+        out_pa = _pa.schema(
+            [
+                ("query_id", qid_t),
+                ("neighbor_id", id_t),
+                ("relevance", _pa.float64()),
+                ("mmr_score", _pa.float64()),
+                ("mmr_rank", _pa.int32()),
+            ]
+        )
+        if left.num_rows == 0:
+            return _pa.table(
+                {f.name: _pa.array([], type=f.type) for f in out_pa}
+            )
+
+        def _round6(x):
+            # Spark round(_, 6): HALF_UP over the shortest-decimal
+            # rendering; NaN/Inf pass through (Round's own behavior).
+            # Only +1e-12-NUDGED values are rounded here, so nothing
+            # sits within sub-ulp reach of a .5e-6 midpoint where
+            # Double.toString and repr could render across it.
+            if _math.isnan(x) or _math.isinf(x):
+                return x
+            return float(
+                Decimal(repr(x)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+
+        def _max_sql(a_v, b_v):
+            # F.max fold semantics: NULL ignored, NaN > any double
+            if b_v is None:
+                return a_v
+            if a_v is None:
+                return b_v
+            if a_v != a_v or b_v != b_v:
+                return float("nan")
+            return a_v if a_v >= b_v else b_v
+
+        def _pick_key(score, nid):
+            # ORDER BY mmr_score DESC NULLS LAST, neighbor_id ASC,
+            # NaN greatest among non-null doubles (Spark ordering)
+            if score is None:
+                return (1, 0.0, nid)
+            if score != score:
+                return (0, float("-inf"), nid)
+            return (0, -score, nid)
+
+        ranks = left.column("rank").to_pylist()
+        order = sorted(range(left.num_rows), key=ranks.__getitem__)
+        nids = left.column("neighbor_id").to_pylist()
+        rels = left.column("relevance").to_pylist()
+        nids = [nids[i] for i in order]
+        rels = [rels[i] for i in order]
+        sims: dict = {}
+        for ia, ib, s_v in zip(
+            right.column("__ia").to_pylist(),
+            right.column("__ib").to_pylist(),
+            right.column("__s").to_pylist(),
+        ):
+            sims[(ia, ib)] = s_v
+        qid = left.column("query_id").to_pylist()[0]
+        # pick 1 is stage 1's rank-1 row (argmax of the UNROUNDED
+        # cosine); its score has no maxsim leg
+        out_nid = [nids[0]]
+        out_rel = [rels[0]]
+        out_score = [
+            None if rels[0] is None else _round6(lam_f * rels[0] + 1e-12)
+        ]
+        remaining = list(range(1, len(nids)))
+        maxsim = {i: sims.get((nids[i], nids[0])) for i in remaining}
+        for _t in range(2, k_f + 1):
+            if not remaining:
+                break
+            best, best_key = None, None
+            scores = {}
+            for i in remaining:
+                ms = maxsim[i]
+                if rels[i] is None or ms is None:
+                    s_i = None
+                else:
+                    s_i = _round6(lam_f * rels[i] - inv_f * ms + 1e-12)
+                scores[i] = s_i
+                key = _pick_key(s_i, nids[i])
+                if best_key is None or key < best_key:
+                    best, best_key = i, key
+            out_nid.append(nids[best])
+            out_rel.append(rels[best])
+            out_score.append(scores[best])
+            remaining.remove(best)
+            for i in remaining:
+                maxsim[i] = _max_sql(maxsim[i], sims.get((nids[i], nids[best])))
+        n_out = len(out_nid)
+        return _pa.table(
+            {
+                "query_id": _pa.array([qid] * n_out, type=qid_t),
+                "neighbor_id": _pa.array(out_nid, type=id_t),
+                "relevance": _pa.array(out_rel, type=_pa.float64()),
+                "mmr_score": _pa.array(out_score, type=_pa.float64()),
+                "mmr_rank": _pa.array(
+                    list(range(1, n_out + 1)), type=_pa.int32()
                 ),
-                ["query_id", "__ib"],
-            )
-            .groupBy("query_id", F.col("__ia").alias("neighbor_id"))
-            .agg(F.max("__s").alias("__maxsim"))
+            }
         )
-        pick = (
-            slim.join(
-                selected.select("query_id", "neighbor_id"),
-                ["query_id", "neighbor_id"],
-                "left_anti",
-            )
-            .join(maxsim, ["query_id", "neighbor_id"])
-            .select(
-                "query_id",
-                "neighbor_id",
-                "relevance",
-                F.round(
-                    lam_c * F.col("relevance") - inv_c * F.col("__maxsim")
-                    + F.lit(1e-12),
-                    6,
-                ).alias("mmr_score"),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("mmr_score").desc(), F.col("neighbor_id")
-        )
-        pick = (
-            pick.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(
-                "query_id", "neighbor_id", "relevance", "mmr_score",
-                F.lit(t).alias("mmr_rank"),
-            )
-        )
-        before = _rdd_ids(sc)
-        selected = selected.unionByName(pick).localCheckpoint(eager=True)
-        new_ids = _rdd_ids(sc) - before
-        # the new eager checkpoint materialized, so the previous
-        # selection state's blocks are dead lineage — executor storage
-        # stays at ONE Q·k state copy, not k of them
-        _free_rdd_ids(sc, sel_ids)
-        sel_ids = new_ids
-    if k == 1:
-        # no loop ran, so the rank-1 selection still reads the candidate
-        # checkpoint — materialize it into its own blocks first
-        selected = selected.localCheckpoint(eager=True)
-    # the returned frame is backed by its own (final) checkpoint; the
-    # Q·m candidate and Q·m² pair blocks are no longer reachable from it
-    _free_rdd_ids(sc, infra_ids)
-    return selected
+
+    slim = cands.select("query_id", "neighbor_id", "relevance", "rank")
+    return (
+        slim.groupBy("query_id")
+        .cogroup(pairs.groupBy("__qid"))
+        .applyInArrow(_greedy, out_schema)
+    )
 
 
 def hybrid_rrf_topk(

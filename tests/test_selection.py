@@ -366,6 +366,169 @@ def test_mmr_partition_invariance(spark):
     assert a == b and len(a) == 12
 
 
+def _mmr_reference_unrolled(corpus, queries, k, m, lam):
+    """The pre-optimization mmr_topk greedy: k unrolled DataFrame steps
+    (per-step pairs⋈selected groupBy-max + anti-join + row_number pick).
+    Kept verbatim as the equivalence reference for the cogrouped-Arrow
+    rewrite — same stage 1, same 6-dp +1e-12 grid, same tiebreaks."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline.common import (
+        cosine_similarity,
+        per_query_topk_rank,
+        vec_norm,
+    )
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("__qv"),
+    ).withColumn("__qn", vec_norm(F.col("__qv")))
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("__cv"),
+    ).withColumn("__cn", vec_norm(F.col("__cv")))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "__c",
+            cosine_similarity(
+                F.col("__qv"), F.col("__cv"),
+                norm_a=F.col("__qn"), norm_b=F.col("__cn"),
+            ),
+        )
+    )
+    cands = (
+        per_query_topk_rank(scored, m, [F.col("__c").desc(), F.col("neighbor_id")])
+        .select(
+            "query_id", "neighbor_id",
+            F.round("__c", 6).alias("relevance"),
+            F.col("__cv"), F.col("__cn"), "rank",
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = cands.select(
+        "query_id", F.col("neighbor_id").alias("__ia"),
+        F.col("__cv").alias("__va"), F.col("__cn").alias("__na"),
+    )
+    b = cands.select(
+        "query_id", F.col("neighbor_id").alias("__ib"),
+        F.col("__cv").alias("__vb"), F.col("__cn").alias("__nb"),
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("__ia") != F.col("__ib"))
+        .select(
+            "query_id", "__ia", "__ib",
+            F.round(
+                cosine_similarity(
+                    F.col("__va"), F.col("__vb"),
+                    norm_a=F.col("__na"), norm_b=F.col("__nb"),
+                ),
+                6,
+            ).alias("__s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lam_c, inv_c = F.lit(float(lam)), F.lit(1.0 - float(lam))
+    slim = cands.select("query_id", "neighbor_id", "relevance", "rank")
+    selected = slim.filter(F.col("rank") == 1).select(
+        "query_id", "neighbor_id", "relevance",
+        F.round(lam_c * F.col("relevance") + F.lit(1e-12), 6).alias("mmr_score"),
+        F.lit(1).alias("mmr_rank"),
+    )
+    for t in range(2, k + 1):
+        maxsim = (
+            pairs.join(
+                selected.select("query_id", F.col("neighbor_id").alias("__ib")),
+                ["query_id", "__ib"],
+            )
+            .groupBy("query_id", F.col("__ia").alias("neighbor_id"))
+            .agg(F.max("__s").alias("__maxsim"))
+        )
+        pick = (
+            slim.join(
+                selected.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_anti",
+            )
+            .join(maxsim, ["query_id", "neighbor_id"])
+            .select(
+                "query_id", "neighbor_id", "relevance",
+                F.round(
+                    lam_c * F.col("relevance") - inv_c * F.col("__maxsim")
+                    + F.lit(1e-12),
+                    6,
+                ).alias("mmr_score"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("mmr_score").desc(), F.col("neighbor_id")
+        )
+        pick = (
+            pick.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "query_id", "neighbor_id", "relevance", "mmr_score",
+                F.lit(t).alias("mmr_rank"),
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected
+
+
+def _nan_safe(rows):
+    return sorted(
+        tuple("NaN" if isinstance(v, float) and v != v else v for v in r)
+        for r in rows
+    )
+
+
+@pytest.mark.parametrize("lam", [0.5, 0.3])
+def test_mmr_cogroup_matches_unrolled_reference(spark, lam):
+    """The single-pass cogrouped-Arrow greedy is bit-identical to the
+    unrolled k-step DataFrame greedy it replaced — including the
+    Python-side replay of round(lam·rel − (1−lam)·maxsim + 1e-12, 6)."""
+    from pyspark.sql import functions as F
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = embs.filter(F.col("vec_id") < 6)
+    got = _nan_safe(S.mmr_topk(embs, qs, k=5, m=20, lam=lam).collect())
+    want = _nan_safe(_mmr_reference_unrolled(embs, qs, k=5, m=20, lam=lam).collect())
+    assert got == want and len(got) == 30
+
+
+def test_mmr_cogroup_nan_null_semantics_match_reference(spark):
+    """Zero-norm vectors (NaN cosines: NaN sorts greatest under DESC)
+    and NULL vectors (NULL cosines: ignored by max, sorted last) flow
+    through the Arrow greedy exactly as through the SQL one — the
+    null-vs-NaN distinction survives both directions of the boundary."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.9, 0.11, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),   # zero norm -> NaN cosine
+        (4, None),                    # NULL vector -> NULL cosine
+        (5, [0.1, 0.0, 0.9, 0.0]),
+        (6, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    qs = df.filter("vec_id = 0")
+    got = _nan_safe(S.mmr_topk(df, qs, k=5, m=6, lam=0.5).collect())
+    want = _nan_safe(_mmr_reference_unrolled(df, qs, k=5, m=6, lam=0.5).collect())
+    assert got == want and len(got) == 5
+
+
 # --- hybrid RRF fusion (Cormack et al. 2009) --------------------------------
 
 
