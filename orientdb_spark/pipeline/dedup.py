@@ -76,7 +76,15 @@ def _shingle_struct_udf(shingle: int):
     hashes together lets LSH hash once and reuse the grams for candidate
     verification without re-scanning. Byte-identical to the JVM
     word_ngrams/h60 pipeline (same \\s+ split, same md5 prefix math), which
-    the DuckDB oracle checks."""
+    the DuckDB oracle checks.
+
+    Returned marked non-deterministic (it is pure — this is an optimizer
+    fence, guide §4.4): every consumer filters on a UDF-derived column
+    (``size(__toks) > 0``), and pushing that filter below the projection
+    duplicates the ArrowEvalPython node — the corpus was measured being
+    shingled TWICE per pass (two shingles() nodes in the
+    dedup_minhash_lsh / leakage_safe_split plans). The fence pins one
+    evaluation; values are unchanged."""
     import hashlib
     import re
 
@@ -103,7 +111,7 @@ def _shingle_struct_udf(shingle: int):
             )
         return pd.DataFrame({"g": gs, "h": hs})
 
-    return shingles
+    return shingles.asNondeterministic()
 
 
 def _sig_columns(id_df: DataFrame, hash_array: Column, num_hashes: int) -> DataFrame:

@@ -209,6 +209,18 @@ def test_minhash_incremental_corpus_side_never_shuffled(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_minhash_shingler_evaluated_once_in_plan(spark):
+    """r13 optimization pin (guide §4.4): the Arrow shingler is marked
+    non-deterministic so the size(__toks)>0 filter cannot be pushed
+    below its projection — the push duplicated the ArrowEvalPython node
+    and the corpus was shingled TWICE per pass. Exactly one shingles()
+    evaluation may appear in the shingle stage's plan."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = dedup._shingle_stage(docs, "text", "doc_id", 3)
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
 def test_embedding_pairs_grouped_verifier_plan(spark):
     """r7 scale rearchitecture pin: the verification stage must fan
     members out through ONE broadcast join and ONE hash exchange into
