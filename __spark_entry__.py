@@ -3728,12 +3728,16 @@ def _text_classifier_score(spark, sf_dir):
     lookup in a d-element literal array → one map-side-combinable
     groupBy — the plan a 100 TB quality filter actually runs;
     plan-pinned single-exchange in tests/test_model.py). The oracle
-    replays training AND scoring under one hash check."""
+    replays training AND scoring under one hash check. r14: train and
+    score share ONE tokenize+hash pass (the oracle's materialized tk
+    CTE shape) instead of scanning the corpus twice — same weights,
+    same per-token score formula."""
     from orientdb_spark.pipeline import model
 
     docs = _classifier_label(_docs(spark, sf_dir))
-    w = model.train_quality_classifier(docs, "__lbl", n_buckets=16, iters=3, lr=1.0)
-    return model.classifier_score(docs, w)
+    return model.train_and_score_quality_classifier(
+        docs, "__lbl", n_buckets=16, iters=3, lr=1.0
+    )
 
 
 def _text_classifier_calibration(spark, sf_dir):

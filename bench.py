@@ -231,26 +231,33 @@ def main() -> None:
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Compact record: exactly the driver-contract keys. The r12 stdout
+    # capture truncated the old fat line (queries + samples + spent_wall
+    # for 39 rows) mid-`samples`, which cost r13 its whole round-over-round
+    # comparison (PERF_r13 n_common: 0). stdout now carries ONLY the
+    # contract keys (<4 KB); the diagnostic extras live in the --out file.
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "samples": samples,
-        "spent_wall": spent_wall,
         "sf": sf,
     }
     if failed:
         out["failed"] = failed
     line = json.dumps(out)
-    # Always ALSO write the record to a file artifact: BENCH_r11.json
-    # lost its headline total when the driver's stdout capture truncated
-    # mid-JSON — a pipe must never be the only copy of a round's number.
-    # Override the path with --out <path> or $SPARK_GRAFT_BENCH_OUT
-    # (parsed and validated up-front in _resolve_out_path).
+    # The file artifact keeps the FULL record (compact keys + per-query
+    # sample counts and the wall-clock ledger): BENCH_r11.json lost its
+    # headline total when the driver's stdout capture truncated mid-JSON —
+    # a pipe must never be the only copy of a round's number. Override the
+    # path with --out <path> or $SPARK_GRAFT_BENCH_OUT (parsed and
+    # validated up-front in _resolve_out_path).
+    full = dict(out)
+    full["samples"] = samples
+    full["spent_wall"] = spent_wall
     try:
         with open(out_path, "w") as fh:
-            fh.write(line + "\n")
+            fh.write(json.dumps(full) + "\n")
     except OSError as e:
         print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
     print(line)

@@ -194,9 +194,13 @@ class Graph:
                 break
             prev_sig = sig
         # converged stars: every edge is (member, component-min); a node's
-        # component is the min over itself and incident endpoints
-        both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        comp = both.groupBy("u").agg(F.min("v").alias("__nbr_min"))
+        # component is the min over itself and its OUT-endpoints. The old
+        # rev-side union is provably redundant for ANY small_star output:
+        # every edge has v < u (greatest/least orientation), so a reversed
+        # edge only ever hands a node a candidate LARGER than itself,
+        # which least(vid, ...) discards — dropping it halves the final
+        # aggregate's input and removes a union (guide §2.3).
+        comp = e.groupBy("u").agg(F.min("v").alias("__nbr_min"))
         return (
             self.vertices.select("vid")
             .join(comp.withColumnRenamed("u", "vid"), "vid", "left")

@@ -13,8 +13,6 @@ reproducible in the duckdb oracle:
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, functions as F
 
 WS_RE = r"\s+"
@@ -120,128 +118,6 @@ def cosine_similarity(a: Column, b: Column, norm_a: Column | None = None, norm_b
     na = vec_norm(a) if norm_a is None else norm_a
     nb = vec_norm(b) if norm_b is None else norm_b
     return dot_product(a, b) / (na * nb)
-
-
-def cosine_pairs_arrow(
-    a: Column, b: Column, norm_a: Column | None = None, norm_b: Column | None = None
-) -> Column:
-    """Drop-in replacement for ``cosine_similarity`` on CANDIDATE-PAIR
-    frames (a joined row per pair, both vectors present): the same
-    sequential dimension-major accumulation, executed batch-vectorized
-    in the Python worker over Arrow batches instead of one interpreted
-    JVM lambda per element per row.
-
-    Bit-exactness (the _assign_udf / pq_encode convention): every fold
-    accumulates dimension-major in ascending order — ``acc = acc +
-    a[d]*b[d]`` per pair — which is op-for-op the order the JVM
-    ``aggregate(zip_with(...))`` fold and the DuckDB oracle's list
-    arithmetic run, so the raw double is BIT-IDENTICAL to the Column
-    expression it replaces (no BLAS, no pairwise summation, no FMA).
-    Downstream rank-on-raw-cosine ordering and 6-dp rounding therefore
-    cannot diverge. Measured ~10-20x on the scored-candidate stages
-    (guide §4.2: vectorize per-batch native work); the cost is moving
-    the two vector columns across the Arrow boundary once.
-
-    Null/shape semantics replicate the JVM fold: NULL array or unequal
-    lengths -> NULL (zip_with pads the shorter side with nulls, which
-    poisons the fold); zero norms produce the same IEEE NaN/Inf the
-    JVM division produces. Pass precomputed ``norm_a``/``norm_b``
-    columns to skip the norm folds exactly as with cosine_similarity."""
-    from pyspark.sql.functions import pandas_udf
-
-    a = a.cast("array<double>")
-    b = b.cast("array<double>")
-
-    def _rows(series: pd.Series) -> list:
-        return [None if v is None else np.asarray(v, dtype=np.float64) for v in series]
-
-    def _fold_dot(x: "np.ndarray", y: "np.ndarray") -> float:
-        acc = 0.0
-        for dd in range(x.shape[0]):
-            acc = acc + x[dd] * y[dd]
-        return acc
-
-    def _batch(av: list, bv: list, an, bn) -> "pd.Series":
-        import numpy as np
-
-        n = len(av)
-        out = np.full(n, np.nan)
-        ok = np.array(
-            [
-                av[i] is not None
-                and bv[i] is not None
-                and av[i].shape == bv[i].shape
-                for i in range(n)
-            ]
-        )
-        idx = np.flatnonzero(ok)
-        if idx.size:
-            lens = np.array([av[i].shape[0] for i in idx])
-            d0 = lens[0] if np.all(lens == lens[0]) else -1
-            if d0 >= 0:
-                A = (
-                    np.stack([av[i] for i in idx])
-                    if d0 > 0
-                    else np.zeros((idx.size, 0))
-                )
-                B = (
-                    np.stack([bv[i] for i in idx])
-                    if d0 > 0
-                    else np.zeros((idx.size, 0))
-                )
-                dots = np.zeros(idx.size)
-                for dd in range(d0):  # dimension-major: fold-identical
-                    dots += A[:, dd] * B[:, dd]
-                if an is None:
-                    na = np.zeros(idx.size)
-                    for dd in range(d0):
-                        na += A[:, dd] * A[:, dd]
-                    na = np.sqrt(na)
-                else:
-                    na = np.asarray([an[i] for i in idx], dtype=np.float64)
-                if bn is None:
-                    nb = np.zeros(idx.size)
-                    for dd in range(d0):
-                        nb += B[:, dd] * B[:, dd]
-                    nb = np.sqrt(nb)
-                else:
-                    nb = np.asarray([bn[i] for i in idx], dtype=np.float64)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    out[idx] = dots / (na * nb)
-            else:  # ragged batch: per-row folds (rare; shape-correct)
-                for i in idx:
-                    x, y = av[i], bv[i]
-                    dot = _fold_dot(x, y)
-                    na = (
-                        np.sqrt(_fold_dot(x, x)) if an is None else float(an[i])
-                    )
-                    nb = (
-                        np.sqrt(_fold_dot(y, y)) if bn is None else float(bn[i])
-                    )
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        out[i] = dot / (na * nb)
-        if ok.all():
-            return pd.Series(out)  # fast path: no NULLs to emit
-        # NULL for null/ragged inputs (the zip_with-pads-null fold
-        # semantics) while a genuine 0/0 NaN stays NaN: object dtype
-        # keeps the distinction across the Arrow boundary
-        return pd.Series(
-            [float(out[i]) if ok[i] else None for i in range(n)], dtype=object
-        )
-
-    if norm_a is not None and norm_b is not None:
-
-        @pandas_udf("double")
-        def _cos4(av: pd.Series, bv: pd.Series, an: pd.Series, bn: pd.Series) -> pd.Series:
-            return _batch(_rows(av), _rows(bv), an.to_numpy(), bn.to_numpy())
-
-        return _cos4(a, b, norm_a, norm_b)
-
-    @pandas_udf("double")
-    def _cos2(av: pd.Series, bv: pd.Series) -> pd.Series:
-        return _batch(_rows(av), _rows(bv), None, None)
-
-    return _cos2(a, b)
 
 
 def per_query_topk_rank(scored, k: int, order_cols):

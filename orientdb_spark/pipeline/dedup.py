@@ -84,7 +84,14 @@ def _shingle_struct_udf(shingle: int):
     duplicates the ArrowEvalPython node — the corpus was measured being
     shingled TWICE per pass (two shingles() nodes in the
     dedup_minhash_lsh / leakage_safe_split plans). The fence pins one
-    evaluation; values are unchanged."""
+    evaluation; values are unchanged.
+
+    Side effect of the fence (measured acceptable): non-determinism
+    blocks PushPredicateThroughNonJoin for the WHOLE projection, so a
+    consumer filtering on deterministic columns ABOVE the shingle stage
+    (e.g. a predicate on __id) also loses parquet-scan pushdown there —
+    pre-filter the input frame BELOW this stage if scan pruning
+    matters."""
     import hashlib
     import re
 

@@ -101,6 +101,21 @@ def train_quality_classifier(
 
     feats = feature_hashing(df, text_col, id_col, n_buckets)
     labels = df.select(F.col(id_col), F.col(label_col).cast("double").alias("__y"))
+    return _train_on_features(feats, labels, id_col, n_buckets, iters, lr)
+
+
+def _train_on_features(
+    feats: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    n_buckets: int,
+    iters: int,
+    lr: float,
+) -> dict[int, float]:
+    """The GD loop of ``train_quality_classifier`` over a prebuilt
+    ``(id, bucket, n_tokens)`` feature frame — split out so the
+    train-then-score composition can feed it from a shared tokenize
+    pass (``train_and_score_quality_classifier``)."""
     sparse = feats.withColumn(
         "__x",
         F.col("n_tokens").cast("double")
@@ -201,6 +216,75 @@ def classifier_score(
     z = tok.groupBy(id_col).agg(
         (F.sum("__w") / F.count(F.lit(1))).alias("__z")
     )
+    out = z.select(
+        F.col(id_col),
+        F.round(
+            _sigmoid(F.col("__z") + F.lit(float(weights[-1]))) + F.lit(1e-12), 6
+        ).alias("score"),
+    )
+    if threshold is not None:
+        out = out.filter(F.col("score") >= F.lit(float(threshold)))
+    return out
+
+
+def train_and_score_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    iters: int = 3,
+    lr: float = 1.0,
+    threshold: float | None = None,
+) -> DataFrame:
+    """``train_quality_classifier`` followed by ``classifier_score`` on
+    the SAME corpus, sharing ONE tokenize+hash pass (guide §1.2/§6: the
+    train-then-score composition used to scan and re-tokenize the corpus
+    twice — the r13 profile's finding on text_classifier_score).
+
+    The shared intermediate is the per-token ``(id, bucket)`` frame —
+    exactly the oracle replay's materialized ``tk`` CTE: training
+    aggregates it to bucket counts (byte-identical to feature_hashing —
+    same rows, same scan partitioning, same partial aggregation), and
+    scoring sums broadcast-literal weight lookups over it (the same
+    per-token formula classifier_score applies; ``bucket`` is the
+    already-computed ``pmod(h60(tok), d)``). One lazy localCheckpoint
+    keeps the pass single: the per-token frame is (long, int) rows —
+    input-token-count-sized, far narrower than the text it replaces.
+
+    Returns exactly ``classifier_score(df, trained_weights)``."""
+    if not 2 <= n_buckets <= _MAX_TRAIN_BUCKETS:
+        raise ValueError(
+            f"n_buckets must be in [2, {_MAX_TRAIN_BUCKETS}] for the dense "
+            f"training path, got {n_buckets}"
+        )
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if lr <= 0:
+        raise ValueError(f"lr must be positive, got {lr}")
+
+    tk = (
+        df.select(
+            F.col(id_col),
+            F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("__tok"),
+        )
+        .select(
+            id_col,
+            F.pmod(h60(F.col("__tok")), F.lit(n_buckets))
+            .cast("int")
+            .alias("bucket"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    feats = tk.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("n_tokens"))
+    labels = df.select(F.col(id_col), F.col(label_col).cast("double").alias("__y"))
+    weights = _train_on_features(feats, labels, id_col, n_buckets, iters, lr)
+
+    w_arr = F.array(*[F.lit(float(weights.get(j, 0.0))) for j in range(n_buckets)])
+    z = tk.select(
+        F.col(id_col),
+        F.element_at(w_arr, F.col("bucket") + F.lit(1)).alias("__w"),
+    ).groupBy(id_col).agg((F.sum("__w") / F.count(F.lit(1))).alias("__z"))
     out = z.select(
         F.col(id_col),
         F.round(

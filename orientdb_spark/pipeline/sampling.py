@@ -965,8 +965,17 @@ def curriculum_order(
     nll = lm_score(df, text_col=text_col, id_col=id_col).select(
         id_col, "nll"
     )
-    scored = df.select(F.col(id_col)).join(nll, on=id_col, how="left").select(
-        id_col, F.coalesce(F.col("nll"), F.lit(0.0)).alias("nll")
+    scored = (
+        df.select(F.col(id_col))
+        .join(nll, on=id_col, how="left")
+        .select(id_col, F.coalesce(F.col("nll"), F.lit(0.0)).alias("nll"))
+        # consumed TWICE below (the quantile-cut aggregate and the
+        # staging pass): without this lazy checkpoint the whole
+        # lm_score pipeline above pc ran twice per evaluation — r13
+        # plan: 28 Exchanges / 4 corpus scans; the checkpoint halves it
+        # (the bitext/mmr precedent). (doc_id, nll) rows only — doc-
+        # count-sized, never wider than the corpus key space.
+        .localCheckpoint(eager=False)
     )
     qs = [s / n_stages for s in range(1, n_stages)]
     pctl = (

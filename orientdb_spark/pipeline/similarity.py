@@ -27,6 +27,7 @@ recall against brute force instead.
 from __future__ import annotations
 
 import math
+import os
 import warnings
 
 import numpy as np
@@ -253,23 +254,16 @@ def seed_centers(corpus: DataFrame, n_cells: int) -> list[list[float]]:
     return [list(r["__v"]) for r in seed_rows]
 
 
-def build_ivf_index(
+def _ivf_centers(
     df: DataFrame,
-    n_cells: int = 16,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    refine_iters: int = 1,
-) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantizer. Returns (centroids(cid, cvec),
-    assignments(id, cid)) — the inverted file.
-
-    Seeds are the ``n_cells`` corpus vectors with the smallest h60(id)
-    (deterministic, uniformly spread); ``refine_iters`` Lloyd steps
-    re-center each cell at the element-wise mean of its members. The
-    centroid set is tiny (n_cells × dim doubles), so it lives driver-side:
-    assignment is a vectorized numpy argmax per Arrow batch (narrow map,
-    zero shuffle) instead of a crossJoin + window — per Lloyd step the
-    only shuffle is the element-wise-mean groupBy."""
+    n_cells: int,
+    vec_col: str,
+    id_col: str,
+    refine_iters: int,
+) -> list[list[float]]:
+    """The driver-side centers list of ``build_ivf_index`` (h60 seeds +
+    ``refine_iters`` Lloyd steps) — split out so callers that apply the
+    quantizer directly (IvfIndex.build) can skip the assignments join."""
     corpus = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
     )
@@ -290,7 +284,30 @@ def build_ivf_index(
             [vals[p] for p in sorted(vals)]
             for _, vals in sorted(by_cid.items())
         ]
+    return centers
 
+
+def build_ivf_index(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    refine_iters: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer. Returns (centroids(cid, cvec),
+    assignments(id, cid)) — the inverted file.
+
+    Seeds are the ``n_cells`` corpus vectors with the smallest h60(id)
+    (deterministic, uniformly spread); ``refine_iters`` Lloyd steps
+    re-center each cell at the element-wise mean of its members. The
+    centroid set is tiny (n_cells × dim doubles), so it lives driver-side:
+    assignment is a vectorized numpy argmax per Arrow batch (narrow map,
+    zero shuffle) instead of a crossJoin + window — per Lloyd step the
+    only shuffle is the element-wise-mean groupBy."""
+    centers = _ivf_centers(df, n_cells, vec_col, id_col, refine_iters)
+    corpus = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
     spark = df.sparkSession
     centroids = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centers)], ["cid", "cvec"]
@@ -370,11 +387,22 @@ class IvfIndex:
         be swept by ``unpersist()``."""
         if n_cells is None:
             n_cells, _ = derive_ivf_params(max(1, df.count()), target_recall)
-        centroids, assignments = build_ivf_index(df, n_cells, vec_col, id_col, refine_iters)
+        # r14: apply the quantizer DIRECTLY on the cell frame instead of
+        # joining the corpus back to build_ivf_index's assignments — the
+        # assignments frame is just the corpus plus the _assign_udf
+        # column, so the join was a corpus self-join on id (2 exchanges
+        # per build; guide §2.4 "remove shuffles outright"). Same rows:
+        # cid = argmax-cosine against the same driver-side centers over
+        # the same array<double> cast.
+        centers = _ivf_centers(df, n_cells, vec_col, id_col, refine_iters)
+        spark = df.sparkSession
+        centroids = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centers)], ["cid", "cvec"]
+        )
         corpus = df.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("__cv"),
-        ).join(assignments.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+        ).withColumn("cid", _assign_udf(centers)(F.col("__cv")))
         block_ids: set = set()
         if persist:
             sc = df.sparkSession.sparkContext
@@ -1700,10 +1728,17 @@ def mmr_topk(
     Returns (query_id, neighbor_id, relevance, mmr_score, mmr_rank),
     mmr_rank 1..k per query (fewer if the corpus has < k candidates).
 
+    Corpus ``id_col`` values must be unique: the greedy pass keys pair
+    similarities by (id, id), so a corpus carrying duplicate ids would
+    collapse duplicate pairs to one row (the pre-cogroup unrolled
+    greedy instead dropped every row of a picked id via left_anti).
+    Stage 1's per-query rank makes duplicate (query_id, neighbor_id)
+    candidate rows impossible only when ids are unique upstream.
+
     The returned frame reads the stage-1 candidate table through one
-    lazy localCheckpoint (the bitext precedent): the corpus scan runs
-    once inside the first consuming job, and re-evaluations replay
-    only the panel-sized tail.
+    lazy localCheckpoint (the bitext precedent): at most the first
+    consuming job can still recompute the corpus scan on concurrent
+    branches; every later read hits the checkpointed blocks.
     """
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
@@ -1742,8 +1777,9 @@ def mmr_topk(
             "rank",
         )
         # Q·m rows; the pair self-join reads this twice and the greedy
-        # cogroup once — one LAZY checkpoint so the corpus scan runs a
-        # single time inside the consuming job (the bitext precedent)
+        # cogroup once — one LAZY checkpoint (the bitext precedent): at
+        # most the first consuming job recomputes the corpus scan on its
+        # concurrent a/b branches; all later reads hit the checkpoint
         .localCheckpoint(eager=False)
     )
     a = cands.select(
@@ -1831,10 +1867,17 @@ def mmr_topk(
             # Double.toString and repr could render across it.
             if _math.isnan(x) or _math.isinf(x):
                 return x
-            return float(
-                Decimal(repr(x)).quantize(
-                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+            # + 0.0 normalizes IEEE -0.0 to +0.0: JVM BigDecimal has no
+            # negative zero, so a tiny negative score that rounds to
+            # zero must render "0.0", not "-0.0" (Decimal keeps the
+            # sign; a rendered-hash oracle would otherwise diverge).
+            return (
+                float(
+                    Decimal(repr(x)).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    )
                 )
+                + 0.0
             )
 
         def _max_sql(a_v, b_v):
@@ -2059,7 +2102,25 @@ def _exact_pair_scores_dgemm(s: DataFrame, t: DataFrame) -> DataFrame:
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     spark = s.sparkSession
-    s_rows = s.select("src_id", "__sv", "__sn").collect()
+    # Size-gate the driver collect (r13 verdict item: the dgemm rewrite
+    # moved the src side from an executor broadcast to driver heap with
+    # no guard). limit(N+1) bounds what the driver can ever hold; at
+    # the default 100k rows x d=64 doubles the matrix is ~50 MB — the
+    # same fits-in-memory class the broadcast(s) relation had. The
+    # exact path is the oracle-parity contract; past the gate the
+    # caller should be on method="ivf", the scale path.
+    max_src = int(
+        os.environ.get("SPARK_GRAFT_BITEXT_EXACT_MAX_SRC", "100000")
+    )
+    s_rows = s.select("src_id", "__sv", "__sn").limit(max_src + 1).collect()
+    if len(s_rows) > max_src:
+        raise ValueError(
+            f"bitext exact path: src side exceeds {max_src} rows; the "
+            "exact method collects src to the driver and is meant for "
+            "query-sized src sides — use method='ivf' (the scale path) "
+            "or raise SPARK_GRAFT_BITEXT_EXACT_MAX_SRC if the driver "
+            "really has the memory"
+        )
     src_ids = [r["src_id"] for r in s_rows]
     s_vecs = [np.asarray(r["__sv"], dtype=np.float64) for r in s_rows]
     Sn = np.asarray([r["__sn"] for r in s_rows], dtype=np.float64)

@@ -452,10 +452,20 @@ def _bigram_nll(
         .agg(F.count(F.lit(1)).alias("nb"))
         .localCheckpoint(eager=False)
     )
-    c2 = pc.groupBy("w1", "w2").agg(F.sum("nb").alias("c2"))
-    c1 = pc.groupBy("w1").agg(F.sum("nb").alias("c1"))
-    vocab = pc.select(F.col("w1").alias("w")).unionAll(
-        pc.select(F.col("w2").alias("w"))
+    # corpus bigram counts, checkpointed: c1 and the vocab are derived
+    # from c2 rather than re-aggregating pc — sum-of-sums over longs is
+    # exact, the (w1,w2)-distinct frame is strictly smaller than the
+    # per-doc-distinct pc wherever bigrams repeat across docs (the whole
+    # point of a corpus LM), and pc's cache is read 2x instead of 4x
+    # (guide §2.3: aggregate before you shuffle / shuffle fewer bytes)
+    c2 = (
+        pc.groupBy("w1", "w2")
+        .agg(F.sum("nb").alias("c2"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = c2.select(F.col("w1").alias("w")).unionAll(
+        c2.select(F.col("w2").alias("w"))
     )
     v = vocab.agg(F.count_distinct(F.col("w")).cast("double").alias("__v"))
     model = c2.join(c1, "w1").crossJoin(F.broadcast(v))

@@ -128,6 +128,28 @@ def test_score_validation_errors(spark, labeled_docs):
         model.classifier_score(labeled_docs, {-1: 0.0})
 
 
+def test_train_and_score_matches_two_pass_composition(spark, labeled_docs):
+    """The r14 shared-tokenize composition must reproduce the two-pass
+    train -> classifier_score pipeline exactly: same weights (the
+    feature counts are byte-identical integers), same 6-dp scores (the
+    per-token score formula is unchanged; only the scan it reads from
+    is shared)."""
+    w = model.train_quality_classifier(
+        labeled_docs, "y", n_buckets=16, iters=3, lr=1.0
+    )
+    two = {
+        r["doc_id"]: r["score"]
+        for r in model.classifier_score(labeled_docs, w).collect()
+    }
+    one = {
+        r["doc_id"]: r["score"]
+        for r in model.train_and_score_quality_classifier(
+            labeled_docs, "y", n_buckets=16, iters=3, lr=1.0
+        ).collect()
+    }
+    assert one == two and len(one) == 40
+
+
 def test_score_plan_single_exchange(spark, labeled_docs):
     """The inference pass is scan -> in-row hash/lookup -> one
     map-side-combinable groupBy: exactly one Exchange, no Join."""

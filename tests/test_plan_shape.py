@@ -263,6 +263,30 @@ def test_pq_topk_precomputed_codes_never_reads_vectors(spark):
         assert _nodes(plan, "Exchange") <= 1, plan
 
 
+def test_ivf_build_has_no_corpus_self_join(spark):
+    """IvfIndex.build (r14): the cell assignment is computed DIRECTLY
+    on the cell frame — the old corpus ⋈ assignments formulation was a
+    corpus self-join on id (two exchanges + a second corpus scan per
+    index build) whose probe side was just the corpus plus the
+    _assign_udf column. The one-shot ivf_topk plan must carry only the
+    two ranking windows' exchanges and no join between two corpus
+    scans."""
+    from pyspark.sql import functions as F
+
+    from orientdb_spark.pipeline import similarity as S
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = S.ivf_topk(
+        embs, embs.filter(F.col("vec_id") < 3), k=3, n_cells=4, nprobe=4,
+        refine_iters=0,
+    )
+    plan = _formatted(out)
+    assert _nodes(plan, "SortMergeJoin") == 0, plan
+    # probe window + per-query rank window; the centroid probe and the
+    # probes->cells attach are broadcasts, not shuffles
+    assert _nodes(plan, "Exchange") <= 2, plan
+
+
 def test_topk_rank_window_group_limit_prunes_map_side(spark):
     """The scale-safe top-k contract (common.per_query_topk_rank): the
     per-query exchange must NOT receive the full scored corpus.

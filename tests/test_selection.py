@@ -529,6 +529,43 @@ def test_mmr_cogroup_nan_null_semantics_match_reference(spark):
     assert got == want and len(got) == 5
 
 
+def test_mmr_score_rounding_to_zero_from_below_yields_positive_zero(spark):
+    """Signed-zero parity with the JVM round (r13 advice): a greedy
+    score of -4.99999e-7 rounds to ZERO at 6 dp — BigDecimal HALF_UP
+    (the unrolled reference, and Spark's round()) has no -0 and yields
+    +0.0, while Decimal(repr(x)).quantize keeps the sign. The Arrow
+    greedy must normalize, or a rendered-hash oracle ('-0.0' vs '0.0')
+    diverges. Fixture: rel_B rounds to 0.600000, sim(B, first pick)
+    rounds to 0.600001, so the lam=0.5 step-2 score is
+    0.5*(rel - maxsim) + 1e-12 = -4.99999e-7."""
+    import math
+
+    b1 = 0.6
+    b2 = 0.6000010 * math.sqrt(2.0) - b1          # sim(B, A) -> 0.600001
+    b3 = math.sqrt(1.0 - b1 * b1 - b2 * b2)       # unit norm
+    rows = [
+        (0, [1.0, 0.0, 0.0]),       # query
+        (1, [1.0, 1.0, 0.0]),       # pick 1 (rel ~0.7071)
+        (2, [b1, b2, b3]),          # pick 2: score rounds to zero from below
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = df.filter("vec_id = 0")
+    got = {
+        r["neighbor_id"]: r["mmr_score"]
+        for r in S.mmr_topk(df, qs, k=2, m=5, lam=0.5).collect()
+    }
+    assert got[2] == 0.0
+    # the actual advice case: equality can't see the sign (-0.0 == 0.0)
+    assert math.copysign(1.0, got[2]) == 1.0, f"got -0.0: {got[2]!r}"
+    # and the JVM-rounded unrolled reference agrees bit-for-bit
+    want = {
+        r["neighbor_id"]: r["mmr_score"]
+        for r in _mmr_reference_unrolled(df, qs, k=2, m=5, lam=0.5).collect()
+    }
+    assert math.copysign(1.0, want[2]) == 1.0
+    assert got == want
+
+
 # --- hybrid RRF fusion (Cormack et al. 2009) --------------------------------
 
 
@@ -834,6 +871,20 @@ def test_bitext_mine_method_validation(spark):
         S.bitext_mine(src, tgt, method="hnsw")
     with pytest.raises(ValueError, match="k_candidates"):
         S.bitext_mine(src, tgt, k=4, method="ivf", k_candidates=2)
+
+
+def test_bitext_exact_src_collect_is_size_gated(spark, monkeypatch):
+    """The exact path collects the src side to the DRIVER (the r13 dgemm
+    rewrite replaced an executor broadcast): above the gate it must fail
+    fast with a message pointing at method='ivf', never OOM the driver.
+    The limit(N+1) probe also bounds what the failed attempt itself can
+    pull. Below the gate, results are unchanged."""
+    src, tgt = _bitext_fixture(spark)
+    monkeypatch.setenv("SPARK_GRAFT_BITEXT_EXACT_MAX_SRC", "2")
+    with pytest.raises(ValueError, match="ivf"):
+        S.bitext_mine(src, tgt, k=2, threshold=1.0).collect()
+    monkeypatch.setenv("SPARK_GRAFT_BITEXT_EXACT_MAX_SRC", "100000")
+    assert len(_mined_set(S.bitext_mine(src, tgt, k=2, threshold=1.0))) > 0
 
 
 # --- hard-negative mining (DPR, Karpukhin et al. 2020) -----------------------
